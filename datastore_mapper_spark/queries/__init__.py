@@ -1,0 +1,6 @@
+"""Contract query modules (SURVEY.md §2.B).  Importing this package
+registers every query into :mod:`datastore_mapper_spark.registry`."""
+
+from . import scans  # noqa: F401
+from . import aggregates  # noqa: F401
+from . import joins  # noqa: F401
