@@ -57,9 +57,9 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if name == "events":
-            df = df.withColumn(
-                "ts_us", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # Integer division: ts is a ~1.7e18 nanosecond long; float
+            # division would lose sub-µs precision (longs > 2^53).
+            df = df.withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         tables[name] = df
     _cache[key] = tables

@@ -4,3 +4,6 @@ registers every query into :mod:`datastore_mapper_spark.registry`."""
 from . import scans  # noqa: F401
 from . import aggregates  # noqa: F401
 from . import joins  # noqa: F401
+from . import windows  # noqa: F401
+from . import setops  # noqa: F401
+from . import functions_suite  # noqa: F401
