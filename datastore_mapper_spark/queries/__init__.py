@@ -7,3 +7,9 @@ from . import joins  # noqa: F401
 from . import windows  # noqa: F401
 from . import setops  # noqa: F401
 from . import functions_suite  # noqa: F401
+from . import stream_batch  # noqa: F401
+from . import llm_text  # noqa: F401
+from . import llm_vector  # noqa: F401
+from . import udfs  # noqa: F401
+from . import sinks_queries  # noqa: F401
+from . import streaming_queries  # noqa: F401

@@ -1,0 +1,155 @@
+"""LLM-pipeline text contract queries (SURVEY §2.B #47, #48, #50, #51)
+— the north-star training-data operators over ``documents``.
+
+The scalable variants (MinHash+LSH, SimHash banding) live in
+``operators/dedup.py``; the queries here are the exact formulations
+that a DuckDB oracle can replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "dedup_exact",
+    "LLM-pipeline",
+    oracle="""
+    SELECT lang,
+           count(*) AS total_docs,
+           count(DISTINCT text) AS uniq_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup accounting per language (hash-groupBy dedup; the
+    remove-flavor is operators.dedup.exact_dedup)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct("text").alias("uniq_docs"),
+    )
+
+
+@query(
+    "dedup_near_jaccard",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.d1, p.d2,
+           CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) AS jaccard
+    FROM pairs p
+    JOIN sizes s1 ON p.d1 = s1.doc_id
+    JOIN sizes s2 ON p.d2 = s2.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    """,
+)
+def dedup_near_jaccard(spark, sf_dir):
+    """Near-duplicate pairs by token-set Jaccard >= 0.8, candidate-bounded
+    by a shared-token self-join.  At 100 TB the candidate generation is
+    replaced by MinHash LSH banding (operators/dedup.py) — the verify
+    step here (exact Jaccard on candidates) stays the same."""
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+        )
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    t1 = toks.alias("a")
+    t2 = toks.alias("b")
+    pairs = (
+        t1.join(
+            t2,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("inter").cast("double") / (
+        F.col("s1.sz") + F.col("s2.sz") - F.col("inter")
+    )
+    return (
+        pairs.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@query(
+    "text_stats_by_lang",
+    "LLM-pipeline",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           avg(CAST(len(string_split(text, ' ')) AS INT)) AS avg_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           avg(n_chars) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats_by_lang(spark, sf_dir):
+    """Corpus statistics: tokens/doc and chars/doc per language x source."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(F.split("text", " "))).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.avg("n_chars").alias("avg_chars"),
+    )
+
+
+@query(
+    "top_terms_per_lang",
+    "LLM-pipeline",
+    oracle="""
+    SELECT lang, term, cnt, rnk FROM (
+        SELECT lang, term, cnt,
+               CAST(rank() OVER (PARTITION BY lang
+                                 ORDER BY cnt DESC, term) AS INT) AS rnk
+        FROM (
+            SELECT lang, tok AS term, count(*) AS cnt
+            FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            GROUP BY lang, tok
+        )
+    ) WHERE rnk <= 5
+    """,
+)
+def top_terms_per_lang(spark, sf_dir):
+    """Top-5 terms per language: explode -> count -> windowed rank."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term"))
+    return (
+        counts.select(
+            "lang", "term", "cnt", F.rank().over(w).cast("int").alias("rnk")
+        ).filter(F.col("rnk") <= 5)
+    )

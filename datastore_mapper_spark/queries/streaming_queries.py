@@ -1,0 +1,29 @@
+"""True-streaming contract queries (SURVEY §2.B #57–#58, rows-only —
+the DuckDB oracle cannot run streams; pytest asserts stream == batch
+twin instead)."""
+
+from __future__ import annotations
+
+from ..registry import query
+from ..streaming.demos import streaming_dedup, streaming_tumbling
+
+
+@query(
+    "stream_tumbling_demo",
+    "streaming",
+    oracle=None,
+    description="Structured Streaming tumbling window + watermark "
+    "(rows-only; equals batch twin tumbling_window_1h).",
+)
+def stream_tumbling_demo(spark, sf_dir):
+    return streaming_tumbling(spark, sf_dir)
+
+
+@query(
+    "stream_dropDuplicates_demo",
+    "streaming",
+    oracle=None,
+    description="Streaming stateful dedup within watermark (rows-only).",
+)
+def stream_dropDuplicates_demo(spark, sf_dir):
+    return streaming_dedup(spark, sf_dir)

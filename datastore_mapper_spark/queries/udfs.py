@@ -1,0 +1,119 @@
+"""UDF-surface contract queries (SURVEY §2.B #52–#54).
+
+This is the engine's escape hatch for the reference's arbitrary
+per-entity map callback (``Next(ctx, w, key)``, SURVEY §2.A A5) when
+the logic genuinely can't be a built-in expression:
+
+- #52: row-at-a-time Python UDF — the slow path, kept tiny on purpose;
+- #53: Arrow-vectorized pandas UDF — the right Python hot path
+  (~10-100x the row UDF);
+- #54: ``applyInPandas`` — grouped-map, the general UDAF/flatMap
+  escape hatch (also how custom stateful ops are built).
+
+Oracles inline the same arithmetic in SQL.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "udf_python_scalar",
+    "UDF",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_totalprice < 100000 THEN 0.1
+                     WHEN o_totalprice < 200000 THEN 0.18
+                     ELSE 0.25 END AS DOUBLE) AS rate,
+           o_totalprice * CAST(CASE WHEN o_totalprice < 100000 THEN 0.1
+                                    WHEN o_totalprice < 200000 THEN 0.18
+                                    ELSE 0.25 END AS DOUBLE) AS tax
+    FROM orders
+    """,
+)
+def udf_python_scalar(spark, sf_dir):
+    """Row-at-a-time Python UDF (tax bracket)."""
+    o = table(spark, sf_dir, "orders")
+
+    @F.udf(returnType=DoubleType())
+    def bracket(price: float) -> float:
+        if price < 100000:
+            return 0.1
+        if price < 200000:
+            return 0.18
+        return 0.25
+
+    rate = bracket("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        rate.alias("rate"),
+        (F.col("o_totalprice") * rate).alias("tax"),
+    )
+
+
+@query(
+    "udf_pandas_vectorized",
+    "UDF",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS discounted
+    FROM lineitem
+    """,
+)
+def udf_pandas_vectorized(spark, sf_dir):
+    """Arrow-batched pandas UDF computing the same per-row arithmetic."""
+    li = table(spark, sf_dir, "lineitem")
+
+    @F.pandas_udf(DoubleType())
+    def discounted(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted("l_extendedprice", "l_discount").alias("discounted"),
+    )
+
+
+@query(
+    "udaf_grouped_pandas",
+    "UDAF",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER seg)
+                 / stddev_samp(c_acctbal) OVER seg, 6) AS z_acctbal
+    FROM customer
+    WINDOW seg AS (PARTITION BY c_mktsegment)
+    """,
+)
+def udaf_grouped_pandas(spark, sf_dir):
+    """Grouped-map applyInPandas: per-segment z-score normalization.
+    Rounded to 6 dp — numpy's pairwise mean/std vs the oracle's
+    streaming variance differ in the last ulp (SURVEY §7.3-H2)."""
+    c = table(spark, sf_dir, "customer")
+    schema = StructType(
+        [
+            StructField("c_custkey", LongType()),
+            StructField("c_mktsegment", StringType()),
+            StructField("z_acctbal", DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        bal = pdf["c_acctbal"]
+        z = (bal - bal.mean()) / bal.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "z_acctbal": z.round(6),
+            }
+        )
+
+    return c.groupBy("c_mktsegment").applyInPandas(zscore, schema)

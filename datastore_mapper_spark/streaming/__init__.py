@@ -1,0 +1,8 @@
+"""Structured Streaming operators — the engine's incremental path.
+
+The reference's incremental substance was slice checkpointing +
+task-queue retry (slice.go cursors, SURVEY §2.A A9); Spark's analogue
+is the checkpoint WAL + state store behind every streaming query.
+"""
+
+from .demos import replay_events_stream, streaming_dedup, streaming_tumbling  # noqa: F401
