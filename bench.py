@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from BASELINE.md (same SURVEY §2.B rows, same
+method: wall-clock around execute+collect, warm JVM) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
+
+The 2x bound (BASELINE.json) is against BASELINE.md's PySpark column —
+measured on this machine with the same warm-JVM single-run method.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set ≙ BASELINE.md rows (query name -> baseline table row).
+HEADLINE = [
+    "agg_group_pricing_summary",  # q_pricing_summary
+    "join_multiway_revenue",      # q_join5_revenue
+    "topk_global",                # q_topk_orders
+    "window_rank_topn_per_group", # q_window_rank
+    "agg_count_distinct",         # q_distinct_users
+    "tumbling_window_1h",         # q_tumbling_1h
+    "fn_explode_unnest",          # q_word_count
+    "join_semi",                  # q_semi_join
+    "join_anti",                  # q_anti_join
+    "agg_rollup",                 # q_grouping_sets
+    "session_windows_gap30m",     # q_sessionize
+    "knn_cosine_top10",           # q_knn_cosine
+    "dedup_exact",                # q_dedup
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from datastore_mapper_spark.catalog import load_tables
+    from datastore_mapper_spark.registry import all_queries
+    from datastore_mapper_spark.session import get_session
+
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_queries()
+
+    # Warm-up: force JVM/codegen/parquet-footer warmup outside the clock.
+    load_tables(spark, sf_dir)["lineitem"].count()
+    specs["agg_group_pricing_summary"].fn(spark, sf_dir).collect()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).collect()
+        dt = round(time.perf_counter() - t0, 4)
+        per_query[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Streaming twins (SURVEY §5.2-4d): the true Structured Streaming
+queries must equal their oracle-checked batch formulations."""
+
+from __future__ import annotations
+
+from datastore_mapper_spark.registry import all_queries
+
+SPECS = all_queries()
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    batch = {
+        r.window_start: (r.cnt, r.sum_value)
+        for r in SPECS["tumbling_window_1h"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        r.window_start: (r.cnt, r.sum_value)
+        for r in SPECS["stream_tumbling_demo"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    batch = {
+        (r.event_type, r.cnt)
+        for r in e.select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    stream = {
+        (r.event_type, r.first_seen_pairs)
+        for r in SPECS["stream_dropDuplicates_demo"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
