@@ -1,0 +1,189 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first:
+
+1. :func:`exact_dedup` — hash groupBy on the raw column.  At 100 TB,
+   dedup on a digest (xxhash64/sha2 of text) instead of the full
+   string so the shuffle moves 8-byte keys, not documents.
+2. :func:`minhash_signatures` + :func:`lsh_candidate_pairs` — MinHash
+   LSH banding: near-dup candidate generation whose shuffle volume is
+   O(docs x bands), independent of pair count.  Candidates are then
+   verified with exact Jaccard (:func:`verify_jaccard`) — the same
+   verify the oracle-checked ``dedup_near_jaccard`` query runs on its
+   shared-token candidates.
+3. :func:`simhash` + :func:`simhash_near_pairs` — 16-bit SimHash with
+   half-band blocking (pigeonhole: hamming<=1 pairs share a half).
+4. n-gram Jaccard / embedding-cosine near-dup live in
+   queries/llm_text.py and operators/similarity.py.
+
+All hashing is Spark's JVM-side xxhash64 — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct value of ``cols`` (hash-shuffle dedup)."""
+    return df.dropDuplicates(cols)
+
+
+def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, tok) with per-document distinct tokens."""
+    return df.select(
+        id_col, F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, sig: array<bigint>) — MinHash signature per document.
+
+    One explode + one aggregation: hash function *i* is
+    ``xxhash64(i, token)``; the signature element is the per-document
+    min.  No per-hash shuffle, no Python.
+    """
+    toks = tokens(df, text_col, id_col)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("tok"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = toks.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(d1, d2) candidate near-dup pairs: documents sharing >=1 LSH band.
+
+    Shuffles (id, band_hash) pairs only; the quadratic blow-up is
+    confined to per-bucket joins (salt/limit oversized buckets at
+    production scale — a skewed bucket means near-identical spam docs).
+    """
+    band_cols = []
+    for b in range(bands):
+        elems = [
+            F.element_at("sig", b * rows_per_band + r + 1)
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(F.xxhash64(F.lit(b), *elems).alias(f"band{b}"))
+    banded = sig_df.select(id_col, *band_cols)
+    buckets = banded.select(
+        id_col,
+        F.explode(F.array(*[f"band{b}" for b in range(bands)])).alias("bucket"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
+        )
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard over candidate pairs; keeps >= threshold."""
+    toks = tokens(df, text_col, id_col)
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    t1, t2 = toks.alias("t1"), toks.alias("t2")
+    inter = (
+        candidates.join(t1, F.col("d1") == F.col(f"t1.{id_col}"))
+        .join(
+            t2,
+            (F.col("d2") == F.col(f"t2.{id_col}"))
+            & (F.col("t1.tok") == F.col("t2.tok")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    jac = F.col("inter").cast("double") / (
+        F.col("s1.sz") + F.col("s2.sz") - F.col("inter")
+    )
+    return (
+        inter.join(s1, F.col("d1") == F.col(f"s1.{id_col}"))
+        .join(s2, F.col("d2") == F.col(f"s2.{id_col}"))
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """(id, simhash: bigint) — sign-of-weighted-bit-sum fingerprint."""
+    toks = tokens(df, text_col, id_col).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 2
+) -> DataFrame:
+    """(d1, d2, hamming) pairs with hamming <= max_hamming, blocked on
+    8-bit halves (any pair with hamming <= 1 shares a half; <=2 mostly
+    does — production would use ceil(bits/(max_hamming+1)) blocks)."""
+    halves = sim_df.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                F.col("simhash").bitwiseAND(F.lit(0xFF)),
+                F.shiftright("simhash", 8).bitwiseAND(F.lit(0xFF)) + F.lit(1 << 20),
+            )
+        ).alias("block"),
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("d1"),
+            F.col(f"b.{id_col}").alias("d2"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

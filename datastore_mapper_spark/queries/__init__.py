@@ -13,3 +13,4 @@ from . import llm_vector  # noqa: F401
 from . import udfs  # noqa: F401
 from . import sinks_queries  # noqa: F401
 from . import streaming_queries  # noqa: F401
+from . import llm_extra  # noqa: F401

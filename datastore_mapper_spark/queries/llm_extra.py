@@ -1,0 +1,282 @@
+"""Extended LLM-pipeline queries beyond the base SURVEY §2.B rows —
+the operator library (operators/) projected onto oracle-checkable
+queries: language ID, quality scoring, regex token counting, document
+fingerprinting, embedding near-dup, IVF ANN, multimodal metadata, and
+the rows-only MinHash-LSH / SimHash scale paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..operators.multimodal import as_binary_media, extract_media_meta
+from ..registry import query
+
+
+def _hits_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+    return (
+        f"len(list_filter([{words}], "
+        f"x -> list_contains(string_split(text, ' '), x)))"
+    )
+
+
+@query(
+    "lang_id_stopword",
+    "LLM-pipeline",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               {_hits_sql('en')} AS s_en,
+               {_hits_sql('de')} AS s_de,
+               {_hits_sql('es')} AS s_es,
+               {_hits_sql('fr')} AS s_fr,
+               {_hits_sql('zh')} AS s_zh
+        FROM documents
+    )
+    SELECT lang,
+           CASE
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr
+                  AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+             WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh'
+           END AS predicted_lang,
+           count(*) AS cnt
+    FROM scored
+    GROUP BY 1, 2
+    """,
+)
+def lang_id_stopword(spark, sf_dir):
+    """Heuristic language ID (stopword-hit argmax, operators.text),
+    confusion counts vs the labeled lang column."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang", tx.predicted_lang(F.col("text")).alias("predicted_lang")
+        )
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "quality_score_filter",
+    "LLM-pipeline",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+               round(
+                 0.5 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
+                                  / 100.0)
+                 + 0.3 * (CAST(len(list_distinct(string_split(text, ' ')))
+                               AS DOUBLE)
+                          / len(string_split(text, ' ')))
+                 + 0.2 * least(1.0, CAST({_hits_sql('en')} AS DOUBLE) * 5
+                                    / len(string_split(text, ' '))),
+                 6) AS score
+        FROM documents
+    )
+    SELECT doc_id, n_toks, score FROM q WHERE score >= 0.5
+    """,
+)
+def quality_score_filter(spark, sf_dir):
+    """Composite quality score (length saturation + lexical diversity +
+    stopword presence); keep docs scoring >= 0.5."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            tx.n_tokens(F.col("text")).alias("n_toks"),
+            tx.quality_score(F.col("text")).alias("score"),
+        )
+        .filter(F.col("score") >= 0.5)
+    )
+
+
+@query(
+    "token_count_regex",
+    "LLM-pipeline",
+    oracle="""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT)
+             AS total_tokens,
+           avg(CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT))
+             AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def token_count_regex(spark, sf_dir):
+    """Regex-extraction token counting (the BPE-ish pre-tokenizer path)."""
+    d = table(spark, sf_dir, "documents")
+    cnt = tx.regex_token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.sum(cnt).alias("total_tokens"),
+        F.avg(cnt).alias("avg_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    "LLM-pipeline",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    )
+    SELECT doc_id,
+           CAST(sum((len(tok) * 31 + ascii(tok))
+                    * (len(tok) * 37 + ascii(right(tok, 1))))
+                % {tx.FINGERPRINT_MOD} AS BIGINT) AS fingerprint
+    FROM toks
+    GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Order-independent token-set fingerprint per document — the cheap
+    pre-cluster key for dedup (identical fingerprint => likely same
+    token set; exact/Jaccard verify runs within fingerprint groups)."""
+    d = table(spark, sf_dir, "documents")
+    toks = dd.tokens(d)
+    return toks.groupBy("doc_id").agg(
+        (F.sum(tx.token_fingerprint_term()) % tx.FINGERPRINT_MOD)
+        .cast("long")
+        .alias("fingerprint")
+    )
+
+
+@query(
+    "neardup_cosine_pairs",
+    "LLM-pipeline",
+    oracle="""
+    WITH ex AS (
+        SELECT vec_id,
+               CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), norms AS (
+        SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY vec_id
+    ), dots AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.v * b.v) AS dot
+        FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(dot / (sqrt(n1.nn) * sqrt(n2.nn)), 4) AS sim
+    FROM dots
+    JOIN norms n1 ON id1 = n1.vec_id
+    JOIN norms n2 ON id2 = n2.vec_id
+    WHERE round(dot / (sqrt(n1.nn) * sqrt(n2.nn)), 4) >= 0.4
+    """,
+)
+def neardup_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (sim >= 0.4, rounded 4 dp).
+    Brute-force all-pairs here; the LSH-bucketed variant is
+    ivf-style blocking in operators/similarity.py."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    s = F.round(sim.cosine(F.col("e1"), F.col("e2")), 4)
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", s.alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+    )
+
+
+@query(
+    "ivf_knn_bucketed",
+    "LLM-pipeline",
+    oracle="""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings
+    ), q AS (
+        SELECT embedding AS qe, bucket AS qbucket,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(embedding) AS x)) AS qq
+        FROM bucketed WHERE vec_id = 0
+    ), sims AS (
+        SELECT e.vec_id,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x, unnest(q.qe) AS y))
+                 AS dot,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x)) AS dd,
+               q.qq AS qq
+        FROM bucketed e, q
+        WHERE e.vec_id <> 0 AND e.bucket = q.qbucket
+    )
+    SELECT vec_id, round(dot / (sqrt(dd) * sqrt(qq)), 4) AS sim
+    FROM sims
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def ivf_knn_bucketed(spark, sf_dir):
+    """IVF-style ANN: probe only the query's sign-pattern cell
+    (operators.similarity.ivf_topk) — the partition-pruned scale path
+    for knn_cosine_top10."""
+    e = table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(e, query_id=0, k=10)
+
+
+@query(
+    "multimodal_meta_extract",
+    "LLM-pipeline",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) % 640 AS INT) AS width,
+           CAST(ascii(substr(text, 1, 1)) % 480 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_meta_extract(spark, sf_dir):
+    """Binary-column plumbing: documents as opaque payloads ->
+    Arrow-batched mapInPandas metadata extraction (deterministic fake
+    codec; real codec stubbed — operators/multimodal.py)."""
+    d = table(spark, sf_dir, "documents")
+    return extract_media_meta(as_binary_media(d), fake=True)
+
+
+@query(
+    "dedup_minhash_lsh",
+    "LLM-pipeline",
+    oracle=None,
+    description="MinHash LSH candidate pairs verified by exact Jaccard "
+    ">= 0.8 (rows-only; probabilistic recall — pytest asserts exact-set "
+    "pairs are always found).",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """The 100 TB near-dup path: MinHash signatures -> LSH banding ->
+    candidate pairs -> exact-Jaccard verify (operators/dedup.py)."""
+    d = table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d)
+    cands = dd.lsh_candidate_pairs(sigs)
+    return dd.verify_jaccard(cands, d, threshold=0.8)
+
+
+@query(
+    "dedup_simhash",
+    "LLM-pipeline",
+    oracle=None,
+    description="SimHash near-dup pairs with hamming <= 2, half-band "
+    "blocked (rows-only).",
+)
+def dedup_simhash(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dd.simhash_near_pairs(dd.simhash(d))
