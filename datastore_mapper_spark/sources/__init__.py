@@ -1,4 +1,5 @@
 """Sources & sinks — the engine's analogue of the reference's
 Datastore input and rolled GCS/BigQuery output surface."""
 
+from .reader import range_shard, read_namespaced, read_table  # noqa: F401
 from .writer import rolled_write, write_partitioned  # noqa: F401

@@ -1,0 +1,58 @@
+"""Plan-regression tests: the physical plans the engine was designed
+around must not silently degrade (SURVEY §4.3).  These are the
+scale-readiness checks — a query that stops pushing filters into the
+scan or stops broadcasting its dim side still passes the oracle at
+sf0.01, but would fall over at 100 TB."""
+
+from __future__ import annotations
+
+from datastore_mapper_spark.plans import formatted, has_operator, scan_info
+from datastore_mapper_spark.registry import all_queries
+
+SPECS = all_queries()
+
+
+def _df(name, spark, sf_dir):
+    return SPECS[name].fn(spark, sf_dir)
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    info = scan_info(_df("scan_project", spark, sf_dir))
+    schema = ";".join(info["ReadSchema"])
+    assert "l_extendedprice" in schema
+    assert "l_shipdate" not in schema  # unused column must not be read
+
+
+def test_filters_push_to_parquet(spark, sf_dir):
+    info = scan_info(_df("scan_filter_pushdown", spark, sf_dir))
+    pushed = ";".join(info["PushedFilters"])
+    assert "l_shipdate" in pushed and "GreaterThanOrEqual" in pushed
+    assert "In(l_returnflag" in pushed
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    assert has_operator(_df("join_broadcast_dim", spark, sf_dir), "BroadcastHashJoin")
+
+
+def test_flagship_join_has_no_cartesian(spark, sf_dir):
+    plan = formatted(_df("join_multiway_revenue", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    assert has_operator(_df("topk_global", spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_per_group_topn_uses_window_group_limit(spark, sf_dir):
+    assert has_operator(
+        _df("window_rank_topn_per_group", spark, sf_dir), "WindowGroupLimit"
+    )
+
+
+def test_knn_topk_avoids_global_sort(spark, sf_dir):
+    assert has_operator(_df("knn_cosine_top10", spark, sf_dir), "TakeOrderedAndProject")
+
+
+def test_semi_anti_plan_as_joins(spark, sf_dir):
+    assert "LeftSemi" in formatted(_df("join_semi", spark, sf_dir))
+    assert "LeftAnti" in formatted(_df("join_anti", spark, sf_dir))
