@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from ..registry import query
 from ..streaming.demos import streaming_dedup, streaming_tumbling
+from ..streaming.stateful import streaming_user_totals
 
 
 @query(
@@ -27,3 +28,15 @@ def stream_tumbling_demo(spark, sf_dir):
 )
 def stream_dropDuplicates_demo(spark, sf_dir):
     return streaming_dedup(spark, sf_dir)
+
+
+@query(
+    "stream_stateful_user_totals",
+    "streaming",
+    oracle=None,
+    description="Custom stateful operator via applyInPandasWithState: "
+    "incrementally-maintained per-user totals (rows-only; pytest "
+    "asserts equality with the batch aggregate).",
+)
+def stream_stateful_user_totals(spark, sf_dir):
+    return streaming_user_totals(spark, sf_dir)

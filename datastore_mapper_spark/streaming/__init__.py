@@ -6,3 +6,4 @@ is the checkpoint WAL + state store behind every streaming query.
 """
 
 from .demos import replay_events_stream, streaming_dedup, streaming_tumbling  # noqa: F401
+from .stateful import streaming_user_totals  # noqa: F401

@@ -20,6 +20,25 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_stateful_user_totals_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    batch = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in e.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    stream = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in SPECS["stream_stateful_user_totals"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
 def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     from pyspark.sql import functions as F
 
