@@ -15,3 +15,4 @@ from . import sinks_queries  # noqa: F401
 from . import streaming_queries  # noqa: F401
 from . import llm_extra  # noqa: F401
 from . import relational_extra  # noqa: F401
+from . import mapper_queries  # noqa: F401
