@@ -5,7 +5,13 @@ twin instead)."""
 from __future__ import annotations
 
 from ..registry import query
-from ..streaming.demos import streaming_dedup, streaming_tumbling
+from ..streaming.demos import (
+    streaming_dedup,
+    streaming_foreach_batch_etl,
+    streaming_sliding,
+    streaming_static_join,
+    streaming_tumbling,
+)
 from ..streaming.stateful import streaming_user_totals
 
 
@@ -28,6 +34,39 @@ def stream_tumbling_demo(spark, sf_dir):
 )
 def stream_dropDuplicates_demo(spark, sf_dir):
     return streaming_dedup(spark, sf_dir)
+
+
+@query(
+    "stream_sliding_demo",
+    "streaming",
+    oracle=None,
+    description="True streaming sliding windows (1 h / 30 min slide) with "
+    "watermark (rows-only; pytest asserts equality with the batch twin).",
+)
+def stream_sliding_demo(spark, sf_dir):
+    return streaming_sliding(spark, sf_dir)
+
+
+@query(
+    "stream_static_join_demo",
+    "streaming",
+    oracle=None,
+    description="Stream-static broadcast join against the customer dim + "
+    "agg per segment (rows-only; pytest asserts equality with batch).",
+)
+def stream_static_join_demo(spark, sf_dir):
+    return streaming_static_join(spark, sf_dir)
+
+
+@query(
+    "stream_foreach_batch_sink",
+    "streaming",
+    oracle=None,
+    description="foreachBatch partitioned-parquet sink (streaming rolled "
+    "output, A7) + read-back counts (rows-only).",
+)
+def stream_foreach_batch_sink(spark, sf_dir):
+    return streaming_foreach_batch_etl(spark, sf_dir)
 
 
 @query(

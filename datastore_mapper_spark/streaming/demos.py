@@ -79,6 +79,70 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping event-time windows (1 h length, 30 min slide) with a
+    10-minute watermark — the true-streaming twin of the batch
+    explode-of-offsets formulation (#44 sliding_window_counts)."""
+    events = replay_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts_us", "10 minutes")
+        .groupBy(F.window("ts_us", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    name = _run_to_memory(agg, "complete")
+    return spark.table(name).select(
+        F.col("win.start").alias("window_start"), "cnt"
+    )
+
+
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (dim read per micro-batch, broadcast — no
+    stream-side shuffle, no state), then aggregated per market segment.
+    This is the streaming form of the star join (#14)."""
+    events = replay_events_stream(spark, sf_dir)
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    dim = F.broadcast(customer.select("c_custkey", "c_mktsegment"))
+    joined = (
+        events.join(dim, events.user_id == dim.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    name = _run_to_memory(joined, "complete")
+    return spark.table(name)
+
+
+def streaming_foreach_batch_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands as partitioned parquet
+    via the same batch writer the Job facade uses — the streaming
+    version of the reference's rolled shard output (A7) with
+    exactly-once per batch_id.  Returns the read-back counts."""
+    events = replay_events_stream(spark, sf_dir)
+    dest = os.path.join(_SCRATCH, "stream_foreach_batch_out")
+    shutil.rmtree(dest, ignore_errors=True)
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select("event_id", "user_id", "event_type", "value")
+            .write.mode("append")
+            .partitionBy("event_type")
+            .parquet(dest)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(_SCRATCH, "ckpt_feb_" + uuid.uuid4().hex[:8]))
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(dest)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type) with watermarked
     state eviction; result folded to counts per event type."""

@@ -20,6 +20,66 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_stream_sliding_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    batch = {
+        (r.window_start, r.cnt)
+        for r in e.groupBy(F.window("ts_us", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), "cnt")
+        .collect()
+    }
+    stream = {
+        (r.window_start, r.cnt)
+        for r in SPECS["stream_sliding_demo"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    batch = {
+        r.c_mktsegment: (r.cnt, r.sum_value)
+        for r in e.join(c, e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .collect()
+    }
+    stream = {
+        r.c_mktsegment: (r.cnt, r.sum_value)
+        for r in SPECS["stream_static_join_demo"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_stream_foreach_batch_sink_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    batch = {
+        r.event_type: r.cnt
+        for r in e.groupBy("event_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    sunk = {
+        r.event_type: r.cnt
+        for r in SPECS["stream_foreach_batch_sink"].fn(spark, sf_dir).collect()
+    }
+    assert sunk == batch
+
+
 def test_stateful_user_totals_equals_batch(spark, sf_dir):
     from pyspark.sql import functions as F
 
