@@ -16,3 +16,4 @@ from . import streaming_queries  # noqa: F401
 from . import llm_extra  # noqa: F401
 from . import relational_extra  # noqa: F401
 from . import mapper_queries  # noqa: F401
+from . import relational_extra2  # noqa: F401
