@@ -7,4 +7,4 @@ projections of these operators are registered as queries in
 ``queries/llm_extra.py``.
 """
 
-from . import counters, dedup, multimodal, similarity, text  # noqa: F401
+from . import counters, dedup, multimodal, scale, similarity, text  # noqa: F401

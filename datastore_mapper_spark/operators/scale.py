@@ -1,0 +1,115 @@
+"""Scale-engineering operators: bucketed co-located joins and skew
+salting (SCALE.md 'Joins'/'Aggregations').
+
+These are the two levers the 100 TB plan needs that are *choices*, not
+defaults:
+
+- **Bucketing** removes the shuffle from every future join/aggregation
+  on the bucket key: both sides pre-hash-partitioned into the same N
+  buckets at write time, so SortMergeJoin reads co-located buckets with
+  NO Exchange (asserted in tests/test_scale_ops.py).  This is the
+  at-rest analogue of the reference's scatter-sharded keyspace — the
+  partitioning is decided once, at write time, and every reader
+  inherits it.
+- **Salting** splits a pathologically hot key across ``n_salts``
+  sub-keys.  Aggregation: two-phase (partial by salted key, final by
+  real key) — works for any decomposable aggregate.  Join: the
+  fact side gets a deterministic per-row salt; the dim side is
+  exploded ×``n_salts`` so every (key, salt) pair still meets.  AQE's
+  skew-join split handles moderate skew automatically; salting is for
+  the single-key hot spot AQE cannot split (one key > one partition).
+
+Everything here is deterministic (hash-derived salts, never rand()) so
+results stay oracle-comparable and retries stay idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    num_buckets: int,
+    sort_key: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally sorted) by key.
+
+    Subsequent equi-joins / groupBys on ``bucket_key`` between tables
+    bucketed with the SAME bucket count plan with no Exchange; adding
+    ``sort_key == bucket_key`` also removes the Sort under SMJ."""
+    writer = df.write.bucketBy(num_buckets, bucket_key)
+    if sort_key is not None:
+        writer = writer.sortBy(sort_key)
+    writer.mode(mode).saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Join two same-bucketed saved tables on their bucket key — reads
+    co-located buckets, shuffle-free."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def _salt(col: Column, n_salts: int) -> Column:
+    """Deterministic salt in [0, n_salts): hash of the value itself —
+    rows of the SAME hot key spread evenly, and retries recompute the
+    same salt (rand() would break idempotent task retry)."""
+    return F.pmod(F.xxhash64(col), F.lit(n_salts))
+
+
+def salted_groupby_sum(
+    df: DataFrame,
+    group_key: str,
+    n_salts: int,
+    sum_cols: list[str],
+    unique_col: str,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: partial sum/count by
+    (key, salt), final sum by key.
+
+    ``unique_col`` feeds the salt so the hot key's rows spread across
+    ``n_salts`` reducers in phase 1; phase 2 merges ``n_salts`` rows
+    per key — negligible.  Returns one row per key with ``sum_<c>``
+    and ``cnt`` columns, bit-identical to a plain groupBy (sums are
+    reassociated, which is exact for integers/decimals; for doubles
+    expect last-ulp drift, same as any shuffle-order change)."""
+    partial = (
+        df.withColumn("__salt", _salt(F.col(unique_col), n_salts))
+        .groupBy(group_key, "__salt")
+        .agg(
+            F.count("*").alias("__cnt"),
+            *[F.sum(c).alias(f"__sum_{c}") for c in sum_cols],
+        )
+    )
+    return partial.groupBy(group_key).agg(
+        F.sum("__cnt").alias("cnt"),
+        *[F.sum(f"__sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int,
+    fact_unique_col: str,
+) -> DataFrame:
+    """Skew-safe equi-join: fact rows get a deterministic salt; the dim
+    is exploded ×``n_salts`` so every (key, salt) partition finds its
+    dim row.  Costs ``n_salts``× the dim (fine — dims are small; that
+    is why the key is hot), buys even reducer sizes on the fact."""
+    salted_fact = fact.withColumn(
+        "__salt", _salt(F.col(fact_unique_col), n_salts)
+    )
+    exploded_dim = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    joined = salted_fact.join(exploded_dim, [key, "__salt"])
+    return joined.drop("__salt")

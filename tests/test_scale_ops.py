@@ -1,0 +1,81 @@
+"""Scale-operator tests: bucketed joins plan shuffle-free and match the
+unbucketed result; salted aggregation/join match their plain twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datastore_mapper_spark.catalog import table
+from datastore_mapper_spark.operators.scale import (
+    bucketed_join,
+    salted_groupby_sum,
+    salted_join,
+    write_bucketed,
+)
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_is_shuffle_free_and_correct(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(o, "b_orders", "o_orderkey", 8, sort_key="o_orderkey")
+    write_bucketed(li, "b_lineitem", "o_orderkey", 8, sort_key="o_orderkey")
+    # At sf0.01 the planner would broadcast these tiny tables; disable
+    # that to exercise the fact-fact (SMJ) shape bucketing exists for.
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = _physical_plan(joined)
+        assert "Exchange" not in plan  # co-located buckets, no shuffle
+        expected = li.join(o, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_groupby_sum_matches_plain(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    salted = {
+        (r["l_returnflag"], r["cnt"]): round(r["sum_l_quantity"], 4)
+        for r in salted_groupby_sum(
+            li, "l_returnflag", 16, ["l_quantity"], "l_orderkey"
+        ).collect()
+    }
+    plain = {
+        (r["l_returnflag"], r["cnt"]): round(r["sum_l_quantity"], 4)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"), F.sum("l_quantity").alias("sum_l_quantity"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    fact = li.withColumnRenamed("l_partkey", "p_partkey")
+    salted = (
+        salted_join(fact, p, "p_partkey", 8, "l_orderkey")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("cnt"))
+    )
+    plain = fact.join(p, "p_partkey").groupBy("p_brand").agg(
+        F.count("*").alias("cnt")
+    )
+    assert {(r.p_brand, r.cnt) for r in salted.collect()} == {
+        (r.p_brand, r.cnt) for r in plain.collect()
+    }
+
+
+def test_salt_is_deterministic(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem")
+    a = salted_groupby_sum(li, "l_returnflag", 16, ["l_quantity"], "l_orderkey")
+    assert a.collect() == a.collect()  # same salts on re-execution
