@@ -1,0 +1,220 @@
+"""TPC-H-shaped flagship queries (Q3/Q4/Q10/Q14/Q18 adapted to the
+fixture schema — no shipmode/commitdate/address columns, so predicates
+substitute available columns while keeping each query's *shape*:
+the join topology, aggregation structure, and ordering semantics).
+
+Revenue sums go through DECIMAL(18,4) on BOTH sides (SURVEY §7.3-H2):
+double sums after a join shuffle are order-sensitive in the last ulp;
+decimal addition is associative, so the hash comparison — and the
+top-k cutoffs that order by revenue — are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+_DEC = "decimal(18,4)"
+
+
+def _revenue_col():
+    return (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    "flagship join",
+    oracle="""
+    SELECT l_orderkey,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """Q3: top-10 unshipped BUILDING-segment orders by revenue.
+    Broadcast dim (customer-filtered) → fact join → decimal-exact agg →
+    TakeOrderedAndProject top-k; tie-broken on l_orderkey."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-03-15"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_revenue_col()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q4_order_priority",
+    "flagship subquery",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    """Q4: orders per priority having a late line item (EXISTS →
+    left-semi join; ship > order+60d substitutes commit<receipt)."""
+    table(spark, sf_dir, "orders")
+    table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    "flagship join",
+    oracle="""
+    SELECT c_custkey, c_name,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS revenue,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """Q10: top-20 customers by returned-item revenue in a quarter-ish
+    window; fact filtered early, nation broadcast."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue_col()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    "flagship join",
+    oracle="""
+    SELECT round(
+        100.00 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS DOUBLE),
+        6) AS promo_revenue_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """Q14: promo revenue share for one month (real PROMO type).  Decimal sums, then ONE double division at the end
+    (cast before dividing — DuckDB decimal/decimal yields a decimal
+    of different scale, §7.3-H6)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1997-02-01")
+    )
+    p = table(spark, sf_dir, "part")
+    rev = _revenue_col()
+    zero = F.lit(0).cast(_DEC)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev)
+                        .otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    "flagship join",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, qty_sum
+    FROM (
+        SELECT o.o_custkey AS c_custkey, o.o_orderkey, o.o_totalprice,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                   AS qty_sum
+        FROM orders o, lineitem l
+        WHERE o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_custkey, o.o_orderkey, o.o_totalprice
+    )
+    WHERE qty_sum > 150
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """Q18: large-quantity orders (HAVING sum > threshold) — the
+    agg-then-filter-then-topk shape; quantity summed as decimal."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast(_DEC).alias("qty_sum"))
+        .filter(F.col("qty_sum") > 150)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
