@@ -187,3 +187,58 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over a
+    near-dup pair graph by iterative min-label propagation.
+
+    Returns (node, cluster_id) for every node appearing in an edge,
+    where cluster_id = the minimum member id of the component —
+    deterministic, so the result is oracle-comparable (the DuckDB twin
+    is a recursive-CTE transitive closure).
+
+    Each iteration is one join + one groupBy (both shuffle on node
+    id); iterations needed = graph diameter, and near-dup components
+    are shallow (pairs/triples), so this converges in 2–4 rounds.
+    ``localCheckpoint`` cuts the lineage each round — without it the
+    plan doubles per iteration and the driver OOMs planning round ~20.
+    At 100 TB use ``spark.sparkContext.setCheckpointDir`` + reliable
+    ``checkpoint()`` instead, and the large-star/small-star variant
+    (fewer rounds on high-diameter graphs).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    labels = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = sym.join(
+            labels, sym.v == labels.node
+        ).select(F.col("u").alias("node"), F.col("label"))
+        new_labels = (
+            labels.union(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

@@ -12,7 +12,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..registry import query
+from ..operators.dedup import connected_components
+from ..registry import REGISTRY, query
 
 
 @query(
@@ -153,3 +154,48 @@ def top_terms_per_lang(spark, sf_dir):
             "lang", "term", "cnt", F.rank().over(w).cast("int").alias("rnk")
         ).filter(F.col("rnk") <= 5)
     )
+
+
+@query(
+    "dedup_cluster_assign",
+    "LLM-pipeline",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT d1, d2
+        FROM cand p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    ), sym AS (
+        SELECT d1 AS u, d2 AS v FROM edges
+        UNION SELECT d2, d1 FROM edges
+    ), reach(node, lab) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_assign(spark, sf_dir):
+    """Duplicate clusters: connected components (iterative min-label
+    propagation, operators.dedup.connected_components) over the exact
+    near-dup pair graph of #48.  cluster_id = min doc_id of the
+    component; the oracle closes the same graph with a recursive CTE.
+    This is the step that turns pairwise near-dup hits into the
+    keep-one-per-cluster decision a 100 TB dedup pipeline ships."""
+    pairs = REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")

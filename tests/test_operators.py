@@ -106,3 +106,22 @@ def test_multimodal_stub_and_fake_path(spark, sf_dir):
     src = _docs(spark, sf_dir).select("doc_id", "text").collect()
     for r in src[:20]:
         assert by_id[r.doc_id].n_bytes == len(r.text.encode("utf-8"))
+
+
+def test_connected_components_known_graph(spark):
+    from datastore_mapper_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star on 20)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        ["d1", "d2"],
+    )
+    got = {
+        (r.node, r.cluster_id)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
