@@ -19,3 +19,4 @@ from . import mapper_queries  # noqa: F401
 from . import relational_extra2  # noqa: F401
 from . import relational_extra3  # noqa: F401
 from . import tpch_style  # noqa: F401
+from . import pipeline_extra  # noqa: F401

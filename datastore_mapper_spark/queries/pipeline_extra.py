@@ -1,0 +1,139 @@
+"""Training-pipeline extension queries: deterministic dataset
+splitting, native session windows, n-gram generation.
+
+All three dialect pairs probed MATCH this session (Spark 4.1.2 vs
+DuckDB 1.0.0) before declaration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "split_train_val_test",
+    "LLM-pipeline",
+    oracle="""
+    SELECT split, count(*) AS n_docs
+    FROM (
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT CAST(('0x' || substring(md5(text), 1, 4))::INTEGER
+                          AS BIGINT) % 100 AS bucket
+              FROM documents)
+    )
+    GROUP BY split
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment: bucket =
+    md5(content) prefix mod 100.  Content-hash (not rand()) splitting
+    is reproducible across runs/engines, stable under re-partitioning,
+    and keeps exact duplicates in the SAME split (no train→test
+    leakage) — the property a training pipeline actually needs."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5("text"), 1, 4), 16, 10)
+              .cast("bigint") % 100)
+    return (
+        d.select(
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split")
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "session_window_native",
+    "stream-analogue",
+    oracle="""
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts_us FROM events),
+    flag AS (
+        SELECT user_id, ts_us,
+               CASE WHEN ts_us - lag(ts_us) OVER w > INTERVAL 30 MINUTE
+                         OR lag(ts_us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flag
+    )
+    SELECT user_id, min(ts_us) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def session_window_native(spark, sf_dir):
+    """Spark's native ``session_window`` (batch mode) — proven here to
+    produce EXACTLY the sessions of the lag→cumsum SQL formulation
+    (#45), which is what the oracle replays.  The same expression runs
+    incrementally under Structured Streaming with merging session
+    state; #45 carries the hand-rolled formulation."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts_us", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+@query(
+    "ngram_top_bigrams",
+    "LLM-pipeline",
+    oracle="""
+    SELECT lang, bigram, cnt FROM (
+        SELECT lang, bigram, cnt,
+               rank() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram)
+                   AS rnk
+        FROM (
+            SELECT lang, bigram, count(*) AS cnt FROM (
+                SELECT lang,
+                       concat(tok, ' ',
+                              lead(tok) OVER (PARTITION BY doc_id ORDER BY i))
+                           AS bigram
+                FROM (SELECT doc_id, lang, g.i AS i, toks[g.i] AS tok
+                      FROM (SELECT doc_id, lang,
+                                   string_split(text, ' ') AS toks
+                            FROM documents),
+                      LATERAL (SELECT unnest(generate_series(1, len(toks)))
+                               AS i) g)
+            ) WHERE bigram IS NOT NULL AND bigram LIKE '% %'
+            GROUP BY lang, bigram
+        )
+    ) WHERE rnk <= 3
+    """,
+)
+def ngram_top_bigrams(spark, sf_dir):
+    """Top-3 bigrams per language: positional explode → lead() within
+    document → count → rank.  The n-gram construction primitive under
+    shingle-based dedup and LM data prep; generalizes to any n by
+    chaining lead(k)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    from pyspark.sql import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.select(
+        "lang",
+        F.concat_ws(" ", F.col("tok"), F.lead("tok").over(w_doc)).alias("bigram"),
+    ).filter(F.col("bigram").like("% %"))
+    counts = bigrams.groupBy("lang", "bigram").agg(F.count("*").alias("cnt"))
+    w_rank = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        counts.withColumn("rnk", F.rank().over(w_rank))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "bigram", "cnt")
+    )
