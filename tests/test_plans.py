@@ -56,3 +56,30 @@ def test_knn_topk_avoids_global_sort(spark, sf_dir):
 def test_semi_anti_plan_as_joins(spark, sf_dir):
     assert "LeftSemi" in formatted(_df("join_semi", spark, sf_dir))
     assert "LeftAnti" in formatted(_df("join_anti", spark, sf_dir))
+
+
+def test_tpch_q3_broadcasts_dims_and_takes_topk(spark, sf_dir):
+    plan = formatted(_df("tpch_q3_shipping_priority", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q10_pushes_returnflag_filter(spark, sf_dir):
+    info = scan_info(_df("tpch_q10_returned_items", spark, sf_dir))
+    assert "l_returnflag" in ";".join(info["PushedFilters"])
+
+
+def test_tpch_q4_exists_plans_as_semi_join(spark, sf_dir):
+    assert "LeftSemi" in formatted(_df("tpch_q4_order_priority", spark, sf_dir))
+
+
+def test_lateral_topn_plans_as_window_not_rescan(spark, sf_dir):
+    plan = formatted(_df("join_lateral_topn", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_session_window_native_single_shuffle(spark, sf_dir):
+    plan = formatted(_df("session_window_native", spark, sf_dir))
+    # one exchange for the (session, user) grouping, none extra
+    assert plan.count("Exchange") <= 2

@@ -63,14 +63,10 @@ def test_range_shard_balances_and_preserves_rows(spark, sf_dir):
 
 def test_csv_json_sink_roundtrip(spark, sf_dir):
     n = table(spark, sf_dir, "nation")
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "orc"):
         dest = os.path.join(SCRATCH, f"rt_{fmt}")
         n.write.mode("overwrite").option("header", "true").format(fmt).save(dest)
-        back = (
-            spark.read.option("header", "true")
-            .option("inferSchema", "true")
-            .format(fmt)
-            .load(dest)
-        )
+        reader = spark.read.option("header", "true").option("inferSchema", "true")
+        back = reader.format(fmt).load(dest)
         assert back.count() == n.count()
         assert set(back.columns) == set(n.columns)
