@@ -70,3 +70,58 @@ def test_csv_json_sink_roundtrip(spark, sf_dir):
         back = reader.format(fmt).load(dest)
         assert back.count() == n.count()
         assert set(back.columns) == set(n.columns)
+
+
+def test_schema_evolution_merge(spark, sf_dir):
+    """Schema-on-read evolution: files written before a column existed
+    read back as NULL for that column under mergeSchema — Datastore's
+    per-entity property sets differ the same way (SURVEY §1.1)."""
+    n = table(spark, sf_dir, "nation")
+    dest = os.path.join(SCRATCH, "evolving")
+    n.select("n_nationkey", "n_name").write.mode("overwrite").parquet(
+        os.path.join(dest, "v1")
+    )
+    n.select("n_nationkey", "n_name", "n_regionkey").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(dest, "v2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(dest, "v1"), os.path.join(dest, "v2")
+    )
+    assert set(merged.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+    assert merged.count() == 2 * n.count()
+    # v1 rows surface with NULL n_regionkey, not an error
+    assert merged.filter(F.col("n_regionkey").isNull()).count() == n.count()
+
+
+def test_corrupt_json_records_quarantined(spark, tmp_path):
+    """PERMISSIVE JSON ingestion: malformed lines land in
+    _corrupt_record instead of failing the job — the posture a 100 TB
+    ingest needs (one bad record must not kill a 10-hour job)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"id": 1, "name": "ok"}\n'
+        "{not json at all}\n"
+        '{"id": 3, "name": "fine"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    ).cache()
+    try:
+        assert df.count() == 3
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert bad.count() == 1
+        assert df.filter(F.col("id").isNotNull()).count() == 2
+    finally:
+        df.unpersist()
