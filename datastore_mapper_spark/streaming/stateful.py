@@ -72,3 +72,75 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = _run_to_memory(totals, "update")
     return spark.table(name)
+
+
+# --- the Spark 4 successor API: transformWithStateInPandas ------------
+#
+# ``applyInPandasWithState`` (above) is the stable escape hatch;
+# ``transformWithStateInPandas`` is its typed successor — named state
+# variables (ValueState/ListState/MapState), timers, and TTL on a
+# StatefulProcessor class.  Requires the RocksDB state store provider
+# AND a working google.protobuf (its driver worker speaks protobuf to
+# the JVM).  protobuf is broken in this container, so this path is
+# import-gated: the implementation is complete and the pytest skips
+# unless ``google.protobuf.descriptor`` imports (tests/test_streaming
+# .py::test_tws_user_totals_equals_batch).
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+TWS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+class _UserTotalsProcessor(StatefulProcessor):
+    """Per-user running totals in a typed ValueState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", StructType([StructField("n", LongType()),
+                                  StructField("s", DoubleType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        self._totals.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``transformWithStateInPandas`` twin of
+    :func:`streaming_user_totals` — same semantics, typed state API."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    events = replay_events_stream(spark, sf_dir)
+    totals = (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_UserTotalsProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    name = _run_to_memory(totals, "update")
+    return spark.table(name)

@@ -3,6 +3,8 @@ queries must equal their oracle-checked batch formulations."""
 
 from __future__ import annotations
 
+import pytest
+
 from datastore_mapper_spark.registry import all_queries
 
 SPECS = all_queries()
@@ -116,5 +118,30 @@ def test_stream_dedup_equals_batch_distinct(spark, sf_dir):
     stream = {
         (r.event_type, r.first_seen_pairs)
         for r in SPECS["stream_dropDuplicates_demo"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_tws_user_totals_equals_batch(spark, sf_dir):
+    """transformWithStateInPandas twin — skips where protobuf (its
+    driver-worker dependency) is unavailable."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+    from datastore_mapper_spark.streaming.stateful import (
+        streaming_user_totals_tws,
+    )
+
+    e = table(spark, sf_dir, "events")
+    batch = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in e.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    stream = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in streaming_user_totals_tws(spark, sf_dir).collect()
     }
     assert stream == batch
