@@ -99,8 +99,8 @@ def session_window_native(spark, sf_dir):
         FROM (
             SELECT lang, bigram, count(*) AS cnt FROM (
                 SELECT lang,
-                       concat(tok, ' ',
-                              lead(tok) OVER (PARTITION BY doc_id ORDER BY i))
+                       tok || ' ' ||
+                              lead(tok) OVER (PARTITION BY doc_id ORDER BY i)
                            AS bigram
                 FROM (SELECT doc_id, lang, g.i AS i, toks[g.i] AS tok
                       FROM (SELECT doc_id, lang,
@@ -136,4 +136,89 @@ def ngram_top_bigrams(spark, sf_dir):
         counts.withColumn("rnk", F.rank().over(w_rank))
         .filter(F.col("rnk") <= 3)
         .select("lang", "bigram", "cnt")
+    )
+
+
+@query(
+    "repetition_ratio_filter",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, g.i AS i, toks[g.i] AS tok
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+              FROM documents),
+        LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+    ), bigrams AS (
+        SELECT doc_id, lang,
+               tok || ' ' || lead(tok) OVER (PARTITION BY doc_id
+                                             ORDER BY i) AS bg
+        FROM toks
+    ), per_doc AS (
+        SELECT doc_id, lang,
+               CAST(max(cnt) AS DOUBLE) / sum(cnt) AS rep_ratio
+        FROM (SELECT doc_id, lang, bg, count(*) AS cnt
+              FROM bigrams WHERE bg LIKE '% %' GROUP BY 1, 2, 3)
+        GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) FILTER (WHERE rep_ratio > 0.2) AS BIGINT)
+               AS n_repetitive,
+           count(*) AS n_docs,
+           round(avg(rep_ratio), 6) AS avg_rep_ratio
+    FROM per_doc
+    GROUP BY lang
+    """,
+)
+def repetition_ratio_filter(spark, sf_dir):
+    """Gopher-style repetition signal: top-bigram share per document
+    (max bigram count / total bigrams); docs above 0.2 are flagged
+    repetitive.  All window/agg arithmetic — no Python in the path."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bigrams = toks.select(
+        "doc_id", "lang",
+        F.concat_ws(" ", "tok", F.lead("tok").over(w)).alias("bg"),
+    ).filter(F.col("bg").like("% %"))
+    per_doc = (
+        bigrams.groupBy("doc_id", "lang", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id", "lang")
+        .agg((F.max("cnt").cast("double") / F.sum("cnt")).alias("rep_ratio"))
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count_if(F.col("rep_ratio") > 0.2).alias("n_repetitive"),
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("rep_ratio"), 6).alias("avg_rep_ratio"),
+    )
+
+
+@query(
+    "text_mask_numbers",
+    "LLM-pipeline",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(concat(text, ' id', CAST(doc_id AS VARCHAR)),
+                          '[0-9]+', '<NUM>', 'g') AS masked
+    FROM documents
+    WHERE doc_id < 2000
+    """,
+)
+def text_mask_numbers(spark, sf_dir):
+    """Scrubbing/masking primitive: replace digit runs with a sentinel
+    (the shape of PII-redaction passes; POSIX class keeps regex
+    flavors aligned).  Spark regexp_replace is global by default ≙
+    DuckDB's 'g' flag."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.concat(F.col("text"), F.lit(" id"),
+                     F.col("doc_id").cast("string")),
+            "[0-9]+", "<NUM>",
+        ).alias("masked"),
     )
