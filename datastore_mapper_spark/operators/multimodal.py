@@ -24,6 +24,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StructField,
@@ -89,3 +92,110 @@ def extract_media_meta(media_df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+FRAME_BYTES = 256  # fake fixed-size frame for the deterministic codec
+
+
+def resize_media(
+    media_df: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize step (STUBBED codec): a real implementation decodes,
+    resamples, re-encodes inside the same mapInPandas batch loop; the
+    deterministic stand-in truncates/cycles the byte stream to
+    width*height bytes so tests can assert exact output sizes.  The
+    Spark plumbing — Arrow batching, schema contract, no shuffle — is
+    the real thing."""
+    if not fake:
+        raise NotImplementedError("image codec not available; fake=True only")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in it:
+            resized = pdf["payload"].map(
+                lambda b: bytes((b * (target // max(len(b), 1) + 1))[:target])
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media_df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media_df: DataFrame, every_n: int = 2, frame_bytes: int = FRAME_BYTES
+) -> DataFrame:
+    """Frame sampling (flatMap shape): split the payload into fixed
+    ``frame_bytes`` frames, keep every ``every_n``-th.  One input row
+    fans out to many frame rows INSIDE the pandas batch — no explode
+    shuffle, partition-preserving; at 100 TB this is why frame
+    sampling runs as mapInPandas, not as array explode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(blob) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    nos.append(i)
+                    frames.append(bytes(blob[i * frame_bytes:(i + 1) * frame_bytes]))
+            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
+
+    return media_df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def extract_features(media_df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction (STUBBED model): byte-value histogram,
+    L1-normalized, as ``array<float>`` — deterministic, so tests can
+    assert values.  A real encoder swaps the histogram for a model
+    forward pass; the output column type is exactly the ``embeddings``
+    table's, so results feed the ANN/near-dup operators unchanged."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = pdf["payload"].map(
+                lambda b: _byte_histogram(b, dim)
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return media_df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def _byte_histogram(blob: bytes, dim: int) -> list[float]:
+    counts = [0] * dim
+    for byte in blob:
+        counts[byte % dim] += 1
+    total = max(sum(counts), 1)
+    return [float(c) / total for c in counts]

@@ -222,3 +222,36 @@ def text_mask_numbers(spark, sf_dir):
             "[0-9]+", "<NUM>",
         ).alias("masked"),
     )
+
+
+@query(
+    "multimodal_frame_counts",
+    "LLM-pipeline",
+    oracle="""
+    SELECT doc_id,
+           CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames,
+           CAST((CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) + 1)
+                // 2 AS BIGINT) AS n_sampled
+    FROM documents
+    WHERE doc_id < 2000
+    """,
+)
+def multimodal_frame_counts(spark, sf_dir):
+    """Frame-sampling accounting: payload → 64-byte frames → every 2nd
+    kept (operators.multimodal.sample_frames does the real fan-out in
+    mapInPandas; this query checks its row-count arithmetic against
+    pure SQL on byte lengths)."""
+    from ..operators.multimodal import as_binary_media, sample_frames
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    media = as_binary_media(d)
+    sampled = (
+        sample_frames(media, every_n=2, frame_bytes=64)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    total = media.select(
+        "doc_id",
+        F.ceil(F.octet_length("payload") / 64.0).cast("bigint").alias("n_frames"),
+    )
+    return total.join(sampled, "doc_id").select("doc_id", "n_frames", "n_sampled")

@@ -125,3 +125,55 @@ def test_connected_components_known_graph(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_multimodal_resize_exact_sizes(spark, sf_dir):
+    from datastore_mapper_spark.operators.multimodal import (
+        as_binary_media,
+        resize_media,
+    )
+
+    d = table(spark, sf_dir, "documents").limit(50)
+    media = as_binary_media(d)
+    out = resize_media(media, 16, 8)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(len(r.payload) == 16 * 8 for r in rows)
+    assert all((r.width, r.height) == (16, 8) for r in rows)
+
+
+def test_multimodal_frame_sampling_counts_and_content(spark, sf_dir):
+    from datastore_mapper_spark.operators.multimodal import (
+        as_binary_media,
+        sample_frames,
+    )
+
+    d = table(spark, sf_dir, "documents").limit(20)
+    media = as_binary_media(d)
+    frames = sample_frames(media, every_n=2, frame_bytes=32)
+    got = frames.groupBy("doc_id").count().collect()
+    expected = {
+        r.doc_id: (((len(r.payload) + 31) // 32) + 1) // 2
+        for r in media.collect()
+    }
+    assert {r.doc_id: r["count"] for r in got} == expected
+    one = frames.filter(F.col("frame_no") == 0).first()
+    src = dict((r.doc_id, r.payload) for r in media.collect())[one.doc_id]
+    assert bytes(one.frame) == bytes(src[:32])
+
+
+def test_multimodal_features_feed_similarity_ops(spark, sf_dir):
+    import math
+
+    from datastore_mapper_spark.operators.multimodal import (
+        as_binary_media,
+        extract_features,
+    )
+
+    d = table(spark, sf_dir, "documents").limit(30)
+    feats = extract_features(as_binary_media(d), dim=16)
+    rows = feats.collect()
+    assert all(len(r.feature) == 16 for r in rows)
+    assert all(math.isclose(sum(r.feature), 1.0, rel_tol=1e-5) for r in rows)
+    # the schema matches the embeddings table's array<float> contract
+    assert dict(feats.dtypes)["feature"] == "array<float>"
