@@ -280,3 +280,50 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return dd.simhash_near_pairs(dd.simhash(d))
+
+
+@query(
+    "embedding_normalize_quantize",
+    "LLM-pipeline",
+    oracle="""
+    SELECT vec_id,
+           round(norm, 4) AS l2_norm,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / norm * 127)
+                         AS INTEGER))[1] AS q_first,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / norm * 127)
+                         AS INTEGER))[64] AS q_last,
+           CAST(list_aggregate(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) / norm * 127) AS BIGINT)),
+               'sum') AS BIGINT) AS q_sum
+    FROM (SELECT vec_id, embedding,
+                 sqrt(list_aggregate(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+                     AS norm
+          FROM embeddings)
+    """,
+)
+def embedding_normalize_quantize(spark, sf_dir):
+    """L2-normalize + int8-style quantization (floor(x/‖x‖·127)) — the
+    compression step before ANN index build.  floor() on BOTH sides:
+    Spark CAST(double AS INT) truncates while DuckDB CAST rounds, so a
+    bare cast would diverge on half the components."""
+    e = table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.expr(
+        "aggregate(embedding, cast(0.0 as double), "
+        "(a, x) -> a + cast(x as double) * cast(x as double))"
+    ))
+    with_norm = e.select("vec_id", "embedding", norm.alias("norm"))
+    quant = "transform(embedding, x -> cast(floor(cast(x as double) / norm * 127) as int))"
+    return with_norm.select(
+        "vec_id",
+        F.round("norm", 4).alias("l2_norm"),
+        F.expr(f"element_at({quant}, 1)").alias("q_first"),
+        F.expr(f"element_at({quant}, 64)").alias("q_last"),
+        F.expr(
+            "aggregate(transform(embedding, "
+            "x -> cast(floor(cast(x as double) / norm * 127) as bigint)), "
+            "cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("q_sum"),
+    )

@@ -79,3 +79,48 @@ def test_salt_is_deterministic(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     a = salted_groupby_sum(li, "l_returnflag", 16, ["l_quantity"], "l_orderkey")
     assert a.collect() == a.collect()  # same salts on re-execution
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew handling — the runtime complement to manual salting
+    (SCALE.md 'Joins'): one hot key holding ~10x the data is split
+    across tasks by AQE, visible as SortMergeJoin(skew=true) in the
+    FINAL adaptive plan.  Must inspect the dataset's own
+    queryExecution after collect(): count() executes a different
+    plan and leaves this one isFinalPlan=false."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # high-entropy payload so shuffle compression can't hide the skew
+        payload = F.concat(
+            F.md5(F.col("id").cast("string")),
+            F.md5((F.col("id") + 1).cast("string")),
+        )
+        big = spark.range(300_000).select(
+            F.lit(0).alias("k"), payload.alias("payload")
+        ).union(
+            spark.range(30_000).select(
+                (F.col("id") % 3000 + 1).alias("k"), payload.alias("payload")
+            )
+        )
+        dim = spark.range(3001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(dim, "k").select(F.substring("payload", 1, 4).alias("p4"))
+        assert len(j.collect()) == 330_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
