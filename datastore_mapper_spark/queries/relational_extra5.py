@@ -175,3 +175,55 @@ def cte_multi_reference(spark, sf_dir):
         FROM big a
         """
     )
+
+
+@query(
+    "fn_levenshtein",
+    "scalar fn",
+    oracle="""
+    SELECT doc_id,
+           levenshtein(split_part(text, ' ', 1),
+                       split_part(text, ' ', 2)) AS d12,
+           levenshtein(split_part(text, ' ', 1),
+                       split_part(text, ' ', 4)) AS d14
+    FROM documents
+    WHERE doc_id < 2000
+    """,
+)
+def fn_levenshtein(spark, sf_dir):
+    """Edit distance between token pairs — the fuzzy-match primitive
+    under typo-tolerant dedup; same name and semantics both engines."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    w = lambda i: F.split_part("text", F.lit(" "), F.lit(i))  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.levenshtein(w(1), w(2)).alias("d12"),
+        F.levenshtein(w(1), w(4)).alias("d14"),
+    )
+
+
+@query(
+    "fn_trunc_week_quarter",
+    "scalar fn",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qt,
+           CAST(quarter(o_orderdate) AS INT) AS qn,
+           CAST(weekofyear(o_orderdate) AS INT) AS wn
+    FROM orders
+    WHERE o_orderkey < 20000
+    """,
+)
+def fn_trunc_week_quarter(spark, sf_dir):
+    """Week/quarter truncation + ISO week numbering (both engines use
+    Monday-start ISO weeks; Spark date_trunc yields TIMESTAMP — cast
+    to DATE to align types)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 20000)
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("week", "o_orderdate").cast("date").alias("wk"),
+        F.date_trunc("quarter", "o_orderdate").cast("date").alias("qt"),
+        F.quarter("o_orderdate").alias("qn"),
+        F.weekofyear("o_orderdate").alias("wn"),
+    )
