@@ -218,3 +218,109 @@ def tpch_q18_large_orders(spark, sf_dir):
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    "flagship join",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INT) AS l_year,
+               l.l_extendedprice, l.l_discount
+        FROM supplier s, lineitem l, orders o, customer c,
+             nation n1, nation n2
+        WHERE s.s_suppkey = l.l_suppkey
+          AND o.o_orderkey = l.l_orderkey
+          AND c.c_custkey = o.o_custkey
+          AND s.s_nationkey = n1.n_nationkey
+          AND c.c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                               AND TIMESTAMP '1997-12-31 23:59:59'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    """Q7: shipping volume between a nation pair per year — two
+    broadcast joins against the SAME dim (nation) under different
+    aliases, the disjunctive pair predicate applied after both."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") <= "1997-12-31 23:59:59")
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_revenue_col()).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    "flagship join",
+    oracle="""
+    SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+            AND l_quantity >= 1 AND l_quantity <= 30)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+            AND l_quantity >= 10 AND l_quantity <= 40)
+        OR (p_type = 'PROMO' AND p_size BETWEEN 1 AND 35
+            AND l_quantity >= 20 AND l_quantity <= 50))
+    """,
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    """Q19: disjunction of conjunctive brand/size/quantity predicates
+    over the part join — the OR-of-ANDs shape that stresses predicate
+    pushdown (the shared p_partkey equi-join still drives a single
+    broadcast hash join; the disjunction filters post-join)."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 30))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_type") == "PROMO") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_revenue_col()).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
