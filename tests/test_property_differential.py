@@ -61,3 +61,55 @@ def test_generated_filters_agree(pred, spark, oracle, sf_dir):
     s = spark.sql(sql).collect()[0]
     o = oracle.execute(sql).fetchone()
     assert (s.cnt, s.key_sum) == (o[0], o[1]), pred
+
+
+GROUP_KEYS = ["o_orderstatus", "o_orderpriority", "year(o_orderdate)"]
+AGGS = [
+    "count(*)",
+    "CAST(sum(o_orderkey) AS BIGINT)",
+    "CAST(min(o_orderkey) AS BIGINT)",
+    "CAST(max(o_orderkey) AS BIGINT)",
+    "round(sum(o_totalprice), 2)",
+    "round(avg(o_totalprice), 4)",
+]
+
+
+@st.composite
+def groupby_queries(draw) -> str:
+    keys = draw(st.lists(st.sampled_from(GROUP_KEYS), min_size=1,
+                         max_size=2, unique=True))
+    aggs = draw(st.lists(st.sampled_from(AGGS), min_size=1,
+                         max_size=3, unique=True))
+    key_list = ", ".join(keys)
+    agg_list = ", ".join(
+        f"{a} AS a{i}" for i, a in enumerate(aggs)
+    )
+    having = draw(st.booleans())
+    h = " HAVING count(*) > 5" if having else ""
+    return (
+        f"SELECT CAST({keys[0]} AS STRING) AS k0, {agg_list} "
+        f"FROM orders GROUP BY {key_list}{h}"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=groupby_queries())
+def test_generated_groupbys_agree(q, spark, oracle, sf_dir):
+    """Generated GROUP BY/HAVING aggregates must agree row-for-row
+    (sorted canonical compare; totalprice sums rounded to 2 dp)."""
+    from datastore_mapper_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    # DuckDB renders CAST AS STRING as VARCHAR; same text works in both
+    s = sorted(
+        tuple(str(x) for x in r)
+        for r in spark.sql(q).collect()
+    )
+    o = sorted(
+        tuple(str(x) for x in r) for r in oracle.execute(q).fetchall()
+    )
+    assert s == o, q
