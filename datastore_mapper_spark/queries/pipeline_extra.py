@@ -255,3 +255,79 @@ def multimodal_frame_counts(spark, sf_dir):
         F.ceil(F.octet_length("payload") / 64.0).cast("bigint").alias("n_frames"),
     )
     return total.join(sampled, "doc_id").select("doc_id", "n_frames", "n_sampled")
+
+
+@query(
+    "funnel_conversion",
+    "stream-analogue",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup'
+                        THEN ts::TIMESTAMP END) AS t_signup,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN ts::TIMESTAMP END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(count(t_signup) AS BIGINT) AS n_signed_up,
+           CAST(sum(CASE WHEN t_purchase > t_signup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted
+    FROM firsts
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Event funnel: users whose first purchase follows their first
+    signup — one conditional-min pass per user, no self-join (the
+    standard product-analytics funnel, expressed as a single grouped
+    aggregate so it scales as one shuffle)."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup",
+                     F.col("ts_us"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "purchase",
+                     F.col("ts_us"))).alias("t_purchase"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signed_up"),
+        F.sum(
+            F.when(F.col("t_purchase") > F.col("t_signup"), 1).otherwise(0)
+        ).cast("bigint").alias("n_converted"),
+    )
+
+
+@query(
+    "cohort_retention",
+    "stream-analogue",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(date_trunc('day', ts::TIMESTAMP) AS DATE) AS d
+        FROM events
+    ), cohorts AS (
+        SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(datediff('day', c.cohort_day, e.d) AS INT) AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM e JOIN cohorts c ON e.user_id = c.user_id
+    WHERE datediff('day', c.cohort_day, e.d) <= 7
+    GROUP BY c.cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day,
+    distinct-active counts per day offset (first week).  The cohort
+    dim derives from the same table (broadcastable: one row per
+    user), so the fact side shuffles once for the final group."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts_us").cast("date").alias("d")
+    )
+    cohorts = e.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    offset = F.datediff(F.col("d"), F.col("cohort_day"))
+    return (
+        e.join(cohorts, "user_id")
+        .filter(offset <= 7)
+        .groupBy("cohort_day", offset.alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

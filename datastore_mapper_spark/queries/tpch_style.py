@@ -324,3 +324,37 @@ def tpch_q19_disjunctive(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    "flagship agg",
+    oracle="""
+    SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+               AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """Q6: scan-dominated forecast-revenue delta — every predicate
+    reaches the parquet scan (no join, no shuffle before the single
+    global agg); the canonical pushdown benchmark shape."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                  .cast(_DEC)).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
