@@ -83,3 +83,10 @@ def test_session_window_native_single_shuffle(spark, sf_dir):
     plan = formatted(_df("session_window_native", spark, sf_dir))
     # one exchange for the (session, user) grouping, none extra
     assert plan.count("Exchange") <= 2
+
+
+def test_tpch_q6_pushes_all_predicates(spark, sf_dir):
+    info = scan_info(_df("tpch_q6_forecast_revenue", spark, sf_dir))
+    pushed = ";".join(info["PushedFilters"])
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
