@@ -358,3 +358,125 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    "flagship subquery",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15: supplier(s) with the maximum quarterly revenue — a CTE
+    (the reference's CREATE VIEW) consumed twice: as join source and
+    as the scalar max.  Decimal sums make the max comparison exact
+    (a double max-equality would be FP-fragile)."""
+    table(spark, sf_dir, "lineitem")
+    table(spark, sf_dir, "supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """
+    )
+
+
+@query(
+    "tpch_q17_small_quantity",
+    "flagship subquery",
+    oracle="""
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                      AS DOUBLE) / 7.0, 4) AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l, part p
+    WHERE p.p_partkey = l.l_partkey
+      AND p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def tpch_q17_small_quantity(spark, sf_dir):
+    """Q17: lines below 20% of their part's average quantity — the
+    correlated scalar-aggregate subquery Catalyst decorrelates into an
+    aggregate-then-join (one extra shuffle, never a per-row rescan)."""
+    table(spark, sf_dir, "lineitem")
+    table(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                          AS DOUBLE) / 7.0, 4) AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@query(
+    "tpch_q20_nested_in",
+    "flagship subquery",
+    oracle="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'PROMO')
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 50
+    )
+    ORDER BY s_name, s_suppkey
+    """,
+)
+def tpch_q20_nested_in(spark, sf_dir):
+    """Q20: suppliers who moved >50 units of PROMO parts in a year —
+    nested IN subqueries, each planned as a semi join (no distinct +
+    inner rewrite, no row explosion)."""
+    table(spark, sf_dir, "supplier")
+    table(spark, sf_dir, "lineitem")
+    table(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT s_name, s_acctbal
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_type = 'PROMO')
+              AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_suppkey
+            HAVING sum(l_quantity) > 50
+        )
+        ORDER BY s_name, s_suppkey
+        """
+    )
