@@ -23,3 +23,4 @@ from . import pipeline_extra  # noqa: F401
 from . import relational_extra4  # noqa: F401
 from . import relational_extra5  # noqa: F401
 from . import udtf_queries  # noqa: F401
+from . import relational_extra6  # noqa: F401
