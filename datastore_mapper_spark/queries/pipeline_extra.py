@@ -331,3 +331,64 @@ def cohort_retention(spark, sf_dir):
         .groupBy("cohort_day", offset.alias("day_offset"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "contamination_check",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, g.i AS i, toks[g.i] AS tok
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks
+              FROM documents),
+        LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+    ), shingles AS (
+        SELECT doc_id, lang,
+               tok || ' ' || lead(tok, 1) OVER w
+                   || ' ' || lead(tok, 2) OVER w AS sh
+        FROM toks
+        WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ), bench AS (
+        SELECT DISTINCT sh FROM shingles
+        WHERE doc_id < 50 AND sh IS NOT NULL
+    ), contaminated AS (
+        SELECT DISTINCT s.doc_id, s.lang
+        FROM shingles s
+        WHERE s.doc_id >= 50 AND s.sh IS NOT NULL
+          AND s.sh IN (SELECT sh FROM bench)
+    )
+    SELECT lang, count(*) AS n_contaminated
+    FROM contaminated GROUP BY lang
+    """,
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 3-token
+    shingle with the benchmark set (doc_id < 50 stands in) — a
+    semi-join on shingles, so the plan is shuffle-on-shingle + LeftSemi,
+    never a doc×doc product.  At 100 TB the shingle column is hashed
+    (xxhash64) so the shuffle carries 8 bytes, and the benchmark side
+    broadcasts."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    shingles = toks.select(
+        "doc_id", "lang",
+        F.concat_ws(
+            " ", "tok", F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+        ).alias("sh"),
+        (F.lead("tok", 2).over(w).isNotNull()).alias("full"),
+    ).filter(F.col("full"))
+    bench = shingles.filter(F.col("doc_id") < 50).select("sh").distinct()
+    contaminated = (
+        shingles.filter(F.col("doc_id") >= 50)
+        .join(F.broadcast(bench), "sh", "left_semi")
+        .select("doc_id", "lang")
+        .distinct()
+    )
+    return contaminated.groupBy("lang").agg(
+        F.count("*").alias("n_contaminated")
+    )
