@@ -7,6 +7,7 @@ from __future__ import annotations
 from ..registry import query
 from ..streaming.demos import (
     streaming_dedup,
+    streaming_stream_stream_join,
     streaming_foreach_batch_etl,
     streaming_sliding,
     streaming_static_join,
@@ -67,6 +68,18 @@ def stream_static_join_demo(spark, sf_dir):
 )
 def stream_foreach_batch_sink(spark, sf_dir):
     return streaming_foreach_batch_etl(spark, sf_dir)
+
+
+@query(
+    "stream_stream_join_demo",
+    "streaming",
+    oracle=None,
+    description="Stream-stream inner join (view->purchase within 1h, "
+    "watermarked state eviction; rows-only; pytest asserts equality "
+    "with the batch twin).",
+)
+def stream_stream_join_demo(spark, sf_dir):
+    return streaming_stream_stream_join(spark, sf_dir)
 
 
 @query(

@@ -11,6 +11,7 @@ from .demos import (  # noqa: F401
     streaming_foreach_batch_etl,
     streaming_sliding,
     streaming_static_join,
+    streaming_stream_stream_join,
     streaming_tumbling,
 )
 from .stateful import streaming_user_totals  # noqa: F401

@@ -195,3 +195,35 @@ def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     assert total.count() == half1.count() + half2.count()
     # exactly-once: no event_id appears twice
     assert total.select("event_id").distinct().count() == total.count()
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts_us").alias("view_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts_us").alias("purchase_ts")
+    )
+    batch = {
+        r.user_id: r.n
+        for r in v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("view_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("v_user").alias("user_id"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    stream = {
+        r.user_id: r.n_view_purchase_pairs
+        for r in SPECS["stream_stream_join_demo"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch
