@@ -480,3 +480,129 @@ def tpch_q20_nested_in(spark, sf_dir):
         ORDER BY s_name, s_suppkey
         """
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    "flagship join",
+    oracle="""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3'
+                               THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,4)) END)
+                      AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4)) AS volume,
+               n2.n_name AS supp_nation
+        FROM part p, supplier s, lineitem l, orders o, customer c,
+             nation n1, nation n2, region r
+        WHERE p.p_partkey = l.l_partkey
+          AND s.s_suppkey = l.l_suppkey
+          AND l.l_orderkey = o.o_orderkey
+          AND o.o_custkey = c.c_custkey
+          AND c.c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r.r_regionkey
+          AND r.r_name = 'ASIA'
+          AND s.s_nationkey = n2.n_nationkey
+          AND p.p_type = 'STANDARD'
+    )
+    GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """Q8: one supplier nation's share of a region's STANDARD-part
+    volume per year — the 8-table star (two nation roles + region),
+    every dim broadcast, decimal volumes, ONE double division at the
+    end."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    zero = F.lit(0).cast(_DEC)
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return base.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                         F.col("volume")).otherwise(zero)).cast("double")
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    "flagship join",
+    oracle="""
+    SELECT nation, o_year,
+           sum(amount) AS sum_profit
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INT) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4))
+               - CAST(p.p_retailprice * 0.1 * l.l_quantity
+                      AS DECIMAL(18,4)) AS amount
+        FROM part p, supplier s, lineitem l, orders o, nation n
+        WHERE s.s_suppkey = l.l_suppkey
+          AND p.p_partkey = l.l_partkey
+          AND l.l_orderkey = o.o_orderkey
+          AND s.s_nationkey = n.n_nationkey
+          AND p.p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """Q9: profit per supplier nation per year (no partsupp fixture —
+    supply cost substituted by 10% of retail price, keeping the
+    revenue-minus-cost aggregate shape).  Both terms decimal-cast
+    BEFORE subtraction so the difference is exact."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    amount = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+        - (F.col("p_retailprice") * 0.1 * F.col("l_quantity")).cast(_DEC)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").alias("sum_profit"))
+    )
