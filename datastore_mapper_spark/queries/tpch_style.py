@@ -606,3 +606,98 @@ def tpch_q9_product_profit(spark, sf_dir):
         .groupBy("nation", "o_year")
         .agg(F.sum("amount").alias("sum_profit"))
     )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    "flagship subquery",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 25
+    """,
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """Q21: suppliers solely responsible for late multi-supplier
+    orders — EXISTS + NOT EXISTS against the same fact (semi + anti
+    join), late = shipped >30 days after ordering (substituting the
+    missing commit/receipt dates)."""
+    table(spark, sf_dir, "supplier")
+    table(spark, sf_dir, "lineitem")
+    table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 25
+        """
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    "flagship subquery",
+    oracle="""
+    SELECT cntrycode, count(*) AS numcust,
+           sum(CAST(c_acctbal AS DECIMAL(18,4))) AS totacctbal
+    FROM (
+        SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+    )
+    GROUP BY cntrycode
+    """,
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    """Q22: well-funded customers with no URGENT order (every fixture
+    customer has SOME order, so the original no-order predicate is
+    vacuous), bucketed by a country-code stand-in (nationkey mod 10) —
+    uncorrelated scalar avg + anti join + decimal-exact balance sums."""
+    table(spark, sf_dir, "customer")
+    table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT cntrycode, count(*) AS numcust,
+               sum(CAST(c_acctbal AS DECIMAL(18,4))) AS totacctbal
+        FROM (
+            SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+        )
+        GROUP BY cntrycode
+        """
+    )
