@@ -701,3 +701,41 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
         GROUP BY cntrycode
         """
     )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    "flagship join",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    """Q13: distribution of non-urgent order counts per customer —
+    left outer join with the filter in the JOIN condition (NOT the
+    WHERE clause: customers with zero qualifying orders must survive
+    with c_count = 0), then a count-of-counts re-aggregation."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
