@@ -118,3 +118,63 @@ def test_generated_groupbys_agree(q, spark, oracle, sf_dir):
         tuple(str(x) for x in r) for r in oracle.execute(q).fetchall()
     )
     assert s == o, q
+
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+JOIN_KINDS = ["JOIN", "LEFT JOIN", "SEMI", "ANTI"]
+
+
+@st.composite
+def join_queries(draw) -> str:
+    """customer⋈orders with generated filters/join kinds — exact
+    (integer/count) outputs only, per the round() tie-break finding."""
+    kind = draw(st.sampled_from(JOIN_KINDS))
+    seg = draw(st.sampled_from(SEGMENTS))
+    v = draw(st.integers(50_000, 400_000))
+    cust_filter = f"c.c_mktsegment = '{seg}'"
+    order_filter = f"o.o_totalprice > {v}"
+    if kind == "SEMI":
+        return (
+            "SELECT count(*) AS cnt, "
+            "coalesce(CAST(sum(c.c_custkey) AS BIGINT), 0) AS key_sum "
+            f"FROM customer c WHERE {cust_filter} AND c.c_custkey IN "
+            f"(SELECT o_custkey FROM orders o WHERE {order_filter})"
+        )
+    if kind == "ANTI":
+        return (
+            "SELECT count(*) AS cnt, "
+            "coalesce(CAST(sum(c.c_custkey) AS BIGINT), 0) AS key_sum "
+            f"FROM customer c WHERE {cust_filter} AND NOT EXISTS "
+            f"(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            f"AND {order_filter})"
+        )
+    on = "c.c_custkey = o.o_custkey"
+    if kind == "LEFT JOIN":
+        # filter belongs in the ON clause for outer joins
+        return (
+            "SELECT count(*) AS cnt, "
+            "coalesce(CAST(sum(o.o_orderkey) AS BIGINT), 0) AS key_sum "
+            f"FROM customer c LEFT JOIN orders o ON {on} AND {order_filter} "
+            f"WHERE {cust_filter}"
+        )
+    return (
+        "SELECT count(*) AS cnt, "
+        "coalesce(CAST(sum(o.o_orderkey) AS BIGINT), 0) AS key_sum "
+        f"FROM customer c JOIN orders o ON {on} "
+        f"WHERE {cust_filter} AND {order_filter}"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=join_queries())
+def test_generated_joins_agree(q, spark, oracle, sf_dir):
+    from datastore_mapper_spark.catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    s = spark.sql(q).collect()[0]
+    o = oracle.execute(q).fetchone()
+    assert (s.cnt, s.key_sum) == (o[0], o[1]), q
