@@ -126,10 +126,19 @@ class Job:
     plan (filters/projection reach the parquet scan — verified in
     tests/test_plans.py)."""
 
-    def __init__(self, config: JobConfig):
+    def __init__(
+        self,
+        config: JobConfig,
+        on_complete: Callable[["JobResult"], None] | None = None,
+        on_fail: Callable[[Exception], None] | None = None,
+    ):
         config.validate()
         self.config = config
         self.state = JobState.PENDING
+        # lifecycle notification hooks (reference A10: completion hooks,
+        # e.g. the BigQuery-load trigger, fired after the sink lands)
+        self.on_complete = on_complete
+        self.on_fail = on_fail
 
     def dataframe(self, spark: SparkSession, sf_dir: str) -> DataFrame:
         """The job's logical plan, unexecuted."""
@@ -158,14 +167,17 @@ class Job:
         final state + counters. One Spark action total — counters ride
         the same job via ``observe``."""
         self.state = JobState.RUNNING
-        df = self.dataframe(spark, sf_dir)
         obs: Observation | None = None
-        if self.config.counters:
-            obs = Observation()
-            df = df.observe(obs, *(
-                expr.alias(name) for name, expr in self.config.counters.items()
-            ))
         try:
+            # plan construction can itself fail analysis (bad column in a
+            # mapper) — that is a job failure too, so it lives in the try
+            df = self.dataframe(spark, sf_dir)
+            if self.config.counters:
+                obs = Observation()
+                df = df.observe(obs, *(
+                    expr.alias(name)
+                    for name, expr in self.config.counters.items()
+                ))
             if output_path is not None:
                 if partition_by:
                     write_partitioned(df, output_path, partition_by, output_format)
@@ -173,16 +185,21 @@ class Job:
                     rolled_write(df, output_path, output_format, max_records_per_file)
             else:
                 df.count()
-        except Exception:
+        except Exception as exc:
             self.state = JobState.FAILED
+            if self.on_fail is not None:
+                self.on_fail(exc)
             raise
         self.state = JobState.COMPLETED
-        return JobResult(
+        result = JobResult(
             state=self.state,
             counters=dict(obs.get) if obs is not None else {},
             output_path=output_path,
             dataframe=df,
         )
+        if self.on_complete is not None:
+            self.on_complete(result)
+        return result
 
 
 # --- named-job registry (≙ server.go's mux of registered jobs) --------
@@ -190,10 +207,10 @@ class Job:
 _JOBS: dict[str, Job] = {}
 
 
-def register_job(name: str, config: JobConfig) -> Job:
+def register_job(name: str, config: JobConfig, **job_kwargs) -> Job:
     """Register a named job, like the reference's init-time job
     registration; ``start()`` is the POST /mapper/start?name=... twin."""
-    job = Job(config)
+    job = Job(config, **job_kwargs)
     _JOBS[name] = job
     return job
 
@@ -209,3 +226,61 @@ def start(name: str, spark: SparkSession, sf_dir: str, **run_kwargs) -> JobResul
 def default_counters() -> dict[str, Column]:
     """The reference's always-on per-job counters."""
     return {"entities_read": F.count(F.lit(1))}
+
+
+def run_per_namespace(
+    job: Job,
+    spark: SparkSession,
+    base_path: str,
+    ns_col: str = "ns",
+    output_base: str | None = None,
+    **run_kwargs,
+) -> dict[str, JobResult]:
+    """Namespace iteration (reference A2, iterator.go `[REF-mem]`): list
+    the namespace partition directories of a Hive-partitioned layout,
+    run ``job`` once per namespace, return results keyed by namespace.
+
+    Each per-namespace read prunes to ONE directory (partition pruning,
+    verified in tests/test_sources.py), exactly like the reference
+    scoping each job run to one Datastore namespace.  Counters stay
+    per-namespace, as the reference's namespace→job rollup did."""
+    import os
+
+    from .sources.reader import read_namespaced
+
+    namespaces = sorted(
+        entry.split("=", 1)[1]
+        for entry in os.listdir(base_path)
+        if "=" in entry
+        and os.path.isdir(os.path.join(base_path, entry))
+        and entry.startswith(f"{ns_col}=")
+    )
+    results: dict[str, JobResult] = {}
+    for ns in namespaces:
+        df = read_namespaced(spark, base_path, ns, ns_col=ns_col)
+        for flt in job.config.filters:
+            df = df.filter(flt.to_column(df))
+        if job.config.projection is not None:
+            df = df.select(*job.config.projection)
+        if job.config.mapper is not None:
+            df = job.config.mapper(df)
+        obs: Observation | None = None
+        if job.config.counters:
+            obs = Observation()
+            df = df.observe(obs, *(
+                expr.alias(name)
+                for name, expr in job.config.counters.items()
+            ))
+        out = None
+        if output_base is not None:
+            out = os.path.join(output_base, f"{ns_col}={ns}")
+            rolled_write(df, out, run_kwargs.get("output_format", "parquet"))
+        else:
+            df.count()
+        results[ns] = JobResult(
+            state=JobState.COMPLETED,
+            counters=dict(obs.get) if obs is not None else {},
+            output_path=out,
+            dataframe=df,
+        )
+    return results

@@ -107,3 +107,48 @@ def test_sharded_output_partition_count(spark, sf_dir):
     cfg = JobConfig(kind="orders", shards=4, shard_key="o_orderkey")
     df = Job(cfg).dataframe(spark, sf_dir)
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_lifecycle_hooks_fire_on_complete(spark, sf_dir):
+    seen = []
+    job = Job(
+        JobConfig(kind="nation", counters=default_counters()),
+        on_complete=lambda res: seen.append(res.counters["entities_read"]),
+    )
+    job.run(spark, sf_dir)
+    assert seen == [25]
+
+
+def test_lifecycle_hooks_fire_on_fail(spark, sf_dir):
+    failures = []
+    job = Job(
+        JobConfig(kind="nation",
+                  mapper=lambda df: df.select("no_such_column")),
+        on_fail=lambda exc: failures.append(type(exc).__name__),
+    )
+    with pytest.raises(Exception):
+        job.run(spark, sf_dir)
+    assert job.state is JobState.FAILED
+    assert len(failures) == 1
+
+
+def test_run_per_namespace_iterates_and_counts(spark, sf_dir, tmp_path):
+    from datastore_mapper_spark.mapper import run_per_namespace
+    from datastore_mapper_spark.sources.writer import write_partitioned
+
+    c = table(spark, sf_dir, "customer").withColumn("ns", F.col("c_mktsegment"))
+    base = str(tmp_path / "namespaced")
+    write_partitioned(c, base, ["ns"])
+
+    job = Job(JobConfig(kind="customer", counters=default_counters()))
+    results = run_per_namespace(job, spark, base)
+    assert set(results) == {
+        r.c_mktsegment
+        for r in c.select("c_mktsegment").distinct().collect()
+    }
+    expected = {
+        r.ns: r.cnt
+        for r in c.groupBy("ns").agg(F.count("*").alias("cnt")).collect()
+    }
+    got = {ns: res.counters["entities_read"] for ns, res in results.items()}
+    assert got == expected
