@@ -174,3 +174,34 @@ def agg_null_semantics(spark, sf_dir):
         ).alias("avg_nonopen_price"),
         F.min(nonopen).isNull().alias("all_null_group"),
     )
+
+
+@query(
+    "fn_string_extra",
+    "scalar fn",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS lp,
+           rpad(p_type, 10, '.') AS rp,
+           reverse(p_name) AS rev,
+           translate(p_name, 'aeiou', '_____') AS tr,
+           repeat(left(p_brand, 2), 3) AS rep,
+           CAST(instr(p_name, 'e') AS INT) AS pos_e
+    FROM part
+    WHERE p_partkey < 2000
+    """,
+)
+def fn_string_extra(spark, sf_dir):
+    """Second string-function sweep: pad/reverse/translate/repeat/
+    instr (1-based find, 0 = absent) — identical names and semantics
+    in both engines (DuckDB 1.0 lacks only initcap, which is omitted)."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_partkey") < 2000)
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("lp"),
+        F.rpad("p_type", 10, ".").alias("rp"),
+        F.reverse("p_name").alias("rev"),
+        F.translate("p_name", "aeiou", "_____").alias("tr"),
+        F.repeat(F.substring("p_brand", 1, 2), 3).alias("rep"),
+        F.instr("p_name", "e").alias("pos_e"),
+    )
