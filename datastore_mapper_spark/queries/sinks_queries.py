@@ -22,8 +22,12 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
 @query(
     "sink_parquet_roundtrip",
     "sink",
-    oracle=None,
-    description="Partitioned parquet sink + read-back (rows-only).",
+    oracle="""
+    SELECT l_returnflag, count(*) AS cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="Partitioned parquet sink + read-back; read-back counts "
+    "must equal the source's (oracle aggregates the source directly).",
 )
 def sink_parquet_roundtrip(spark, sf_dir):
     """Write lineitem partitioned by l_returnflag, read it back, count per

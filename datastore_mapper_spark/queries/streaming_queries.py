@@ -19,7 +19,11 @@ from ..streaming.stateful import streaming_user_totals
 @query(
     "stream_tumbling_demo",
     "streaming",
-    oracle=None,
+    oracle="""
+    SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start,
+           count(*) AS cnt, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
     description="Structured Streaming tumbling window + watermark "
     "(rows-only; equals batch twin tumbling_window_1h).",
 )
@@ -30,7 +34,11 @@ def stream_tumbling_demo(spark, sf_dir):
 @query(
     "stream_dropDuplicates_demo",
     "streaming",
-    oracle=None,
+    oracle="""
+    SELECT event_type, count(*) AS first_seen_pairs
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY event_type
+    """,
     description="Streaming stateful dedup within watermark (rows-only).",
 )
 def stream_dropDuplicates_demo(spark, sf_dir):
@@ -40,7 +48,16 @@ def stream_dropDuplicates_demo(spark, sf_dir):
 @query(
     "stream_sliding_demo",
     "streaming",
-    oracle=None,
+    oracle="""
+    WITH e AS (SELECT ts::TIMESTAMP AS t FROM events),
+    w AS (
+        SELECT time_bucket(INTERVAL 30 MINUTE, t) AS s FROM e
+        UNION ALL
+        SELECT time_bucket(INTERVAL 30 MINUTE, t) - INTERVAL 30 MINUTE
+        FROM e
+    )
+    SELECT s AS window_start, count(*) AS cnt FROM w GROUP BY s
+    """,
     description="True streaming sliding windows (1 h / 30 min slide) with "
     "watermark (rows-only; pytest asserts equality with the batch twin).",
 )
@@ -51,7 +68,12 @@ def stream_sliding_demo(spark, sf_dir):
 @query(
     "stream_static_join_demo",
     "streaming",
-    oracle=None,
+    oracle="""
+    SELECT c_mktsegment, count(*) AS cnt,
+           round(sum(value), 4) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
     description="Stream-static broadcast join against the customer dim + "
     "agg per segment (rows-only; pytest asserts equality with batch).",
 )
@@ -62,7 +84,9 @@ def stream_static_join_demo(spark, sf_dir):
 @query(
     "stream_foreach_batch_sink",
     "streaming",
-    oracle=None,
+    oracle="""
+    SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """,
     description="foreachBatch partitioned-parquet sink (streaming rolled "
     "output, A7) + read-back counts (rows-only).",
 )
@@ -73,7 +97,16 @@ def stream_foreach_batch_sink(spark, sf_dir):
 @query(
     "stream_stream_join_demo",
     "streaming",
-    oracle=None,
+    oracle="""
+    SELECT v.user_id, count(*) AS n_view_purchase_pairs
+    FROM (SELECT user_id, ts::TIMESTAMP AS vt FROM events
+          WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts::TIMESTAMP AS pt FROM events
+          WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.pt > v.vt AND p.pt <= v.vt + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
     description="Stream-stream inner join (view->purchase within 1h, "
     "watermarked state eviction; rows-only; pytest asserts equality "
     "with the batch twin).",
