@@ -125,3 +125,23 @@ def stream_stream_join_demo(spark, sf_dir):
 )
 def stream_stateful_user_totals(spark, sf_dir):
     return streaming_user_totals(spark, sf_dir)
+
+
+@query(
+    "stream_update_mode_demo",
+    "streaming",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', ts::TIMESTAMP) AS hr,
+           count(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Update-output-mode agg over a forced two-micro-batch "
+    "replay (maxFilesPerTrigger=1); final state folded with max(cnt) "
+    "since counts are monotone across updates.",
+)
+def stream_update_mode_demo(spark, sf_dir):
+    from ..streaming.demos import streaming_update_mode
+
+    return streaming_update_mode(spark, sf_dir)

@@ -195,3 +195,59 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("v_user").alias("user_id"))
         .agg(F.count("*").alias("n_view_purchase_pairs"))
     )
+
+
+def _staged_two_batch_dir(sf_dir: str) -> str:
+    """Stage events.parquet as TWO chronological parquet files so the
+    file source (with ``maxFilesPerTrigger=1``) replays them as two
+    micro-batches: the second file holds only rows later than the first
+    file's median split, so nothing arrives behind the watermark."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    path = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+    d = os.path.join(_SCRATCH, f"stream_src2b_{tag}")
+    f1 = os.path.join(d, "batch1.parquet")
+    f2 = os.path.join(d, "batch2.parquet")
+    if not (os.path.exists(f1) and os.path.exists(f2)):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(path)
+        ts = pc.cast(t.column("ts"), "int64")
+        cut = int(pc.quantile(ts, q=0.5, interpolation="lower").to_pylist()[0])
+        mask = pc.less_equal(ts, cut)
+        pq.write_table(t.filter(mask), f1)
+        pq.write_table(t.filter(pc.invert(mask)), f2)
+        now = os.path.getmtime(f2)
+        os.utime(f1, (now - 60, now - 60))  # file source orders by mtime
+    return d
+
+
+def streaming_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-output-mode aggregation across MULTIPLE micro-batches: the
+    two-file chronological replay forces two batches, so keys touched
+    in both emit one update row per batch into the memory sink.  Counts
+    are monotone across updates, so the final state per key is
+    ``max(cnt)`` — which pytest + the oracle check against the plain
+    batch aggregate.  This is the incremental-maintenance story the
+    complete-mode demos don't exercise."""
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_two_batch_dir(sf_dir))
+        .withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        events.withWatermark("ts_us", "10 minutes")
+        .groupBy("event_type", F.date_trunc("hour", "ts_us").alias("hr"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    name = _run_to_memory(agg, "update")
+    return (
+        spark.table(name)
+        .groupBy("event_type", "hr")
+        .agg(F.max("cnt").alias("cnt"))
+    )

@@ -227,3 +227,63 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
         for r in SPECS["stream_stream_join_demo"].fn(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_stream_update_mode_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+
+    ev = table(spark, sf_dir, "events")
+    batch = {
+        (r.event_type, r.hr): r.cnt
+        for r in ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts_us").alias("hr")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    stream_df = SPECS["stream_update_mode_demo"].fn(spark, sf_dir)
+    stream = {(r.event_type, r.hr): r.cnt for r in stream_df.collect()}
+    assert stream == batch
+
+
+def test_update_mode_replay_is_multi_batch_and_listener_sees_rows(spark, sf_dir):
+    """Attach a StreamingQueryListener: the two-file replay must run >1
+    micro-batch and the listener's progress numInputRows must total the
+    fixture row count (the observability surface of reference counters A6)."""
+    import threading
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from datastore_mapper_spark.catalog import table
+
+    seen = {"batches": 0, "rows": 0}
+    done = threading.Event()
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            if p.numInputRows:
+                seen["batches"] += 1
+                seen["rows"] += p.numInputRows
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            done.set()
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    try:
+        SPECS["stream_update_mode_demo"].fn(spark, sf_dir).collect()
+        done.wait(timeout=30)
+    finally:
+        spark.streams.removeListener(listener)
+    n_events = table(spark, sf_dir, "events").count()
+    assert seen["batches"] >= 2, f"expected multi-batch replay, saw {seen}"
+    assert seen["rows"] == n_events, f"listener rows {seen['rows']} != {n_events}"
