@@ -278,3 +278,76 @@ def fn_trig_suite(spark, sf_dir):
         F.round(F.radians(F.col("l_extendedprice") / 1000.0), 4).alias("rad"),
         F.signum(F.col("l_discount") - 0.05).alias("sg"),
     )
+
+
+@query(
+    "embedding_centroid_by_label",
+    "LLM-pipeline",
+    oracle="""
+    SELECT label, pos, round(avg(v), 4) AS avg_v
+    FROM (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroid_by_label(spark, sf_dir):
+    """Per-label centroid vectors (the k-means / IVF-training step
+    behind ivf_knn_bucketed), computed as a posexplode → (label, pos)
+    aggregate so the work is one shuffle on a perfectly balanced
+    composite key instead of a driver-side vector sum.  At 100 TB this
+    is the scalable element-wise mean: 10 labels × 64 positions = 640
+    cells regardless of row count, and the map-side partial aggregate
+    collapses each partition to ≤640 rows before the exchange.  DuckDB
+    oracle zips two equal-length ``unnest``s for ordinality (no
+    WITH ORDINALITY in 1.0); Spark's 0-based posexplode is shifted to
+    the 1-based oracle numbering."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(F.round(F.avg("v"), 4).alias("avg_v"))
+    )
+
+
+@query(
+    "anomaly_zscore_window",
+    "window",
+    oracle="""
+    WITH z AS (
+        SELECT event_id, user_id, value,
+               avg(value) OVER (PARTITION BY user_id) AS mu,
+               stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+        FROM events
+    )
+    SELECT event_id, user_id,
+           round((value - mu) / sd, 4) AS z
+    FROM z
+    WHERE sd > 0 AND abs((value - mu) / sd) > 2.5
+    """,
+)
+def anomaly_zscore_window(spark, sf_dir):
+    """Per-user z-score outlier filter over an unbounded window — the
+    quality-filtering shape (flag statistical outliers per group)
+    training-data pipelines run before sampling.  Single shuffle on
+    ``user_id``; both engines share the stddev_samp definition and the
+    score is 4-dp pinned (§7.3-H2).  The ``sd > 0`` guard keeps the
+    divide deterministic for single-event users."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    zexpr = (F.col("value") - F.col("mu")) / F.col("sd")
+    return z.filter((F.col("sd") > 0) & (F.abs(zexpr) > 2.5)).select(
+        "event_id", "user_id", F.round(zexpr, 4).alias("z")
+    )

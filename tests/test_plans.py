@@ -90,3 +90,29 @@ def test_tpch_q6_pushes_all_predicates(spark, sf_dir):
     pushed = ";".join(info["PushedFilters"])
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in pushed
+
+
+def test_tfidf_broadcasts_df_and_limits_window(spark, sf_dir):
+    plan = formatted(_df("tfidf_top_terms", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # document-frequency side broadcasts
+    assert "WindowGroupLimit" in plan  # rn <= 3 pushed into the window sort
+    assert "CartesianProduct" not in plan  # corpus-size scalar is broadcast-NLJ
+
+
+def test_width_bucket_partial_agg(spark, sf_dir):
+    plan = formatted(_df("fn_width_bucket", spark, sf_dir))
+    # partial (map-side) + final HashAggregate around one exchange
+    # (formatted plans list each node twice: tree line + detail block)
+    assert "partial_count" in plan and "partial_avg" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_bigram_jaccard_no_cartesian(spark, sf_dir):
+    assert "CartesianProduct" not in formatted(
+        _df("dedup_bigram_jaccard", spark, sf_dir)
+    )
+
+
+def test_range_interval_window_pushes_user_filter(spark, sf_dir):
+    info = scan_info(_df("window_range_interval", spark, sf_dir))
+    assert "user_id" in ";".join(info["PushedFilters"])
