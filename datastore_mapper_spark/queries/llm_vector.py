@@ -74,3 +74,69 @@ def knn_cosine_top10(spark, sf_dir):
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "knn_batch_top3",
+    "LLM-pipeline",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(embedding) AS x)) AS qq
+        FROM embeddings WHERE vec_id < 10
+    ), sims AS (
+        SELECT q.qid, e.vec_id AS cid,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x, unnest(q.qe) AS y))
+                 AS dot,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x)) AS dd,
+               q.qq AS qq
+        FROM embeddings e, q
+        WHERE e.vec_id <> q.qid
+    ), ranked AS (
+        SELECT qid, cid,
+               round(dot / (sqrt(dd) * sqrt(qq)), 4) AS sim,
+               row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY round(dot / (sqrt(dd) * sqrt(qq)), 4) DESC, cid
+               ) AS rn
+        FROM sims
+    )
+    SELECT qid, cid, sim, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def knn_batch_top3(spark, sf_dir):
+    """Batched ANN baseline: top-3 cosine neighbors for EACH of 10 query
+    vectors in one pass — the realistic retrieval shape (a query batch,
+    not a single probe).  The 10-row query side broadcasts, so the scan
+    of the candidate side streams once with no shuffle; ranking is a
+    window partitioned by query id, planned with WindowGroupLimit.  At
+    100 TB the candidate set per query is first cut by IVF cells
+    (operators.similarity.ivf_topk) and this brute-force scoring runs
+    only inside the probed cells.  Similarity pinned at 4 dp and
+    tie-broken on candidate id (§7.3-H2/H7)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+        .withColumn("qq", _dot("qe", "qe"))
+    )
+    sims = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        F.round(
+            _dot("embedding", "qe")
+            / (F.sqrt(_dot("embedding", "embedding")) * F.sqrt(F.col("qq"))),
+            4,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "cid", "sim", "rn")
+    )

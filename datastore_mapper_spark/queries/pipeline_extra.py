@@ -392,3 +392,46 @@ def contamination_check(spark, sf_dir):
     return contaminated.groupBy("lang").agg(
         F.count("*").alias("n_contaminated")
     )
+
+
+@query(
+    "stratified_sample_by_lang",
+    "LLM-pipeline",
+    oracle="""
+    WITH b AS (
+        SELECT lang,
+               CAST(('0x' || substring(md5(text), 1, 4))::INTEGER AS BIGINT)
+                 % 100 AS bucket
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(count(*) FILTER (WHERE bucket <
+               CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 50 ELSE 25 END)
+             AS BIGINT) AS sampled
+    FROM b GROUP BY lang
+    """,
+)
+def stratified_sample_by_lang(spark, sf_dir):
+    """Deterministic per-stratum sampling: each language gets its own
+    rate (down-sample dominant en, up-weight scarce zh) decided by a
+    content-hash bucket, NOT rand() — so the sample is reproducible
+    across runs/retries and consistent for duplicate texts, exactly the
+    property a 100 TB corpus re-balance needs (same recipe as
+    split_train_val_test).  Pure map-side + partial agg: no extra
+    shuffle beyond the 5-group final aggregate."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 100
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "zh", 50)
+        .otherwise(25)
+    )
+    return (
+        d.select("lang", bucket.alias("bucket"), rate.alias("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total"),
+            F.count(F.when(F.col("bucket") < F.col("rate"), 1)).alias("sampled"),
+        )
+    )

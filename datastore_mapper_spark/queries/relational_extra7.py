@@ -284,7 +284,7 @@ def fn_trig_suite(spark, sf_dir):
     "embedding_centroid_by_label",
     "LLM-pipeline",
     oracle="""
-    SELECT label, pos, round(avg(v), 4) AS avg_v
+    SELECT label, pos, round(avg(v), 4) + 0.0 AS avg_v
     FROM (
         SELECT label,
                unnest(generate_series(1, len(embedding))) AS pos,
@@ -304,12 +304,14 @@ def embedding_centroid_by_label(spark, sf_dir):
     collapses each partition to ≤640 rows before the exchange.  DuckDB
     oracle zips two equal-length ``unnest``s for ordinality (no
     WITH ORDINALITY in 1.0); Spark's 0-based posexplode is shifted to
-    the 1-based oracle numbering."""
+    the 1-based oracle numbering.  ``+ 0.0`` after the round collapses
+    IEEE negative zero (DuckDB's round keeps -0.0, Spark's does not —
+    found as a real sf0.001 hash mismatch)."""
     e = table(spark, sf_dir, "embeddings")
     return (
         e.select("label", F.posexplode("embedding").alias("pos0", "v"))
         .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
-        .agg(F.round(F.avg("v"), 4).alias("avg_v"))
+        .agg((F.round(F.avg("v"), 4) + 0.0).alias("avg_v"))
     )
 
 

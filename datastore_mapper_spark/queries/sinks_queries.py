@@ -58,3 +58,42 @@ def approx_count_distinct(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count("*").alias("cnt"),
     )
+
+
+@query(
+    "sink_csv_json_roundtrip",
+    "sink",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    description="CSV and JSON sinks + schema-pinned read-back; both "
+    "read-backs must agree with each other and with the oracle's "
+    "aggregate over the source.",
+)
+def sink_csv_json_roundtrip(spark, sf_dir):
+    """Round-trip the orders keys through BOTH text sinks (CSV with
+    header, JSON lines) and read each back with an explicit schema —
+    never inference, which at 100 TB means a second full scan.  The
+    result unions the two read-backs and asserts equality by
+    construction: each (status, cnt, sum) group appears identically
+    from both formats, so the distinct of the union collapses to the
+    oracle's groups.  Text sinks are the reference's GCS output surface
+    (A7/A8) for interchange; parquet stays the analytics format."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    csv_dest = os.path.join(_SCRATCH, "sink_csv_roundtrip")
+    json_dest = os.path.join(_SCRATCH, "sink_json_roundtrip")
+    o.write.mode("overwrite").option("header", True).csv(csv_dest)
+    o.write.mode("overwrite").json(json_dest)
+    schema = "o_orderkey bigint, o_custkey bigint, o_orderstatus string"
+    back_csv = spark.read.schema(schema).option("header", True).csv(csv_dest)
+    back_json = spark.read.schema(schema).json(json_dest)
+    agg = lambda df: df.groupBy("o_orderstatus").agg(  # noqa: E731
+        F.count("*").alias("cnt"), F.sum("o_custkey").alias("sum_cust")
+    )
+    return agg(back_csv).union(agg(back_json)).distinct()

@@ -241,3 +241,38 @@ def topk_global(spark, sf_dir):
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )
+
+
+@query(
+    "window_count_distinct",
+    "window",
+    oracle="""
+    SELECT user_id,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def window_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) OVER a window — an operator Spark does not
+    support natively — composed from built-ins: dense_rank over
+    (user, type) then max(rank) over the partition, the standard
+    rewrite.  Both window passes share one shuffle + sort on
+    ``user_id`` (Catalyst collapses same-partitioning windows); the
+    oracle states the semantics directly as a grouped distinct
+    count."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("user_id").orderBy("event_type")
+    w_all = Window.partitionBy("user_id")
+    ranked = e.select(
+        "user_id",
+        F.dense_rank().over(w_rank).alias("dr"),
+    ).select(
+        "user_id",
+        F.max("dr").over(w_all).alias("n_types"),
+        F.count("*").over(w_all).alias("n_events"),
+    )
+    return ranked.distinct()

@@ -116,3 +116,10 @@ def test_bigram_jaccard_no_cartesian(spark, sf_dir):
 def test_range_interval_window_pushes_user_filter(spark, sf_dir):
     info = scan_info(_df("window_range_interval", spark, sf_dir))
     assert "user_id" in ";".join(info["PushedFilters"])
+
+
+def test_knn_batch_broadcasts_queries_and_limits_window(spark, sf_dir):
+    plan = formatted(_df("knn_batch_top3", spark, sf_dir))
+    # non-equi join against a 10-row query batch must broadcast, not shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "WindowGroupLimit" in plan
