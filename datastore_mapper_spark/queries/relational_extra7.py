@@ -353,3 +353,74 @@ def anomaly_zscore_window(spark, sf_dir):
     return z.filter((F.col("sd") > 0) & (F.abs(zexpr) > 2.5)).select(
         "event_id", "user_id", F.round(zexpr, 4).alias("z")
     )
+
+
+@query(
+    "relational_division_all_years",
+    "join/subquery",
+    oracle="""
+    WITH yrs AS (SELECT count(DISTINCT year(o_orderdate)) AS n_years
+                 FROM orders)
+    SELECT o.o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    GROUP BY o.o_custkey
+    HAVING count(DISTINCT year(o_orderdate)) = (SELECT n_years FROM yrs)
+    """,
+)
+def relational_division_all_years(spark, sf_dir):
+    """Relational division ("for all"): customers with orders in EVERY
+    year the table covers — the universal-quantification shape that SQL
+    has no direct operator for, composed as per-group distinct count ==
+    broadcast global distinct count.  One shuffle on custkey; the
+    1-row divisor crosses in as a broadcast, never a driver-side
+    collect."""
+    o = table(spark, sf_dir, "orders")
+    yrs = o.select(F.year("o_orderdate").alias("y")).agg(
+        F.countDistinct("y").alias("n_years")
+    )
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct(F.year("o_orderdate")).alias("cust_years"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(yrs))
+        .filter(F.col("cust_years") == F.col("n_years"))
+        .select("custkey", "n_orders")
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    "aggregation",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, source, count(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), ranked AS (
+        SELECT lang, source, cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, source ASC) AS rn
+        FROM counts
+    )
+    SELECT lang, source AS mode_source, cnt AS mode_cnt
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Statistical mode per group with a total-order tie-break — both
+    engines' native ``mode()`` breaks ties arbitrarily (§7.3-H7), so
+    the engine states it as count → rank → rn=1, which also scales
+    better: the count aggregate collapses cardinality before the tiny
+    per-group window."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("source"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("mode_source"),
+                F.col("cnt").alias("mode_cnt"))
+    )
