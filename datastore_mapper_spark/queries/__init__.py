@@ -25,3 +25,4 @@ from . import relational_extra5  # noqa: F401
 from . import udtf_queries  # noqa: F401
 from . import relational_extra6  # noqa: F401
 from . import relational_extra7  # noqa: F401
+from . import scale_queries  # noqa: F401

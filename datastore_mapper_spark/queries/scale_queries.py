@@ -1,0 +1,132 @@
+"""Scale-machinery contract queries: the bucketing and salting levers
+from ``operators/scale.py`` exposed as graded, oracle-checked rows.
+
+The library operators were already plan-asserted in
+``tests/test_scale_ops.py``; these queries additionally prove their
+RESULTS are bit-identical to the plain formulations a 100 TB deploy
+would replace — reassociated sums are pinned with decimal casts
+(SURVEY §7.3-H2) so salting/bucketing cannot drift the values.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..operators.scale import (
+    bucketed_join,
+    salted_groupby_sum,
+    salted_join,
+    write_bucketed,
+)
+from ..registry import query
+
+
+def _fresh_table(spark, name: str) -> None:
+    """Drop ``name`` and clear any orphaned warehouse directory a prior
+    session left behind — a new session's in-memory catalog does not
+    know the old table, so overwrite alone raises
+    LOCATION_ALREADY_EXISTS."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
+
+
+@query(
+    "join_bucketed_colocated",
+    "join/scale",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Write both join sides hash-bucketed by the join key, then join
+    the saved tables: the bucket layout makes the equi-join
+    co-located — no Exchange on ``custkey`` (asserted in
+    tests/test_plans.py).  This is the decide-partitioning-once-at-
+    write-time lever (the at-rest analogue of the reference's
+    scatter-sharded keyspace): at 100 TB every later join/groupBy on
+    the key rides the same layout for free.  Values must equal the
+    plain join — the oracle runs it unbucketed."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    _fresh_table(spark, "dmx_orders_bucketed")
+    _fresh_table(spark, "dmx_customer_bucketed")
+    write_bucketed(o, "dmx_orders_bucketed", "custkey", 8)
+    write_bucketed(c, "dmx_customer_bucketed", "custkey", 8)
+    j = bucketed_join(spark, "dmx_orders_bucketed", "dmx_customer_bucketed", "custkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+    )
+
+
+@query(
+    "agg_salted_skew_sum",
+    "aggregation/scale",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS cnt,
+           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew_sum(spark, sf_dir):
+    """Two-phase salted aggregation on a 3-value (maximally hot) group
+    key: partial sums by (key, deterministic salt) spread each hot key
+    across 16 reducers, the final merge folds 16 rows per key.  The
+    decimal cast makes the reassociated sum EXACT, so the salted result
+    hash-matches the plain GROUP BY oracle — proving the skew lever is
+    a pure physical rewrite.  Salts derive from xxhash64 of the row
+    key, never rand(): task retries recompute identical salts."""
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    return salted_groupby_sum(
+        li, "l_returnflag", n_salts=16, sum_cols=["qty_dec"], unique_col="l_orderkey"
+    ).select("l_returnflag", "cnt", F.col("sum_qty_dec"))
+
+
+@query(
+    "join_salted_skew",
+    "join/scale",
+    oracle="""
+    SELECT p_type,
+           CAST(count(*) AS BIGINT) AS n_items,
+           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p_type
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-safe fact×dim join: fact rows carry a deterministic salt,
+    the dim replicates ×8 so every (key, salt) partition still meets
+    its dim row — the rewrite for the single hot key AQE cannot split
+    (one key larger than one partition).  Costs 8× the small dim,
+    buys even reducer sizes on the 100 TB fact.  Decimal-pinned agg
+    proves result equality with the plain join."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_orderkey", "l_extendedprice"
+    )
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_type"
+    )
+    j = salted_join(li, p, key="partkey", n_salts=8, fact_unique_col="l_orderkey")
+    return j.groupBy("p_type").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+    )

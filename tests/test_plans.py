@@ -123,3 +123,15 @@ def test_knn_batch_broadcasts_queries_and_limits_window(spark, sf_dir):
     # non-equi join against a 10-row query batch must broadcast, not shuffle
     assert "BroadcastNestedLoopJoin" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_bucketed_join_has_no_join_key_shuffle(spark, sf_dir):
+    plan = formatted(_df("join_bucketed_colocated", spark, sf_dir))
+    # the whole point of bucketing: no hash-repartition on the join key
+    # (the only allowed exchange is the final mktsegment aggregate)
+    assert "hashpartitioning(custkey" not in plan
+
+
+def test_salted_join_no_broadcast_of_fact(spark, sf_dir):
+    plan = formatted(_df("join_salted_skew", spark, sf_dir))
+    assert "CartesianProduct" not in plan
