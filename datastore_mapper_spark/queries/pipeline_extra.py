@@ -435,3 +435,44 @@ def stratified_sample_by_lang(spark, sf_dir):
             F.count(F.when(F.col("bucket") < F.col("rate"), 1)).alias("sampled"),
         )
     )
+
+
+@query(
+    "rolling_weekly_active_users",
+    "stream-analogue",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts::TIMESTAMP AS DATE) AS d
+        FROM events
+    ), days AS (
+        SELECT DISTINCT d FROM ud
+    )
+    SELECT days.d AS day,
+           CAST(count(DISTINCT ud.user_id) AS BIGINT) AS wau
+    FROM days JOIN ud
+      ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+)
+def rolling_weekly_active_users(spark, sf_dir):
+    """Rolling 7-day distinct actives (WAU per day) — rolling DISTINCT
+    cannot ride a window frame (no distinct aggregates over windows),
+    so it composes as dedup-to-(user, day) → day-grid range join →
+    grouped distinct count.  The (user, day) dedup collapses the 100 TB
+    event volume to |users|×|days| BEFORE the ×7 range-join expansion,
+    and the day grid is tiny (broadcast).  At larger spans the exact
+    distinct swaps for mergeable HLL sketches per day
+    (approx_count_distinct) unioned over the window."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts_us").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    return (
+        days.alias("g")
+        .join(
+            ud.alias("u"),
+            (F.col("u.d") >= F.date_sub(F.col("g.d"), 6))
+            & (F.col("u.d") <= F.col("g.d")),
+        )
+        .groupBy(F.col("g.d").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
