@@ -65,13 +65,27 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """(d1, d2) candidate near-dup pairs: documents sharing >=1 LSH band.
 
     Shuffles (id, band_hash) pairs only; the quadratic blow-up is
-    confined to per-bucket joins (salt/limit oversized buckets at
-    production scale — a skewed bucket means near-identical spam docs).
+    confined to per-bucket joins, and oversized buckets are capped:
+
+    A bucket with k members normally emits k*(k-1)/2 pairs — one
+    boilerplate/spam cluster of 100k near-identical docs would emit
+    5e9 pairs from a single hot key.  Buckets larger than
+    ``max_bucket_size`` instead emit a linear *star*: every member
+    paired with the bucket's minimum id (k-1 pairs).  For dedup the
+    star preserves what matters — component connectivity for the
+    downstream :func:`connected_components` cluster assignment — and
+    oversized buckets are overwhelmingly near-identical docs, so the
+    star edges pass :func:`verify_jaccard` just like the full clique
+    would.  The size count rides the same ``bucket`` shuffle the join
+    needs anyway (a window, not an extra aggregation pass).
     """
+    from pyspark.sql import Window
+
     band_cols = []
     for b in range(bands):
         elems = [
@@ -83,19 +97,25 @@ def lsh_candidate_pairs(
     buckets = banded.select(
         id_col,
         F.explode(F.array(*[f"band{b}" for b in range(bands)])).alias("bucket"),
-    )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).withColumn("bsz", F.count("*").over(Window.partitionBy("bucket")))
+
+    small = buckets.filter(F.col("bsz") <= max_bucket_size).drop("bsz")
+    a, b = small.alias("a"), small.alias("b")
+    clique_pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+
+    big = buckets.filter(F.col("bsz") > max_bucket_size).drop("bsz")
+    star_pairs = (
+        big.withColumn(
+            "d1", F.min(id_col).over(Window.partitionBy("bucket"))
         )
-        .select(
-            F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2")
-        )
-        .distinct()
+        .filter(F.col("d1") != F.col(id_col))
+        .select("d1", F.col(id_col).alias("d2"))
     )
+    return clique_pairs.union(star_pairs).distinct()
 
 
 def verify_jaccard(

@@ -212,16 +212,28 @@ def agg_grouping_sets(spark, sf_dir):
     "aggregation",
     oracle="""
     SELECT l_returnflag,
-           sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS sum_price_dec,
-           sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty_dec
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+               AS sum_price_dec,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))
+               AS sum_qty_dec
     FROM lineitem
     GROUP BY l_returnflag
     """,
 )
 def agg_decimal_exact(spark, sf_dir):
-    """Decimal-cast exact sums — FP-determinism armor (SURVEY §7.3-H2)."""
+    """Decimal-cast exact sums — FP-determinism armor (SURVEY §7.3-H2).
+
+    Both engines cast the FINAL sum to DECIMAL(38,4): Spark widens
+    sum(DECIMAL(18,4)) to (28,4) while DuckDB widens to (38,4), and the
+    driver's value hash is sensitive to decimal width even when the
+    values are byte-identical (round-1 red row).
+    """
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("sum_price_dec"),
-        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty_dec"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("sum_price_dec"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .alias("sum_qty_dec"),
     )

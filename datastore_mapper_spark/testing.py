@@ -84,6 +84,24 @@ def compare_query(spark, con, spec, sf_dir: str) -> CompareResult:
         problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
     if sorted(scols) != sorted(ocols):
         problems.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+    # Decimal *width* must match too: the driver's value hash is sensitive
+    # to DECIMAL(p,s), and Spark widens sum(DECIMAL(18,4)) to (28,4) while
+    # DuckDB widens to (38,4) — identical values, different hash (round-1
+    # red row agg_decimal_exact). canon() below is width-insensitive, so
+    # check the declared types explicitly.
+    sdec = {c: t for c, t in sdf.dtypes if t.startswith("decimal")}
+    if sdec:
+        rel = con.sql(spec.oracle)
+        odec = {
+            c: str(t).lower()
+            for c, t in zip(rel.columns, rel.types)
+            if str(t).upper().startswith("DECIMAL")
+        }
+        for c in sorted(sdec):
+            if c in odec and odec[c] != sdec[c]:
+                problems.append(
+                    f"decimal width {c}: spark={sdec[c]} duckdb={odec[c]}"
+                )
     if not problems:
         sc = canon_rows(scols, srows)
         oc = canon_rows(ocols, orows)
