@@ -6,8 +6,13 @@ method: wall-clock around execute+collect, warm JVM) at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
+Each query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default 3) and
+reports the MEDIAN, with per-query min/max spread under ``"spread"`` —
+single runs drift ~10% run-to-run (r1 vs r2 showed +7.5% on untouched
+code), which a median makes attributable.
+
 The 2x bound (BASELINE.json) is against BASELINE.md's PySpark column —
-measured on this machine with the same warm-JVM single-run method.
+measured on this machine with the same warm-JVM method.
 """
 
 from __future__ import annotations
@@ -15,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -55,14 +61,20 @@ def main() -> None:
     load_tables(spark, sf_dir)["lineitem"].count()
     specs["agg_group_pricing_summary"].fn(spark, sf_dir).collect()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_query: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        specs[name].fn(spark, sf_dir).collect()
-        dt = round(time.perf_counter() - t0, 4)
-        per_query[name] = dt
-        total += dt
+        times = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).collect()
+            times.append(round(time.perf_counter() - t0, 4))
+        med = round(statistics.median(times), 4)
+        per_query[name] = med
+        spread[name] = [min(times), max(times)]
+        total += med
 
     print(
         json.dumps(
@@ -71,6 +83,8 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": per_query,
+                "spread": spread,
+                "runs": n_runs,
                 "sf": sf,
             }
         )

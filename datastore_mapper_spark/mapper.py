@@ -140,38 +140,45 @@ class Job:
         self.on_complete = on_complete
         self.on_fail = on_fail
 
-    def dataframe(self, spark: SparkSession, sf_dir: str) -> DataFrame:
-        """The job's logical plan, unexecuted."""
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Apply the job's filter→project→map pipeline to ``df``."""
         cfg = self.config
-        df = table(spark, sf_dir, cfg.kind)
         for flt in cfg.filters:
             df = df.filter(flt.to_column(df))
         if cfg.projection is not None:
             df = df.select(*cfg.projection)
         if cfg.mapper is not None:
             df = cfg.mapper(df)
+        return df
+
+    def dataframe(self, spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The job's logical plan, unexecuted."""
+        cfg = self.config
+        df = self.transform(table(spark, sf_dir, cfg.kind))
         if cfg.shards is not None:
             df = df.repartitionByRange(cfg.shards, cfg.shard_key)
         return df
 
-    def run(
+    def _execute(
         self,
-        spark: SparkSession,
-        sf_dir: str,
-        output_path: str | None = None,
-        output_format: str = "parquet",
-        partition_by: list[str] | None = None,
-        max_records_per_file: int = 1_000_000,
+        build_df: Callable[[], DataFrame],
+        output_path: str | None,
+        output_format: str,
+        partition_by: list[str] | None,
+        max_records_per_file: int,
     ) -> JobResult:
-        """Execute: write rolled output (or count if no sink), return
-        final state + counters. One Spark action total — counters ride
-        the same job via ``observe``."""
+        """Run the state machine around one Spark action: RUNNING →
+        observe counters → sink (or count) → COMPLETED + ``on_complete``,
+        with any failure flipping to FAILED + ``on_fail`` before
+        re-raising.  Shared by :meth:`run` and
+        :func:`run_per_namespace` so the lifecycle hooks fire
+        identically for whole-keyspace and per-namespace runs."""
         self.state = JobState.RUNNING
         obs: Observation | None = None
         try:
             # plan construction can itself fail analysis (bad column in a
             # mapper) — that is a job failure too, so it lives in the try
-            df = self.dataframe(spark, sf_dir)
+            df = build_df()
             if self.config.counters:
                 obs = Observation()
                 df = df.observe(obs, *(
@@ -200,6 +207,26 @@ class Job:
         if self.on_complete is not None:
             self.on_complete(result)
         return result
+
+    def run(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        output_path: str | None = None,
+        output_format: str = "parquet",
+        partition_by: list[str] | None = None,
+        max_records_per_file: int = 1_000_000,
+    ) -> JobResult:
+        """Execute: write rolled output (or count if no sink), return
+        final state + counters. One Spark action total — counters ride
+        the same job via ``observe``."""
+        return self._execute(
+            lambda: self.dataframe(spark, sf_dir),
+            output_path,
+            output_format,
+            partition_by,
+            max_records_per_file,
+        )
 
 
 # --- named-job registry (≙ server.go's mux of registered jobs) --------
@@ -234,7 +261,9 @@ def run_per_namespace(
     base_path: str,
     ns_col: str = "ns",
     output_base: str | None = None,
-    **run_kwargs,
+    output_format: str = "parquet",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
 ) -> dict[str, JobResult]:
     """Namespace iteration (reference A2, iterator.go `[REF-mem]`): list
     the namespace partition directories of a Hive-partitioned layout,
@@ -243,7 +272,14 @@ def run_per_namespace(
     Each per-namespace read prunes to ONE directory (partition pruning,
     verified in tests/test_sources.py), exactly like the reference
     scoping each job run to one Datastore namespace.  Counters stay
-    per-namespace, as the reference's namespace→job rollup did."""
+    per-namespace, as the reference's namespace→job rollup did.  Every
+    namespace goes through the SAME ``Job._execute`` state machine as a
+    whole-keyspace run: ``on_complete`` fires after each namespace's
+    sink lands, a failing namespace flips the job to FAILED, fires
+    ``on_fail``, and re-raises (remaining namespaces do not run — the
+    reference's job-level abort), and the run kwargs
+    (``partition_by``/``max_records_per_file``/``output_format``)
+    apply per namespace."""
     import os
 
     from .sources.reader import read_namespaced
@@ -257,30 +293,18 @@ def run_per_namespace(
     )
     results: dict[str, JobResult] = {}
     for ns in namespaces:
-        df = read_namespaced(spark, base_path, ns, ns_col=ns_col)
-        for flt in job.config.filters:
-            df = df.filter(flt.to_column(df))
-        if job.config.projection is not None:
-            df = df.select(*job.config.projection)
-        if job.config.mapper is not None:
-            df = job.config.mapper(df)
-        obs: Observation | None = None
-        if job.config.counters:
-            obs = Observation()
-            df = df.observe(obs, *(
-                expr.alias(name)
-                for name, expr in job.config.counters.items()
-            ))
-        out = None
-        if output_base is not None:
-            out = os.path.join(output_base, f"{ns_col}={ns}")
-            rolled_write(df, out, run_kwargs.get("output_format", "parquet"))
-        else:
-            df.count()
-        results[ns] = JobResult(
-            state=JobState.COMPLETED,
-            counters=dict(obs.get) if obs is not None else {},
-            output_path=out,
-            dataframe=df,
+        out = (
+            os.path.join(output_base, f"{ns_col}={ns}")
+            if output_base is not None
+            else None
+        )
+        results[ns] = job._execute(
+            lambda ns=ns: job.transform(
+                read_namespaced(spark, base_path, ns, ns_col=ns_col)
+            ),
+            out,
+            output_format,
+            partition_by,
+            max_records_per_file,
         )
     return results

@@ -75,14 +75,31 @@ def lsh_candidate_pairs(
     A bucket with k members normally emits k*(k-1)/2 pairs — one
     boilerplate/spam cluster of 100k near-identical docs would emit
     5e9 pairs from a single hot key.  Buckets larger than
-    ``max_bucket_size`` instead emit a linear *star*: every member
-    paired with the bucket's minimum id (k-1 pairs).  For dedup the
-    star preserves what matters — component connectivity for the
-    downstream :func:`connected_components` cluster assignment — and
-    oversized buckets are overwhelmingly near-identical docs, so the
-    star edges pass :func:`verify_jaccard` just like the full clique
-    would.  The size count rides the same ``bucket`` shuffle the join
-    needs anyway (a window, not an extra aggregation pass).
+    ``max_bucket_size`` are instead decomposed by FULL MinHash
+    signature into a multi-hub star:
+
+    - docs sharing the full signature form one sub-group emitting a
+      linear star to the group's minimum id (equal 16-hash signatures
+      imply near-identical token sets, so these hub edges pass
+      :func:`verify_jaccard` with the same confidence as any clique
+      edge would);
+    - the sub-group representatives (one per signature) pair as a
+      clique across the bucket, so DISTINCT near-dup clusters that a
+      hash collision merged into one hot bucket stay correctly
+      separated — a rep edge failing the verify is the verifier doing
+      its job, while a genuine cluster spread over several signatures
+      keeps redundant rep-to-rep paths (the single-hub star this
+      replaces lost the whole bucket's connectivity when its one hub
+      edge failed the verify).
+
+    Emitted pairs per hot bucket: (k - #sigs) star edges +
+    C(#sigs, 2) rep edges.  In the adversarial case of more than
+    ``max_bucket_size`` DISTINCT signatures colliding into one bucket,
+    the rep clique itself is capped by a star over representatives —
+    there the old single-hub recall caveat genuinely remains, and it
+    is the only place it does.  The size count rides the same
+    ``bucket`` shuffle the join needs anyway (a window, not an extra
+    aggregation pass).
     """
     from pyspark.sql import Window
 
@@ -93,13 +110,14 @@ def lsh_candidate_pairs(
             for r in range(rows_per_band)
         ]
         band_cols.append(F.xxhash64(F.lit(b), *elems).alias(f"band{b}"))
-    banded = sig_df.select(id_col, *band_cols)
+    banded = sig_df.select(id_col, "sig", *band_cols)
     buckets = banded.select(
         id_col,
+        "sig",
         F.explode(F.array(*[f"band{b}" for b in range(bands)])).alias("bucket"),
     ).withColumn("bsz", F.count("*").over(Window.partitionBy("bucket")))
 
-    small = buckets.filter(F.col("bsz") <= max_bucket_size).drop("bsz")
+    small = buckets.filter(F.col("bsz") <= max_bucket_size).drop("bsz", "sig")
     a, b = small.alias("a"), small.alias("b")
     clique_pairs = a.join(
         b,
@@ -107,15 +125,40 @@ def lsh_candidate_pairs(
         & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
     ).select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
 
-    big = buckets.filter(F.col("bsz") > max_bucket_size).drop("bsz")
-    star_pairs = (
-        big.withColumn(
-            "d1", F.min(id_col).over(Window.partitionBy("bucket"))
+    big = (
+        buckets.filter(F.col("bsz") > max_bucket_size)
+        .drop("bsz")
+        .withColumn("gkey", F.xxhash64("sig"))
+        .withColumn(
+            "gmin", F.min(id_col).over(Window.partitionBy("bucket", "gkey"))
         )
-        .filter(F.col("d1") != F.col(id_col))
-        .select("d1", F.col(id_col).alias("d2"))
     )
-    return clique_pairs.union(star_pairs).distinct()
+    star_pairs = (
+        big.filter(F.col("gmin") != F.col(id_col))
+        .select(F.col("gmin").alias("d1"), F.col(id_col).alias("d2"))
+    )
+    reps = (
+        big.select("bucket", "gmin")
+        .distinct()
+        .withColumn("nreps", F.count("*").over(Window.partitionBy("bucket")))
+    )
+    rep_small = reps.filter(F.col("nreps") <= max_bucket_size).drop("nreps")
+    ra, rb = rep_small.alias("ra"), rep_small.alias("rb")
+    rep_clique = ra.join(
+        rb,
+        (F.col("ra.bucket") == F.col("rb.bucket"))
+        & (F.col("ra.gmin") < F.col("rb.gmin")),
+    ).select(F.col("ra.gmin").alias("d1"), F.col("rb.gmin").alias("d2"))
+    rep_star = (
+        reps.filter(F.col("nreps") > max_bucket_size)
+        .drop("nreps")
+        .withColumn("hub", F.min("gmin").over(Window.partitionBy("bucket")))
+        .filter(F.col("hub") != F.col("gmin"))
+        .select(F.col("hub").alias("d1"), F.col("gmin").alias("d2"))
+    )
+    return (
+        clique_pairs.union(star_pairs).union(rep_clique).union(rep_star).distinct()
+    )
 
 
 def verify_jaccard(

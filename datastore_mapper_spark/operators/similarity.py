@@ -20,7 +20,7 @@ the thousands.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -90,6 +90,175 @@ def ivf_topk(
         bucketed.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .filter(F.col("bucket") == F.col("qbucket"))
+        .select(id_col, sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def l2sq(a, b) -> Column:
+    """Squared L2 distance, folded in array order (same reproducibility
+    contract as :func:`dot`)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def unit(vec) -> Column:
+    """L2-normalized copy of ``vec`` (doubles).  k-means for COSINE
+    retrieval must train/assign on the unit sphere (spherical k-means):
+    on unit vectors, L2-argmin == cosine-argmax, so the Lloyd loop and
+    the probe both see the geometry the scorer ranks by."""
+    n = F.sqrt(dot(vec, vec))
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def _nearest_centroid(df: DataFrame, centroids: DataFrame, vec_col: str) -> DataFrame:
+    """Attach ``cid`` = id of the L2-nearest centroid.  Centroids are
+    broadcast (k rows); argmin rides a single min(struct) aggregate-free
+    expression via min_by — no window, no extra shuffle beyond the
+    groupBy on the row key already implied by the caller."""
+    d = F.struct(l2sq(F.col(vec_col), F.col("centroid")).alias("dist"),
+                 F.col("centroid_id"))
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn("_d", d)
+    keep = [c for c in df.columns]
+    return (
+        scored.groupBy(*keep)
+        .agg(F.min("_d").alias("_best"))
+        .withColumn("cid", F.col("_best.centroid_id"))
+        .drop("_best")
+    )
+
+
+def kmeans_train(
+    emb_df: DataFrame,
+    k: int = 16,
+    max_iterations: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Lloyd-iteration k-means codebook: (centroid_id, centroid).
+
+    Spark-shaped training loop (the IVF codebook trainer the sign-
+    pattern cells stand in for):
+
+    - init: the k rows with the smallest ``xxhash64(id, seed)`` — a
+      deterministic uniform sample, so retries/retrains reproduce the
+      same codebook (no rand(), SURVEY §7.3 determinism rules);
+    - assign: broadcast the k centroids, ``min_by`` over a struct —
+      one scan, no shuffle;
+    - update: posexplode → per-(cid, dim) avg → re-assemble the mean
+      vector (dimension-agnostic: no d-wide column list materialized
+      in the plan);
+    - ``localCheckpoint`` per round cuts the lineage exactly like
+      :func:`~datastore_mapper_spark.operators.dedup.connected_components`
+      (at 100 TB: reliable ``checkpoint()`` + a sampled training
+      subset — the codebook needs ~256k vectors, not the corpus);
+    - stop early when no vector changes assignment.
+
+    Empty clusters keep their previous centroid (left join + coalesce),
+    so the codebook size is stable at k.  Training runs on L2-normalized
+    vectors (:func:`unit`) — spherical k-means — because the downstream
+    scorer ranks by cosine.
+    """
+    vecs = (
+        emb_df.select(id_col, unit(F.col(vec_col)).alias(vec_col))
+        .localCheckpoint()
+    )
+    centroids = (
+        vecs.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(k)
+        .select(F.col(vec_col).alias("centroid"))
+        .withColumn(
+            "centroid_id",
+            F.row_number().over(Window.orderBy(F.xxhash64("centroid"))) - 1,
+        )
+        .select("centroid_id", "centroid")
+        .localCheckpoint()
+    )
+    assign = None
+    for _ in range(max_iterations):
+        new_assign = (
+            _nearest_centroid(vecs, centroids, vec_col)
+            .select(id_col, vec_col, "cid")
+            .localCheckpoint()
+        )
+        if assign is not None:
+            changed = (
+                new_assign.alias("n")
+                .join(assign.alias("o"), id_col)
+                .filter(F.col("n.cid") != F.col("o.cid"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                assign = new_assign
+                break
+        assign = new_assign
+        means = (
+            assign.select("cid", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_centroid")
+            )
+        )
+        centroids = (
+            centroids.join(means, centroids.centroid_id == means.cid, "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new_centroid"), F.col("centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return centroids
+
+
+def ivf_topk_kmeans(
+    emb_df: DataFrame,
+    centroids: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe against a trained k-means codebook: score only vectors
+    whose nearest centroid is among the query's ``nprobe`` nearest
+    cells.  At 100 TB the table is written partitioned by ``cid`` so
+    the probe is a partition-pruned scan of nprobe/k of the data."""
+    assigned = _nearest_centroid(
+        emb_df.select(id_col, vec_col, unit(F.col(vec_col)).alias("_u")),
+        centroids,
+        "_u",
+    ).drop("_u")
+    q = emb_df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("qe"), unit(F.col(vec_col)).alias("qu")
+    )
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(q))
+        .select("centroid_id", l2sq(F.col("qu"), F.col("centroid")).alias("d"))
+        .orderBy("d")
+        .limit(nprobe)
+        .select(F.col("centroid_id").alias("cid"))
+    )
+    sim = F.round(cosine(F.col(vec_col), F.col("qe")), 4)
+    return (
+        assigned.join(F.broadcast(probe_cells), "cid")
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
         .select(id_col, sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)

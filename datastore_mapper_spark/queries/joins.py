@@ -220,26 +220,44 @@ def join_anti(spark, sf_dir):
     """,
 )
 def join_theta_range(spark, sf_dir):
-    """Non-equi band join.  Inputs are pre-filtered hard before the
-    nested-loop join — the only sane physical shape for theta joins;
-    at 100 TB this would be a range-bucketed join instead."""
+    """Non-equi band join, planned as a range-bucketed EQUI join.
+
+    The band is ``d2 ∈ [d1, d1 + 1 day]``, so any matching pair shares
+    a day bucket: ``day(d2) ∈ {day(d1), day(d1)+1}``.  The left side
+    explodes into its two candidate buckets, the right side carries one
+    bucket (``day(d2)``), and the join is an equi-join on the bucket
+    followed by the exact band predicate — each qualifying pair matches
+    exactly one bucket value, so no dedup is needed.  The plan is a
+    hash/sort-merge join shuffled on the bucket (asserted in
+    tests/test_plans.py: no BroadcastNestedLoopJoin), which is the
+    shape that survives 100 TB; the former BNLJ formulation was O(n·m)
+    the moment the price prefilter loosened."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
     o1 = o.select(
         F.col("o_orderkey").alias("k1"),
         F.col("o_orderdate").alias("d1"),
         F.col("o_totalprice").alias("p1"),
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.date_trunc("day", "d1"),
+                F.date_trunc("day", F.col("d1") + F.expr("INTERVAL 1 DAY")),
+            )
+        ),
     )
     o2 = o.select(
         F.col("o_orderkey").alias("k2"),
         F.col("o_orderdate").alias("d2"),
         F.col("o_totalprice").alias("p2"),
+        F.date_trunc("day", "o_orderdate").alias("bucket"),
     )
     return (
-        o1.join(
-            o2,
+        o1.join(o2, "bucket")
+        .filter(
             (F.col("k1") < F.col("k2"))
             & (F.col("d2") >= F.col("d1"))
-            & (F.col("d2") <= F.col("d1") + F.expr("INTERVAL 1 DAY")),
+            & (F.col("d2") <= F.col("d1") + F.expr("INTERVAL 1 DAY"))
         )
         .select("k1", "k2", "p1", "p2")
     )

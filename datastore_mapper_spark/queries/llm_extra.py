@@ -327,3 +327,21 @@ def embedding_normalize_quantize(spark, sf_dir):
             "cast(0 as bigint), (a, x) -> a + x)"
         ).alias("q_sum"),
     )
+
+
+@query(
+    "ivf_kmeans_knn",
+    "LLM-pipeline",
+    # rows-only: Lloyd iteration (a data-dependent fixpoint) is not
+    # SQL-expressible in one DuckDB statement; correctness is carried
+    # by tests/test_operators.py::test_kmeans_ivf_recall_vs_bruteforce
+    # (recall >= 0.8 vs the exact scorer) and the centroid invariants.
+)
+def ivf_kmeans_knn(spark, sf_dir):
+    """IVF ANN over a TRAINED k-means codebook (operators.similarity.
+    kmeans_train + ivf_topk_kmeans): the production form of
+    ivf_knn_bucketed, where Lloyd iterations replace the fixed
+    sign-pattern cells and nprobe trades recall for scan fraction."""
+    e = table(spark, sf_dir, "embeddings")
+    cb = sim.kmeans_train(e, k=8, max_iterations=6)
+    return sim.ivf_topk_kmeans(e, cb, query_id=0, k=10, nprobe=2)

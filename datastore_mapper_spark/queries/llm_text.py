@@ -37,6 +37,19 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+#: Document-frequency cap for near-dup candidate generation.  Tokens
+#: appearing in more than this many documents (stopwords at corpus
+#: scale) are excluded from the candidate self-join, bounding the pair
+#: blow-up at Σ_{df<=cap} df² instead of Σ df².  Recall argument: a
+#: pair is missed ONLY if every one of its shared tokens has df > cap;
+#: for J >= 0.8 the docs share >= 80% of their (near-identical) token
+#: sets, so any doc containing one sub-cap token keeps its near-dups.
+#: The fixtures' max df is 3923 (sf0.1), below the cap, so the
+#: candidate set — and hence the oracle comparison — is EXACT at test
+#: scale (asserted in tests/test_operators.py).
+NEAR_DUP_DF_CAP = 10_000
+
+
 @query(
     "dedup_near_jaccard",
     "LLM-pipeline",
@@ -62,10 +75,15 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_near_jaccard(spark, sf_dir):
-    """Near-duplicate pairs by token-set Jaccard >= 0.8, candidate-bounded
-    by a shared-token self-join.  At 100 TB the candidate generation is
-    replaced by MinHash LSH banding (operators/dedup.py) — the verify
-    step here (exact Jaccard on candidates) stays the same."""
+    """Near-duplicate pairs by token-set Jaccard >= 0.8.
+
+    Two-stage shape that survives 100 TB: (1) candidate generation —
+    self-join on shared tokens AFTER dropping tokens with document
+    frequency > NEAR_DUP_DF_CAP (the uncapped join explodes as Σ df²
+    on stopwords); (2) exact verify — candidates rejoin the FULL token
+    sets so the Jaccard score is exact even when the cap binds.  At
+    100 TB stage (1) is alternatively MinHash LSH banding
+    (operators/dedup.py); stage (2) is identical."""
     d = table(spark, sf_dir, "documents")
     toks = (
         d.select(
@@ -73,15 +91,32 @@ def dedup_near_jaccard(spark, sf_dir):
         )
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    t1 = toks.alias("a")
-    t2 = toks.alias("b")
-    pairs = (
-        t1.join(
-            t2,
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    rare = (
+        toks.join(dfreq.filter(F.col("df") <= NEAR_DUP_DF_CAP), "tok")
+        .select("doc_id", "tok")
+    )
+    r1 = rare.alias("a")
+    r2 = rare.alias("b")
+    cand = (
+        r1.join(
+            r2,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    t1 = toks.alias("t1")
+    t2 = toks.alias("t2")
+    pairs = (
+        cand.join(t1, F.col("d1") == F.col("t1.doc_id"))
+        .join(
+            t2,
+            (F.col("d2") == F.col("t2.doc_id"))
+            & (F.col("t1.tok") == F.col("t2.tok")),
+        )
+        .groupBy("d1", "d2")
         .agg(F.count("*").alias("inter"))
     )
     s1 = sizes.alias("s1")

@@ -43,7 +43,8 @@ def _fresh_table(spark, name: str) -> None:
     oracle="""
     SELECT c_mktsegment,
            CAST(count(*) AS BIGINT) AS n_orders,
-           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c_mktsegment
     """,
@@ -70,7 +71,9 @@ def join_bucketed_colocated(spark, sf_dir):
     j = bucketed_join(spark, "dmx_orders_bucketed", "dmx_customer_bucketed", "custkey")
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_price"),
     )
 
 
@@ -107,7 +110,8 @@ def agg_salted_skew_sum(spark, sf_dir):
     oracle="""
     SELECT p_type,
            CAST(count(*) AS BIGINT) AS n_items,
-           sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_price
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p_type
     """,
@@ -128,5 +132,7 @@ def join_salted_skew(spark, sf_dir):
     j = salted_join(li, p, key="partkey", n_salts=8, fact_unique_col="l_orderkey")
     return j.groupBy("p_type").agg(
         F.count("*").alias("n_items"),
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("sum_price"),
     )

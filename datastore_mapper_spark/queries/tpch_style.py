@@ -17,6 +17,11 @@ from ..catalog import table
 from ..registry import query
 
 _DEC = "decimal(18,4)"
+# Final sums are additionally pinned to DECIMAL(38,4) on BOTH sides:
+# Spark widens sum(DECIMAL(18,4)) to (28,4) while DuckDB widens to
+# (38,4), and the driver's value hash is width-sensitive (SURVEY
+# §7.3-H2; round-2 VERDICT item 1).
+_DEC38 = "decimal(38,4)"
 
 
 def _revenue_col():
@@ -28,8 +33,8 @@ def _revenue_col():
     "flagship join",
     oracle="""
     SELECT l_orderkey,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-               AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
            o_orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -59,7 +64,7 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_revenue_col()).alias("revenue"))
+        .agg(F.sum(_revenue_col()).cast(_DEC38).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -104,8 +109,8 @@ def tpch_q4_order_priority(spark, sf_dir):
     "flagship join",
     oracle="""
     SELECT c_custkey, c_name,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-               AS revenue,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
            n_name
     FROM customer, orders, lineitem, nation
     WHERE c_custkey = o_custkey
@@ -134,7 +139,7 @@ def tpch_q10_returned_items(spark, sf_dir):
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_revenue_col()).alias("revenue"))
+        .agg(F.sum(_revenue_col()).cast(_DEC38).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
@@ -225,8 +230,8 @@ def tpch_q18_large_orders(spark, sf_dir):
     "flagship join",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-               AS revenue
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
     FROM (
         SELECT n1.n_name AS supp_nation,
                n2.n_name AS cust_nation,
@@ -280,7 +285,7 @@ def tpch_q7_nation_volume(spark, sf_dir):
             "supp_nation", "cust_nation",
             F.year("l_shipdate").alias("l_year"),
         )
-        .agg(F.sum(_revenue_col()).alias("revenue"))
+        .agg(F.sum(_revenue_col()).cast(_DEC38).alias("revenue"))
     )
 
 
@@ -288,8 +293,8 @@ def tpch_q7_nation_volume(spark, sf_dir):
     "tpch_q19_disjunctive",
     "flagship join",
     oracle="""
-    SELECT sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
-               AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
            count(*) AS n_lines
     FROM lineitem, part
     WHERE p_partkey = l_partkey
@@ -320,7 +325,7 @@ def tpch_q19_disjunctive(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(_revenue_col()).alias("revenue"),
+            F.sum(_revenue_col()).cast(_DEC38).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -330,8 +335,8 @@ def tpch_q19_disjunctive(spark, sf_dir):
     "tpch_q6_forecast_revenue",
     "flagship agg",
     oracle="""
-    SELECT sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
-               AS revenue,
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DECIMAL(38,4)) AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -354,7 +359,7 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
         )
         .agg(
             F.sum((F.col("l_extendedprice") * F.col("l_discount"))
-                  .cast(_DEC)).alias("revenue"),
+                  .cast(_DEC)).cast(_DEC38).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -366,8 +371,9 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
     oracle="""
     WITH revenue AS (
         SELECT l_suppkey AS supplier_no,
-               sum(CAST(l_extendedprice * (1 - l_discount)
-                        AS DECIMAL(18,4))) AS total_revenue
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                   AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -390,8 +396,9 @@ def tpch_q15_top_supplier(spark, sf_dir):
         """
         WITH revenue AS (
             SELECT l_suppkey AS supplier_no,
-                   sum(CAST(l_extendedprice * (1 - l_discount)
-                            AS DECIMAL(18,4))) AS total_revenue
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                       AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -561,7 +568,7 @@ def tpch_q8_market_share(spark, sf_dir):
     "flagship join",
     oracle="""
     SELECT nation, o_year,
-           sum(amount) AS sum_profit
+           CAST(sum(amount) AS DECIMAL(38,4)) AS sum_profit
     FROM (
         SELECT n.n_name AS nation,
                CAST(year(o.o_orderdate) AS INT) AS o_year,
@@ -604,7 +611,7 @@ def tpch_q9_product_profit(spark, sf_dir):
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").alias("sum_profit"))
+        .agg(F.sum("amount").cast(_DEC38).alias("sum_profit"))
     )
 
 
@@ -665,7 +672,8 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     "flagship subquery",
     oracle="""
     SELECT cntrycode, count(*) AS numcust,
-           sum(CAST(c_acctbal AS DECIMAL(18,4))) AS totacctbal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4))
+               AS totacctbal
     FROM (
         SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
         FROM customer c
@@ -688,7 +696,8 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
     return spark.sql(
         """
         SELECT cntrycode, count(*) AS numcust,
-               sum(CAST(c_acctbal AS DECIMAL(18,4))) AS totacctbal
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                   AS totacctbal
         FROM (
             SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode, c_acctbal
             FROM customer c

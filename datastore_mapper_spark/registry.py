@@ -55,6 +55,26 @@ def query(
     return deco
 
 
+def reorder_front(names: list[str]) -> None:
+    """Move ``names`` (in the given order) to the front of the registry.
+
+    Registration order is load-bearing: the verification driver grades
+    the FIRST 50 registered queries, so the SURVEY §2.B contract rows
+    must precede extension queries regardless of module import order.
+    Unknown names raise (a typo here would silently un-grade a contract
+    row); queries not named keep their existing relative order after
+    the front block.
+    """
+    missing = [n for n in names if n not in REGISTRY]
+    if missing:
+        raise ValueError(f"reorder_front: unknown queries {missing}")
+    front = {n: REGISTRY[n] for n in names}
+    rest = {n: s for n, s in REGISTRY.items() if n not in front}
+    REGISTRY.clear()
+    REGISTRY.update(front)
+    REGISTRY.update(rest)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """Import all query modules (side-effect registration) and return them."""
     from . import queries as _queries  # noqa: F401  (registers on import)

@@ -152,3 +152,65 @@ def test_run_per_namespace_iterates_and_counts(spark, sf_dir, tmp_path):
     }
     got = {ns: res.counters["entities_read"] for ns, res in results.items()}
     assert got == expected
+
+
+def test_run_per_namespace_fires_lifecycle_hooks(spark, sf_dir, tmp_path):
+    """A2 must ride the A10 state machine: on_complete fires once per
+    namespace, and a failing namespace flips to FAILED, fires on_fail,
+    and aborts the remaining namespaces."""
+    import pytest
+
+    from datastore_mapper_spark.mapper import JobState, run_per_namespace
+    from datastore_mapper_spark.sources.writer import write_partitioned
+
+    c = table(spark, sf_dir, "customer").withColumn("ns", F.col("c_mktsegment"))
+    base = str(tmp_path / "namespaced")
+    write_partitioned(c, base, ["ns"])
+    n_namespaces = c.select("c_mktsegment").distinct().count()
+
+    completed, failed = [], []
+    job = Job(
+        JobConfig(kind="customer", counters=default_counters()),
+        on_complete=lambda res: completed.append(res),
+        on_fail=lambda exc: failed.append(exc),
+    )
+    results = run_per_namespace(job, spark, base)
+    assert len(completed) == n_namespaces == len(results)
+    assert not failed
+    assert job.state is JobState.COMPLETED
+
+    # a mapper that references a missing column fails analysis in the
+    # first namespace: on_fail fires, state flips, nothing completes
+    completed.clear()
+    bad = Job(
+        JobConfig(kind="customer", mapper=lambda df: df.select("no_such_col")),
+        on_complete=lambda res: completed.append(res),
+        on_fail=lambda exc: failed.append(exc),
+    )
+    with pytest.raises(Exception):
+        run_per_namespace(bad, spark, base)
+    assert len(failed) == 1
+    assert not completed
+    assert bad.state is JobState.FAILED
+
+
+def test_run_per_namespace_applies_run_kwargs(spark, sf_dir, tmp_path):
+    """partition_by and max_records_per_file must reach each
+    per-namespace write (they were silently dropped before round 3)."""
+    import os
+
+    from datastore_mapper_spark.mapper import run_per_namespace
+    from datastore_mapper_spark.sources.writer import write_partitioned
+
+    c = table(spark, sf_dir, "customer").withColumn("ns", F.col("c_mktsegment"))
+    base = str(tmp_path / "namespaced")
+    write_partitioned(c, base, ["ns"])
+
+    job = Job(JobConfig(kind="customer", projection=["c_custkey", "c_nationkey"]))
+    out = str(tmp_path / "out")
+    results = run_per_namespace(
+        job, spark, base, output_base=out, partition_by=["c_nationkey"]
+    )
+    ns0 = sorted(results)[0]
+    ns_dir = os.path.join(out, f"ns={ns0}")
+    assert any(e.startswith("c_nationkey=") for e in os.listdir(ns_dir))

@@ -135,3 +135,11 @@ def test_bucketed_join_has_no_join_key_shuffle(spark, sf_dir):
 def test_salted_join_no_broadcast_of_fact(spark, sf_dir):
     plan = formatted(_df("join_salted_skew", spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_theta_range_plans_as_equi_join_not_bnlj(spark, sf_dir):
+    plan = formatted(_df("join_theta_range", spark, sf_dir))
+    # the day-bucket rewrite must plan a hash/sort-merge equi join; the
+    # O(n*m) nested loop is exactly what it exists to avoid
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -147,6 +147,23 @@ def test_tws_user_totals_equals_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_tws_restores_state_store_conf(spark, sf_dir):
+    """The RocksDB provider flip must not leak into the shared session:
+    after the query runs (or fails), the provider conf is exactly what
+    it was before (round-2 VERDICT item 6)."""
+    from datastore_mapper_spark.streaming.stateful import (
+        _STATE_PROVIDER_KEY,
+        streaming_user_totals_tws,
+    )
+
+    before = spark.conf.get(_STATE_PROVIDER_KEY, None)
+    try:
+        streaming_user_totals_tws(spark, sf_dir)
+    except Exception:
+        pass  # protobuf may be unavailable here; the restore must hold anyway
+    assert spark.conf.get(_STATE_PROVIDER_KEY, None) == before
+
+
 def test_checkpoint_resume_processes_only_new_files(spark, sf_dir, tmp_path):
     """Cursor-resume parity (reference A9): a checkpointed file-source
     stream restarted over a grown directory processes ONLY the new
