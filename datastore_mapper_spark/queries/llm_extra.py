@@ -345,3 +345,64 @@ def ivf_kmeans_knn(spark, sf_dir):
     e = table(spark, sf_dir, "embeddings")
     cb = sim.kmeans_train(e, k=8, max_iterations=6)
     return sim.ivf_topk_kmeans(e, cb, query_id=0, k=10, nprobe=2)
+
+
+@query(
+    "neardup_cosine_bucketed",
+    "LLM-pipeline",
+    oracle="""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               (CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END
+                + CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END
+                + CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END
+                + CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END) AS bucket
+        FROM embeddings
+    ), ex AS (
+        SELECT vec_id, bucket,
+               CAST(unnest(embedding) AS DOUBLE) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM bucketed
+    ), norms AS (
+        SELECT vec_id, sum(v * v) AS nn FROM ex GROUP BY vec_id
+    ), dots AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.v * b.v) AS dot
+        FROM ex a
+        JOIN ex b ON a.i = b.i AND a.bucket = b.bucket
+                 AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           round(dot / (sqrt(n1.nn) * sqrt(n2.nn)), 4) AS sim
+    FROM dots
+    JOIN norms n1 ON id1 = n1.vec_id
+    JOIN norms n2 ON id2 = n2.vec_id
+    WHERE round(dot / (sqrt(n1.nn) * sqrt(n2.nn)), 4) >= 0.4
+    """,
+)
+def neardup_cosine_bucketed(spark, sf_dir):
+    """Embedding near-dup pairs with IVF-style blocking: candidate
+    pairs come only from the SAME sign-pattern cell (equi-join on
+    bucket — a shuffle on the cell id, never an all-pairs product),
+    then the exact cosine threshold.  The scale path for
+    neardup_cosine_pairs: per-cell pair cost is (n/2^d)^2 per cell vs
+    n^2 global, and the cells are the partition key at rest.  The
+    oracle applies the identical bucket restriction, so the comparison
+    is exact (recall loss vs the brute-force query is a DESIGN
+    property of the blocking, not a correctness gap — near-identical
+    vectors share leading signs unless a component sits near 0)."""
+    e = table(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", sim.sign_bucket(F.col("embedding")))
+    a = bucketed.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), "bucket"
+    )
+    s = F.round(sim.cosine(F.col("e1"), F.col("e2")), 4)
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", s.alias("sim"))
+        .filter(F.col("sim") >= 0.4)
+    )

@@ -234,3 +234,56 @@ def dedup_cluster_assign(spark, sf_dir):
     pairs = REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
     cc = connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "dedup_keep_canonical",
+    "LLM-pipeline",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT d1, d2
+        FROM cand p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    ), sym AS (
+        SELECT d1 AS u, d2 AS v FROM edges
+        UNION SELECT d2, d1 FROM edges
+    ), reach(node, lab) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
+    ), clusters AS (
+        SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+    WHERE c.node IS NULL OR d.doc_id = c.cluster_id
+    """,
+)
+def dedup_keep_canonical(spark, sf_dir):
+    """The dedup decision a 100 TB pipeline actually SHIPS: one
+    canonical document per near-dup cluster (the cluster's min doc_id),
+    all singletons kept untouched.  Composes #48's exact pair
+    generation -> connected components -> anti-join of the non-canonical
+    members — the final anti-join is the only new shuffle, on the
+    16-byte doc key.  The oracle closes the same graph with a
+    recursive CTE and applies the same keep rule."""
+    d = table(spark, sf_dir, "documents")
+    pairs = REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+    cc = connected_components(pairs)
+    non_canonical = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(non_canonical, "doc_id", "left_anti").select("doc_id", "lang")
