@@ -14,17 +14,14 @@ from . import udfs  # noqa: F401
 from . import sinks_queries  # noqa: F401
 from . import streaming_queries  # noqa: F401
 from . import llm_extra  # noqa: F401
-from . import relational_extra  # noqa: F401
 from . import mapper_queries  # noqa: F401
-from . import relational_extra2  # noqa: F401
-from . import relational_extra3  # noqa: F401
+from . import functions_extra  # noqa: F401
+from . import aggregates_extra  # noqa: F401
+from . import windows_extra  # noqa: F401
+from . import relational_subqueries  # noqa: F401
 from . import tpch_style  # noqa: F401
 from . import pipeline_extra  # noqa: F401
-from . import relational_extra4  # noqa: F401
-from . import relational_extra5  # noqa: F401
 from . import udtf_queries  # noqa: F401
-from . import relational_extra6  # noqa: F401
-from . import relational_extra7  # noqa: F401
 from . import scale_queries  # noqa: F401
 
 from ..registry import reorder_front

@@ -1,0 +1,316 @@
+"""Extension aggregation queries (beyond SURVEY §2.B #5-13):
+pivot/unpivot, statistical suites, FILTER clauses, min_by/max_by,
+percentiles, time rollups, and NULL/mode semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "agg_pivot",
+    "aggregation",
+    oracle="""
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS cnt_f,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS cnt_o,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS cnt_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot status values into columns (BigQuery-class reshaping)."""
+    o = table(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )
+
+
+@query(
+    "agg_stats_suite",
+    "aggregation",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS cnt,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_suite(spark, sf_dir):
+    """Statistical aggregates (stddev/corr/covar), rounded — the two
+    engines use different variance algorithms (§7.3-H2)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+    )
+
+
+@query(
+    "agg_min_max_by",
+    "aggregation",
+    oracle="""
+    SELECT o_custkey,
+           max_by(o_orderkey, o_totalprice) AS biggest_order,
+           min_by(o_orderkey, o_totalprice) AS smallest_order,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_min_max_by(spark, sf_dir):
+    """max_by/min_by (argmax aggregates).  Deterministic because
+    o_totalprice values are unique within a customer in the fixtures."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_percentile_median",
+    "aggregation",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_median(spark, sf_dir):
+    """Exact interpolated percentiles: Spark ``percentile`` ≙ DuckDB
+    ``quantile_cont`` (both linear interpolation; probed MATCH)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "agg_conditional_bools",
+    "aggregation",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big,
+           bool_or(o_orderstatus = 'F') AS any_f,
+           bool_and(o_totalprice > 0) AS all_positive
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional_bools(spark, sf_dir):
+    """Conditional/boolean aggregates: ``count_if`` (oracle spelled as
+    the SUM-CASE it is defined as, avoiding DuckDB version drift),
+    ``bool_or``/``bool_and``."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_f"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+    )
+
+
+@query(
+    "agg_filter_clause",
+    "aggregation",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           round(sum(o_totalprice) FILTER (WHERE o_totalprice > 150000),
+                 4) AS big_total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_filter_clause(spark, sf_dir):
+    """Per-aggregate FILTER clauses — several differently-filtered
+    aggregates in ONE pass over the data (no self-join, no union)."""
+    table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               round(sum(o_totalprice) FILTER (WHERE o_totalprice > 150000),
+                     4) AS big_total
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "agg_time_rollup",
+    "grouping sets",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(month(o_orderdate) AS INT) AS m,
+           count(*) AS cnt,
+           CAST(grouping(year(o_orderdate)) AS INT) AS gy,
+           CAST(grouping(month(o_orderdate)) AS INT) AS gm
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate),
+                     month(o_orderdate))
+    """,
+)
+def agg_time_rollup(spark, sf_dir):
+    """ROLLUP over derived time-hierarchy EXPRESSIONS (year→quarter→
+    month) with grouping() markers — the calendar drill-down cube;
+    complements the plain-column rollup #10."""
+    table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS y,
+               CAST(quarter(o_orderdate) AS INT) AS q,
+               CAST(month(o_orderdate) AS INT) AS m,
+               count(*) AS cnt,
+               CAST(grouping(year(o_orderdate)) AS INT) AS gy,
+               CAST(grouping(month(o_orderdate)) AS INT) AS gm
+        FROM orders
+        GROUP BY ROLLUP (year(o_orderdate), quarter(o_orderdate),
+                         month(o_orderdate))
+        """
+    )
+
+
+@query(
+    "agg_collect_distinct_sorted",
+    "array agg",
+    oracle="""
+    SELECT n_regionkey,
+           array_to_string(list_sort(list_distinct(
+               list(substring(n_name, 1, 8)))), ',') AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def agg_collect_distinct_sorted(spark, sf_dir):
+    """Distinct ordered list aggregation compared as a joined string
+    (#42's discipline: DuckDB 1.0 rejects ORDER BY inside aggregate
+    args, so sorting happens post-hoc on both sides)."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.concat_ws(
+            ",",
+            F.sort_array(F.array_distinct(
+                F.collect_list(F.substring("n_name", 1, 8))))
+        ).alias("names")
+    )
+
+
+@query(
+    "agg_null_semantics",
+    "aggregation",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           CAST(count(nullif(o_orderstatus, 'O')) AS BIGINT) AS n_nonopen,
+           round(avg(CASE WHEN o_orderstatus <> 'O'
+                          THEN o_totalprice END), 4) AS avg_nonopen_price,
+           CAST(min(nullif(o_orderstatus, 'O')) IS NULL AS BOOLEAN)
+               AS all_null_group
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_null_semantics(spark, sf_dir):
+    """NULL aggregation semantics pinned down: count(col) skips NULLs,
+    avg ignores NULLs (not zero-fills), min of an all-NULL group is
+    NULL — identical in both engines, asserted per group."""
+    o = table(spark, sf_dir, "orders")
+    nonopen = F.nullif("o_orderstatus", F.lit("O"))
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.count(nonopen).alias("n_nonopen"),
+        F.round(
+            F.avg(F.when(F.col("o_orderstatus") != "O",
+                         F.col("o_totalprice"))), 4
+        ).alias("avg_nonopen_price"),
+        F.min(nonopen).isNull().alias("all_null_group"),
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    "aggregation",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, source, count(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    ), ranked AS (
+        SELECT lang, source, cnt,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, source ASC) AS rn
+        FROM counts
+    )
+    SELECT lang, source AS mode_source, cnt AS mode_cnt
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Statistical mode per group with a total-order tie-break — both
+    engines' native ``mode()`` breaks ties arbitrarily (§7.3-H7), so
+    the engine states it as count → rank → rn=1, which also scales
+    better: the count aggregate collapses cardinality before the tiny
+    per-group window."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("source"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("mode_source"),
+                F.col("cnt").alias("mode_cnt"))
+    )
+
+
+@query(
+    "unpivot_measures",
+    "reshape",
+    oracle="""
+    SELECT * FROM (
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice, l_discount, l_tax
+        FROM lineitem WHERE l_orderkey < 1000
+    ) UNPIVOT (val FOR measure IN (l_extendedprice, l_discount, l_tax))
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Wide→long reshape (UNPIVOT ≙ ``DataFrame.unpivot``); the inverse
+    of agg_pivot.  Both engines drop NULL measure values by default."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        "l_extendedprice", "l_discount", "l_tax",
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )

@@ -7,6 +7,7 @@ the rows-only MinHash-LSH / SimHash scale paths.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
@@ -405,4 +406,167 @@ def neardup_cosine_bucketed(spark, sf_dir):
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", s.alias("sim"))
         .filter(F.col("sim") >= 0.4)
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tf AS (
+        SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+        SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.tok,
+               round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, tok, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, tok ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, tok, tfidf, rn FROM ranked WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the classic quality/keyword
+    signal for a training-data pipeline.  Scale shape: the document
+    frequency table is vocabulary-sized (small), so it broadcasts; the
+    term-frequency table shuffles once on ``tok`` for the join and once
+    on ``doc_id`` for the window — both keys are high-cardinality and
+    unskewed.  The corpus-size scalar is a broadcast cross join, never
+    a driver-side ``.count()``.  Score pinned at 4 dp (§7.3-H2) with a
+    ``tok`` tie-break so ranking is total (§7.3-H7)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf", "rn")
+    )
+
+
+@query(
+    "dedup_bigram_jaccard",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> list_extract(w, i) || ' ' || list_extract(w, i + 1)))
+                   AS g
+            FROM toks
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+    ), pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.d1, p.d2,
+           round(CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter), 4) AS jac
+    FROM pairs p
+    JOIN sizes s1 ON p.d1 = s1.doc_id
+    JOIN sizes s2 ON p.d2 = s2.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.6
+    """,
+)
+def dedup_bigram_jaccard(spark, sf_dir):
+    """Near-duplicate pairs by word-bigram (2-shingle) Jaccard >= 0.6.
+    Bigram shingles are far rarer than single tokens, so the
+    shared-shingle candidate join stays near-linear where a unigram
+    join would square up; at 100 TB the candidate step is replaced by
+    MinHash-LSH banding over the same shingles (operators/dedup.py) and
+    this exact Jaccard verifies the surviving candidates."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> concat(element_at(split(text, ' '), i), ' ', "
+                    "element_at(split(text, ' '), i + 1)))"
+                )
+            )
+        ).alias("g"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("s1.sz") + F.col("s2.sz") - F.col("inter")
+    )
+    return (
+        pairs.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
+        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
+        .filter(jac >= 0.6)
+        .select("d1", "d2", F.round(jac, 4).alias("jac"))
+    )
+
+
+@query(
+    "embedding_centroid_by_label",
+    "LLM-pipeline",
+    oracle="""
+    SELECT label, pos, round(avg(v), 4) + 0.0 AS avg_v
+    FROM (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    GROUP BY 1, 2
+    """,
+)
+def embedding_centroid_by_label(spark, sf_dir):
+    """Per-label centroid vectors (the k-means / IVF-training step
+    behind ivf_knn_bucketed), computed as a posexplode → (label, pos)
+    aggregate so the work is one shuffle on a perfectly balanced
+    composite key instead of a driver-side vector sum.  At 100 TB this
+    is the scalable element-wise mean: 10 labels × 64 positions = 640
+    cells regardless of row count, and the map-side partial aggregate
+    collapses each partition to ≤640 rows before the exchange.  DuckDB
+    oracle zips two equal-length ``unnest``s for ordinality (no
+    WITH ORDINALITY in 1.0); Spark's 0-based posexplode is shifted to
+    the 1-based oracle numbering.  ``+ 0.0`` after the round collapses
+    IEEE negative zero (DuckDB's round keeps -0.0, Spark's does not —
+    found as a real sf0.001 hash mismatch)."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg((F.round(F.avg("v"), 4) + 0.0).alias("avg_v"))
     )

@@ -1,0 +1,238 @@
+"""Extension window-function queries (beyond SURVEY §2.B #23-30):
+RANGE frames (numeric + interval), ignore-nulls navigation,
+cume_dist/percent_rank, nth_value, global shares, z-score anomalies."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "window_cume_percent",
+    "window",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_cume_percent(spark, sf_dir):
+    """Distribution window functions — exact rank-ratio arithmetic, so
+    no rounding is needed."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "window_range_frame",
+    "window frame",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 4) AS rsum
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """Value-based RANGE frame (vs the ROWS frames of #26/#27): sum of
+    all orders within 1000.0 below the current price per customer.
+    RANGE frames include ties identically in both engines."""
+    table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 4) AS rsum
+        FROM orders
+        """
+    )
+
+
+@query(
+    "window_ignore_nulls",
+    "window",
+    oracle="""
+    SELECT o_orderkey,
+           last_value(nullif(o_orderstatus, 'O') IGNORE NULLS) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_nonopen
+    FROM orders
+    """,
+)
+def window_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS navigation — last non-NULL value seen so far per
+    partition (the gap-fill / last-observation-carried-forward
+    primitive).  Note the dialect seam: Spark puts IGNORE NULLS after
+    the call, DuckDB inside the argument list."""
+    table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               last_value(nullif(o_orderstatus, 'O')) IGNORE NULLS OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_nonopen
+        FROM orders
+        """
+    )
+
+
+@query(
+    "window_global_share",
+    "window",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS cnt,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def window_global_share(spark, sf_dir):
+    """Empty-partition window over an aggregate (share of total) — one
+    pass: grouped counts, then a scalar window instead of a self-join
+    against the grand total."""
+    table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS cnt,
+               round(CAST(count(*) AS DOUBLE)
+                     / sum(count(*)) OVER (), 6) AS share
+        FROM orders
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "window_nth_dense",
+    "window",
+    oracle="""
+    SELECT o_orderkey, dense_rank() OVER w AS dr,
+           nth_value(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_nth_dense(spark, sf_dir):
+    """dense_rank + nth_value with a full-partition frame (each
+    customer's second-priciest order key on every row) — nth_value
+    needs the explicit UNBOUNDED FOLLOWING frame or rows before
+    position n see NULL."""
+    table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, dense_rank() OVER w AS dr,
+               nth_value(o_orderkey, 2) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)
+        """
+    )
+
+
+@query(
+    "window_range_interval",
+    "window",
+    oracle="""
+    SELECT user_id,
+           ts::TIMESTAMP AS ts_us,
+           event_type,
+           count(*) OVER (
+               PARTITION BY user_id ORDER BY ts::TIMESTAMP
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ) AS cnt_1h,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY ts::TIMESTAMP
+               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ), 4) AS val_1h
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def window_range_interval(spark, sf_dir):
+    """Time-interval RANGE frame (trailing 1-hour count/sum per user) —
+    the value-range sibling of the ROWS frames in #26/#27 and the batch
+    twin of a sliding stream aggregate.  One shuffle on ``user_id``;
+    the frame is evaluated with a sliding sort-based accumulator, no
+    self-join."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("__ev_range_interval")
+    return spark.sql(
+        """
+        SELECT user_id, ts_us, event_type,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS cnt_1h,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ), 4) AS val_1h
+        FROM __ev_range_interval
+        WHERE user_id < 50
+        """
+    )
+
+
+@query(
+    "anomaly_zscore_window",
+    "window",
+    oracle="""
+    WITH z AS (
+        SELECT event_id, user_id, value,
+               avg(value) OVER (PARTITION BY user_id) AS mu,
+               stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+        FROM events
+    )
+    SELECT event_id, user_id,
+           round((value - mu) / sd, 4) AS z
+    FROM z
+    WHERE sd > 0 AND abs((value - mu) / sd) > 2.5
+    """,
+)
+def anomaly_zscore_window(spark, sf_dir):
+    """Per-user z-score outlier filter over an unbounded window — the
+    quality-filtering shape (flag statistical outliers per group)
+    training-data pipelines run before sampling.  Single shuffle on
+    ``user_id``; both engines share the stddev_samp definition and the
+    score is 4-dp pinned (§7.3-H2).  The ``sd > 0`` guard keeps the
+    divide deterministic for single-event users."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    z = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    zexpr = (F.col("value") - F.col("mu")) / F.col("sd")
+    return z.filter((F.col("sd") > 0) & (F.abs(zexpr) > 2.5)).select(
+        "event_id", "user_id", F.round(zexpr, 4).alias("z")
+    )
