@@ -476,3 +476,170 @@ def rolling_weekly_active_users(spark, sf_dir):
         .groupBy(F.col("g.d").alias("day"))
         .agg(F.countDistinct("u.user_id").alias("wau"))
     )
+
+
+@query(
+    "pack_sequences_token_budget",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), packed AS (
+        SELECT doc_id, n_tok,
+               CAST(floor(COALESCE(sum(n_tok) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 2048.0) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens
+    FROM packed GROUP BY bin_id
+    """,
+)
+def pack_sequences_token_budget(spark, sf_dir):
+    """Sequence packing for training: assign documents to fixed
+    token-budget bins (2048 here) by an exclusive prefix sum of token
+    counts over a deterministic order — the step that turns a shuffled
+    corpus into dense training sequences with bounded padding.
+
+    The single global ORDER BY window is the oracle-exact formulation;
+    at 100 TB packing runs per shard (partitionBy the shard key in the
+    window, bin key = (shard, local_bin)) so each task packs its own
+    partition and no global sort exists — same math, shard-local."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 2048.0)
+        .cast("bigint"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+    )
+
+
+@query(
+    "sample_weighted_by_quality",
+    "LLM-pipeline",
+    oracle="""
+    WITH scored AS (
+        SELECT lang,
+               CAST(('0x' || substring(md5(text), 1, 4))::INTEGER AS BIGINT)
+                 % 10000 AS bucket,
+               least(CAST(n_chars AS DOUBLE) / 1000.0, 1.0) AS p_keep
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(count(*) FILTER (WHERE bucket < p_keep * 10000)
+                AS BIGINT) AS kept
+    FROM scored GROUP BY lang
+    """,
+)
+def sample_weighted_by_quality(spark, sf_dir):
+    """Per-document weighted sampling: keep probability is a
+    CONTINUOUS per-row quality weight (here length-based, capped at 1)
+    decided by the content-hash bucket, not rand() — longer/higher-
+    quality docs survive proportionally, retries resample identically,
+    and duplicate texts get identical keep decisions.  Map-side only;
+    the one shuffle is the per-lang accounting aggregate."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 10000
+    )
+    p_keep = F.least(F.col("n_chars").cast("double") / 1000.0, F.lit(1.0))
+    return (
+        d.select("lang", bucket.alias("bucket"), p_keep.alias("p_keep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total"),
+            F.count(
+                F.when(F.col("bucket") < F.col("p_keep") * 10000, 1)
+            ).alias("kept"),
+        )
+    )
+
+
+@query(
+    "domain_mix_rebalance",
+    "LLM-pipeline",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(text), doc_id) AS rnk
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS total,
+           CAST(count(*) FILTER (WHERE rnk <= 120) AS BIGINT) AS kept,
+           CAST(sum(doc_id) FILTER (WHERE rnk <= 120) AS BIGINT)
+               AS kept_id_sum
+    FROM ranked GROUP BY source
+    """,
+)
+def domain_mix_rebalance(spark, sf_dir):
+    """Domain-mixture rebalance: cap every source at the same document
+    budget (120) by keeping each source's lowest content-hash ranks —
+    a deterministic uniform subsample per domain, so the corpus mix
+    hits target ratios without rand().  kept_id_sum pins the EXACT
+    kept set (not just its size) across engines.  One shuffle on
+    source for the rank window; at 100 TB source cardinality is tiny,
+    so pre-aggregate per (source, hash-prefix) first if a single
+    source dominates a partition."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5("text"), F.col("doc_id"))
+    ranked = d.select(
+        "source", "doc_id", F.row_number().over(w).alias("rnk")
+    )
+    kept = F.when(F.col("rnk") <= 120, 1)
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("total"),
+        F.count(kept).alias("kept"),
+        F.sum(F.when(F.col("rnk") <= 120, F.col("doc_id"))).alias(
+            "kept_id_sum"
+        ),
+    )
+
+
+@query(
+    "dedup_exact_digest",
+    "LLM-pipeline",
+    oracle="""
+    WITH keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM documents GROUP BY md5(text)
+    )
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+    GROUP BY d.lang
+    """,
+)
+def dedup_exact_digest(spark, sf_dir):
+    """Exact dedup the way a 100 TB pipeline runs it: group on a
+    16-byte content DIGEST (md5) instead of the document text, keep
+    the minimum doc_id per digest — the dedup shuffle moves hashes,
+    not documents (dedup_exact's countDistinct(text) shuffles the
+    text itself).  Rejoin on the kept ids for the per-lang ship
+    accounting."""
+    d = table(spark, sf_dir, "documents")
+    keep = d.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        d.join(keep.select("doc_id"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
