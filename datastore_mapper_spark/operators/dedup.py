@@ -252,6 +252,95 @@ def simhash_near_pairs(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm): converges in O(log² n) rounds
+    regardless of graph DIAMETER, where min-label propagation
+    (:func:`connected_components`) needs diameter rounds.  Use this
+    for high-diameter graphs (chains of pairwise-similar docs,
+    web-link graphs); min-label stays preferable for the shallow
+    components typical of near-dup dedup.
+
+    Per round, both operations are one groupBy + one join on node id:
+
+    - large-star: every node's LARGER neighbors re-attach to the
+      minimum of its neighborhood (including itself);
+    - small-star: every node's smaller-or-equal neighbors, and the
+      node itself, attach to that minimum.
+
+    Edges are kept canonical (small id first); the loop stops when the
+    edge set is stable, at which point every edge is (root, node) and
+    the labels read off directly.  Same (node, cluster_id) contract as
+    :func:`connected_components` — cluster_id = min member id.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        sym = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        # large-star: edge {u,v} with v > u emits (v, m(u))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.least(F.col("v"), F.col("m")).alias("a"),
+                F.greatest(F.col("v"), F.col("m")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sym2 = large.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            large.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins2 = sym2.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        # small-star: smaller-or-equal neighbors and u itself -> m(u)
+        small = (
+            sym2.join(mins2, "u")
+            .filter(F.col("v") < F.col("u"))
+            .select(F.col("v").alias("n"), F.col("m"))
+            .union(mins2.select(F.col("u").alias("n"), F.col("m")))
+            .select(
+                F.least(F.col("n"), F.col("m")).alias("a"),
+                F.greatest(F.col("n"), F.col("m")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        stable = (
+            small.exceptAll(canon).limit(1).count() == 0
+            and canon.exceptAll(small).limit(1).count() == 0
+        )
+        canon = small
+        if stable:
+            break
+    roots = canon.select(F.col("a").alias("node"), F.col("a").alias("cluster_id"))
+    members = canon.select(
+        F.col("b").alias("node"), F.col("a").alias("cluster_id")
+    )
+    return roots.union(members).distinct()
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "d1",

@@ -12,7 +12,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..operators.dedup import connected_components
+from ..operators.dedup import connected_components, connected_components_star
 from ..registry import REGISTRY, query
 
 
@@ -287,3 +287,47 @@ def dedup_keep_canonical(spark, sf_dir):
         F.col("node").alias("doc_id")
     )
     return d.join(non_canonical, "doc_id", "left_anti").select("doc_id", "lang")
+
+
+@query(
+    "dedup_cluster_assign_star",
+    "LLM-pipeline",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT d1, d2
+        FROM cand p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    ), sym AS (
+        SELECT d1 AS u, d2 AS v FROM edges
+        UNION SELECT d2, d1 FROM edges
+    ), reach(node, lab) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_assign_star(spark, sf_dir):
+    """Duplicate clusters via alternating large-star/small-star
+    (operators.dedup.connected_components_star) — the O(log^2 n)-round
+    algorithm for HIGH-DIAMETER graphs, checked against the identical
+    recursive-CTE oracle as the min-label formulation, so the driver
+    proves both algorithms produce the same clustering."""
+    pairs = REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+    cc = connected_components_star(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")

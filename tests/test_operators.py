@@ -300,3 +300,33 @@ def test_kmeans_ivf_recall_vs_bruteforce(spark, sf_dir):
         for r in sim.ivf_topk_kmeans(e, cb, 0, k=10, nprobe=3).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.75
+
+
+def test_star_cc_matches_label_propagation_known_graphs(spark):
+    """Alternating large-star/small-star must produce the identical
+    (node, cluster_id) labeling as min-label propagation — including
+    on a diameter-63 chain, where star converges in O(log^2 n) rounds
+    while label propagation needs ~diameter rounds."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["d1", "d2"]
+    )
+    got = {
+        (r.node, r.cluster_id)
+        for r in dd.connected_components_star(chain).collect()
+    }
+    assert got == {(i, 0) for i in range(64)}
+
+    # a mixed graph: chain + star + pair + isolated edge cluster
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22), (30, 31)],
+        ["d1", "d2"],
+    )
+    star = {
+        (r.node, r.cluster_id)
+        for r in dd.connected_components_star(edges).collect()
+    }
+    prop = {
+        (r.node, r.cluster_id)
+        for r in dd.connected_components(edges).collect()
+    }
+    assert star == prop

@@ -143,3 +143,17 @@ def test_theta_range_plans_as_equi_join_not_bnlj(spark, sf_dir):
     # O(n*m) nested loop is exactly what it exists to avoid
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_neardup_cosine_bucketed_is_equi_join(spark, sf_dir):
+    plan = formatted(_df("neardup_cosine_bucketed", spark, sf_dir))
+    # cell-blocked near-dup must join on the bucket key, never product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_jaccard_candidates_join_on_token(spark, sf_dir):
+    plan = formatted(_df("dedup_near_jaccard", spark, sf_dir))
+    # candidate generation and the exact verify are all equi-joins
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
