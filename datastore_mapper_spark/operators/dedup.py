@@ -168,28 +168,33 @@ def verify_jaccard(
     id_col: str = "doc_id",
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact token-set Jaccard over candidate pairs; keeps >= threshold."""
-    toks = tokens(df, text_col, id_col)
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
-    t1, t2 = toks.alias("t1"), toks.alias("t2")
-    inter = (
-        candidates.join(t1, F.col("d1") == F.col(f"t1.{id_col}"))
-        .join(
-            t2,
-            (F.col("d2") == F.col(f"t2.{id_col}"))
-            & (F.col("t1.tok") == F.col("t2.tok")),
-        )
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("inter"))
+    """Exact token-set Jaccard over candidate pairs; keeps >= threshold.
+
+    Two equi-joins on the doc id attach each side's whole token ARRAY,
+    then ``array_intersect`` scores the pair JVM-side — per-pair cost
+    O(|a|+|b|) with no (pair × token) row explosion, so the verify
+    shuffle moves |candidates| rows, not |candidates| × doc_len."""
+    doc_toks = df.select(
+        id_col, F.array_distinct(F.split(text_col, " ")).alias("toks")
     )
-    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    t1 = doc_toks.select(F.col(id_col).alias("d1"), F.col("toks").alias("ta"))
+    t2 = doc_toks.select(F.col(id_col).alias("d2"), F.col("toks").alias("tb"))
+    scored = (
+        candidates.join(t1, "d1")
+        .join(t2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("ta", "tb")).alias("inter"),
+            F.size("ta").alias("sz1"),
+            F.size("tb").alias("sz2"),
+        )
+    )
     jac = F.col("inter").cast("double") / (
-        F.col("s1.sz") + F.col("s2.sz") - F.col("inter")
+        F.col("sz1") + F.col("sz2") - F.col("inter")
     )
     return (
-        inter.join(s1, F.col("d1") == F.col(f"s1.{id_col}"))
-        .join(s2, F.col("d2") == F.col(f"s2.{id_col}"))
-        .select("d1", "d2", jac.alias("jaccard"))
+        scored.select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
