@@ -9,6 +9,7 @@ from ..streaming.demos import (
     streaming_dedup,
     streaming_stream_stream_join,
     streaming_foreach_batch_etl,
+    streaming_session,
     streaming_sliding,
     streaming_static_join,
     streaming_tumbling,
@@ -145,3 +146,34 @@ def stream_update_mode_demo(spark, sf_dir):
     from ..streaming.demos import streaming_update_mode
 
     return streaming_update_mode(spark, sf_dir)
+
+
+@query(
+    "stream_session_window_demo",
+    "streaming",
+    oracle="""
+    WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts_us FROM events),
+    flag AS (
+        SELECT user_id, ts_us,
+               CASE WHEN ts_us - lag(ts_us) OVER w > INTERVAL 30 MINUTE
+                         OR lag(ts_us) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    sess AS (
+        SELECT user_id, ts_us,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flag
+    )
+    SELECT user_id, min(ts_us) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    description="Structured Streaming native session windows with "
+    "merging state + watermark; hash-matched against the lag-cumsum "
+    "SQL sessionization.",
+)
+def stream_session_window_demo(spark, sf_dir):
+    return streaming_session(spark, sf_dir)

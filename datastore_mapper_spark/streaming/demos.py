@@ -95,6 +95,26 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-minute gap) under Structured
+    Streaming: merging session state per user with a watermark bounding
+    how long an open session can wait for stragglers — the incremental
+    form of the batch ``session_window_native`` query, which is proven
+    equal to the lag→cumsum SQL sessionization (the oracle)."""
+    events = replay_events_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts_us", "10 minutes")
+        .groupBy(
+            F.session_window("ts_us", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = _run_to_memory(agg, "complete")
+    return spark.table(name).select(
+        "user_id", F.col("w.start").alias("session_start"), "n_events"
+    )
+
+
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the event stream enriched against the static
     customer dimension (dim read per micro-batch, broadcast — no
