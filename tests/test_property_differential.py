@@ -178,3 +178,40 @@ def test_generated_joins_agree(q, spark, oracle, sf_dir):
     s = spark.sql(q).collect()[0]
     o = oracle.execute(q).fetchone()
     assert (s.cnt, s.key_sum) == (o[0], o[1]), q
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.data())
+def test_star_cc_equals_label_propagation_on_random_graphs(spark, data):
+    """Differential property: on arbitrary small graphs, alternating
+    large-star/small-star and min-label propagation must produce the
+    IDENTICAL (node, cluster_id) labeling — both claim cluster_id =
+    min member id of the connected component."""
+    from datastore_mapper_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n_nodes = data.draw(st.integers(4, 30))
+    edges = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n_nodes - 1), st.integers(0, n_nodes - 1)
+            ).filter(lambda e: e[0] != e[1]),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    df = spark.createDataFrame(edges, ["d1", "d2"])
+    star = {
+        (r.node, r.cluster_id)
+        for r in connected_components_star(df).collect()
+    }
+    prop = {
+        (r.node, r.cluster_id) for r in connected_components(df).collect()
+    }
+    assert star == prop
