@@ -142,6 +142,7 @@ def kmeans_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_fraction: float = 1.0,
 ) -> DataFrame:
     """Lloyd-iteration k-means codebook: (centroid_id, centroid).
 
@@ -166,9 +167,19 @@ def kmeans_train(
     so the codebook size is stable at k.  Training runs on L2-normalized
     vectors (:func:`unit`) — spherical k-means — because the downstream
     scorer ranks by cosine.
+
+    ``train_fraction < 1`` trains on a deterministic hash-sampled
+    subset (``xxhash64(id, seed)`` threshold — reproducible under
+    retries, no rand()): at 100 TB the codebook needs ~10⁵ vectors,
+    not the corpus, and assignment/probe still cover every vector.
     """
+    pool = emb_df
+    if train_fraction < 1.0:
+        # hash → uniform bucket in [0, 1e6); keep the sub-threshold slice
+        h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+        pool = emb_df.filter(h < int(train_fraction * 1_000_000))
     vecs = (
-        emb_df.select(id_col, unit(F.col(vec_col)).alias(vec_col))
+        pool.select(id_col, unit(F.col(vec_col)).alias(vec_col))
         .localCheckpoint()
     )
     centroids = (

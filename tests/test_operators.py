@@ -330,3 +330,17 @@ def test_star_cc_matches_label_propagation_known_graphs(spark):
         for r in dd.connected_components(edges).collect()
     }
     assert star == prop
+
+
+def test_kmeans_train_fraction_subsamples_deterministically(spark, sf_dir):
+    """train_fraction trains the codebook on a hash-sampled subset:
+    still k full-dimension centroids, still deterministic across
+    retrains, and the sampled pool is a strict subset of the corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    cb1 = sim.kmeans_train(e, k=4, max_iterations=3, train_fraction=0.5)
+    cb2 = sim.kmeans_train(e, k=4, max_iterations=3, train_fraction=0.5)
+    r1 = {r.centroid_id: list(r.centroid) for r in cb1.collect()}
+    r2 = {r.centroid_id: list(r.centroid) for r in cb2.collect()}
+    assert r1 == r2 and len(r1) == 4
+    full = sim.kmeans_train(e, k=4, max_iterations=3)
+    assert r1 != {r.centroid_id: list(r.centroid) for r in full.collect()}

@@ -124,3 +124,45 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """The HLL++ estimate must sit within ~3x the configured 2% rsd of
+    the exact distinct count for every group — the accuracy contract
+    that justifies replacing exact distinct at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    joined = (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.countDistinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        assert abs(r.approx - r.exact) <= max(3, 0.06 * r.exact), (
+            r.event_type, r.approx, r.exact
+        )
+
+
+def test_approx_percentile_within_accuracy(spark, sf_dir):
+    """approx_percentile's rank error is bounded by 1/accuracy: with
+    accuracy=10000 on the order-price column the estimate must land
+    within a tight quantile band of the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.percentile("o_totalprice", 0.5).alias("exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx"),
+        F.percentile("o_totalprice", 0.501).alias("hi"),
+        F.percentile("o_totalprice", 0.499).alias("lo"),
+    ).first()
+    assert row.lo <= row.approx <= row.hi or row.approx == row.exact
