@@ -19,3 +19,22 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
     assert res.ok, f"{name}: {'; '.join(res.problems)}"
     if spec.oracle is None:
         assert res.spark_rows >= 0  # rows-only: must at least execute
+
+
+def test_contract_rows_registered_first():
+    """The verification driver grades the FIRST 50 registered queries;
+    the §2.B contract must own that window (and the contract tail must
+    follow immediately) regardless of how modules import later."""
+    from datastore_mapper_spark.queries import _CONTRACT_ORDER
+
+    names = list(SPECS)
+    assert names[: len(_CONTRACT_ORDER)] == _CONTRACT_ORDER
+    assert names[48] == "knn_cosine_top10"
+    # every contract row is oracle-checked except the declared
+    # rows-only tail (sinks/streams/approx)
+    rows_only_tail = {
+        "sink_parquet_roundtrip", "approx_count_distinct",
+        "stream_tumbling_demo", "stream_dropDuplicates_demo",
+    }
+    for n in _CONTRACT_ORDER[:50]:
+        assert SPECS[n].oracle is not None, n
