@@ -265,3 +265,43 @@ def doc_embedding_join(spark, sf_dir):
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "recursive_cte_date_spine",
+    "subquery/recursive",
+    oracle="""
+    WITH RECURSIVE days(d) AS (
+        SELECT TIMESTAMP '1997-01-01 00:00:00'
+        UNION ALL
+        SELECT d + INTERVAL 1 DAY FROM days
+        WHERE d < TIMESTAMP '1997-03-31 00:00:00'
+    )
+    SELECT d AS day, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+    FROM days LEFT JOIN orders
+      ON date_trunc('day', o_orderdate) = d
+    GROUP BY d
+    """,
+)
+def recursive_cte_date_spine(spark, sf_dir):
+    """Recursive CTE (Spark 4's WITH RECURSIVE) generating a 90-day
+    calendar spine, left-joined to per-day order counts — the
+    gap-filling densification every time-series rollup needs (days
+    with zero orders survive with n_orders = 0, which a plain GROUP BY
+    silently drops).  The recursion is driver-side tiny (one row per
+    day); the join and count distribute as usual."""
+    table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE days(d) AS (
+            SELECT TIMESTAMP '1997-01-01 00:00:00'
+            UNION ALL
+            SELECT d + INTERVAL 1 DAY FROM days
+            WHERE d < TIMESTAMP '1997-03-31 00:00:00'
+        )
+        SELECT d AS day, count(o_orderkey) AS n_orders
+        FROM days LEFT JOIN orders
+          ON date_trunc('day', o_orderdate) = d
+        GROUP BY d
+        """
+    )
