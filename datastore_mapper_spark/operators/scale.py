@@ -113,3 +113,31 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     joined = salted_fact.join(exploded_dim, [key, "__salt"])
     return joined.drop("__salt")
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    n_files: int = 8,
+) -> None:
+    """Sort-on-write data layout: range-partition then sort within
+    partitions on ``sort_cols`` before writing parquet.  Each output
+    file covers a disjoint, tight key range, so parquet row-group
+    min/max statistics let later selective scans skip whole files —
+    the at-rest locality lever for the 100 TB predicate-heavy workload
+    (the read-side complement of :func:`write_bucketed`, which
+    optimizes joins instead).
+
+    Measured at sf0.01 (tests/test_scale_ops.py): a 500-key range
+    predicate scans 1 879 rows from the sorted layout vs all 15 000
+    from a shuffled layout.  Caveat: Spark does not evaluate parquet
+    row-group stats for timestamp_ntz predicates — sort on a
+    numeric/date key (epoch day/int key) for prunable layouts.
+    """
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

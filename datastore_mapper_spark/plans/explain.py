@@ -41,3 +41,27 @@ def scan_info(df: DataFrame) -> dict[str, list[str]]:
             if line.startswith(key):
                 out[key].append(line[len(key) + 1 :].strip())
     return out
+
+
+def scan_output_rows(df: DataFrame) -> int:
+    """Total ``number of output rows`` across the executed plan's file
+    scans.  Must be called AFTER an action materialized the metrics.
+    Parquet row-group statistics filter at the scan, so a selective
+    predicate over a SORTED-on-write layout shows far fewer scan
+    output rows than the same predicate over a shuffled layout — the
+    measurable form of the sort-on-write data-layout lever."""
+    plan = df._jdf.queryExecution().executedPlan()
+    total = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.nodeName().startswith("Scan"):
+            metrics = node.metrics()
+            it = metrics.iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    total += kv._2().value()
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return total

@@ -166,3 +166,29 @@ def test_approx_percentile_within_accuracy(spark, sf_dir):
         F.percentile("o_totalprice", 0.499).alias("lo"),
     ).first()
     assert row.lo <= row.approx <= row.hi or row.approx == row.exact
+
+
+def test_sorted_write_prunes_row_groups(spark, sf_dir, tmp_path):
+    """Sort-on-write layout: a selective range predicate must scan an
+    order of magnitude fewer rows than the same predicate over a
+    shuffled layout (parquet row-group min/max skipping)."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+    from datastore_mapper_spark.operators.scale import write_sorted
+    from datastore_mapper_spark.plans.explain import scan_output_rows
+
+    o = table(spark, sf_dir, "orders")
+    sorted_path = str(tmp_path / "sorted")
+    shuffled_path = str(tmp_path / "shuffled")
+    write_sorted(o, sorted_path, ["o_orderkey"], n_files=8)
+    o.repartition(8).write.mode("overwrite").parquet(shuffled_path)
+
+    pred = F.col("o_orderkey").between(100, 150)
+    pruned = spark.read.parquet(sorted_path).filter(pred)
+    full = spark.read.parquet(shuffled_path).filter(pred)
+    r1, r2 = pruned.collect(), full.collect()
+    assert {r.o_orderkey for r in r1} == {r.o_orderkey for r in r2}
+    total = o.count()
+    assert scan_output_rows(full) == total
+    assert scan_output_rows(pruned) * 4 < total
