@@ -141,3 +141,70 @@ def write_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def morton_code(a: Column, b: Column, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of two non-negative integer columns
+    into a Z-order (Morton) key, entirely with JVM bit expressions.
+    Locality in the code implies locality in BOTH inputs, which is
+    what makes a Z-sorted layout prunable on either column."""
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1))
+        bbit = F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1))
+        code = (
+            code
+            + F.shiftleft(abit, 2 * i)
+            + F.shiftleft(bbit, 2 * i + 1)
+        )
+    return code
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Z-order data layout: sort-on-write by the Morton interleave of
+    TWO columns, so row-group min/max statistics prune selective scans
+    on EITHER column — the multi-dimensional generalization of
+    :func:`write_sorted` (which prunes only its own sort key).  The
+    technique behind Delta/Iceberg Z-ORDER clustering, expressed as a
+    plain sort key.
+
+    Both columns are min/max-scaled to the ``bits``-bit domain first
+    (one tiny stats aggregate at write time, the analogue of Delta's
+    range-boundary sampling): interleaving RAW values lets the wider
+    column's high bits dominate the sort and the narrow column gets no
+    locality at all — found empirically with custkey (8-bit) vs
+    orderkey (14-bit)."""
+    stats = df.agg(
+        F.min(col_a).alias("a_min"),
+        F.max(col_a).alias("a_max"),
+        F.min(col_b).alias("b_min"),
+        F.max(col_b).alias("b_max"),
+    ).first()
+    domain = (1 << bits) - 1
+
+    def scaled(col: str, lo, hi) -> Column:
+        span = max(int(hi) - int(lo), 1)
+        return F.floor(
+            (F.col(col).cast("double") - float(lo)) / span * domain
+        ).cast("long")
+
+    z = morton_code(
+        scaled(col_a, stats.a_min, stats.a_max),
+        scaled(col_b, stats.b_min, stats.b_max),
+        bits,
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -192,3 +192,43 @@ def test_sorted_write_prunes_row_groups(spark, sf_dir, tmp_path):
     total = o.count()
     assert scan_output_rows(full) == total
     assert scan_output_rows(pruned) * 4 < total
+
+
+def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
+    """A Z-ordered layout must beat a shuffled layout for selective
+    predicates on EITHER interleaved column, where a single-key sorted
+    layout only prunes its own key."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+    from datastore_mapper_spark.operators.scale import (
+        write_sorted,
+        write_zordered,
+    )
+    from datastore_mapper_spark.plans.explain import scan_output_rows
+
+    o = table(spark, sf_dir, "orders")
+    z_path, s_path = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(o, z_path, "o_custkey", "o_orderkey", n_files=8)
+    write_sorted(o, s_path, ["o_orderkey"], n_files=8)
+    total = o.count()
+
+    pred_b = F.col("o_orderkey").between(100, 150)
+    zb = spark.read.parquet(z_path).filter(pred_b)
+    sb = spark.read.parquet(s_path).filter(pred_b)
+    rz, rs = zb.collect(), sb.collect()
+    assert {r.o_orderkey for r in rz} == {r.o_orderkey for r in rs}
+    # orderkey-sorted layout prunes its own key best; z-order must
+    # still beat a full scan on that same key
+    assert scan_output_rows(zb) < total
+
+    pred_a = F.col("o_custkey").between(10, 40)
+    za = spark.read.parquet(z_path).filter(pred_a)
+    sa = spark.read.parquet(s_path).filter(pred_a)
+    assert {r.o_orderkey for r in za.collect()} == {
+        r.o_orderkey for r in sa.collect()
+    }
+    # ...and on the OTHER column, where the single-key layout cannot
+    # prune at all, z-order must scan strictly less
+    assert scan_output_rows(sa) == total
+    assert scan_output_rows(za) < total
