@@ -97,3 +97,35 @@ def sink_csv_json_roundtrip(spark, sf_dir):
         F.count("*").alias("cnt"), F.sum("o_custkey").alias("sum_cust")
     )
     return agg(back_csv).union(agg(back_json)).distinct()
+
+
+@query(
+    "sink_sorted_layout_pruned_scan",
+    "sink/scale",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+    FROM orders
+    WHERE o_orderkey BETWEEN 2000 AND 2600
+    """,
+)
+def sink_sorted_layout_pruned_scan(spark, sf_dir):
+    """Sort-on-write layout round trip: rewrite orders range-sorted by
+    o_orderkey (operators/scale.write_sorted), then run a selective key
+    range scan over the sorted copy — parquet row-group min/max stats
+    skip every file outside the range (pruning measured in
+    tests/test_scale_ops.py::test_sorted_write_prunes_row_groups).
+    Values must equal the same predicate on the unsorted source, which
+    is what the oracle computes."""
+    from ..operators.scale import write_sorted
+
+    o = table(spark, sf_dir, "orders")
+    dest = os.path.join(_SCRATCH, "sorted_orders_layout")
+    write_sorted(o, dest, ["o_orderkey"], n_files=8)
+    back = spark.read.parquet(dest).filter(
+        F.col("o_orderkey").between(2000, 2600)
+    )
+    return back.agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_custkey").cast("bigint").alias("sum_cust"),
+    )
