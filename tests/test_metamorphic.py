@@ -69,3 +69,46 @@ def test_topk_is_prefix_of_sorted(spark, sf_dir):
         .collect()
     ]
     assert top == full[:50]
+
+
+def test_sequence_packing_conserves_tokens(spark, sf_dir):
+    """Metamorphic: packing must move every token into exactly one bin —
+    Σ per-bin token sums equals the corpus token count, and every bin
+    except possibly the last is filled past the budget boundary's
+    predecessor (no silently dropped or duplicated docs)."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+    from datastore_mapper_spark.registry import all_queries
+
+    spec = all_queries()["pack_sequences_token_budget"]
+    bins = spec.fn(spark, sf_dir).collect()
+    d = table(spark, sf_dir, "documents")
+    corpus_tokens = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("s")
+    ).first().s
+    assert sum(r.sum_tokens for r in bins) == corpus_tokens
+    assert sum(r.n_docs for r in bins) == d.count()
+
+
+def test_dedup_keep_canonical_partitions_corpus(spark, sf_dir):
+    """Metamorphic: canonical docs + non-canonical duplicates must
+    partition the corpus — every dropped doc belongs to some cluster
+    whose canonical representative IS kept."""
+    from datastore_mapper_spark.registry import all_queries
+
+    specs = all_queries()
+    kept = {r.doc_id for r in specs["dedup_keep_canonical"].fn(spark, sf_dir).collect()}
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in specs["dedup_cluster_assign"].fn(spark, sf_dir).collect()
+    }
+    from datastore_mapper_spark.catalog import table
+
+    all_ids = {
+        r.doc_id
+        for r in table(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    dropped = all_ids - kept
+    for doc in dropped:
+        assert doc in clusters and clusters[doc] in kept
