@@ -177,3 +177,49 @@ def stream_update_mode_demo(spark, sf_dir):
 )
 def stream_session_window_demo(spark, sf_dir):
     return streaming_session(spark, sf_dir)
+
+
+@query(
+    "stream_entity_source_demo",
+    "streaming/source",
+    # rows-only: the custom changefeed source has no DuckDB twin; the
+    # exactly-once delivery contract is asserted in
+    # tests/test_sources.py::test_entity_stream_source_incremental_batches
+    description="Streaming read of the custom Python Data Source "
+    "changefeed (key-cursor offsets in the checkpoint WAL).",
+)
+def stream_entity_source_demo(spark, sf_dir):
+    import tempfile
+    import time
+
+    from ..sources.entity_source import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("datastore_entity")
+        .option("kind", "demo")
+        .option("num_entities", 200)
+        .option("batch_size", 80)
+        .load()
+    )
+    name = "entity_stream_demo_sink"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 200:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    from pyspark.sql import functions as F
+
+    return spark.table(name).groupBy("kind").agg(
+        F.count("*").alias("n"), F.min("__key__").alias("first_key")
+    )

@@ -27,7 +27,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -93,6 +98,47 @@ class EntityDataSource(DataSource):
     def reader(self, schema: StructType) -> EntityReader:
         return EntityReader(self.options)
 
+    def simpleStreamReader(self, schema: StructType) -> "EntityStreamReader":
+        return EntityStreamReader(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(EntityDataSource)
+
+
+class EntityStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of :class:`EntityReader`: a simulated Datastore
+    CHANGEFEED.  The offset is the high-water entity key — exactly the
+    reference's per-slice cursor persisted between slices (slice.go
+    `[REF-mem]`, SURVEY §2.A A9), except Spark's checkpoint WAL stores
+    it instead of a Datastore entity.  Each micro-batch emits the next
+    ``batch_size`` keys until ``num_entities`` is reached, then idles;
+    ``readBetweenOffsets`` replays any committed range verbatim, which
+    is what makes recovery exactly-once."""
+
+    def __init__(self, options: dict):
+        self.kind = options.get("kind", "entity")
+        self.namespace = options.get("namespace", "default")
+        self.num_entities = int(options.get("num_entities", 1000))
+        self.batch_size = int(options.get("batch_size", 100))
+
+    def initialOffset(self) -> dict:
+        return {"key": 0}
+
+    def _rows(self, start: int, end: int) -> list[tuple]:
+        # a LIST, not a generator: the stream reader's prefetch cache
+        # pickles the returned iterator for possible replay
+        return [
+            (key, self.kind, self.namespace, f"{self.kind}-{key:08d}")
+            for key in range(start, end)
+        ]
+
+    def read(self, start: dict):
+        s = int(start["key"])
+        e = min(s + self.batch_size, self.num_entities)
+        return self._rows(s, e), {"key": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["key"]), int(end["key"]))
+
+

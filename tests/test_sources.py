@@ -151,3 +151,41 @@ def test_custom_entity_datasource_sharded_scan(spark):
     assert (
         df.filter(F.col("__key__") < 100).select("payload").count() == 100
     )
+
+
+def test_entity_stream_source_incremental_batches(spark, tmp_path):
+    """The changefeed reader must deliver every entity exactly once
+    across micro-batches, advancing its key offset like the
+    reference's slice cursor."""
+    import time
+
+    from datastore_mapper_spark.sources.entity_source import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("datastore_entity")
+        .option("kind", "order")
+        .option("num_entities", 250)
+        .option("batch_size", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("entity_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.table("entity_stream_sink").count()
+            if n >= 250:
+                break
+            time.sleep(1)
+        rows = spark.table("entity_stream_sink").collect()
+    finally:
+        q.stop()
+    keys = sorted(r["__key__"] for r in rows)
+    assert keys == list(range(250))  # every key exactly once, no dups
+    assert all(r.kind == "order" for r in rows)
