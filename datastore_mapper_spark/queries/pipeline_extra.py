@@ -466,15 +466,20 @@ def rolling_weekly_active_users(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     ud = e.select("user_id", F.to_date("ts_us").alias("d")).distinct()
     days = ud.select("d").distinct()
+    # each (user, day) contributes to exactly the 7 grid days [d, d+6]:
+    # a map-side x7 explode plus an EQUI join against the day grid
+    # (hash join, broadcastable) replaces the former non-equi range
+    # join that planned a BroadcastNestedLoopJoin
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("day"),
+    )
     return (
-        days.alias("g")
-        .join(
-            ud.alias("u"),
-            (F.col("u.d") >= F.date_sub(F.col("g.d"), 6))
-            & (F.col("u.d") <= F.col("g.d")),
-        )
-        .groupBy(F.col("g.d").alias("day"))
-        .agg(F.countDistinct("u.user_id").alias("wau"))
+        contrib.join(days.select(F.col("d").alias("day")), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
     )
 
 

@@ -157,3 +157,38 @@ def test_near_jaccard_candidates_join_on_token(spark, sf_dir):
     # candidate generation and the exact verify are all equi-joins
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# Queries ALLOWED to plan BroadcastNestedLoopJoin: each broadcasts a
+# side that is tiny BY CONSTRUCTION (a scalar, a <=10-row query batch)
+# or is the documented quadratic oracle baseline whose scale path ships
+# separately (neardup_cosine_pairs -> neardup_cosine_bucketed).
+BNLJ_ALLOWED = {
+    "late_data_watermark_sim",   # 1-row watermark scalar
+    "knn_cosine_top10",          # 1 query vector broadcast
+    "knn_batch_top3",            # 10-row query batch broadcast
+    "neardup_cosine_pairs",      # exact all-pairs baseline by design
+    "tfidf_top_terms",           # 1-row corpus-count scalar
+}
+
+
+def test_no_unexpected_nested_loop_joins(spark, sf_dir):
+    """Fleet-wide plan audit: no batch query may plan a CartesianProduct,
+    and BroadcastNestedLoopJoin only where the broadcast side is tiny by
+    construction (allowlist above).  Guards against a future edit
+    silently degrading an equi-join into an O(n*m) product."""
+    import contextlib
+    import io
+
+    offenders = {}
+    for name, spec in SPECS.items():
+        if name.startswith(("stream_", "sink_")) or name == "ivf_kmeans_knn":
+            continue  # executes side effects on build; audited elsewhere
+        with contextlib.redirect_stdout(io.StringIO()):
+            df = spec.fn(spark, sf_dir)
+        plan = formatted(df)
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
