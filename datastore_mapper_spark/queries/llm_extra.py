@@ -570,3 +570,60 @@ def embedding_centroid_by_label(spark, sf_dir):
         .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
         .agg((F.round(F.avg("v"), 4) + 0.0).alias("avg_v"))
     )
+
+
+@query(
+    "unigram_logprob_score",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), total AS (
+        SELECT sum(c) AS n FROM tf
+    ), scored AS (
+        SELECT t.doc_id,
+               CAST(round(ln(CAST(tf.c AS DOUBLE) / total.n), 6)
+                    AS DECIMAL(18,6)) AS lp
+        FROM toks t, tf, total
+        WHERE t.tok = tf.tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lp) AS DECIMAL(38,6)) AS sum_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def unigram_logprob_score(spark, sf_dir):
+    """Unigram language-model quality score: each document's summed
+    token log-probability under the corpus unigram distribution — the
+    cheapest statistical 'perplexity' proxy a quality-filter stage
+    runs before anything model-based.  Gibberish and boilerplate score
+    low; the threshold consumer is a plain filter.
+
+    Distributive by construction: the term-frequency table shuffles
+    once on token (vocab-sized), the corpus total rides a 1-row
+    broadcast, and per-token log-probs are rounded to DECIMAL(18,6)
+    BEFORE summation so the per-doc sum is associative and
+    engine-exact (double sums are shuffle-order-sensitive in the last
+    ulp — SURVEY §7.3-H2)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = tf.agg(F.sum("c").alias("n"))
+    lp = (
+        F.round(F.log(F.col("c").cast("double") / F.col("n")), 6)
+        .cast("decimal(18,6)")
+        .alias("lp")
+    )
+    scored = (
+        toks.join(tf, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", lp)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("lp").cast("decimal(38,6)").alias("sum_logprob"),
+    )
