@@ -1,0 +1,87 @@
+"""Iterative graph operators beyond connected components.
+
+PageRank is the canonical iterate-until-converged dataflow: one join +
+one aggregation per iteration, shuffling on node id both times, with
+``localCheckpoint`` cutting lineage per round exactly like
+``dedup.connected_components``.  At 100 TB: pre-partition edges and
+ranks on the SAME key so the per-iteration join is co-located, use
+reliable ``checkpoint()`` instead of local, and stop on an L1-delta
+threshold read off one tiny aggregate per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """(node, rank) PageRank over a directed edge list.
+
+    Standard damped formulation with dangling-mass redistribution:
+    every node's rank is (1-d)/N plus d times the inbound contribution
+    sum plus its share of the mass parked on dangling (out-degree 0)
+    nodes, so Σ rank = 1 holds at every iteration (asserted in
+    tests/test_operators.py).  Stops early when the L1 delta between
+    iterations drops below ``tol``.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # edge weight = 1/out_degree(src), materialized once
+    w = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(max_iterations):
+        contrib = (
+            w.join(ranks, w.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("w") * F.col("rank")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inbound"))
+        )
+        # mass sitting on dangling nodes redistributes uniformly
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .first()
+            .m
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inbound"), F.lit(0.0))
+                       + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "node")
+            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+            .first()
+            .d
+        )
+        ranks = new_ranks
+        if delta < tol:
+            break
+    return ranks

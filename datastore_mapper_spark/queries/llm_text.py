@@ -334,3 +334,28 @@ def dedup_cluster_assign_star(spark, sf_dir):
     pairs = REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
     cc = connected_components_star(pairs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
+
+
+@query(
+    "doc_pagerank_centrality",
+    "LLM-pipeline",
+    # rows-only: PageRank's damped fixpoint is not one-statement SQL;
+    # the algorithm is differentially tested against a numpy power
+    # iteration in tests/test_operators.py::test_pagerank_matches_*
+)
+def doc_pagerank_centrality(spark, sf_dir):
+    """PageRank centrality over the (symmetrized) near-dup pair graph
+    (operators/graph.pagerank): within a duplicate cluster the most-
+    connected document scores highest — the principled alternative to
+    min-doc_id when choosing which duplicate to KEEP (highest-quality
+    hub rather than lowest id).  Iterative join+agg per round,
+    lineage-checkpointed; ranks sum to 1 (dangling mass
+    redistributed)."""
+    from ..operators.graph import pagerank
+
+    pairs = REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1")))
+    pr = pagerank(edges, src="d1", dst="d2", max_iterations=15)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank")
+    )

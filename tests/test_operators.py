@@ -344,3 +344,41 @@ def test_kmeans_train_fraction_subsamples_deterministically(spark, sf_dir):
     assert r1 == r2 and len(r1) == 4
     full = sim.kmeans_train(e, k=4, max_iterations=3)
     assert r1 != {r.centroid_id: list(r.centroid) for r in full.collect()}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """PageRank on a known 4-node graph must match an independent
+    dense power-iteration (numpy) to 1e-6, and ranks must sum to 1."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.graph import pagerank
+
+    # 0->1, 0->2, 1->2, 2->0, 3->2  (3 is reachable-from nothing,
+    # 3 has out-degree 1; no dangling nodes here)
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r.node: r.rank
+        for r in pagerank(edges, max_iterations=60, tol=1e-12).collect()
+    }
+    n, d = 4, 0.85
+    M = np.zeros((n, n))
+    outdeg = {0: 2, 1: 1, 2: 1, 3: 1}
+    for s, t in edge_list:
+        M[t, s] = 1.0 / outdeg[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(200):
+        r = (1 - d) / n + d * (M @ r)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-6, (i, got[i], r[i])
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    """With a dangling node (no out-edges) total rank must still sum
+    to 1 — the dangling mass redistributes uniformly."""
+    from datastore_mapper_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])  # 2 dangles
+    got = pagerank(edges, max_iterations=40).collect()
+    assert abs(sum(r.rank for r in got) - 1.0) < 1e-9
