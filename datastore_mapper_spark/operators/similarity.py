@@ -143,6 +143,7 @@ def kmeans_train(
     vec_col: str = "embedding",
     seed: int = 42,
     train_fraction: float = 1.0,
+    normalize: bool = True,
 ) -> DataFrame:
     """Lloyd-iteration k-means codebook: (centroid_id, centroid).
 
@@ -172,16 +173,23 @@ def kmeans_train(
     subset (``xxhash64(id, seed)`` threshold — reproducible under
     retries, no rand()): at 100 TB the codebook needs ~10⁵ vectors,
     not the corpus, and assignment/probe still cover every vector.
+
+    ``normalize=False`` trains on RAW vectors (plain L2 k-means) —
+    required by product quantization, where subvector magnitudes carry
+    signal and per-subspace unit-normalization would distort the
+    reconstruction geometry.
     """
     pool = emb_df
     if train_fraction < 1.0:
         # hash → uniform bucket in [0, 1e6); keep the sub-threshold slice
         h = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
         pool = emb_df.filter(h < int(train_fraction * 1_000_000))
-    vecs = (
-        pool.select(id_col, unit(F.col(vec_col)).alias(vec_col))
-        .localCheckpoint()
+    vec_expr = (
+        unit(F.col(vec_col))
+        if normalize
+        else F.transform(F.col(vec_col), lambda x: x.cast("double"))
     )
+    vecs = pool.select(id_col, vec_expr.alias(vec_col)).localCheckpoint()
     centroids = (
         vecs.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
         .limit(k)
@@ -272,5 +280,118 @@ def ivf_topk_kmeans(
         .crossJoin(F.broadcast(q))
         .select(id_col, sim.alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_train(
+    emb_df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    dim: int | None = None,
+    max_iterations: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Product-quantization codebooks: split each vector into ``m``
+    contiguous subvectors and Lloyd-train an independent ``k``-centroid
+    codebook per subspace (public PQ scheme, Jégou et al. 2011).
+
+    Returns (sub, centroid_id, centroid) — m small codebooks.  Memory
+    per vector after encoding is m log2(k) bits (m=4,k=16 → 2 bytes
+    vs 256 float bytes at d=64).  Reuses :func:`kmeans_train` per
+    subspace on UNnormalized slices (PQ quantizes raw geometry;
+    normalization is the caller's choice before training)."""
+    if dim is None:
+        dim = len(emb_df.select(vec_col).first()[0])
+    step = dim // m
+    books = None
+    for s in range(m):
+        lo = s * step + 1  # slice() is 1-based
+        sub = emb_df.select(
+            id_col, F.slice(F.col(vec_col), lo, step).alias(vec_col)
+        )
+        cb = kmeans_train(
+            sub, k=k, max_iterations=max_iterations,
+            id_col=id_col, vec_col=vec_col, seed=seed + s,
+            normalize=False,
+        ).select(F.lit(s).alias("sub"), "centroid_id", "centroid")
+        books = cb if books is None else books.union(cb)
+    return books.localCheckpoint()
+
+
+def pq_encode(
+    emb_df: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub, code) PQ codes: each subvector's nearest centroid id
+    per codebook.  One explode to (id, sub, subvector), one broadcast
+    join against the m×k codebook table, one min_by per (id, sub) —
+    the encode shuffle carries subvectors once; at rest the codes
+    table is m small ints per vector."""
+    if dim is None:
+        dim = len(emb_df.select(vec_col).first()[0])
+    step = dim // m
+    subs = emb_df.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice(F.col(vec_col), s * step + 1, step).alias("sv"),
+                )
+                for s in range(m)
+            ])
+        ).alias("x"),
+    ).select(id_col, F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+    scored = subs.join(F.broadcast(codebooks), "sub").select(
+        id_col,
+        "sub",
+        F.struct(
+            l2sq(F.col("sv"), F.col("centroid")).alias("dist"),
+            F.col("centroid_id"),
+        ).alias("_d"),
+    )
+    return (
+        scored.groupBy(id_col, "sub")
+        .agg(F.min("_d").alias("_best"))
+        .select(id_col, "sub", F.col("_best.centroid_id").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    m: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query stays exact,
+    each database vector is approximated by its per-subspace centroid.
+    The m×k lookup table (query-to-centroid partial distances) is a
+    TINY broadcast; scoring is one equi-join on (sub, code) + one sum
+    per vector — the PQ codes table never rejoins the raw vectors, so
+    a 100 TB corpus scans 2-byte codes, not embeddings."""
+    dim = len(query_vec)
+    step = dim // m
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    lut = codebooks.select(
+        "sub",
+        F.col("centroid_id").alias("code"),
+        l2sq(
+            F.slice(q, F.col("sub") * step + 1, step), F.col("centroid")
+        ).alias("pdist"),
+    )
+    return (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("pdist"), 6).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col(id_col))
         .limit(k)
     )

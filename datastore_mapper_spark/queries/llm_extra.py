@@ -627,3 +627,24 @@ def unigram_logprob_score(spark, sf_dir):
         F.count("*").alias("n_tokens"),
         F.sum("lp").cast("decimal(38,6)").alias("sum_logprob"),
     )
+
+
+@query(
+    "pq_adc_knn",
+    "LLM-pipeline",
+    # rows-only: PQ's trained codebooks are a data-dependent fixpoint;
+    # correctness is carried by tests/test_operators.py::test_pq_* —
+    # planted-twin recall, per-vector code cardinality, monotone
+    # reconstruction error in k.
+)
+def pq_adc_knn(spark, sf_dir):
+    """Product-quantization ANN (operators.similarity.pq_train/encode/
+    adc_topk): vectors compress to m=4 4-bit codes (2 bytes vs 256),
+    and queries score by asymmetric distance against the broadcast
+    m×k lookup table — a 100 TB corpus scans codes, never raw
+    embeddings.  Returns the ADC top-10 for query vector 0."""
+    e = table(spark, sf_dir, "embeddings")
+    cb = sim.pq_train(e, m=4, k=16, max_iterations=4)
+    codes = sim.pq_encode(e, cb, m=4)
+    q = e.filter(F.col("vec_id") == 0).first().embedding
+    return sim.pq_adc_topk(codes, cb, list(q), k=10, m=4)

