@@ -208,3 +208,43 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def band_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    band_units: int = 1,
+    bucket: str = "day",
+) -> DataFrame:
+    """Band (interval) join planned as an EQUI join: matches every
+    left/right pair with
+    ``right_key ∈ [left_key, left_key + band_units × bucket]``.
+
+    Any such pair shares a ``bucket``-granularity timestamp bucket, so
+    the left side explodes into its ``band_units + 1`` covered buckets,
+    the right side carries one bucket (``date_trunc(bucket, key)``),
+    and the join is a hash/sort-merge on the bucket followed by the
+    exact band predicate — the shape that replaces the O(n·m)
+    BroadcastNestedLoopJoin a naive theta join plans (the
+    ``join_theta_range`` rewrite, generalized).  Each qualifying pair
+    matches exactly one right-bucket value, so no dedup is needed;
+    column names must be disjoint across the two sides."""
+    lk, rk = F.col(left_key), F.col(right_key)
+    unit = bucket.upper()
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.array(*[
+                F.date_trunc(bucket, lk) + F.expr(f"INTERVAL {i} {unit}")
+                for i in range(band_units + 1)
+            ])
+        ),
+    )
+    rb = right.withColumn("__bucket", F.date_trunc(bucket, rk))
+    return (
+        lb.join(rb, "__bucket")
+        .filter((rk >= lk) & (rk <= lk + F.expr(f"INTERVAL {band_units} {unit}")))
+        .drop("__bucket")
+    )

@@ -231,7 +231,8 @@ def join_theta_range(spark, sf_dir):
     hash/sort-merge join shuffled on the bucket (asserted in
     tests/test_plans.py: no BroadcastNestedLoopJoin), which is the
     shape that survives 100 TB; the former BNLJ formulation was O(n·m)
-    the moment the price prefilter loosened."""
+    the moment the price prefilter loosened.  The reusable general
+    form is operators/scale.band_equi_join."""
     o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
     o1 = o.select(
         F.col("o_orderkey").alias("k1"),

@@ -232,3 +232,33 @@ def test_zorder_write_prunes_on_both_columns(spark, sf_dir, tmp_path):
     # prune at all, z-order must scan strictly less
     assert scan_output_rows(sa) == total
     assert scan_output_rows(za) < total
+
+
+def test_band_equi_join_matches_naive_theta(spark, sf_dir):
+    """The generalized band_equi_join must produce exactly the pairs of
+    the naive non-equi formulation, while planning an equi join."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+    from datastore_mapper_spark.operators.scale import band_equi_join
+    from datastore_mapper_spark.plans.explain import formatted
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    left = o.select(
+        F.col("o_orderkey").alias("k1"), F.col("o_orderdate").alias("t1")
+    )
+    right = o.select(
+        F.col("o_orderkey").alias("k2"), F.col("o_orderdate").alias("t2")
+    )
+    got = band_equi_join(left, right, "t1", "t2", band_units=2, bucket="day")
+    got_pairs = {(r.k1, r.k2) for r in got.collect()}
+    naive = left.join(
+        right,
+        (F.col("t2") >= F.col("t1"))
+        & (F.col("t2") <= F.col("t1") + F.expr("INTERVAL 2 DAY")),
+    )
+    naive_pairs = {(r.k1, r.k2) for r in naive.collect()}
+    assert got_pairs == naive_pairs and len(got_pairs) > 0
+    plan = formatted(got)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
