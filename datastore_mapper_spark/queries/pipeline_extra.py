@@ -648,3 +648,58 @@ def dedup_exact_digest(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count("*").alias("n_kept"))
     )
+
+
+@query(
+    "weighted_sample_without_replacement",
+    "LLM-pipeline",
+    oracle="""
+    WITH keyed AS (
+        SELECT lang, doc_id,
+               -ln((CAST(('0x' || substring(md5(text), 1, 4))::INTEGER
+                         AS BIGINT) % 10000 + 0.5) / 10000.0)
+               / CAST(n_chars AS DOUBLE) AS k
+        FROM documents
+    ), ranked AS (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY k DESC, doc_id) AS rnk
+        FROM keyed
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS sampled_id_sum
+    FROM ranked WHERE rnk <= 50
+    GROUP BY lang
+    """,
+)
+def weighted_sample_without_replacement(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, exact-k per language:
+    the Efraimidis–Spirakis A-ES scheme (public algorithm) — each doc
+    draws key u^(1/w), the k largest keys win, inclusion probability
+    proportional to weight w (doc length here).  The uniform u comes
+    from the content hash, not rand(), so the sample is reproducible
+    under retries and identical across engines; equivalently ranked by
+    -ln(u)/w descending... the log form avoids u^(1/w) underflow for
+    large weights.  One window shuffle per stratum; sampled_id_sum
+    pins the EXACT chosen set."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        (F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 10000)
+        + 0.5
+    ) / 10000.0
+    k = -F.log(u) / F.col("n_chars").cast("double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("k"), F.asc("doc_id"))
+    ranked = d.select("lang", "doc_id", k.alias("k")).withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 50)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").alias("sampled_id_sum"),
+        )
+    )
