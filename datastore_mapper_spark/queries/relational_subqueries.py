@@ -305,3 +305,132 @@ def recursive_cte_date_spine(spark, sf_dir):
         GROUP BY d
         """
     )
+
+
+@query(
+    "attribution_first_touch",
+    "analytics",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_type, ts::TIMESTAMP AS ts_us, event_id
+        FROM events
+    ), firsts AS (
+        SELECT user_id, event_type AS first_touch,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts_us, event_id) AS rnk
+        FROM e
+    ), conv AS (
+        SELECT user_id, count(*) AS n_purchases
+        FROM e WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT f.first_touch,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(COALESCE(c.n_purchases, 0)) AS BIGINT)
+               AS attributed_purchases
+    FROM firsts f LEFT JOIN conv c ON f.user_id = c.user_id
+    WHERE f.rnk = 1
+    GROUP BY f.first_touch
+    """,
+)
+def attribution_first_touch(spark, sf_dir):
+    """First-touch attribution: every user's purchases credit the
+    event type that FIRST brought them in (row_number over event time,
+    ties broken on event_id) — the window-plus-join shape of marketing
+    attribution.  One window shuffle on user plus one aggregate; at
+    100 TB the firsts table is |users|-sized, broadcastable against
+    the conversion aggregate."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    firsts = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("first_touch"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") == 1)
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    return (
+        firsts.join(conv, "user_id", "left")
+        .groupBy("first_touch")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.coalesce(F.col("n_purchases"), F.lit(0)))
+            .alias("attributed_purchases"),
+        )
+    )
+
+
+@query(
+    "cdc_last_write_wins",
+    "analytics/etl",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, 0 AS version
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, round(o_totalprice * 1.1, 2), 1
+        FROM orders WHERE o_orderkey % 10 = 3
+        UNION ALL
+        SELECT o_orderkey, o_custkey, round(o_totalprice * 1.2, 2), 2
+        FROM orders WHERE o_orderkey % 100 = 3
+    ), latest AS (
+        SELECT o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderkey
+                                  ORDER BY version DESC) AS rnk
+        FROM updates
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS total_after_merge
+    FROM latest WHERE rnk = 1
+    """,
+)
+def cdc_last_write_wins(spark, sf_dir):
+    """Change-data-capture merge, last-write-wins: a base snapshot plus
+    two deterministic update waves collapse to the highest version per
+    key (row_number over version DESC) — the upsert/merge shape every
+    CDC-fed lakehouse table needs, expressed engine-agnostically.  At
+    100 TB this runs per micro-batch in foreachBatch against a keyed
+    table; the window shuffles once on the merge key."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", F.lit(0).alias("version")
+    )
+    wave1 = (
+        o.filter(F.col("o_orderkey") % 10 == 3)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+            F.lit(1).alias("version"),
+        )
+    )
+    wave2 = (
+        o.filter(F.col("o_orderkey") % 100 == 3)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 1.2, 2).alias("o_totalprice"),
+            F.lit(2).alias("version"),
+        )
+    )
+    updates = base.union(wave1).union(wave2)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    latest = updates.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") == 1
+    )
+    return latest.agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("total_after_merge"),
+    )
