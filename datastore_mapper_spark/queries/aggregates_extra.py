@@ -314,3 +314,78 @@ def unpivot_measures(spark, sf_dir):
         variableColumnName="measure",
         valueColumnName="val",
     )
+
+
+@query(
+    "winsorized_price_stats",
+    "aggregation/robust",
+    oracle="""
+    WITH bounds AS (
+        SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+               quantile_cont(o_totalprice, 0.99) AS hi
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(least(greatest(o_totalprice, b.lo), b.hi)
+                         AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS winsorized_sum
+    FROM orders, bounds b
+    GROUP BY o_orderstatus
+    """,
+)
+def winsorized_price_stats(spark, sf_dir):
+    """Winsorized aggregation: clip prices at the corpus p01/p99 before
+    summing — the outlier-robust statistic quality dashboards run.
+    The two quantiles ride a 1-row broadcast (exact percentile here;
+    approx_percentile is the drop-in at 100 TB); the clipped sum is
+    decimal-pinned on both engines."""
+    o = table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.percentile("o_totalprice", 0.01).alias("lo"),
+        F.percentile("o_totalprice", 0.99).alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi")
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(clipped.cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("winsorized_sum"),
+        )
+    )
+
+
+@query(
+    "median_absolute_deviation",
+    "aggregation/robust",
+    oracle="""
+    WITH med AS (
+        SELECT quantile_cont(o_totalprice, 0.5) AS m FROM orders
+    )
+    SELECT round(CAST((SELECT m FROM med) AS DOUBLE), 4) AS median_price,
+           round(quantile_cont(abs(o_totalprice - (SELECT m FROM med)),
+                               0.5), 4) AS mad
+    FROM orders
+    """,
+)
+def median_absolute_deviation(spark, sf_dir):
+    """MAD — the robust spread statistic (median of |x - median|):
+    two percentile passes, the first riding a 1-row broadcast into the
+    second.  The robust alternative to stddev for outlier-heavy
+    monetary columns; swap percentile → approx_percentile at 100 TB."""
+    o = table(spark, sf_dir, "orders")
+    med = o.agg(F.percentile("o_totalprice", 0.5).alias("m"))
+    return (
+        o.crossJoin(F.broadcast(med))
+        .agg(
+            F.round(F.first("m"), 4).alias("median_price"),
+            F.round(
+                F.percentile(F.abs(F.col("o_totalprice") - F.col("m")), 0.5), 4
+            ).alias("mad"),
+        )
+    )
