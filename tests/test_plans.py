@@ -170,6 +170,8 @@ BNLJ_ALLOWED = {
     "neardup_cosine_pairs",      # exact all-pairs baseline by design
     "tfidf_top_terms",           # 1-row corpus-count scalar
     "unigram_logprob_score",     # 1-row corpus-total scalar
+    "winsorized_price_stats",    # 1-row quantile-bounds scalar
+    "median_absolute_deviation", # 1-row median scalar
 }
 
 
