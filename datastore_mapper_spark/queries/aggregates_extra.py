@@ -389,3 +389,38 @@ def median_absolute_deviation(spark, sf_dir):
             ).alias("mad"),
         )
     )
+
+
+@query(
+    "histogram_equi_depth",
+    "aggregation/robust",
+    oracle="""
+    WITH t AS (
+        SELECT o_totalprice,
+               ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def histogram_equi_depth(spark, sf_dir):
+    """Equi-DEPTH histogram: ntile(8) over the price order (ties broken
+    on the key so both engines assign identically) — equal-count
+    buckets with their value ranges, the summary statistics a CBO or
+    data-profiler collects.  Complements fn_width_bucket's equi-WIDTH
+    histogram.  The global sort is the cost; at 100 TB use
+    approx_percentile cut points instead and bucketize map-side."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    t = o.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+    return t.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
