@@ -359,3 +359,54 @@ def doc_pagerank_centrality(spark, sf_dir):
     return pr.select(
         F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank")
     )
+
+
+@query(
+    "graph_triangle_count",
+    "LLM-pipeline/graph",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT d1, d2
+        FROM cand p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.d2 = e2.d1
+    JOIN edges e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count over the near-dup graph — the clustering-
+    coefficient numerator that distinguishes tight duplicate cliques
+    from chains (a cluster of genuine dups is triangle-dense; a chain
+    of borderline pairs is triangle-free).  Edges are kept id-ordered
+    (d1 < d2), so each triangle counts exactly once via the
+    wedge-close join.  At 100 TB, orient edges low-degree → high-degree
+    first (same count, wedge work bounded by Σ deg^{3/2} instead of
+    the hub's deg²)."""
+    edges = (
+        REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.d2") == F.col("e2.d1"))
+    closed = wedges.join(
+        e3,
+        (F.col("e3.d1") == F.col("e1.d1")) & (F.col("e3.d2") == F.col("e2.d2")),
+    )
+    return closed.agg(F.count("*").alias("n_triangles"))
