@@ -262,3 +262,43 @@ def test_band_equi_join_matches_naive_theta(spark, sf_dir):
     plan = formatted(got)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """Spark's runtime Bloom-filter join pruning (a semi-join reduction
+    the optimizer injects): with a selective build side, the probe-side
+    scan gains a might_contain(bloom_filter_agg(...)) predicate so the
+    big side drops non-joining rows BEFORE the shuffle.  Default
+    thresholds (10 MB build / 10 GB probe scan) only trip at real
+    scale, so the test floors them for the fixture, then restores."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+    from datastore_mapper_spark.plans.explain import formatted
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem")
+        o = table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 450000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = formatted(j)
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
