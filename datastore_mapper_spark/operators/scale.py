@@ -248,3 +248,37 @@ def band_equi_join(
         .filter((rk >= lk) & (rk <= lk + F.expr(f"INTERVAL {band_units} {unit}")))
         .drop("__bucket")
     )
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory
+    into ceil(total_bytes / target_file_bytes) files.  The lakehouse
+    maintenance job every streaming/foreachBatch sink eventually needs
+    — thousands of kilobyte files turn a 100 TB scan into a listing +
+    task-overhead disaster; 128 MB files match
+    ``spark.sql.files.maxPartitionBytes`` so one task reads one file.
+    Writes to ``dest_path`` (atomic swap is the metastore/table
+    format's job, not a filesystem rename here); returns the target
+    file count."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    (
+        spark.read.parquet(src_path)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(dest_path)
+    )
+    return n_files

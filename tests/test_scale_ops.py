@@ -302,3 +302,27 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_compact_parquet_dir_shrinks_file_count(spark, sf_dir, tmp_path):
+    """Compaction must collapse a deliberately fragmented directory to
+    the computed target file count with identical content."""
+    import os
+
+    from datastore_mapper_spark.catalog import table
+    from datastore_mapper_spark.operators.scale import compact_parquet_dir
+
+    o = table(spark, sf_dir, "orders")
+    frag = str(tmp_path / "fragmented")
+    o.repartition(50).write.mode("overwrite").parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    assert n_frag == 50
+
+    dest = str(tmp_path / "compacted")
+    n_target = compact_parquet_dir(spark, frag, dest, target_file_bytes=1 << 30)
+    n_out = len([f for f in os.listdir(dest) if f.endswith(".parquet")])
+    assert n_out == n_target == 1
+    assert spark.read.parquet(dest).count() == o.count()
+    a = {r.o_orderkey for r in spark.read.parquet(dest).collect()}
+    b = {r.o_orderkey for r in o.collect()}
+    assert a == b
