@@ -372,23 +372,28 @@ def attribution_first_touch(spark, sf_dir):
     "analytics/etl",
     oracle="""
     WITH updates AS (
-        SELECT o_orderkey, o_custkey, o_totalprice, 0 AS version
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,3))
+                   AS price, 0 AS version
         FROM orders
         UNION ALL
-        SELECT o_orderkey, o_custkey, round(o_totalprice * 1.1, 2), 1
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(38,3)), 1
         FROM orders WHERE o_orderkey % 10 = 3
         UNION ALL
-        SELECT o_orderkey, o_custkey, round(o_totalprice * 1.2, 2), 2
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                    * CAST(1.2 AS DECIMAL(2,1)) AS DECIMAL(38,3)), 2
         FROM orders WHERE o_orderkey % 100 = 3
     ), latest AS (
-        SELECT o_orderkey, o_totalprice,
+        SELECT o_orderkey, price,
                row_number() OVER (PARTITION BY o_orderkey
                                   ORDER BY version DESC) AS rnk
         FROM updates
     )
     SELECT CAST(count(*) AS BIGINT) AS n_keys,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-               AS total_after_merge
+           CAST(sum(price) AS DECIMAL(38,3)) AS total_after_merge
     FROM latest WHERE rnk = 1
     """,
 )
@@ -398,39 +403,40 @@ def cdc_last_write_wins(spark, sf_dir):
     key (row_number over version DESC) — the upsert/merge shape every
     CDC-fed lakehouse table needs, expressed engine-agnostically.  At
     100 TB this runs per micro-batch in foreachBatch against a keyed
-    table; the window shuffles once on the merge key."""
+    table; the window shuffles once on the merge key.
+
+    Update waves multiply in DECIMAL, never round a double:
+    round(double*1.1, 2) tie-breaks differently across engines
+    (HALF_UP vs rint) and diverged at sf0.1 — decimal products are
+    exact so no rounding exists to disagree about."""
     from pyspark.sql import Window
 
     o = table(spark, sf_dir, "orders")
-    base = o.select(
-        "o_orderkey", "o_custkey", "o_totalprice", F.lit(0).alias("version")
-    )
-    wave1 = (
-        o.filter(F.col("o_orderkey") % 10 == 3)
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
-            F.lit(1).alias("version"),
+    price2 = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def wave(pred, factor: str, version: int):
+        src = o.filter(pred) if pred is not None else o
+        p = (
+            price2
+            if factor is None
+            else price2 * F.lit(factor).cast("decimal(2,1)")
         )
-    )
-    wave2 = (
-        o.filter(F.col("o_orderkey") % 100 == 3)
-        .select(
+        return src.select(
             "o_orderkey",
-            "o_custkey",
-            F.round(F.col("o_totalprice") * 1.2, 2).alias("o_totalprice"),
-            F.lit(2).alias("version"),
+            p.cast("decimal(38,3)").alias("price"),
+            F.lit(version).alias("version"),
         )
+
+    updates = (
+        wave(None, None, 0)
+        .union(wave(F.col("o_orderkey") % 10 == 3, "1.1", 1))
+        .union(wave(F.col("o_orderkey") % 100 == 3, "1.2", 2))
     )
-    updates = base.union(wave1).union(wave2)
     w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
     latest = updates.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") == 1
     )
     return latest.agg(
         F.count("*").alias("n_keys"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(38,2)")
-        .alias("total_after_merge"),
+        F.sum("price").cast("decimal(38,3)").alias("total_after_merge"),
     )
