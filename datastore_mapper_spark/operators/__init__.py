@@ -7,4 +7,12 @@ projections of these operators are registered as queries in
 ``queries/llm_extra.py``.
 """
 
-from . import counters, dedup, multimodal, scale, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    counters,
+    dedup,
+    graph,
+    multimodal,
+    scale,
+    similarity,
+    text,
+)
