@@ -440,3 +440,59 @@ def cdc_last_write_wins(spark, sf_dir):
         F.count("*").alias("n_keys"),
         F.sum("price").cast("decimal(38,3)").alias("total_after_merge"),
     )
+
+
+@query(
+    "scd2_validity_intervals",
+    "analytics/etl",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey)
+                   AS valid_to
+        FROM orders
+    )
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(count(*) FILTER (WHERE valid_to IS NULL) AS BIGINT)
+               AS n_current,
+           CAST(sum(CASE WHEN valid_to IS NOT NULL
+                         THEN date_diff('day', valid_from::TIMESTAMP,
+                                        valid_to::TIMESTAMP)
+                         ELSE 0 END) AS BIGINT) AS covered_days
+    FROM seq
+    GROUP BY o_custkey
+    HAVING count(*) > 20
+    """,
+)
+def scd2_validity_intervals(spark, sf_dir):
+    """SCD-type-2 interval construction: each record's validity runs
+    from its own timestamp to its successor's (lead over the business
+    key), the open interval marking the current version — the
+    slowly-changing-dimension build every warehouse ETL performs.  One
+    window shuffle on the business key; interval arithmetic checked
+    per customer (versions, current rows, covered days)."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    return (
+        seq.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.count(F.when(F.col("valid_to").isNull(), 1)).alias("n_current"),
+            F.sum(
+                F.when(
+                    F.col("valid_to").isNotNull(),
+                    F.datediff(F.col("valid_to"), F.col("valid_from")),
+                ).otherwise(0)
+            ).alias("covered_days"),
+        )
+        .filter(F.col("n_versions") > 20)
+    )
