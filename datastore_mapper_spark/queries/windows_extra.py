@@ -236,3 +236,53 @@ def anomaly_zscore_window(spark, sf_dir):
     return z.filter((F.col("sd") > 0) & (F.abs(zexpr) > 2.5)).select(
         "event_id", "user_id", F.round(zexpr, 4).alias("z")
     )
+
+
+@query(
+    "user_longest_streak",
+    "window/islands",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts::TIMESTAMP AS DATE) AS d
+        FROM events
+    ), grp AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INT) AS island
+        FROM ud
+    ), streaks AS (
+        SELECT user_id, island, count(*) AS len
+        FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks
+    GROUP BY user_id
+    HAVING max(len) >= 3
+    """,
+)
+def user_longest_streak(spark, sf_dir):
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per
+    user (the product 'streak' metric).  The classic trick — date
+    minus row_number is constant within an island — needs only one
+    window shuffle on the user key; dedup to (user, day) first so the
+    100 TB event volume collapses to |users|×|days| before the
+    window."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts_us").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = ud.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = grp.groupBy("user_id", "island").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.count("*").alias("n_streaks"),
+        )
+        .filter(F.col("longest_streak") >= 3)
+    )
