@@ -703,3 +703,62 @@ def weighted_sample_without_replacement(spark, sf_dir):
             F.sum("doc_id").alias("sampled_id_sum"),
         )
     )
+
+
+@query(
+    "pipeline_end_to_end_recipe",
+    "LLM-pipeline",
+    oracle="""
+    WITH filtered AS (
+        SELECT doc_id, lang, text
+        FROM documents
+        WHERE n_chars >= 120
+          AND len(string_split(text, ' ')) >= 20
+    ), keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM filtered GROUP BY md5(text)
+    ), deduped AS (
+        SELECT f.doc_id, f.lang, f.text
+        FROM filtered f JOIN keep k ON f.doc_id = k.doc_id
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM (SELECT lang,
+                 CAST(('0x' || substring(md5(text), 1, 4))::INTEGER
+                      AS BIGINT) % 100 AS bucket
+          FROM deduped)
+    GROUP BY 1, 2
+    """,
+)
+def pipeline_end_to_end_recipe(spark, sf_dir):
+    """The composed data recipe a training run actually ships: quality
+    gate (length floors) → exact dedup on the content digest (keep min
+    id) → deterministic content-hash train/val/test split → per-split
+    accounting.  Every stage is a previously-verified operator; the
+    value of the composition is that filters/digests/buckets all ride
+    ONE pass over the text column, and the only shuffles are the
+    digest groupBy and the final count.  At 100 TB the near-dup stage
+    (LSH + verify + components) slots between dedup and split without
+    changing the recipe's shape."""
+    d = table(spark, sf_dir, "documents")
+    filtered = d.filter(
+        (F.col("n_chars") >= 120) & (F.size(F.split("text", " ")) >= 20)
+    )
+    keep = filtered.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = filtered.join(keep.select("doc_id"), "doc_id")
+    bucket = (
+        F.conv(F.substring(F.md5("text"), 1, 4), 16, 10).cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        deduped.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
