@@ -40,6 +40,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # edge weight = 1/out_degree(src), materialized once
     w = e.join(out_deg, "src").select(

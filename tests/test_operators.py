@@ -461,3 +461,21 @@ def test_pq_reconstruction_beats_coarser_codebook(spark, sf_dir):
         return joined.agg(F.sum("err")).first()[0]
 
     assert total_err(16) <= total_err(4) * 1.001
+
+
+def test_iterative_operators_handle_empty_inputs(spark):
+    """Empty edge lists / corpora / vector sets must yield empty
+    results, not crashes — the 3 a.m. pipeline edge case (a micro-batch
+    with zero near-dup pairs, a filter that removed everything)."""
+    from datastore_mapper_spark.operators.graph import pagerank
+
+    empty_edges = spark.createDataFrame([], "d1 long, d2 long")
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_vecs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert dd.connected_components(empty_edges).count() == 0
+    assert dd.connected_components_star(empty_edges).count() == 0
+    assert pagerank(empty_edges, src="d1", dst="d2").count() == 0
+    assert dd.minhash_signatures(empty_docs).count() == 0
+    assert dd.lsh_candidate_pairs(dd.minhash_signatures(empty_docs)).count() == 0
+    assert dd.verify_jaccard(empty_edges, empty_docs).count() == 0
+    assert sim.kmeans_train(empty_vecs, k=4, max_iterations=2).count() == 0
