@@ -762,3 +762,38 @@ def pipeline_end_to_end_recipe(spark, sf_dir):
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "rolling_wau_hll_sketch",
+    "stream-analogue",
+    # rows-only: HLL estimates are implementation-defined (Apache
+    # DataSketches binary images) with no DuckDB twin; the estimate is
+    # bound against the exact rolling WAU in
+    # tests/test_scale_ops.py::test_rolling_wau_hll_within_error
+)
+def rolling_wau_hll_sketch(spark, sf_dir):
+    """Rolling 7-day active users via MERGEABLE HLL sketches — the
+    100 TB form of rolling_weekly_active_users: one DataSketches HLL
+    per day (tiny, mergeable), exploded onto the 7-day grid and UNIONED
+    per window (`hll_union_agg`), estimated at the end.  Exact rolling
+    distinct must re-touch every (user, day) pair per window; sketch
+    union touches 7 kilobyte-sized sketches per day — the difference
+    between a shuffle of users x days x 7 and a shuffle of days x 7."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts_us").alias("d")).distinct()
+    daily = ud.groupBy("d").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    days = ud.select("d").distinct().select(F.col("d").alias("day"))
+    contrib = daily.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+        "sk",
+    )
+    return (
+        contrib.join(days, "day")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("wau_est")
+        )
+    )

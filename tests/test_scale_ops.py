@@ -326,3 +326,23 @@ def test_compact_parquet_dir_shrinks_file_count(spark, sf_dir, tmp_path):
     a = {r.o_orderkey for r in spark.read.parquet(dest).collect()}
     b = {r.o_orderkey for r in o.collect()}
     assert a == b
+
+
+def test_rolling_wau_hll_within_error(spark, sf_dir):
+    """The HLL rolling-WAU estimate must sit within ~5% of the exact
+    rolling distinct count for every day (default lgConfigK=12 gives
+    ~1.6% relative standard error; 5% ≈ 3 sigma)."""
+    from datastore_mapper_spark.registry import all_queries
+
+    specs = all_queries()
+    exact = {
+        r.day: r.wau
+        for r in specs["rolling_weekly_active_users"].fn(spark, sf_dir).collect()
+    }
+    est = {
+        r.day: r.wau_est
+        for r in specs["rolling_wau_hll_sketch"].fn(spark, sf_dir).collect()
+    }
+    assert est.keys() == exact.keys()
+    for day, ex in exact.items():
+        assert abs(est[day] - ex) <= max(2, 0.05 * ex), (day, est[day], ex)
