@@ -129,3 +129,44 @@ def sink_sorted_layout_pruned_scan(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.sum("o_custkey").cast("bigint").alias("sum_cust"),
     )
+
+
+@query(
+    "sink_zorder_layout_pruned_scan",
+    "sink/scale",
+    oracle="""
+    SELECT 'by_custkey' AS probe,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders WHERE o_custkey BETWEEN 10 AND 40
+    UNION ALL
+    SELECT 'by_orderkey',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(o_orderkey) AS BIGINT)
+    FROM orders WHERE o_orderkey BETWEEN 2000 AND 2600
+    """,
+)
+def sink_zorder_layout_pruned_scan(spark, sf_dir):
+    """Z-order layout round trip: rewrite orders Morton-clustered on
+    (custkey, orderkey), then probe the SAME copy with a selective
+    predicate on EACH column — both scans skip row groups (pruning
+    measured in tests/test_scale_ops.py::
+    test_zorder_write_prunes_on_both_columns), and both must match the
+    plain filters over the unsorted source."""
+    from ..operators.scale import write_zordered
+
+    o = table(spark, sf_dir, "orders")
+    dest = os.path.join(_SCRATCH, "zorder_orders_layout")
+    write_zordered(o, dest, "o_custkey", "o_orderkey", n_files=8)
+    back = spark.read.parquet(dest)
+    a = back.filter(F.col("o_custkey").between(10, 40)).agg(
+        F.lit("by_custkey").alias("probe"),
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+    b = back.filter(F.col("o_orderkey").between(2000, 2600)).agg(
+        F.lit("by_orderkey").alias("probe"),
+        F.count("*").alias("n_rows"),
+        F.sum("o_orderkey").alias("key_sum"),
+    )
+    return a.union(b)
