@@ -20,6 +20,8 @@ the thousands.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -393,5 +395,40 @@ def pq_adc_topk(
         .groupBy(id_col)
         .agg(F.round(F.sum("pdist"), 6).alias("adist"))
         .orderBy(F.col("adist").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_arrow(
+    emb_df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`cosine_topk`: scoring runs in a
+    pandas UDF over numpy (one matrix-vector product per Arrow batch)
+    instead of the JVM zip_with/aggregate fold.
+
+    Same results to float tolerance (parity-tested); wins only when d
+    reaches the thousands — per-batch ``np.dot`` amortizes Python
+    transfer overhead that the JVM expression never pays at small d.
+    The top-k remains TakeOrderedAndProject on the scored column."""
+    from pyspark.sql.functions import pandas_udf
+
+    q = emb_df.filter(F.col(id_col) == query_id).first()[vec_col]
+    qv = np.asarray(q, dtype=np.float64)
+    qn = float(np.sqrt(qv @ qv))
+
+    @pandas_udf("double")
+    def score(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)))
+        sims = (m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn)
+        return pd.Series(np.round(sims, 4))
+
+    return (
+        emb_df.filter(F.col(id_col) != query_id)
+        .select(id_col, score(F.col(vec_col)).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )

@@ -479,3 +479,15 @@ def test_iterative_operators_handle_empty_inputs(spark):
     assert dd.lsh_candidate_pairs(dd.minhash_signatures(empty_docs)).count() == 0
     assert dd.verify_jaccard(empty_edges, empty_docs).count() == 0
     assert sim.kmeans_train(empty_vecs, k=4, max_iterations=2).count() == 0
+
+
+def test_arrow_cosine_matches_jvm_expression(spark, sf_dir):
+    """The pandas-UDF scorer must produce the identical top-10 (ids AND
+    4-dp scores) as the JVM zip_with/aggregate fold — the Arrow path is
+    an optimization for d in the thousands, never a semantics change."""
+    e = table(spark, sf_dir, "embeddings")
+    jvm = [(r.vec_id, r.sim) for r in sim.cosine_topk(e, 0, k=10).collect()]
+    arrow = [
+        (r.vec_id, r.sim) for r in sim.cosine_topk_arrow(e, 0, k=10).collect()
+    ]
+    assert jvm == arrow
