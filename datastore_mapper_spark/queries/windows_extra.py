@@ -286,3 +286,42 @@ def user_longest_streak(spark, sf_dir):
         )
         .filter(F.col("longest_streak") >= 3)
     )
+
+
+@query(
+    "event_markov_transitions",
+    "window/sequence",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts::TIMESTAMP, event_id)
+                   AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_markov_transitions(spark, sf_dir):
+    """First-order Markov transition counts over each user's event
+    sequence (lead over event time, ties broken on event_id) — the
+    behavioral-model input matrix (normalize rows for probabilities).
+    One window shuffle on the user key, then a tiny
+    |event_types|² aggregate."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
