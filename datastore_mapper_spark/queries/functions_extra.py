@@ -561,3 +561,37 @@ def fn_trig_suite(spark, sf_dir):
         F.round(F.radians(F.col("l_extendedprice") / 1000.0), 4).alias("rad"),
         F.signum(F.col("l_discount") - 0.05).alias("sg"),
     )
+
+
+@query(
+    "fn_array_extra",
+    "function suite",
+    oracle="""
+    SELECT doc_id,
+           COALESCE(list_position(string_split(text, ' '), 'the'), 0)
+               AS pos_the,
+           len(list_filter(string_split(text, ' '),
+                           x -> length(x) > 4)) AS n_long,
+           list_sort(list_distinct(string_split(text, ' ')))[1]
+               AS first_tok,
+           string_split(text, ' ')[2:4] AS mid_slice
+    FROM documents
+    WHERE doc_id < 2000
+    """,
+)
+def fn_array_extra(spark, sf_dir):
+    """Second array-function batch: array_position (Spark's 0-on-miss ≙
+    DuckDB COALESCE(list_position, 0)), filtered length, sorted-distinct
+    head, and slice — rounding out the §2.B array suite with the
+    navigation/slicing primitives list-heavy ETL uses."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.array_position(toks, "the").cast("bigint").alias("pos_the"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).cast("bigint")
+        .alias("n_long"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 1)
+        .alias("first_tok"),
+        F.slice(toks, 2, 3).alias("mid_slice"),
+    )
