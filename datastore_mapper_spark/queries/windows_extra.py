@@ -325,3 +325,49 @@ def event_markov_transitions(spark, sf_dir):
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "revenue_mom_growth",
+    "window/reporting",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate::TIMESTAMP)
+                    AS TIMESTAMP) AS month,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           round(CAST(revenue AS DOUBLE)
+                 / NULLIF(CAST(lag(revenue) OVER (ORDER BY month)
+                               AS DOUBLE), 0.0) - 1.0, 6) AS mom_growth
+    FROM monthly
+    """,
+)
+def revenue_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth: decimal-exact monthly sums,
+    then lag over the (tiny) month series — the period-over-period
+    reporting staple.  The expensive aggregate partial-combines
+    map-side; the window runs over |months| rows, so the global
+    ordering costs nothing."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w).cast("double")
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(
+            F.col("revenue").cast("double") / F.nullif(prev, F.lit(0.0)) - 1.0,
+            6,
+        ).alias("mom_growth"),
+    )
