@@ -797,3 +797,66 @@ def rolling_wau_hll_sketch(spark, sf_dir):
             .alias("wau_est")
         )
     )
+
+
+@query(
+    "data_quality_report",
+    "LLM-pipeline/quality",
+    oracle="""
+    WITH t AS (SELECT count(*) AS n_rows FROM orders)
+    SELECT 'not_null(o_custkey)' AS rule,
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                AS BIGINT) AS n_violations,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM t
+    UNION ALL
+    SELECT 'in_range(o_totalprice)',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_totalprice IS NOT NULL
+                   AND o_totalprice NOT BETWEEN 0 AND 1000000) AS BIGINT),
+           CAST(n_rows AS BIGINT)
+    FROM t
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT),
+           CAST(n_rows AS BIGINT)
+    FROM t
+    UNION ALL
+    SELECT 'matches_regex(o_orderpriority)',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderpriority IS NOT NULL
+                   AND NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+                AS BIGINT),
+           CAST(n_rows AS BIGINT)
+    FROM t
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST((SELECT COALESCE(sum(c), 0) FROM (
+                     SELECT count(*) AS c FROM orders
+                     GROUP BY o_orderkey HAVING count(*) > 1))
+                AS BIGINT),
+           CAST(n_rows AS BIGINT)
+    FROM t
+    """,
+)
+def data_quality_report(spark, sf_dir):
+    """Declarative expectations (operators/quality.py) over orders:
+    null / range / accepted-values / regex rules evaluate in ONE
+    aggregate pass regardless of rule count, uniqueness in a second
+    keyed aggregate — the promotion gate a pipeline runs before
+    publishing a table, priced at one scan at any data size."""
+    from ..operators import quality as Q
+
+    o = table(spark, sf_dir, "orders")
+    report = Q.validate(
+        o,
+        [
+            Q.not_null("o_custkey"),
+            Q.in_range("o_totalprice", 0, 1_000_000),
+            Q.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            Q.matches_regex("o_orderpriority", r"^[1-5]-"),
+        ],
+    )
+    return report.union(Q.expect_unique(o, ["o_orderkey"]))

@@ -491,3 +491,34 @@ def test_arrow_cosine_matches_jvm_expression(spark, sf_dir):
         (r.vec_id, r.sim) for r in sim.cosine_topk_arrow(e, 0, k=10).collect()
     ]
     assert jvm == arrow
+
+
+def test_quality_expectations_count_violations(spark):
+    """Each expectation flags exactly its violating rows; uniqueness
+    counts every row of a duplicated key."""
+    from datastore_mapper_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "F", 10.0), (2, None, -5.0), (2, "X", 99.0)],
+        "k long, status string, price double",
+    )
+    rep = {
+        r.rule: r.n_violations
+        for r in Q.validate(
+            df,
+            [
+                Q.not_null("status"),
+                Q.in_range("price", 0, 50),
+                Q.accepted_values("status", ["F", "O"]),
+                Q.matches_regex("status", "^[A-Z]$"),
+            ],
+        ).collect()
+    }
+    assert rep == {
+        "not_null(status)": 1,
+        "in_range(price)": 2,
+        "accepted_values(status)": 1,
+        "matches_regex(status)": 0,
+    }
+    u = Q.expect_unique(df, ["k"]).first()
+    assert (u.n_violations, u.n_rows) == (2, 3)
