@@ -648,3 +648,40 @@ def pq_adc_knn(spark, sf_dir):
     codes = sim.pq_encode(e, cb, m=4)
     q = e.filter(F.col("vec_id") == 0).first().embedding
     return sim.pq_adc_topk(codes, cb, list(q), k=10, m=4)
+
+
+@query(
+    "multimodal_feature_neardup",
+    "LLM-pipeline/multimodal",
+    # rows-only: features come from the stubbed (deterministic) byte
+    # histogram whose mapInPandas path has no DuckDB twin; the dedup
+    # property is asserted in tests/test_operators.py::
+    # test_multimodal_feature_neardup_finds_planted_twin
+)
+def multimodal_feature_neardup(spark, sf_dir):
+    """Cross-modality dedup composition: binary payloads → Arrow
+    mapInPandas feature extraction (stubbed byte-histogram model, real
+    batching/schema) → cosine near-dup pairs within sign-pattern cells
+    — the image/audio dedup pipeline with the codec swapped for a
+    deterministic stand-in.  Proves the multimodal features flow into
+    the SAME similarity operators the text embeddings use."""
+    from ..operators.multimodal import as_binary_media, extract_features
+
+    d = table(spark, sf_dir, "documents").limit(200)
+    feats = extract_features(as_binary_media(d), dim=16).select(
+        F.col("doc_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    bucketed = feats.withColumn("bucket", sim.sign_bucket(F.col("embedding")))
+    a = bucketed.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), "bucket"
+    )
+    s = F.round(sim.cosine(F.col("e1"), F.col("e2")), 4)
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", s.alias("sim"))
+        .filter(F.col("sim") >= 0.995)
+    )

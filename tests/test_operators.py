@@ -522,3 +522,38 @@ def test_quality_expectations_count_violations(spark):
     }
     u = Q.expect_unique(df, ["k"]).first()
     assert (u.n_violations, u.n_rows) == (2, 3)
+
+
+def test_multimodal_feature_neardup_finds_planted_twin(spark, sf_dir):
+    """A document duplicated under a new id must surface as a
+    feature-space near-dup pair (cosine ~1.0 in the same sign cell) —
+    the multimodal dedup path end-to-end over the stubbed codec."""
+    from datastore_mapper_spark.operators.multimodal import (
+        as_binary_media,
+        extract_features,
+    )
+
+    d = table(spark, sf_dir, "documents").limit(50).select("doc_id", "text")
+    twin = d.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 77_000).alias("doc_id"), "text"
+    )
+    feats = extract_features(as_binary_media(d.union(twin)), dim=16).select(
+        F.col("doc_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    bucketed = feats.withColumn("bucket", sim.sign_bucket(F.col("embedding")))
+    a = bucketed.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), "bucket"
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), "bucket"
+    )
+    s = F.round(sim.cosine(F.col("e1"), F.col("e2")), 4)
+    pairs = {
+        (r.id1, r.id2)
+        for r in a.join(b, ["bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", s.alias("sim"))
+        .filter(F.col("sim") >= 0.9999)
+        .collect()
+    }
+    assert (0, 77_000) in pairs
