@@ -346,3 +346,26 @@ def test_rolling_wau_hll_within_error(spark, sf_dir):
     assert est.keys() == exact.keys()
     for day, ex in exact.items():
         assert abs(est[day] - ex) <= max(2, 0.05 * ex), (day, est[day], ex)
+
+
+def test_freqitems_contains_true_heavy_hitters(spark, sf_dir):
+    """df.stat.freqItems's guarantee: every value with frequency above
+    the support threshold appears in the result (false positives
+    allowed, false negatives not) — the sketch to shortlist heavy
+    hitters before an exact count at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    support = 0.1
+    total = e.count()
+    truth = {
+        r.event_type
+        for r in e.groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > support * total)
+        .collect()
+    }
+    approx = set(e.stat.freqItems(["event_type"], support).first()[0])
+    assert truth <= approx
