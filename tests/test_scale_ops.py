@@ -369,3 +369,27 @@ def test_freqitems_contains_true_heavy_hitters(spark, sf_dir):
     }
     approx = set(e.stat.freqItems(["event_type"], support).first()[0])
     assert truth <= approx
+
+
+def test_approx_top_k_matches_exact_on_fixture(spark, sf_dir):
+    """approx_top_k (frequent-items sketch) must return the true top-5
+    tokens with exact counts at fixture scale (vocab 31 << sketch
+    capacity) — the mergeable one-pass replacement for the
+    explode+groupBy+rank top-terms pipeline at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    approx = toks.agg(F.expr("approx_top_k(tok, 5)").alias("top")).first().top
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(5)
+        .collect()
+    )
+    assert {(r.item, r["count"]) for r in approx} == {
+        (r.tok, r.c) for r in exact
+    }
