@@ -685,3 +685,39 @@ def multimodal_feature_neardup(spark, sf_dir):
         .select("id1", "id2", s.alias("sim"))
         .filter(F.col("sim") >= 0.995)
     )
+
+
+@query(
+    "text_normalize_pipeline",
+    "LLM-pipeline",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')) AS normalized,
+           CAST(len(string_split(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g')), ' ')) AS INT) AS n_norm_tokens
+    FROM documents
+    WHERE doc_id < 2000
+    """,
+)
+def text_normalize_pipeline(spark, sf_dir):
+    """Canonical text normalization: lowercase → strip non-alphanumerics
+    → collapse runs of spaces → trim, plus the resulting token count —
+    the preprocessing pass dedup/fingerprint stages run FIRST so that
+    case/punctuation variants hash identically.  Pure regexp
+    expressions, whole-stage-codegen'd."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("normalized"),
+        F.size(F.split(norm, " ")).alias("n_norm_tokens"),
+    )
