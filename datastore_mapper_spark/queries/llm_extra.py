@@ -721,3 +721,55 @@ def text_normalize_pipeline(spark, sf_dir):
         norm.alias("normalized"),
         F.size(F.split(norm, " ")).alias("n_norm_tokens"),
     )
+
+
+@query(
+    "chunk_overlapping_windows",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE doc_id < 1000
+    ), starts AS (
+        SELECT doc_id, t, g.s AS s
+        FROM toks,
+        LATERAL (SELECT unnest(generate_series(1, len(t), 25)) AS s) g
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(len(t[s : least(s + 49, len(t))])) AS BIGINT)
+               AS chunk_token_sum,
+           CAST(max(len(t[s : least(s + 49, len(t))])) AS BIGINT)
+               AS max_chunk_len
+    FROM starts
+    GROUP BY doc_id
+    """,
+)
+def chunk_overlapping_windows(spark, sf_dir):
+    """Overlapping chunking for retrieval/training prep: 50-token
+    windows at stride 25 (50% overlap) — chunk starts come from a
+    per-doc ``sequence``, each chunk is a ``slice`` of the token
+    array, all expression-level.  Accounting per doc (chunk count,
+    summed chunk tokens incl. overlap, max chunk length) pins the
+    exact chunk geometry against the oracle."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(25))
+        ).alias("s"),
+    )
+    chunk_len = F.size(
+        F.slice(
+            F.col("t"),
+            F.col("s"),
+            F.least(F.lit(50), F.size("t") - F.col("s") + 1),
+        )
+    )
+    return starts.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(chunk_len).alias("chunk_token_sum"),
+        F.max(chunk_len).alias("max_chunk_len"),
+    )
