@@ -773,3 +773,76 @@ def chunk_overlapping_windows(spark, sf_dir):
         F.sum(chunk_len).alias("chunk_token_sum"),
         F.max(chunk_len).alias("max_chunk_len"),
     )
+
+
+@query(
+    "bigram_pmi_top",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, g.i AS i, t[g.i] AS tok, len(t) AS n
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g
+    ), bg AS (
+        SELECT a.tok AS w1, b.tok AS w2, count(*) AS c12
+        FROM toks a JOIN toks b
+          ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY 1, 2
+    ), uni AS (
+        SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), tot AS (
+        SELECT CAST(sum(c12) AS DOUBLE) AS n_bg FROM bg
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+           round(ln((c12 / tot.n_bg)
+                    / ((u1.c / tot.n_bg) * (u2.c / tot.n_bg))), 6) AS pmi
+    FROM bg, tot
+    JOIN uni u1 ON w1 = u1.tok
+    JOIN uni u2 ON w2 = u2.tok
+    WHERE c12 >= 20
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 10
+    """,
+)
+def bigram_pmi_top(spark, sf_dir):
+    """Top-10 bigrams by pointwise mutual information — the
+    co-occurrence statistic under embedding training and collocation
+    mining: PMI = ln(p(w1,w2) / (p(w1)p(w2))), computed from exact
+    integer counts so the only double math is one per-row formula
+    (no FP aggregation to drift).  Unigram counts broadcast against
+    the bigram table; min-count 20 suppresses noise."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bg = (
+        toks.select(
+            F.col("tok").alias("w1"), F.lead("tok").over(w).alias("w2")
+        )
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = bg.agg(F.sum("c12").cast("double").alias("n_bg"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12") / F.col("n_bg"))
+            / ((F.col("c1") / F.col("n_bg")) * (F.col("c2") / F.col("n_bg")))
+        ),
+        6,
+    )
+    return (
+        bg.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .filter(F.col("c12") >= 20)
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(10)
+    )

@@ -172,6 +172,7 @@ BNLJ_ALLOWED = {
     "unigram_logprob_score",     # 1-row corpus-total scalar
     "winsorized_price_stats",    # 1-row quantile-bounds scalar
     "median_absolute_deviation", # 1-row median scalar
+    "bigram_pmi_top",            # 1-row bigram-total scalar
 }
 
 
