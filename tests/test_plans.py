@@ -173,6 +173,7 @@ BNLJ_ALLOWED = {
     "winsorized_price_stats",    # 1-row quantile-bounds scalar
     "median_absolute_deviation", # 1-row median scalar
     "bigram_pmi_top",            # 1-row bigram-total scalar
+    "data_quality_report",       # two 1-row summary frames crossed
 }
 
 
