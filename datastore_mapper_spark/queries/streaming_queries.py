@@ -223,3 +223,26 @@ def stream_entity_source_demo(spark, sf_dir):
     return spark.table(name).groupBy("kind").agg(
         F.count("*").alias("n"), F.min("__key__").alias("first_key")
     )
+
+
+@query(
+    "stream_append_mode_demo",
+    "streaming",
+    oracle="""
+    WITH e AS (SELECT event_type, ts::TIMESTAMP AS t FROM events),
+    cut AS (SELECT max(t) - INTERVAL 10 MINUTE AS c FROM e)
+    SELECT event_type,
+           date_trunc('hour', t) AS window_start,
+           count(*) AS cnt
+    FROM e, cut
+    GROUP BY event_type, date_trunc('hour', t), cut.c
+    HAVING date_trunc('hour', t) + INTERVAL 1 HOUR <= cut.c
+    """,
+    description="Append-output-mode windowed aggregation: only "
+    "watermark-closed windows emit, exactly once — hash-matched "
+    "against the explicit cutoff predicate.",
+)
+def stream_append_mode_demo(spark, sf_dir):
+    from ..streaming.demos import streaming_append_mode
+
+    return streaming_append_mode(spark, sf_dir)

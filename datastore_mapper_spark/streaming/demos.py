@@ -271,3 +271,31 @@ def streaming_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hr")
         .agg(F.max("cnt").alias("cnt"))
     )
+
+
+def streaming_append_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-output-mode windowed aggregation: only windows the
+    watermark has CLOSED emit — exactly once, never updated again —
+    the semantics a downstream immutable sink (parquet partition per
+    window) requires.  The two-file chronological replay advances the
+    watermark across batches; windows still open at the end (within 10
+    minutes of the global max event time) are withheld, which the
+    oracle mirrors with an explicit cutoff predicate."""
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_two_batch_dir(sf_dir))
+        .withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        events.withWatermark("ts_us", "10 minutes")
+        .groupBy("event_type", F.window("ts_us", "1 hour").alias("win"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    name = _run_to_memory(agg, "append")
+    return spark.table(name).select(
+        "event_type", F.col("win.start").alias("window_start"), "cnt"
+    )
