@@ -371,3 +371,43 @@ def revenue_mom_growth(spark, sf_dir):
             6,
         ).alias("mom_growth"),
     )
+
+
+@query(
+    "daily_new_vs_returning",
+    "window/growth",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts::TIMESTAMP AS DATE) AS d
+        FROM events
+    ), firsts AS (
+        SELECT user_id, min(d) AS first_day FROM ud GROUP BY user_id
+    )
+    SELECT ud.d AS day,
+           CAST(count(*) FILTER (WHERE ud.d = f.first_day) AS BIGINT)
+               AS new_users,
+           CAST(count(*) FILTER (WHERE ud.d > f.first_day) AS BIGINT)
+               AS returning_users
+    FROM ud JOIN firsts f ON ud.user_id = f.user_id
+    GROUP BY ud.d
+    """,
+)
+def daily_new_vs_returning(spark, sf_dir):
+    """Daily active users split into new vs returning (first-seen day
+    per user vs activity day) — the growth-accounting staple.  The
+    (user, day) dedup collapses event volume before the per-user min
+    and the final per-day aggregate; both shuffles ride the user key
+    until the last, tiny, per-day rollup."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts_us").alias("d")).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    return (
+        ud.join(firsts, "user_id")
+        .groupBy(F.col("d").alias("day"))
+        .agg(
+            F.count(F.when(F.col("d") == F.col("first_day"), 1))
+            .alias("new_users"),
+            F.count(F.when(F.col("d") > F.col("first_day"), 1))
+            .alias("returning_users"),
+        )
+    )
