@@ -411,3 +411,63 @@ def daily_new_vs_returning(spark, sf_dir):
             .alias("returning_users"),
         )
     )
+
+
+@query(
+    "customer_abc_pareto",
+    "window/reporting",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS revenue
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT o_custkey, revenue,
+               CAST(sum(revenue) OVER (ORDER BY revenue DESC, o_custkey)
+                    AS DOUBLE)
+               / CAST(sum(revenue) OVER () AS DOUBLE) AS cum_share
+        FROM spend
+    )
+    SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS klass,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(revenue) AS DECIMAL(38,2)) AS class_revenue
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def customer_abc_pareto(spark, sf_dir):
+    """ABC (Pareto) classification: rank customers by revenue, take the
+    running revenue share, and cut classes at 80 %/95 % — the
+    inventory/CRM classification classic.  Revenue sums stay decimal
+    until the single share division; the global-order window runs over
+    |customers| rows (the expensive per-customer aggregate
+    partial-combines first), so the unpartitioned window is cheap."""
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue")
+    )
+    w_cum = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = spend.withColumn(
+        "cum_share",
+        F.sum("revenue").over(w_cum).cast("double")
+        / F.sum("revenue").over(w_all).cast("double"),
+    )
+    klass = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(klass.alias("klass")).agg(
+        F.count("*").alias("n_customers"),
+        F.sum("revenue").cast("decimal(38,2)").alias("class_revenue"),
+    )
