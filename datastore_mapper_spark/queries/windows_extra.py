@@ -471,3 +471,45 @@ def customer_abc_pareto(spark, sf_dir):
         F.count("*").alias("n_customers"),
         F.sum("revenue").cast("decimal(38,2)").alias("class_revenue"),
     )
+
+
+@query(
+    "order_interarrival_stats",
+    "window/behavior",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         lag(o_orderdate::TIMESTAMP) OVER w,
+                         o_orderdate::TIMESTAMP) AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           round(avg(gap_days), 4) AS avg_gap_days,
+           round(quantile_cont(gap_days, 0.5), 4) AS median_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    """,
+)
+def order_interarrival_stats(spark, sf_dir):
+    """Inter-arrival gaps between consecutive orders per customer
+    (lag over the business key), summarized corpus-wide — purchase-
+    cadence statistics (avg/median/max days between orders).  Gap
+    values are exact integer day counts, so the avg is an exact
+    rational and the median rides the validated percentile ≙
+    quantile_cont parity."""
+    e = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = e.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+        F.round(F.percentile("gap_days", 0.5), 4).alias("median_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+    )
