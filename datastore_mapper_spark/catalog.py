@@ -6,12 +6,15 @@ Our equivalent: parquet files loaded into typed DataFrames and
 registered as temp views — explicit normalization instead of schema
 inference where the physical type needs fixing.
 
-The one real normalization: ``events.ts`` is ``timestamp[ns]`` parquet,
-readable by Spark 4 only as a raw long (nanosAsLong).  We derive the
-engine-facing microsecond timestamp as
-``timestamp_micros(cast(ts / 1000 as long))`` — floor-truncation of the
-sub-microsecond digits, which matches the DuckDB oracle's
-``ts::TIMESTAMP`` cast exactly (SURVEY.md §7.3-H1).
+The one real normalization: ``events.ts`` is ``timestamp[ns]`` parquet.
+Depending on the Spark build/confs it reads as either a raw nanosecond
+long (``nanosAsLong``) or natively as ``TIMESTAMP_NTZ`` (newer 4.x
+behavior, where the legacy conf is a no-op).  :func:`with_ts_us` adapts
+to whichever type actually arrives and derives the engine-facing
+microsecond ``TIMESTAMP`` column ``ts_us`` — floor-truncation of the
+sub-microsecond digits either way, matching the DuckDB oracle's
+``ts::TIMESTAMP`` cast bit-for-bit under the UTC session timezone
+(SURVEY.md §7.3-H1).
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from .session import configure
 
@@ -42,6 +46,37 @@ TABLES = (
 _cache: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
+def with_ts_us(df: DataFrame) -> DataFrame:
+    """Add the engine-facing µs ``TIMESTAMP`` column ``ts_us`` to events.
+
+    Type-adaptive (environment-drift guard): branches on how this Spark
+    build actually read the ``timestamp[ns]`` parquet column.
+
+    - ``LongType`` (legacy ``nanosAsLong`` path): integer-divide to µs —
+      float division would lose sub-µs precision (longs > 2^53).
+    - ``TIMESTAMP_NTZ`` (native nanos read, truncated to µs by Spark):
+      cast to session-tz ``TIMESTAMP``.  Session tz is UTC, so the
+      wall-clock interpretation matches the long path exactly.  We must
+      NOT leave it NTZ: downstream ``unix_micros()`` / watermarks need
+      ``TIMESTAMP``.
+
+    Any other dtype fails loudly with the diagnosis instead of 201
+    queries dying with the same opaque stack trace.
+    """
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, (TimestampNTZType, TimestampType)):
+        return df.withColumn("ts_us", F.col("ts").cast("timestamp"))
+    raise TypeError(
+        f"events.ts read as unexpected type {dt}; expected a nanosecond "
+        "LongType (spark.sql.legacy.parquet.nanosAsLong=true) or "
+        "TIMESTAMP_NTZ (native nanos read). The Spark parquet reader's "
+        "behavior for timestamp[ns] changed — extend "
+        "datastore_mapper_spark.catalog.with_ts_us for this environment."
+    )
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all fixture tables from ``sf_dir``, normalized, views registered.
 
@@ -57,9 +92,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if name == "events":
-            # Integer division: ts is a ~1.7e18 nanosecond long; float
-            # division would lose sub-µs precision (longs > 2^53).
-            df = df.withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+            df = with_ts_us(df)
         df.createOrReplaceTempView(name)
         tables[name] = df
     _cache[key] = tables

@@ -27,11 +27,18 @@ from . import scale_queries  # noqa: F401
 from ..registry import reorder_front
 
 # SURVEY §2.B contract order.  The driver grades the FIRST 50 registered
-# queries (round-2 VERDICT, "Driver-grading mechanics"), so the contract
-# rows — all oracle-checked — are pinned to the front in §2.B row order.
-# Rows 51-58 of the contract follow immediately (graded locally by
-# tests/test_contract_oracle.py + scripts/check_contract.py); extension
-# queries keep their import order after that.
+# queries (round-2 VERDICT, "Driver-grading mechanics"), so 50 contract
+# rows — all oracle-checked — are pinned to the front.
+#
+# ROUND-5 ROTATION (round-4 VERDICT item 6, open since round 2): the 8
+# contract rows that had never received a driver-graded entry
+# (udf_*, udaf_*, top_terms_per_lang, sinks, the two streaming demos)
+# are rotated INTO the graded window this round.  To make room, 8 rows
+# with multiple prior green driver entries (r1-r3: the four set ops and
+# four function suites) rotate out to positions 51-58, where the local
+# gate (tests/test_contract_oracle.py + scripts/check_contract.py)
+# still covers them.  Net: after this round every §2.B row has at least
+# one driver-recorded CORRECTNESS entry.
 _CONTRACT_ORDER = [
     # §2.B rows 1-13: scans + aggregation
     "scan_project", "scan_filter_pushdown", "filter_null_semantics",
@@ -46,11 +53,13 @@ _CONTRACT_ORDER = [
     "window_rank_topn_per_group", "window_row_number_dedup",
     "window_lag_lead_delta", "window_running_sum", "window_moving_avg",
     "window_ntile_first_last", "sort_multi_key_nulls", "topk_global",
-    # rows 31-34: set ops
-    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
-    # rows 35-42: function suites
-    "fn_string_suite", "fn_date_suite", "fn_math_suite", "fn_conditional",
-    "fn_array_suite", "fn_explode_unnest", "fn_json_extract",
+    # rotated IN (were contract rows 51-58; never driver-graded before)
+    "top_terms_per_lang", "udf_python_scalar", "udf_pandas_vectorized",
+    "udaf_grouped_pandas", "sink_parquet_roundtrip",
+    "approx_count_distinct", "stream_tumbling_demo",
+    "stream_dropDuplicates_demo",
+    # rows 35-36, 40-42 of the original order: function suites kept in
+    "fn_date_suite", "fn_explode_unnest", "fn_json_extract",
     "agg_collect_sorted",
     # rows 43-46: stream-shaped batch
     "tumbling_window_1h", "sliding_window_counts", "session_windows_gap30m",
@@ -58,11 +67,9 @@ _CONTRACT_ORDER = [
     # rows 47-50: LLM-pipeline core (completes the driver's 50-window)
     "dedup_exact", "dedup_near_jaccard", "knn_cosine_top10",
     "text_stats_by_lang",
-    # rows 51-58: contract tail (outside the driver window; local gate)
-    "top_terms_per_lang", "udf_python_scalar", "udf_pandas_vectorized",
-    "udaf_grouped_pandas", "sink_parquet_roundtrip",
-    "approx_count_distinct", "stream_tumbling_demo",
-    "stream_dropDuplicates_demo",
+    # rotated OUT this round (green in r1-r3 driver records; local gate)
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "fn_string_suite", "fn_math_suite", "fn_conditional", "fn_array_suite",
 ]
 
 reorder_front(_CONTRACT_ORDER)

@@ -212,10 +212,10 @@ def agg_grouping_sets(spark, sf_dir):
     "aggregation",
     oracle="""
     SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
-               AS sum_price_dec,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4))
-               AS sum_qty_dec
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS sum_price_dec,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS sum_qty_dec
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -223,17 +223,23 @@ def agg_grouping_sets(spark, sf_dir):
 def agg_decimal_exact(spark, sf_dir):
     """Decimal-cast exact sums — FP-determinism armor (SURVEY §7.3-H2).
 
-    Both engines cast the FINAL sum to DECIMAL(38,4): Spark widens
-    sum(DECIMAL(18,4)) to (28,4) while DuckDB widens to (38,4), and the
-    driver's value hash is sensitive to decimal width even when the
-    values are byte-identical (round-1 red row).
+    The ACCUMULATION is exact decimal arithmetic on both engines (the
+    point of the query); only the FINAL, already-exact sum is cast to
+    DOUBLE on both sides.  Rationale: this row hashed red in rounds 1-3
+    even with matching DECIMAL(38,4) widths and bitwise-equal values —
+    the driver's value canonicalization of Decimal objects (trailing
+    zeros / repr) disagrees between the two engines.  Casting the same
+    exact decimal to double yields the identical nearest double on both
+    sides, which canonicalizes identically (round-4 VERDICT item 5).
     """
     li = table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
         .cast("decimal(38,4)")
+        .cast("double")
         .alias("sum_price_dec"),
         F.sum(F.col("l_quantity").cast("decimal(18,4)"))
         .cast("decimal(38,4)")
+        .cast("double")
         .alias("sum_qty_dec"),
     )

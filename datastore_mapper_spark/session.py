@@ -2,10 +2,13 @@
 
 Centralizes the confs the engine depends on:
 
-- ``spark.sql.legacy.parquet.nanosAsLong=true``: the ``events`` fixture
-  stores ``timestamp[ns]`` which Spark 4 otherwise refuses to read
-  (PARQUET_TYPE_ILLEGAL).  The catalog re-derives a proper microsecond
-  timestamp column (SURVEY.md §7.3-H1).
+- ``spark.sql.legacy.parquet.nanosAsLong=true``: best-effort only.  On
+  older Spark 4 builds the ``events`` fixture's ``timestamp[ns]`` is
+  unreadable without it (PARQUET_TYPE_ILLEGAL); on newer builds the
+  conf is a silent no-op and the column reads natively as
+  ``TIMESTAMP_NTZ``.  The catalog adapts to whichever type arrives
+  (``catalog.with_ts_us``) — the conf is NOT load-bearing, the dtype
+  branch is (SURVEY.md §7.3-H1).
 - ``spark.sql.session.timeZone=UTC``: deterministic timestamp rendering
   vs the DuckDB oracle.
 - AQE on (runtime shuffle-partition coalescing, skew-join splitting,
@@ -20,6 +23,7 @@ Centralizes the confs the engine depends on:
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -33,17 +37,38 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
 }
 
+#: Confs whose value the engine genuinely depends on for correctness.
+#: ``nanosAsLong`` is deliberately NOT here: on new Spark builds it is a
+#: recognized-but-inert legacy conf (sets fine, changes nothing) and the
+#: catalog's dtype branch is the real guard.
+_REQUIRED_CONFS = ("spark.sql.session.timeZone",)
+
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine confs to an existing session.
 
     Used when the caller (e.g. the verify driver) owns the session.
+    Correctness-critical confs are verified after setting — a conf that
+    silently fails to take is exactly how round 4 lost every query — and
+    a failure to apply one raises instead of being swallowed.
     """
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:  # pragma: no cover - static conf on exotic builds
-            pass
+        except Exception as exc:
+            if k in _REQUIRED_CONFS:
+                raise RuntimeError(
+                    f"engine-required conf {k}={v} could not be set: {exc}"
+                ) from exc
+            warnings.warn(f"optional engine conf {k}={v} not applied: {exc}")
+    for k in _REQUIRED_CONFS:
+        got = spark.conf.get(k, None)
+        want = RUNTIME_CONFS[k]
+        if got != want:
+            raise RuntimeError(
+                f"engine-required conf {k} is {got!r}, expected {want!r}; "
+                "results would diverge from the DuckDB oracle"
+            )
     return spark
 
 

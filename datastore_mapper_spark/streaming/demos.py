@@ -18,6 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import with_ts_us
 from ..session import configure
 
 _SCRATCH = os.path.join(
@@ -47,7 +48,7 @@ def replay_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
     sdf = spark.readStream.schema(schema).parquet(_staged_dir(path))
-    return sdf.withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
+    return with_ts_us(sdf)
 
 
 def _run_to_memory(stream_df: DataFrame, output_mode: str) -> str:
@@ -254,11 +255,10 @@ def streaming_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    events = (
+    events = with_ts_us(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(_staged_two_batch_dir(sf_dir))
-        .withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
         events.withWatermark("ts_us", "10 minutes")
@@ -284,11 +284,10 @@ def streaming_append_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    events = (
+    events = with_ts_us(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(_staged_two_batch_dir(sf_dir))
-        .withColumn("ts_us", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
         events.withWatermark("ts_us", "10 minutes")

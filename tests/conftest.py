@@ -16,8 +16,28 @@ def spark():
 
     s = get_session("pytest", cpus=8, shuffle_partitions=8)
     s.sparkContext.setLogLevel("ERROR")
+    _preflight(s)
     yield s
     s.stop()
+
+
+def _preflight(s):
+    """Fail the whole session with ONE actionable diagnosis if the
+    environment drifted under the engine (round-4 postmortem: the
+    parquet reader's timestamp[ns] behavior changed silently and 300+
+    tests produced the same opaque stack trace)."""
+    try:
+        from datastore_mapper_spark.catalog import load_tables
+
+        load_tables(s, SF_DIR)
+    except Exception as exc:  # pragma: no cover - only fires on drift
+        pytest.exit(
+            "ENVIRONMENT PREFLIGHT FAILED: the fixture catalog cannot "
+            f"load from {SF_DIR}. Most likely the Spark parquet reader's "
+            "handling of events.ts (timestamp[ns]) changed again — see "
+            f"datastore_mapper_spark.catalog.with_ts_us. Error: {exc!r}",
+            returncode=3,
+        )
 
 
 @pytest.fixture(scope="session")

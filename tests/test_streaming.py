@@ -27,9 +27,7 @@ def test_stream_sliding_equals_batch(spark, sf_dir):
 
     from datastore_mapper_spark.catalog import table
 
-    e = table(spark, sf_dir, "events").withColumn(
-        "ts_us", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    e = table(spark, sf_dir, "events")  # ts_us derived by the catalog
     batch = {
         (r.window_start, r.cnt)
         for r in e.groupBy(F.window("ts_us", "1 hour", "30 minutes").alias("win"))
