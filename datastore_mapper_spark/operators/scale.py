@@ -282,3 +282,127 @@ def compact_parquet_dir(
         .parquet(dest_path)
     )
     return n_files
+
+
+# ---------------------------------------------------------------------------
+# Two-pass global ordering (range-partition + per-partition offsets)
+# ---------------------------------------------------------------------------
+# A window with a global ORDER BY and no PARTITION BY funnels the whole
+# dataset through ONE task — the classic 100 TB cliff (round-4 VERDICT
+# scale watch-list).  The standard fix: range-partition on the order
+# keys so each task owns a disjoint, globally-ordered slice, run the
+# window WITHIN each slice, then add the (tiny, one-row-per-partition)
+# cross-slice offsets computed from per-partition aggregates.  Only the
+# offset table — |num_partitions| rows — ever crosses a global window.
+#
+# ``num_partitions`` is passed explicitly to ``repartitionByRange`` so
+# AQE never coalesces it (coalescing could renumber
+# spark_partition_id between the data branch and the offsets branch);
+# the two branches also canonicalize to the same Exchange, so Spark's
+# ReuseExchange evaluates the range shuffle once.
+
+
+def _range_keyed(df: DataFrame, order_cols: list[Column], n: int) -> DataFrame:
+    return df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+
+
+def ranged_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global running sum of ``value_col`` over a total order, scalably.
+
+    Equivalent to ``sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` but never materializes a single global partition.
+    ``order_cols`` should be a total order (break ties on a unique key)
+    for deterministic results.  Exact for decimal/integer values
+    (addition reassociates exactly); for doubles the result may differ
+    from the single-partition plan in the last bit.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keyed = _range_keyed(df, order_cols, n)
+
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # offsets: one row per range partition; the global window here is
+    # over <= num_partitions rows, which is the whole point.
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__psum"))
+        .withColumn("__offset", F.sum("__psum").over(w_off))
+        .select("__pid", "__offset")
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            F.sum(value_col).over(w_in)
+            + F.coalesce(F.col("__offset"), F.lit(0)),
+        )
+        .drop("__pid", "__offset")
+    )
+
+
+def ranged_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ``row_number() OVER (ORDER BY order_cols)``, scalably —
+    per-partition row_number plus broadcast cumulative-count offsets."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keyed = _range_keyed(df, order_cols, n)
+
+    w_in = Window.partitionBy("__pid").orderBy(*order_cols)
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("__pid")
+        .agg(F.count("*").alias("__pcnt"))
+        .withColumn(
+            "__offset", F.coalesce(F.sum("__pcnt").over(w_off), F.lit(0))
+        )
+        .select("__pid", "__offset")
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.row_number().over(w_in) + F.col("__offset"))
+        .drop("__pid", "__offset")
+    )
+
+
+def ntile_from_row_number(rn: Column, n_rows: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` computed from a global row number and the total
+    row count — the scalable replacement for ``ntile(k) OVER (ORDER BY
+    ...)``: combine with :func:`ranged_row_number` so no single task
+    sees the whole order.
+
+    ntile semantics: bucket sizes differ by at most one, larger buckets
+    first — with ``q = n div k`` and ``r = n mod k``, buckets ``1..r``
+    hold ``q+1`` rows.  Integer-exact at any scale (no double division).
+    """
+    q = (n_rows / k).cast("long")  # floor for non-negative
+    r = n_rows - q * k
+    big_span = r * (q + 1)  # rows covered by the size-(q+1) buckets
+    ceil_div = lambda a, b: ((a + b - F.lit(1)) / b).cast("long")  # noqa: E731
+    return (
+        F.when(n_rows < F.lit(k), rn)  # degenerate: fewer rows than tiles
+        .when(rn <= big_span, ceil_div(rn, q + 1))
+        .otherwise(r + ceil_div(rn - big_span, q))
+        .cast("int")
+    )

@@ -442,25 +442,33 @@ def customer_abc_pareto(spark, sf_dir):
     """ABC (Pareto) classification: rank customers by revenue, take the
     running revenue share, and cut classes at 80 %/95 % — the
     inventory/CRM classification classic.  Revenue sums stay decimal
-    until the single share division; the global-order window runs over
-    |customers| rows (the expensive per-customer aggregate
-    partial-combines first), so the unpartitioned window is cheap."""
+    until the single share division.
+
+    Scale shape (round-4 VERDICT watch-list item): the running share is
+    a global-order cumulative sum, which as a bare window serializes
+    |customers| rows through one task.  Computed here with the two-pass
+    range-partition operator (``ranged_running_sum``): each task owns a
+    disjoint revenue range, only the per-partition offset table crosses
+    a global window.  Decimal addition reassociates exactly, so the
+    result is bitwise-identical to the single-window plan."""
+    from ..operators.scale import ranged_running_sum
+
     o = table(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(38,2)")
         .alias("revenue")
     )
-    w_cum = Window.orderBy(F.desc("revenue"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    total = spend.agg(
+        F.sum("revenue").cast("double").alias("__total")
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = spend.withColumn(
-        "cum_share",
-        F.sum("revenue").over(w_cum).cast("double")
-        / F.sum("revenue").over(w_all).cast("double"),
+    ranked = ranged_running_sum(
+        spend,
+        [F.desc("revenue"), F.asc("o_custkey")],
+        "revenue",
+        "cum_rev",
+    ).crossJoin(F.broadcast(total)).withColumn(
+        "cum_share", F.col("cum_rev").cast("double") / F.col("__total")
     )
     klass = (
         F.when(F.col("cum_share") <= 0.8, "A")

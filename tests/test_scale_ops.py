@@ -393,3 +393,77 @@ def test_approx_top_k_matches_exact_on_fixture(spark, sf_dir):
     assert {(r.item, r["count"]) for r in approx} == {
         (r.tok, r.c) for r in exact
     }
+
+
+def test_ranged_running_sum_matches_global_window(spark, sf_dir):
+    """Two-pass range-partitioned cumulative sum == the single-partition
+    global window, bitwise (decimal addition reassociates exactly), and
+    the plan range-partitions the data instead of funneling it through
+    one task."""
+    from pyspark.sql import Window
+
+    from datastore_mapper_spark.operators.scale import ranged_running_sum
+
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    order = [F.desc("rev"), F.asc("o_custkey")]
+    got = ranged_running_sum(spend, order, "rev", "cum", num_partitions=7)
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = spend.withColumn("cum", F.sum("rev").over(w))
+    g = {(r.o_custkey, r.cum) for r in got.collect()}
+    e = {(r.o_custkey, r.cum) for r in want.collect()}
+    assert g == e
+    assert "rangepartitioning" in _physical_plan(got).lower()
+
+
+def test_ranged_row_number_matches_global_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from datastore_mapper_spark.operators.scale import ranged_row_number
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    order = [F.asc("o_totalprice"), F.asc("o_orderkey")]
+    got = ranged_row_number(o, order, "rn", num_partitions=7)
+    want = o.withColumn(
+        "rn", F.row_number().over(Window.orderBy(*order))
+    )
+    g = {(r.o_orderkey, r.rn) for r in got.collect()}
+    e = {(r.o_orderkey, r.rn) for r in want.collect()}
+    assert g == e
+
+
+def test_ntile_from_row_number_matches_ntile(spark, sf_dir):
+    """The integer ntile arithmetic reproduces SQL ntile(k) exactly —
+    including the n % k != 0 case where leading buckets are larger."""
+    from pyspark.sql import Window
+
+    from datastore_mapper_spark.operators.scale import (
+        ntile_from_row_number,
+        ranged_row_number,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    order = [F.asc("o_totalprice"), F.asc("o_orderkey")]
+    for k in (3, 8):
+        cnt = o.agg(F.count("*").alias("__n"))
+        got = {
+            (r.o_orderkey, r.b)
+            for r in ranged_row_number(o, order, "rn", num_partitions=5)
+            .crossJoin(F.broadcast(cnt))
+            .select(
+                "o_orderkey",
+                ntile_from_row_number(F.col("rn"), F.col("__n"), k).alias("b"),
+            )
+            .collect()
+        }
+        want = {
+            (r.o_orderkey, r.b)
+            for r in o.select(
+                "o_orderkey", F.ntile(k).over(Window.orderBy(*order)).alias("b")
+            ).collect()
+        }
+        assert got == want, f"k={k}"
