@@ -175,19 +175,41 @@ def window_moving_avg(spark, sf_dir):
 )
 def window_ntile_first_last(spark, sf_dir):
     """ntile + first/last_value with an explicit full-partition frame
-    (last_value's default frame ends at CURRENT ROW — a classic trap)."""
+    (last_value's default frame ends at CURRENT ROW — a classic trap).
+
+    The global quartile (single-window form: ``F.ntile(4).over(
+    Window.orderBy(...))``) is computed with the two-pass
+    range-partitioned composition from ``operators/scale.py`` — bucket
+    assignment is identical (test_ntile_from_row_number_matches_ntile)
+    but no task ever sees the whole table, so the query survives a
+    100× customer table.  The seg windows are partitioned and keep the
+    ordinary one-shuffle window shape."""
+    from ..operators.scale import ntile_from_row_number, ranged_row_number
+
     c = table(spark, sf_dir, "customer")
-    wq = Window.orderBy("c_acctbal", "c_custkey")
+    cnt = c.agg(F.count("*").alias("__n"))
+    base = (
+        ranged_row_number(
+            c.select("c_custkey", "c_mktsegment", "c_acctbal"),
+            [F.asc("c_acctbal"), F.asc("c_custkey")],
+            "__rn",
+        )
+        .crossJoin(F.broadcast(cnt))
+        .withColumn(
+            "quartile",
+            ntile_from_row_number(F.col("__rn"), F.col("__n"), 4),
+        )
+    )
     seg = (
         Window.partitionBy("c_mktsegment")
         .orderBy("c_acctbal", "c_custkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    return c.select(
+    return base.select(
         "c_custkey",
         "c_mktsegment",
         "c_acctbal",
-        F.ntile(4).over(wq).cast("int").alias("quartile"),
+        "quartile",
         F.first("c_acctbal").over(seg).alias("seg_min_bal"),
         F.last("c_acctbal").over(seg).alias("seg_max_bal"),
     )

@@ -174,6 +174,9 @@ BNLJ_ALLOWED = {
     "median_absolute_deviation", # 1-row median scalar
     "bigram_pmi_top",            # 1-row bigram-total scalar
     "data_quality_report",       # two 1-row summary frames crossed
+    "customer_abc_pareto",       # 1-row total-revenue scalar (two-pass cumsum)
+    "histogram_equi_depth",      # 1-row total-count scalar (two-pass ntile)
+    "window_ntile_first_last",   # 1-row total-count scalar (two-pass ntile)
 }
 
 
