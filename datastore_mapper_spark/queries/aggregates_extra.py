@@ -481,3 +481,40 @@ def regression_price_trend(spark, sf_dir):
         F.round(F.regr_r2(y, x), 6).alias("r2"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "median_exact_scalable",
+    "aggregation/robust",
+    oracle="""
+    SELECT round(median(o_totalprice), 4) AS median_price,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    """,
+)
+def median_exact_scalable(spark, sf_dir):
+    """EXACT global median — the textbook 'impossible at scale' scalar —
+    via the two-pass range-partitioned row_number: select the one or
+    two middle positions of the total order and average them.  No task
+    ever holds more than its range slice; the selection itself is a
+    filter on the global row number.  (percentile()/approx_percentile
+    remain the single-window and sketch alternatives; this is the exact
+    distributed form.)  Positions: (n+1) div 2 and (n+2) div 2 —
+    identical for odd n; DuckDB's median() interpolates the same two
+    middle values for even n."""
+    from ..operators.scale import ranged_row_number
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    cnt = o.agg(F.count("*").alias("__n"))
+    rn = ranged_row_number(
+        o, [F.asc("o_totalprice"), F.asc("o_orderkey")], "__rn"
+    ).crossJoin(F.broadcast(cnt))
+    p1 = ((F.col("__n") + 1) / 2).cast("long")
+    p2 = ((F.col("__n") + 2) / 2).cast("long")
+    return (
+        rn.filter((F.col("__rn") == p1) | (F.col("__rn") == p2))
+        .agg(
+            F.round(F.avg("o_totalprice"), 4).alias("median_price"),
+            F.first("__n").alias("n"),
+        )
+    )

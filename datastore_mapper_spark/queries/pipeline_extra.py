@@ -860,3 +860,95 @@ def data_quality_report(spark, sf_dir):
         ],
     )
     return report.union(Q.expect_unique(o, ["o_orderkey"]))
+
+
+@query(
+    "split_leakfree_by_source",
+    "LLM-pipeline",
+    oracle="""
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM (
+        SELECT source, n_chars,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT source, n_chars,
+                     CAST(('0x' || substring(md5(source), 1, 4))::INTEGER
+                          AS BIGINT) % 100 AS bucket
+              FROM documents)
+    )
+    GROUP BY split
+    """,
+)
+def split_leakfree_by_source(spark, sf_dir):
+    """GROUP-level train/val/test split: the bucket is the hash of the
+    SOURCE, not the document, so every document of a source lands in
+    the same split — the leakage guard doc-level splitting cannot give
+    when near-duplicates cluster within a source (same reason
+    recommender/user data is split by user).  Deterministic md5
+    bucketing: reproducible across runs, engines, and repartitioning.
+    Scale shape: pure per-row expression + one aggregation, no join —
+    the split of a 100 TB corpus costs one pass."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5("source"), 1, 4), 16, 10)
+              .cast("bigint") % 100)
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+    )
+    return d.select(split.alias("split"), "source", "n_chars").groupBy(
+        "split"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@query(
+    "chunk_documents_overlap",
+    "LLM-pipeline",
+    oracle="""
+    SELECT doc_id, s AS chunk_start,
+           array_to_string(list_slice(w, s, least(s + 19, n_words)), ' ')
+               AS chunk,
+           CAST(least(s + 19, n_words) - s + 1 AS INT) AS chunk_len
+    FROM (
+        SELECT doc_id, w, len(w) AS n_words,
+               unnest(generate_series(1, len(w), 15)) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE doc_id < 300)
+    )
+    """,
+)
+def chunk_documents_overlap(spark, sf_dir):
+    """Sliding-window document chunking (size 20 words, stride 15 — a
+    5-word overlap): the context-window packing primitive for training
+    and for RAG indexing.  Entirely JVM-side array ops — split +
+    sequence + explode + slice + array_join — no Python in the path.
+    Scale shape: explode fans out ~n_words/stride rows per doc with no
+    shuffle at all until a downstream consumer aggregates; chunking a
+    100 TB corpus is map-only."""
+    size, stride = 20, 15
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    w = F.split("text", " ")
+    d = d.select("doc_id", w.alias("w"), F.size(w).alias("n_words"))
+    d = d.select(
+        "doc_id", "w", "n_words",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_words"), F.lit(stride))
+        ).alias("s"),
+    )
+    chunk_len = F.least(
+        F.lit(size), F.col("n_words") - F.col("s") + F.lit(1)
+    )
+    return d.select(
+        "doc_id",
+        F.col("s").alias("chunk_start"),
+        F.array_join(F.slice("w", F.col("s"), chunk_len), " ").alias("chunk"),
+        chunk_len.cast("int").alias("chunk_len"),
+    )

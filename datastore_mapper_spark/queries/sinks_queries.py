@@ -170,3 +170,35 @@ def sink_zorder_layout_pruned_scan(spark, sf_dir):
         F.sum("o_orderkey").alias("key_sum"),
     )
     return a.union(b)
+
+
+@query(
+    "sink_orc_roundtrip",
+    "sink",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(l_orderkey) AS BIGINT) AS sum_key
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    description="ORC sink + read-back; aggregates of the read-back must "
+    "equal the oracle's aggregate over the parquet source.",
+)
+def sink_orc_roundtrip(spark, sf_dir):
+    """Round-trip lineitem keys through the ORC columnar sink and read
+    them back — the interchange format for Hive/Trino-adjacent
+    warehouses, completing the sink matrix (parquet #55, CSV/JSON,
+    ORC).  Read-back pins the schema (no inference scan); the aggregate
+    proves value fidelity against the parquet-sourced oracle."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_linestatus"
+    )
+    dest = os.path.join(_SCRATCH, "sink_orc_roundtrip")
+    li.write.mode("overwrite").orc(dest)
+    schema = "l_orderkey bigint, l_linenumber bigint, l_linestatus string"
+    back = spark.read.schema(schema).orc(dest)
+    return back.groupBy("l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum("l_orderkey").alias("sum_key"),
+    )

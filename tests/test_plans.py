@@ -177,6 +177,7 @@ BNLJ_ALLOWED = {
     "customer_abc_pareto",       # 1-row total-revenue scalar (two-pass cumsum)
     "histogram_equi_depth",      # 1-row total-count scalar (two-pass ntile)
     "window_ntile_first_last",   # 1-row total-count scalar (two-pass ntile)
+    "median_exact_scalable",     # 1-row total-count scalar (two-pass median)
 }
 
 
