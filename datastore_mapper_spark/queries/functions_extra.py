@@ -595,3 +595,40 @@ def fn_array_extra(spark, sf_dir):
         .alias("first_tok"),
         F.slice(toks, 2, 3).alias("mid_slice"),
     )
+
+
+@query(
+    "fn_variant_json",
+    "json fn",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS sum_k,
+           CAST(count(CASE WHEN json_extract_string(props, '$.missing')
+                           IS NULL THEN 1 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_variant_json(spark, sf_dir):
+    """Spark 4 VARIANT path: ``parse_json`` once into the open-schema
+    binary VARIANT encoding, then typed ``variant_get`` extraction —
+    the semi-structured analogue of the reference's schemaless entity
+    properties, and ~an order cheaper than repeated string
+    ``get_json_object`` parsing at 100 TB because the parse happens
+    once per row, not once per extraction.  ``try_variant_get`` on an
+    absent path yields NULL (counted) instead of erroring."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        e.select(
+            "event_type",
+            F.variant_get(v, "$.k", "int").alias("k"),
+            F.try_variant_get(v, "$.missing", "string").alias("miss"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("miss").isNull(), 1)).alias("n_missing"),
+        )
+    )

@@ -215,3 +215,47 @@ def test_star_cc_equals_label_propagation_on_random_graphs(spark, data):
         (r.node, r.cluster_id) for r in connected_components(df).collect()
     }
     assert star == prop
+
+
+@given(n=st.integers(1, 2000), k=st.integers(1, 16))
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ntile_arithmetic_matches_python_reference(n: int, k: int):
+    """Property: ntile_from_row_number's integer arithmetic equals the
+    SQL-standard ntile definition (bucket sizes differ by at most one,
+    larger buckets first) for arbitrary n and k — pure-Python twin, no
+    Spark session needed so hypothesis can afford many examples."""
+
+    def reference(rn: int) -> int:
+        if n < k:
+            return rn
+        q, r = divmod(n, k)
+        big_span = r * (q + 1)
+        if rn <= big_span:
+            return -(-rn // (q + 1))
+        return r + -(-(rn - big_span) // q)
+
+    # mirror of the Column expression in operators/scale.py
+    def column_mirror(rn: int) -> int:
+        q = int(n / k)
+        r = n - q * k
+        big_span = r * (q + 1)
+        ceil_div = lambda a, b: int((a + b - 1) / b)  # noqa: E731
+        if n < k:
+            return rn
+        if rn <= big_span:
+            return ceil_div(rn, q + 1)
+        return r + ceil_div(rn - big_span, q)
+
+    sizes = [0] * (k + n)
+    for rn in range(1, n + 1):
+        b = reference(rn)
+        assert column_mirror(rn) == b
+        sizes[b] += 1
+    filled = [s for s in sizes if s]
+    # SQL ntile invariants
+    assert sum(filled) == n
+    assert max(filled) - min(filled) <= 1
