@@ -518,3 +518,61 @@ def median_exact_scalable(spark, sf_dir):
             F.first("__n").alias("n"),
         )
     )
+
+
+@query(
+    "percentiles_exact_scalable",
+    "aggregation/robust",
+    oracle="""
+    WITH r AS (
+        SELECT o_totalprice,
+               row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER () AS n
+        FROM orders
+    )
+    SELECT round(max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                          THEN o_totalprice END), 2) AS p25,
+           round(max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                          THEN o_totalprice END), 2) AS p50,
+           round(max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                          THEN o_totalprice END), 2) AS p75,
+           round(max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                          THEN o_totalprice END), 2) AS p90
+    FROM r
+    """,
+)
+def percentiles_exact_scalable(spark, sf_dir):
+    """EXACT nearest-rank percentile vector (p25/p50/p75/p90) in one
+    distributed pass over the total order: two-pass range-partitioned
+    row_number, filter to the four target ranks (ceil(p*n)), collapse
+    with conditional aggregation.  The definition is pinned by explicit
+    rank selection on BOTH engines (not each engine's quantile_*
+    flavor, which disagree on interpolation).  Generalizes
+    median_exact_scalable to any quantile vector; the sketch
+    alternative (approx_percentile) trades exactness for one fewer
+    shuffle."""
+    from ..operators.scale import ranged_row_number
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    cnt = o.agg(F.count("*").alias("__n"))
+    rn = ranged_row_number(
+        o, [F.asc("o_totalprice"), F.asc("o_orderkey")], "__rn"
+    ).crossJoin(F.broadcast(cnt))
+    pos = lambda p: F.ceil(F.lit(p) * F.col("__n")).cast("long")  # noqa: E731
+    targets = rn.filter(
+        (F.col("__rn") == pos(0.25))
+        | (F.col("__rn") == pos(0.50))
+        | (F.col("__rn") == pos(0.75))
+        | (F.col("__rn") == pos(0.90))
+    )
+    pick = lambda p: F.round(  # noqa: E731
+        F.max(
+            F.when(F.col("__rn") == pos(p), F.col("o_totalprice"))
+        ), 2
+    )
+    return targets.agg(
+        pick(0.25).alias("p25"),
+        pick(0.50).alias("p50"),
+        pick(0.75).alias("p75"),
+        pick(0.90).alias("p90"),
+    )

@@ -178,6 +178,7 @@ BNLJ_ALLOWED = {
     "histogram_equi_depth",      # 1-row total-count scalar (two-pass ntile)
     "window_ntile_first_last",   # 1-row total-count scalar (two-pass ntile)
     "median_exact_scalable",     # 1-row total-count scalar (two-pass median)
+    "percentiles_exact_scalable",  # 1-row total-count scalar (two-pass ranks)
 }
 
 
