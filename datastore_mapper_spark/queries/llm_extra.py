@@ -846,3 +846,91 @@ def bigram_pmi_top(spark, sf_dir):
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(10)
     )
+
+
+@query(
+    "neardup_jaccard_prefix",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.d1, p.d2,
+           CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) AS jaccard
+    FROM pairs p
+    JOIN sizes s1 ON p.d1 = s1.doc_id
+    JOIN sizes s2 ON p.d2 = s2.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    """,
+)
+def neardup_jaccard_prefix(spark, sf_dir):
+    """Near-dup pairs by Jaccard >= 0.8 with PREFIX FILTERING — the
+    lossless candidate pruning from the set-similarity-join literature
+    (PPJoin family): under a global token order, two sets with
+    J >= theta MUST share a token within each set's first
+    ``|S| - ceil(theta*|S|) + 1`` tokens, so only that prefix is
+    indexed for the candidate self-join.  With tokens ordered by
+    ascending document frequency the prefix holds each doc's RAREST
+    tokens, so candidate fan-out is tiny — and unlike the df-cap
+    heuristic in ``dedup_near_jaccard``, pruning is exact by theorem,
+    not by a tuned cap.  theta = 4/5 is kept in integer arithmetic
+    (``ceil(4*sz/5) = (4*sz+4) div 5``) — a float 0.8 would
+    occasionally round the prefix one token short and silently drop
+    pairs.  Verify stage rejoins full token arrays (exact Jaccard).
+    The oracle is the exact all-pairs formulation; equality with it
+    proves losslessness end-to-end."""
+    d = table(spark, sf_dir, "documents")
+    doc_toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    toks = doc_toks.select(
+        "doc_id", F.explode("toks").alias("tok"), F.size("toks").alias("sz")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = toks.join(dfreq, "tok").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "tok")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.expr("((4 * sz) + 4) div 5") + 1
+    ).select("doc_id", "tok")
+    p1, p2 = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        p1.join(
+            p2,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    t1 = doc_toks.select(F.col("doc_id").alias("d1"), F.col("toks").alias("ta"))
+    t2 = doc_toks.select(F.col("doc_id").alias("d2"), F.col("toks").alias("tb"))
+    scored = (
+        cand.join(t1, "d1")
+        .join(t2, "d2")
+        .select(
+            "d1", "d2",
+            F.size(F.array_intersect("ta", "tb")).alias("inter"),
+            F.size("ta").alias("sz1"),
+            F.size("tb").alias("sz2"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("inter")
+    )
+    return (
+        scored.select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
