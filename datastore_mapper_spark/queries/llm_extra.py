@@ -904,13 +904,17 @@ def neardup_jaccard_prefix(spark, sf_dir):
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz") - F.expr("((4 * sz) + 4) div 5") + 1
-    ).select("doc_id", "tok")
+    ).select("doc_id", "tok", "sz")
     p1, p2 = prefix.alias("a"), prefix.alias("b")
+    # size filter, also lossless: J >= 4/5 forces the set sizes within
+    # a 4:5 ratio (theta*|A| <= |B| <= |A|/theta), integer bounds again
     cand = (
         p1.join(
             p2,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") * 4 <= F.col("a.sz") * 5)
+            & (F.col("a.sz") * 4 <= F.col("b.sz") * 5),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
