@@ -314,11 +314,14 @@ def ranged_running_sum(
     value_col: str,
     out_col: str,
     num_partitions: int | None = None,
+    exclusive: bool = False,
 ) -> DataFrame:
     """Global running sum of ``value_col`` over a total order, scalably.
 
     Equivalent to ``sum(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
-    PRECEDING)`` but never materializes a single global partition.
+    PRECEDING)`` — or, with ``exclusive=True``, the exclusive prefix
+    sum ending at the PREVIOUS row (NULL-as-0 on each partition's first
+    row) — but never materializes a single global partition.
     ``order_cols`` should be a total order (break ties on a unique key)
     for deterministic results.  Exact for decimal/integer values
     (addition reassociates exactly); for doubles the result may differ
@@ -333,7 +336,9 @@ def ranged_running_sum(
     w_in = (
         Window.partitionBy("__pid")
         .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(
+            Window.unboundedPreceding, -1 if exclusive else Window.currentRow
+        )
     )
     # offsets: one row per range partition; the global window here is
     # over <= num_partitions rows, which is the whole point.
@@ -344,12 +349,16 @@ def ranged_running_sum(
         .withColumn("__offset", F.sum("__psum").over(w_off))
         .select("__pid", "__offset")
     )
+    win_sum = F.sum(value_col).over(w_in)
+    if exclusive:
+        # empty frame on each partition's first row -> NULL; the
+        # exclusive prefix sum of the very first global row is 0
+        win_sum = F.coalesce(win_sum, F.lit(0))
     return (
         keyed.join(F.broadcast(offsets), "__pid")
         .withColumn(
             out_col,
-            F.sum(value_col).over(w_in)
-            + F.coalesce(F.col("__offset"), F.lit(0)),
+            win_sum + F.coalesce(F.col("__offset"), F.lit(0)),
         )
         .drop("__pid", "__offset")
     )

@@ -511,21 +511,24 @@ def pack_sequences_token_budget(spark, sf_dir):
     counts over a deterministic order — the step that turns a shuffled
     corpus into dense training sequences with bounded padding.
 
-    The single global ORDER BY window is the oracle-exact formulation;
-    at 100 TB packing runs per shard (partitionBy the shard key in the
-    window, bin key = (shard, local_bin)) so each task packs its own
-    partition and no global sort exists — same math, shard-local."""
-    from pyspark.sql import Window
+    The exclusive prefix sum is computed with the two-pass
+    range-partitioned operator (``ranged_running_sum(exclusive=True)``)
+    — bitwise-identical to the single global ORDER BY window (integer
+    addition reassociates exactly) with no single-partition stage, so
+    the SAME bin assignment the oracle checks also holds at 100 TB.
+    (The shard-local variant — partitionBy shard, bin key =
+    (shard, local_bin) — remains the choice when bins may not span
+    shard boundaries.)"""
+    from ..operators.scale import ranged_running_sum
 
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    packed = toks.withColumn(
-        "bin_id",
-        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 2048.0)
-        .cast("bigint"),
+    packed = ranged_running_sum(
+        toks, [F.asc("doc_id")], "n_tok", "__prefix", exclusive=True
+    ).withColumn(
+        "bin_id", F.floor(F.col("__prefix") / 2048.0).cast("bigint")
     )
     return packed.groupBy("bin_id").agg(
         F.count("*").alias("n_docs"),

@@ -467,3 +467,24 @@ def test_ntile_from_row_number_matches_ntile(spark, sf_dir):
             ).collect()
         }
         assert got == want, f"k={k}"
+
+
+def test_ranged_running_sum_exclusive_matches_global_window(spark, sf_dir):
+    """Exclusive mode == sum OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING
+    AND 1 PRECEDING) with NULL->0 on the first row."""
+    from pyspark.sql import Window
+
+    from datastore_mapper_spark.operators.scale import ranged_running_sum
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("v")
+    )
+    order = [F.asc("o_orderkey")]
+    got = ranged_running_sum(
+        o, order, "v", "pre", num_partitions=7, exclusive=True
+    )
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    want = o.withColumn("pre", F.coalesce(F.sum("v").over(w), F.lit(0)))
+    g = {(r.o_orderkey, r.pre) for r in got.collect()}
+    e = {(r.o_orderkey, r.pre) for r in want.collect()}
+    assert g == e
