@@ -32,7 +32,16 @@ def pagerank(
     tests/test_operators.py).  Stops early when the L1 delta between
     iterations drops below ``tol``.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Checkpoint the EDGE LIST first: callers hand us edges that may be
+    # an expensive plan (the near-dup pair join costs ~80 s at sf0.1),
+    # and everything below — nodes, degrees, weights, and the
+    # per-iteration dangling anti-join — derives from it.  Without this
+    # cut the upstream plan re-executes EVERY iteration through the
+    # uncheckpointed out_deg reference (measured: 20 x 80 s ≈ 27 min
+    # for what should be a 2-minute query).
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -47,6 +56,11 @@ def pagerank(
     w = e.join(out_deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
     ).localCheckpoint()
+    # dangling (out-degree 0) node SET is iteration-invariant; only the
+    # mass parked on it changes — materialize the set once
+    dangling_nodes = nodes.join(
+        out_deg, nodes.node == out_deg.src, "left_anti"
+    ).localCheckpoint()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(max_iterations):
@@ -58,7 +72,7 @@ def pagerank(
         )
         # mass sitting on dangling nodes redistributes uniformly
         dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            ranks.join(dangling_nodes, "node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
             .first()
             .m
