@@ -393,20 +393,73 @@ def graph_triangle_count(spark, sf_dir):
     """Triangle count over the near-dup graph — the clustering-
     coefficient numerator that distinguishes tight duplicate cliques
     from chains (a cluster of genuine dups is triangle-dense; a chain
-    of borderline pairs is triangle-free).  Edges are kept id-ordered
-    (d1 < d2), so each triangle counts exactly once via the
-    wedge-close join.  At 100 TB, orient edges low-degree → high-degree
-    first (same count, wedge work bounded by Σ deg^{3/2} instead of
-    the hub's deg²)."""
+    of borderline pairs is triangle-free).
+
+    Scale shape (round-5 fix; the naive id-ordered wedge join OOM'd the
+    local[32] JVM at sf0.1):
+
+    - the expensive upstream (the near-dup pair join, ~80 s at sf0.1)
+      is checkpointed ONCE instead of re-executing for each of the
+      three join legs;
+    - edges are oriented low-degree → high-degree (Schank/Wagner,
+      Suri/Vassilvitskii — the standard MapReduce triangle technique,
+      public knowledge): every node's out-degree is O(sqrt(m)), so the
+      wedge fan-out is bounded by Σ C(out_deg, 2) ≤ O(m^{3/2}) instead
+      of a hub's full deg²;
+    - each triangle has exactly ONE node whose two oriented out-edges
+      reach the other two, and is counted at its lowest-ordered node
+      as Σ over oriented edges (v,w) of |N+(v) ∩ N+(w)| — the
+      edge-iterator identity.  The intersection runs INSIDE a
+      projection over per-node out-neighbor arrays (each bounded to
+      O(sqrt m) elements by the orientation), so the quadratic wedge
+      set is never materialized as rows: the duplicate-heavy fixture's
+      cliques OOM'd the wedge-join formulation at sf0.1, while this
+      form streams m array-intersection rows.
+    """
     edges = (
-        REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+        REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint()
     )
-    e1 = edges.alias("e1")
-    e2 = edges.alias("e2")
-    e3 = edges.alias("e3")
-    wedges = e1.join(e2, F.col("e1.d2") == F.col("e2.d1"))
-    closed = wedges.join(
-        e3,
-        (F.col("e3.d1") == F.col("e1.d1")) & (F.col("e3.d2") == F.col("e2.d2")),
+    deg = (
+        edges.select(F.col("d1").alias("n"))
+        .union(edges.select(F.col("d2").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
     )
-    return closed.agg(F.count("*").alias("n_triangles"))
+    # total order for orientation: (degree, id) — ties broken by id
+    keyed = (
+        edges.join(deg.withColumnRenamed("n", "d1"), "d1")
+        .withColumnRenamed("deg", "deg1")
+        .join(deg.withColumnRenamed("n", "d2"), "d2")
+        .withColumnRenamed("deg", "deg2")
+    )
+    k1 = F.struct(F.col("deg1").alias("d"), F.col("d1").alias("i"))
+    k2 = F.struct(F.col("deg2").alias("d"), F.col("d2").alias("i"))
+    oriented = keyed.select(
+        F.when(k1 < k2, F.col("d1")).otherwise(F.col("d2")).alias("src"),
+        F.when(k1 < k2, F.col("d2")).otherwise(F.col("d1")).alias("dst"),
+    ).localCheckpoint()
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    empty = F.array().cast("array<bigint>")
+    per_edge = (
+        oriented.join(
+            adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
+            F.col("src") == F.col("v"),
+            "left",
+        )
+        .join(
+            adj.select(F.col("src").alias("w"), F.col("nbrs").alias("nw")),
+            F.col("dst") == F.col("w"),
+            "left",
+        )
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.coalesce(F.col("nv"), empty),
+                    F.coalesce(F.col("nw"), empty),
+                )
+            ).alias("tri")
+        )
+    )
+    return per_edge.agg(F.sum("tri").cast("long").alias("n_triangles"))
