@@ -463,3 +463,138 @@ def graph_triangle_count(spark, sf_dir):
         )
     )
     return per_edge.agg(F.sum("tri").cast("long").alias("n_triangles"))
+
+
+@query(
+    "graph_clustering_coefficient",
+    "LLM-pipeline/graph",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT d1, d2
+        FROM cand p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    ), tri AS (
+        SELECT e1.d1 AS a, e1.d2 AS b, e2.d2 AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.d2 = e2.d1
+        JOIN edges e3 ON e3.d1 = e1.d1 AND e3.d2 = e2.d2
+    ), tri_per_node AS (
+        SELECT node, count(*) AS n_tri FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    ), degree AS (
+        SELECT node, count(*) AS deg FROM (
+            SELECT d1 AS node FROM edges
+            UNION ALL SELECT d2 FROM edges
+        ) GROUP BY node
+    )
+    SELECT d.node AS doc_id,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN d.deg < 2 THEN 0.0
+                      ELSE 2.0 * coalesce(t.n_tri, 0)
+                           / (d.deg * (d.deg - 1)) END, 6) AS clustering
+    FROM degree d LEFT JOIN tri_per_node t ON d.node = t.node
+    WHERE d.node < 100
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    """Per-node local clustering coefficient over the near-dup graph —
+    2*triangles(v) / (deg(v)*(deg(v)-1)) — the graph-quality signal
+    that separates docs inside tight duplicate cliques (coefficient
+    ~1) from bridge docs linking unrelated clusters (~0), which is how
+    a dedup pipeline decides what is safe to collapse.
+
+    Same scale machinery as ``graph_triangle_count``: checkpointed
+    edges, low-degree→high-degree orientation, and per-edge
+    ``array_intersect`` of out-neighbor arrays — then the intersection
+    EXPLODES to the third vertex so each triangle credits all three
+    corners, one groupBy away from per-node counts.  No wedge
+    materialization; output bounded to doc_id < 100 to keep the
+    oracle's triple join cheap."""
+    edges = (
+        REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir)
+        .select("d1", "d2")
+        .localCheckpoint()
+    )
+    deg = (
+        edges.select(F.col("d1").alias("n"))
+        .union(edges.select(F.col("d2").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    keyed = (
+        edges.join(deg.withColumnRenamed("n", "d1"), "d1")
+        .withColumnRenamed("deg", "deg1")
+        .join(deg.withColumnRenamed("n", "d2"), "d2")
+        .withColumnRenamed("deg", "deg2")
+    )
+    k1 = F.struct(F.col("deg1").alias("d"), F.col("d1").alias("i"))
+    k2 = F.struct(F.col("deg2").alias("d"), F.col("d2").alias("i"))
+    oriented = keyed.select(
+        F.when(k1 < k2, F.col("d1")).otherwise(F.col("d2")).alias("src"),
+        F.when(k1 < k2, F.col("d2")).otherwise(F.col("d1")).alias("dst"),
+    ).localCheckpoint()
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    empty = F.array().cast("array<bigint>")
+    third = (
+        oriented.join(
+            adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
+            F.col("src") == F.col("v"),
+            "left",
+        )
+        .join(
+            adj.select(F.col("src").alias("w"), F.col("nbrs").alias("nw")),
+            F.col("dst") == F.col("w"),
+            "left",
+        )
+        .select(
+            "src", "dst",
+            F.explode(
+                F.array_intersect(
+                    F.coalesce(F.col("nv"), empty),
+                    F.coalesce(F.col("nw"), empty),
+                )
+            ).alias("x"),
+        )
+    )
+    tri_per_node = (
+        third.select(F.col("src").alias("node"))
+        .union(third.select(F.col("dst").alias("node")))
+        .union(third.select(F.col("x").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    d = F.col("deg").cast("double")
+    return (
+        deg.withColumnRenamed("n", "node")
+        .join(tri_per_node, "node", "left")
+        .filter(F.col("node") < 100)
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint")
+            .alias("n_triangles"),
+            F.round(
+                F.when(F.col("deg") < 2, F.lit(0.0)).otherwise(
+                    2.0 * F.coalesce(F.col("n_tri"), F.lit(0)) / (d * (d - 1))
+                ),
+                6,
+            ).alias("clustering"),
+        )
+    )
