@@ -17,7 +17,14 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from ..catalog import table
 from ..registry import query
@@ -117,3 +124,67 @@ def udaf_grouped_pandas(spark, sf_dir):
         )
 
     return c.groupBy("c_mktsegment").applyInPandas(zscore, schema)
+
+
+@query(
+    "cogroup_asof_pandas",
+    "UDF",
+    oracle="""
+    SELECT e.event_id, e.user_id, o.o_orderdate AS last_order_ts
+    FROM (SELECT event_id, user_id, ts::TIMESTAMP AS ts_us
+          FROM events WHERE user_id < 200) e
+    ASOF LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND e.ts_us >= o.o_orderdate
+    """,
+)
+def cogroup_asof_pandas(spark, sf_dir):
+    """CoGrouped-map UDF (``groupBy().cogroup().applyInPandas``) — the
+    fourth Python escape hatch after scalar/pandas/grouped-map (#52-54):
+    both sides shuffle on the key, then each key's two pandas frames
+    meet in one Python call.  The canonical use is the as-of join via
+    ``pd.merge_asof`` (latest order at-or-before each event), which the
+    DuckDB oracle replays with a native ASOF LEFT JOIN.  Events with no
+    prior order surface as NULL (left semantics).  At 100 TB this is
+    one co-partitioned shuffle per side — same wire cost as the
+    equi-join formulation (#22) — with per-key python work instead of
+    a JVM aggregate; prefer #22's built-in form unless the per-group
+    logic genuinely needs pandas."""
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 200)
+        .select("event_id", "user_id", "ts_us")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("last_order_ts", TimestampType()),
+        ]
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts_us")
+        right = right.sort_values("o_orderdate")
+        merged = pd.merge_asof(
+            left,
+            right[["o_orderdate"]],
+            left_on="ts_us",
+            right_on="o_orderdate",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"],
+                "user_id": merged["user_id"],
+                "last_order_ts": merged["o_orderdate"],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(o.groupBy("user_id"))
+        .applyInPandas(asof, out_schema)
+    )
