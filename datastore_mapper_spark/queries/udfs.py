@@ -8,9 +8,13 @@ the logic genuinely can't be a built-in expression:
 - #53: Arrow-vectorized pandas UDF — the right Python hot path
   (~10-100x the row UDF);
 - #54: ``applyInPandas`` — grouped-map, the general UDAF/flatMap
-  escape hatch (also how custom stateful ops are built).
+  escape hatch (also how custom stateful ops are built);
+- ``cogroup().applyInPandas`` — cogrouped-map (two keyed frames meet
+  per key; the pd.merge_asof as-of join);
+- ``mapInArrow`` — raw RecordBatches, zero pandas conversion.
 
-Oracles inline the same arithmetic in SQL.
+Oracles inline the same arithmetic in SQL (DuckDB ASOF JOIN for the
+cogrouped as-of).
 """
 
 from __future__ import annotations
@@ -187,4 +191,59 @@ def cogroup_asof_pandas(spark, sf_dir):
         e.groupBy("user_id")
         .cogroup(o.groupBy("user_id"))
         .applyInPandas(asof, out_schema)
+    )
+
+
+@query(
+    "maparrow_byte_stats",
+    "UDF",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(max(strlen(text)) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def maparrow_byte_stats(spark, sf_dir):
+    """``mapInArrow`` — the zero-copy Arrow-batch escape hatch
+    (completes the Python surface: scalar UDF, pandas UDF, grouped map,
+    cogrouped map, and now raw RecordBatches).  Right for byte-level
+    work where pandas conversion costs more than it helps: here each
+    batch's text column is measured with ``pyarrow.compute``
+    (binary_length on the UTF-8 bytes ≙ SQL octet_length) without ever
+    leaving Arrow.  Per-batch partial rows then combine in one ordinary
+    JVM aggregation — the map side emits one row per (batch, lang), so
+    the shuffle carries O(batches x langs), not O(rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = table(spark, sf_dir, "documents").select("lang", "text")
+
+    def batch_stats(batches):
+        for batch in batches:
+            t = pa.table(
+                {
+                    "lang": batch.column("lang"),
+                    "nbytes": pc.cast(
+                        pc.binary_length(
+                            pc.cast(batch.column("text"), pa.binary())
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            )
+            grouped = t.group_by("lang").aggregate(
+                [("nbytes", "count"), ("nbytes", "sum"), ("nbytes", "max")]
+            )
+            yield grouped.rename_columns(
+                ["lang", "n", "s", "m"]
+            ).to_batches()[0]
+
+    partials = d.mapInArrow(batch_stats, "lang string, n long, s long, m long")
+    return partials.groupBy("lang").agg(
+        F.sum("n").alias("n_docs"),
+        F.sum("s").alias("total_bytes"),
+        F.max("m").alias("max_bytes"),
     )
