@@ -30,8 +30,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     LongType,
@@ -101,6 +103,9 @@ class EntityDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "EntityStreamReader":
         return EntityStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "EntityWriter":
+        return EntityWriter(self.options)
+
 
 def register(spark) -> None:
     spark.dataSource.register(EntityDataSource)
@@ -142,3 +147,70 @@ class EntityStreamReader(SimpleDataSourceStreamReader):
         return self._rows(int(start["key"]), int(end["key"]))
 
 
+
+
+class EntityCommit(WriterCommitMessage):
+    """One task's commit message: the staged file it produced."""
+
+    def __init__(self, staged_path: str, n_rows: int):
+        self.staged_path = staged_path
+        self.n_rows = n_rows
+
+
+class EntityWriter(DataSourceWriter):
+    """Two-phase-commit entity sink — the write half of the simulated
+    Datastore connector (the reference's mutation-pool PUT path,
+    SURVEY §2.A A7/A8 output surface).
+
+    Each task stages its partition as a JSON-lines file under
+    ``<path>/_staging/`` and reports it in a commit message; only the
+    driver-side ``commit`` — which runs exactly once, after ALL tasks
+    succeed — moves staged files into the destination.  A failed or
+    speculative task's output is never visible, and ``abort`` removes
+    every staged file: task-retry-safe exactly-once, the same contract
+    a real connector gets from Datastore transactions."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("datastore_entity writer requires option 'path'")
+
+    def write(self, iterator) -> "EntityCommit":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        staged = os.path.join(staging, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return EntityCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        os.makedirs(self.path, exist_ok=True)
+        for m in messages:
+            dest = os.path.join(self.path, os.path.basename(m.staged_path))
+            shutil.move(m.staged_path, dest)
+        staging = os.path.join(self.path, "_staging")
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        for m in messages:
+            try:
+                os.remove(m.staged_path)
+            except OSError:
+                pass
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)

@@ -239,3 +239,32 @@ def test_entity_stream_source_resumes_from_checkpoint(spark, tmp_path):
     # keys 0..199 are NOT re-emitted
     second = run(350, 350)
     assert sorted(r["__key__"] for r in second) == list(range(350))
+
+
+def test_entity_writer_two_phase_commit(spark, tmp_path):
+    """The custom Python Data Source WRITER: rows land as JSON-lines via
+    stage-then-commit — all rows present exactly once, no staging
+    residue after commit."""
+    import json
+    import os
+
+    from datastore_mapper_spark.sources.entity_source import register
+
+    register(spark)
+    dest = str(tmp_path / "entity_out")
+    df = spark.range(250).selectExpr(
+        "id AS __key__", "'demo' AS kind", "'default' AS namespace",
+        "concat('demo-', id) AS payload",
+    ).repartition(4)
+    df.write.format("datastore_entity").option("path", dest).mode(
+        "append"
+    ).save()
+
+    keys = []
+    for name in os.listdir(dest):
+        assert name.endswith(".jsonl")
+        with open(os.path.join(dest, name)) as f:
+            for line in f:
+                keys.append(json.loads(line)["__key__"])
+    assert sorted(keys) == list(range(250))  # exactly once, no dups
+    assert not os.path.exists(os.path.join(dest, "_staging"))
