@@ -202,3 +202,56 @@ def sink_orc_roundtrip(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.sum("l_orderkey").alias("sum_key"),
     )
+
+
+@query(
+    "sink_entity_writer_roundtrip",
+    "sink",
+    oracle="""
+    SELECT o_orderstatus AS kind_payload_status,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    description="Custom Python Data Source WRITER round-trip: "
+    "stage-then-commit entity sink, JSON-lines read-back aggregates "
+    "must equal the oracle's aggregate over the source.",
+)
+def sink_entity_writer_roundtrip(spark, sf_dir):
+    """Round-trip orders through the custom entity WRITER
+    (sources/entity_source.py EntityWriter): each task stages JSON-lines,
+    the driver commit publishes atomically — the reference's
+    mutation-pool PUT path (A7/A8) as a first-class Spark sink.  The
+    read-back is schema-pinned JSON; equality with the source-side
+    oracle proves no row was lost, duplicated, or mangled by the
+    two-phase commit."""
+    import shutil
+
+    from ..sources.entity_source import register
+
+    register(spark)
+    o = table(spark, sf_dir, "orders")
+    dest = os.path.join(_SCRATCH, "sink_entity_writer")
+    shutil.rmtree(dest, ignore_errors=True)
+    (
+        o.selectExpr(
+            "o_orderkey AS __key__",
+            "'order' AS kind",
+            "'default' AS namespace",
+            "o_orderstatus AS payload",
+        )
+        .write.format("datastore_entity")
+        .option("path", dest)
+        .mode("append")
+        .save()
+    )
+    back = spark.read.schema(
+        "__key__ bigint, kind string, namespace string, payload string"
+    ).json(os.path.join(dest, "*.jsonl"))
+    return back.groupBy(
+        F.col("payload").alias("kind_payload_status")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum("__key__").alias("sum_key"),
+    )
