@@ -202,3 +202,29 @@ def test_no_unexpected_nested_loop_joins(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_join_hints_control_physical_strategy(spark, sf_dir):
+    """The three join-strategy hints must each produce their operator —
+    the knob a 100 TB tuning session reaches for when AQE's choice is
+    wrong (e.g. forcing shuffle-hash when sort keys are expensive, or
+    merge when the build side would not fit)."""
+    from datastore_mapper_spark.catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cases = {
+            "merge": "SortMergeJoin",
+            "shuffle_hash": "ShuffledHashJoin",
+            "broadcast": "BroadcastHashJoin",
+        }
+        for hint, operator in cases.items():
+            plan = formatted(li.join(o.hint(hint), "o_orderkey"))
+            assert operator in plan, f"hint {hint}: {operator} not planned"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
