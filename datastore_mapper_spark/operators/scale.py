@@ -297,14 +297,33 @@ def compact_parquet_dir(
 #
 # ``num_partitions`` is passed explicitly to ``repartitionByRange`` so
 # AQE never coalesces it (coalescing could renumber
-# spark_partition_id between the data branch and the offsets branch);
-# the two branches also canonicalize to the same Exchange, so Spark's
-# ReuseExchange evaluates the range shuffle once.
+# spark_partition_id between the data branch and the offsets branch).
+#
+# The keyed frame is PERSISTED (round-5 ADVICE, medium): the data
+# branch and the offsets branch must observe the SAME evaluation of
+# the range exchange — repartitionByRange samples its bounds with a
+# per-RDD seed, so two independent evaluations over a large or
+# shuffle-order-nondeterministic input can pick different bounds and
+# silently misalign the offsets.  ReuseExchange only saves us when the
+# two branches canonicalize identically, and column pruning routinely
+# breaks that (observed: window_ntile_first_last planned TWO evaluated
+# range exchanges because the offsets branch pruned payload columns
+# below its exchange).  persist(MEMORY_AND_DISK) pins one physical RDD
+# shared by both branches; lineage is kept, so an evicted/lost block
+# recomputes through the SAME shuffle id and the SAME bounds (a
+# localCheckpoint would truncate lineage and turn block loss into job
+# failure).  Cost: one cache write of the keyed data — the price of a
+# correct distributed prefix sum; classic two-pass MapReduce pays the
+# same materialization between passes.
 
 
 def _range_keyed(df: DataFrame, order_cols: list[Column], n: int) -> DataFrame:
-    return df.repartitionByRange(n, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    from pyspark import StorageLevel
+
+    return (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -395,6 +414,20 @@ def ranged_row_number(
     )
 
 
+def _long_floor_div(a: Column, b: Column) -> Column:
+    """Exact ``a div b`` for non-negative longs at ANY magnitude.
+
+    ``(a / b).cast("long")`` routes through double division, which is
+    inexact once a exceeds 2^53 (round-5 ADVICE).  Instead: ``pmod``
+    yields the exact remainder with pure integer arithmetic, and the
+    remaining ``(a - r) / b`` divides an exact multiple — done in
+    decimal(38,0) so no value ever touches a double."""
+    r = F.pmod(a, b)
+    return (
+        (a - r).cast("decimal(38,0)") / b.cast("decimal(38,0)")
+    ).cast("long")
+
+
 def ntile_from_row_number(rn: Column, n_rows: Column, k: int) -> Column:
     """SQL ``ntile(k)`` computed from a global row number and the total
     row count — the scalable replacement for ``ntile(k) OVER (ORDER BY
@@ -403,15 +436,19 @@ def ntile_from_row_number(rn: Column, n_rows: Column, k: int) -> Column:
 
     ntile semantics: bucket sizes differ by at most one, larger buckets
     first — with ``q = n div k`` and ``r = n mod k``, buckets ``1..r``
-    hold ``q+1`` rows.  Integer-exact at any scale (no double division).
+    hold ``q+1`` rows.  Integer-exact at any scale: all division goes
+    through :func:`_long_floor_div` (pmod + decimal), never a double.
     """
-    q = (n_rows / k).cast("long")  # floor for non-negative
-    r = n_rows - q * k
+    long_cast = lambda c: c.cast("long")  # noqa: E731
+    q = _long_floor_div(long_cast(n_rows), F.lit(k).cast("long"))
+    r = long_cast(n_rows) - q * k
     big_span = r * (q + 1)  # rows covered by the size-(q+1) buckets
-    ceil_div = lambda a, b: ((a + b - F.lit(1)) / b).cast("long")  # noqa: E731
+    ceil_div = lambda a, b: _long_floor_div(  # noqa: E731
+        a + b - F.lit(1), b
+    )
     return (
         F.when(n_rows < F.lit(k), rn)  # degenerate: fewer rows than tiles
-        .when(rn <= big_span, ceil_div(rn, q + 1))
-        .otherwise(r + ceil_div(rn - big_span, q))
+        .when(rn <= big_span, ceil_div(long_cast(rn), q + 1))
+        .otherwise(r + ceil_div(long_cast(rn) - big_span, q))
         .cast("int")
     )

@@ -515,7 +515,8 @@ def median_exact_scalable(spark, sf_dir):
         rn.filter((F.col("__rn") == p1) | (F.col("__rn") == p2))
         .agg(
             F.round(F.avg("o_totalprice"), 4).alias("median_price"),
-            F.first("__n").alias("n"),
+            # empty input: the oracle's count(*) is 0, not NULL
+            F.coalesce(F.first("__n"), F.lit(0).cast("long")).alias("n"),
         )
     )
 

@@ -462,7 +462,13 @@ def graph_triangle_count(spark, sf_dir):
             ).alias("tri")
         )
     )
-    return per_edge.agg(F.sum("tri").cast("long").alias("n_triangles"))
+    # empty edge set: sum over no rows is NULL but the oracle's
+    # count-shaped expression yields 0 -- pin the 0.
+    return per_edge.agg(
+        F.coalesce(F.sum("tri").cast("long"), F.lit(0).cast("long")).alias(
+            "n_triangles"
+        )
+    )
 
 
 @query(

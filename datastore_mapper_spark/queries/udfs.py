@@ -237,9 +237,12 @@ def maparrow_byte_stats(spark, sf_dir):
             grouped = t.group_by("lang").aggregate(
                 [("nbytes", "count"), ("nbytes", "sum"), ("nbytes", "max")]
             )
-            yield grouped.rename_columns(
+            # pyarrow may return a multi-chunk aggregate; indexing
+            # to_batches()[0] would silently drop the later chunks'
+            # langs from the partials -- yield every batch.
+            yield from grouped.rename_columns(
                 ["lang", "n", "s", "m"]
-            ).to_batches()[0]
+            ).combine_chunks().to_batches()
 
     partials = d.mapInArrow(batch_stats, "lang string, n long, s long, m long")
     return partials.groupBy("lang").agg(

@@ -488,3 +488,66 @@ def test_ranged_running_sum_exclusive_matches_global_window(spark, sf_dir):
     g = {(r.o_orderkey, r.pre) for r in got.collect()}
     e = {(r.o_orderkey, r.pre) for r in want.collect()}
     assert g == e
+
+
+def _final_plan_after_exec(df) -> str:
+    """Execute ``df`` and return ONLY the AQE final-plan section."""
+    df.collect()
+    plan = _physical_plan(df)
+    return plan.split("== Initial Plan ==")[0]
+
+
+def _assert_shared_range_cache(final_plan: str, ctx=""):
+    """Round-5 ADVICE (medium): ranged_running_sum / ranged_row_number
+    are only correct if the data branch and the offsets branch read the
+    SAME evaluation of the repartitionByRange exchange — the range
+    bounds are sampled with a per-RDD seed, so two independent
+    evaluations can pick different bounds and silently misalign the
+    offsets (ReuseExchange does NOT reliably fire: column pruning below
+    the exchange breaks canonicalization, observed live on
+    window_ntile_first_last).  The operator therefore persists the
+    keyed frame — both branches then resolve to the one cached
+    relation by plan identity.  Pin it: the plan must contain an
+    InMemoryRelation, and every rangepartitioning exchange must live
+    INSIDE a cached subtree (no free-standing range exchange that a
+    second branch could independently re-evaluate)."""
+    assert "InMemoryRelation" in final_plan, (ctx, final_plan)
+    n_range = final_plan.count("Exchange rangepartitioning")
+    n_cached = final_plan.count("InMemoryRelation")
+    assert n_range <= n_cached, (ctx, n_range, n_cached, final_plan)
+
+
+def test_ranged_ops_share_one_range_partitioning(spark, sf_dir):
+    from datastore_mapper_spark.operators.scale import (
+        ranged_row_number,
+        ranged_running_sum,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    order = [F.asc("o_totalprice"), F.asc("o_orderkey")]
+    for build in (
+        lambda: ranged_row_number(o, order, "rn", num_partitions=7),
+        lambda: ranged_running_sum(
+            o, order, "o_totalprice", "cum", num_partitions=7
+        ),
+    ):
+        df = build()
+        _assert_shared_range_cache(_final_plan_after_exec(df))
+        df.unpersist()
+
+
+def test_graded_ranged_queries_share_one_range_partitioning(spark, sf_dir):
+    """Same invariant asserted end-to-end on graded queries that ride
+    the two-pass ranged operators (payload columns beside the order
+    keys are exactly what broke exchange canonicalization)."""
+    from datastore_mapper_spark.registry import all_queries
+
+    specs = all_queries()
+    for name in (
+        "window_ntile_first_last",
+        "customer_abc_pareto",
+        "pack_sequences_token_budget",
+        "median_exact_scalable",
+    ):
+        final = _final_plan_after_exec(specs[name].fn(spark, sf_dir))
+        _assert_shared_range_cache(final, ctx=name)
