@@ -27,18 +27,20 @@ from . import scale_queries  # noqa: F401
 from ..registry import reorder_front
 
 # SURVEY §2.B contract order.  The driver grades the FIRST 50 registered
-# queries (round-2 VERDICT, "Driver-grading mechanics"), so 50 contract
-# rows — all oracle-checked — are pinned to the front.
+# queries (round-2 VERDICT, "Driver-grading mechanics"), so 50
+# oracle-checked rows are pinned to the front.
 #
-# ROUND-5 ROTATION (round-4 VERDICT item 6, open since round 2): the 8
-# contract rows that had never received a driver-graded entry
-# (udf_*, udaf_*, top_terms_per_lang, sinks, the two streaming demos)
-# are rotated INTO the graded window this round.  To make room, 8 rows
-# with multiple prior green driver entries (r1-r3: the four set ops and
-# four function suites) rotate out to positions 51-58, where the local
-# gate (tests/test_contract_oracle.py + scripts/check_contract.py)
-# still covers them.  Net: after this round every §2.B row has at least
-# one driver-recorded CORRECTNESS entry.
+# ROUND-6 ROTATION (round-5 VERDICT item 1): every §2.B row now has at
+# least one driver-recorded green CORRECTNESS entry (r1-r5), but 162 of
+# the 200+ registered queries — including every LLM-pipeline flagship —
+# have never been driver-graded.  Keep contract rows 1-30 pinned;
+# rotate positions 31-50 to the 20 pipeline/scale flagships named in
+# the round-5 VERDICT (all oracle-checked, all green in the local
+# gate).  The 20 rows rotated out (UDF surface, sinks, streaming demos,
+# stream-shaped batch, LLM core — all r5-driver-green) move behind the
+# window where tests/test_contract_oracle.py + scripts/check_contract.py
+# still grade them every run.  The rotation schedule lives in
+# REGISTRY.md §"Driver-grading rotation".
 _CONTRACT_ORDER = [
     # §2.B rows 1-13: scans + aggregation
     "scan_project", "scan_filter_pushdown", "filter_null_semantics",
@@ -53,21 +55,33 @@ _CONTRACT_ORDER = [
     "window_rank_topn_per_group", "window_row_number_dedup",
     "window_lag_lead_delta", "window_running_sum", "window_moving_avg",
     "window_ntile_first_last", "sort_multi_key_nulls", "topk_global",
-    # rotated IN (were contract rows 51-58; never driver-graded before)
+    # rows 31-50, rotated IN this round: dedup family
+    "dedup_keep_canonical", "dedup_cluster_assign",
+    "neardup_jaccard_prefix", "neardup_cosine_bucketed",
+    "dedup_exact_digest",
+    # exact distributed order statistics (two-pass ranged operators)
+    "median_exact_scalable", "percentiles_exact_scalable",
+    # training-data pipeline: packing / splits / sampling / mixing
+    "pack_sequences_token_budget", "split_leakfree_by_source",
+    "contamination_check", "domain_mix_rebalance",
+    "weighted_sample_without_replacement", "tfidf_top_terms",
+    # scale levers: bucketed co-located join, skew salting
+    "join_bucketed_colocated", "agg_salted_skew_sum", "join_salted_skew",
+    # reference ETL surface + remaining fn/relational flagships
+    "sink_entity_writer_roundtrip", "mapper_job_etl", "fn_variant_json",
+    "recursive_cte_date_spine",
+    # rotated OUT this round (all r5-driver-green; local gate covers)
     "top_terms_per_lang", "udf_python_scalar", "udf_pandas_vectorized",
     "udaf_grouped_pandas", "sink_parquet_roundtrip",
     "approx_count_distinct", "stream_tumbling_demo",
     "stream_dropDuplicates_demo",
-    # rows 35-36, 40-42 of the original order: function suites kept in
     "fn_date_suite", "fn_explode_unnest", "fn_json_extract",
     "agg_collect_sorted",
-    # rows 43-46: stream-shaped batch
     "tumbling_window_1h", "sliding_window_counts", "session_windows_gap30m",
     "late_data_watermark_sim",
-    # rows 47-50: LLM-pipeline core (completes the driver's 50-window)
     "dedup_exact", "dedup_near_jaccard", "knn_cosine_top10",
     "text_stats_by_lang",
-    # rotated OUT this round (green in r1-r3 driver records; local gate)
+    # rotated out in round 5 (r1-r3 driver-green)
     "set_union_all", "set_union_distinct", "set_intersect", "set_except",
     "fn_string_suite", "fn_math_suite", "fn_conditional", "fn_array_suite",
 ]
