@@ -167,7 +167,7 @@ BNLJ_ALLOWED = {
     "late_data_watermark_sim",   # 1-row watermark scalar
     "knn_cosine_top10",          # 1 query vector broadcast
     "knn_batch_top3",            # 10-row query batch broadcast
-    "neardup_cosine_pairs",      # exact all-pairs baseline by design
+    "neardup_cosine_pairs",      # all-pairs calibration anchor, capped at 500 vecs
     "tfidf_top_terms",           # 1-row corpus-count scalar
     "unigram_logprob_score",     # 1-row corpus-total scalar
     "winsorized_price_stats",    # 1-row quantile-bounds scalar
