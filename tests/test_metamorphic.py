@@ -112,3 +112,135 @@ def test_dedup_keep_canonical_partitions_corpus(spark, sf_dir):
     dropped = all_ids - kept
     for doc in dropped:
         assert doc in clusters and clusters[doc] in kept
+
+
+def test_session_skewsafe_equals_plain_on_mega_user(spark):
+    """session_windows_skewsafe must reproduce the single-pass
+    sessionization bit-for-bit on a synthetic mega-user whose sessions
+    chain across MANY hour buckets (the stitching path the fixture
+    barely exercises): 20k events for one user at 5-minute intervals
+    form ONE session spanning ~69 hour-buckets, interleaved with burst
+    users whose sessions split within buckets."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.registry import all_queries  # noqa: F401
+    import datastore_mapper_spark.queries.stream_batch as sb
+
+    gap = sb._GAP_US
+    rows = []
+    # mega-user 1: continuous 5-min cadence -> one giant session
+    t0 = 1_700_000_000_000_000
+    for i in range(20_000):
+        rows.append((1, i, t0 + i * 300_000_000))
+    # user 2: alternating short gaps and >30min gaps, some exactly ==
+    # gap (must NOT split) and gap+1us (must split)
+    t = t0
+    eid = 100_000
+    for i in range(500):
+        rows.append((2, eid, t)); eid += 1
+        t += gap if i % 3 == 0 else (gap + 1 if i % 3 == 1 else 60_000_000)
+    # user 3: one event per hour bucket boundary, exactly gap apart
+    # across adjacent buckets
+    for i in range(100):
+        rows.append((3, eid, t0 + i * gap)); eid += 1
+    df = spark.createDataFrame(rows, "user_id long, event_id long, us long")
+
+    def plain(d):
+        from pyspark.sql import Window
+
+        order = Window.partitionBy("user_id").orderBy("us", "event_id")
+        flagged = d.withColumn("prev_us", F.lag("us").over(order)).withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("us") - F.col("prev_us") > gap),
+                1,
+            ).otherwise(0),
+        )
+        s = flagged.withColumn(
+            "session_id", F.sum("is_new").over(order).cast("long")
+        )
+        return s.groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_events"),
+            (F.max("us") - F.min("us")).alias("span_us"),
+        )
+
+    def skewsafe(d):
+        from pyspark.sql import Window
+
+        w_in = Window.partitionBy("user_id", "bucket").orderBy(
+            "us", "event_id"
+        )
+        base = d.withColumn("bucket", F.floor(F.col("us") / sb._BUCKET_US))
+        local = (
+            base.withColumn("prev_us", F.lag("us").over(w_in))
+            .withColumn(
+                "is_new",
+                F.when(
+                    F.col("prev_us").isNull()
+                    | (F.col("us") - F.col("prev_us") > gap),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn("local_id", F.sum("is_new").over(w_in).cast("long"))
+        )
+        summaries = local.groupBy("user_id", "bucket").agg(
+            F.max("local_id").alias("k"),
+            F.min("us").alias("first_us"),
+            F.max("us").alias("last_us"),
+        )
+        w_b = Window.partitionBy("user_id").orderBy("bucket")
+        offsets = (
+            summaries.withColumn("prev_last", F.lag("last_us").over(w_b))
+            .withColumn(
+                "merge",
+                F.when(
+                    (F.col("first_us") - F.col("prev_last")) <= gap, F.lit(1)
+                ).otherwise(F.lit(0)),
+            )
+            .withColumn(
+                "offset",
+                F.coalesce(
+                    F.sum("k").over(
+                        w_b.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                - F.sum("merge").over(
+                    w_b.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .select("user_id", "bucket", "offset")
+        )
+        sess = local.join(offsets, ["user_id", "bucket"]).withColumn(
+            "session_id", (F.col("offset") + F.col("local_id")).cast("long")
+        )
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_events"),
+            (F.max("us") - F.min("us")).alias("span_us"),
+        )
+
+    got = {tuple(r) for r in skewsafe(df).collect()}
+    want = {tuple(r) for r in plain(df).collect()}
+    assert got == want
+    # the mega-user collapsed to ONE session despite spanning ~69
+    # hour buckets -> the stitching chain worked end to end
+    mega = [r for r in want if r[0] == 1]
+    assert len(mega) == 1 and mega[0][2] == 20_000
+
+
+def test_session_skewsafe_plan_bounds_task_input(spark, sf_dir):
+    """The row-level window must partition by (user_id, bucket) — the
+    per-task bound — with only the one-row-per-bucket summary windows
+    partitioned by user alone."""
+    import re
+
+    from datastore_mapper_spark.registry import all_queries
+
+    df = all_queries()["session_windows_skewsafe"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    row_level = [s for s in specs if "bucket#" in s and "us#" in s]
+    assert row_level, plan  # lag/cumsum windows keyed by (user, bucket)
+    for s in row_level:
+        assert "user_id#" in s
