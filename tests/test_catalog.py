@@ -80,3 +80,37 @@ def test_events_ts_us_is_timestamp_not_ntz(spark, sf_dir):
     assert isinstance(e.schema["ts_us"].dataType, TimestampType)
     # unix_micros is the downstream consumer that broke under bare NTZ
     assert e.select(F.unix_micros("ts_us")).first()[0] is not None
+
+
+def test_canary_fresh_ns_parquet_matches_duckdb(spark, tmp_path):
+    """Round-5 VERDICT item 8: the end-to-end canary.  Write a FRESH
+    timestamp[ns] parquet (same physical type as the fixtures), read it
+    through the real Spark parquet reader + with_ts_us, and assert the
+    µs values equal DuckDB's ``ts::TIMESTAMP`` interpretation of the
+    same file.  The branch tests above feed with_ts_us synthetic
+    frames; only this test catches a SILENT semantic change inside the
+    parquet read itself (the round-4 failure mode) — the next drift
+    fails one named test instead of 200 queries."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "canary_ns.parquet")
+    t = pa.table({"ts": pa.array(_NANOS + [1_600_000_000_999_999_999],
+                                 type=pa.timestamp("ns"))})
+    pq.write_table(t, path)
+
+    got = [
+        r.us
+        for r in with_ts_us(spark.read.parquet(path))
+        .select(F.unix_micros("ts_us").alias("us"))
+        .orderBy("us")
+        .collect()
+    ]
+    want = [
+        row[0]
+        for row in duckdb.sql(
+            f"SELECT epoch_us(ts::TIMESTAMP) AS us FROM '{path}' ORDER BY us"
+        ).fetchall()
+    ]
+    assert got == want
