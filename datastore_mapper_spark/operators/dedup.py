@@ -405,3 +405,71 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def jaccard_prefix_candidates(
+    doc_toks: DataFrame,
+    theta_num: int,
+    theta_den: int,
+) -> DataFrame:
+    """Lossless prefix-filtered candidate pairs for a Jaccard
+    set-similarity self-join at threshold ``theta_num/theta_den``
+    (PPJoin-family prefix filtering).
+
+    ``doc_toks``: (doc_id, toks array<string>, distinct tokens).
+    Returns exact-verified ``(d1, d2, inter, sz1, sz2)`` with
+    ``d1 < d2`` for every candidate that shares a prefix token and
+    passes the size-ratio bound; callers apply the final threshold
+    ``inter * theta_den >= (sz1 + sz2 - inter) * theta_num``.
+
+    Losslessness: under a global token order, two sets with
+    J >= theta MUST share a token within each set's first
+    ``|S| - ceil(theta*|S|) + 1`` tokens; tokens are ordered by
+    ascending document frequency so the prefix holds each doc's
+    rarest tokens and fan-out stays tiny.  All bounds are integer
+    arithmetic — a float theta would occasionally round the prefix
+    one token short and silently drop pairs.
+    """
+    from pyspark.sql import Window
+
+    toks = doc_toks.select(
+        "doc_id", F.explode("toks").alias("tok"), F.size("toks").alias("sz")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ranked = toks.join(dfreq, "tok").withColumn(
+        "pos",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "tok")),
+    )
+    # prefix length = sz - ceil(theta*sz) + 1, in exact integers
+    ceil_theta_sz = F.expr(
+        f"(({theta_num} * sz) + {theta_den - 1}) div {theta_den}"
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - ceil_theta_sz + 1
+    ).select("doc_id", "tok", "sz")
+    p1, p2 = prefix.alias("a"), prefix.alias("b")
+    # size filter, also lossless: J >= n/d forces den*|smaller| >=
+    # num*|larger| in both directions
+    cand = (
+        p1.join(
+            p2,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") * theta_num <= F.col("a.sz") * theta_den)
+            & (F.col("a.sz") * theta_num <= F.col("b.sz") * theta_den),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    t1 = doc_toks.select(F.col("doc_id").alias("d1"), F.col("toks").alias("ta"))
+    t2 = doc_toks.select(F.col("doc_id").alias("d2"), F.col("toks").alias("tb"))
+    return (
+        cand.join(t1, "d1")
+        .join(t2, "d2")
+        .select(
+            "d1", "d2",
+            F.size(F.array_intersect("ta", "tb")).alias("inter"),
+            F.size("ta").alias("sz1"),
+            F.size("tb").alias("sz2"),
+        )
+    )

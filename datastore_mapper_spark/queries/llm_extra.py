@@ -896,49 +896,13 @@ def neardup_jaccard_prefix(spark, sf_dir):
     pairs.  Verify stage rejoins full token arrays (exact Jaccard).
     The oracle is the exact all-pairs formulation; equality with it
     proves losslessness end-to-end."""
+    from ..operators.dedup import jaccard_prefix_candidates
+
     d = table(spark, sf_dir, "documents")
     doc_toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    toks = doc_toks.select(
-        "doc_id", F.explode("toks").alias("tok"), F.size("toks").alias("sz")
-    )
-    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    ranked = toks.join(dfreq, "tok").withColumn(
-        "pos",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "tok")
-        ),
-    )
-    prefix = ranked.filter(
-        F.col("pos") <= F.col("sz") - F.expr("((4 * sz) + 4) div 5") + 1
-    ).select("doc_id", "tok", "sz")
-    p1, p2 = prefix.alias("a"), prefix.alias("b")
-    # size filter, also lossless: J >= 4/5 forces the set sizes within
-    # a 4:5 ratio (theta*|A| <= |B| <= |A|/theta), integer bounds again
-    cand = (
-        p1.join(
-            p2,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.sz") * 4 <= F.col("a.sz") * 5)
-            & (F.col("a.sz") * 4 <= F.col("b.sz") * 5),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
-    t1 = doc_toks.select(F.col("doc_id").alias("d1"), F.col("toks").alias("ta"))
-    t2 = doc_toks.select(F.col("doc_id").alias("d2"), F.col("toks").alias("tb"))
-    scored = (
-        cand.join(t1, "d1")
-        .join(t2, "d2")
-        .select(
-            "d1", "d2",
-            F.size(F.array_intersect("ta", "tb")).alias("inter"),
-            F.size("ta").alias("sz1"),
-            F.size("tb").alias("sz2"),
-        )
-    )
+    scored = jaccard_prefix_candidates(doc_toks, theta_num=4, theta_den=5)
     jac = F.col("inter").cast("double") / (
         F.col("sz1") + F.col("sz2") - F.col("inter")
     )
