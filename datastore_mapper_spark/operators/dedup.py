@@ -473,3 +473,45 @@ def jaccard_prefix_candidates(
             F.size("tb").alias("sz2"),
         )
     )
+
+
+def capped_jaccard_pairs(doc_toks: DataFrame, df_cap: int) -> DataFrame:
+    """Candidate pairs for a Jaccard self-join via an inverted index
+    with a document-frequency cap, exact-verified.
+
+    ``doc_toks``: (doc_id, toks array<string>, distinct tokens).
+    Tokens with df > ``df_cap`` (corpus-scale stopwords) are dropped
+    from candidate generation, bounding the pair blow-up at
+    Σ_{df<=cap} df² instead of Σ df²; candidates then rejoin the FULL
+    token arrays so the returned (d1, d2, inter, sz1, sz2) scores are
+    exact.  Recall property (measured in
+    tests/test_operators.py::test_df_cap_recall_when_cap_binds):
+    a qualifying pair is missed IFF every one of its shared tokens is
+    above-cap."""
+    toks = doc_toks.select("doc_id", F.explode("toks").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    rare = toks.join(dfreq.filter(F.col("df") <= df_cap), "tok").select(
+        "doc_id", "tok"
+    )
+    r1, r2 = rare.alias("a"), rare.alias("b")
+    cand = (
+        r1.join(
+            r2,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    t1 = doc_toks.select(F.col("doc_id").alias("d1"), F.col("toks").alias("ta"))
+    t2 = doc_toks.select(F.col("doc_id").alias("d2"), F.col("toks").alias("tb"))
+    return (
+        cand.join(t1, "d1")
+        .join(t2, "d2")
+        .select(
+            "d1", "d2",
+            F.size(F.array_intersect("ta", "tb")).alias("inter"),
+            F.size("ta").alias("sz1"),
+            F.size("tb").alias("sz2"),
+        )
+    )

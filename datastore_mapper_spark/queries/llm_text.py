@@ -84,48 +84,17 @@ def dedup_near_jaccard(spark, sf_dir):
     sets so the Jaccard score is exact even when the cap binds.  At
     100 TB stage (1) is alternatively MinHash LSH banding
     (operators/dedup.py); stage (2) is identical."""
+    from ..operators.dedup import capped_jaccard_pairs
+
     d = table(spark, sf_dir, "documents")
     doc_toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
-    toks = doc_toks.select("doc_id", F.explode("toks").alias("tok"))
-    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    rare = (
-        toks.join(dfreq.filter(F.col("df") <= NEAR_DUP_DF_CAP), "tok")
-        .select("doc_id", "tok")
-    )
-    r1 = rare.alias("a")
-    r2 = rare.alias("b")
-    cand = (
-        r1.join(
-            r2,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
     )
     # exact verify on whole token ARRAYS (array_intersect per pair, all
     # JVM-side) — two joins on doc_id instead of re-exploding both
     # sides into a (pair × token) join; measured 110 s -> array form at
     # sf0.1's duplicate-heavy 3M-pair fixture
-    t1 = doc_toks.select(
-        F.col("doc_id").alias("d1"), F.col("toks").alias("ta")
-    )
-    t2 = doc_toks.select(
-        F.col("doc_id").alias("d2"), F.col("toks").alias("tb")
-    )
-    scored = (
-        cand.join(t1, "d1")
-        .join(t2, "d2")
-        .select(
-            "d1",
-            "d2",
-            F.size(F.array_intersect("ta", "tb")).alias("inter"),
-            F.size("ta").alias("sz1"),
-            F.size("tb").alias("sz2"),
-        )
-    )
+    scored = capped_jaccard_pairs(doc_toks, NEAR_DUP_DF_CAP)
     jac = F.col("inter").cast("double") / (
         F.col("sz1") + F.col("sz2") - F.col("inter")
     )
