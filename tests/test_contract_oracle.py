@@ -29,15 +29,10 @@ def test_contract_rows_registered_first():
 
     names = list(SPECS)
     assert names[: len(_CONTRACT_ORDER)] == _CONTRACT_ORDER
-    assert names[48] == "knn_cosine_top10"
-    # every graded-window row is oracle-checked except the declared
-    # rows-only rotation set (sinks/streams/approx — rows-only by
-    # contract, rotated into the window in round 5 to get a
-    # driver-recorded entry)
-    rows_only = {
-        "sink_parquet_roundtrip", "approx_count_distinct",
-        "stream_tumbling_demo", "stream_dropDuplicates_demo",
-    }
+    # round-6 rotation (REGISTRY.md "Driver-grading rotation"): rows
+    # 1-30 pinned §2.B core, rows 31-50 the pipeline/scale flagships
+    assert names[30] == "dedup_keep_canonical"
+    assert names[49] == "recursive_cte_date_spine"
+    # every row of the round-6 graded window is oracle-checked
     for n in _CONTRACT_ORDER[:50]:
-        if n not in rows_only:
-            assert SPECS[n].oracle is not None, n
+        assert SPECS[n].oracle is not None, n
