@@ -187,6 +187,11 @@ def write_zordered(
         F.min(col_b).alias("b_min"),
         F.max(col_b).alias("b_max"),
     ).first()
+    if stats.a_min is None or stats.b_min is None:
+        # empty input: nothing to cluster — write the (schema-bearing)
+        # empty dataset instead of crashing on the min/max probe
+        df.write.mode("overwrite").parquet(path)
+        return
     domain = (1 << bits) - 1
 
     def scaled(col: str, lo, hi) -> Column:

@@ -652,10 +652,12 @@ def pq_adc_knn(spark, sf_dir):
     m×k lookup table — a 100 TB corpus scans codes, never raw
     embeddings.  Returns the ADC top-10 for query vector 0."""
     e = table(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:  # empty corpus / missing query id: vacuous ANN
+        return spark.createDataFrame([], "vec_id long, adist double")
     cb = sim.pq_train(e, m=4, k=16, max_iterations=4)
     codes = sim.pq_encode(e, cb, m=4)
-    q = e.filter(F.col("vec_id") == 0).first().embedding
-    return sim.pq_adc_topk(codes, cb, list(q), k=10, m=4)
+    return sim.pq_adc_topk(codes, cb, list(qrow.embedding), k=10, m=4)
 
 
 @query(

@@ -36,7 +36,9 @@ def sink_parquet_roundtrip(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem")
     dest = os.path.join(_SCRATCH, "sink_parquet_roundtrip")
     write_partitioned(li, dest, ["l_returnflag"])
-    back = spark.read.parquet(dest)
+    # explicit schema: a zero-row source writes no partition dirs, so
+    # schema inference over the empty sink would fail
+    back = spark.read.schema(li.schema).parquet(dest)
     return (
         back.groupBy("l_returnflag")
         .agg(F.count("*").alias("cnt"))
@@ -158,7 +160,7 @@ def sink_zorder_layout_pruned_scan(spark, sf_dir):
     o = table(spark, sf_dir, "orders")
     dest = os.path.join(_SCRATCH, "zorder_orders_layout")
     write_zordered(o, dest, "o_custkey", "o_orderkey", n_files=8)
-    back = spark.read.parquet(dest)
+    back = spark.read.schema(o.schema).parquet(dest)
     a = back.filter(F.col("o_custkey").between(10, 40)).agg(
         F.lit("by_custkey").alias("probe"),
         F.count("*").alias("n_rows"),

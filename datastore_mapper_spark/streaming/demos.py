@@ -103,6 +103,10 @@ def _append_via_batch_partials(
         .start()
     )
     q.awaitTermination()
+    if not os.path.exists(dest):
+        # zero-batch replay (empty source): schema-stable empty result
+        empty = spark.createDataFrame([], stream_df.schema)
+        return partial_agg(empty).limit(0)
     return spark.read.parquet(dest)
 
 
@@ -197,8 +201,20 @@ def streaming_foreach_batch_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # explicit schema: an empty replay leaves dest absent or with zero
+    # partition dirs (partitionBy writes nothing for an empty batch),
+    # where schema inference would fail
+    written = events.select(
+        "event_id", "user_id", "event_type", "value"
+    ).schema
+    if not os.path.exists(dest):  # zero-batch replay (empty source)
+        return (
+            spark.createDataFrame([], written)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("cnt"))
+        )
     return (
-        spark.read.parquet(dest)
+        spark.read.schema(written).parquet(dest)
         .groupBy("event_type")
         .agg(F.count("*").alias("cnt"))
     )
@@ -283,10 +299,14 @@ def _staged_two_batch_dir(sf_dir: str) -> str:
         os.makedirs(d, exist_ok=True)
         t = pq.read_table(path)
         ts = pc.cast(t.column("ts"), "int64")
-        cut = int(pc.quantile(ts, q=0.5, interpolation="lower").to_pylist()[0])
-        mask = pc.less_equal(ts, cut)
-        pq.write_table(t.filter(mask), f1)
-        pq.write_table(t.filter(pc.invert(mask)), f2)
+        med = pc.quantile(ts, q=0.5, interpolation="lower").to_pylist()[0]
+        if med is None:  # empty source: two empty, schema-bearing files
+            pq.write_table(t, f1)
+            pq.write_table(t, f2)
+        else:
+            mask = pc.less_equal(ts, int(med))
+            pq.write_table(t.filter(mask), f1)
+            pq.write_table(t.filter(pc.invert(mask)), f2)
         now = os.path.getmtime(f2)
         os.utime(f1, (now - 60, now - 60))  # file source orders by mtime
     return d
