@@ -38,6 +38,19 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     load_tables(spark, sf_dir)["lineitem"].count()  # warm up
 
+    def _isolate() -> None:
+        """Drop blocks a finished query left behind (persisted ranged
+        frames, localCheckpoint edge lists).  Without this, storage
+        pressure from earlier queries pollutes later measurements —
+        observed round 6: graph_triangle_count read 611 s inside the
+        sweep vs 221 s isolated.  Keeps the catalog's lazy table cache
+        (plans only, no blocks)."""
+        try:
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist(False)
+        except Exception:
+            pass
+
     out: dict[str, float | str] = {}
     for name, spec in all_queries().items():
         t0 = time.perf_counter()
@@ -47,6 +60,7 @@ def main() -> int:
             out[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # keep hunting past one bad query
             out[name] = f"ERR {type(exc).__name__}: {exc}"[:200]
+        _isolate()
         print(name, out[name], flush=True)
         with open(out_path, "w") as f:
             json.dump(out, f)
