@@ -573,3 +573,146 @@ def graph_clustering_coefficient(spark, sf_dir):
             ).alias("clustering"),
         )
     )
+
+
+@query(
+    "dedup_keep_best_quality",
+    "LLM-pipeline",
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT d1, d2
+        FROM cand p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    ), sym AS (
+        SELECT d1 AS u, d2 AS v FROM edges
+        UNION SELECT d2, d1 FROM edges
+    ), reach(node, lab) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
+    ), clusters AS (
+        SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+    ), qual AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), ranked AS (
+        SELECT q.doc_id, q.lang, q.n_tokens,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY q.n_tokens DESC, q.doc_id
+               ) AS rn
+        FROM qual q JOIN clusters c ON q.doc_id = c.node
+    )
+    SELECT doc_id, lang, n_tokens FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT q.doc_id, q.lang, q.n_tokens
+    FROM qual q LEFT JOIN clusters c ON q.doc_id = c.node
+    WHERE c.node IS NULL
+    """,
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    """Quality-priority canonical selection: like
+    ``dedup_keep_canonical``, but each near-dup cluster keeps its
+    HIGHEST-quality member (here: raw token count as the quality proxy;
+    ties broken on min doc_id) instead of the min-id member — the rule
+    real training pipelines ship when near-dups differ in truncation
+    or boilerplate.  Same pair generation -> connected components; the
+    selection is one window over cluster members (bounded by cluster
+    size), singletons pass through untouched."""
+    d = table(spark, sf_dir, "documents")
+    qual = d.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    pairs = REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+    cc = connected_components(pairs)
+    members = qual.join(
+        cc.select(F.col("node").alias("doc_id"), "cluster_id"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    best = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang", "n_tokens")
+    )
+    singletons = qual.join(
+        cc.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    )
+    return best.unionByName(singletons)
+
+
+@query(
+    "ngram_span_dup_coverage",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5
+    ), freq AS (
+        SELECT g, count(DISTINCT doc_id) AS df FROM sh GROUP BY g
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_spans,
+           round(CAST(sum(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS dup_frac
+    FROM sh s JOIN freq f USING (g)
+    GROUP BY s.doc_id
+    """,
+)
+def ngram_span_dup_coverage(spark, sf_dir):
+    """Duplicated-span coverage per document — the detection signal of
+    exact SUBSTRING dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): every positional 5-gram is a span;
+    a span is duplicated if it occurs in more than one document.
+    Reports per-doc span counts and the duplicated fraction — the score
+    a pipeline thresholds to route documents to span-removal.
+
+    Plan shape: positional shingles via JVM ``transform(sequence(...))``
+    over the token array (no Python), one groupBy for corpus-wide span
+    frequencies, one join back, one per-doc aggregate.  At 100 TB the
+    grams would carry as 8-byte xxhash64 keys instead of strings (the
+    string form is kept here so the DuckDB oracle can reproduce it
+    exactly); frequency skew on boilerplate spans is bounded by the
+    same df-cap idea as `dedup_near_jaccard`."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    base = d.select("doc_id", t.alias("t")).filter(F.size("t") >= 5)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 4),
+        lambda i: F.array_join(F.slice("t", i, 5), " "),
+    )
+    sh = base.select("doc_id", F.explode(grams).alias("g"))
+    freq = sh.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    dup = F.sum(F.when(F.col("df") > 1, 1).otherwise(0)).cast("long")
+    return (
+        sh.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            dup.alias("dup_spans"),
+            F.round(
+                dup.cast("double") / F.count("*"), 4
+            ).alias("dup_frac"),
+        )
+    )
