@@ -527,7 +527,19 @@ def graph_clustering_coefficient(spark, sf_dir):
     ).localCheckpoint()
     adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     empty = F.array().cast("array<bigint>")
-    third = (
+    # Each triangle (src, dst, w) credits all three corners, but only
+    # nodes < 100 reach the output — so the <100 restriction is pushed
+    # INTO credit generation: per edge, emit size(ws) for src/dst only
+    # when they qualify and explode only the QUALIFYING third vertices.
+    # The unrestricted form exploded every triangle corner (3 x 1.9 B
+    # rows at sf0.1) through a union+groupBy before filtering; this
+    # shuffles only the bounded credit stream (222 s -> measured below).
+    lim = F.lit(100)
+    credit = lambda n: F.struct(  # noqa: E731
+        n.alias("node"), F.size("ws").cast("long").alias("tri")
+    )
+    no_credit = F.array().cast("array<struct<node:bigint,tri:bigint>>")
+    per_edge = (
         oriented.join(
             adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv")),
             F.col("src") == F.col("v"),
@@ -540,20 +552,29 @@ def graph_clustering_coefficient(spark, sf_dir):
         )
         .select(
             "src", "dst",
-            F.explode(
-                F.array_intersect(
-                    F.coalesce(F.col("nv"), empty),
-                    F.coalesce(F.col("nw"), empty),
-                )
-            ).alias("x"),
+            F.array_intersect(
+                F.coalesce(F.col("nv"), empty),
+                F.coalesce(F.col("nw"), empty),
+            ).alias("ws"),
         )
     )
+    credits = F.concat(
+        F.when(F.col("src") < lim, F.array(credit(F.col("src"))))
+        .otherwise(no_credit),
+        F.when(F.col("dst") < lim, F.array(credit(F.col("dst"))))
+        .otherwise(no_credit),
+        F.transform(
+            F.filter(F.col("ws"), lambda w: w < lim),
+            lambda w: F.struct(
+                w.alias("node"), F.lit(1).cast("long").alias("tri")
+            ),
+        ),
+    )
     tri_per_node = (
-        third.select(F.col("src").alias("node"))
-        .union(third.select(F.col("dst").alias("node")))
-        .union(third.select(F.col("x").alias("node")))
+        per_edge.select(F.explode(credits).alias("c"))
+        .select("c.node", "c.tri")
         .groupBy("node")
-        .agg(F.count("*").alias("n_tri"))
+        .agg(F.sum("tri").alias("n_tri"))
     )
     d = F.col("deg").cast("double")
     return (
