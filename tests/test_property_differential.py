@@ -366,3 +366,169 @@ def test_jaccard_prefix_filter_is_lossless_property(spark, data):
             if inter * den >= len(s1 | s2) * num:
                 want.add((d1, d2))
     assert got == want
+
+
+@given(data=st.data())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_df_cap_miss_characterization_property(spark, data):
+    """Property: capped_jaccard_pairs finds exactly the qualifying
+    pairs that share at least one sub-cap token — a qualifying pair is
+    missed IFF every shared token is above-cap — on arbitrary corpora
+    and caps."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.operators.dedup import capped_jaccard_pairs
+
+    vocab = data.draw(st.integers(3, 10))
+    n_docs = data.draw(st.integers(2, 12))
+    docs = [
+        (
+            i,
+            sorted(
+                data.draw(
+                    st.sets(st.integers(0, vocab - 1), min_size=1,
+                            max_size=vocab)
+                )
+            ),
+        )
+        for i in range(n_docs)
+    ]
+    cap = data.draw(st.integers(1, n_docs))
+
+    from collections import Counter
+
+    dfreq = Counter(t for _, toks in docs for t in toks)
+    want = set()
+    for x, (d1, t1) in enumerate(docs):
+        for d2, t2 in docs[x + 1:]:
+            s1, s2 = set(t1), set(t2)
+            shared = s1 & s2
+            inter = len(shared)
+            if not shared or inter * 5 < len(s1 | s2) * 4:
+                continue  # not a qualifying pair (theta = 4/5)
+            if any(dfreq[t] <= cap for t in shared):
+                want.add((d1, d2))  # at least one sub-cap shared token
+
+    doc_toks = spark.createDataFrame(
+        [(i, [f"t{t}" for t in toks]) for i, toks in docs],
+        "doc_id long, toks array<string>",
+    )
+    got = {
+        (r.d1, r.d2)
+        for r in capped_jaccard_pairs(doc_toks, cap)
+        .filter(
+            F.col("inter") * 5
+            >= (F.col("sz1") + F.col("sz2") - F.col("inter")) * 4
+        )
+        .collect()
+    }
+    assert got == want
+
+
+@given(data=st.data())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_session_skewsafe_property(spark, data):
+    """Property: the two-level (user, bucket) sessionization equals the
+    single-pass lag->cumsum sessionization on arbitrary event sets —
+    including timestamps at exact bucket boundaries and exact-gap
+    spacings that sit on the merge rule's decision edge."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    import datastore_mapper_spark.queries.stream_batch as sb
+
+    gap, bucket = sb._GAP_US, sb._BUCKET_US
+    n = data.draw(st.integers(1, 60))
+    rows = []
+    for eid in range(n):
+        user = data.draw(st.integers(0, 3))
+        # timestamps biased to land on bucket/gap multiples
+        base = data.draw(st.integers(0, 8)) * bucket
+        off = data.draw(
+            st.sampled_from([0, 1, gap - 1, gap, gap + 1, bucket - 1])
+        )
+        rows.append((user, eid, base + off))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, us long")
+
+    def plain():
+        order = Window.partitionBy("user_id").orderBy("us", "event_id")
+        flagged = df.withColumn("prev_us", F.lag("us").over(order)).withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("us") - F.col("prev_us") > gap),
+                1,
+            ).otherwise(0),
+        )
+        s = flagged.withColumn(
+            "session_id", F.sum("is_new").over(order).cast("long")
+        )
+        return s.groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_events"),
+            (F.max("us") - F.min("us")).alias("span_us"),
+        )
+
+    def skewsafe():
+        w_in = Window.partitionBy("user_id", "bucket").orderBy(
+            "us", "event_id"
+        )
+        base = df.withColumn("bucket", F.floor(F.col("us") / bucket))
+        local = (
+            base.withColumn("prev_us", F.lag("us").over(w_in))
+            .withColumn(
+                "is_new",
+                F.when(
+                    F.col("prev_us").isNull()
+                    | (F.col("us") - F.col("prev_us") > gap),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn("local_id", F.sum("is_new").over(w_in).cast("long"))
+        )
+        summaries = local.groupBy("user_id", "bucket").agg(
+            F.max("local_id").alias("k"),
+            F.min("us").alias("first_us"),
+            F.max("us").alias("last_us"),
+        )
+        w_b = Window.partitionBy("user_id").orderBy("bucket")
+        offsets = (
+            summaries.withColumn("prev_last", F.lag("last_us").over(w_b))
+            .withColumn(
+                "merge",
+                F.when(
+                    (F.col("first_us") - F.col("prev_last")) <= gap, F.lit(1)
+                ).otherwise(F.lit(0)),
+            )
+            .withColumn(
+                "offset",
+                F.coalesce(
+                    F.sum("k").over(
+                        w_b.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+                - F.sum("merge").over(
+                    w_b.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .select("user_id", "bucket", "offset")
+        )
+        sess = local.join(offsets, ["user_id", "bucket"]).withColumn(
+            "session_id", (F.col("offset") + F.col("local_id")).cast("long")
+        )
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count("*").alias("n_events"),
+            (F.max("us") - F.min("us")).alias("span_us"),
+        )
+
+    assert {tuple(r) for r in skewsafe().collect()} == {
+        tuple(r) for r in plain().collect()
+    }
