@@ -632,3 +632,50 @@ def fn_variant_json(spark, sf_dir):
             F.count(F.when(F.col("miss").isNull(), 1)).alias("n_missing"),
         )
     )
+
+
+@query(
+    "fn_url_suite",
+    "scalar fn",
+    oracle="""
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/' || lang || '/'
+                 || CAST(doc_id AS VARCHAR) || '?q=' ||
+                 CAST(n_chars AS VARCHAR) || '&page=2' AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]q=([^&]*)', 1) AS q_param
+    FROM urls
+    """,
+)
+def fn_url_suite(spark, sf_dir):
+    """URL parsing suite — ``parse_url`` component extraction
+    (PROTOCOL/HOST/PATH/QUERY and a named query parameter) over URLs
+    synthesized from fixture columns.  The oracle parses the same URLs
+    with independent regexes, so Spark's JVM-side ``parse_url``
+    (backed by java.net.URI, a whole-stage-codegen expression — no
+    Python in the pipeline) is checked against a from-scratch
+    implementation rather than itself.  The per-domain crawl
+    accounting every web-corpus pipeline starts with (host extraction
+    -> groupBy) rides on exactly this expression."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?q="), F.col("n_chars").cast("string"), F.lit("&page=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
+    )

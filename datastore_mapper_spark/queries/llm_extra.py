@@ -912,3 +912,111 @@ def neardup_jaccard_prefix(spark, sf_dir):
         scored.select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
+
+
+@query(
+    "bm25_retrieval_topk",
+    "LLM-pipeline",
+    oracle="""
+    WITH dls AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ), stats AS (
+        SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+               count(*) AS n
+        FROM dls
+    ), tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok IN ('vector', 'merge', 'stream')
+        GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY 1
+    ), contrib AS (
+        SELECT t.doc_id, t.tok,
+               ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS c
+        FROM tf t
+        JOIN dfreq f USING (tok)
+        JOIN dls d ON t.doc_id = d.doc_id
+        CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           round(coalesce(max(CASE WHEN tok = 'vector' THEN c END), 0)
+                 + coalesce(max(CASE WHEN tok = 'merge' THEN c END), 0)
+                 + coalesce(max(CASE WHEN tok = 'stream' THEN c END), 0),
+                 4) AS bm25
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_retrieval_topk(spark, sf_dir):
+    """BM25 (k1=1.2, b=0.75) top-20 retrieval for a 3-term query —
+    the standard lexical-retrieval scorer a training pipeline uses for
+    quality-weighted sampling and eval-set retrieval baselines.
+
+    Scale shape: the term filter prunes the exploded token stream to
+    |query| terms BEFORE the tf aggregation, so the shuffle carries
+    O(docs x query_terms) rows, never the full token stream; document
+    frequencies (|query| rows) and the corpus length stats (1 row)
+    broadcast; the final top-k is orderBy+limit =
+    ``TakeOrderedAndProject`` (per-partition heaps), never a global
+    sort.  Determinism: per-(doc, term) contributions are summed in a
+    FIXED expression order via a pivot — a ``sum()`` over the three
+    rows would be order-nondeterministic in floating point and could
+    flip the 4-dp rounding (SURVEY §7.3-H2); ties break on doc_id
+    (§7.3-H7)."""
+    TERMS = ["vector", "merge", "stream"]
+    k1, b = 1.2, 0.75
+    d = table(spark, sf_dir, "documents")
+    dls = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    stats = dls.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n"),
+    )
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isin(TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dls, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                F.log(
+                    F.lit(1)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * 2.2)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    pivoted = contrib.groupBy("doc_id").pivot("tok", TERMS).agg(F.first("c"))
+    score = F.round(
+        F.coalesce(F.col("vector"), F.lit(0.0))
+        + F.coalesce(F.col("merge"), F.lit(0.0))
+        + F.coalesce(F.col("stream"), F.lit(0.0)),
+        4,
+    )
+    return (
+        pivoted.select("doc_id", score.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -955,3 +955,57 @@ def chunk_documents_overlap(spark, sf_dir):
         F.array_join(F.slice("w", F.col("s"), chunk_len), " ").alias("chunk"),
         chunk_len.cast("int").alias("chunk_len"),
     )
+
+
+@query(
+    "dedup_incremental_batch",
+    "LLM-pipeline",
+    oracle="""
+    WITH idx AS (
+        SELECT DISTINCT md5(text) AS dig
+        FROM documents WHERE doc_id % 5 <> 0
+    ), batch AS (
+        SELECT doc_id, source, md5(text) AS dig
+        FROM documents WHERE doc_id % 5 = 0
+    ), firsts AS (
+        SELECT doc_id, source, dig,
+               row_number() OVER (PARTITION BY dig ORDER BY doc_id) AS rn
+        FROM batch
+    )
+    SELECT f.doc_id, f.source
+    FROM firsts f
+    WHERE f.rn = 1
+      AND NOT EXISTS (SELECT 1 FROM idx i WHERE i.dig = f.dig)
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental corpus-append dedup: a new BATCH of documents
+    (doc_id % 5 = 0 stands in for today's crawl) is admitted only if
+    (a) no earlier batch member has the same content digest
+    (within-batch first-wins) and (b) the digest is absent from the
+    existing INDEX corpus (doc_id % 5 <> 0) — the shape every
+    continuously-ingesting training pipeline runs daily, as opposed to
+    the one-shot whole-corpus dedup of ``dedup_exact_digest``.
+
+    Scale shape: both sides reduce to 16-byte md5 digests before any
+    shuffle, so the index side is a digest-only projection of the
+    (arbitrarily large) historical corpus; within-batch first-wins is
+    one window over the batch's digest partitions; the cross-corpus
+    check is a LeftAnti hash join on the digest — at 100 TB the index
+    digests live as a bucketed table keyed on digest so daily runs
+    co-locate without reshuffling history.  Streaming analogue:
+    ``dropDuplicates`` + stream-static anti join
+    (streaming/demos.py)."""
+    d = table(spark, sf_dir, "documents").withColumn(
+        "dig", F.md5(F.col("text").cast("binary"))
+    )
+    idx = d.filter(F.col("doc_id") % 5 != 0).select("dig").distinct()
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dig").orderBy("doc_id")
+    firsts = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return firsts.join(idx, "dig", "left_anti").select("doc_id", "source")
