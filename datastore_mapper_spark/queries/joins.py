@@ -297,3 +297,89 @@ def join_asof_nearest(spark, sf_dir):
             F.count("*").alias("n_candidates"),
         )
     )
+
+
+@query(
+    "join_interval_overlap",
+    "join",
+    oracle="""
+    WITH l AS (
+        SELECT o_orderkey AS k1,
+               date_trunc('day', o_orderdate) AS s1,
+               date_trunc('day', o_orderdate)
+                 + INTERVAL 1 DAY * CAST(o_orderkey % 3 AS INT) AS e1
+        FROM orders
+        WHERE o_totalprice > 480000 AND o_custkey % 2 = 0
+    ), r AS (
+        SELECT o_orderkey AS k2,
+               date_trunc('day', o_orderdate) AS s2,
+               date_trunc('day', o_orderdate)
+                 + INTERVAL 1 DAY * CAST(o_orderkey % 4 AS INT) AS e2
+        FROM orders
+        WHERE o_totalprice > 480000 AND o_custkey % 2 = 1
+    )
+    SELECT k1, k2,
+           CAST(date_diff('day', greatest(s1, s2), least(e1, e2)) + 1
+                AS INT) AS ov_days
+    FROM l JOIN r ON s1 <= e2 AND s2 <= e1
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Two-sided INTERVAL OVERLAP join — both inputs are [start, end]
+    spans (day-granular order validity windows derived from the
+    fixture) and a pair qualifies iff the spans intersect.  Distinct
+    from ``join_theta_range`` (point-in-band): here BOTH sides have
+    variable-length extents, the shape of session-vs-outage overlap,
+    ad-exposure attribution, and validity-interval reconciliation.
+
+    Scale shape: each interval replicates to its covered day buckets
+    (``sequence`` + explode — replication factor = interval length in
+    days, bounded here at 4); the join is an EQUI join shuffled on the
+    bucket, never a BroadcastNestedLoopJoin.  An overlapping pair
+    would match once per shared bucket, so instead of a post-join
+    ``distinct`` (a second full shuffle of the pair stream) each pair
+    is emitted only in its RESPONSIBILITY bucket —
+    ``greatest(s1, s2)``, the first shared day, which both intervals
+    provably cover — making the bucket join exactly-once by
+    construction.  At 100 TB the bucket granularity is chosen ~median
+    interval length so replication stays O(1) per row."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 480000)
+    s = F.date_trunc("day", F.col("o_orderdate"))
+
+    def spans(df, parity, mod, k, s_name, e_name):
+        return (
+            df.filter(F.col("o_custkey") % 2 == parity)
+            .select(
+                F.col("o_orderkey").alias(k),
+                s.alias(s_name),
+                (
+                    s
+                    + F.expr("INTERVAL 1 DAY")
+                    * (F.col("o_orderkey") % mod).cast("int")
+                ).alias(e_name),
+            )
+        )
+
+    lhs = spans(o, 0, 3, "k1", "s1", "e1").withColumn(
+        "bucket",
+        F.explode(F.expr("sequence(s1, e1, INTERVAL 1 DAY)")),
+    )
+    rhs = spans(o, 1, 4, "k2", "s2", "e2").withColumn(
+        "bucket",
+        F.explode(F.expr("sequence(s2, e2, INTERVAL 1 DAY)")),
+    )
+    return (
+        lhs.join(rhs, "bucket")
+        .filter(
+            (F.col("s1") <= F.col("e2"))
+            & (F.col("s2") <= F.col("e1"))
+            & (F.col("bucket") == F.greatest("s1", "s2"))
+        )
+        .select(
+            "k1",
+            "k2",
+            (
+                F.datediff(F.least("e1", "e2"), F.greatest("s1", "s2")) + 1
+            ).cast("int").alias("ov_days"),
+        )
+    )
