@@ -257,3 +257,53 @@ def sink_entity_writer_roundtrip(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.sum("__key__").alias("sum_key"),
     )
+
+
+@query(
+    "sink_hive_partitioned_pruned_scan",
+    "sink/scale",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(user_id) AS BIGINT) AS sum_user
+    FROM events
+    WHERE event_type IN ('click', 'view')
+      AND CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-05'
+    GROUP BY 1
+    """,
+)
+def sink_hive_partitioned_pruned_scan(spark, sf_dir):
+    """Hive-style partitioned layout round trip: rewrite events
+    partitioned by (event_type, day) — the canonical 100 TB fact-table
+    layout — then probe the copy with predicates on BOTH partition
+    levels.  Directory-level partition pruning means the selective scan
+    lists and reads ONLY the 2 types x 3 days = 6 matching partition
+    dirs out of ~150, independent of total data volume; the plan's
+    ``PartitionFilters`` (vs the row-group stats pruning of
+    ``sink_sorted_layout_pruned_scan``, which still lists every file)
+    is asserted in tests/test_plans.py.  Values must match the same
+    predicate over the unpartitioned source, which is what the oracle
+    computes."""
+    e = table(spark, sf_dir, "events")
+    dest = os.path.join(_SCRATCH, "hive_partitioned_events")
+    write_partitioned(
+        e.select(
+            "event_id", "user_id", "value", "event_type",
+            F.to_date("ts_us").alias("day"),
+        ),
+        dest,
+        ["event_type", "day"],
+    )
+    # explicit schema: a zero-row source writes no partition dirs, so
+    # schema inference over the empty sink would fail
+    back = spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, value DOUBLE, "
+        "event_type STRING, day DATE"
+    ).parquet(dest).filter(
+        F.col("event_type").isin("click", "view")
+        & F.col("day").between("2024-01-03", "2024-01-05")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("user_id").cast("bigint").alias("sum_user"),
+    )

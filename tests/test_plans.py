@@ -169,6 +169,7 @@ BNLJ_ALLOWED = {
     "knn_batch_top3",            # 10-row query batch broadcast
     "neardup_cosine_pairs",      # all-pairs calibration anchor, capped at 500 vecs
     "tfidf_top_terms",           # 1-row corpus-count scalar
+    "bm25_retrieval_topk",       # 1-row corpus-length-stats scalar
     "unigram_logprob_score",     # 1-row corpus-total scalar
     "winsorized_price_stats",    # 1-row quantile-bounds scalar
     "median_absolute_deviation", # 1-row median scalar
@@ -228,3 +229,15 @@ def test_join_hints_control_physical_strategy(spark, sf_dir):
             assert operator in plan, f"hint {hint}: {operator} not planned"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_hive_partitioned_scan_prunes_directories(spark, sf_dir):
+    """sink_hive_partitioned_pruned_scan's read-back must prune at the
+    DIRECTORY level: both partition columns appear in PartitionFilters
+    (evaluated against the file listing, before any IO) — at 100 TB
+    this is the difference between scanning 6 partition dirs and
+    scanning all of them."""
+    plan = formatted(_df("sink_hive_partitioned_pruned_scan", spark, sf_dir))
+    part_section = plan[plan.index("PartitionFilters"):]
+    part_line = part_section[: part_section.index("]")]
+    assert "event_type" in part_line and "day" in part_line
