@@ -1009,3 +1009,71 @@ def dedup_incremental_batch(spark, sf_dir):
         .filter(F.col("rn") == 1)
     )
     return firsts.join(idx, "dig", "left_anti").select("doc_id", "source")
+
+
+@query(
+    "corpus_snapshot_diff",
+    "LLM-pipeline",
+    oracle="""
+    WITH old AS (
+        SELECT doc_id, md5(text) AS dig_old
+        FROM documents WHERE doc_id % 7 <> 0
+    ), new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 11 = 0 THEN upper(text)
+                        ELSE text END) AS dig_new
+        FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT CASE
+             WHEN dig_old IS NULL THEN 'added'
+             WHEN dig_new IS NULL THEN 'removed'
+             WHEN dig_old <> dig_new THEN 'changed'
+             ELSE 'unchanged'
+           END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(COALESCE(old.doc_id, new.doc_id)) AS BIGINT)
+             AS id_checksum
+    FROM old FULL OUTER JOIN new USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Dataset-versioning diff between two corpus snapshots — the
+    added/removed/changed/unchanged accounting every reproducible
+    training pipeline runs before re-training on a refreshed crawl
+    (two deterministic views of the fixture stand in for the T0/T1
+    snapshots; doc_id % 11 simulates in-place edits).
+
+    Scale shape: both snapshots reduce to (doc_id, 16-byte digest)
+    BEFORE the full-outer shuffle join, so the diff never moves
+    document bodies; the join key is the unskewed unique doc_id and
+    the result aggregates to |status| = 4 rows map-side.  At 100 TB
+    both snapshot digests live as bucketed tables on doc_id so the
+    daily diff is a co-located zipper, not a reshuffle."""
+    d = table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("dig_old")
+    )
+    new = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 11 == 0, F.upper("text")).otherwise(
+                F.col("text")
+            )
+        ).alias("dig_new"),
+    )
+    status = (
+        F.when(F.col("dig_old").isNull(), "added")
+        .when(F.col("dig_new").isNull(), "removed")
+        .when(F.col("dig_old") != F.col("dig_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        old.join(new, "doc_id", "full_outer")
+        .select(status.alias("status"), "doc_id")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )

@@ -1,7 +1,11 @@
-"""TPC-H-shaped flagship queries (Q3/Q4/Q10/Q14/Q18 adapted to the
-fixture schema — no shipmode/commitdate/address columns, so predicates
-substitute available columns while keeping each query's *shape*:
-the join topology, aggregation structure, and ordering semantics).
+"""TPC-H-shaped flagship queries, adapted to the fixture schema while
+keeping each query's *shape* (join topology, aggregation structure,
+ordering semantics).  All 22 shapes are covered: fixtures lack
+partsupp/shipmode/commitdate/address columns, so Q2/Q11/Q16 run over a
+deterministically DERIVED partsupp (see _PARTSUPP_SQL below — identical
+integer-hash derivation on both engines), Q12 derives l_shipmode from
+the line key, and other queries substitute available columns for
+missing predicate columns.
 
 Revenue sums go through DECIMAL(18,4) on BOTH sides (SURVEY §7.3-H2):
 double sums after a join shuffle are order-sensitive in the last ulp;
@@ -747,4 +751,292 @@ def tpch_q13_customer_distribution(spark, sf_dir):
         per_cust.groupBy("c_count")
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --- derived partsupp: the fixture set has no partsupp table, so the 4
+# remaining TPC-H shapes (Q2/Q11/Q12/Q16) derive one DETERMINISTICALLY
+# from part x supplier-count on BOTH engines: each part gets 4 supplier
+# assignments (ps_suppkey = (p_partkey + 1 + i*(S div 4)) % S, distinct
+# for S >= 4 at every scale factor), with availqty/supplycost as pure
+# integer hashes (cost kept in CENTS as BIGINT so every aggregate in
+# these queries is integer-exact — no decimal-width or FP seam at all).
+# The derivation is an EQUI join against a 4-row explode, never a
+# part x supplier cross join.
+
+_PARTSUPP_SQL = """
+    partsupp AS (
+        SELECT p_partkey AS ps_partkey,
+               CAST((p_partkey + 1 + i * (s.cnt // 4)) % s.cnt AS BIGINT)
+                 AS ps_suppkey,
+               CAST(1 + (p_partkey * 7
+                         + ((p_partkey + 1 + i * (s.cnt // 4)) % s.cnt) * 13)
+                        % 1000 AS BIGINT) AS ps_availqty,
+               CAST((p_partkey * 31
+                     + ((p_partkey + 1 + i * (s.cnt // 4)) % s.cnt) * 17)
+                    % 10000 AS BIGINT) AS ps_cost_cents
+        FROM part,
+             (SELECT unnest([0, 1, 2, 3]) AS i),
+             (SELECT count(*) AS cnt FROM supplier) s
+    )
+"""
+
+
+def _partsupp(spark, sf_dir):
+    p = table(spark, sf_dir, "part")
+    s_cnt = table(spark, sf_dir, "supplier").agg(F.count("*").alias("cnt"))
+    sk = (
+        F.col("p_partkey") + 1 + F.col("i") * F.expr("cnt div 4")
+    ) % F.col("cnt")
+    return (
+        p.crossJoin(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            "cnt",
+            F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            sk.cast("bigint").alias("ps_suppkey"),
+            (
+                1 + (F.col("p_partkey") * 7 + sk * 13) % 1000
+            ).cast("bigint").alias("ps_availqty"),
+            (
+                (F.col("p_partkey") * 31 + sk * 17) % 10000
+            ).cast("bigint").alias("ps_cost_cents"),
+        )
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    "flagship subquery",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    regional AS (
+        SELECT s_suppkey, s_acctbal, s_name, n_name
+        FROM supplier, nation, region
+        WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+    ), costs AS (
+        SELECT ps_partkey, ps_suppkey, ps_cost_cents
+        FROM partsupp JOIN regional ON ps_suppkey = s_suppkey
+    ), mins AS (
+        SELECT ps_partkey, min(ps_cost_cents) AS mc
+        FROM costs GROUP BY 1
+    )
+    SELECT r.s_acctbal, r.s_name, r.n_name, p.p_partkey, p.p_name,
+           c.ps_cost_cents
+    FROM costs c
+    JOIN mins m ON c.ps_partkey = m.ps_partkey AND c.ps_cost_cents = m.mc
+    JOIN regional r ON c.ps_suppkey = r.s_suppkey
+    JOIN part p ON c.ps_partkey = p.p_partkey
+    WHERE p.p_size BETWEEN 10 AND 20 AND p.p_type = 'STANDARD'
+    ORDER BY r.s_acctbal DESC, r.n_name, r.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2: for each STANDARD mid-size part, the EUROPE supplier(s)
+    offering the minimum supply cost — the classic decorrelated-MIN
+    shape.  The regional supplier dim (supplier⋈nation⋈region)
+    broadcasts; the per-part MIN is a groupBy + equi self-join instead
+    of a correlated subquery (what Catalyst would rewrite to anyway,
+    stated explicitly); final top-100 is TakeOrderedAndProject with a
+    total tie-break.  Cost stays in integer cents (derivation note
+    above) so the min/equality carry no FP seam."""
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    )
+    regional = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    costs = ps.join(
+        F.broadcast(regional), ps.ps_suppkey == regional.s_suppkey
+    ).select("ps_partkey", "ps_suppkey", "ps_cost_cents")
+    mins = costs.groupBy("ps_partkey").agg(
+        F.min("ps_cost_cents").alias("mc")
+    )
+    return (
+        costs.join(
+            mins,
+            (costs.ps_partkey == mins.ps_partkey)
+            & (costs.ps_cost_cents == mins.mc),
+        )
+        .drop(mins.ps_partkey)
+        .join(
+            F.broadcast(regional),
+            F.col("ps_suppkey") == regional.s_suppkey,
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "ps_cost_cents",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    "flagship subquery",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    natps AS (
+        SELECT ps_partkey, ps_cost_cents * ps_availqty AS v
+        FROM partsupp, supplier, nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_3'
+    ), tot AS (SELECT sum(v) AS t FROM natps)
+    SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS value_cents
+    FROM natps, tot
+    GROUP BY ps_partkey, t
+    HAVING sum(v) * 500 > t
+    ORDER BY value_cents DESC, ps_partkey
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """Q11: parts whose stock value at one nation's suppliers exceeds
+    1/500 of that nation's total — aggregate vs a global-scalar HAVING.
+    The nation filter reduces suppliers to a broadcast dim; the total
+    is a 1-row broadcast reused against the per-part aggregate; the
+    threshold compare is pure integer arithmetic (``500 * value > t``
+    — no 0.0001 float multiply, so no FP-boundary flakiness at any
+    scale)."""
+    ps = _partsupp(spark, sf_dir)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    nat_sup = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey"
+    )
+    natps = ps.join(
+        F.broadcast(nat_sup), ps.ps_suppkey == nat_sup.s_suppkey
+    ).select(
+        "ps_partkey",
+        (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v"),
+    )
+    tot = natps.agg(F.sum("v").alias("t"))
+    return (
+        natps.groupBy("ps_partkey")
+        .agg(F.sum("v").cast("bigint").alias("value_cents"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 500 > F.col("t"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+_SHIPMODES = "['MAIL', 'SHIP', 'TRUCK', 'AIR', 'RAIL']"
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    "flagship join",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey, l_shipdate,
+               list_extract({_SHIPMODES},
+                            CAST((l_orderkey + l_linenumber) % 5 AS INT) + 1)
+                 AS l_shipmode
+        FROM lineitem
+    )
+    SELECT l_shipmode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN li ON o_orderkey = l_orderkey
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_shipmode
+    """,
+)
+def tpch_q12_shipmode_priority(spark, sf_dir):
+    """Q12: order-priority mix per ship mode (fixture has no
+    l_shipmode/commitdate — mode derived deterministically from the
+    line key on BOTH engines, date window substitutes the
+    receipt-window predicate; shape preserved: fact⋈fact equi join +
+    conditional aggregation).  The mode filter applies BEFORE the join
+    so only ~2/5 of lineitem shuffles; both counts come from one pass
+    (no second scan for the complement)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01")
+        & (F.col("l_shipdate") < "1999-01-01")
+    )
+    modes = F.array(
+        *[F.lit(m) for m in ["MAIL", "SHIP", "TRUCK", "AIR", "RAIL"]]
+    )
+    li = li.select(
+        "l_orderkey",
+        F.element_at(
+            modes,
+            ((F.col("l_orderkey") + F.col("l_linenumber")) % 5).cast("int")
+            + 1,
+        ).alias("l_shipmode"),
+    ).filter(F.col("l_shipmode").isin("MAIL", "SHIP"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_count",
+    "flagship subquery",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_part_count(spark, sf_dir):
+    """Q16: distinct supplier count per (brand, type, size) for
+    non-excluded parts, minus a complaint-list of suppliers (stand-in
+    predicate ``s_suppkey % 7 = 0`` — fixture has no comment column).
+    The exclusion is a LeftAnti join against a broadcast-sized key
+    list (Catalyst's null-aware NOT IN rewrite, stated explicitly);
+    part predicates push to the parquet scan; countDistinct expands on
+    the already-reduced (brand,type,size,suppkey) projection."""
+    ps = _partsupp(spark, sf_dir)
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(bad, ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("bigint").alias("supplier_cnt"))
     )
