@@ -457,3 +457,44 @@ def ntile_from_row_number(rn: Column, n_rows: Column, k: int) -> Column:
         .otherwise(r + ceil_div(long_cast(rn) - big_span, q))
         .cast("int")
     )
+
+
+def interval_overlap_join(
+    lhs: DataFrame,
+    rhs: DataFrame,
+    s1: str = "s1",
+    e1: str = "e1",
+    s2: str = "s2",
+    e2: str = "e2",
+    step: str = "INTERVAL 1 DAY",
+) -> DataFrame:
+    """Overlap join of two interval relations as an EQUI join.
+
+    Intervals are inclusive ``[s, e]`` on a fixed grid (timestamps with
+    ``step='INTERVAL 1 DAY'``, or integers with ``step='1'``); a row
+    pair qualifies iff the intervals intersect.  Each interval
+    replicates to its covered grid buckets (``sequence`` + explode,
+    fan-out = interval length in buckets) and the join shuffles on the
+    bucket — never a BroadcastNestedLoopJoin.  A pair intersecting k
+    shared buckets would match k times, so it is emitted only in its
+    RESPONSIBILITY bucket ``greatest(s1, s2)``: the first shared
+    bucket, covered by both intervals by construction — exactly-once
+    with no post-join ``distinct`` (a second full shuffle of the pair
+    stream).  At 100 TB choose the grid ~median interval length so
+    fan-out stays O(1) per row.  Column names must be disjoint apart
+    from the four endpoint columns."""
+    l = lhs.withColumn(
+        "__bucket", F.explode(F.expr(f"sequence({s1}, {e1}, {step})"))
+    )
+    r = rhs.withColumn(
+        "__bucket", F.explode(F.expr(f"sequence({s2}, {e2}, {step})"))
+    )
+    return (
+        l.join(r, "__bucket")
+        .filter(
+            (F.col(s1) <= F.col(e2))
+            & (F.col(s2) <= F.col(e1))
+            & (F.col("__bucket") == F.greatest(s1, s2))
+        )
+        .drop("__bucket")
+    )

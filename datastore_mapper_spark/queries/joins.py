@@ -360,26 +360,14 @@ def join_interval_overlap(spark, sf_dir):
             )
         )
 
-    lhs = spans(o, 0, 3, "k1", "s1", "e1").withColumn(
-        "bucket",
-        F.explode(F.expr("sequence(s1, e1, INTERVAL 1 DAY)")),
-    )
-    rhs = spans(o, 1, 4, "k2", "s2", "e2").withColumn(
-        "bucket",
-        F.explode(F.expr("sequence(s2, e2, INTERVAL 1 DAY)")),
-    )
-    return (
-        lhs.join(rhs, "bucket")
-        .filter(
-            (F.col("s1") <= F.col("e2"))
-            & (F.col("s2") <= F.col("e1"))
-            & (F.col("bucket") == F.greatest("s1", "s2"))
-        )
-        .select(
-            "k1",
-            "k2",
-            (
-                F.datediff(F.least("e1", "e2"), F.greatest("s1", "s2")) + 1
-            ).cast("int").alias("ov_days"),
-        )
+    from ..operators.scale import interval_overlap_join
+
+    lhs = spans(o, 0, 3, "k1", "s1", "e1")
+    rhs = spans(o, 1, 4, "k2", "s2", "e2")
+    return interval_overlap_join(lhs, rhs).select(
+        "k1",
+        "k2",
+        (
+            F.datediff(F.least("e1", "e2"), F.greatest("s1", "s2")) + 1
+        ).cast("int").alias("ov_days"),
     )

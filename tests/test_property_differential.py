@@ -532,3 +532,48 @@ def test_session_skewsafe_property(spark, data):
     assert {tuple(r) for r in skewsafe().collect()} == {
         tuple(r) for r in plain().collect()
     }
+
+
+@given(data=st.data())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_overlap_join_exactly_once_property(spark, data):
+    """Differential property (round 6): the bucket-replicated overlap
+    join with responsibility-bucket dedup must emit EXACTLY the naive
+    quadratic overlap set, exactly once per pair, for arbitrary
+    integer intervals — including zero-length intervals, nested
+    intervals, identical intervals, and pairs sharing many buckets
+    (the case where a missing responsibility filter would duplicate)."""
+    from datastore_mapper_spark.operators.scale import interval_overlap_join
+
+    n1 = data.draw(st.integers(1, 25))
+    n2 = data.draw(st.integers(1, 25))
+
+    def intervals(n):
+        out = []
+        for i in range(n):
+            s = data.draw(st.integers(0, 30))
+            ln = data.draw(st.integers(0, 12))
+            out.append((i, s, s + ln))
+        return out
+
+    left = intervals(n1)
+    right = intervals(n2)
+    lhs = spark.createDataFrame(left, "k1 long, s1 long, e1 long")
+    rhs = spark.createDataFrame(right, "k2 long, s2 long, e2 long")
+    got = sorted(
+        (r.k1, r.k2)
+        for r in interval_overlap_join(lhs, rhs, step="1")
+        .select("k1", "k2")
+        .collect()
+    )
+    want = sorted(
+        (k1, k2)
+        for k1, s1, e1 in left
+        for k2, s2, e2 in right
+        if s1 <= e2 and s2 <= e1
+    )
+    assert got == want  # set equality AND multiplicity (exactly-once)
