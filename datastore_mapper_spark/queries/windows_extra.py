@@ -521,3 +521,89 @@ def order_interarrival_stats(spark, sf_dir):
         F.round(F.percentile("gap_days", 0.5), 4).alias("median_gap_days"),
         F.max("gap_days").cast("bigint").alias("max_gap_days"),
     )
+
+
+@query(
+    "timeseries_gap_fill_ffill",
+    "window/timeseries",
+    oracle="""
+    WITH users AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_custkey < 20
+    ), days AS (
+        SELECT CAST(unnest(generate_series(DATE '1997-01-01',
+                                           DATE '1997-03-31',
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+    ), daily AS (
+        SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+                    AS DECIMAL(38,4)) AS total
+        FROM orders
+        WHERE o_custkey < 20
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY 1, 2
+    )
+    SELECT u.o_custkey AS custkey, d.day,
+           last_value(t.total IGNORE NULLS) OVER (
+               PARTITION BY u.o_custkey ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS total_ffill
+    FROM users u
+    CROSS JOIN days d
+    LEFT JOIN daily t ON t.o_custkey = u.o_custkey AND t.day = d.day
+    """,
+)
+def timeseries_gap_fill_ffill(spark, sf_dir):
+    """Resample-to-grid gap filling: densify each entity's sparse daily
+    series onto a complete date spine, then forward-fill
+    (last-observation-carried-forward) — the standard
+    feature-engineering step before any rolling computation that
+    assumes a gapless grid.  Composition of three covered primitives:
+    generated date spine x entity dim (both broadcast-small — the
+    spine is |days| rows regardless of fact volume), a left join
+    against the aggregated facts (shuffles only the AGGREGATED daily
+    rows, never raw orders), and the IGNORE-NULLS window
+    (`window_ignore_nulls`) per entity.  Per-entity window partitions
+    are |days| rows — bounded by the grid, not the data, so no skewed
+    or giant partition exists at any fact scale.  Totals go through
+    DECIMAL(18,4)->(38,4) on both sides (§7.3-H2); NULL before an
+    entity's first observation is preserved (no zero-fill) and
+    hash-compared."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    users = o.select("o_custkey").distinct()
+    days = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(DATE '1997-01-01', DATE '1997-03-31',"
+                " interval 1 day)"
+            )
+        ).alias("day")
+    )
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .groupBy(
+            "o_custkey", F.to_date("o_orderdate").alias("day")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(38,4)")
+            .alias("total")
+        )
+    )
+    grid = users.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["o_custkey", "day"], "left")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "day",
+            F.last("total", ignorenulls=True).over(w).alias("total_ffill"),
+        )
+    )

@@ -179,6 +179,7 @@ BNLJ_ALLOWED = {
     "histogram_equi_depth",      # 1-row total-count scalar (two-pass ntile)
     "window_ntile_first_last",   # 1-row total-count scalar (two-pass ntile)
     "median_exact_scalable",     # 1-row total-count scalar (two-pass median)
+    "timeseries_gap_fill_ffill", # |days|-row generated date spine broadcast
     "tpch_q2_min_cost_supplier",   # 1-row supplier-count scalar (partsupp derivation)
     "tpch_q11_important_stock",    # 1-row supplier-count + 1-row total scalars
     "tpch_q16_supplier_part_count",  # 1-row supplier-count scalar (partsupp derivation)
