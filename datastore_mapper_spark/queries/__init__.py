@@ -30,16 +30,17 @@ from ..registry import reorder_front
 # queries (round-2 VERDICT, "Driver-grading mechanics"), so 50
 # oracle-checked rows are pinned to the front.
 #
-# ROUND-6 ROTATION (round-5 VERDICT item 1): every §2.B row now has at
-# least one driver-recorded green CORRECTNESS entry (r1-r5), but 162 of
-# the 200+ registered queries — including every LLM-pipeline flagship —
-# have never been driver-graded.  Keep contract rows 1-30 pinned;
-# rotate positions 31-50 to the 20 pipeline/scale flagships named in
-# the round-5 VERDICT (all oracle-checked, all green in the local
-# gate).  The 20 rows rotated out (UDF surface, sinks, streaming demos,
-# stream-shaped batch, LLM core — all r5-driver-green) move behind the
-# window where tests/test_contract_oracle.py + scripts/check_contract.py
-# still grade them every run.  The rotation schedule lives in
+# ROUND-7 ROTATION (round-6 VERDICT items 1-2): rows 1-30 (the §2.B
+# core) stay pinned.  Position 31 keeps `agg_salted_skew_sum` — the one
+# r6 red (hash-only; bitwise-green locally at 3 SFs) — re-landed with
+# the result width pinned DECIMAL(38,2) on both sides like its two
+# green siblings, so r7 records the re-grade.  Positions 32-50 rotate
+# to the 19 TPC-H flagship shapes (queries/tpch_style.py, the most
+# complex query graphs in the registry with zero driver signal so
+# far); q22 + the subquery/CTE module head the round-8 rotation.  The
+# 19 rows rotated out (r6-driver-green pipeline/scale flagships) move
+# behind the window where tests/test_contract_oracle.py +
+# scripts/check_contract.py still grade them every run.  Schedule:
 # REGISTRY.md §"Driver-grading rotation".
 _CONTRACT_ORDER = [
     # §2.B rows 1-13: scans + aggregation
@@ -55,22 +56,31 @@ _CONTRACT_ORDER = [
     "window_rank_topn_per_group", "window_row_number_dedup",
     "window_lag_lead_delta", "window_running_sum", "window_moving_avg",
     "window_ntile_first_last", "sort_multi_key_nulls", "topk_global",
-    # rows 31-50, rotated IN this round: dedup family
+    # row 31: r6 red re-landed with pinned decimal width (see its doc)
+    "agg_salted_skew_sum",
+    # rows 32-50, rotated IN this round: TPC-H flagships q2-q21
+    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_count",
+    "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive", "tpch_q20_nested_in",
+    "tpch_q21_waiting_supplier",
+    # rotated OUT this round (all r6-driver-green; local gate covers)
     "dedup_keep_canonical", "dedup_cluster_assign",
     "neardup_jaccard_prefix", "neardup_cosine_bucketed",
     "dedup_exact_digest",
-    # exact distributed order statistics (two-pass ranged operators)
     "median_exact_scalable", "percentiles_exact_scalable",
-    # training-data pipeline: packing / splits / sampling / mixing
     "pack_sequences_token_budget", "split_leakfree_by_source",
     "contamination_check", "domain_mix_rebalance",
     "weighted_sample_without_replacement", "tfidf_top_terms",
-    # scale levers: bucketed co-located join, skew salting
-    "join_bucketed_colocated", "agg_salted_skew_sum", "join_salted_skew",
-    # reference ETL surface + remaining fn/relational flagships
+    "join_bucketed_colocated", "join_salted_skew",
     "sink_entity_writer_roundtrip", "mapper_job_etl", "fn_variant_json",
     "recursive_cte_date_spine",
-    # rotated OUT this round (all r5-driver-green; local gate covers)
+    # rotated out in round 6 (r5-driver-green)
     "top_terms_per_lang", "udf_python_scalar", "udf_pandas_vectorized",
     "udaf_grouped_pandas", "sink_parquet_roundtrip",
     "approx_count_distinct", "stream_tumbling_demo",

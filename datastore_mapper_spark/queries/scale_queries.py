@@ -83,7 +83,8 @@ def join_bucketed_colocated(spark, sf_dir):
     oracle="""
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS cnt,
-           sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS sum_qty_dec
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -95,13 +96,24 @@ def agg_salted_skew_sum(spark, sf_dir):
     decimal cast makes the reassociated sum EXACT, so the salted result
     hash-matches the plain GROUP BY oracle — proving the skew lever is
     a pure physical rewrite.  Salts derive from xxhash64 of the row
-    key, never rand(): task retries recompute identical salts."""
+    key, never rand(): task retries recompute identical salts.
+
+    Round-6 driver red (rows+schema green, hash red) despite bitwise
+    local parity at three SFs: the lone structural difference from its
+    two green siblings was the unpinned result width (implicit sum∘sum
+    widening 18,2→28,2→38,2 vs an explicit CAST).  The driver's value
+    hash is width-sensitive (see queries/tpch_style.py:24-28), so both
+    sides now pin DECIMAL(38,2) explicitly, like the siblings."""
     li = table(spark, sf_dir, "lineitem").withColumn(
         "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
     )
     return salted_groupby_sum(
         li, "l_returnflag", n_salts=16, sum_cols=["qty_dec"], unique_col="l_orderkey"
-    ).select("l_returnflag", "cnt", F.col("sum_qty_dec"))
+    ).select(
+        "l_returnflag",
+        "cnt",
+        F.col("sum_qty_dec").cast("decimal(38,2)").alias("sum_qty_dec"),
+    )
 
 
 @query(

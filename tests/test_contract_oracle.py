@@ -29,10 +29,12 @@ def test_contract_rows_registered_first():
 
     names = list(SPECS)
     assert names[: len(_CONTRACT_ORDER)] == _CONTRACT_ORDER
-    # round-6 rotation (REGISTRY.md "Driver-grading rotation"): rows
-    # 1-30 pinned §2.B core, rows 31-50 the pipeline/scale flagships
-    assert names[30] == "dedup_keep_canonical"
-    assert names[49] == "recursive_cte_date_spine"
-    # every row of the round-6 graded window is oracle-checked
+    # round-7 rotation (REGISTRY.md "Driver-grading rotation"): rows
+    # 1-30 pinned §2.B core, row 31 the re-landed salted agg, rows
+    # 32-50 the TPC-H flagships q2-q21
+    assert names[30] == "agg_salted_skew_sum"
+    assert names[31] == "tpch_q2_min_cost_supplier"
+    assert names[49] == "tpch_q21_waiting_supplier"
+    # every row of the round-7 graded window is oracle-checked
     for n in _CONTRACT_ORDER[:50]:
         assert SPECS[n].oracle is not None, n
