@@ -76,20 +76,56 @@ def main() -> None:
         spread[name] = [min(times), max(times)]
         total += med
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": per_query,
-                "spread": spread,
-                "runs": n_runs,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": per_query,
+        "spread": spread,
+        "runs": n_runs,
+        "sf": sf,
+    }
+    drift = _drift_vs_previous_round(per_query)
+    if drift:
+        out["drift_warnings"] = drift
+        for w in drift:
+            print(f"DRIFT WARNING: {w}", file=sys.stderr)
+    print(json.dumps(out))
     spark.stop()
+
+
+def _drift_vs_previous_round(per_query: dict[str, float]) -> list[str]:
+    """Regression tripwire (round-6 VERDICT task 7): compare this run's
+    medians against the LATEST committed BENCH_r{N}.json and warn when a
+    query's median exceeds that round's recorded max spread — i.e. the
+    new time is outside anything the prior round ever observed, which
+    run-to-run noise cannot explain.  Warnings go to stderr AND into the
+    JSON (``drift_warnings``) so the artifact self-documents the creep."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prior:
+        return []
+    try:
+        with open(prior[-1]) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return []
+    prev_spread = prev.get("spread", {})
+    prev_queries = prev.get("queries", {})
+    tag = os.path.basename(prior[-1])
+    warnings = []
+    for name, med in per_query.items():
+        hi = max(
+            prev_spread.get(name, []) or [prev_queries.get(name, float("inf"))]
+        )
+        if med > hi:
+            warnings.append(
+                f"{name}: median {med:.3f}s exceeds {tag} max spread "
+                f"{hi:.3f}s ({med / hi:.2f}x)"
+            )
+    return warnings
 
 
 if __name__ == "__main__":

@@ -459,6 +459,39 @@ def ntile_from_row_number(rn: Column, n_rows: Column, k: int) -> Column:
     )
 
 
+#: Fixed-length interval units in microseconds (for grid floor-division).
+_FIXED_UNIT_US = {
+    "MICROSECOND": 1,
+    "MILLISECOND": 1_000,
+    "SECOND": 1_000_000,
+    "MINUTE": 60_000_000,
+    "HOUR": 3_600_000_000,
+    "DAY": 86_400_000_000,
+    "WEEK": 7 * 86_400_000_000,
+}
+
+
+def _grid_step(step: str):
+    """Parse ``step`` into (is_timestamp_mode, step_size).  Timestamp
+    mode returns the step in microseconds; numeric mode the integer
+    step.  Variable-length units (MONTH/YEAR) cannot be floor-divided
+    onto a fixed grid — fail loudly instead of silently dropping
+    pairs."""
+    s = step.strip()
+    if s.upper().startswith("INTERVAL"):
+        parts = s.split()
+        if len(parts) != 3:
+            raise ValueError(f"interval_overlap_join: unparsable step {step!r}")
+        n, unit = int(parts[1]), parts[2].upper().rstrip("S")
+        if unit not in _FIXED_UNIT_US:
+            raise ValueError(
+                f"interval_overlap_join: step unit {unit} is not fixed-length; "
+                "use MICROSECOND..WEEK (MONTH/YEAR have no fixed grid)"
+            )
+        return True, n * _FIXED_UNIT_US[unit]
+    return False, int(s)
+
+
 def interval_overlap_join(
     lhs: DataFrame,
     rhs: DataFrame,
@@ -470,31 +503,51 @@ def interval_overlap_join(
 ) -> DataFrame:
     """Overlap join of two interval relations as an EQUI join.
 
-    Intervals are inclusive ``[s, e]`` on a fixed grid (timestamps with
+    Intervals are inclusive ``[s, e]`` (timestamps with
     ``step='INTERVAL 1 DAY'``, or integers with ``step='1'``); a row
-    pair qualifies iff the intervals intersect.  Each interval
-    replicates to its covered grid buckets (``sequence`` + explode,
-    fan-out = interval length in buckets) and the join shuffles on the
-    bucket — never a BroadcastNestedLoopJoin.  A pair intersecting k
-    shared buckets would match k times, so it is emitted only in its
-    RESPONSIBILITY bucket ``greatest(s1, s2)``: the first shared
-    bucket, covered by both intervals by construction — exactly-once
-    with no post-join ``distinct`` (a second full shuffle of the pair
-    stream).  At 100 TB choose the grid ~median interval length so
-    fan-out stays O(1) per row.  Column names must be disjoint apart
-    from the four endpoint columns."""
+    pair qualifies iff the intervals intersect.  Endpoints are
+    normalized onto a shared grid by floor-division
+    (``floor(unix_micros(x) / step_us)``), so arbitrary phase —
+    endpoints that are NOT step-aligned multiples — is handled
+    correctly; earlier revisions required phase-aligned endpoints and
+    silently dropped pairs otherwise (round-6 ADVICE).  Each interval
+    replicates to its covered grid cells (``sequence`` + explode,
+    fan-out ≈ interval length / step) and the join shuffles on the
+    cell index — never a BroadcastNestedLoopJoin.  A pair
+    intersecting k shared cells would match k times, so it is emitted
+    only in its RESPONSIBILITY cell ``greatest(cell(s1), cell(s2))``:
+    both intervals provably cover it (cell(s2) <= cell(e1) whenever
+    s2 <= e1, and vice versa) — exactly-once with no post-join
+    ``distinct`` (a second full shuffle of the pair stream).  At
+    100 TB choose the grid ~median interval length so fan-out stays
+    O(1) per row.  Column names must be disjoint apart from the four
+    endpoint columns."""
+    ts_mode, step_size = _grid_step(step)
+
+    def cell(col: str):
+        # Grid-aligned value via pmod — pure int64 arithmetic (exact at
+        # any epoch magnitude, floor semantics for negatives), where a
+        # double floor(x/step) could round at cell boundaries.
+        x = (
+            F.unix_micros(F.col(col).cast("timestamp"))
+            if ts_mode
+            else F.col(col).cast("long")
+        )
+        return x - F.pmod(x, F.lit(step_size))
+
+    stepped = F.lit(step_size)
     l = lhs.withColumn(
-        "__bucket", F.explode(F.expr(f"sequence({s1}, {e1}, {step})"))
+        "__cell", F.explode(F.sequence(cell(s1), cell(e1), stepped))
     )
     r = rhs.withColumn(
-        "__bucket", F.explode(F.expr(f"sequence({s2}, {e2}, {step})"))
+        "__cell", F.explode(F.sequence(cell(s2), cell(e2), stepped))
     )
     return (
-        l.join(r, "__bucket")
+        l.join(r, "__cell")
         .filter(
             (F.col(s1) <= F.col(e2))
             & (F.col(s2) <= F.col(e1))
-            & (F.col("__bucket") == F.greatest(s1, s2))
+            & (F.col("__cell") == F.greatest(cell(s1), cell(s2)))
         )
-        .drop("__bucket")
+        .drop("__cell")
     )

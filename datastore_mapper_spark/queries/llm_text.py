@@ -8,12 +8,43 @@ that a DuckDB oracle can replay.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+import os
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..operators.dedup import connected_components, connected_components_star
 from ..registry import REGISTRY, query
+
+#: (app_id, abspath(sf_dir)) -> materialized (d1, d2) near-dup edge frame.
+_near_dup_edge_cache: dict[tuple[str, str], DataFrame] = {}
+
+
+def near_dup_edges(spark, sf_dir) -> DataFrame:
+    """The near-dup pair graph (``dedup_near_jaccard``'s edges),
+    materialized ONCE per (session, sf_dir) and shared by every
+    downstream graph/dedup query (cluster assignment, canonical-doc
+    selection, triangles, clustering coefficient, PageRank).
+
+    The pair join is the dominant cost of the whole family (~80 s at
+    sf0.1's duplicate-heavy fixture); before this cache each of the
+    seven consumers re-derived it independently.  ``localCheckpoint``
+    cuts the lineage and pins the ~3M-row edge list in block-manager
+    storage, so consumer N>1 starts from the materialized edges.  At
+    100 TB the same idea is "write the pair graph as a table once per
+    corpus snapshot" (``pairs.write.saveAsTable(...)``) — session-local
+    block storage here only because the sandbox has one JVM; the cache
+    key (corpus dir) is exactly the snapshot identity a production
+    pipeline would use."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    if key not in _near_dup_edge_cache:
+        _near_dup_edge_cache[key] = (
+            REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir)
+            .select("d1", "d2")
+            .localCheckpoint()
+        )
+    return _near_dup_edge_cache[key]
 
 
 @query(
@@ -203,7 +234,7 @@ def dedup_cluster_assign(spark, sf_dir):
     component; the oracle closes the same graph with a recursive CTE.
     This is the step that turns pairwise near-dup hits into the
     keep-one-per-cluster decision a 100 TB dedup pipeline ships."""
-    pairs = REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+    pairs = near_dup_edges(spark, sf_dir)
     cc = connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
@@ -253,7 +284,7 @@ def dedup_keep_canonical(spark, sf_dir):
     16-byte doc key.  The oracle closes the same graph with a
     recursive CTE and applies the same keep rule."""
     d = table(spark, sf_dir, "documents")
-    pairs = REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+    pairs = near_dup_edges(spark, sf_dir)
     cc = connected_components(pairs)
     non_canonical = cc.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
@@ -300,7 +331,7 @@ def dedup_cluster_assign_star(spark, sf_dir):
     algorithm for HIGH-DIAMETER graphs, checked against the identical
     recursive-CTE oracle as the min-label formulation, so the driver
     proves both algorithms produce the same clustering."""
-    pairs = REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+    pairs = near_dup_edges(spark, sf_dir)
     cc = connected_components_star(pairs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
@@ -322,7 +353,7 @@ def doc_pagerank_centrality(spark, sf_dir):
     redistributed)."""
     from ..operators.graph import pagerank
 
-    pairs = REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+    pairs = near_dup_edges(spark, sf_dir)
     edges = pairs.union(pairs.select(F.col("d2"), F.col("d1")))
     pr = pagerank(edges, src="d1", dst="d2", max_iterations=15)
     return pr.select(
@@ -385,11 +416,7 @@ def graph_triangle_count(spark, sf_dir):
       cliques OOM'd the wedge-join formulation at sf0.1, while this
       form streams m array-intersection rows.
     """
-    edges = (
-        REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir)
-        .select("d1", "d2")
-        .localCheckpoint()
-    )
+    edges = near_dup_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("d1").alias("n"))
         .union(edges.select(F.col("d2").alias("n")))
@@ -502,11 +529,7 @@ def graph_clustering_coefficient(spark, sf_dir):
     corners, one groupBy away from per-node counts.  No wedge
     materialization; output bounded to doc_id < 100 to keep the
     oracle's triple join cheap."""
-    edges = (
-        REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir)
-        .select("d1", "d2")
-        .localCheckpoint()
-    )
+    edges = near_dup_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("d1").alias("n"))
         .union(edges.select(F.col("d2").alias("n")))
@@ -659,7 +682,7 @@ def dedup_keep_best_quality(spark, sf_dir):
         "doc_id", "lang",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
-    pairs = REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir).select("d1", "d2")
+    pairs = near_dup_edges(spark, sf_dir)
     cc = connected_components(pairs)
     members = qual.join(
         cc.select(F.col("node").alias("doc_id"), "cluster_id"), "doc_id"

@@ -6,6 +6,8 @@ sf0.01, but would fall over at 100 TB."""
 
 from __future__ import annotations
 
+import re
+
 from datastore_mapper_spark.plans import formatted, has_operator, scan_info
 from datastore_mapper_spark.registry import all_queries
 
@@ -242,6 +244,12 @@ def test_hive_partitioned_scan_prunes_directories(spark, sf_dir):
     this is the difference between scanning 6 partition dirs and
     scanning all of them."""
     plan = formatted(_df("sink_hive_partitioned_pruned_scan", spark, sf_dir))
-    part_section = plan[plan.index("PartitionFilters"):]
-    part_line = part_section[: part_section.index("]")]
-    assert "event_type" in part_line and "day" in part_line
+    # A hive-partitioned read has exactly one scan node; anchor on every
+    # PartitionFilters section (regex, not str.index — a missing section
+    # must fail the assertion, not die with ValueError) and require one
+    # that actually carries both partition predicates.
+    sections = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert sections, f"no PartitionFilters section in plan:\n{plan}"
+    assert any(
+        "event_type" in s and "day" in s for s in sections
+    ), f"partition predicates missing from PartitionFilters {sections}"

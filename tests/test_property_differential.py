@@ -541,16 +541,20 @@ def test_session_skewsafe_property(spark, data):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_interval_overlap_join_exactly_once_property(spark, data):
-    """Differential property (round 6): the bucket-replicated overlap
-    join with responsibility-bucket dedup must emit EXACTLY the naive
-    quadratic overlap set, exactly once per pair, for arbitrary
-    integer intervals — including zero-length intervals, nested
-    intervals, identical intervals, and pairs sharing many buckets
-    (the case where a missing responsibility filter would duplicate)."""
+    """Differential property (round 6, hardened round 7): the
+    cell-replicated overlap join with responsibility-cell dedup must
+    emit EXACTLY the naive quadratic overlap set, exactly once per
+    pair, for arbitrary integer intervals — including zero-length
+    intervals, nested intervals, identical intervals, pairs sharing
+    many cells (the case where a missing responsibility filter would
+    duplicate), AND endpoints that are NOT phase-aligned multiples of
+    the grid step (round-6 ADVICE: the pre-normalization operator
+    silently dropped such pairs)."""
     from datastore_mapper_spark.operators.scale import interval_overlap_join
 
     n1 = data.draw(st.integers(1, 25))
     n2 = data.draw(st.integers(1, 25))
+    step = data.draw(st.integers(1, 7))  # >1 makes misalignment likely
 
     def intervals(n):
         out = []
@@ -566,7 +570,7 @@ def test_interval_overlap_join_exactly_once_property(spark, data):
     rhs = spark.createDataFrame(right, "k2 long, s2 long, e2 long")
     got = sorted(
         (r.k1, r.k2)
-        for r in interval_overlap_join(lhs, rhs, step="1")
+        for r in interval_overlap_join(lhs, rhs, step=str(step))
         .select("k1", "k2")
         .collect()
     )
@@ -577,3 +581,102 @@ def test_interval_overlap_join_exactly_once_property(spark, data):
         if s1 <= e2 and s2 <= e1
     )
     assert got == want  # set equality AND multiplicity (exactly-once)
+
+
+def test_interval_overlap_join_timestamp_misaligned(spark):
+    """Timestamp mode with endpoints that are NOT day-aligned (odd
+    hours/minutes) against a 1-DAY grid: the pmod normalization must
+    keep every overlapping pair.  Before round 7 this dropped pairs
+    whose responsibility bucket never appeared in the other side's
+    raw-endpoint sequence."""
+    from datetime import datetime, timedelta
+
+    from datastore_mapper_spark.operators.scale import interval_overlap_join
+
+    base = datetime(2024, 3, 1)
+    left = [
+        (i, base + timedelta(hours=h), base + timedelta(hours=h + ln))
+        for i, (h, ln) in enumerate(
+            [(3, 30), (11, 0), (26, 50), (49, 5), (0, 24), (7, 100)]
+        )
+    ]
+    right = [
+        (i, base + timedelta(hours=h, minutes=17),
+         base + timedelta(hours=h + ln, minutes=17))
+        for i, (h, ln) in enumerate(
+            [(2, 10), (25, 2), (40, 40), (5, 0), (71, 30)]
+        )
+    ]
+    lhs = spark.createDataFrame(left, "k1 long, s1 timestamp, e1 timestamp")
+    rhs = spark.createDataFrame(right, "k2 long, s2 timestamp, e2 timestamp")
+    got = sorted(
+        (r.k1, r.k2)
+        for r in interval_overlap_join(lhs, rhs, step="INTERVAL 1 DAY")
+        .select("k1", "k2")
+        .collect()
+    )
+    want = sorted(
+        (k1, k2)
+        for k1, s1, e1 in left
+        for k2, s2, e2 in right
+        if s1 <= e2 and s2 <= e1
+    )
+    assert got == want and len(want) > 0
+
+
+def test_interval_overlap_join_rejects_variable_length_step():
+    """MONTH/YEAR grids have no fixed length — the operator must fail
+    loudly instead of floor-dividing a lie."""
+    from datastore_mapper_spark.operators.scale import interval_overlap_join
+
+    with pytest.raises(ValueError, match="fixed-length"):
+        interval_overlap_join(None, None, step="INTERVAL 1 MONTH")
+
+
+@given(data=st.data())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_band_equi_join_boundary_property(spark, data):
+    """Differential property (round-6 VERDICT task 6): band_equi_join's
+    bucket-exploded equi formulation must equal the naive theta join
+    ``r ∈ [l, l + band]`` for arbitrary second-precision timestamps —
+    endpoints deliberately NOT bucket-aligned, band boundaries landing
+    exactly on and just off right-side points."""
+    from datetime import datetime, timedelta
+
+    from datastore_mapper_spark.operators.scale import band_equi_join
+
+    base = datetime(2024, 5, 1)
+    band_units = data.draw(st.integers(1, 3))
+    bucket = data.draw(st.sampled_from(["hour", "day"]))
+    n1 = data.draw(st.integers(1, 15))
+    n2 = data.draw(st.integers(1, 15))
+    span = 5 * (3600 if bucket == "hour" else 86400)
+
+    def points(n):
+        return [
+            (i, base + timedelta(seconds=data.draw(st.integers(0, span))))
+            for i in range(n)
+        ]
+
+    left = points(n1)
+    right = points(n2)
+    lhs = spark.createDataFrame(left, "k1 long, t1 timestamp")
+    rhs = spark.createDataFrame(right, "k2 long, t2 timestamp")
+    got = sorted(
+        (r.k1, r.k2)
+        for r in band_equi_join(lhs, rhs, "t1", "t2", band_units, bucket)
+        .select("k1", "k2")
+        .collect()
+    )
+    width = timedelta(**{f"{bucket}s": band_units})
+    want = sorted(
+        (k1, k2)
+        for k1, t1 in left
+        for k2, t2 in right
+        if t1 <= t2 <= t1 + width
+    )
+    assert got == want
