@@ -2,12 +2,17 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing here is real and tested — schema contracts,
-batch iteration, partition-preserving transforms.  The actual codec
-step is STUBBED: the image/audio libraries are not in this container,
-so :func:`decode_image_meta` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic arithmetic 'decoder'
-stands in (the oracle-checkable path used by
-``queries/llm_extra.multimodal_meta_extract``).
+batch iteration, partition-preserving transforms.  The codec layer is
+split (round-6 VERDICT task 4): UNCOMPRESSED raster formats — 24-bpp
+Windows BMP and binary PPM (P6) — decode for REAL in pure
+numpy/struct (:func:`decode_bmp24`, :func:`decode_ppm`), pixels and
+all; compressed codecs (JPEG/PNG/audio/video) still require libraries
+not present in this container, so :func:`decode_image_meta` raises
+``NotImplementedError`` for those magics unless ``fake=True``, in
+which case a deterministic arithmetic 'decoder' stands in (the
+oracle-checkable path used by
+``queries/llm_extra.multimodal_meta_extract``; the REAL path's
+oracle-checked query is ``multimodal_bmp_decode_stats``).
 
 At 100 TB: binaries stay columnar (parquet BYTE_ARRAY) next to their
 metadata; decode/resize/frame-sample run as mapInPandas over
@@ -18,14 +23,17 @@ outputs write back partitioned — never collected.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -51,18 +59,113 @@ def _fake_decode(blob: bytes) -> tuple[int, int]:
     return width, height
 
 
+def encode_bmp24(pixels: np.ndarray) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as a 24-bpp bottom-up
+    uncompressed Windows BMP (BITMAPFILEHEADER + BITMAPINFOHEADER).
+    Pure struct/numpy — exists so fixtures, tests and the
+    ``multimodal_bmp_decode_stats`` contract query exercise the REAL
+    decode path end-to-end without any image library."""
+    h, w, _ = pixels.shape
+    row_size = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    img_size = row_size * h
+    data_offset = 14 + 40
+    file_header = struct.pack(
+        "<2sIHHI", b"BM", data_offset + img_size, 0, 0, data_offset
+    )
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    # RGB -> BGR channel order, bottom row stored first
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    return file_header + info_header + rows.tobytes()
+
+
+def decode_bmp24(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of a 24-bpp uncompressed BMP ->
+    ``(width, height, (h, w, 3) RGB uint8 array)``.
+
+    Handles row padding to 4-byte boundaries, BGR channel order, and
+    both bottom-up (positive height) and top-down (negative height)
+    pixel layouts.  Compressed or non-24-bpp BMPs raise."""
+    if blob[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    data_offset = struct.unpack_from("<I", blob, 10)[0]
+    w, h_raw = struct.unpack_from("<ii", blob, 18)
+    bpp = struct.unpack_from("<H", blob, 28)[0]
+    compression = struct.unpack_from("<I", blob, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bpp uncompressed BMP decodes in-container "
+            f"(got bpp={bpp}, compression={compression})"
+        )
+    h = abs(h_raw)
+    row_size = (w * 3 + 3) & ~3
+    raw = np.frombuffer(
+        blob, dtype=np.uint8, count=row_size * h, offset=data_offset
+    ).reshape(h, row_size)
+    rgb = raw[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    if h_raw > 0:
+        rgb = rgb[::-1]  # bottom-up storage -> top-down array
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + pixels.tobytes()
+
+
+def decode_ppm(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of a binary PPM (P6) ->
+    ``(width, height, (h, w, 3) RGB uint8 array)``; handles whitespace
+    and ``#`` comment lines in the header per the netpbm spec."""
+    if blob[:2] != b"P6":
+        raise ValueError("not a P6 PPM blob")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(blob) and blob[pos : pos + 1].isspace():
+            pos += 1
+        if blob[pos : pos + 1] == b"#":  # comment runs to end of line
+            while pos < len(blob) and blob[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(blob) and not blob[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(blob[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval=255 (1 byte/sample) PPM")
+    rgb = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return w, h, rgb.reshape(h, w, 3)
+
+
+def decode_image(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """Sniff the magic and REAL-decode an uncompressed raster blob."""
+    if blob[:2] == b"BM":
+        return decode_bmp24(blob)
+    if blob[:2] == b"P6":
+        return decode_ppm(blob)
+    raise NotImplementedError(
+        "only uncompressed 24-bpp BMP and binary PPM decode in this "
+        "container; compressed codecs (JPEG/PNG/...) need an image "
+        "library — pass fake=True for the deterministic stand-in"
+    )
+
+
 def decode_image_meta(blob: bytes, fake: bool = False) -> tuple[int, int]:
     """Decode (width, height) from an image blob.
 
-    Real decoding requires an image library not present in this
-    container — STUB: raises unless ``fake=True``.
+    BMP/PPM blobs decode for REAL (:func:`decode_image`); other
+    formats require an image library not present in this container and
+    raise unless ``fake=True``.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image codec not available in this environment; pass fake=True "
-            "for the deterministic stand-in"
-        )
-    return _fake_decode(blob)
+    if fake:
+        return _fake_decode(blob)
+    w, h, _ = decode_image(blob)
+    return w, h
 
 
 def as_binary_media(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -92,6 +195,86 @@ def extract_media_meta(media_df: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, MEDIA_META_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def render_bmp_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL 24-bpp BMP per document, deterministically from
+    ``doc_id`` alone: width ``(id % 13) + 2``, height ``(id % 7) + 2``,
+    pixel ``(x, y)`` channels ``R = (id % 200) + x``,
+    ``G = (id % 200) + y``, ``B = id % 200`` (all < 256 by
+    construction).  The closed-form pixel law is what lets a SQL
+    oracle predict the decoded channel means exactly — see
+    ``multimodal_bmp_decode_stats``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id % 13) + 2
+                h = int(doc_id % 7) + 2
+                base = int(doc_id % 200)
+                x = np.arange(w, dtype=np.uint8)
+                y = np.arange(h, dtype=np.uint8)
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = base + x[None, :]
+                px[:, :, 1] = base + y[:, None]
+                px[:, :, 2] = base
+                blobs.append(encode_bmp24(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def extract_image_stats(media_df: DataFrame) -> DataFrame:
+    """REAL-decode stats over a binary image column: width, height and
+    per-channel means via :func:`decode_image` inside Arrow-batched
+    ``mapInPandas`` — partition-preserving, no shuffle, blobs never
+    leave the executor.  Channel sums accumulate in int64 and divide
+    once by the exact pixel count, so the resulting doubles are the
+    correctly-rounded true means — bit-reproducible against a SQL
+    oracle computing the same rationals."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(blob))
+                sums = rgb.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n = w * h
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(int(sums[0]) / n)
+                out["mean_g"].append(int(sums[1]) / n)
+                out["mean_b"].append(int(sums[2]) / n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, IMAGE_STATS_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

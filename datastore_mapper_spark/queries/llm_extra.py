@@ -257,9 +257,45 @@ def ivf_knn_bucketed(spark, sf_dir):
 def multimodal_meta_extract(spark, sf_dir):
     """Binary-column plumbing: documents as opaque payloads ->
     Arrow-batched mapInPandas metadata extraction (deterministic fake
-    codec; real codec stubbed — operators/multimodal.py)."""
+    codec; the REAL-codec twin is multimodal_bmp_decode_stats)."""
     d = table(spark, sf_dir, "documents")
     return extract_media_meta(as_binary_media(d), fake=True)
+
+
+@query(
+    "multimodal_bmp_decode_stats",
+    "LLM-pipeline",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 13) + 2 AS INT) AS width,
+           CAST((doc_id % 7) + 2 AS INT) AS height,
+           CAST((doc_id % 200) + ((doc_id % 13) + 1) / 2.0 AS DOUBLE)
+               AS mean_r,
+           CAST((doc_id % 200) + ((doc_id % 7) + 1) / 2.0 AS DOUBLE)
+               AS mean_g,
+           CAST(doc_id % 200 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_bmp_decode_stats(spark, sf_dir):
+    """REAL image decode, end-to-end (round-6 VERDICT task 4): render a
+    genuine 24-bpp BMP per document (header, BGR order, 4-byte row
+    padding — operators/multimodal.encode_bmp24), then parse the BYTES
+    back with the pure-numpy decoder (decode_bmp24) and emit decoded
+    width/height/per-channel means, all inside Arrow-batched
+    mapInPandas.  No ``fake=`` stand-in anywhere on this path.
+
+    The pixel law is a closed form of ``doc_id`` (render_bmp_media), so
+    the DuckDB oracle predicts the decoded stats EXACTLY: any
+    mis-parse of the 54-byte header, the bottom-up row order, the BGR
+    swap, or the row padding shifts a mean and hash-fails.  Channel
+    sums are int64 with one exact division, so the doubles are
+    correctly-rounded true rationals on both engines (§7.3-H2-safe,
+    no libm anywhere)."""
+    from ..operators.multimodal import extract_image_stats, render_bmp_media
+
+    d = table(spark, sf_dir, "documents")
+    return extract_image_stats(render_bmp_media(d))
 
 
 @query(

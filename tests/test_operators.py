@@ -113,6 +113,102 @@ def test_multimodal_stub_and_fake_path(spark, sf_dir):
         assert by_id[r.doc_id].n_bytes == len(r.text.encode("utf-8"))
 
 
+def test_bmp_codec_roundtrip_padding_and_order():
+    """encode->decode must be the identity for a width whose row needs
+    padding (w=2 -> 6 data bytes + 2 pad), proving padding bytes are
+    skipped, BGR is swapped back, and bottom-up storage is restored to
+    a top-down array."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_bmp24,
+        decode_image,
+        encode_bmp24,
+    )
+
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]],
+         [[0, 0, 255], [10, 20, 30]],
+         [[1, 2, 3], [200, 100, 50]]],
+        dtype=np.uint8,
+    )  # (h=3, w=2, RGB)
+    blob = encode_bmp24(px)
+    assert blob[:2] == b"BM"
+    # stored row stride must be padded to 4 bytes: 54-byte header + 3*8
+    assert len(blob) == 54 + 3 * 8
+    w, h, back = decode_bmp24(blob)
+    assert (w, h) == (2, 3)
+    assert (back == px).all()
+    # magic sniffing routes BMP through the same decoder
+    assert (decode_image(blob)[2] == px).all()
+
+
+def test_bmp_decoder_handles_top_down_layout():
+    """Negative biHeight means top-down pixel order — the decoder must
+    not flip it."""
+    import struct
+
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    blob = bytearray(encode_bmp24(px))
+    # rewrite height to -2 and pre-flip the stored rows to top-down
+    struct.pack_into("<i", blob, 22, -2)
+    row = (2 * 3 + 3) & ~3
+    body = bytes(blob[54:])
+    blob[54:] = body[row:] + body[:row]
+    w, h, back = decode_bmp24(bytes(blob))
+    assert (w, h) == (2, 2) and (back == px).all()
+
+
+def test_ppm_codec_roundtrip_and_comments():
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    px = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(3, 4, 3)
+    w, h, back = decode_ppm(encode_ppm(px))
+    assert (w, h) == (4, 3) and (back == px).all()
+    # header comments per netpbm spec must be skipped
+    blob = b"P6\n# a comment\n4 3\n# another\n255\n" + px.tobytes()
+    w, h, back = decode_ppm(blob)
+    assert (w, h) == (4, 3) and (back == px).all()
+
+
+def test_extract_image_stats_real_decode(spark):
+    """extract_image_stats over REAL BMP and PPM blobs: decoded
+    dimensions and exact channel means, no fake path anywhere."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        encode_bmp24,
+        encode_ppm,
+        extract_image_stats,
+    )
+
+    px1 = np.zeros((2, 3, 3), dtype=np.uint8)
+    px1[:, :, 0] = 10  # R constant
+    px1[:, :, 1] = [[0, 1, 2], [3, 4, 5]]  # G mean 2.5
+    px2 = np.full((1, 2, 3), 7, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp24(px1))), (2, bytearray(encode_ppm(px2)))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in extract_image_stats(media).collect()}
+    assert (got[1].width, got[1].height) == (3, 2)
+    assert got[1].mean_r == 10.0 and got[1].mean_g == 2.5
+    assert (got[2].width, got[2].height) == (2, 1)
+    assert got[2].mean_r == got[2].mean_b == 7.0
+
+
 def test_connected_components_known_graph(spark):
     from datastore_mapper_spark.operators.dedup import connected_components
 
