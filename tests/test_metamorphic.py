@@ -244,3 +244,41 @@ def test_session_skewsafe_plan_bounds_task_input(spark, sf_dir):
     assert row_level, plan  # lag/cumsum windows keyed by (user, bucket)
     for s in row_level:
         assert "user_id#" in s
+
+
+def test_bm25_cross_engine_rounding_margin(spark, sf_dir):
+    """Round-6 ADVICE: bm25_retrieval_topk hash-compares round(x, 4) of
+    ln()-derived doubles across DuckDB (libm) and the JVM (Math.log); a
+    last-ulp ln divergence could in principle flip a 4-dp rounding or
+    the top-20 boundary.  This test turns that latent possibility into
+    a MEASURED margin for the graded fixtures: recompute the exact
+    scores (un-rounded, in DuckDB) and assert every emitted score sits
+    far from its rounding boundary, and the top-20 cut has a wide gap —
+    both >> the ~1e-11 scale a 1-ulp ln difference can move a score.
+    If a future fixture lands inside the margin, this fails BEFORE the
+    driver flakes."""
+    import duckdb
+
+    from datastore_mapper_spark.registry import all_queries
+
+    import re
+
+    oracle = all_queries()["bm25_retrieval_topk"].oracle
+    raw_sql = re.sub(r",\s*4\)\s*AS bm25", ") AS bm25", oracle)
+    raw_sql = raw_sql.replace("round(", "(", 1)
+    # sanity: the rewrite really removed the rounding call
+    assert "round(" not in raw_sql and "AS bm25" in raw_sql
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    raw_sql_no_limit = raw_sql.replace("LIMIT 20", "LIMIT 25")
+    scores = [r[1] for r in con.execute(raw_sql_no_limit).fetchall()]
+    assert len(scores) >= 21, "fixture too small to measure the top-20 cut"
+    # distance of each reported score from its nearest 4-dp half-way point
+    margin = min(abs((abs(s) * 1e4) % 1 - 0.5) for s in scores[:20])
+    assert margin > 1e-6, f"score sits {margin} from a 4-dp rounding flip"
+    # the top-20 boundary gap (ties broken by doc_id are hash-stable)
+    gap = scores[19] - scores[20]
+    assert gap == 0.0 or gap > 1e-6, f"top-20 cut gap {gap} is flake-range"
