@@ -155,6 +155,49 @@ def decode_image(blob: bytes) -> tuple[int, int, np.ndarray]:
     )
 
 
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Encode a 1-D int16 array as a mono 16-bit PCM WAV (RIFF)."""
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack(
+            "<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16
+        )
+        + struct.pack("<4sI", b"data", len(data))
+        + data
+    )
+
+
+def decode_wav_pcm16(blob: bytes) -> tuple[int, np.ndarray]:
+    """REAL decode of a mono 16-bit PCM WAV -> ``(sample_rate,
+    int16 samples)``.  Walks the RIFF chunk list (so extra chunks like
+    LIST/INFO before ``data`` are handled), validates the fmt chunk,
+    and refuses compressed or multi-channel audio."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            fmt, n_ch, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", blob, body
+            )
+            if fmt != 1 or n_ch != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"only mono 16-bit PCM WAV decodes in-container "
+                    f"(got fmt={fmt}, channels={n_ch}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(blob, dtype="<i2", count=size // 2,
+                                    offset=body)
+        pos = body + size + (size & 1)  # chunks pad to even offsets
+    if sample_rate is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return sample_rate, samples
+
+
 def decode_image_meta(blob: bytes, fake: bool = False) -> tuple[int, int]:
     """Decode (width, height) from an image blob.
 
@@ -275,6 +318,85 @@ def extract_image_stats(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("mean_amp", DoubleType()),
+        StructField("peak_amp", IntegerType()),
+    ]
+)
+
+WAV_SAMPLE_RATE = 16_000
+
+
+def render_wav_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL mono 16-bit PCM WAV per document, deterministically
+    from ``doc_id``: ``n = (id % 50) + 8`` samples of the ramp
+    ``sample[i] = base + slope*i`` with ``base = (id % 300) - 150`` and
+    ``slope = (id % 9) - 4`` (all well inside int16).  The closed-form
+    ramp lets a SQL oracle predict the decoded duration, mean and peak
+    amplitudes exactly — see ``multimodal_wav_decode_stats``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                n = int(doc_id % 50) + 8
+                base = int(doc_id % 300) - 150
+                slope = int(doc_id % 9) - 4
+                samples = base + slope * np.arange(n, dtype=np.int64)
+                blobs.append(
+                    encode_wav_pcm16(samples.astype(np.int16), WAV_SAMPLE_RATE)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def extract_audio_stats(media_df: DataFrame) -> DataFrame:
+    """REAL-decode stats over a binary audio column: sample count,
+    rate, duration and mean/peak amplitude via :func:`decode_wav_pcm16`
+    inside Arrow-batched ``mapInPandas``.  Amplitude sums accumulate in
+    int64 with one exact division (§7.3-H2-safe, like
+    :func:`extract_image_stats`)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "n_samples", "sample_rate",
+                                   "duration_s", "mean_amp", "peak_amp")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                sr, samples = decode_wav_pcm16(bytes(blob))
+                n = len(samples)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(sr)
+                out["duration_s"].append(n / sr)
+                out["mean_amp"].append(
+                    int(samples.sum(dtype=np.int64)) / max(n, 1)
+                )
+                out["peak_amp"].append(
+                    int(np.abs(samples.astype(np.int64)).max()) if n else 0
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "duration_s": pd.Series(out["duration_s"], dtype="float64"),
+                    "mean_amp": pd.Series(out["mean_amp"], dtype="float64"),
+                    "peak_amp": pd.Series(out["peak_amp"], dtype="int32"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, AUDIO_STATS_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

@@ -299,6 +299,46 @@ def multimodal_bmp_decode_stats(spark, sf_dir):
 
 
 @query(
+    "multimodal_wav_decode_stats",
+    "LLM-pipeline",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 50) + 8 AS INT) AS n_samples,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(((doc_id % 50) + 8) / 16000.0 AS DOUBLE) AS duration_s,
+           CAST(((doc_id % 300) - 150)
+                + ((doc_id % 9) - 4) * ((doc_id % 50) + 7) / 2.0 AS DOUBLE)
+               AS mean_amp,
+           CAST(greatest(
+                    abs((doc_id % 300) - 150),
+                    abs((doc_id % 300) - 150
+                        + ((doc_id % 9) - 4) * ((doc_id % 50) + 7))
+                ) AS INT) AS peak_amp
+    FROM documents
+    """,
+)
+def multimodal_wav_decode_stats(spark, sf_dir):
+    """REAL audio decode, end-to-end: render a genuine mono 16-bit PCM
+    WAV per document (RIFF/fmt/data chunks —
+    operators/multimodal.encode_wav_pcm16), walk the RIFF chunk list
+    back with the pure-struct decoder and emit decoded sample count,
+    rate, duration and mean/peak amplitude, all inside Arrow-batched
+    mapInPandas.  The audio twin of multimodal_bmp_decode_stats.
+
+    The sample law is a linear ramp in closed form of ``doc_id``
+    (render_wav_media), so the oracle predicts the decoded stats
+    EXACTLY (mean of a ramp = base + slope*(n-1)/2; peak = the larger
+    endpoint magnitude).  Any mis-parse of chunk sizes, the fmt
+    layout, or int16 endianness shifts a value and hash-fails.
+    Amplitude sums are int64 with one exact division — no libm
+    (§7.3-H2)."""
+    from ..operators.multimodal import extract_audio_stats, render_wav_media
+
+    d = table(spark, sf_dir, "documents")
+    return extract_audio_stats(render_wav_media(d))
+
+
+@query(
     "dedup_minhash_lsh",
     "LLM-pipeline",
     oracle=None,

@@ -209,6 +209,54 @@ def test_extract_image_stats_real_decode(spark):
     assert got[2].mean_r == got[2].mean_b == 7.0
 
 
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """encode->decode identity for PCM16, including negative samples
+    (endianness/sign) and an extra odd-sized chunk before data (RIFF
+    chunks pad to even offsets — a naive fixed-offset parse breaks)."""
+    import struct
+
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    samples = np.array([0, 1, -1, 32767, -32768, 123], dtype=np.int16)
+    blob = encode_wav_pcm16(samples, sample_rate=8000)
+    sr, back = decode_wav_pcm16(blob)
+    assert sr == 8000 and (back == samples).all()
+    # splice an odd-length LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 3) + b"abc" + b"\x00"  # pad byte
+    spliced = blob[:fmt_end] + extra + blob[fmt_end:]
+    sr, back = decode_wav_pcm16(spliced)
+    assert sr == 8000 and (back == samples).all()
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"OggS" + bytes(40))
+
+
+def test_extract_audio_stats_real_decode(spark):
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        encode_wav_pcm16,
+        extract_audio_stats,
+    )
+
+    s1 = np.array([10, 20, 30, 40], dtype=np.int16)     # mean 25, peak 40
+    s2 = np.array([-5, 5], dtype=np.int16)              # mean 0, peak 5
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(s1))),
+         (2, bytearray(encode_wav_pcm16(s2, sample_rate=8000)))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in extract_audio_stats(media).collect()}
+    assert got[1].n_samples == 4 and got[1].mean_amp == 25.0
+    assert got[1].peak_amp == 40 and got[1].duration_s == 4 / 16000
+    assert got[2].sample_rate == 8000 and got[2].mean_amp == 0.0
+
+
 def test_connected_components_known_graph(spark):
     from datastore_mapper_spark.operators.dedup import connected_components
 
