@@ -198,6 +198,54 @@ def decode_wav_pcm16(blob: bytes) -> tuple[int, np.ndarray]:
     return sample_rate, samples
 
 
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Encode an ``(n, h, w, 3)`` uint8 YUV444 array as YUV4MPEG2
+    (y4m): one plain-text stream header, then ``FRAME\\n`` + raw
+    planar Y/U/V bytes per frame — the uncompressed video container
+    mpeg tooling exchanges."""
+    n, h, w, _ = frames.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C444\n".encode()]
+    for f in range(n):
+        out.append(b"FRAME\n")
+        # planar: all Y, then all U, then all V
+        out.append(np.ascontiguousarray(frames[f].transpose(2, 0, 1)).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of a YUV4MPEG2 (C444) stream ->
+    ``(width, height, (n_frames, h, w, 3) YUV uint8 array)``.
+
+    Parses the parameter-tagged stream header, then walks FRAME
+    markers (each may carry its own parameters up to the newline) and
+    slices the fixed-size planar payloads.  Subsampled colorspaces
+    (C420 etc.) raise — their plane geometry differs."""
+    nl = blob.index(b"\n")
+    header = blob[:nl].decode("ascii", "strict").split(" ")
+    if header[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 blob")
+    params = {p[0]: p[1:] for p in header[1:] if p}
+    w, h = int(params["W"]), int(params["H"])
+    cspace = params.get("C", "420")
+    if cspace != "444":
+        raise NotImplementedError(
+            f"only C444 (full-resolution planes) decodes in-container; "
+            f"got C{cspace}"
+        )
+    frame_bytes = 3 * w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(blob):
+        if blob[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        pos = blob.index(b"\n", pos) + 1  # frame params run to newline
+        planar = np.frombuffer(blob, dtype=np.uint8, count=frame_bytes,
+                               offset=pos).reshape(3, h, w)
+        frames.append(planar.transpose(1, 2, 0))
+        pos += frame_bytes
+    return w, h, np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8)
+
+
 def decode_image_meta(blob: bytes, fake: bool = False) -> tuple[int, int]:
     """Decode (width, height) from an image blob.
 
@@ -397,6 +445,75 @@ def extract_audio_stats(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def render_y4m_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL y4m clip per document, deterministically from
+    ``doc_id``: ``n = (id % 6) + 2`` frames of ``(id % 5) + 2`` x
+    ``(id % 4) + 2`` C444 video where frame ``f`` has constant luma
+    ``(id % 200) + f`` and constant chroma 128.  Closed-form ->
+    SQL-predictable decoded stats (``multimodal_y4m_frame_stats``)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                n = int(doc_id % 6) + 2
+                w = int(doc_id % 5) + 2
+                h = int(doc_id % 4) + 2
+                base = int(doc_id % 200)
+                frames = np.full((n, h, w, 3), 128, dtype=np.uint8)
+                for f in range(n):
+                    frames[f, :, :, 0] = base + f
+                blobs.append(encode_y4m(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def extract_video_stats(media_df: DataFrame) -> DataFrame:
+    """REAL-decode stats over a binary video column: frame count,
+    dimensions and whole-clip mean luma via :func:`decode_y4m` inside
+    Arrow-batched ``mapInPandas`` — int64 sums, one exact division."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "n_frames", "width", "height", "mean_luma")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = decode_y4m(bytes(blob))
+                n = frames.shape[0]
+                luma_sum = int(frames[:, :, :, 0].sum(dtype=np.int64))
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_luma"].append(luma_sum / max(n * h * w, 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "n_frames": pd.Series(out["n_frames"], dtype="int32"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "mean_luma": pd.Series(out["mean_luma"], dtype="float64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, VIDEO_STATS_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(

@@ -339,6 +339,39 @@ def multimodal_wav_decode_stats(spark, sf_dir):
 
 
 @query(
+    "multimodal_y4m_frame_stats",
+    "LLM-pipeline",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id % 6) + 2 AS INT) AS n_frames,
+           CAST((doc_id % 5) + 2 AS INT) AS width,
+           CAST((doc_id % 4) + 2 AS INT) AS height,
+           CAST((doc_id % 200) + ((doc_id % 6) + 1) / 2.0 AS DOUBLE)
+               AS mean_luma
+    FROM documents
+    """,
+)
+def multimodal_y4m_frame_stats(spark, sf_dir):
+    """REAL video decode, end-to-end: render a genuine YUV4MPEG2 clip
+    per document (text stream header + FRAME markers + planar C444
+    payloads — operators/multimodal.encode_y4m), parse the bytes back
+    with the pure-numpy decoder and emit decoded frame count,
+    dimensions and whole-clip mean luma, inside Arrow-batched
+    mapInPandas.  Completes the real-decode trio (BMP image, WAV
+    audio, y4m video); compressed codecs stay gated.
+
+    Frame ``f`` carries constant luma ``(doc_id % 200) + f``, so the
+    oracle predicts mean luma ``base + (n-1)/2`` exactly; a mis-walk
+    of FRAME markers, plane order, or frame stride shifts it and
+    hash-fails.  Luma sums are int64 with one exact division
+    (§7.3-H2)."""
+    from ..operators.multimodal import extract_video_stats, render_y4m_media
+
+    d = table(spark, sf_dir, "documents")
+    return extract_video_stats(render_y4m_media(d))
+
+
+@query(
     "dedup_minhash_lsh",
     "LLM-pipeline",
     oracle=None,

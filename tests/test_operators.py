@@ -257,6 +257,51 @@ def test_extract_audio_stats_real_decode(spark):
     assert got[2].sample_rate == 8000 and got[2].mean_amp == 0.0
 
 
+def test_y4m_codec_roundtrip_and_frame_walk():
+    """encode->decode identity for a multi-frame C444 clip; FRAME
+    markers with parameters must be skipped to their newline; C420
+    (subsampled planes) must refuse rather than mis-slice."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    frames = np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
+    blob = encode_y4m(frames)
+    w, h, back = decode_y4m(blob)
+    assert (w, h) == (4, 3) and (back == frames).all()
+    # FRAME marker with per-frame parameters (allowed by the spec)
+    param_blob = blob.replace(b"FRAME\n", b"FRAME Xcustom\n", 1)
+    w, h, back = decode_y4m(param_blob)
+    assert (back == frames).all()
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + bytes(24))
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF....\n")
+
+
+def test_extract_video_stats_real_decode(spark):
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        encode_y4m,
+        extract_video_stats,
+    )
+
+    clip = np.full((3, 2, 2, 3), 128, dtype=np.uint8)
+    clip[0, :, :, 0] = 10
+    clip[1, :, :, 0] = 20
+    clip[2, :, :, 0] = 30  # mean luma 20
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_y4m(clip)))], "doc_id long, payload binary"
+    )
+    r = extract_video_stats(media).collect()[0]
+    assert (r.n_frames, r.width, r.height) == (3, 2, 2)
+    assert r.mean_luma == 20.0
+
+
 def test_connected_components_known_graph(spark):
     from datastore_mapper_spark.operators.dedup import connected_components
 
