@@ -516,6 +516,71 @@ def extract_video_stats(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(batches, VIDEO_STATS_SCHEMA)
 
 
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def sample_y4m_frames(media_df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling: decode each y4m clip, keep every
+    ``every_n``-th frame, emit (doc_id, frame_no, that frame's mean
+    luma).  One input row fans out to many frame rows INSIDE the
+    pandas batch — no explode shuffle, partition-preserving; the real
+    sibling of the fake-codec :func:`sample_frames`."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, lumas = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, frames = decode_y4m(bytes(blob))
+                for f in range(0, frames.shape[0], every_n):
+                    ids.append(doc_id)
+                    nos.append(f)
+                    lumas.append(
+                        int(frames[f, :, :, 0].sum(dtype=np.int64)) / (w * h)
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_no": pd.Series(nos, dtype="int32"),
+                    "mean_luma": pd.Series(lumas, dtype="float64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+def resize_image_real(media_df: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize: decode (BMP/PPM), nearest-neighbor resample
+    in numpy (``src = floor(dst * src_dim / dst_dim)`` — the standard
+    index map), re-encode as BMP.  Same mapInPandas shape as the
+    stubbed :func:`resize_media`, but every byte is real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb = decode_image(bytes(blob))
+                xs = (np.arange(width) * w) // width
+                ys = (np.arange(height) * h) // height
+                blobs.append(encode_bmp24(rgb[np.ix_(ys, xs)]))
+                ids.append(doc_id)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": blobs,
+                    "width": pd.Series([width] * len(ids), dtype="int32"),
+                    "height": pd.Series([height] * len(ids), dtype="int32"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -372,6 +372,30 @@ def multimodal_y4m_frame_stats(spark, sf_dir):
 
 
 @query(
+    "multimodal_frame_sample_y4m",
+    "LLM-pipeline",
+    oracle="""
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_no,
+           CAST((doc_id % 200) + f AS DOUBLE) AS mean_luma
+    FROM documents, unnest(range(0, (doc_id % 6) + 2, 2)) AS t(f)
+    """,
+)
+def multimodal_frame_sample_y4m(spark, sf_dir):
+    """REAL frame sampling with fan-out: decode each rendered y4m clip
+    and keep every 2nd frame, emitting per-frame mean luma — the
+    keyframe-extraction shape of a video training pipeline.  The
+    fan-out happens INSIDE the pandas batch (one mapInPandas, no
+    explode shuffle); the oracle reproduces it with a correlated
+    range unnest.  Frame f's constant luma (doc_id % 200) + f makes
+    every sampled frame's mean exact on both engines."""
+    from ..operators.multimodal import render_y4m_media, sample_y4m_frames
+
+    d = table(spark, sf_dir, "documents")
+    return sample_y4m_frames(render_y4m_media(d), every_n=2)
+
+
+@query(
     "dedup_minhash_lsh",
     "LLM-pipeline",
     oracle=None,

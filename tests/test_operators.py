@@ -302,6 +302,28 @@ def test_extract_video_stats_real_decode(spark):
     assert r.mean_luma == 20.0
 
 
+def test_resize_image_real_nearest_neighbor(spark):
+    """Real resize picks exactly the nearest-neighbor source pixels and
+    re-encodes a decodable BMP."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+        resize_image_real,
+    )
+
+    src = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp24(src)))], "doc_id long, payload binary"
+    )
+    r = resize_image_real(media, 2, 2).collect()[0]
+    assert (r.width, r.height) == (2, 2)
+    w, h, back = decode_bmp24(bytes(r.payload))
+    # nearest-neighbor map: dst (x,y) -> src (x*4//2, y*4//2) = rows/cols 0,2
+    assert (back == src[np.ix_([0, 2], [0, 2])]).all()
+
+
 def test_connected_components_known_graph(spark):
     from datastore_mapper_spark.operators.dedup import connected_components
 
