@@ -112,6 +112,8 @@ def _drift_vs_previous_round(per_query: dict[str, float]) -> list[str]:
             prev = json.load(f)
     except (OSError, json.JSONDecodeError):
         return []
+    # the driver wraps this script's JSON line under "parsed"
+    prev = prev.get("parsed", prev)
     prev_spread = prev.get("spread", {})
     prev_queries = prev.get("queries", {})
     tag = os.path.basename(prior[-1])
