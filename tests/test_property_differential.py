@@ -680,3 +680,51 @@ def test_band_equi_join_boundary_property(spark, data):
         if t1 <= t2 <= t1 + width
     )
     assert got == want
+
+
+@given(data=st.data())
+@settings(max_examples=25, deadline=None)
+def test_codec_roundtrip_property(data):
+    """Random-shape, random-content roundtrips for every real codec:
+    encode->decode must be the identity for arbitrary uint8/int16
+    payloads — paddings, extreme values, 1-pixel/1-sample degenerates."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators import multimodal as mm
+
+    kind = data.draw(st.sampled_from(["bmp", "ppm", "wav", "y4m"]))
+    if kind in ("bmp", "ppm"):
+        h = data.draw(st.integers(1, 9))
+        w = data.draw(st.integers(1, 9))
+        px = np.array(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=h * w * 3,
+                         max_size=h * w * 3)
+            ),
+            dtype=np.uint8,
+        ).reshape(h, w, 3)
+        enc = mm.encode_bmp24 if kind == "bmp" else mm.encode_ppm
+        dec = mm.decode_bmp24 if kind == "bmp" else mm.decode_ppm
+        ww, hh, back = dec(enc(px))
+        assert (ww, hh) == (w, h) and (back == px).all()
+    elif kind == "wav":
+        n = data.draw(st.integers(1, 40))
+        samples = np.array(
+            data.draw(st.lists(st.integers(-32768, 32767), min_size=n,
+                               max_size=n)),
+            dtype=np.int16,
+        )
+        sr = data.draw(st.sampled_from([8000, 16000, 44100]))
+        got_sr, back = mm.decode_wav_pcm16(mm.encode_wav_pcm16(samples, sr))
+        assert got_sr == sr and (back == samples).all()
+    else:
+        n = data.draw(st.integers(1, 4))
+        h = data.draw(st.integers(1, 5))
+        w = data.draw(st.integers(1, 5))
+        frames = np.array(
+            data.draw(st.lists(st.integers(0, 255), min_size=n * h * w * 3,
+                               max_size=n * h * w * 3)),
+            dtype=np.uint8,
+        ).reshape(n, h, w, 3)
+        ww, hh, back = mm.decode_y4m(mm.encode_y4m(frames))
+        assert (ww, hh) == (w, h) and (back == frames).all()
