@@ -845,3 +845,24 @@ def test_df_cap_recall_when_cap_binds(spark):
     assert got == planted_rare
     recall = len(got & exact) / len(exact)
     assert abs(recall - 60 / 70) < 1e-9
+
+
+def test_near_dup_edges_survive_blanket_unpersist(spark, sf_dir):
+    """Regression (round-7 sweep finding): the shared pair-graph
+    materialization must survive an environment that unpersists every
+    RDD between queries (storage pressure, isolation sweeps, executor
+    loss).  The localCheckpoint-backed version crashed downstream with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND; the parquet-table version has
+    no block-manager dependency at all."""
+    from datastore_mapper_spark.operators.dedup import connected_components
+    from datastore_mapper_spark.queries.llm_text import near_dup_edges
+
+    first = near_dup_edges(spark, sf_dir)
+    n_edges = first.count()
+    # the round-6 isolation sweep's exact blanket unpersist
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(False)
+    again = near_dup_edges(spark, sf_dir)
+    assert again.count() == n_edges
+    cc = connected_components(again.select("d1", "d2"))
+    assert cc.count() > 0
