@@ -679,3 +679,76 @@ def fn_url_suite(spark, sf_dir):
         F.parse_url("url", F.lit("QUERY")).alias("query"),
         F.parse_url("url", F.lit("QUERY"), F.lit("q")).alias("q_param"),
     )
+
+
+@query(
+    "pivot_event_type_daily",
+    "relational/pivot",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts::TIMESTAMP) AS TIMESTAMP) AS day,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS purchase,
+           CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_event_type_daily(spark, sf_dir):
+    """Relational PIVOT: per-day event counts fanned into one column
+    per event type — the wide-format rollup dashboards ask for.  The
+    value list is EXPLICIT (``pivot(col, values)``), which matters at
+    100 TB: without it Spark first runs a distinct scan over the pivot
+    column to discover values (an extra job over the full table).  One
+    shuffle on the day key; the pivot itself is a projection.  The
+    oracle writes the same shape with FILTERed counts."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(F.date_trunc("day", "ts_us").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@query(
+    "unpivot_lineitem_charges",
+    "relational/unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, CAST(amount AS DOUBLE) AS amount
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'price' AS metric,
+               l_extendedprice AS amount
+        FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        FROM lineitem WHERE l_orderkey < 1000
+    )
+    """,
+)
+def unpivot_lineitem_charges(spark, sf_dir):
+    """Relational UNPIVOT (melt): the three charge columns become
+    (metric, amount) rows — long format for generic per-metric
+    pipelines.  ``DataFrame.unpivot`` is a zero-shuffle projection
+    with a 3x row fan-out (Expand node), NOT three self-unions — at
+    100 TB the union form scans the table three times, the unpivot
+    scans it once.  The oracle IS the three-way union, proving the
+    single-scan rewrite emits the identical multiset."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="amount",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "l_extendedprice", "price")
+        .when(F.col("metric") == "l_discount", "discount")
+        .otherwise("tax"),
+    )

@@ -1077,3 +1077,50 @@ def corpus_snapshot_diff(spark, sf_dir):
             F.sum("doc_id").cast("bigint").alias("id_checksum"),
         )
     )
+
+
+@query(
+    "stratified_sample_exact_k",
+    "LLM-pipeline",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, source, doc_id,
+               row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(text), doc_id
+               ) AS rnk
+        FROM documents
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(sum(doc_id) AS BIGINT) AS sampled_id_sum
+    FROM ranked WHERE rnk <= 10
+    GROUP BY lang, source
+    """,
+)
+def stratified_sample_exact_k(spark, sf_dir):
+    """Stratified sampling, EXACT k per (lang, source) stratum: rank
+    by content hash inside each stratum, keep the first 10.  Uniform
+    over content (md5 order is independent of any business column),
+    fully deterministic across engines/retries/partitionings — no
+    rand(), so a re-run ships the identical eval subset
+    (SURVEY §7.3-H7 style determinism; sampled_id_sum pins the exact
+    chosen set).  One window shuffle on the stratum key; at 100 TB
+    strata are hash-spread so no reducer holds more than its strata.
+    Complements weighted_sample_without_replacement (A-ES, weighted)
+    with the uniform-per-stratum form every eval-split recipe uses."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy("h", F.asc("doc_id"))
+    ranked = d.select(
+        "lang", "source", "doc_id", F.md5("text").alias("h")
+    ).withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.filter(F.col("rnk") <= 10)
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("doc_id").alias("sampled_id_sum"),
+        )
+    )
