@@ -752,3 +752,120 @@ def unpivot_lineitem_charges(spark, sf_dir):
         .when(F.col("metric") == "l_discount", "discount")
         .otherwise("tax"),
     )
+
+
+@query(
+    "fn_higher_order_suite",
+    "functions/higher-order",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> length(t) > 5)) AS INT)
+               AS n_long,
+           list_transform(toks[1:3], t -> upper(t)) AS first3_upper,
+           CAST(len(list_filter(toks, t -> contains(t, 'e'))) > 0
+                AS BOOLEAN) AS any_e,
+           CAST(len(list_filter(toks, t -> length(t) > 0)) = len(toks)
+                AS BOOLEAN) AS all_nonempty,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+               AS total_chars
+    FROM t
+    """,
+)
+def fn_higher_order_suite(spark, sf_dir):
+    """Higher-order array lambdas as a dedicated contract row:
+    ``filter`` / ``transform`` / ``exists`` / ``forall`` /
+    ``aggregate`` (fold) over the token array.  These are Catalyst
+    LambdaFunction expressions — fully JVM-side, inside whole-stage
+    codegen, NO Python in the loop — which is exactly why they are the
+    100 TB substitute for a per-row Python UDF over array columns
+    (SURVEY §3.2: the UDF escape hatch is the LAST resort).  The
+    oracle replays each lambda with DuckDB's list functions —
+    independent implementations of the same fold semantics."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 5))
+        .cast("int")
+        .alias("n_long"),
+        F.transform(F.slice(toks, 1, 3), F.upper).alias("first3_upper"),
+        F.exists(toks, lambda t: t.contains("e")).alias("any_e"),
+        F.forall(toks, lambda t: F.length(t) > 0).alias("all_nonempty"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + F.length(t).cast("bigint"),
+        ).alias("total_chars"),
+    )
+
+
+@query(
+    "fn_map_suite",
+    "functions/map",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(2 AS INT) AS map_size,
+           CAST(max(n_chars) AS BIGINT) AS via_key_chars,
+           CAST(max(len(string_split(text, ' '))) AS BIGINT) AS via_key_toks
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def fn_map_suite(spark, sf_dir):
+    """MapType surface: build a per-row map from key/value arrays
+    (``map_from_arrays``), read it back with ``element_at`` and
+    ``map_keys``/``size`` — the schemaless-property-bag access pattern
+    of the reference's entities (SURVEY §1.1: Datastore properties ≙
+    map fields).  Keyed lookups then aggregate; the oracle computes
+    the same maxima from the raw columns, proving map construction +
+    extraction is lossless.  Scalars out, not raw maps: map column
+    hashing is ordering-sensitive across engines."""
+    d = table(spark, sf_dir, "documents")
+    m = F.map_from_arrays(
+        F.array(F.lit("chars"), F.lit("toks")),
+        F.array(
+            F.col("n_chars").cast("long"),
+            F.size(F.split("text", " ")).cast("long"),
+        ),
+    )
+    mapped = d.select("lang", m.alias("props"))
+    return mapped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.max(F.size("props")).cast("int").alias("map_size"),
+        F.max(F.element_at("props", "chars")).alias("via_key_chars"),
+        F.max(F.element_at("props", "toks")).alias("via_key_toks"),
+    )
+
+
+@query(
+    "agg_bitwise_xor_digest",
+    "functions/bitwise",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(bit_and(o_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(o_orderkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(o_orderkey) AS BIGINT) AS key_xor,
+           CAST(bit_xor(o_orderkey << 1) AS BIGINT) AS shifted_xor
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_bitwise_xor_digest(spark, sf_dir):
+    """Bitwise aggregate surface: ``bit_and``/``bit_or``/``bit_xor``
+    plus a shift inside the aggregate.  XOR aggregation is the
+    order-insensitive content-digest primitive (set reconciliation,
+    table diffing at 100 TB: xor of row hashes compares two tables in
+    one pass with no sort) — this row pins its exactness cross-engine
+    on int64, including associativity under Spark's partial/final
+    two-phase aggregation."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+        F.bit_xor(F.shiftleft("o_orderkey", 1).cast("long")).alias("shifted_xor"),
+    )
