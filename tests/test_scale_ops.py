@@ -551,3 +551,68 @@ def test_graded_ranged_queries_share_one_range_partitioning(spark, sf_dir):
     ):
         final = _final_plan_after_exec(specs[name].fn(spark, sf_dir))
         _assert_shared_range_cache(final, ctx=name)
+
+
+def test_input_split_sizing_scales_scan_parallelism(spark, sf_dir):
+    """spark.sql.files.maxPartitionBytes is the spill-aware knob that
+    sizes input splits: lowering it must raise scan parallelism on the
+    same file.  At 100 TB this (with openCostInBytes) is how a scan's
+    task count — and so per-task memory — is controlled without
+    rewriting the data."""
+    import os
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    size = os.path.getsize(path)
+    before = spark.read.parquet(path).rdd.getNumPartitions()
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(max(size // 6, 1)))
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        after = spark.read.parquet(path).rdd.getNumPartitions()
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        spark.conf.unset("spark.sql.files.openCostInBytes")
+    assert after > before, (before, after)
+
+
+def test_cbo_column_stats_propagate_cardinality(spark, sf_dir):
+    """ANALYZE TABLE ... FOR ALL COLUMNS + spark.sql.cbo.enabled: the
+    optimizer must carry DEFINED row-count estimates, and a selective
+    dim filter must shrink the join's estimated cardinality below the
+    unfiltered fact count — the statistics machinery join reordering
+    and broadcast decisions depend on at 100 TB (a cluster can't
+    afford to discover at runtime that the build side was 2 TB)."""
+    import os
+    import shutil
+
+    from datastore_mapper_spark.catalog import table as cat_table
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    for t in ("cbo_orders", "cbo_cust"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    cat_table(spark, sf_dir, "orders").write.saveAsTable("cbo_orders")
+    cat_table(spark, sf_dir, "customer").write.saveAsTable("cbo_cust")
+    spark.sql("ANALYZE TABLE cbo_orders COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.sql("ANALYZE TABLE cbo_cust COMPUTE STATISTICS FOR ALL COLUMNS")
+    n_orders = spark.table("cbo_orders").count()
+
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try:
+        q = spark.sql(
+            "SELECT o.o_orderkey FROM cbo_orders o "
+            "JOIN cbo_cust c ON o.o_custkey = c.c_custkey "
+            "WHERE c.c_mktsegment = 'BUILDING'"
+        )
+        stats = q._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined(), "CBO left rowCount undefined"
+        est = int(str(stats.rowCount().get()))
+        # ~1/5 of customers are BUILDING; the estimate must reflect the
+        # filter, not pass the full fact cardinality through
+        assert 0 < est < n_orders, (est, n_orders)
+    finally:
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+        for t in ("cbo_orders", "cbo_cust"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
