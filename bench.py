@@ -123,9 +123,12 @@ def _drift_vs_previous_round(per_query: dict[str, float]) -> list[str]:
             prev_spread.get(name, []) or [prev_queries.get(name, float("inf"))]
         )
         if med > hi:
+            # hi == 0.0 (sub-ms timing rounded to zero) must warn, not
+            # divide-by-zero-crash the bench run
+            ratio = f" ({med / hi:.2f}x)" if hi > 0 else ""
             warnings.append(
                 f"{name}: median {med:.3f}s exceeds {tag} max spread "
-                f"{hi:.3f}s ({med / hi:.2f}x)"
+                f"{hi:.3f}s{ratio}"
             )
     return warnings
 

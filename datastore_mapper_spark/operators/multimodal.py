@@ -307,7 +307,14 @@ def render_bmp_media(doc_df: DataFrame) -> DataFrame:
     ``G = (id % 200) + y``, ``B = id % 200`` (all < 256 by
     construction).  The closed-form pixel law is what lets a SQL
     oracle predict the decoded channel means exactly — see
-    ``multimodal_bmp_decode_stats``."""
+    ``multimodal_bmp_decode_stats``.
+
+    ASSUMES doc_id >= 0 (all render_*_media laws do, round-7 ADVICE):
+    Python/numpy ``%`` is always nonnegative while DuckDB ``%`` takes
+    the dividend's sign, so a negative id would silently diverge from
+    the oracle.  The fixture generator only emits nonnegative ids; a
+    future fixture with negative ids must shift them or switch both
+    sides to pmod semantics."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -388,7 +395,8 @@ def render_wav_media(doc_df: DataFrame) -> DataFrame:
     ``sample[i] = base + slope*i`` with ``base = (id % 300) - 150`` and
     ``slope = (id % 9) - 4`` (all well inside int16).  The closed-form
     ramp lets a SQL oracle predict the decoded duration, mean and peak
-    amplitudes exactly — see ``multimodal_wav_decode_stats``."""
+    amplitudes exactly — see ``multimodal_wav_decode_stats``.
+    ASSUMES doc_id >= 0 (see render_bmp_media — %-sign semantics)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -463,7 +471,8 @@ def render_y4m_media(doc_df: DataFrame) -> DataFrame:
     ``doc_id``: ``n = (id % 6) + 2`` frames of ``(id % 5) + 2`` x
     ``(id % 4) + 2`` C444 video where frame ``f`` has constant luma
     ``(id % 200) + f`` and constant chroma 128.  Closed-form ->
-    SQL-predictable decoded stats (``multimodal_y4m_frame_stats``)."""
+    SQL-predictable decoded stats (``multimodal_y4m_frame_stats``).
+    ASSUMES doc_id >= 0 (see render_bmp_media — %-sign semantics)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -488,8 +488,17 @@ def _grid_step(step: str):
                 f"interval_overlap_join: step unit {unit} is not fixed-length; "
                 "use MICROSECOND..WEEK (MONTH/YEAR have no fixed grid)"
             )
-        return True, n * _FIXED_UNIT_US[unit]
-    return False, int(s)
+        size = n * _FIXED_UNIT_US[unit]
+    else:
+        size = int(s)
+    # a zero/negative step parses fine but fails deep inside the plan
+    # (pmod-by-zero / empty sequence) — fail loudly here instead
+    # (round-7 ADVICE)
+    if size <= 0:
+        raise ValueError(
+            f"interval_overlap_join: step {step!r} must be positive"
+        )
+    return s.upper().startswith("INTERVAL"), size
 
 
 def interval_overlap_join(

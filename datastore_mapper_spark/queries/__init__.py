@@ -30,16 +30,20 @@ from ..registry import reorder_front
 # queries (round-2 VERDICT, "Driver-grading mechanics"), so 50
 # oracle-checked rows are pinned to the front.
 #
-# ROUND-7 ROTATION (round-6 VERDICT items 1-2): rows 1-30 (the §2.B
-# core) stay pinned.  Position 31 keeps `agg_salted_skew_sum` — the one
-# r6 red (hash-only; bitwise-green locally at 3 SFs) — re-landed with
-# the result width pinned DECIMAL(38,2) on both sides like its two
-# green siblings, so r7 records the re-grade.  Positions 32-50 rotate
-# to the 19 TPC-H flagship shapes (queries/tpch_style.py, the most
-# complex query graphs in the registry with zero driver signal so
-# far); q22 + the subquery/CTE module head the round-8 rotation.  The
-# 19 rows rotated out (r6-driver-green pipeline/scale flagships) move
-# behind the window where tests/test_contract_oracle.py +
+# ROUND-8 ROTATION (round-7 VERDICT tasks 1-3): rows 1-30 (the §2.B
+# core) stay pinned.  Rows 31-34 keep the four r7 hash-reds
+# (`agg_salted_skew_sum`, `tpch_q9/q10/q18`) so r8 records their
+# re-grade after the decimal-seam fix: the reds were the driver's
+# pandas-path canonicalization of raw DECIMAL output columns (Spark
+# Decimal at full scale vs DuckDB float64 — judge probe, 50/50
+# correlation), fixed everywhere by the agg_decimal_exact finisher
+# (final CAST to DOUBLE on both engines) and gated permanently by
+# testing.pandas_probe, which every row below passed before rotating
+# in.  Rows 35-50 rotate to tpch_q22, the subquery/CTE module
+# (relational_subqueries.py), the skew-safe sessionization twin, and
+# the four REAL-codec multimodal rows (round-7 flagship work, zero
+# driver signal yet).  The 16 TPC-H rows rotated out (r7-driver-green)
+# move behind the window where tests/test_contract_oracle.py +
 # scripts/check_contract.py still grade them every run.  Schedule:
 # REGISTRY.md §"Driver-grading rotation".
 _CONTRACT_ORDER = [
@@ -56,20 +60,31 @@ _CONTRACT_ORDER = [
     "window_rank_topn_per_group", "window_row_number_dedup",
     "window_lag_lead_delta", "window_running_sum", "window_moving_avg",
     "window_ntile_first_last", "sort_multi_key_nulls", "topk_global",
-    # row 31: r6 red re-landed with pinned decimal width (see its doc)
+    # rows 31-34: the four r7 reds, re-graded after the seam fix
     "agg_salted_skew_sum",
-    # rows 32-50, rotated IN this round: TPC-H flagships q2-q21
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
+    # rows 35-50, rotated IN this round: q22 + subquery/CTE module +
+    # skew-safe sessionization + the REAL-codec multimodal rows
+    "tpch_q22_global_sales_opportunity",
+    "subquery_correlated", "scalar_subquery_uncorrelated",
+    "join_lateral_topn", "join_nullsafe_eq", "cte_multi_reference",
+    "set_intersect_all", "set_except_all",
+    "relational_division_all_years", "cdc_last_write_wins",
+    "scd2_validity_intervals", "session_windows_skewsafe",
+    "multimodal_bmp_decode_stats", "multimodal_wav_decode_stats",
+    "multimodal_y4m_frame_stats", "multimodal_frame_sample_y4m",
+    # rotated OUT this round (all r7-driver-green; local gate covers)
     "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
     "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q10_returned_items",
     "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
     "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
     "tpch_q15_top_supplier", "tpch_q16_supplier_part_count",
-    "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q17_small_quantity",
     "tpch_q19_disjunctive", "tpch_q20_nested_in",
     "tpch_q21_waiting_supplier",
-    # rotated OUT this round (all r6-driver-green; local gate covers)
+    # rotated out in round 7 (r6-driver-green)
     "dedup_keep_canonical", "dedup_cluster_assign",
     "neardup_jaccard_prefix", "neardup_cosine_bucketed",
     "dedup_exact_digest",

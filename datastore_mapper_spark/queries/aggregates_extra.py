@@ -327,9 +327,9 @@ def unpivot_measures(spark, sf_dir):
     )
     SELECT o_orderstatus,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(least(greatest(o_totalprice, b.lo), b.hi)
-                         AS DECIMAL(18,2))) AS DECIMAL(38,2))
-               AS winsorized_sum
+           CAST(CAST(sum(CAST(least(greatest(o_totalprice, b.lo), b.hi)
+                              AS DECIMAL(18,2))) AS DECIMAL(38,2))
+                AS DOUBLE) AS winsorized_sum
     FROM orders, bounds b
     GROUP BY o_orderstatus
     """,
@@ -355,6 +355,7 @@ def winsorized_price_stats(spark, sf_dir):
             F.count("*").alias("n"),
             F.sum(clipped.cast("decimal(18,2)"))
             .cast("decimal(38,2)")
+            .cast("double")
             .alias("winsorized_sum"),
         )
     )

@@ -396,6 +396,91 @@ def multimodal_frame_sample_y4m(spark, sf_dir):
 
 
 @query(
+    "multimodal_pipeline_canonical",
+    "LLM-pipeline/multimodal",
+    oracle="""
+    WITH feats AS (
+        SELECT doc_id, 'image' AS modality,
+               CAST(doc_id % 200 AS BIGINT) AS fingerprint
+        FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id, 'audio',
+               CAST(2 * ((doc_id % 300) - 150)
+                    + ((doc_id % 9) - 4) * ((doc_id % 50) + 7) AS BIGINT)
+        FROM documents WHERE doc_id % 3 = 1
+        UNION ALL
+        SELECT doc_id, 'video',
+               CAST(2 * (doc_id % 200) + (doc_id % 6) + 1 AS BIGINT)
+        FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT modality, fingerprint,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM feats
+    GROUP BY modality, fingerprint
+    """,
+)
+def multimodal_pipeline_canonical(spark, sf_dir):
+    """The COMPOSED multimodal training-data recipe, graded as one
+    unit (round-7 VERDICT task 6): a mixed corpus — each document is
+    an image, audio clip, or video by ``doc_id % 3`` — flows through
+    REAL codec decode (BMP / WAV / y4m, operators/multimodal.py) →
+    per-modality feature extraction (decoded channel/amplitude/luma
+    statistics) → content-fingerprint near-dup grouping → canonical
+    selection (min doc_id per duplicate group), the exact shape a
+    100 TB multimodal dedup stage ships.
+
+    Every byte on the Spark side is genuinely encoded then decoded by
+    the pure-numpy/struct codecs inside Arrow-batched ``mapInPandas``;
+    the fingerprints are integers recovered from DECODED bytes (image:
+    the constant blue channel; audio/video: 2x the decoded mean, an
+    exact integer for a linear ramp / frame ladder), so a mis-parse
+    anywhere in any codec shifts a fingerprint, moves a document to
+    the wrong duplicate group, and hash-fails.  The oracle replays
+    the whole pipeline from the closed-form render laws (ASSUMES
+    doc_id >= 0, see render_bmp_media).  Scale shape: decode is
+    partition-preserving (no shuffle until the final fingerprint
+    groupBy on already-tiny per-doc rows); the three modality branches
+    prune at the parquet scan on ``doc_id % 3``."""
+    from ..operators.multimodal import (
+        extract_audio_stats,
+        extract_image_stats,
+        extract_video_stats,
+        render_bmp_media,
+        render_wav_media,
+        render_y4m_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    imgs = extract_image_stats(
+        render_bmp_media(d.filter(F.col("doc_id") % 3 == 0))
+    ).select(
+        "doc_id",
+        F.lit("image").alias("modality"),
+        F.col("mean_b").cast("bigint").alias("fingerprint"),
+    )
+    auds = extract_audio_stats(
+        render_wav_media(d.filter(F.col("doc_id") % 3 == 1))
+    ).select(
+        "doc_id",
+        F.lit("audio").alias("modality"),
+        (F.col("mean_amp") * 2).cast("bigint").alias("fingerprint"),
+    )
+    vids = extract_video_stats(
+        render_y4m_media(d.filter(F.col("doc_id") % 3 == 2))
+    ).select(
+        "doc_id",
+        F.lit("video").alias("modality"),
+        (F.col("mean_luma") * 2).cast("bigint").alias("fingerprint"),
+    )
+    feats = imgs.unionByName(auds).unionByName(vids)
+    return feats.groupBy("modality", "fingerprint").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("canonical_doc_id"),
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     "LLM-pipeline",
     oracle=None,
@@ -733,7 +818,7 @@ def embedding_centroid_by_label(spark, sf_dir):
     )
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(lp) AS DECIMAL(38,6)) AS sum_logprob
+           CAST(CAST(sum(lp) AS DECIMAL(38,6)) AS DOUBLE) AS sum_logprob
     FROM scored GROUP BY doc_id
     """,
 )
@@ -766,7 +851,8 @@ def unigram_logprob_score(spark, sf_dir):
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.sum("lp").cast("decimal(38,6)").alias("sum_logprob"),
+        F.sum("lp").cast("decimal(38,6)").cast("double")
+        .alias("sum_logprob"),
     )
 
 

@@ -18,8 +18,8 @@ from ..catalog import table
 from ..operators.dedup import connected_components, connected_components_star
 from ..registry import REGISTRY, query
 
-#: (app_id, abspath(sf_dir)) -> read-back frame of the written edge table.
-_near_dup_edge_cache: dict[tuple[str, str], DataFrame] = {}
+#: corpus-snapshot tag -> read-back frame of the written edge table.
+_near_dup_edge_cache: dict[str, DataFrame] = {}
 
 _SCRATCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -27,9 +27,24 @@ _SCRATCH = os.path.join(
 )
 
 
+def _corpus_snapshot_tag(sf_dir: str) -> str:
+    """Content-address a corpus snapshot: abspath + documents.parquet
+    (size, mtime_ns) + the df-cap parameter.  Any rewrite of the
+    fixture file or change of the candidate-generation cap changes the
+    tag; same snapshot -> same tag across sessions AND processes."""
+    doc = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc)
+        fp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = "missing"
+    raw = f"{os.path.abspath(sf_dir)}|{fp}|df{NEAR_DUP_DF_CAP}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
 def near_dup_edges(spark, sf_dir) -> DataFrame:
     """The near-dup pair graph (``dedup_near_jaccard``'s edges),
-    materialized ONCE per (session, corpus dir) and shared by every
+    materialized ONCE per corpus snapshot and shared by every
     downstream graph/dedup query (cluster assignment, canonical-doc
     selection, triangles, clustering coefficient, PageRank).
 
@@ -45,22 +60,45 @@ def near_dup_edges(spark, sf_dir) -> DataFrame:
     CRASHES instead of recomputing; observed live in the round-7
     sf0.1 sweep).  Files have no such failure mode, and the parquet
     scan also cuts the lineage the iterative consumers (CC, PageRank)
-    need cut.  Cache key = (session, corpus dir): a new session
-    rebuilds the snapshot, the same session reuses the files."""
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
-    if key not in _near_dup_edge_cache:
-        tag = hashlib.sha1(
-            (spark.sparkContext.applicationId + os.path.abspath(sf_dir)).encode()
-        ).hexdigest()[:12]
-        path = os.path.join(_SCRATCH, f"near_dup_edges_{tag}")
-        (
-            REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir)
-            .select("d1", "d2")
-            .write.mode("overwrite")
-            .parquet(path)
-        )
-        _near_dup_edge_cache[key] = spark.read.parquet(path)
-    return _near_dup_edge_cache[key]
+    need cut.
+
+    Cache key = CONTENT ADDRESS (round-7 VERDICT task 5): the tag
+    derives from (corpus dir, documents.parquet size+mtime, df-cap),
+    not the Spark applicationId, so a fresh session — including every
+    isolated per-query session of the timing sweep — REUSES the edge
+    table a previous session wrote instead of re-paying the pair join.
+    That mirrors the real contract: one materialization per corpus
+    snapshot, ever.  A completed write is detected by parquet's
+    ``_SUCCESS`` marker; stale ``near_dup_edges_*`` dirs with other
+    tags are removed on write (round-7 ADVICE — the scratch dir
+    otherwise accumulates one copy per rewritten fixture)."""
+    tag = _corpus_snapshot_tag(sf_dir)
+    sf_name = os.path.basename(os.path.abspath(sf_dir))
+    dirname = f"near_dup_edges_{sf_name}_{tag}"
+    if tag not in _near_dup_edge_cache:
+        path = os.path.join(_SCRATCH, dirname)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (
+                REGISTRY["dedup_near_jaccard"].fn(spark, sf_dir)
+                .select("d1", "d2")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            import shutil
+
+            # drop superseded snapshots of THIS corpus (other sf dirs
+            # may be live in the same process) plus legacy app-id-keyed
+            # dirs (no sf segment — the round-7 accumulation pattern)
+            for d in os.listdir(_SCRATCH):
+                if not d.startswith("near_dup_edges_") or d == dirname:
+                    continue
+                suffix = d[len("near_dup_edges_"):]
+                same_corpus = suffix.startswith(f"{sf_name}_")
+                legacy = "_" not in suffix
+                if same_corpus or legacy:
+                    shutil.rmtree(os.path.join(_SCRATCH, d), ignore_errors=True)
+        _near_dup_edge_cache[tag] = spark.read.parquet(path)
+    return _near_dup_edge_cache[tag]
 
 
 @query(

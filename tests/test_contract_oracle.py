@@ -21,6 +21,50 @@ def test_query_matches_oracle(name, spark, oracle, sf_dir):
         assert res.spark_rows >= 0  # rows-only: must at least execute
 
 
+def test_pandas_probe_catches_decimal_seam(spark, oracle):
+    """Regression lock on the round-7 driver seam (VERDICT task 2):
+    Spark ``toPandas()`` renders Decimals at full scale ('154.0000')
+    while DuckDB ``fetchdf()`` converts DECIMAL to float64 whose repr
+    drops trailing zeros ('154.0').  A raw-DECIMAL output column must
+    FAIL the probe whenever any value has a trailing zero at its
+    scale; the agg_decimal_exact finisher (final CAST to DOUBLE on
+    both engines) must PASS.  This is the gate every query must clear
+    before rotating into the driver window."""
+    from datastore_mapper_spark.testing import pandas_probe
+
+    # 2.50 sums to 10.00 — a trailing-zero decimal, the red class.
+    sdf_raw = spark.sql(
+        "SELECT 'k' AS k, CAST(10.00 AS DECIMAL(18,2)) AS v"
+    )
+    assert pandas_probe(
+        sdf_raw, oracle, "SELECT 'k' AS k, CAST(10.00 AS DECIMAL(18,2)) AS v"
+    ), "probe must red a raw DECIMAL trailing-zero output"
+
+    # The proven fix: identical exact decimal, final cast to DOUBLE.
+    sdf_dbl = spark.sql(
+        "SELECT 'k' AS k, CAST(CAST(10.00 AS DECIMAL(18,2)) AS DOUBLE) AS v"
+    )
+    assert not pandas_probe(
+        sdf_dbl, oracle,
+        "SELECT 'k' AS k, CAST(CAST(10.00 AS DECIMAL(18,2)) AS DOUBLE) AS v",
+    ), "double-cast form must be probe-green"
+
+
+def test_no_decimal_output_in_driver_window(spark, sf_dir):
+    """No query in the 50-row graded window may output a raw DECIMAL
+    column — the seam above makes any such column a deterministic or
+    luck-of-the-last-digit driver red (round-7 VERDICT item 1)."""
+    from datastore_mapper_spark.queries import _CONTRACT_ORDER
+
+    offenders = {}
+    for n in _CONTRACT_ORDER[:50]:
+        sdf = SPECS[n].fn(spark, sf_dir)
+        decs = [(c, t) for c, t in sdf.dtypes if t.startswith("decimal")]
+        if decs:
+            offenders[n] = decs
+    assert not offenders, f"raw DECIMAL outputs in driver window: {offenders}"
+
+
 def test_contract_rows_registered_first():
     """The verification driver grades the FIRST 50 registered queries;
     the §2.B contract must own that window (and the contract tail must
@@ -29,12 +73,17 @@ def test_contract_rows_registered_first():
 
     names = list(SPECS)
     assert names[: len(_CONTRACT_ORDER)] == _CONTRACT_ORDER
-    # round-7 rotation (REGISTRY.md "Driver-grading rotation"): rows
-    # 1-30 pinned §2.B core, row 31 the re-landed salted agg, rows
-    # 32-50 the TPC-H flagships q2-q21
+    # round-8 rotation (REGISTRY.md "Driver-grading rotation"): rows
+    # 1-30 pinned §2.B core, rows 31-34 the four r7 reds held for
+    # re-grade after the decimal-seam fix, rows 35-50 the q22 +
+    # subquery/CTE + multimodal rotation
     assert names[30] == "agg_salted_skew_sum"
-    assert names[31] == "tpch_q2_min_cost_supplier"
-    assert names[49] == "tpch_q21_waiting_supplier"
-    # every row of the round-7 graded window is oracle-checked
+    assert names[31:34] == [
+        "tpch_q9_product_profit", "tpch_q10_returned_items",
+        "tpch_q18_large_orders",
+    ]
+    assert names[34] == "tpch_q22_global_sales_opportunity"
+    assert names[49] == "multimodal_frame_sample_y4m"
+    # every row of the round-8 graded window is oracle-checked
     for n in _CONTRACT_ORDER[:50]:
         assert SPECS[n].oracle is not None, n
