@@ -814,3 +814,112 @@ def ngram_span_dup_coverage(spark, sf_dir):
             ).alias("dup_frac"),
         )
     )
+
+
+@query(
+    "dedup_incremental_ingest",
+    "LLM-pipeline",
+    oracle="""
+    WITH batch AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 = 7
+    ), corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7
+    ), toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), nd AS (
+        SELECT p.d1, p.d2
+        FROM pairs p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    ), exact_hit AS (
+        SELECT DISTINCT b.doc_id FROM batch b
+        JOIN corpus c ON b.text = c.text
+    ), near_hit AS (
+        SELECT nd.d1 AS doc_id FROM nd
+        JOIN batch b ON nd.d1 = b.doc_id
+        JOIN corpus c ON nd.d2 = c.doc_id
+        UNION
+        SELECT nd.d2 FROM nd
+        JOIN batch b ON nd.d2 = b.doc_id
+        JOIN corpus c ON nd.d1 = c.doc_id
+    )
+    SELECT b.lang,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS decision,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(b.doc_id) AS BIGINT) AS example_doc
+    FROM batch b
+    LEFT JOIN exact_hit e ON b.doc_id = e.doc_id
+    LEFT JOIN near_hit n ON b.doc_id = n.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def dedup_incremental_ingest(spark, sf_dir):
+    """Incremental-ingest dedup — the decision a DAILY pipeline makes:
+    an incoming batch (``doc_id % 10 = 7`` stands in for today's
+    crawl) is triaged against the existing corpus into ``exact_dup``
+    (byte-identical text already present), ``near_dup`` (Jaccard >=
+    0.8 edge to a corpus doc), or ``new``, per language.  This is the
+    ship-shape of dedup at 100 TB: the quadratic pair graph is built
+    ONCE per corpus snapshot (the shared, content-addressed
+    ``near_dup_edges`` parquet table) and each day's batch only
+    anti-joins/semi-joins against it — batch-sized work, not
+    corpus-sized.
+
+    Exact hits match on a 256-bit content digest (16-byte shuffle
+    keys, never full text; the oracle matches raw text — identical
+    semantics, digest collisions being cryptographically absent);
+    near hits are batch-corpus edges of the shared pair graph.
+    Priority exact > near > new makes the three classes disjoint."""
+    d = table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 10 == 7
+    batch = d.filter(is_batch).select(
+        "doc_id", "lang", F.sha2("text", 256).alias("digest")
+    )
+    corpus_digests = (
+        d.filter(~is_batch).select(F.sha2("text", 256).alias("digest")).distinct()
+    )
+    exact = (
+        batch.join(corpus_digests, "digest", "left_semi")
+        .select("doc_id").withColumn("is_exact", F.lit(True))
+    )
+    edges = near_dup_edges(spark, sf_dir)
+    batch_ids = d.filter(is_batch).select("doc_id")
+    corpus_ids = d.filter(~is_batch).select(F.col("doc_id").alias("cid"))
+    near = (
+        edges.join(batch_ids, edges.d1 == batch_ids.doc_id)
+        .join(corpus_ids, edges.d2 == F.col("cid"), "left_semi")
+        .select("doc_id")
+        .unionByName(
+            edges.join(batch_ids, edges.d2 == batch_ids.doc_id)
+            .join(corpus_ids, edges.d1 == F.col("cid"), "left_semi")
+            .select("doc_id")
+        )
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    decision = (
+        F.when(F.col("is_exact"), "exact_dup")
+        .when(F.col("is_near"), "near_dup")
+        .otherwise("new")
+    )
+    return (
+        batch.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .groupBy("lang", decision.alias("decision"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+    )

@@ -1124,3 +1124,97 @@ def stratified_sample_exact_k(spark, sf_dir):
             F.sum("doc_id").alias("sampled_id_sum"),
         )
     )
+
+
+@query(
+    "dq_rule_violations",
+    "LLM-pipeline/quality",
+    oracle="""
+    SELECT 'lineitem_nonpositive_qty' AS rule,
+           CAST(count(*) FILTER (WHERE l_quantity IS NULL
+                                    OR l_quantity <= 0) AS BIGINT)
+               AS n_violations,
+           CAST(count(*) AS BIGINT) AS n_checked
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST(count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           CAST(count(*) FILTER (WHERE o_totalprice IS NULL
+                                    OR o_totalprice <= 0) AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT),
+           CAST(count(*) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def dq_rule_violations(spark, sf_dir):
+    """Data-quality gate: the rule-violation report every ingest stage
+    runs BEFORE publishing a snapshot — range rules (non-positive
+    quantities/prices, out-of-range discounts) and referential rules
+    (orphan foreign keys), each with its checked-row denominator so
+    the consumer can threshold on violation RATE.
+
+    Scale shape: the three range rules are conditional aggregates in
+    ONE pass over their table (map-side partial, no shuffle of raw
+    rows); the two FK rules are anti joins that broadcast nothing
+    fact-sized (orders←customer broadcasts the dim side; the
+    lineitem←orders anti join shuffles on the join key once).  Output
+    is five fixed rows regardless of data volume."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+
+    def rule(name, df, pred):
+        return df.agg(
+            F.count(F.when(pred, 1)).alias("n_violations"),
+            F.count("*").alias("n_checked"),
+        ).select(F.lit(name).alias("rule"), "n_violations", "n_checked")
+
+    qty_bad = F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)
+    disc_bad = (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    price_bad = F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0)
+
+    orphan_orders = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .crossJoin(o.agg(F.count("*").alias("n_checked")))
+        .select(
+            F.lit("orders_orphan_custkey").alias("rule"),
+            "n_violations", "n_checked",
+        )
+    )
+    orphan_lines = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_violations"))
+        .crossJoin(li.agg(F.count("*").alias("n_checked")))
+        .select(
+            F.lit("lineitem_orphan_orderkey").alias("rule"),
+            "n_violations", "n_checked",
+        )
+    )
+    return (
+        rule("lineitem_nonpositive_qty", li, qty_bad)
+        .unionByName(rule("lineitem_discount_out_of_range", li, disc_bad))
+        .unionByName(rule("orders_nonpositive_price", o, price_bad))
+        .unionByName(orphan_orders)
+        .unionByName(orphan_lines)
+    )

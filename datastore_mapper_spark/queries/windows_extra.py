@@ -610,3 +610,129 @@ def timeseries_gap_fill_ffill(spark, sf_dir):
             .alias("total_ffill"),
         )
     )
+
+
+@query(
+    "funnel_conversion_steps",
+    "window/analytics",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+        FROM events
+    ), v AS (
+        SELECT user_id, min(us) AS t_view
+        FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+        SELECT e.user_id, min(us) AS t_click
+        FROM ev e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.us > v.t_view
+        GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(us) AS t_buy
+        FROM ev e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.us > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+           CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchased_after_click
+    """,
+)
+def funnel_conversion_steps(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    advances a stage only with a strictly-later event of the next
+    type — the product-analytics staple that naive type-counting gets
+    wrong (a purchase BEFORE the first view must not count).
+
+    Scale shape: three per-user min-aggregations, each shuffling on
+    the same user_id key (AQE reuses the partitioning), with the
+    stage frontier joined back per user — per-stage state is one
+    timestamp per user, never the event list, so 100 TB of events
+    reduce to |users|-sized intermediates after the first aggregate.
+    Strictly-increasing µs comparisons are exact integers on both
+    engines (no timestamp arithmetic seams)."""
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts_us")).alias("us"),
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("us").alias("t_buy"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+@query(
+    "cohort_retention_weekly",
+    "window/analytics",
+    oracle="""
+    WITH signups AS (
+        SELECT user_id,
+               CAST(min(date_trunc('week', ts::TIMESTAMP)) AS TIMESTAMP)
+                   AS cohort_week
+        FROM events WHERE event_type = 'signup'
+        GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id,
+               CAST(date_trunc('week', e.ts::TIMESTAMP) AS TIMESTAMP)
+                   AS active_week
+        FROM events e
+    )
+    SELECT s.cohort_week,
+           CAST(date_diff('day', s.cohort_week::TIMESTAMP,
+                          a.active_week::TIMESTAMP) // 7 AS INT)
+               AS week_offset,
+           CAST(count(DISTINCT s.user_id) AS BIGINT) AS n_active_users
+    FROM signups s JOIN activity a ON s.user_id = a.user_id
+    WHERE a.active_week >= s.cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention_weekly(spark, sf_dir):
+    """Weekly cohort retention: users cohorted by the ISO week of
+    their first signup, counted as active in each subsequent week
+    they produce ANY event — the retention-matrix shape every growth
+    dashboard is built on.
+
+    Scale shape: the (user, week) activity dedup collapses raw event
+    volume before any join (events reduce to at most
+    |users| x |weeks| rows); the signup frontier is one row per user;
+    the final matrix is |cohorts| x |offsets| — tiny.  Both shuffles
+    ride user_id.  Week bucketing is date_trunc('week') (ISO Monday)
+    on both engines; the offset is an exact integer day-diff // 7."""
+    e = table(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", "ts_us")).alias("cohort_week"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", "ts_us").alias("active_week")
+    ).distinct()
+    return (
+        signups.join(activity, "user_id")
+        .filter(F.col("active_week") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.to_date("active_week"), F.to_date("cohort_week"))
+             / F.lit(7)).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )

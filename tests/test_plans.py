@@ -253,3 +253,29 @@ def test_hive_partitioned_scan_prunes_directories(spark, sf_dir):
     assert any(
         "event_type" in s and "day" in s for s in sections
     ), f"partition predicates missing from PartitionFilters {sections}"
+
+
+def test_dq_fk_rules_plan_as_anti_joins(spark, sf_dir):
+    """The referential rules in dq_rule_violations must be LeftAnti
+    joins (broadcast for the dim-sided one), never a NOT-IN rewrite
+    through a nested loop."""
+    plan = formatted(_df("dq_rule_violations", spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_filters_push_to_scan(spark, sf_dir):
+    """Each funnel stage must push its event_type equality into the
+    parquet scan — at 100 TB the difference between scanning one event
+    type and scanning all of them."""
+    info = scan_info(_df("funnel_conversion_steps", spark, sf_dir))
+    pushed = ";".join(info["PushedFilters"])
+    assert "event_type" in pushed
+
+
+def test_incremental_ingest_reads_edge_snapshot(spark, sf_dir):
+    """dedup_incremental_ingest must consume the materialized pair
+    graph (a parquet scan of near_dup_edges_*), not re-derive the
+    ~80 s pair join inline."""
+    plan = formatted(_df("dedup_incremental_ingest", spark, sf_dir))
+    assert "near_dup_edges_" in plan
