@@ -23,6 +23,7 @@ from . import tpch_style  # noqa: F401
 from . import pipeline_extra  # noqa: F401
 from . import udtf_queries  # noqa: F401
 from . import scale_queries  # noqa: F401
+from . import bpe_queries  # noqa: F401
 
 from ..registry import reorder_front
 

@@ -578,3 +578,85 @@ def percentiles_exact_scalable(spark, sf_dir):
         pick(0.75).alias("p75"),
         pick(0.90).alias("p90"),
     )
+
+
+@query(
+    "approx_quantile_error_audit",
+    "approx agg/audit",
+    oracle=None,
+    description="approx_percentile (GK sketch, 1% target) vs the exact "
+    "percentile, with absolute+relative error per quantile — rows-only "
+    "(no SQL oracle can replay Spark's sketch); pytest asserts the "
+    "error stays inside the accuracy contract.",
+)
+def approx_quantile_error_audit(spark, sf_dir):
+    """Accuracy audit for the sketch quantiles a 100 TB deploy uses in
+    place of the exact two-pass operator: one row per quantile with
+    the sketch estimate, the exact value, and absolute/relative error.
+    The deploy rule this measures: approx_percentile(acc=10000) must
+    sit within ~1e-4 rank error — pytest pins relative value error
+    < 1% on the fixture distribution, so a silent accuracy regression
+    (Spark upgrade, accuracy-knob typo) fails fast.  One pass for all
+    four sketch quantiles + one exact percentile pass; both
+    partial-aggregate map-side."""
+    o = table(spark, sf_dir, "orders")
+    qs = [0.25, 0.5, 0.75, 0.9]
+    approx = o.agg(
+        F.percentile_approx("o_totalprice", qs, 10000).alias("ap")
+    )
+    exact = o.agg(F.percentile("o_totalprice", qs).alias("ex"))
+    both = approx.crossJoin(exact).select(
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("q"),
+                F.col("ap"),
+                F.col("ex"),
+            )
+        ).alias("z")
+    ).select(
+        F.col("z.q").alias("quantile"),
+        F.round("z.ap", 2).alias("approx_value"),
+        F.round("z.ex", 2).alias("exact_value"),
+    )
+    return both.select(
+        "quantile", "approx_value", "exact_value",
+        F.round(F.abs(F.col("approx_value") - F.col("exact_value")), 2)
+        .alias("abs_error"),
+        F.round(
+            F.abs(F.col("approx_value") - F.col("exact_value"))
+            / F.col("exact_value"), 6
+        ).alias("rel_error"),
+    )
+
+
+@query(
+    "hll_error_audit",
+    "approx agg/audit",
+    oracle=None,
+    description="approx_count_distinct (HLL++, rsd=0.01) vs the exact "
+    "distinct count per event type, with relative error — rows-only; "
+    "pytest asserts error < 5*rsd.",
+)
+def hll_error_audit(spark, sf_dir):
+    """Accuracy audit for HLL++ distinct counting — the estimator that
+    replaces exact count(DISTINCT) at 100 TB (fixed 1.5 KB of state
+    per group vs an unbounded distinct-set shuffle).  Emits exact,
+    estimate, and relative error per event type; pytest pins
+    |error| < 5x the requested rsd so an accuracy regression in the
+    sketch (or a silently changed rsd) is caught by the suite, not by
+    a downstream dashboard."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        )
+        .select(
+            "event_type", "exact_users", "approx_users",
+            F.round(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                / F.col("exact_users"), 6
+            ).alias("rel_error"),
+        )
+    )

@@ -1,0 +1,182 @@
+"""Byte-pair-encoding (BPE) vocabulary training over the corpus —
+the tokenizer-construction stage of an LLM data pipeline, expressed
+Spark-first.
+
+The classic scale trick makes this tractable at 100 TB: BPE statistics
+are computed over the WORD-FREQUENCY table, not the raw corpus — a
+word appearing 10^9 times contributes one row with weight 10^9, so
+every training iteration runs over |vocab| rows (millions) regardless
+of corpus bytes.  Pair counting is pure JVM expression work
+(explode + groupBy with map-side partials); the greedy left-to-right
+merge application — inherently sequential WITHIN a word, trivially
+parallel ACROSS words — runs as an Arrow-batched pandas UDF over the
+vocab-sized table.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+def word_frequencies(spark, sf_dir) -> DataFrame:
+    """(word, freq) over documents — the compressed corpus every BPE
+    statistic is computed from."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+    )
+
+
+@query(
+    "bpe_pair_counts",
+    "LLM-pipeline/tokenizer",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), wf AS (
+        SELECT w, count(*) AS f FROM words WHERE len(w) >= 2 GROUP BY w
+    ), pairs AS (
+        SELECT substr(w, CAST(i AS INT), 1) AS a,
+               substr(w, CAST(i AS INT) + 1, 1) AS b,
+               f
+        FROM wf, unnest(range(1, len(w))) AS t(i)
+    )
+    SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt
+    FROM pairs
+    GROUP BY a, b
+    ORDER BY cnt DESC, a, b
+    LIMIT 50
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """The first BPE statistic: corpus-weighted adjacent character-pair
+    counts (top 50, total tie-break) — iteration 0 of vocabulary
+    training, and the exact aggregation every later iteration repeats
+    over the evolving symbol sequences.
+
+    Scale shape: the corpus collapses to the word-frequency table
+    FIRST (one shuffle on the word), so the pair explosion fans out
+    |vocab| x avg_word_len rows — independent of corpus size — and
+    the pair groupBy partial-aggregates map-side into at most
+    |alphabet|² cells per partition.  All symbol slicing is JVM
+    ``substring``/``sequence`` expressions; no Python in this path."""
+    wf = word_frequencies(spark, sf_dir)
+    pairs = wf.select(
+        "f",
+        F.explode(
+            F.expr("sequence(1, length(w) - 1)")
+        ).alias("i"),
+        "w",
+    ).select(
+        F.expr("substring(w, i, 1)").alias("a"),
+        F.expr("substring(w, i + 1, 1)").alias("b"),
+        "f",
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("f").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(50)
+    )
+
+
+def _merge_symbols(syms: list[str], a: str, b: str) -> list[str]:
+    """Greedy left-to-right application of one merge (a, b) -> a+b —
+    the standard BPE rule: 'aaa' under (a,a) becomes ['aa', 'a']."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _merge_udf(a: str, b: str):
+    """Arrow-batched merge application for ONE learned pair — a
+    factory so the loop in :func:`bpe_train` binds (a, b) by VALUE
+    (a shared closure would late-bind to the last iteration's pair)."""
+
+    @F.pandas_udf("array<string>")
+    def apply_merge(col: pd.Series) -> pd.Series:
+        return col.map(lambda s: _merge_symbols(list(s), a, b))
+
+    return apply_merge
+
+
+def bpe_train(spark, sf_dir, n_merges: int = 10) -> DataFrame:
+    """Train ``n_merges`` BPE merges; returns (merge_rank, left, right,
+    pair_count) — deterministic (count DESC, then lexicographic pair).
+
+    Per iteration: (1) a JVM pair-count aggregation over the
+    vocab-sized symbol table (as ``bpe_pair_counts``), (2) the argmax
+    merge picked off a 1-row sort, (3) merge application via an
+    Arrow-batched pandas UDF over the vocab table (per-word sequential
+    by definition, embarrassingly parallel across words), then a
+    ``localCheckpoint`` cutting the per-iteration lineage exactly like
+    the connected-components loop.  At 100 TB only step (3)'s input —
+    the word-frequency table — is large, and it is the SAME size every
+    iteration; the corpus is never re-read after the first aggregate."""
+    wf = word_frequencies(spark, sf_dir).select(
+        F.expr("split(w, '')").alias("syms"), "f"
+    ).localCheckpoint()
+
+    merges = []
+    for rank in range(n_merges):
+        pairs = wf.select(
+            "f", F.explode(F.expr("sequence(1, size(syms) - 1)")).alias("i"),
+            "syms",
+        ).select(
+            F.expr("element_at(syms, i)").alias("a"),
+            F.expr("element_at(syms, i + 1)").alias("b"),
+            "f",
+        )
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("f").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        merges.append((rank, a, b, cnt))
+        wf = wf.select(
+            _merge_udf(a, b)("syms").alias("syms"), "f"
+        ).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    )
+
+
+@query(
+    "bpe_train_merges",
+    "LLM-pipeline/tokenizer",
+    oracle=None,
+    description="First 10 BPE merges (rank, pair, corpus-weighted count) "
+    "trained over the word-frequency table — iterative; no single-query "
+    "SQL oracle exists, pytest pins it against an independent pure-Python "
+    "reference trainer (rows-only).",
+)
+def bpe_train_merges(spark, sf_dir):
+    """Ten BPE training iterations (see :func:`bpe_train`).  Rows-only
+    for the driver; ``tests/test_operators.py`` differential-tests the
+    full merge list against an independent pure-Python BPE reference
+    on the same fixture words at sf0.001 — a stronger check than the
+    rows-only label suggests."""
+    return bpe_train(spark, sf_dir, n_merges=10)

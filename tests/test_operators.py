@@ -866,3 +866,76 @@ def test_near_dup_edges_survive_blanket_unpersist(spark, sf_dir):
     assert again.count() == n_edges
     cc = connected_components(again.select("d1", "d2"))
     assert cc.count() > 0
+
+
+def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
+    """Differential test for the iterative BPE trainer: the Spark
+    merge list must equal an INDEPENDENT pure-Python reference trainer
+    run on the same word-frequency table (same tie-break: count DESC,
+    then lexicographic pair).  This carries the correctness weight for
+    the rows-only contract row bpe_train_merges."""
+    from collections import Counter
+
+    from datastore_mapper_spark.queries.bpe_queries import (
+        _merge_symbols,
+        bpe_train,
+        word_frequencies,
+    )
+
+    wf = {
+        r.w: r.f for r in word_frequencies(spark, sf_dir).collect()
+    }
+
+    def reference(wf, n_merges):
+        vocab = {tuple(w): f for w, f in wf.items()}
+        out = []
+        for rank in range(n_merges):
+            counts = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] += f
+            if not counts:
+                break
+            (a, b), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            out.append((rank, a, b, cnt))
+            vocab = {
+                tuple(_merge_symbols(list(s), a, b)): f
+                for s, f in vocab.items()
+            }
+        return out
+
+    expected = reference(wf, 6)
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in bpe_train(spark, sf_dir, n_merges=6)
+        .orderBy("merge_rank").collect()
+    ]
+    assert got == expected
+
+
+def test_approx_quantile_audit_within_contract(spark, sf_dir):
+    """The sketch-quantile accuracy contract: every audited quantile's
+    relative value error must stay under 1% on the fixture
+    distribution (accuracy=10000 → ~1e-4 rank error)."""
+    from datastore_mapper_spark.registry import all_queries
+
+    rows = (
+        all_queries()["approx_quantile_error_audit"]
+        .fn(spark, sf_dir).collect()
+    )
+    assert len(rows) == 4
+    for r in rows:
+        assert r.rel_error < 0.01, (r.quantile, r.rel_error)
+
+
+def test_hll_audit_within_contract(spark, sf_dir):
+    """HLL++ distinct-count audit: relative error per event type must
+    stay under 5x the requested rsd (0.01)."""
+    from datastore_mapper_spark.registry import all_queries
+
+    rows = all_queries()["hll_error_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rel_error < 0.05, (r.event_type, r.rel_error)

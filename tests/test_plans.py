@@ -186,6 +186,9 @@ BNLJ_ALLOWED = {
     "tpch_q11_important_stock",    # 1-row supplier-count + 1-row total scalars
     "tpch_q16_supplier_part_count",  # 1-row supplier-count scalar (partsupp derivation)
     "percentiles_exact_scalable",  # 1-row total-count scalar (two-pass ranks)
+    "funnel_conversion_steps",   # three 1-row stage-count frames crossed
+    "dq_rule_violations",        # 1-row violation/denominator frames crossed
+    "approx_quantile_error_audit",  # two 1-row (approx, exact) frames crossed
 }
 
 
