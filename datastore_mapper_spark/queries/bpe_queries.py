@@ -144,16 +144,18 @@ def bpe_train(spark, sf_dir, n_merges: int = 10) -> DataFrame:
             F.expr("element_at(syms, i + 1)").alias("b"),
             "f",
         )
+        # driver-side 1-row argmax — the per-iteration control scalar,
+        # same discipline as pagerank's convergence delta (never a
+        # corpus-sized collect)
         top = (
             pairs.groupBy("a", "b")
             .agg(F.sum("f").alias("cnt"))
             .orderBy(F.desc("cnt"), "a", "b")
-            .limit(1)
-            .collect()
+            .first()
         )
-        if not top:
+        if top is None:
             break
-        a, b, cnt = top[0].a, top[0].b, int(top[0].cnt)
+        a, b, cnt = top.a, top.b, int(top.cnt)
         merges.append((rank, a, b, cnt))
         wf = wf.select(
             _merge_udf(a, b)("syms").alias("syms"), "f"

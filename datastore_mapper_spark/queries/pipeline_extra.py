@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..registry import query
+from ..registry import REGISTRY, query
 
 
 @query(
@@ -1218,3 +1218,183 @@ def dq_rule_violations(spark, sf_dir):
         .unionByName(orphan_orders)
         .unionByName(orphan_lines)
     )
+
+
+@query(
+    "pretraining_corpus_recipe",
+    "LLM-pipeline/recipe",
+    oracle=None,  # assembled below (needs the stopword-hits SQL helper)
+)
+def pretraining_corpus_recipe(spark, sf_dir):
+    """The COMPOSED text pretraining-data recipe, graded as one unit
+    (the text twin of ``multimodal_pipeline_canonical``):
+    quality-priority near-dup canonical selection (each cluster of the
+    full-corpus pair graph keeps its HIGHEST-scoring member — the
+    ``dedup_keep_best_quality`` rule, because the min-id rule throws
+    away a cluster's good copy whenever boilerplate has the smaller
+    id) → quality filter (composite score >= 0.35, calibrated to keep
+    ~55% of the fixture's canonical docs) → leak-free
+    train/val/test split (source-hash buckets) → sequence packing
+    (2048-token bins via exclusive prefix sum per split) — emitting
+    per-split document, token, and bin counts.  This is the
+    end-to-end decision chain a corpus build SHIPS, so a regression
+    anywhere in the four stages moves a count and hash-fails.
+
+    Scale shape, stage by stage: scoring is one pass of pure JVM
+    expressions; canonical selection reuses the shared
+    content-addressed pair-graph snapshot + connected components
+    (one window bounded by cluster size, 16-byte keys); the split is
+    a per-row md5 bucket (no shuffle); packing uses the two-pass
+    range-partitioned prefix sum PER SPLIT — no single global-order
+    partition anywhere.  The oracle replays all four stages in SQL
+    (recursive CTE for the cluster closure)."""
+    from pyspark.sql import Window
+
+    from ..operators import text as tx
+    from ..operators.dedup import connected_components
+    from ..operators.scale import ranged_running_sum
+    from .llm_text import near_dup_edges
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        tx.quality_score(F.col("text")).alias("score"),
+    )
+
+    cc = connected_components(near_dup_edges(spark, sf_dir))
+    members = scored.join(
+        cc.select(F.col("node").alias("doc_id"), "cluster_id"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    best = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source", "n_tok", "score")
+    )
+    singletons = scored.join(
+        cc.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    )
+    kept = best.unionByName(singletons).filter(F.col("score") >= 0.35)
+
+    bucket = (
+        F.conv(F.substring(F.md5("source"), 1, 4), 16, 10).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+    )
+    base = kept.select("doc_id", split.alias("split"), "n_tok")
+
+    packed_parts = []
+    for s in ("train", "val", "test"):
+        sub = base.filter(F.col("split") == s).select("doc_id", "n_tok")
+        packed_parts.append(
+            ranged_running_sum(
+                sub, [F.asc("doc_id")], "n_tok", "__prefix", exclusive=True
+            ).select(
+                F.lit(s).alias("split"),
+                "n_tok",
+                F.floor(F.col("__prefix") / 2048.0).cast("bigint")
+                .alias("bin_id"),
+            )
+        )
+    packed = packed_parts[0].unionByName(packed_parts[1]).unionByName(
+        packed_parts[2]
+    )
+    return packed.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        F.countDistinct("bin_id").cast("bigint").alias("n_bins"),
+    )
+
+
+def _recipe_oracle() -> str:
+    """Assemble the pretraining-recipe oracle: the four stage CTEs
+    reuse the exact SQL of their standalone contract rows."""
+    from .llm_extra import _hits_sql
+
+    return f"""
+    WITH RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT d1, d2
+        FROM cand p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    ), sym AS (
+        SELECT d1 AS u, d2 AS v FROM edges
+        UNION SELECT d2, d1 FROM edges
+    ), reach(node, lab) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
+    ), clusters AS (
+        SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+    ), scored AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               round(
+                 0.5 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE)
+                                  / 100.0)
+                 + 0.3 * (CAST(len(list_distinct(string_split(text, ' ')))
+                               AS DOUBLE)
+                          / len(string_split(text, ' ')))
+                 + 0.2 * least(1.0, CAST({_hits_sql('en')} AS DOUBLE) * 5
+                                    / len(string_split(text, ' '))),
+                 6) AS score
+        FROM documents
+    ), ranked AS (
+        SELECT s.doc_id, s.source, s.n_tok, s.score,
+               row_number() OVER (
+                   PARTITION BY c.cluster_id
+                   ORDER BY s.score DESC, s.doc_id
+               ) AS rn
+        FROM scored s JOIN clusters c ON s.doc_id = c.node
+    ), kept AS (
+        SELECT doc_id, source, n_tok FROM ranked
+        WHERE rn = 1 AND score >= 0.35
+        UNION ALL
+        SELECT s.doc_id, s.source, s.n_tok
+        FROM scored s LEFT JOIN clusters c ON s.doc_id = c.node
+        WHERE c.node IS NULL AND s.score >= 0.35
+    ), base AS (
+        SELECT doc_id, n_tok,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id, n_tok,
+                     CAST(('0x' || substring(md5(source), 1, 4))::INTEGER
+                          AS BIGINT) % 100 AS bucket
+              FROM kept)
+    ), packed AS (
+        SELECT split, n_tok,
+               CAST(floor(COALESCE(sum(n_tok) OVER (
+                   PARTITION BY split ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 2048.0) AS BIGINT) AS bin_id
+        FROM base
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins
+    FROM packed GROUP BY split
+    """
+
+
+REGISTRY["pretraining_corpus_recipe"].oracle = _recipe_oracle().strip()
