@@ -182,3 +182,71 @@ def bpe_train_merges(spark, sf_dir):
     on the same fixture words at sf0.001 — a stronger check than the
     rows-only label suggests."""
     return bpe_train(spark, sf_dir, n_merges=10)
+
+
+def _encode_len_udf(merges: list[tuple[str, str]]):
+    """Arrow-batched encoded-length UDF: apply the learned merge list
+    in rank order to one word's character sequence and return the
+    resulting token count.  Bound by value (list copied at creation)."""
+    ms = list(merges)
+
+    @F.pandas_udf("int")
+    def enc_len(col: pd.Series) -> pd.Series:
+        def run(w: str) -> int:
+            syms = list(w)
+            for a, b in ms:
+                syms = _merge_symbols(syms, a, b)
+            return len(syms)
+
+        return col.map(run).astype("int32")
+
+    return enc_len
+
+
+@query(
+    "bpe_encode_token_count",
+    "LLM-pipeline/tokenizer",
+    oracle=None,
+    description="Encode the corpus with the 10 trained BPE merges and "
+    "report per-language whitespace-token vs BPE-token totals and the "
+    "compression ratio — rows-only (iterative trainer upstream); pytest "
+    "differential-tests encoded lengths against the pure-Python encoder.",
+)
+def bpe_encode_token_count(spark, sf_dir):
+    """The tokenizer loop closed: train merges (``bpe_train``), then
+    ENCODE the corpus with them and measure what the vocabulary buys —
+    per-language totals of whitespace tokens, character symbols, and
+    BPE tokens, plus the chars-per-BPE-token compression ratio (the
+    number a tokenizer team actually tracks).
+
+    Scale shape: encoding is computed ONCE PER DISTINCT (lang, word)
+    — the per-language word-frequency table — and weighted by
+    occurrence count, so the pandas UDF touches |vocab| rows, not
+    corpus tokens; everything after is JVM aggregation.  At 100 TB
+    the trained merge list is a broadcast-sized artifact and encode
+    stays vocab-bounded per partition."""
+    merges_df = bpe_train(spark, sf_dir, n_merges=10)
+    merges = [
+        (r.left, r.right)
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    d = table(spark, sf_dir, "documents")
+    wf = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("f"))
+    )
+    enc = wf.withColumn("enc_len", _encode_len_udf(merges)("w"))
+    return enc.groupBy("lang").agg(
+        F.sum("f").cast("bigint").alias("whitespace_tokens"),
+        F.sum(F.col("f") * F.length("w")).cast("bigint")
+        .alias("char_symbols"),
+        F.sum(F.col("f") * F.col("enc_len")).cast("bigint")
+        .alias("bpe_tokens"),
+        F.round(
+            F.sum(F.col("f") * F.length("w")).cast("double")
+            / F.sum(F.col("f") * F.col("enc_len")).cast("double"),
+            4,
+        ).alias("chars_per_bpe_token"),
+    )

@@ -939,3 +939,47 @@ def test_hll_audit_within_contract(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.rel_error < 0.05, (r.event_type, r.rel_error)
+
+
+def test_bpe_encode_matches_pure_python(spark, sf_dir):
+    """Encoded lengths from the Spark path (trained merges + Arrow
+    UDF over the per-lang vocab) must equal a pure-Python encode of
+    the same corpus with the same merges."""
+    from collections import Counter
+
+    from datastore_mapper_spark.catalog import table as _table
+    from datastore_mapper_spark.queries.bpe_queries import (
+        _merge_symbols,
+        bpe_train,
+    )
+    from datastore_mapper_spark.registry import all_queries
+    from pyspark.sql import functions as F
+
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(spark, sf_dir, n_merges=10)
+        .orderBy("merge_rank").collect()
+    ]
+
+    def enc_len(w):
+        syms = list(w)
+        for a, b in merges:
+            syms = _merge_symbols(syms, a, b)
+        return len(syms)
+
+    docs = _table(spark, sf_dir, "documents").select("lang", "text").collect()
+    ws = Counter()
+    bpe = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                ws[r.lang] += 1
+                bpe[r.lang] += enc_len(w)
+
+    rows = all_queries()["bpe_encode_token_count"].fn(spark, sf_dir).collect()
+    got_ws = {r.lang: r.whitespace_tokens for r in rows}
+    got_bpe = {r.lang: r.bpe_tokens for r in rows}
+    assert got_ws == dict(ws)
+    assert got_bpe == dict(bpe)
+    for r in rows:
+        assert r.bpe_tokens <= r.char_symbols  # merging never grows
