@@ -728,3 +728,28 @@ def test_codec_roundtrip_property(data):
         ).reshape(n, h, w, 3)
         ww, hh, back = mm.decode_y4m(mm.encode_y4m(frames))
         assert (ww, hh) == (w, h) and (back == frames).all()
+
+
+@given(
+    word=st.text(alphabet="abcd", min_size=0, max_size=24),
+    a=st.sampled_from("abcd"),
+    b=st.sampled_from("abcd"),
+)
+@settings(max_examples=200, deadline=None)
+def test_bpe_merge_symbols_properties(word, a, b):
+    """The BPE merge primitive's invariants, property-tested:
+    concatenating the merged symbols reproduces the word exactly
+    (merging never drops or reorders characters), the sequence never
+    grows, and no adjacent (a, b) pair survives a greedy left-to-right
+    pass UNLESS it was re-created by the merge itself (possible only
+    when a == b + something — for single chars, when the merged token
+    ends in a and is followed by b after an odd run)."""
+    from datastore_mapper_spark.queries.bpe_queries import _merge_symbols
+
+    merged = _merge_symbols(list(word), a, b)
+    assert "".join(merged) == word
+    assert len(merged) <= len(word)
+    # greedy left-to-right: among ORIGINAL single chars, no adjacent
+    # (a, b) pair remains
+    for x, y in zip(merged, merged[1:]):
+        assert not (x == a and y == b)
