@@ -983,3 +983,59 @@ def test_bpe_encode_matches_pure_python(spark, sf_dir):
     assert got_bpe == dict(bpe)
     for r in rows:
         assert r.bpe_tokens <= r.char_symbols  # merging never grows
+
+
+def test_snapshot_content_addressing_rebuilds_on_fixture_change(
+    spark, sf_dir, tmp_path
+):
+    """The content-addressed snapshot contract: same fixture bytes ->
+    same tag -> reuse (no rebuild); a rewritten fixture file -> new
+    tag -> rebuild, and the superseded same-(corpus, cap) snapshot is
+    cleaned up.  This is the invariant that lets every session —
+    including the driver's — trust a snapshot it did not build."""
+    import os
+    import shutil
+
+    from datastore_mapper_spark.queries import llm_text
+
+    from datastore_mapper_spark.testing import ORACLE_TABLES
+
+    corpus = tmp_path / "mini_sf"
+    corpus.mkdir()
+    for t in ORACLE_TABLES:  # the catalog loads the full fixture set
+        shutil.copyfile(
+            os.path.join(sf_dir, f"{t}.parquet"), corpus / f"{t}.parquet"
+        )
+    tag1 = llm_text._corpus_snapshot_tag(str(corpus))
+    llm_text.near_dup_edges(spark, str(corpus)).count()
+    dirs1 = [
+        d for d in os.listdir(llm_text._SCRATCH)
+        if d.startswith("near_dup_edges_mini_sf_") and tag1 in d
+    ]
+    assert dirs1, "first build must write a tagged snapshot dir"
+
+    # same bytes, same mtime -> same tag (reuse path)
+    assert llm_text._corpus_snapshot_tag(str(corpus)) == tag1
+
+    # rewrite the fixture (bytes appended -> size+mtime change)
+    with open(corpus / "documents.parquet", "ab") as f:
+        pass  # touch mtime without corrupting parquet: utime below
+    os.utime(corpus / "documents.parquet")
+    tag2 = llm_text._corpus_snapshot_tag(str(corpus))
+    assert tag2 != tag1, "fixture rewrite must change the snapshot tag"
+
+    llm_text.near_dup_edges(spark, str(corpus)).count()
+    names = os.listdir(llm_text._SCRATCH)
+    assert any(
+        d.startswith("near_dup_edges_mini_sf_") and tag2 in d for d in names
+    ), "rebuild under the new tag"
+    assert not any(
+        d.startswith("near_dup_edges_mini_sf_") and tag1 in d for d in names
+    ), "superseded same-corpus snapshot must be cleaned up"
+
+    # hygiene: drop the test corpus snapshots
+    for d in os.listdir(llm_text._SCRATCH):
+        if "mini_sf" in d:
+            shutil.rmtree(
+                os.path.join(llm_text._SCRATCH, d), ignore_errors=True
+            )
