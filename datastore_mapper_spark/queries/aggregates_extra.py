@@ -660,3 +660,82 @@ def hll_error_audit(spark, sf_dir):
             ).alias("rel_error"),
         )
     )
+
+
+@query(
+    "dq_distribution_drift_psi",
+    "aggregation/quality",
+    oracle="""
+    WITH binned AS (
+        SELECT least(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 8)
+                   AS bin,
+               CASE WHEN o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+                    THEN 1 ELSE 0 END AS is_ref
+        FROM orders
+    ), per_bin AS (
+        SELECT bin,
+               CAST(sum(is_ref) AS BIGINT) AS ref_n,
+               CAST(sum(1 - is_ref) AS BIGINT) AS cur_n
+        FROM binned GROUP BY bin
+    ), tot AS (
+        SELECT sum(ref_n) AS ref_t, sum(cur_n) AS cur_t,
+               count(*) AS n_bins
+        FROM per_bin
+    )
+    SELECT bin, ref_n, cur_n,
+           round(
+               (CAST(cur_n + 1 AS DOUBLE) / (cur_t + n_bins)
+                - CAST(ref_n + 1 AS DOUBLE) / (ref_t + n_bins))
+               * ln((CAST(cur_n + 1 AS DOUBLE) / (cur_t + n_bins))
+                    / (CAST(ref_n + 1 AS DOUBLE) / (ref_t + n_bins))),
+               6) AS psi_term
+    FROM per_bin, tot
+    """,
+)
+def dq_distribution_drift_psi(spark, sf_dir):
+    """Distribution-drift monitoring: the population stability index
+    (PSI) of the order-price distribution, current period vs reference
+    period — the observability check a pipeline runs on every new
+    snapshot to catch silent upstream shifts before they poison
+    training data.  Per fixed-width price bin: reference and current
+    counts plus the Laplace-smoothed PSI term ((p_cur - p_ref) *
+    ln(p_cur / p_ref)); the consumer sums terms and alerts over ~0.2.
+
+    Scale shape: ONE pass — the bin and period are per-row
+    expressions, the groupBy partial-aggregates map-side into at most
+    9 x 2 cells per partition, and the totals ride a broadcast 1-row
+    frame.  Drift-checking 100 TB costs a single scan.  The ln() is
+    the one transcendental; both engines evaluate the identical
+    smoothed rational, and the term is 6-dp rounded (§7.3-H2
+    discipline for libm seams)."""
+    o = table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(
+            F.floor(F.col("o_totalprice") / 50000.0).cast("bigint"), F.lit(8)
+        ).alias("bin"),
+        F.when(F.col("o_orderdate") < "1997-07-01", 1).otherwise(0)
+        .alias("is_ref"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("bigint").alias("ref_n"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("cur_n"),
+    )
+    tot = per_bin.agg(
+        F.sum("ref_n").alias("ref_t"),
+        F.sum("cur_n").alias("cur_t"),
+        F.count("*").alias("n_bins"),
+    )
+    p_cur = (F.col("cur_n") + 1).cast("double") / (
+        F.col("cur_t") + F.col("n_bins")
+    )
+    p_ref = (F.col("ref_n") + 1).cast("double") / (
+        F.col("ref_t") + F.col("n_bins")
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "ref_n", "cur_n",
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6)
+            .alias("psi_term"),
+        )
+    )

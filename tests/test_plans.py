@@ -189,6 +189,7 @@ BNLJ_ALLOWED = {
     "funnel_conversion_steps",   # three 1-row stage-count frames crossed
     "dq_rule_violations",        # 1-row violation/denominator frames crossed
     "approx_quantile_error_audit",  # two 1-row (approx, exact) frames crossed
+    "dq_distribution_drift_psi",  # 1-row totals frame crossed into 9 bins
 }
 
 
