@@ -1398,3 +1398,131 @@ def _recipe_oracle() -> str:
 
 
 REGISTRY["pretraining_corpus_recipe"].oracle = _recipe_oracle().strip()
+
+
+@query(
+    "incremental_agg_maintenance",
+    "analytics/etl",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_maintenance(spark, sf_dir):
+    """Materialized-aggregate maintenance: yesterday's aggregate table
+    (orders with ``o_orderkey % 10 <> 7``) MERGED with today's delta
+    batch (``% 10 = 7``) must equal the full recompute — which is
+    exactly what the oracle runs.  This is the incremental-view
+    contract a 100 TB rollup depends on: count and integer-cent sums
+    are commutative monoids, so partial aggregates combine by
+    addition without touching history.
+
+    Scale shape: each side partial-aggregates map-side to
+    |priorities| rows; the merge is a full-outer join of two tiny
+    aggregate frames with coalesce-addition — at 100 TB the base
+    aggregate is a stored table read back in, and only the delta
+    scans raw data."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def agg_of(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("c"),
+        )
+
+    base = agg_of(o.filter(F.col("o_orderkey") % 10 != 7))
+    delta = agg_of(o.filter(F.col("o_orderkey") % 10 == 7))
+    b = base.select(
+        "o_orderpriority",
+        F.col("n").alias("bn"), F.col("c").alias("bc"),
+    )
+    d = delta.select(
+        "o_orderpriority",
+        F.col("n").alias("dn"), F.col("c").alias("dc"),
+    )
+    zero = F.lit(0).cast("bigint")
+    return b.join(d, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (F.coalesce(F.col("bn"), zero) + F.coalesce(F.col("dn"), zero))
+        .cast("bigint").alias("n_orders"),
+        (F.coalesce(F.col("bc"), zero) + F.coalesce(F.col("dc"), zero))
+        .cast("bigint").alias("sum_cents"),
+    )
+
+
+@query(
+    "deletion_propagation_cascade",
+    "analytics/etl",
+    oracle="""
+    WITH erase AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 100 = 7
+    )
+    SELECT CAST((SELECT count(*) FROM erase) AS BIGINT)
+               AS n_customers_erased,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE EXISTS (SELECT 1 FROM erase e
+                               WHERE e.c_custkey = o.o_custkey))
+                AS BIGINT) AS n_orders_cascaded,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE EXISTS (
+                     SELECT 1 FROM orders o
+                     JOIN erase e ON e.c_custkey = o.o_custkey
+                     WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_lineitems_cascaded,
+           CAST((SELECT count(*) FROM events ev
+                 WHERE EXISTS (SELECT 1 FROM erase e
+                               WHERE e.c_custkey = ev.user_id))
+                AS BIGINT) AS n_events_cascaded
+    """,
+)
+def deletion_propagation_cascade(spark, sf_dir):
+    """Right-to-erasure propagation: given a deletion request list
+    (customers with ``c_custkey % 100 = 7`` as the stand-in), count
+    every row that must cascade — their orders, those orders' line
+    items, and their event history — the blast-radius report a
+    privacy pipeline produces BEFORE executing the cascade.
+
+    Scale shape: the request list is broadcast (semi joins — never a
+    fan-out), the lineitem cascade rides the already-reduced order-key
+    set (two-hop semi join), and each count partial-aggregates
+    map-side.  The actual delete at 100 TB is the same joins written
+    as anti joins into the next snapshot."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+    erase = c.filter(F.col("c_custkey") % 100 == 7).select("c_custkey")
+    doomed_orders = o.join(
+        F.broadcast(erase), o.o_custkey == erase.c_custkey, "left_semi"
+    )
+    doomed_lines = li.join(
+        doomed_orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    doomed_events = ev.join(
+        F.broadcast(erase), ev.user_id == erase.c_custkey, "left_semi"
+    )
+    return (
+        erase.agg(F.count("*").cast("bigint").alias("n_customers_erased"))
+        .crossJoin(
+            doomed_orders.agg(
+                F.count("*").cast("bigint").alias("n_orders_cascaded")
+            )
+        )
+        .crossJoin(
+            doomed_lines.agg(
+                F.count("*").cast("bigint").alias("n_lineitems_cascaded")
+            )
+        )
+        .crossJoin(
+            doomed_events.agg(
+                F.count("*").cast("bigint").alias("n_events_cascaded")
+            )
+        )
+    )

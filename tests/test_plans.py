@@ -190,6 +190,7 @@ BNLJ_ALLOWED = {
     "dq_rule_violations",        # 1-row violation/denominator frames crossed
     "approx_quantile_error_audit",  # two 1-row (approx, exact) frames crossed
     "dq_distribution_drift_psi",  # 1-row totals frame crossed into 9 bins
+    "deletion_propagation_cascade",  # four 1-row blast-radius counts crossed
 }
 
 
