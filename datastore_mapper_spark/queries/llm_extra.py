@@ -1239,3 +1239,49 @@ def bm25_retrieval_topk(spark, sf_dir):
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "multimodal_wav_downsample_stats",
+    "LLM-pipeline/multimodal",
+    oracle="""
+    SELECT doc_id,
+           CAST(((doc_id % 50) + 9) // 2 AS INT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST((((doc_id % 50) + 9) // 2) / 8000.0 AS DOUBLE)
+               AS duration_s,
+           CAST(((doc_id % 300) - 150)
+                + ((doc_id % 9) - 4) * ((((doc_id % 50) + 9) // 2) - 1)
+                AS DOUBLE) AS mean_amp,
+           CAST(greatest(
+                    abs((doc_id % 300) - 150),
+                    abs((doc_id % 300) - 150
+                        + 2 * ((doc_id % 9) - 4)
+                            * ((((doc_id % 50) + 9) // 2) - 1))
+                ) AS INT) AS peak_amp
+    FROM documents
+    """,
+)
+def multimodal_wav_downsample_stats(spark, sf_dir):
+    """REAL audio TRANSFORM, end-to-end: render a genuine 16 kHz PCM
+    WAV per document, decode it, decimate by 2, RE-ENCODE at 8 kHz,
+    then decode the NEW blob and emit its stats — two full
+    decode/encode round trips through the pure-struct codec per
+    document (operators/multimodal.downsample_wav), the
+    sample-rate-normalization step of an audio training pipeline.
+
+    The decimated ramp keeps a closed form (every 2nd sample of
+    ``base + slope*i`` is ``base + 2*slope*j`` over
+    ``m = ceil(n/2)`` samples: mean = base + slope*(m-1), an exact
+    integer; peak = the larger endpoint magnitude), so the oracle
+    predicts the POST-transform stats exactly — a mis-slice, a wrong
+    header rate, or an off-by-one in the RIFF rewrite shifts a value
+    and hash-fails.  ASSUMES doc_id >= 0 (render_bmp_media note)."""
+    from ..operators.multimodal import (
+        downsample_wav,
+        extract_audio_stats,
+        render_wav_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_audio_stats(downsample_wav(render_wav_media(d), factor=2))

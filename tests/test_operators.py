@@ -1039,3 +1039,31 @@ def test_snapshot_content_addressing_rebuilds_on_fixture_change(
             shutil.rmtree(
                 os.path.join(llm_text._SCRATCH, d), ignore_errors=True
             )
+
+
+def test_downsample_wav_decimates_and_reencodes(spark):
+    """downsample_wav must decode, keep every factor-th sample, and
+    re-encode at the reduced rate — verified sample-by-sample against
+    numpy slicing on a hand-built WAV."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        downsample_wav,
+        encode_wav_pcm16,
+    )
+
+    samples = np.arange(-5, 18, dtype=np.int16)  # 23 samples
+    blob = encode_wav_pcm16(samples, sample_rate=16_000)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, payload binary"
+    )
+    out = downsample_wav(df, factor=2).collect()
+    sr, got = decode_wav_pcm16(bytes(out[0].payload))
+    assert sr == 8_000
+    assert list(got) == list(samples[::2])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        downsample_wav(df, factor=0)
