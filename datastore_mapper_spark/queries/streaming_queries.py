@@ -246,3 +246,26 @@ def stream_append_mode_demo(spark, sf_dir):
     from ..streaming.demos import streaming_append_mode
 
     return streaming_append_mode(spark, sf_dir)
+
+
+@query(
+    "stream_incremental_rollup",
+    "streaming",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Maintained streaming rollup: foreachBatch merges each "
+    "micro-batch's partial aggregate into a persistent table "
+    "(read-combine-swap); the maintained result must HASH-equal the "
+    "full batch recompute — the streaming execution of "
+    "incremental_agg_maintenance.",
+)
+def stream_incremental_rollup(spark, sf_dir):
+    from ..streaming.demos import streaming_incremental_rollup
+
+    return streaming_incremental_rollup(spark, sf_dir)

@@ -366,3 +366,75 @@ def streaming_append_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "event_type", F.col("win.start").alias("window_start"), "cnt"
     )
+
+
+def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained streaming ROLLUP: every micro-batch merges its partial
+    aggregate into a persistent per-event-type rollup table
+    (read-combine-swap inside ``foreachBatch``) — the streaming
+    execution of the ``incremental_agg_maintenance`` identity, and the
+    shape a 100 TB near-real-time dashboard table is actually kept
+    fresh with.  Counts and integer-cent sums are commutative monoids,
+    so the maintained table equals the full batch recompute REGARDLESS
+    of micro-batch boundaries — which is exactly what the oracle
+    verifies (a hash-checked contract, stronger than rows-only).
+
+    The swap is write-new-then-rename (never read+overwrite the same
+    path — lazy reads would race the truncation); per-batch work is
+    |event_types|-sized regardless of batch rows."""
+    events = replay_events_stream(spark, sf_dir)
+    # drop previous runs' state/checkpoint dirs (each run gets a fresh
+    # uuid so a prior session's lazily-read frame is never truncated
+    # mid-read; round-7 ADVICE accumulation pattern)
+    for d in os.listdir(_SCRATCH):
+        if d.startswith(("stream_rollup_state_", "ckpt_rollup_")):
+            shutil.rmtree(os.path.join(_SCRATCH, d), ignore_errors=True)
+    tag = uuid.uuid4().hex[:8]
+    state = os.path.join(_SCRATCH, f"stream_rollup_state_{tag}")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        if os.path.exists(os.path.join(state, "_SUCCESS")):
+            cur = batch_df.sparkSession.read.parquet(state)
+            merged = (
+                cur.unionByName(delta)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.sum("sum_cents").alias("sum_cents"),
+                )
+            )
+        else:
+            merged = delta
+        new = f"{state}__next"
+        merged.write.mode("overwrite").parquet(new)
+        shutil.rmtree(state, ignore_errors=True)
+        os.rename(new, state)
+
+    q = (
+        events.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(_SCRATCH, f"ckpt_rollup_{tag}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.exists(os.path.join(state, "_SUCCESS")):
+        # zero-batch replay (empty source): empty rollup
+        return spark.createDataFrame(
+            [], "event_type string, cnt bigint, sum_cents bigint"
+        )
+    return (
+        spark.read.parquet(state)
+        .select(
+            "event_type",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+    )
