@@ -1288,7 +1288,13 @@ def pretraining_corpus_recipe(spark, sf_dir):
         .when(bucket < 90, "val")
         .otherwise("test")
     )
-    base = kept.select("doc_id", split.alias("split"), "n_tok")
+    # checkpoint: three per-split branches below would otherwise each
+    # re-run the scoring + canonical-selection upstream (3x the work
+    # and 3x the pair-graph scan); the checkpointed frame is
+    # |kept docs| x 3 columns
+    base = kept.select(
+        "doc_id", split.alias("split"), "n_tok"
+    ).localCheckpoint()
 
     packed_parts = []
     for s in ("train", "val", "test"):
