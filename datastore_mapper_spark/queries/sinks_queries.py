@@ -307,3 +307,46 @@ def sink_hive_partitioned_pruned_scan(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.sum("user_id").cast("bigint").alias("sum_user"),
     )
+
+
+@query(
+    "sink_compaction_small_files",
+    "sink/scale",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_compaction_small_files(spark, sf_dir):
+    """Small-file compaction — the #1 daily lakehouse maintenance job:
+    a fragmented table (here: events deliberately written as 64
+    splinter files, the residue of streaming/per-batch appends) is
+    rewritten into a handful of right-sized files, and the compacted
+    copy must be row-for-row identical to the source — which is what
+    the oracle checks (per-type counts + distinct users over the
+    ORIGINAL table; hash-equal means the rewrite lost and invented
+    nothing).
+
+    Scale shape: compaction is a read + ``repartition`` + write — one
+    shuffle sized by target file count (at 100 TB: per-partition
+    coalesce driven by bytes, AQE coalescing the read splits).  The
+    file-count contract (64 → ≤ 8 data files) is asserted in
+    tests/test_plans.py so a silent no-op rewrite fails; the metadata
+    win is the point — a NameNode/listing pass over 64x fewer
+    objects."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    frag = os.path.join(_SCRATCH, "sink_compact_fragmented")
+    compact = os.path.join(_SCRATCH, "sink_compact_done")
+    # fragment: the splintered state a streaming sink leaves behind
+    e.repartition(64).write.mode("overwrite").parquet(frag)
+    back = spark.read.schema(e.schema).parquet(frag)
+    back.repartition(4).write.mode("overwrite").parquet(compact)
+    compacted = spark.read.schema(e.schema).parquet(compact)
+    return compacted.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -284,3 +284,23 @@ def test_incremental_ingest_reads_edge_snapshot(spark, sf_dir):
     ~80 s pair join inline."""
     plan = formatted(_df("dedup_incremental_ingest", spark, sf_dir))
     assert "near_dup_edges_" in plan
+
+
+def test_compaction_reduces_file_count(spark, sf_dir):
+    """The compaction contract: after sink_compaction_small_files runs,
+    the compacted directory must hold at most 8 data files where the
+    fragmented one holds ~64 — a rewrite that silently no-ops (same
+    file count) defeats the maintenance job's purpose."""
+    import os
+
+    from datastore_mapper_spark.queries.sinks_queries import _SCRATCH
+
+    _df("sink_compaction_small_files", spark, sf_dir).collect()
+
+    def data_files(d):
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    frag = data_files(os.path.join(_SCRATCH, "sink_compact_fragmented"))
+    comp = data_files(os.path.join(_SCRATCH, "sink_compact_done"))
+    assert len(frag) >= 32, f"fragmented state not fragmented: {len(frag)}"
+    assert len(comp) <= 8, f"compaction did not compact: {len(comp)}"
