@@ -739,3 +739,85 @@ def dq_distribution_drift_psi(spark, sf_dir):
             .alias("psi_term"),
         )
     )
+
+
+@query(
+    "table_stats_analyze",
+    "aggregation/quality",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_d,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_d
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(min(o_totalprice) AS DOUBLE),
+           CAST(max(o_totalprice) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderstatus) AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM orders
+    """,
+)
+def table_stats_analyze(spark, sf_dir):
+    """Column-statistics collection — the ANALYZE TABLE pass every
+    catalog/CBO and every data-profiling dashboard runs per snapshot:
+    per column, row count, null count, exact distinct count, and
+    numeric min/max, emitted long-format (one row per column).
+
+    Scale shape: ONE scan computes every non-distinct statistic via
+    parallel aggregates (map-side partials); the exact distincts
+    expand per column inside the same aggregate (Spark plans
+    multi-distinct with one expand — at 100 TB swap
+    approx_count_distinct in, same query shape).  The long format
+    comes from a 4-row stack over the 1-row wide aggregate — no
+    second scan.  The oracle spells the same numbers as per-column
+    UNION ALL."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("nn_ok"),
+        F.countDistinct("o_orderkey").alias("nd_ok"),
+        F.min("o_orderkey").cast("double").alias("mn_ok"),
+        F.max("o_orderkey").cast("double").alias("mx_ok"),
+        F.count("o_custkey").alias("nn_ck"),
+        F.countDistinct("o_custkey").alias("nd_ck"),
+        F.min("o_custkey").cast("double").alias("mn_ck"),
+        F.max("o_custkey").cast("double").alias("mx_ck"),
+        F.count("o_totalprice").alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").cast("double").alias("mn_tp"),
+        F.max("o_totalprice").cast("double").alias("mx_tp"),
+        F.count("o_orderstatus").alias("nn_os"),
+        F.countDistinct("o_orderstatus").alias("nd_os"),
+    )
+    return wide.selectExpr(
+        """stack(4,
+            'o_orderkey',   n_rows - nn_ok, nd_ok, mn_ok, mx_ok,
+            'o_custkey',    n_rows - nn_ck, nd_ck, mn_ck, mx_ck,
+            'o_totalprice', n_rows - nn_tp, nd_tp, mn_tp, mx_tp,
+            'o_orderstatus', n_rows - nn_os, nd_os,
+                CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        ) AS (column_name, n_nulls, n_distinct, min_d, max_d)""",
+        "n_rows",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_d", "max_d",
+    )
