@@ -24,6 +24,7 @@ from . import pipeline_extra  # noqa: F401
 from . import udtf_queries  # noqa: F401
 from . import scale_queries  # noqa: F401
 from . import bpe_queries  # noqa: F401
+from . import analytics_advanced  # noqa: F401
 
 from ..registry import reorder_front
 

@@ -1,0 +1,753 @@
+"""Advanced-analytics extension queries (round 8, session 2).
+
+Market-basket lift, Pareto skyline, exact dyadic EWMA, asymmetric
+containment dedup, chi-square independence cells, linear multi-touch
+attribution, blocked fuzzy join, exact weighted median, and Spearman
+rank correlation — each a classic warehouse / training-data-pipeline
+operation the registry did not yet cover, each with a DuckDB oracle.
+
+FP-determinism notes (SURVEY §7.3-H2 discipline): every query below
+accumulates in exact integer (or provably-exact dyadic-double) space
+and applies at most a fixed per-row tree of double operations at the
+end, so Spark and DuckDB produce bitwise-identical doubles regardless
+of partitioning or aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "market_basket_lift",
+    "analytics/join",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM baskets
+    ), item AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM baskets GROUP BY 1
+    ), pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(count(*) AS BIGINT) AS co_cnt
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p.p1, p.p2, p.co_cnt, i1.cnt AS cnt1, i2.cnt AS cnt2,
+           CAST(p.co_cnt AS DOUBLE) * n.n_orders / (i1.cnt * i2.cnt)
+               AS lift
+    FROM pairs p
+    JOIN item i1 ON p.p1 = i1.l_partkey
+    JOIN item i2 ON p.p2 = i2.l_partkey
+    CROSS JOIN n
+    WHERE p.co_cnt >= 2
+    ORDER BY lift DESC, p.p1, p.p2
+    LIMIT 100
+    """,
+)
+def market_basket_lift(spark, sf_dir):
+    """Market-basket co-occurrence with support/lift scoring — the
+    association-rule-mining staple.  Pairs of parts bought in the same
+    order via a self-join on the orderkey (fan-out bounded by basket
+    size, never by item popularity — the join key is the ORDER, so a
+    hot item does not square up), exact integer counts, and a single
+    per-row double expression for lift.  The item-frequency and
+    order-count sides are tiny aggregates and broadcast.  At 100 TB
+    the basket self-join shuffles once on orderkey and the co_cnt >= 2
+    filter runs map-side partial before the pair groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n = baskets.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    item = baskets.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+        )
+        .agg(F.count("*").cast("long").alias("co_cnt"))
+        .filter(F.col("co_cnt") >= 2)
+    )
+    return (
+        pairs.join(
+            F.broadcast(item.withColumnRenamed("cnt", "cnt1")),
+            pairs.p1 == F.col("l_partkey"),
+        )
+        .drop("l_partkey")
+        .join(
+            F.broadcast(
+                item.withColumnRenamed("cnt", "cnt2")
+            ),
+            F.col("p2") == F.col("l_partkey"),
+        )
+        .drop("l_partkey")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "co_cnt",
+            "cnt1",
+            "cnt2",
+            (
+                F.col("co_cnt").cast("double")
+                * F.col("n_orders")
+                / (F.col("cnt1") * F.col("cnt2"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "p1", "p2")
+        .limit(100)
+    )
+
+
+#: Skyline bucket width in cents — fixed so the bucketing is a pure
+#: function of the value, not of the data distribution.
+_SKYLINE_BUCKET_CENTS = 1 << 24
+
+
+@query(
+    "skyline_pareto_frontier",
+    "analytics/window",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS spend_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT a.o_custkey, a.spend_cents, a.n_orders
+    FROM c a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM c b
+        WHERE b.spend_cents >= a.spend_cents
+          AND b.n_orders >= a.n_orders
+          AND (b.spend_cents > a.spend_cents
+               OR b.n_orders > a.n_orders)
+    )
+    """,
+)
+def skyline_pareto_frontier(spark, sf_dir):
+    """2-D skyline (Pareto frontier): customers not dominated on
+    (total spend, order count).  The ORACLE states the semantics as
+    the quadratic NOT EXISTS; the Spark plan is the scalable
+    algorithm: bucket spend into fixed-width ranges, aggregate the
+    per-bucket max order-count (tiny, broadcast), take a running max
+    over strictly-higher buckets, and resolve within-bucket dominance
+    with a bucket-partitioned window — no global single-partition
+    sort, no quadratic join.  A row survives iff its n_orders strictly
+    exceeds the best among all strictly-larger spends and equals the
+    best among equal spends (ties on BOTH coordinates are mutually
+    non-dominating and all survive).  At 100 TB: one groupBy shuffle
+    to customer grain, one broadcast of ~hundreds of bucket rows, one
+    window partitioned by bucket."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("spend_cents"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    c = c.withColumn(
+        "bucket", (F.col("spend_cents") / F.lit(_SKYLINE_BUCKET_CENTS))
+        .cast("long")
+    )
+    # per-bucket best n_orders, then the best over STRICTLY higher
+    # buckets (every row there has strictly greater spend by
+    # construction of the fixed-width bucketing)
+    bstats = c.groupBy("bucket").agg(F.max("n_orders").alias("bmax"))
+    wb = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bstats = bstats.withColumn("higher_max", F.max("bmax").over(wb)).drop(
+        "bmax"
+    )
+    cc = c.join(F.broadcast(bstats), "bucket", "left")
+    # within-bucket strictly-greater spends (integer RANGE frame), and
+    # the best among EQUAL spends
+    w_gt = (
+        Window.partitionBy("bucket")
+        .orderBy(F.desc("spend_cents"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("spend_cents")
+    cc = cc.withColumn(
+        "dom_max",
+        F.greatest(
+            F.coalesce(F.max("n_orders").over(w_gt), F.lit(-1)),
+            F.coalesce(F.col("higher_max"), F.lit(-1)),
+        ),
+    ).withColumn("same_max", F.max("n_orders").over(w_same))
+    return (
+        cc.filter(
+            (F.col("n_orders") > F.col("dom_max"))
+            & (F.col("n_orders") == F.col("same_max"))
+        )
+        .select("o_custkey", "spend_cents", "n_orders")
+    )
+
+
+@query(
+    "ewma_dyadic_smoothing",
+    "analytics/window",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts::TIMESTAMP AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), r AS (
+        SELECT user_id, cents,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts_us, event_id)
+                    AS BIGINT) AS rn
+        FROM e
+    )
+    SELECT a.user_id, a.rn,
+           CAST(sum(b.cents * power(0.5, a.rn - b.rn))
+                / sum(power(0.5, a.rn - b.rn)) / 100.0
+                AS DOUBLE) AS ewma
+    FROM r a JOIN r b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+    GROUP BY a.user_id, a.rn
+    """,
+)
+def ewma_dyadic_smoothing(spark, sf_dir):
+    """Exponentially-weighted moving average per user — EXACT, by
+    construction: alpha = 1/2 makes every weight a dyadic 2^-k, the
+    horizon is truncated to 20 terms, and values are integer cents, so
+    every product and every partial sum fits a 53-bit mantissa
+    (16-bit cents + 19-bit shift + 5-bit count < 53) and the
+    normalized-EWMA sum is bit-identical in ANY accumulation order —
+    the determinism hazard of floating smoothing (SURVEY §7.3-H2)
+    designed out rather than tolerated.  Implemented as a banded
+    self-join on row number (equi join on user + 20-wide band), the
+    same shape both engines run; at 100 TB the fan-out is a fixed
+    x20 and the join co-partitions on user_id."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    r = e.select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    k = F.col("a.rn") - F.col("b.rn")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.rn") >= F.col("a.rn") - 19)
+            & (F.col("b.rn") <= F.col("a.rn")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"), F.col("a.rn").alias("rn"))
+        .agg(
+            F.sum(F.col("b.cents") * F.pow(F.lit(0.5), k)).alias("num"),
+            F.sum(F.pow(F.lit(0.5), k)).alias("den"),
+        )
+        .select(
+            "user_id",
+            "rn",
+            (F.col("num") / F.col("den") / F.lit(100.0))
+            .cast("double")
+            .alias("ewma"),
+        )
+    )
+
+
+@query(
+    "containment_asymmetric_dedup",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY 1
+    ), w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> list_extract(w, i) || ' ' ||
+                               list_extract(w, i + 1))) AS g
+            FROM w
+        )
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), inter AS (
+        SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS ov
+        FROM cand c
+        JOIN toks t1 ON t1.doc_id = c.d1
+        JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+        GROUP BY 1, 2
+    )
+    SELECT i.d1, i.d2, i.ov,
+           least(s1.sz, s2.sz) AS sz_small,
+           CAST(i.ov AS DOUBLE) / (s1.sz + s2.sz - i.ov) AS jaccard
+    FROM inter i
+    JOIN sizes s1 ON i.d1 = s1.doc_id
+    JOIN sizes s2 ON i.d2 = s2.doc_id
+    WHERE i.ov = least(s1.sz, s2.sz)
+      AND CAST(i.ov AS DOUBLE) / (s1.sz + s2.sz - i.ov) < 0.5
+    """,
+)
+def containment_asymmetric_dedup(spark, sf_dir):
+    """Containment (asymmetric near-dup) detection: pairs where the
+    SMALLER token set is FULLY contained in the other (an exact
+    integer condition, ov == min(|A|,|B|) — no float threshold at
+    all), yet symmetric Jaccard stays BELOW the near-dup bar — the
+    quote/subset/boilerplate-inclusion case that resemblance-based
+    dedup (dedup_near_jaccard and friends) deliberately does not
+    flag.  Candidates come from the shared-bigram inverted index (the
+    same near-linear candidate rule as dedup_bigram_jaccard, stated
+    identically in both engines), then exact token-set overlap makes
+    the subset test.  At 100 TB the candidate join is the bounded
+    shared-shingle join and the overlap join co-partitions on doc
+    pairs."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").cast("long").alias("sz"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> concat(element_at(split(text, ' '), i), ' ', "
+                    "element_at(split(text, ' '), i + 1)))"
+                )
+            )
+        ).alias("g"),
+    )
+    cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    t1 = toks.withColumnRenamed("doc_id", "d1")
+    t2 = toks.withColumnRenamed("doc_id", "dd2").withColumnRenamed(
+        "tok", "tok2"
+    )
+    inter = (
+        cand.join(t1, "d1")
+        .join(
+            t2,
+            (F.col("d2") == F.col("dd2")) & (F.col("tok") == F.col("tok2")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count("*").cast("long").alias("ov"))
+    )
+    s1 = sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed(
+        "sz", "sz1"
+    )
+    s2 = sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed(
+        "sz", "sz2"
+    )
+    jac = F.col("ov").cast("double") / (
+        F.col("sz1") + F.col("sz2") - F.col("ov")
+    )
+    return (
+        inter.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .filter((F.col("ov") == F.least("sz1", "sz2")) & (jac < 0.5))
+        .select(
+            "d1",
+            "d2",
+            "ov",
+            F.least("sz1", "sz2").alias("sz_small"),
+            jac.alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "chisq_independence_cells",
+    "data-quality",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(extract(hour FROM ts::TIMESTAMP) // 6 AS BIGINT)
+                   AS daypart
+        FROM events
+    ), obs AS (
+        SELECT event_type, daypart, CAST(count(*) AS BIGINT) AS obs
+        FROM e GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type, daypart, obs,
+               CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS row_tot,
+               CAST(sum(obs) OVER (PARTITION BY daypart) AS BIGINT)
+                   AS col_tot,
+               CAST(sum(obs) OVER () AS BIGINT) AS n
+        FROM obs
+    )
+    SELECT event_type, daypart, obs, row_tot, col_tot,
+           CAST(row_tot AS DOUBLE) * col_tot / n AS expected,
+           (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+               * (obs - CAST(row_tot AS DOUBLE) * col_tot / n)
+               / (CAST(row_tot AS DOUBLE) * col_tot / n) AS contrib
+    FROM tot
+    """,
+)
+def chisq_independence_cells(spark, sf_dir):
+    """Chi-square independence test cells for the event_type × daypart
+    contingency table — the drift/DQ statistic behind categorical-
+    distribution monitoring (the Pearson-residual companion to
+    dq_distribution_drift_psi).  Counts and marginals are exact
+    integers via window sums over the tiny cell table; expected counts
+    and per-cell contributions are a fixed per-row double tree, so the
+    cross-engine values are bitwise equal.  The global statistic is
+    the SUM of contrib over ~20 cells — left to the reader-side
+    because a cross-row double sum's accumulation order is engine
+    internal; the per-cell decomposition is strictly more informative
+    for drift triage anyway.  At 100 TB only the first groupBy touches
+    the fact table."""
+    e = table(spark, sf_dir, "events")
+    obs = (
+        e.select(
+            "event_type",
+            F.expr("CAST(hour(ts_us) DIV 6 AS BIGINT)").alias("daypart"),
+        )
+        .groupBy("event_type", "daypart")
+        .agg(F.count("*").cast("long").alias("obs"))
+    )
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("daypart")
+    w_all = Window.partitionBy()
+    tot = obs.select(
+        "event_type",
+        "daypart",
+        "obs",
+        F.sum("obs").over(w_row).cast("long").alias("row_tot"),
+        F.sum("obs").over(w_col).cast("long").alias("col_tot"),
+        F.sum("obs").over(w_all).cast("long").alias("n"),
+    )
+    expected = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("n")
+    return tot.select(
+        "event_type",
+        "daypart",
+        "obs",
+        "row_tot",
+        "col_tot",
+        expected.alias("expected"),
+        ((F.col("obs") - expected) * (F.col("obs") - expected) / expected)
+        .alias("contrib"),
+    )
+
+
+@query(
+    "attribution_linear_multi_touch",
+    "analytics",
+    oracle="""
+    WITH purch AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_purch
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), touch AS (
+        SELECT DISTINCT user_id, event_type
+        FROM events WHERE event_type <> 'purchase'
+    ), k AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS k
+        FROM touch GROUP BY 1
+    ), credit AS (
+        SELECT t.event_type,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(COALESCE(p.n_purch, 0) * (840 // k.k)) AS BIGINT)
+                   AS credit_units
+        FROM touch t
+        JOIN k ON t.user_id = k.user_id
+        LEFT JOIN purch p ON t.user_id = p.user_id
+        GROUP BY 1
+    )
+    SELECT event_type, n_users, credit_units,
+           CAST(credit_units / 840.0 AS DOUBLE) AS attributed_purchases
+    FROM credit
+    """,
+)
+def attribution_linear_multi_touch(spark, sf_dir):
+    """Linear (equal-split) multi-touch attribution — the fractional
+    twin of attribution_first_touch: each user's purchases are
+    credited 1/k to each of their k distinct non-purchase touch
+    types.  The 1/k fractions are kept EXACT by crediting in integer
+    units of 840/k (840 = lcm(1..8), and k <= the handful of event
+    types), summing BIGINTs, and performing the single double
+    division per output row at the end — no cross-row float
+    accumulation, so the engines agree bitwise.  At 100 TB this is
+    two user-grain aggregates plus a broadcastable per-user join."""
+    e = table(spark, sf_dir, "events")
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("long").alias("n_purch"))
+    )
+    touch = (
+        e.filter(F.col("event_type") != "purchase")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    k = touch.groupBy("user_id").agg(F.count("*").cast("long").alias("k"))
+    return (
+        touch.join(k, "user_id")
+        .join(purch, "user_id", "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(
+                F.coalesce(F.col("n_purch"), F.lit(0))
+                * F.expr("840 DIV k")
+            )
+            .cast("long")
+            .alias("credit_units"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "credit_units",
+            (F.col("credit_units") / F.lit(840.0))
+            .cast("double")
+            .alias("attributed_purchases"),
+        )
+    )
+
+
+@query(
+    "fuzzy_join_blocked_levenshtein",
+    "join",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    b AS (
+        SELECT p_name, split_part(p_name, ' ', 2) AS noun FROM names
+    )
+    SELECT a.p_name AS name1, c.p_name AS name2,
+           CAST(levenshtein(a.p_name, c.p_name) AS BIGINT) AS dist
+    FROM b a JOIN b c
+      ON a.noun = c.noun AND a.p_name < c.p_name
+    WHERE levenshtein(a.p_name, c.p_name) <= 3
+    """,
+)
+def fuzzy_join_blocked_levenshtein(spark, sf_dir):
+    """Blocked fuzzy (edit-distance) self-join over part names — the
+    entity-resolution candidate step: block on the head noun
+    (split_part), score candidate pairs with exact Levenshtein, keep
+    distance <= 3.  Blocking turns the quadratic all-pairs scan into
+    per-block quadratics over DISTINCT names (the dedup-then-match
+    discipline: score each distinct string once, not once per row);
+    at 100 TB the block key shuffles once and a hot block is split by
+    AQE skew handling — the same levers as any skewed equi join."""
+    p = table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    b = names.select(
+        "p_name", F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("c.p_name"))
+    return (
+        a.join(
+            c,
+            (F.col("a.noun") == F.col("c.noun"))
+            & (F.col("a.p_name") < F.col("c.p_name")),
+        )
+        .filter(dist <= 3)
+        .select(
+            F.col("a.p_name").alias("name1"),
+            F.col("c.p_name").alias("name2"),
+            dist.cast("long").alias("dist"),
+        )
+    )
+
+
+@query(
+    "weighted_median_exact",
+    "aggregation/robust",
+    oracle="""
+    WITH x AS (
+        SELECT l_returnflag AS flag, l_extendedprice AS price,
+               CAST(floor(l_quantity) AS BIGINT) AS wt
+        FROM lineitem
+    ), pp AS (
+        SELECT flag, price, CAST(sum(wt) AS BIGINT) AS w
+        FROM x GROUP BY 1, 2
+    ), cum AS (
+        SELECT flag, price, w,
+               CAST(sum(w) OVER (PARTITION BY flag ORDER BY price)
+                    AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+        FROM pp
+    )
+    SELECT flag,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN price END) AS DOUBLE)
+               AS wmedian
+    FROM cum GROUP BY flag
+    """,
+)
+def weighted_median_exact(spark, sf_dir):
+    """EXACT weighted median per group (lower weighted median:
+    smallest price whose cumulative quantity-weight reaches half the
+    total) — the robust-statistics companion to
+    median_exact_scalable, with integer weights so the halving test
+    is `2*cw >= tw` in exact arithmetic (no fraction, no float
+    threshold).  Prices are first compressed to distinct values per
+    group (groupBy), so the ordered window runs over |distinct
+    prices| not |rows|; at 100 TB the same two-pass range-partitioned
+    strategy as the exact-median operator applies (operators/scale.py),
+    with the per-price compression shrinking the second pass."""
+    li = table(spark, sf_dir, "lineitem")
+    pp = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+            F.floor(F.col("l_quantity")).cast("long").alias("wt"),
+        )
+        .groupBy("flag", "price")
+        .agg(F.sum("wt").cast("long").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("flag")
+    cum = pp.select(
+        "flag",
+        "price",
+        F.sum("w").over(w_cum).cast("long").alias("cw"),
+        F.sum("w").over(w_tot).cast("long").alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price")))
+        .cast("double")
+        .alias("wmedian"),
+    )
+
+
+@query(
+    "spearman_rank_correlation",
+    "aggregation/robust",
+    oracle="""
+    WITH x AS (
+        SELECT l_returnflag AS flag, l_quantity AS qx,
+               l_extendedprice AS qy
+        FROM lineitem
+    ), rk AS (
+        SELECT flag,
+               CAST(2 * rank() OVER (PARTITION BY flag ORDER BY qx)
+                    + count(*) OVER (PARTITION BY flag, qx) - 1
+                    AS BIGINT) AS drx,
+               CAST(2 * rank() OVER (PARTITION BY flag ORDER BY qy)
+                    + count(*) OVER (PARTITION BY flag, qy) - 1
+                    AS BIGINT) AS dry
+        FROM x
+    ), s AS (
+        SELECT flag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(drx) AS BIGINT) AS sx,
+               CAST(sum(dry) AS BIGINT) AS sy,
+               CAST(sum(drx * dry) AS BIGINT) AS sxy,
+               CAST(sum(drx * drx) AS BIGINT) AS sxx,
+               CAST(sum(dry * dry) AS BIGINT) AS syy
+        FROM rk GROUP BY flag
+    )
+    SELECT flag, n,
+           CAST(CAST(CAST(n AS HUGEINT) * sxy
+                     - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                             - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                   * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                               - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                AS DOUBLE) AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_rank_correlation(spark, sf_dir):
+    """Spearman rank correlation (quantity vs extended price per
+    return flag) — the robust, outlier-immune correlation.  Average
+    ranks with ties are kept EXACT by working in doubled ranks
+    (2*avg_rank = 2*rank + |ties| - 1, an integer), so every
+    accumulated moment is an exact BIGINT; the moments exceed 64 bits
+    only in the final n*S - S*S combinations, which run in 128-bit
+    integer space (Spark DECIMAL(38,0) ≙ DuckDB HUGEINT) before ONE
+    cast to double each — numerator and both radicands are exact
+    integers, so sqrt/divide see identical doubles on both engines.
+    At 100 TB: two window shuffles on the group key, one aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").alias("qx"),
+        F.col("l_extendedprice").alias("qy"),
+    )
+    rk = x.select(
+        "flag",
+        (
+            2 * F.rank().over(Window.partitionBy("flag").orderBy("qx"))
+            + F.count("*").over(Window.partitionBy("flag", "qx"))
+            - 1
+        )
+        .cast("long")
+        .alias("drx"),
+        (
+            2 * F.rank().over(Window.partitionBy("flag").orderBy("qy"))
+            + F.count("*").over(Window.partitionBy("flag", "qy"))
+            - 1
+        )
+        .cast("long")
+        .alias("dry"),
+    )
+    s = rk.groupBy("flag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("drx").cast("long").alias("sx"),
+        F.sum("dry").cast("long").alias("sy"),
+        F.sum(F.col("drx") * F.col("dry")).cast("long").alias("sxy"),
+        F.sum(F.col("drx") * F.col("drx")).cast("long").alias("sxx"),
+        F.sum(F.col("dry") * F.col("dry")).cast("long").alias("syy"),
+    )
+    dec = "decimal(38,0)"
+    num = (
+        F.col("n").cast(dec) * F.col("sxy")
+        - F.col("sx").cast(dec) * F.col("sy")
+    ).cast("double")
+    radx = (
+        F.col("n").cast(dec) * F.col("sxx")
+        - F.col("sx").cast(dec) * F.col("sx")
+    ).cast("double")
+    rady = (
+        F.col("n").cast(dec) * F.col("syy")
+        - F.col("sy").cast(dec) * F.col("sy")
+    ).cast("double")
+    return s.select(
+        "flag",
+        "n",
+        (num / (F.sqrt(radx) * F.sqrt(rady)))
+        .cast("double")
+        .alias("spearman_rho"),
+    )
