@@ -304,3 +304,58 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     comp = data_files(os.path.join(_SCRATCH, "sink_compact_done"))
     assert len(frag) >= 32, f"fragmented state not fragmented: {len(frag)}"
     assert len(comp) <= 8, f"compaction did not compact: {len(comp)}"
+
+
+def test_basket_lift_broadcasts_dims_no_cartesian(spark, sf_dir):
+    """market_basket_lift: the item-frequency and order-count sides
+    are tiny aggregates and must broadcast; the pair self-join joins
+    on orderkey (never a cartesian).  The single-row order count may
+    appear as a broadcast nested loop (crossJoin of a 1-row agg) —
+    what must NOT appear is CartesianProduct."""
+    plan = formatted(_df("market_basket_lift", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skyline_windows_partition_by_bucket(spark, sf_dir):
+    """skyline_pareto_frontier: the window over the customer-grain
+    table must be PARTITIONED by the spend bucket — a global
+    unpartitioned window over the big side would serialize the whole
+    relation through one task at 100 TB.  (The only unpartitioned
+    window allowed is over the ~dozens-row bucket-stats table.)  The
+    oracle's quadratic NOT-EXISTS must also not leak into the plan as
+    a nested-loop join."""
+    plan = formatted(_df("skyline_pareto_frontier", spark, sf_dir))
+    assert re.search(r"windowspecdefinition\(bucket", plan) or (
+        "partitionBy=[bucket]" in plan or "PartitionSpec: [bucket" in plan
+        or "[bucket#" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_band_join_is_equi_on_user(spark, sf_dir):
+    """ewma_dyadic_smoothing: the 20-wide band self-join must plan as
+    an equi join on user_id with the band as a post-join filter —
+    never a nested-loop over all row pairs."""
+    plan = formatted(_df("ewma_dyadic_smoothing", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fuzzy_join_blocks_before_levenshtein(spark, sf_dir):
+    """fuzzy_join_blocked_levenshtein: candidate generation must be
+    the noun-block equi join; levenshtein runs only on block-local
+    pairs (a filter above the join), never as a join condition that
+    degenerates to a cartesian scan."""
+    plan = formatted(_df("fuzzy_join_blocked_levenshtein", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "levenshtein" in plan
+
+
+def test_containment_candidates_join_on_shingle(spark, sf_dir):
+    """containment_asymmetric_dedup: candidates come from the
+    shared-bigram inverted index (equi join on the shingle), and the
+    overlap count joins on token equality — no quadratic all-pairs."""
+    plan = formatted(_df("containment_asymmetric_dedup", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
