@@ -751,3 +751,186 @@ def spearman_rank_correlation(spark, sf_dir):
         .cast("double")
         .alias("spearman_rho"),
     )
+
+
+@query(
+    "ledger_capped_balance",
+    "stateful/etl",
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT user_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts::TIMESTAMP, event_id)
+                    AS BIGINT) AS rn,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN CAST(floor(value * 100) AS BIGINT)
+                    ELSE -CAST(floor(value * 100) AS BIGINT)
+               END AS delta
+        FROM events
+    ), bal AS (
+        SELECT user_id, rn,
+               CAST(least(50000, greatest(0, delta)) AS BIGINT) AS balance
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn,
+               CAST(least(50000, greatest(0, b.balance + e.delta))
+                    AS BIGINT) AS balance
+        FROM bal b JOIN e ON e.user_id = b.user_id AND e.rn = b.rn + 1
+    )
+    SELECT user_id, rn, balance FROM bal
+    """,
+)
+def ledger_capped_balance(spark, sf_dir):
+    """Saturating (clamped) running balance per user — credits for
+    purchase/signup, debits otherwise, balance pinned to [0, 50000]
+    cents after every step.  The clamp makes the recurrence
+    NON-ASSOCIATIVE, so no window aggregate can express it: this is
+    the engine's tier-(b) custom operator, an Arrow-batched
+    ``applyInPandas`` sequential scan per user
+    (operators/ledger.py), while the ORACLE states the same
+    recurrence as a recursive CTE — two maximally-different
+    evaluation strategies agreeing row-for-row in exact integer
+    arithmetic.  At 100 TB: one shuffle to co-locate each key's
+    history; unbounded histories chain per-epoch scans with carry-in
+    state (see ledger.py docstring)."""
+    from ..operators.ledger import capped_running_balance
+
+    e = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    keyed = e.select(
+        "user_id",
+        F.unix_micros(F.col("ts_us")).alias("us"),
+        "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), cents
+        )
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+    return capped_running_balance(keyed, cap=50_000)
+
+
+@query(
+    "funnel_sessionized",
+    "stream-analogue/analytics",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, event_type,
+               epoch_us(ts::TIMESTAMP) AS us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, event_type, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+        SELECT user_id, event_type, us,
+               CAST(sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    ), v AS (
+        SELECT user_id, session_id, min(us) AS t_view
+        FROM sess WHERE event_type = 'view' GROUP BY 1, 2
+    ), c AS (
+        SELECT s.user_id, s.session_id, min(s.us) AS t_click
+        FROM sess s JOIN v ON s.user_id = v.user_id
+                          AND s.session_id = v.session_id
+        WHERE s.event_type = 'click' AND s.us > v.t_view
+        GROUP BY 1, 2
+    ), p AS (
+        SELECT s.user_id, s.session_id, min(s.us) AS t_buy
+        FROM sess s JOIN c ON s.user_id = c.user_id
+                          AND s.session_id = c.session_id
+        WHERE s.event_type = 'purchase' AND s.us > c.t_click
+        GROUP BY 1, 2
+    ), n AS (
+        SELECT count(*) AS n_sessions FROM (
+            SELECT DISTINCT user_id, session_id FROM sess
+        )
+    )
+    SELECT CAST(n.n_sessions AS BIGINT) AS n_sessions,
+           CAST((SELECT count(*) FROM v) AS BIGINT) AS sessions_viewed,
+           CAST((SELECT count(*) FROM c) AS BIGINT)
+               AS sessions_clicked_after_view,
+           CAST((SELECT count(*) FROM p) AS BIGINT)
+               AS sessions_purchased_after_click
+    FROM n
+    """,
+)
+def funnel_sessionized(spark, sf_dir):
+    """SESSION-scoped conversion funnel: the view -> click -> purchase
+    progression must complete within one 30-minute-gap session, not
+    across a user's lifetime (the composition of
+    session_windows_gap30m and funnel_conversion_steps — product
+    analytics' actual question).  Sessionization is the lag-gap ->
+    running-sum idiom in exact µs; each stage is a per-(user, session)
+    min-aggregate joined to the previous frontier, so per-stage state
+    is one timestamp per session.  At 100 TB every shuffle in the
+    chain lands on the same user_id-derived key and AQE reuses the
+    exchange."""
+    e = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    base = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts_us")).alias("us"),
+    )
+    flagged = base.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(order).isNull()
+            | (F.col("us") - F.lag("us").over(order) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.select(
+        "user_id",
+        "event_type",
+        "us",
+        F.sum("is_new").over(order).cast("long").alias("session_id"),
+    )
+    v = (
+        sess.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    c = (
+        sess.filter(F.col("event_type") == "click")
+        .join(v, ["user_id", "session_id"])
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("t_click"))
+    )
+    p = (
+        sess.filter(F.col("event_type") == "purchase")
+        .join(c, ["user_id", "session_id"])
+        .filter(F.col("us") > F.col("t_click"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("us").alias("t_buy"))
+    )
+    n = sess.select("user_id", "session_id").distinct().agg(
+        F.count("*").cast("long").alias("n_sessions")
+    )
+    return (
+        n.crossJoin(F.broadcast(v.agg(F.count("*").cast("long").alias("sessions_viewed"))))
+        .crossJoin(
+            F.broadcast(
+                c.agg(
+                    F.count("*").cast("long").alias("sessions_clicked_after_view")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                p.agg(
+                    F.count("*")
+                    .cast("long")
+                    .alias("sessions_purchased_after_click")
+                )
+            )
+        )
+    )

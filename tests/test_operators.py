@@ -1067,3 +1067,67 @@ def test_downsample_wav_decimates_and_reencodes(spark):
 
     with _pytest.raises(ValueError):
         downsample_wav(df, factor=0)
+
+
+# --- ledger: clamped running balance (operators/ledger.py) ---------------
+
+
+def test_clamped_balance_kernel_matches_reference():
+    """The numpy kernel must agree with the obvious Python recurrence,
+    including saturation at both rails and a nonzero carry-in."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from datastore_mapper_spark.operators.ledger import clamped_balance_kernel
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        deltas=st.lists(
+            st.integers(min_value=-60_000, max_value=60_000), max_size=50
+        ),
+        cap=st.integers(min_value=1, max_value=100_000),
+        start=st.integers(min_value=0, max_value=100_000),
+    )
+    def _prop(deltas, cap, start):
+        start = min(start, cap)
+        got = clamped_balance_kernel(
+            np.asarray(deltas, dtype=np.int64), cap=cap, start=start
+        )
+        b = start
+        for i, d in enumerate(deltas):
+            b = min(cap, max(0, b + d))
+            assert got[i] == b
+        assert len(got) == len(deltas)
+
+    _prop()
+
+
+def test_capped_running_balance_sorts_within_group(spark):
+    """applyInPandas groups arrive UNORDERED; the kernel must sort on
+    the order columns itself.  Feed rows deliberately out of order and
+    check the clamp sequence follows event order, not input order."""
+    from datastore_mapper_spark.operators.ledger import capped_running_balance
+
+    rows = [
+        # user 7, event order by (us, event_id): +100, -300, +80
+        (7, 30, 3, 80),
+        (7, 10, 1, 100),
+        (7, 20, 2, -300),
+        # us tie broken by event_id: +50 (id 4) then -20 (id 5)
+        (8, 10, 5, -20),
+        (8, 10, 4, 50),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, us long, event_id long, delta long")
+    got = {
+        (r.user_id, r.rn): r.balance
+        for r in capped_running_balance(df, cap=120).collect()
+    }
+    assert got == {
+        (7, 1): 100,   # clamped at nothing
+        (7, 2): 0,     # 100 - 300 -> rail 0
+        (7, 3): 80,
+        (8, 1): 50,
+        (8, 2): 30,
+    }
