@@ -934,3 +934,284 @@ def funnel_sessionized(spark, sf_dir):
             )
         )
     )
+
+
+@query(
+    "rrf_fusion_topk",
+    "LLM-pipeline",
+    oracle="""
+    WITH dls AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ), stats AS (
+        SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+               count(*) AS n
+        FROM dls
+    ), tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok IN ('vector', 'merge', 'stream')
+        GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY 1
+    ), contrib AS (
+        SELECT t.doc_id, t.tok,
+               ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl)) AS c
+        FROM tf t
+        JOIN dfreq f USING (tok)
+        JOIN dls d ON t.doc_id = d.doc_id
+        CROSS JOIN stats s
+    ), bm AS (
+        SELECT doc_id,
+               round(coalesce(max(CASE WHEN tok = 'vector' THEN c END), 0)
+                     + coalesce(max(CASE WHEN tok = 'merge' THEN c END), 0)
+                     + coalesce(max(CASE WHEN tok = 'stream' THEN c END), 0),
+                     4) AS bm25
+        FROM contrib GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 100
+    ), br AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                    AS BIGINT) AS r_b
+        FROM bm
+    ), q AS (
+        SELECT embedding AS qe,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(embedding) AS x)) AS qq
+        FROM embeddings WHERE vec_id = 0
+    ), sims AS (
+        SELECT e.vec_id,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x,
+                             unnest(q.qe) AS y)) AS dot,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x)) AS dd,
+               q.qq AS qq
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    ), cs AS (
+        SELECT vec_id, round(dot / (sqrt(dd) * sqrt(qq)), 4) AS sim
+        FROM sims
+        ORDER BY sim DESC, vec_id LIMIT 100
+    ), cr AS (
+        SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id)
+                    AS BIGINT) AS r_c
+        FROM cs
+    )
+    SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id, br.r_b, cr.r_c,
+           COALESCE(1.0 / (60 + br.r_b), 0.0)
+               + COALESCE(1.0 / (60 + cr.r_c), 0.0) AS rrf
+    FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def rrf_fusion_topk(spark, sf_dir):
+    """Reciprocal-rank fusion of a lexical (BM25) and a dense
+    (embedding-cosine) retrieval list — the standard hybrid-search
+    combiner (k=60): rrf(d) = Σ_lists 1/(60 + rank_list(d)) over the
+    lists containing d.  Ranks come from the two existing scorers'
+    4-dp-rounded scores (deterministic), tie-broken on id; the fused
+    score is a TWO-term double sum, and IEEE addition is commutative,
+    so no accumulation-order seam exists.  At 100 TB each list is its
+    own top-k (per-partition heaps), the fusion is a full outer join
+    of two 100-row relations — driver-trivial, cluster-trivial."""
+    from .llm_extra import bm25_scored
+    from .llm_vector import cosine_scored
+
+    br = (
+        bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(100)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+            .cast("long")
+            .alias("r_b"),
+        )
+    )
+    cr = (
+        cosine_scored(spark, sf_dir)
+        .orderBy(F.desc("sim"), F.asc("vec_id"))
+        .limit(100)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim"), F.asc("vec_id")))
+            .cast("long")
+            .alias("r_c"),
+        )
+    )
+    fused = br.join(cr, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_b",
+        "r_c",
+        (
+            F.coalesce(1.0 / (60 + F.col("r_b")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_c")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+@query(
+    "quantile_normalize_by_source",
+    "analytics/window",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type, value FROM events
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM e
+    ), src AS (
+        SELECT event_id, event_type, value,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id)
+                    AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS ns
+        FROM e
+    ), pooled AS (
+        SELECT value AS norm_value,
+               CAST(row_number() OVER (ORDER BY value, event_id)
+                    AS BIGINT) AS pos
+        FROM e
+    )
+    SELECT s.event_id, s.event_type, s.value, p.norm_value
+    FROM src s CROSS JOIN n
+    JOIN pooled p ON p.pos = (s.r * n.n + s.ns - 1) // s.ns
+    """,
+)
+def quantile_normalize_by_source(spark, sf_dir):
+    """Quantile normalization across sources (batch-effect
+    correction): each event type's value distribution is mapped onto
+    the POOLED distribution by rank — row r of ns in a source takes
+    the pooled value at position ceil(r*N/ns), all in exact integer
+    arithmetic (no interpolation, no float quantiles).  Within-source
+    ranks are ordinary partitioned windows; the POOLED global rank —
+    the scale hazard — uses the two-pass range-partitioned row_number
+    (operators/scale.py `ranged_row_number`: per-range counts
+    broadcast as offsets), never a single-partition window, while the
+    oracle states the same semantics with a plain global window.  The
+    rank→position join is an equi join on an integer key."""
+    from ..operators.scale import ranged_row_number
+
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    n = e.agg(F.count("*").cast("long").alias("n"))
+    w_src = Window.partitionBy("event_type").orderBy("value", "event_id")
+    src = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w_src).cast("long").alias("r"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .cast("long")
+        .alias("ns"),
+    )
+    pooled = ranged_row_number(
+        e.select(
+            F.col("value").alias("norm_value"), F.col("event_id").alias("pid")
+        ),
+        [F.col("norm_value"), F.col("pid")],
+        "pos",
+    ).select("norm_value", F.col("pos").cast("long").alias("pos"))
+    return (
+        src.crossJoin(F.broadcast(n))
+        .withColumn(
+            "pos", F.expr("CAST((r * n + ns - 1) DIV ns AS BIGINT)")
+        )
+        .join(pooled, "pos")
+        .select("event_id", "event_type", "value", "norm_value")
+    )
+
+
+@query(
+    "centroid_pairwise_cosine",
+    "LLM-pipeline",
+    oracle="""
+    WITH cells AS (
+        SELECT label, pos, CAST(round(avg(v) * 10000) AS BIGINT) AS m
+        FROM (
+            SELECT label,
+                   unnest(generate_series(1, len(embedding))) AS pos,
+                   unnest(embedding) AS v
+            FROM embeddings
+        )
+        GROUP BY 1, 2
+    ), norms AS (
+        SELECT label, CAST(sum(m * m) AS BIGINT) AS nn
+        FROM cells GROUP BY 1
+    ), dots AS (
+        SELECT a.label AS l1, b.label AS l2,
+               CAST(sum(a.m * b.m) AS BIGINT) AS dot
+        FROM cells a JOIN cells b
+          ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT d.l1, d.l2,
+           CAST(d.dot / (sqrt(CAST(n1.nn AS DOUBLE))
+                         * sqrt(CAST(n2.nn AS DOUBLE))) AS DOUBLE)
+               AS cos_sim
+    FROM dots d
+    JOIN norms n1 ON d.l1 = n1.label
+    JOIN norms n2 ON d.l2 = n2.label
+    """,
+)
+def centroid_pairwise_cosine(spark, sf_dir):
+    """Pairwise cosine similarity between per-label centroids — the
+    cluster-overlap diagnostic behind IVF cell quality and
+    label-leakage checks.  Centroid components are QUANTIZED to
+    integer 1e-4 units immediately after the elementwise mean (the
+    one rounding, same on both engines), so the 64-term dot products
+    and norms accumulate as exact BIGINTs in any order; one double
+    tree per output row at the end.  At 100 TB the centroid table is
+    labels x 64 cells regardless of corpus size (map-side partial
+    collapse), and the pairwise join is over that tiny relation."""
+    e = table(spark, sf_dir, "embeddings")
+    cells = (
+        e.select("label", F.posexplode("embedding").alias("pos0", "v"))
+        .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(F.round(F.avg("v") * 10000).cast("long").alias("m"))
+    )
+    norms = cells.groupBy("label").agg(
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("nn")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("l1"), F.col("b.label").alias("l2")
+        )
+        .agg(F.sum(F.col("a.m") * F.col("b.m")).cast("long").alias("dot"))
+    )
+    n1 = norms.withColumnRenamed("label", "l1").withColumnRenamed("nn", "nn1")
+    n2 = norms.withColumnRenamed("label", "l2").withColumnRenamed("nn", "nn2")
+    return (
+        dots.join(F.broadcast(n1), "l1")
+        .join(F.broadcast(n2), "l2")
+        .select(
+            "l1",
+            "l2",
+            (
+                F.col("dot")
+                / (
+                    F.sqrt(F.col("nn1").cast("double"))
+                    * F.sqrt(F.col("nn2").cast("double"))
+                )
+            )
+            .cast("double")
+            .alias("cos_sim"),
+        )
+    )

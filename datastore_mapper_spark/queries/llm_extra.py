@@ -1190,6 +1190,16 @@ def bm25_retrieval_topk(spark, sf_dir):
     rows would be order-nondeterministic in floating point and could
     flip the 4-dp rounding (SURVEY §7.3-H2); ties break on doc_id
     (§7.3-H7)."""
+    return bm25_scored(spark, sf_dir).orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    ).limit(20)
+
+
+def bm25_scored(spark, sf_dir):
+    """The full BM25-scored relation behind ``bm25_retrieval_topk``
+    (every doc matching >= 1 query term, 4-dp-rounded score) — shared
+    with the reciprocal-rank-fusion query, which ranks a deeper list
+    than the top-20 contract row."""
     TERMS = ["vector", "merge", "stream"]
     k1, b = 1.2, 0.75
     d = table(spark, sf_dir, "documents")
@@ -1234,11 +1244,7 @@ def bm25_retrieval_topk(spark, sf_dir):
         + F.coalesce(F.col("stream"), F.lit(0.0)),
         4,
     )
-    return (
-        pivoted.select("doc_id", score.alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(20)
-    )
+    return pivoted.select("doc_id", score.alias("bm25"))
 
 
 @query(

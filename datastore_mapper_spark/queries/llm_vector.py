@@ -54,14 +54,25 @@ def knn_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 neighbors of vec_id=0.  The query vector
     is broadcast; Spark plans TakeOrderedAndProject for the top-k (no
     global sort).  Scale path: operators.similarity.ivf_topk."""
+    return (
+        cosine_scored(spark, sf_dir)
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+def cosine_scored(spark, sf_dir, qid: int = 0):
+    """Every vector's 4-dp-rounded cosine to the ``qid`` query vector
+    (query excluded) — the scored relation behind ``knn_cosine_top10``,
+    shared with reciprocal-rank fusion which ranks a deeper list."""
     e = table(spark, sf_dir, "embeddings")
     q = (
-        e.filter(F.col("vec_id") == 0)
+        e.filter(F.col("vec_id") == qid)
         .select(F.col("embedding").alias("qe"))
         .withColumn("qq", _dot("qe", "qe"))
     )
     return (
-        e.filter(F.col("vec_id") != 0)
+        e.filter(F.col("vec_id") != qid)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -71,8 +82,6 @@ def knn_cosine_top10(spark, sf_dir):
                 4,
             ).alias("sim"),
         )
-        .orderBy(F.col("sim").desc(), F.col("vec_id"))
-        .limit(10)
     )
 
 
