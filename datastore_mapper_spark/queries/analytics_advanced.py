@@ -1215,3 +1215,188 @@ def centroid_pairwise_cosine(spark, sf_dir):
             .alias("cos_sim"),
         )
     )
+
+
+@query(
+    "dq_benford_first_digit",
+    "data-quality",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                                 AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ), obs AS (
+        SELECT digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1
+    ), tot AS (
+        SELECT digit, obs, CAST(sum(obs) OVER () AS BIGINT) AS n FROM obs
+    )
+    SELECT digit, obs, n,
+           CAST(obs AS DOUBLE) / n AS observed_p,
+           log10(1.0 + 1.0 / digit) AS benford_p,
+           CAST(obs AS DOUBLE) / n - log10(1.0 + 1.0 / digit)
+               AS deviation
+    FROM tot
+    """,
+)
+def dq_benford_first_digit(spark, sf_dir):
+    """Benford's-law first-significant-digit audit over order totals —
+    the classic fabricated-data / unit-mixup detector for financial
+    facts.  The digit is extracted from the exact integer-cents string
+    (no float log tricks), counts are exact, the expected Benford mass
+    log10(1 + 1/d) and the deviation are per-row double expressions.
+    At 100 TB this is one 9-cell aggregate with map-side collapse —
+    the cheapest DQ signal per byte scanned in the suite."""
+    o = table(spark, sf_dir, "orders")
+    d = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count("*").cast("long").alias("obs"))
+    tot = obs.withColumn(
+        "n", F.sum("obs").over(Window.partitionBy()).cast("long")
+    )
+    benford = F.log10(1.0 + 1.0 / F.col("digit"))
+    return tot.select(
+        "digit",
+        "obs",
+        "n",
+        (F.col("obs").cast("double") / F.col("n")).alias("observed_p"),
+        benford.alias("benford_p"),
+        (F.col("obs").cast("double") / F.col("n") - benford).alias(
+            "deviation"
+        ),
+    )
+
+
+@query(
+    "sample_systematic_every_k",
+    "sampling",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               CAST(row_number() OVER (ORDER BY l_extendedprice,
+                                       l_orderkey, l_linenumber)
+                    AS BIGINT) AS pos
+        FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber, l_extendedprice, pos
+    FROM ranked
+    WHERE pos % 97 = 1
+    """,
+)
+def sample_systematic_every_k(spark, sf_dir):
+    """Systematic (every-k-th) sampling after a global value ordering —
+    the stratified-by-rank design that guarantees coverage of the full
+    value range (head, body, and tail), unlike Bernoulli sampling
+    which can miss sparse strata.  The global position — the scale
+    hazard — comes from the two-pass range-partitioned row_number
+    (`operators/scale.ranged_row_number`), never a single-partition
+    window; the oracle states the same semantics with a plain global
+    window.  Selection `pos % 97 == 1` is exact integer arithmetic
+    on a deterministic total order (value, then unique key)."""
+    from ..operators.scale import ranged_row_number
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    ranked = ranged_row_number(
+        li,
+        [
+            F.col("l_extendedprice"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+        ],
+        "pos",
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.col("pos").cast("long").alias("pos"),
+    ).filter(F.col("pos") % 97 == 1)
+
+
+@query(
+    "rfm_segmentation",
+    "analytics/window",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', max(o_orderdate)::TIMESTAMP,
+                              TIMESTAMP '2001-09-01 00:00:00')
+                    AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY 1
+    ), scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary_cents,
+               CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                    AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency, o_custkey)
+                    AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary_cents, o_custkey)
+                    AS BIGINT) AS m_score
+        FROM cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents,
+           CAST(min(o_custkey) AS BIGINT) AS example_cust
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the marketing-analytics staple: quintile-score each dimension with
+    ntile over a DETERMINISTIC total order (metric, then customer key
+    — unkeyed ntile ties are engine-dependent, §7.3-H7), then roll up
+    the 125 segments.  Recency is exact integer days from a pinned
+    anchor date; money stays in integer cents.  At 100 TB the
+    customer-grain aggregate shuffles once; the three ntile windows
+    run over the |customers| relation — and each can fall back to the
+    integer-exact `ntile_from_row_number` + `ranged_row_number`
+    two-pass form (operators/scale.py) when even that no longer fits
+    one partition."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    scored = cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("frequency", "o_custkey"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_cents", "o_custkey"))
+        .cast("long")
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        F.min("o_custkey").cast("long").alias("example_cust"),
+    )
