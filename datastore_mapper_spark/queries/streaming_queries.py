@@ -269,3 +269,19 @@ def stream_incremental_rollup(spark, sf_dir):
     from ..streaming.demos import streaming_incremental_rollup
 
     return streaming_incremental_rollup(spark, sf_dir)
+
+
+@query(
+    "stream_ledger_balance_demo",
+    "streaming",
+    oracle=None,
+    description="Streaming twin of ledger_capped_balance: the clamped "
+    "(non-associative) balance carried across two chronological "
+    "micro-batches in GroupState, SAME numpy kernel as the batch "
+    "applyInPandas scan (rows-only; pytest asserts the final frontier "
+    "equals the batch operator's last row per user).",
+)
+def stream_ledger_balance_demo(spark, sf_dir):
+    from ..streaming.stateful import streaming_ledger_balance
+
+    return streaming_ledger_balance(spark, sf_dir)

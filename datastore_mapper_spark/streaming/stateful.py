@@ -159,3 +159,100 @@ def streaming_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set(_STATE_PROVIDER_KEY, prev)
     return spark.table(name)
+
+
+# --- streaming twin of the batch clamped-ledger scan ------------------
+
+LEDGER_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("rn", LongType()),
+        StructField("balance", LongType()),
+    ]
+)
+
+LEDGER_STATE_SCHEMA = StructType(
+    [StructField("balance", LongType()), StructField("rn", LongType())]
+)
+
+
+def _update_ledger(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Carry the clamped balance across micro-batches with the SAME
+    kernel as the batch operator (operators/ledger.py) — the reuse the
+    ledger docstring promises.  Each batch sorts its slice of the
+    key's history, folds it through the kernel with the carried-in
+    balance, and emits the key's cumulative (rn, balance) frontier."""
+    import numpy as np
+
+    from ..operators.ledger import CAP_CENTS, clamped_balance_kernel
+
+    bal, rn = state.get if state.exists else (0, 0)
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["us", "event_id"], kind="mergesort")
+        out = clamped_balance_kernel(
+            pdf["delta"].to_numpy(dtype=np.int64), cap=CAP_CENTS, start=bal
+        )
+        bal = int(out[-1])
+        rn += len(out)
+    state.update((bal, rn))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "rn": [rn], "balance": [bal]}
+    )
+
+
+def streaming_ledger_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained clamped ledger over the TWO-micro-batch
+    chronological replay: the second batch's balances depend on the
+    first batch's carried GroupState, so this exercises real
+    cross-batch state (not a single-batch degenerate run).  Emits each
+    user's cumulative frontier per batch (update mode, |users|-bounded
+    memory sink); the final state per user is the max-rn row, which
+    pytest checks equal to the batch operator's last row per user."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import with_ts_us
+    from .demos import _staged_two_batch_dir
+    from ..session import configure
+
+    configure(spark)
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    events = with_ts_us(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_two_batch_dir(sf_dir))
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    keyed = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts_us")).alias("us"),
+        "event_id",
+        F.when(F.col("event_type").isin("purchase", "signup"), cents)
+        .otherwise(-cents)
+        .alias("delta"),
+    )
+    frontier = keyed.groupBy("user_id").applyInPandasWithState(
+        _update_ledger,
+        outputStructType=LEDGER_OUTPUT_SCHEMA,
+        stateStructType=LEDGER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = _run_to_memory(frontier, "update")
+    sink = spark.table(name)
+    # fold the per-batch frontiers: the max-rn row per user is final
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy(F.desc("rn"))
+    return (
+        sink.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "rn", "balance")
+    )

@@ -381,3 +381,30 @@ def test_append_partials_bound_driver_rows(spark, sf_dir):
         .collect()
     }
     assert folded == exact
+
+
+def test_stream_ledger_carries_state_across_batches(spark, sf_dir):
+    """The streaming ledger's final (rn, balance) per user must equal
+    the batch operator's LAST row per user.  Because the replay is two
+    chronological micro-batches, batch-2 balances are only correct if
+    batch-1's carry-out survived in GroupState — this is the
+    cross-batch state check, not a single-batch rerun."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.registry import all_queries
+
+    SPECS = all_queries()
+    stream_rows = {
+        r.user_id: (r.rn, r.balance)
+        for r in SPECS["stream_ledger_balance_demo"].fn(spark, sf_dir).collect()
+    }
+    batch = SPECS["ledger_capped_balance"].fn(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("rn"))
+    batch_rows = {
+        r.user_id: (r.rn, r.balance)
+        for r in batch.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .collect()
+    }
+    assert stream_rows == batch_rows and len(stream_rows) > 0
