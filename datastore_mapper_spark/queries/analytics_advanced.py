@@ -1400,3 +1400,186 @@ def rfm_segmentation(spark, sf_dir):
         F.sum("monetary_cents").cast("long").alias("segment_cents"),
         F.min("o_custkey").cast("long").alias("example_cust"),
     )
+
+
+@query(
+    "entity_resolution_groups",
+    "LLM-pipeline/join",
+    oracle="""
+    WITH RECURSIVE names AS (
+        SELECT p_name, CAST(min(p_partkey) AS BIGINT) AS nid,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY p_name
+    ), b AS (
+        SELECT p_name, nid, split_part(p_name, ' ', 2) AS noun FROM names
+    ), edges AS (
+        SELECT a.nid AS d1, c.nid AS d2
+        FROM b a JOIN b c ON a.noun = c.noun AND a.p_name < c.p_name
+        WHERE levenshtein(a.p_name, c.p_name) <= 3
+    ), sym AS (
+        SELECT d1 AS u, d2 AS v FROM edges
+        UNION SELECT d2, d1 FROM edges
+    ), reach(node, lab) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
+    ), cc AS (
+        SELECT node, CAST(min(lab) AS BIGINT) AS gid
+        FROM reach GROUP BY node
+    )
+    SELECT COALESCE(cc.gid, n.nid) AS group_id,
+           CAST(count(*) AS BIGINT) AS n_names,
+           CAST(sum(n.n_parts) AS BIGINT) AS n_parts,
+           min(n.p_name) AS canonical_name
+    FROM names n LEFT JOIN cc ON n.nid = cc.node
+    GROUP BY 1
+    """,
+)
+def entity_resolution_groups(spark, sf_dir):
+    """End-to-end entity resolution: block (head noun) -> score
+    (Levenshtein <= 3 on distinct names) -> transitively merge
+    (iterative min-label connected components,
+    operators/dedup.connected_components) -> emit match GROUPS with
+    their canonical name, singletons included — the full
+    record-linkage pipeline as one graded unit, against a
+    recursive-CTE closure oracle.  Name-ids are min(p_partkey) per
+    distinct name, so labels are deterministic.  At 100 TB: the
+    candidate step is the blocked fuzzy join
+    (fuzzy_join_blocked_levenshtein's shape), CC is O(diameter)
+    join+groupBy rounds with per-round checkpoints, and the final
+    rollup shuffles on group id."""
+    from ..operators.dedup import connected_components
+
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(
+        F.min("p_partkey").cast("long").alias("nid"),
+        F.count("*").cast("long").alias("n_parts"),
+    )
+    b = names.select(
+        "p_name",
+        "nid",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    edges = (
+        a.join(
+            c,
+            (F.col("a.noun") == F.col("c.noun"))
+            & (F.col("a.p_name") < F.col("c.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("c.p_name")) <= 3)
+        .select(F.col("a.nid").alias("d1"), F.col("c.nid").alias("d2"))
+    )
+    cc = connected_components(edges).select(
+        F.col("node").alias("nid"), F.col("cluster_id").alias("gid")
+    )
+    return (
+        names.join(cc, "nid", "left")
+        .select(
+            F.coalesce(F.col("gid"), F.col("nid")).alias("group_id"),
+            "p_name",
+            "n_parts",
+        )
+        .groupBy("group_id")
+        .agg(
+            F.count("*").cast("long").alias("n_names"),
+            F.sum("n_parts").cast("long").alias("n_parts"),
+            F.min("p_name").alias("canonical_name"),
+        )
+    )
+
+
+@query(
+    "spatial_grid_join",
+    "join",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                                            || 'x'), 1, 5))::INTEGER
+                    AS BIGINT) % 10000 AS x,
+               CAST(('0x' || substring(md5(CAST(c_custkey AS VARCHAR)
+                                            || 'y'), 1, 5))::INTEGER
+                    AS BIGINT) % 10000 AS y
+        FROM customer WHERE c_custkey < 2000
+    )
+    SELECT a.id AS id1, b.id AS id2,
+           CAST((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x)
+          + (a.y - b.y) * (a.y - b.y) <= 2500
+    """,
+)
+def spatial_grid_join(spark, sf_dir):
+    """Spatial distance self-join (all point pairs within radius 50 on
+    a 10000x10000 integer grid) — the ORACLE is the quadratic
+    all-pairs statement; the Spark plan is the grid-cell blocking
+    every spatial engine uses: hash each point to its 50x50 cell,
+    replicate the probe side to the 3x3 neighborhood (radius <= cell
+    size, so no pair can span further), EQUI join on the cell key,
+    then the exact integer distance filter.  Coordinates derive
+    deterministically from the key via the repo's cross-engine
+    content-hash idiom (md5-prefix → int, salted per axis; a
+    multiplicative-congruential hash was tried first and produced a
+    LATTICE with zero close pairs — the classic LCG failure).  At
+    100 TB cells partition
+    the plane uniformly, the 9x replication is constant-factor, and a
+    dense cell is ordinary join skew (AQE-split) — never an all-pairs
+    scan.  The id cap keeps the ORACLE's quadratic feasible; the grid
+    plan itself carries no cap."""
+    cust = table(spark, sf_dir, "customer")
+
+    def _coord(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"),
+                                   F.lit(salt))),
+                    1,
+                    5,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 10000
+        )
+
+    pts = cust.filter(F.col("c_custkey") < 2000).select(
+        F.col("c_custkey").alias("id"),
+        _coord("x").alias("x"),
+        _coord("y").alias("y"),
+    )
+    cells = pts.select(
+        "id",
+        "x",
+        "y",
+        F.expr("CAST(x DIV 50 AS BIGINT)").alias("cx"),
+        F.expr("CAST(y DIV 50 AS BIGINT)").alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx long, dy long",
+    )
+    probe = cells.crossJoin(F.broadcast(offsets)).select(
+        F.col("id").alias("id1"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+        (F.col("cx") + F.col("dx")).alias("jcx"),
+        (F.col("cy") + F.col("dy")).alias("jcy"),
+    )
+    build = cells.select(
+        F.col("id").alias("id2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+        F.col("cx").alias("jcx"),
+        F.col("cy").alias("jcy"),
+    )
+    dist2 = (F.col("x1") - F.col("x2")) * (F.col("x1") - F.col("x2")) + (
+        F.col("y1") - F.col("y2")
+    ) * (F.col("y1") - F.col("y2"))
+    return (
+        probe.join(build, ["jcx", "jcy"])
+        .filter((F.col("id1") < F.col("id2")) & (dist2 <= 2500))
+        .select("id1", "id2", dist2.cast("long").alias("dist2"))
+    )

@@ -359,3 +359,20 @@ def test_containment_candidates_join_on_shingle(spark, sf_dir):
     plan = formatted(_df("containment_asymmetric_dedup", spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_join_is_cell_equi_join(spark, sf_dir):
+    """spatial_grid_join: the oracle's quadratic all-pairs must NOT be
+    the plan — candidates come from an equi join on the (cx, cy) cell
+    key (the 3x3 replication is a broadcast of the 9-row offset
+    table), with the exact distance as a filter above it."""
+    plan = formatted(_df("spatial_grid_join", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_entity_resolution_no_cartesian(spark, sf_dir):
+    """entity_resolution_groups: candidates must come from the noun
+    block (equi join over distinct names); the CC rounds are
+    join+groupBy on node ids — nothing quadratic anywhere."""
+    plan = formatted(_df("entity_resolution_groups", spark, sf_dir))
+    assert "CartesianProduct" not in plan
