@@ -101,3 +101,56 @@ def pagerank(
         if delta < tol:
             break
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "d1",
+    dst: str = "d2",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Nodes of the k-core: the maximal subgraph where every node has
+    degree >= k, by iterative peeling — drop all nodes with degree
+    < k, restrict the edge list to survivors, repeat until a fixpoint.
+
+    No recursive CTE can express this (the recursion needs an
+    aggregate per step), so the oracle-side check is a pure-Python
+    peel in pytest rather than DuckDB SQL.  Per round: one degree
+    aggregate + one semi-join on each endpoint, all shuffling on node
+    id; ``localCheckpoint`` cuts lineage per round exactly like
+    ``dedup.connected_components`` (at 100 TB: reliable
+    ``checkpoint()`` + edges pre-partitioned on node id).  Rounds
+    needed = peel depth, small in practice for near-dup graphs.
+
+    Returns (node, degree) for k-core members, with the degree INSIDE
+    the core — deterministic, so any two runs (and the pytest
+    reference) agree exactly.
+    """
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        deg = e.groupBy("u").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("u")
+        pruned = (
+            e.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint()
+        )
+        # fixpoint when no directed edge was removed this round
+        if pruned.count() == e.count():
+            e = pruned
+            break
+        e = pruned
+    return (
+        e.groupBy("u")
+        .agg(F.count("*").cast("long").alias("degree"))
+        .filter(F.col("degree") >= k)
+        .select(F.col("u").alias("node"), "degree")
+    )

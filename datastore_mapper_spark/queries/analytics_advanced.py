@@ -1583,3 +1583,222 @@ def spatial_grid_join(spark, sf_dir):
         .filter((F.col("id1") < F.col("id2")) & (dist2 <= 2500))
         .select("id1", "id2", dist2.cast("long").alias("dist2"))
     )
+
+
+@query(
+    "seasonality_dow_hour_index",
+    "analytics",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(isodow(ts::TIMESTAMP) AS BIGINT) AS dow,
+               CAST(extract(hour FROM ts::TIMESTAMP) AS BIGINT) AS hr,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), cell AS (
+        SELECT dow, hr,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(cents) AS BIGINT) AS cents
+        FROM e GROUP BY 1, 2
+    ), tot AS (
+        SELECT dow, hr, n, cents,
+               CAST(sum(n) OVER () AS BIGINT) AS n_all,
+               CAST(sum(cents) OVER () AS BIGINT) AS cents_all
+        FROM cell
+    )
+    SELECT dow, hr, n, cents,
+           (CAST(cents AS DOUBLE) / n)
+               / (CAST(cents_all AS DOUBLE) / n_all) AS seasonal_index
+    FROM tot
+    """,
+)
+def seasonality_dow_hour_index(spark, sf_dir):
+    """Seasonal index per (ISO day-of-week, hour) cell: the cell's mean
+    event value relative to the overall mean — the baseline
+    seasonality profile behind staffing/anomaly baselines.  Counts and
+    cent-sums are exact integers (window totals over the <=168-cell
+    table); the index is a fixed per-row double tree.  Spark's
+    Sunday-first dayofweek is shifted to ISO to match the oracle
+    exactly.  At 100 TB this is one cell aggregate with map-side
+    collapse plus window sums over 168 rows."""
+    e = table(spark, sf_dir, "events")
+    cell = (
+        e.select(
+            F.expr("CAST((dayofweek(ts_us) + 5) % 7 + 1 AS BIGINT)").alias(
+                "dow"
+            ),
+            F.hour("ts_us").cast("long").alias("hr"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("dow", "hr")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    w = Window.partitionBy()
+    tot = cell.select(
+        "dow",
+        "hr",
+        "n",
+        "cents",
+        F.sum("n").over(w).cast("long").alias("n_all"),
+        F.sum("cents").over(w).cast("long").alias("cents_all"),
+    )
+    return tot.select(
+        "dow",
+        "hr",
+        "n",
+        "cents",
+        (
+            (F.col("cents").cast("double") / F.col("n"))
+            / (F.col("cents_all").cast("double") / F.col("n_all"))
+        ).alias("seasonal_index"),
+    )
+
+
+@query(
+    "streak_three_declines",
+    "window/sequence",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, ts::TIMESTAMP AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), lagged AS (
+        SELECT user_id, event_id, cents,
+               lag(cents, 1) OVER w AS c1,
+               lag(cents, 2) OVER w AS c2,
+               lag(cents, 3) OVER w AS c3
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), flagged AS (
+        SELECT user_id, event_id
+        FROM lagged
+        WHERE cents < c1 AND c1 < c2 AND c2 < c3
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_decline_runs,
+           CAST(min(event_id) AS BIGINT) AS first_decline_event
+    FROM flagged
+    GROUP BY user_id
+    """,
+)
+def streak_three_declines(spark, sf_dir):
+    """Sequence-pattern detection: rows completing THREE consecutive
+    strict declines in a user's value series (the MATCH_RECOGNIZE
+    /ILIKE pattern engines express with lag chains) — fraud/health
+    monitoring's 'sustained drop' trigger.  Exact integer-cents
+    comparisons over one ordered window per user; NULL lags at the
+    partition head make the conjunction three-valued-false, exactly
+    the semantics both engines share.  At 100 TB: one window shuffle
+    on user, one aggregate."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    lagged = e.select(
+        "user_id",
+        "event_id",
+        cents.alias("cents"),
+        F.lag(cents, 1).over(w).alias("c1"),
+        F.lag(cents, 2).over(w).alias("c2"),
+        F.lag(cents, 3).over(w).alias("c3"),
+    )
+    return (
+        lagged.filter(
+            (F.col("cents") < F.col("c1"))
+            & (F.col("c1") < F.col("c2"))
+            & (F.col("c2") < F.col("c3"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_decline_runs"),
+            F.min("event_id").cast("long").alias("first_decline_event"),
+        )
+    )
+
+
+@query(
+    "hierarchy_share_rollup",
+    "analytics/join",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ), nat AS (
+        SELECT n.n_name AS nation, r.r_name AS region, s.cents
+        FROM spend s
+        JOIN nation n ON s.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), tot AS (
+        SELECT nation, region, cents,
+               CAST(sum(cents) OVER (PARTITION BY region) AS BIGINT)
+                   AS region_cents,
+               CAST(sum(cents) OVER () AS BIGINT) AS total_cents
+        FROM nat
+    )
+    SELECT nation, region, cents AS nation_cents, region_cents,
+           CAST(cents AS DOUBLE) / region_cents AS share_of_region,
+           CAST(region_cents AS DOUBLE) / total_cents
+               AS region_share_of_total
+    FROM tot
+    """,
+)
+def hierarchy_share_rollup(spark, sf_dir):
+    """Percent-of-parent at every level of the region > nation
+    hierarchy — the drill-down share computation every BI rollup
+    needs, done as integer-cent sums with window totals at each
+    hierarchy level and per-row double divisions at the end (no
+    float re-aggregation between levels).  At 100 TB the fact
+    aggregate shuffles once to nation grain (~25 rows); the dims
+    broadcast; the shares are windows over the tiny rollup."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    nat = (
+        spend.join(
+            F.broadcast(n), spend.c_nationkey == n.n_nationkey
+        )
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            "cents",
+        )
+    )
+    tot = nat.select(
+        "nation",
+        "region",
+        "cents",
+        F.sum("cents")
+        .over(Window.partitionBy("region"))
+        .cast("long")
+        .alias("region_cents"),
+        F.sum("cents").over(Window.partitionBy()).cast("long").alias(
+            "total_cents"
+        ),
+    )
+    return tot.select(
+        "nation",
+        "region",
+        F.col("cents").alias("nation_cents"),
+        "region_cents",
+        (F.col("cents").cast("double") / F.col("region_cents")).alias(
+            "share_of_region"
+        ),
+        (F.col("region_cents").cast("double") / F.col("total_cents")).alias(
+            "region_share_of_total"
+        ),
+    )

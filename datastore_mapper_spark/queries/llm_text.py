@@ -981,3 +981,25 @@ def dedup_incremental_ingest(spark, sf_dir):
             F.min("doc_id").cast("bigint").alias("example_doc"),
         )
     )
+
+
+@query(
+    "graph_kcore_membership",
+    "LLM-pipeline/graph",
+    oracle=None,
+    description="2-core of the near-dup graph by iterative peeling "
+    "(operators/graph.kcore) — no recursive CTE can express the "
+    "per-round degree aggregate, so the reference check is a "
+    "pure-Python peel in pytest (rows-only here).",
+)
+def graph_kcore_membership(spark, sf_dir):
+    """Nodes of the near-dup graph's 2-core with their in-core degree —
+    the densely-duplicated backbone (nodes in cycles/cliques), which
+    is exactly the set where transitive dedup decisions compound and
+    deserve review.  Iterative peel: degree aggregate -> semi-join
+    restriction per round, lineage-checkpointed like
+    connected_components; reads the materialized pair-graph snapshot,
+    never the raw pair join."""
+    from ..operators.graph import kcore
+
+    return kcore(near_dup_edges(spark, sf_dir), k=2)

@@ -350,3 +350,59 @@ def sink_compaction_small_files(spark, sf_dir):
         F.count("*").alias("cnt"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "sink_schema_evolution_mergeread",
+    "sink",
+    oracle="""
+    WITH unioned AS (
+        SELECT doc_id, text, NULL AS lang, CAST(NULL AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, NULL AS text, lang, n_chars
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE text IS NULL) AS BIGINT)
+               AS n_null_text,
+           CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT)
+               AS n_null_lang,
+           CAST(sum(COALESCE(n_chars, 0)) AS BIGINT) AS sum_chars
+    FROM unioned
+    """,
+)
+def sink_schema_evolution_mergeread(spark, sf_dir):
+    """Schema evolution at the sink: two parquet batches written with
+    DIFFERENT schemas (v1: doc_id+text; v2: doc_id+lang+n_chars) into
+    one dataset directory, read back with ``mergeSchema=true`` — the
+    unified schema must contain every column with NULL-fill where a
+    batch lacks it, the contract every long-lived dataset directory
+    depends on as its writers evolve.  The oracle restates the
+    union-by-name semantics directly over the source table (the
+    written batches derive deterministically from ``documents``).  At
+    100 TB schema merging is a footer-only planning step; the data
+    files are never rewritten."""
+    d = table(spark, sf_dir, "documents")
+    dest = os.path.join(_SCRATCH, "sink_schema_evolution")
+    v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    v2 = d.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(dest, "batch=v1"))
+    v2.write.mode("overwrite").parquet(os.path.join(dest, "batch=v2"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(dest, "batch=v1"), os.path.join(dest, "batch=v2")
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(F.when(F.col("text").isNull(), 1))
+        .cast("long")
+        .alias("n_null_text"),
+        F.count(F.when(F.col("lang").isNull(), 1))
+        .cast("long")
+        .alias("n_null_lang"),
+        F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+        .cast("long")
+        .alias("sum_chars"),
+    )

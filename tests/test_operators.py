@@ -1131,3 +1131,49 @@ def test_capped_running_balance_sorts_within_group(spark):
         (8, 1): 50,
         (8, 2): 30,
     }
+
+
+# --- graph: k-core peeling (operators/graph.py) --------------------------
+
+
+def test_kcore_matches_python_peel(spark, sf_dir):
+    """The distributed peel must agree EXACTLY (membership and in-core
+    degree) with the obvious sequential reference peel on the same
+    near-dup edge list."""
+    from collections import defaultdict
+
+    from datastore_mapper_spark.operators.graph import kcore
+    from datastore_mapper_spark.queries.llm_text import near_dup_edges
+
+    edges = [
+        (r.d1, r.d2)
+        for r in near_dup_edges(spark, sf_dir).select("d1", "d2").collect()
+    ]
+    k = 2
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    changed = True
+    while changed:
+        drop = [n for n, nb in adj.items() if len(nb) < k]
+        changed = bool(drop)
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    expected = {n: len(nb) for n, nb in adj.items()}
+    got = {
+        r.node: r.degree for r in kcore(near_dup_edges(spark, sf_dir), k=k).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_kcore_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from datastore_mapper_spark.operators.graph import kcore
+
+    df = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
+    with _pytest.raises(ValueError):
+        kcore(df, k=0)
