@@ -191,6 +191,11 @@ BNLJ_ALLOWED = {
     "approx_quantile_error_audit",  # two 1-row (approx, exact) frames crossed
     "dq_distribution_drift_psi",  # 1-row totals frame crossed into 9 bins
     "deletion_propagation_cascade",  # four 1-row blast-radius counts crossed
+    "market_basket_lift",        # 1-row order-count scalar crossed into pairs
+    "funnel_sessionized",        # three 1-row stage-count frames crossed
+    "rrf_fusion_topk",           # 1-row query-vector broadcast (cosine side)
+    "quantile_normalize_by_source",  # 1-row pooled-count scalar crossed
+    "spatial_grid_join",         # 9-row cell-offset table crossed (3x3 replication)
 }
 
 
