@@ -135,6 +135,7 @@ def kcore(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = e.count()
     for _ in range(max_iterations):
         deg = e.groupBy("u").agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("u")
@@ -143,11 +144,14 @@ def kcore(
             .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
             .localCheckpoint()
         )
-        # fixpoint when no directed edge was removed this round
-        if pruned.count() == e.count():
-            e = pruned
-            break
+        # fixpoint when no directed edge was removed this round (one
+        # count job per round; the prior round's size is remembered,
+        # not recounted)
+        n_pruned = pruned.count()
         e = pruned
+        if n_pruned == n_edges:
+            break
+        n_edges = n_pruned
     return (
         e.groupBy("u")
         .agg(F.count("*").cast("long").alias("degree"))
