@@ -1805,3 +1805,188 @@ def hierarchy_share_rollup(spark, sf_dir):
             "region_share_of_total"
         ),
     )
+
+
+@query(
+    "max_concurrent_sessions",
+    "analytics/window",
+    oracle="""
+    WITH iv AS (
+        SELECT epoch_us(ts::TIMESTAMP) AS s,
+               epoch_us(ts::TIMESTAMP) + 1800000000 AS e
+        FROM events
+    ), pts AS (
+        SELECT s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT e AS t, -1 AS delta FROM iv
+    ), swept AS (
+        SELECT t, CAST(sum(delta) AS BIGINT) AS d
+        FROM pts GROUP BY t
+    ), run AS (
+        SELECT t, CAST(sum(d) OVER (ORDER BY t) AS BIGINT) AS concurrent
+        FROM swept
+    )
+    SELECT CAST(max(concurrent) AS BIGINT) AS peak_concurrent,
+           CAST(min(CASE WHEN concurrent =
+                              (SELECT max(concurrent) FROM run)
+                         THEN t END) AS BIGINT) AS first_peak_t_us
+    FROM run
+    """,
+)
+def max_concurrent_sessions(spark, sf_dir):
+    """Peak concurrency by SWEEP-LINE: each event opens a 30-minute
+    half-open activity interval [t, t+30m); +1/-1 deltas collapse
+    per distinct instant (same-instant end+start cancel — the
+    half-open semantics, stated identically in both engines), a
+    running sum walks the timeline, and the peak with its first
+    attaining instant falls out.  The global ordered prefix sum — the
+    single-partition trap — runs through the two-pass range-partitioned
+    `ranged_running_sum` (per-range partials broadcast as offsets);
+    the oracle states the plain global window.  Exact integer µs and
+    counts throughout.  At 100 TB: one groupBy on instants, one
+    range-partitioned scan, one tiny aggregate."""
+    from ..operators.scale import ranged_running_sum
+
+    e = table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts_us"))
+    starts = e.select(us.alias("t"), F.lit(1).alias("delta"))
+    ends = e.select(
+        (us + F.lit(1_800_000_000)).alias("t"), F.lit(-1).alias("delta")
+    )
+    swept = (
+        starts.unionAll(ends)
+        .groupBy("t")
+        .agg(F.sum("delta").cast("long").alias("d"))
+    )
+    run = ranged_running_sum(swept, [F.col("t")], "d", "concurrent")
+    peak = run.agg(F.max("concurrent").cast("long").alias("peak"))
+    return (
+        run.crossJoin(F.broadcast(peak))
+        .agg(
+            F.max("concurrent").cast("long").alias("peak_concurrent"),
+            F.min(
+                F.when(F.col("concurrent") == F.col("peak"), F.col("t"))
+            )
+            .cast("long")
+            .alias("first_peak_t_us"),
+        )
+    )
+
+
+@query(
+    "topn_percent_with_ties",
+    "window/limit",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(rank() OVER (ORDER BY o_totalprice DESC) AS BIGINT)
+                   AS rnk,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, rnk
+    FROM r
+    WHERE rnk <= (n + 99) // 100
+    """,
+)
+def topn_percent_with_ties(spark, sf_dir):
+    """Top 1% of orders by value WITH TIES (ANSI ``FETCH FIRST k ROWS
+    WITH TIES`` ≙ ``rank() <= k``): ordering deliberately has NO
+    tiebreak column, because rank() gives tied values the same rank
+    and the <=k predicate keeps every boundary tie — the result SET is
+    deterministic even though row order is not, which is exactly what
+    WITH TIES is for (and what a row_number cutoff gets wrong).
+    k = ceil(n/100) in exact integer arithmetic.  At 100 TB the rank
+    falls back to the two-pass ranged form; at any scale this plans
+    as one window pass, no global limit."""
+    o = table(spark, sf_dir, "orders")
+    r = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.rank()
+        .over(Window.orderBy(F.desc("o_totalprice")))
+        .cast("long")
+        .alias("rnk"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    return (
+        r.filter(F.col("rnk") <= F.expr("CAST((n + 99) DIV 100 AS BIGINT)"))
+        .select("o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "funnel_time_to_convert",
+    "analytics",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us
+        FROM events
+    ), v AS (
+        SELECT user_id, min(us) AS t_view
+        FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+        SELECT e.user_id, min(e.us) AS t_buy
+        FROM ev e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'purchase' AND e.us > v.t_view
+        GROUP BY e.user_id
+    ), dt AS (
+        SELECT p.t_buy - v.t_view AS dt_us
+        FROM p JOIN v ON p.user_id = v.user_id
+    ), ranked AS (
+        SELECT dt_us,
+               CAST(row_number() OVER (ORDER BY dt_us) AS BIGINT) AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM dt
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(min(dt_us) AS BIGINT) AS min_dt_us,
+           CAST(min(CASE WHEN 2 * rn >= n + 1 THEN dt_us END)
+                AS BIGINT) AS median_dt_us,
+           CAST(max(dt_us) AS BIGINT) AS max_dt_us
+    FROM ranked
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution (first view -> first later
+    purchase): the latency companion to the funnel counts — n, min,
+    EXACT lower-median, max of the per-user conversion delay, all in
+    exact integer µs (nearest-rank median via 2*rn >= n+1, no float
+    quantile).  At 100 TB the per-user frontier is |users|-sized
+    after the first aggregate and the median falls back to the
+    range-partitioned exact-median operator."""
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts_us")).alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_buy"))
+    )
+    dt = p.join(v, "user_id").select(
+        (F.col("t_buy") - F.col("t_view")).alias("dt_us")
+    )
+    ranked = dt.select(
+        "dt_us",
+        F.row_number()
+        .over(Window.orderBy("dt_us"))
+        .cast("long")
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min("dt_us").cast("long").alias("min_dt_us"),
+        F.min(F.when(2 * F.col("rn") >= F.col("n") + 1, F.col("dt_us")))
+        .cast("long")
+        .alias("median_dt_us"),
+        F.max("dt_us").cast("long").alias("max_dt_us"),
+    )
