@@ -1990,3 +1990,131 @@ def funnel_time_to_convert(spark, sf_dir):
         .alias("median_dt_us"),
         F.max("dt_us").cast("long").alias("max_dt_us"),
     )
+
+
+@query(
+    "heavy_hitters_two_phase",
+    "LLM-pipeline/scale",
+    oracle="""
+    WITH sw AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                   ::INTEGER AS BIGINT) % 4 = 0
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS nd FROM sw
+    ), sbg AS (
+        SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+               i -> list_extract(w, i) || ' ' || list_extract(w, i + 1)))
+               AS g
+        FROM sw
+    ), cand AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS sample_cnt
+        FROM sbg GROUP BY g
+        HAVING count(*) * 16 >= (SELECT nd FROM n)
+    ), fbg AS (
+        SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+               i -> list_extract(w, i) || ' ' || list_extract(w, i + 1)))
+               AS g
+        FROM (SELECT string_split(text, ' ') AS w FROM documents)
+    )
+    SELECT c.g AS bigram, c.sample_cnt,
+           CAST(count(*) AS BIGINT) AS exact_cnt
+    FROM fbg f JOIN cand c ON f.g = c.g
+    GROUP BY c.g, c.sample_cnt
+    """,
+)
+def heavy_hitters_two_phase(spark, sf_dir):
+    """Heavy-hitter detection the way a 100 TB pipeline runs it — the
+    sketch-then-verify two-phase: phase 1 counts shingles over a
+    DETERMINISTIC 25% doc sample (md5 content-hash bucket, not
+    rand(), so both engines and every rerun pick the same sample)
+    and keeps those above a frequency-proportional threshold
+    (count*16 >= sampled_docs); phase 2 rescans the FULL corpus for
+    exact counts of only those candidates, broadcast into the stream
+    as a semi-filter.  The sample phase touches 1/4 of the data and
+    the exact phase aggregates only |candidates| keys — the
+    top-frequency table without ever shuffling the full shingle
+    stream's long tail."""
+    d = table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1)))"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 4
+    )
+    sample = d.filter(bucket == 0)
+    nd = sample.agg(F.count("*").cast("long").alias("nd"))
+    sbg = sample.select(F.explode(bigrams).alias("g"))
+    cand = (
+        sbg.groupBy("g")
+        .agg(F.count("*").cast("long").alias("sample_cnt"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("sample_cnt") * 16 >= F.col("nd"))
+        .select("g", "sample_cnt")
+    )
+    fbg = d.select(F.explode(bigrams).alias("g"))
+    return (
+        fbg.join(F.broadcast(cand), "g")
+        .groupBy(F.col("g").alias("bigram"), F.col("sample_cnt"))
+        .agg(F.count("*").cast("long").alias("exact_cnt"))
+    )
+
+
+@query(
+    "window_groups_frame_emulated",
+    "window frame",
+    oracle="""
+    WITH x AS (
+        SELECT l_returnflag AS flag,
+               CAST(floor(l_quantity) AS BIGINT) AS qty,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    ), pp AS (
+        SELECT flag, qty,
+               CAST(sum(cents) AS BIGINT) AS gc,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM x GROUP BY 1, 2
+    )
+    SELECT flag, qty,
+           CAST(sum(gc) OVER (PARTITION BY flag ORDER BY qty
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS group_frame_sum,
+           n_rows
+    FROM pp
+    """,
+)
+def window_groups_frame_emulated(spark, sf_dir):
+    """GROUPS window frames (sum over the current + 2 preceding
+    DISTINCT-value groups) — a frame mode NEITHER engine here
+    implements (Spark has no GROUPS; this DuckDB build parses but
+    rejects it).  The engine bridges the gap exactly:
+    ``dense_rank`` converts value groups to consecutive integers, and
+    an integer RANGE frame over the dense rank IS the GROUPS frame
+    (every peer row shares the rank, every adjacent group is
+    rank-distance 1).  The oracle derives the same semantics a THIRD
+    way — collapse to one row per group, then a plain ROWS frame — so
+    the check is a genuine equivalence proof of the rewrite, in exact
+    integer cents.  At 100 TB both windows shuffle once on the same
+    partition key (and the oracle's collapse form is also the cheaper
+    plan when per-row output isn't needed)."""
+    li = table(spark, sf_dir, "lineitem")
+    x = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    w_rank = Window.partitionBy("flag").orderBy("qty")
+    ranked = x.withColumn("dr", F.dense_rank().over(w_rank).cast("long"))
+    w_frame = (
+        Window.partitionBy("flag")
+        .orderBy("dr")
+        .rangeBetween(-2, Window.currentRow)
+    )
+    g = ranked.withColumn("gsum", F.sum("cents").over(w_frame).cast("long"))
+    return g.groupBy("flag", "qty").agg(
+        F.max("gsum").cast("long").alias("group_frame_sum"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
