@@ -282,3 +282,84 @@ def test_bm25_cross_engine_rounding_margin(spark, sf_dir):
     # the top-20 boundary gap (ties broken by doc_id are hash-stable)
     gap = scores[19] - scores[20]
     assert gap == 0.0 or gap > 1e-6, f"top-20 cut gap {gap} is flake-range"
+
+
+def test_skyline_members_undominated_and_cover(spark, sf_dir):
+    """Every skyline row must be undominated against the FULL customer
+    relation, and every non-skyline customer must be dominated by
+    some skyline member — soundness and completeness of the bucketed
+    algorithm checked against the definition itself (not the oracle)."""
+    from datastore_mapper_spark.registry import all_queries
+
+    Q = all_queries()
+    sky = {
+        (r.spend_cents, r.n_orders)
+        for r in Q["skyline_pareto_frontier"].fn(spark, sf_dir).collect()
+    }
+    o = table(spark, sf_dir, "orders")
+    cust = [
+        (r.s, r.n)
+        for r in o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    ]
+
+    def dominated(p, q):  # q dominates p
+        return q[0] >= p[0] and q[1] >= p[1] and q != p
+
+    assert sky, "empty skyline"
+    for p in sky:
+        assert not any(dominated(p, q) for q in cust if (q[0], q[1]) != p), p
+    for p in cust:
+        if tuple(p) not in sky:
+            assert any(dominated(p, q) for q in sky), p
+
+
+def test_ewma_bounded_by_window_extremes(spark, sf_dir):
+    """An EWMA is a convex combination of its window's values, so it
+    must lie within [min, max] of the trailing 20 values (in the same
+    floored-cents quantization the operator uses) — checked row-by-row
+    against a Python recomputation of the windows."""
+    import math
+
+    from datastore_mapper_spark.registry import all_queries
+
+    Q = all_queries()
+    rows = Q["ewma_dyadic_smoothing"].fn(spark, sf_dir).collect()
+    e = table(spark, sf_dir, "events")
+    import collections
+
+    hist = collections.defaultdict(list)
+    for r in (
+        e.select("user_id", "ts_us", "event_id", "value")
+        .orderBy("ts_us", "event_id")
+        .collect()
+    ):
+        hist[r.user_id].append(math.floor(r.value * 100) / 100.0)
+    for r in rows:
+        window = hist[r.user_id][max(0, r.rn - 20): r.rn]
+        lo, hi = min(window), max(window)
+        assert lo - 1e-9 <= r.ewma <= hi + 1e-9, (r, lo, hi)
+
+
+def test_containment_pairs_are_true_subsets(spark, sf_dir):
+    """Every reported containment pair must have the smaller token set
+    literally a subset of the larger (checked in Python sets), and
+    jaccard must be < 0.5 by the size identity."""
+    from datastore_mapper_spark.registry import all_queries
+
+    Q = all_queries()
+    pairs = Q["containment_asymmetric_dedup"].fn(spark, sf_dir).limit(500).collect()
+    d = table(spark, sf_dir, "documents")
+    toks = {
+        r.doc_id: set(r.text.split(" ")) for r in d.collect()
+    }
+    assert pairs, "no containment pairs"
+    for r in pairs:
+        a, b = toks[r.d1], toks[r.d2]
+        small, big = (a, b) if len(a) <= len(b) else (b, a)
+        assert small <= big, (r.d1, r.d2)
+        assert len(big) > 2 * len(small), (r.d1, r.d2)
