@@ -2118,3 +2118,152 @@ def window_groups_frame_emulated(spark, sf_dir):
         F.max("gsum").cast("long").alias("group_frame_sum"),
         F.count("*").cast("long").alias("n_rows"),
     )
+
+
+@query(
+    "percentiles_by_group_exact",
+    "aggregation/robust",
+    oracle="""
+    WITH pp AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS w
+        FROM events GROUP BY 1, 2
+    ), cum AS (
+        SELECT event_type, cents, w,
+               CAST(sum(w) OVER (PARTITION BY event_type ORDER BY cents)
+                    AS BIGINT) AS cw,
+               CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        FROM pp
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(min(CASE WHEN 100 * cw >= 50 * n THEN cents END)
+                AS BIGINT) AS p50_cents,
+           CAST(min(CASE WHEN 100 * cw >= 90 * n THEN cents END)
+                AS BIGINT) AS p90_cents,
+           CAST(min(CASE WHEN 100 * cw >= 99 * n THEN cents END)
+                AS BIGINT) AS p99_cents
+    FROM cum GROUP BY event_type
+    """,
+)
+def percentiles_by_group_exact(spark, sf_dir):
+    """EXACT p50/p90/p99 per group (the per-endpoint latency-SLO
+    shape) — nearest-rank percentiles in pure integer arithmetic:
+    collapse to distinct cent values with weights, one cumulative
+    window per group, and the selection predicate ``100*cw >= q*n``
+    (no float quantile, no interpolation ambiguity between engines).
+    Complements the GLOBAL exact-percentile operator
+    (percentiles_exact_scalable); here the partition key is the
+    group, so the window never needs the two-pass form — per-group
+    value compression bounds each partition at |distinct values|.
+    At 100 TB: one groupBy + one window, both on event_type."""
+    e = table(spark, sf_dir, "events")
+    pp = (
+        e.select(
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = pp.select(
+        "event_type",
+        "cents",
+        F.sum("w").over(w_cum).cast("long").alias("cw"),
+        F.sum("w").over(Window.partitionBy("event_type")).cast("long").alias(
+            "n"
+        ),
+    )
+
+    def pick(q):
+        return F.min(
+            F.when(100 * F.col("cw") >= q * F.col("n"), F.col("cents"))
+        ).cast("long")
+
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        pick(50).alias("p50_cents"),
+        pick(90).alias("p90_cents"),
+        pick(99).alias("p99_cents"),
+    )
+
+
+@query(
+    "session_bounce_depth",
+    "stream-analogue/analytics",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+        SELECT user_id,
+               CAST(sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id)
+                    AS BIGINT) AS session_id
+        FROM flagged
+    ), depth AS (
+        SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS depth
+        FROM sess GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE depth = 1) AS BIGINT) AS n_bounces,
+           CAST(CAST(count(*) FILTER (WHERE depth = 1) AS DOUBLE)
+                / count(*) AS DOUBLE) AS bounce_rate,
+           CAST(max(depth) AS BIGINT) AS max_depth,
+           CAST(sum(depth) AS BIGINT) AS total_events
+    FROM depth
+    """,
+)
+def session_bounce_depth(spark, sf_dir):
+    """Session bounce rate and depth profile: sessionize (30-min gap),
+    then the one-event-session share — web analytics' headline
+    engagement metric — plus depth extremes, all exact integers with
+    a single final division.  At 100 TB one window shuffle on user,
+    one aggregate (the depth table is |sessions|-sized)."""
+    e = table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("us", "event_id")
+    base = e.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts_us")).alias("us")
+    )
+    flagged = base.withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(order).isNull()
+            | (F.col("us") - F.lag("us").over(order) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    depth = (
+        flagged.select(
+            "user_id",
+            F.sum("is_new").over(order).cast("long").alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count("*").cast("long").alias("depth"))
+    )
+    return depth.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.count(F.when(F.col("depth") == 1, 1)).cast("long").alias(
+            "n_bounces"
+        ),
+        (
+            F.count(F.when(F.col("depth") == 1, 1)).cast("double")
+            / F.count("*")
+        )
+        .cast("double")
+        .alias("bounce_rate"),
+        F.max("depth").cast("long").alias("max_depth"),
+        F.sum("depth").cast("long").alias("total_events"),
+    )
