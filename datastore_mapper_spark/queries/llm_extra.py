@@ -1291,3 +1291,54 @@ def multimodal_wav_downsample_stats(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return extract_audio_stats(downsample_wav(render_wav_media(d), factor=2))
+
+
+@query(
+    "multimodal_bmp_resize_stats",
+    "LLM-pipeline",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS height,
+           CAST(12 * (doc_id % 200)
+                + 3 * (((doc_id % 13) + 2) // 4
+                       + (2 * ((doc_id % 13) + 2)) // 4
+                       + (3 * ((doc_id % 13) + 2)) // 4)
+                AS DOUBLE) / 12 AS mean_r,
+           CAST(12 * (doc_id % 200)
+                + 4 * (((doc_id % 7) + 2) // 3
+                       + (2 * ((doc_id % 7) + 2)) // 3)
+                AS DOUBLE) / 12 AS mean_g,
+           CAST(doc_id % 200 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+)
+def multimodal_bmp_resize_stats(spark, sf_dir):
+    """REAL image resize end-to-end, closing the north-star's resize
+    step: render genuine 24-bpp BMPs, decode, nearest-neighbor
+    resample to a fixed 4x3 (``src = (dst * src_dim) // dst_dim``
+    index map), re-encode, decode AGAIN, and hash-match the decoded
+    channel means against the closed form of the resample: the
+    sampled columns are ``(i*w)//4`` and rows ``(j*h)//3``, so each
+    mean is an exact rational of integer floor-divisions — the oracle
+    predicts the post-resize pixels without ever seeing a byte.
+    Channel sums accumulate in int64 and divide once by the exact
+    12-pixel count on both sides.  Same Arrow mapInPandas shape as
+    the decode queries: no shuffle, blobs never leave the executor."""
+    from ..operators.multimodal import (
+        extract_image_stats,
+        render_bmp_media,
+        resize_image_real,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    resized = resize_image_real(render_bmp_media(d), 4, 3)
+    stats = extract_image_stats(resized.select("doc_id", "payload"))
+    return stats.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
