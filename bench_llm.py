@@ -27,6 +27,11 @@ OPS = [
     "split_train_val_test",
     "rolling_wau_hll_sketch",    # mergeable-sketch rolling distinct
     "data_quality_report",
+    "containment_asymmetric_dedup",  # subset detection (array-intersect path)
+    "ledger_capped_balance",     # non-associative applyInPandas scan
+    "entity_resolution_groups",  # block -> score -> CC merge
+    "heavy_hitters_two_phase",   # sample-sketch -> exact verify
+    "rrf_fusion_topk",           # hybrid retrieval fusion
 ]
 
 
