@@ -196,6 +196,8 @@ BNLJ_ALLOWED = {
     "rrf_fusion_topk",           # 1-row query-vector broadcast (cosine side)
     "quantile_normalize_by_source",  # 1-row pooled-count scalar crossed
     "spatial_grid_join",         # 9-row cell-offset table crossed (3x3 replication)
+    "heavy_hitters_two_phase",   # 1-row sampled-doc-count scalar crossed
+    "max_concurrent_sessions",   # 1-row peak scalar crossed into the timeline
 }
 
 
