@@ -2219,8 +2219,10 @@ def percentiles_by_group_exact(spark, sf_dir):
     )
     SELECT CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(count(*) FILTER (WHERE depth = 1) AS BIGINT) AS n_bounces,
-           CAST(CAST(count(*) FILTER (WHERE depth = 1) AS DOUBLE)
-                / count(*) AS DOUBLE) AS bounce_rate,
+           CASE WHEN count(*) > 0
+                THEN CAST(CAST(count(*) FILTER (WHERE depth = 1) AS DOUBLE)
+                          / count(*) AS DOUBLE)
+           END AS bounce_rate,
            CAST(max(depth) AS BIGINT) AS max_depth,
            CAST(sum(depth) AS BIGINT) AS total_events
     FROM depth
@@ -2258,12 +2260,15 @@ def session_bounce_depth(spark, sf_dir):
         F.count(F.when(F.col("depth") == 1, 1)).cast("long").alias(
             "n_bounces"
         ),
-        (
-            F.count(F.when(F.col("depth") == 1, 1)).cast("double")
-            / F.count("*")
-        )
-        .cast("double")
-        .alias("bounce_rate"),
+        # guarded: an EMPTY events table still emits this one aggregate
+        # row, and 0/0 under ANSI mode is an ArithmeticException
+        F.when(
+            F.count("*") > 0,
+            (
+                F.count(F.when(F.col("depth") == 1, 1)).cast("double")
+                / F.count("*")
+            ).cast("double"),
+        ).alias("bounce_rate"),
         F.max("depth").cast("long").alias("max_depth"),
         F.sum("depth").cast("long").alias("total_events"),
     )
