@@ -2272,3 +2272,159 @@ def session_bounce_depth(spark, sf_dir):
         F.max("depth").cast("long").alias("max_depth"),
         F.sum("depth").cast("long").alias("total_events"),
     )
+
+
+@query(
+    "distinct_users_bitmap_exact",
+    "aggregation/scale",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               user_id // 62 AS chunk,
+               CAST(bit_or(1::BIGINT << CAST(user_id % 62 AS INTEGER))
+                    AS BIGINT) AS bm
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(bit_count(bm)) AS BIGINT) AS n_distinct_users
+    FROM b GROUP BY 1
+    """,
+)
+def distinct_users_bitmap_exact(spark, sf_dir):
+    """EXACT distinct counting via bitmap chunks — the
+    roaring-bitmap-style technique that replaces count(DISTINCT)'s
+    expand shuffle when ids are dense integers: OR together 62-bit
+    masks per (group, id-chunk) with map-side partial combine, then
+    popcount.  Every step is exact integer bitwise arithmetic
+    (62 bits per chunk keeps the shift off the sign bit on both
+    engines).  vs count(DISTINCT): the shuffle carries one long per
+    (group, chunk) instead of one row per (group, id) — at 100 TB
+    with dense user ids that is a ~62x reduction, and the bitmaps
+    merge associatively (mergeable across days, the same property the
+    HLL rolling query exploits — but exact)."""
+    e = table(spark, sf_dir, "events")
+    b = (
+        e.select(
+            "event_type",
+            F.expr("CAST(user_id DIV 62 AS BIGINT)").alias("chunk"),
+            F.expr(
+                "shiftleft(1L, CAST(user_id % 62 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("event_type", "chunk")
+        .agg(F.bit_or("mask").cast("long").alias("bm"))
+    )
+    return b.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.bit_count("bm")).cast("long").alias("n_distinct_users"),
+    )
+
+
+@query(
+    "join_null_skew_salted",
+    "join/scale",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               CASE WHEN o_custkey % 7 = 0 THEN NULL
+                    ELSE o_custkey END AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CASE WHEN c.c_custkey IS NULL THEN 'unmatched'
+                ELSE 'matched' END AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(o.cents) AS BIGINT) AS cents
+    FROM o LEFT JOIN customer c ON o.k = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_null_skew_salted(spark, sf_dir):
+    """The NULL-key join-skew lever: outer-join fact rows whose join
+    key is NULL can never match, yet a naive plan hashes them ALL
+    into one shuffle bucket — at 100 TB the null bucket is the
+    straggler task.  The engine disperses them BEFORE the join by
+    replacing NULL keys with per-row negative sentinels
+    (``-(1 + pmod(hash(pk), 32))`` — 32 buckets, provably disjoint
+    from the dimension's nonnegative keys), which preserves LEFT-join
+    semantics bit-for-bit while spreading the dead weight across the
+    cluster.  The oracle states the plain left join; the hash-match
+    proves the rewrite's equivalence."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    k = F.when(
+        F.col("o_custkey") % 7 == 0, F.lit(None).cast("long")
+    ).otherwise(F.col("o_custkey"))
+    fact = o.select(
+        "o_orderkey",
+        k.alias("k"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).withColumn(
+        "k_salted",
+        F.coalesce(
+            F.col("k"),
+            -(F.lit(1) + F.pmod(F.hash("o_orderkey"), F.lit(32))).cast(
+                "long"
+            ),
+        ),
+    )
+    joined = fact.join(c, fact.k_salted == c.c_custkey, "left")
+    return (
+        joined.select(
+            F.when(F.col("c_custkey").isNull(), "unmatched")
+            .otherwise("matched")
+            .alias("status"),
+            "cents",
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+
+
+@query(
+    "approx_topk_misra_gries",
+    "LLM-pipeline/scale",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM toks
+    )
+    SELECT item, CAST(count(*) AS BIGINT) AS cnt
+    FROM toks CROSS JOIN n
+    GROUP BY item, n.n
+    HAVING count(*) * 32 > n.n
+    """,
+)
+def approx_topk_misra_gries(spark, sf_dir):
+    """Heavy hitters via per-partition Misra–Gries summaries
+    (operators/sketch.py): a bounded-memory (k=32 counters) stream
+    pass per partition whose UNION provably contains every item with
+    global count > N/32 (sum argument across partitions), followed by
+    an exact count of only the candidates.  The intermediate
+    candidate set depends on partitioning — but the final
+    ``count*32 > N`` filter trims it to EXACTLY the true heavy-hitter
+    set, which is why a plain SQL oracle can check a
+    partition-dependent sketch pipeline end-to-end.  vs the two-phase
+    sampling sketch (heavy_hitters_two_phase): MG never misses a
+    heavy item by sampling luck — its guarantee is deterministic.  At
+    100 TB the first pass shuffles nothing and the exact pass
+    aggregates |candidates| keys."""
+    from ..operators.sketch import misra_gries_candidates
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("item"))
+    cand = misra_gries_candidates(toks, "item", k=32)
+    n = toks.agg(F.count("*").cast("long").alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * 32 > F.col("n"))
+        .select("item", "cnt")
+    )

@@ -1177,3 +1177,40 @@ def test_kcore_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, 2)], "d1 long, d2 long")
     with _pytest.raises(ValueError):
         kcore(df, k=0)
+
+
+# --- sketch: Misra-Gries heavy-hitter candidates (operators/sketch.py) ---
+
+
+def test_misra_gries_covers_all_heavy_hitters(spark):
+    """The union of per-partition MG(k) summaries must contain EVERY
+    item with global count > N/k — the coverage guarantee the
+    oracle-checked query relies on.  Crafted stream: two heavy items
+    among uniform noise, deliberately spread over several partitions."""
+    from datastore_mapper_spark.operators.sketch import misra_gries_candidates
+
+    rows = (
+        [("hot1",)] * 400
+        + [("hot2",)] * 250
+        + [(f"noise{i % 97}",) for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    k = 16
+    n = len(rows)
+    cand = {r.item for r in misra_gries_candidates(df, "item", k=k).collect()}
+    from collections import Counter
+
+    true_counts = Counter(r[0] for r in rows)
+    heavy = {i for i, c in true_counts.items() if c * k > n}
+    assert heavy, "test fixture has no heavy hitters"
+    assert heavy <= cand, heavy - cand
+
+
+def test_misra_gries_rejects_bad_k(spark):
+    import pytest as _pytest
+
+    from datastore_mapper_spark.operators.sketch import misra_gries_candidates
+
+    df = spark.createDataFrame([("a",)], "item string")
+    with _pytest.raises(ValueError):
+        misra_gries_candidates(df, "item", k=0)
