@@ -2428,3 +2428,253 @@ def approx_topk_misra_gries(spark, sf_dir):
         .filter(F.col("cnt") * 32 > F.col("n"))
         .select("item", "cnt")
     )
+
+
+@query(
+    "lineitem_order_reconciliation",
+    "data-quality",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS line_cents
+        FROM lineitem GROUP BY 1
+    ), rec AS (
+        SELECT o.o_orderkey,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS order_cents,
+               COALESCE(li.line_cents, 0) AS line_cents
+        FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT CASE
+             WHEN line_cents = 0 THEN 'no_lines'
+             WHEN 100 * abs(order_cents - line_cents)
+                  <= 5 * order_cents THEN 'within_5pct'
+             WHEN 100 * abs(order_cents - line_cents)
+                  <= 25 * order_cents THEN 'within_25pct'
+             ELSE 'divergent'
+           END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(abs(order_cents - line_cents)) AS BIGINT)
+               AS abs_gap_cents
+    FROM rec GROUP BY 1
+    """,
+)
+def lineitem_order_reconciliation(spark, sf_dir):
+    """Fact-to-fact reconciliation — the warehouse consistency check:
+    per order, the lineitem extended-price roll-up vs the order
+    header total, bucketed by relative gap in EXACT integer cents
+    (the tolerance test ``100*|gap| <= pct*total`` is pure integer
+    arithmetic — no float ratio, no rounding boundary).  Headers
+    without lines survive via the left join.  At 100 TB: one
+    order-grain aggregate co-keyed with the join, one 4-row rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    lsum = li.groupBy("l_orderkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("line_cents")
+    )
+    rec = (
+        o.select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("order_cents"),
+        )
+        .join(lsum, o.o_orderkey == lsum.l_orderkey, "left")
+        .select(
+            "order_cents",
+            F.coalesce(F.col("line_cents"), F.lit(0)).alias("line_cents"),
+        )
+    )
+    gap = F.abs(F.col("order_cents") - F.col("line_cents"))
+    bucket = (
+        F.when(F.col("line_cents") == 0, "no_lines")
+        .when(100 * gap <= 5 * F.col("order_cents"), "within_5pct")
+        .when(100 * gap <= 25 * F.col("order_cents"), "within_25pct")
+        .otherwise("divergent")
+    )
+    return rec.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(gap).cast("long").alias("abs_gap_cents"),
+    )
+
+
+@query(
+    "window_moving_median",
+    "window frame",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, event_id, ts::TIMESTAMP AS ts_us,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), framed AS (
+        SELECT user_id, event_id,
+               list_sort(list(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        FROM x
+    )
+    SELECT user_id, event_id,
+           CAST(win[(len(win) + 1) // 2] AS BIGINT) AS med_cents
+    FROM framed
+    """,
+)
+def window_moving_median(spark, sf_dir):
+    """EXACT moving median (trailing 7-row window per user) — the
+    robust sliding statistic a mean-based moving average can't give.
+    No engine has a windowed exact median, so BOTH construct it the
+    same way: collect the frame into an array, sort, take the lower
+    median element ``(n+1)//2`` — exact integer cents, deterministic
+    at partition heads where the frame is short.  The frame is a
+    bounded 7 elements, so the array trick costs O(7 log 7) per row
+    and never materializes unbounded state.  At 100 TB: one window
+    shuffle on the key."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    framed = e.select(
+        "user_id",
+        "event_id",
+        F.array_sort(
+            F.collect_list(
+                F.floor(F.col("value") * 100).cast("long")
+            ).over(w)
+        ).alias("win"),
+    )
+    return framed.select(
+        "user_id",
+        "event_id",
+        F.element_at(
+            F.col("win"), ((F.size("win") + 1) / 2).cast("int")
+        )
+        .cast("long")
+        .alias("med_cents"),
+    )
+
+
+@query(
+    "dedup_drop_contained",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM toks GROUP BY 1
+    ), w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 1),
+                          i -> list_extract(w, i) || ' ' ||
+                               list_extract(w, i + 1))) AS g
+            FROM w
+        )
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+    ), inter AS (
+        SELECT c.d1, c.d2, CAST(count(*) AS BIGINT) AS ov
+        FROM cand c
+        JOIN toks t1 ON t1.doc_id = c.d1
+        JOIN toks t2 ON t2.doc_id = c.d2 AND t2.tok = t1.tok
+        GROUP BY 1, 2
+    ), dropped AS (
+        SELECT DISTINCT CASE WHEN s1.sz < s2.sz THEN i.d1
+                             WHEN s2.sz < s1.sz THEN i.d2
+                             ELSE greatest(i.d1, i.d2) END AS doc_id
+        FROM inter i
+        JOIN sizes s1 ON i.d1 = s1.doc_id
+        JOIN sizes s2 ON i.d2 = s2.doc_id
+        WHERE i.ov = least(s1.sz, s2.sz)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE doc_id IN
+                                 (SELECT doc_id FROM dropped))
+                AS BIGINT) AS n_dropped,
+           CAST(count(*) FILTER (WHERE doc_id NOT IN
+                                 (SELECT doc_id FROM dropped))
+                AS BIGINT) AS n_kept
+    FROM documents
+    """,
+)
+def dedup_drop_contained(spark, sf_dir):
+    """The containment SHIP step: drop every document whose token set
+    is fully contained in another's (the strictly smaller side; exact
+    ties drop the larger id so exactly one of an identical pair
+    survives) — the quote/boilerplate complement to
+    dedup_keep_canonical's resemblance clusters.  Candidates and the
+    integer-exact subset test are the containment query's; the drop
+    rule is a deterministic CASE, and the result is the corpus
+    partition count (kept + dropped = all).  At 100 TB the drop set
+    is an anti-join key list, exactly like the canonical-doc ship."""
+    d = table(spark, sf_dir, "documents")
+    arrs = d.select(
+        "doc_id",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("tset"),
+    ).withColumn("sz", F.size("tset").cast("long"))
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 1), "
+                    "i -> concat(element_at(split(text, ' '), i), ' ', "
+                    "element_at(split(text, ' '), i + 1)))"
+                )
+            )
+        ).alias("g"),
+    )
+    cand = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    a1 = arrs.select(
+        F.col("doc_id").alias("d1"),
+        F.col("tset").alias("t1"),
+        F.col("sz").alias("sz1"),
+    )
+    a2 = arrs.select(
+        F.col("doc_id").alias("d2"),
+        F.col("tset").alias("t2"),
+        F.col("sz").alias("sz2"),
+    )
+    contained = (
+        cand.join(F.broadcast(a1), "d1")
+        .join(F.broadcast(a2), "d2")
+        .filter(
+            F.size(F.array_intersect("t1", "t2"))
+            == F.least("sz1", "sz2")
+        )
+    )
+    dropped = contained.select(
+        F.when(F.col("sz1") < F.col("sz2"), F.col("d1"))
+        .when(F.col("sz2") < F.col("sz1"), F.col("d2"))
+        .otherwise(F.greatest("d1", "d2"))
+        .alias("doc_id")
+    ).distinct()
+    marked = d.select("doc_id").join(
+        dropped.withColumn("is_dropped", F.lit(1)), "doc_id", "left"
+    )
+    return marked.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count(F.when(F.col("is_dropped").isNotNull(), 1))
+        .cast("long")
+        .alias("n_dropped"),
+        F.count(F.when(F.col("is_dropped").isNull(), 1))
+        .cast("long")
+        .alias("n_kept"),
+    )
