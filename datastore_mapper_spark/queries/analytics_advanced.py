@@ -2678,3 +2678,89 @@ def dedup_drop_contained(spark, sf_dir):
         .cast("long")
         .alias("n_kept"),
     )
+
+
+@query(
+    "event_out_of_order_rate",
+    "data-quality",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id,
+               lag(event_id) OVER (PARTITION BY user_id
+                                   ORDER BY ts::TIMESTAMP, event_id)
+                   AS prev_id
+        FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE prev_id > event_id) AS BIGINT)
+               AS n_inversions,
+           CASE WHEN count(*) > 0
+                THEN CAST(CAST(count(*) FILTER (WHERE prev_id > event_id)
+                               AS DOUBLE) / count(*) AS DOUBLE)
+           END AS inversion_rate
+    FROM seq
+    """,
+)
+def event_out_of_order_rate(spark, sf_dir):
+    """Arrival-order integrity: events whose assignment order
+    (event_id) runs BACKWARD relative to event time within a user's
+    stream — the out-of-orderness measurement that sizes streaming
+    watermarks and flags clock skew.  One lag window per user, exact
+    integer comparison, a single guarded division.  At 100 TB: one
+    window shuffle, one aggregate."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "event_id", F.lag("event_id").over(w).alias("prev_id")
+    )
+    inv = F.count(F.when(F.col("prev_id") > F.col("event_id"), 1))
+    return seq.agg(
+        F.count("*").cast("long").alias("n_events"),
+        inv.cast("long").alias("n_inversions"),
+        F.when(
+            F.count("*") > 0,
+            (inv.cast("double") / F.count("*")).cast("double"),
+        ).alias("inversion_rate"),
+    )
+
+
+@query(
+    "cumulative_distinct_users_daily",
+    "analytics/window",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(min(ts::TIMESTAMP)::DATE AS DATE) AS first_day
+        FROM events GROUP BY 1
+    ), daily AS (
+        SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+        FROM firsts GROUP BY 1
+    )
+    SELECT first_day AS day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY first_day) AS BIGINT)
+               AS cumulative_users
+    FROM daily
+    """,
+)
+def cumulative_distinct_users_daily(spark, sf_dir):
+    """Cumulative distinct users by day — the growth-curve metric.
+    The naive form (COUNT(DISTINCT) OVER an expanding day frame)
+    re-scans every prior day; the engine computes it the scalable
+    way: each user collapses to their FIRST day (one aggregate),
+    daily new-user counts follow, and a running sum over the tiny
+    |days| relation gives the cumulative curve — distinct-counting
+    turned into first-touch attribution.  Exact integers throughout.
+    At 100 TB: one user-grain aggregate, one |days|-row window."""
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.col("ts_us").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy("first_day").agg(
+        F.count("*").cast("long").alias("new_users")
+    )
+    w = Window.orderBy("first_day")
+    return daily.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

@@ -406,3 +406,71 @@ def sink_schema_evolution_mergeread(spark, sf_dir):
         .cast("long")
         .alias("sum_chars"),
     )
+
+
+@query(
+    "csv_malformed_quarantine",
+    "sink/etl",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE doc_id % 10 = 0) AS BIGINT)
+               AS n_quarantined,
+           CAST(count(*) FILTER (WHERE doc_id % 10 <> 0) AS BIGINT)
+               AS n_clean,
+           CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars END)
+                AS BIGINT) AS clean_chars
+    FROM documents
+    """,
+)
+def csv_malformed_quarantine(spark, sf_dir):
+    """Malformed-row quarantine — the ingest-reality path every ETL
+    needs: a raw CSV with deliberately broken lines (every 10th row
+    carries an unterminated quote) is read in PERMISSIVE mode with an
+    explicit ``_corrupt_record`` column, clean rows parse, broken
+    rows route to quarantine, and the counts must reconcile exactly
+    with the generator's rule (the oracle restates the rule over the
+    source table).  At 100 TB this is the schema-on-read contract:
+    no bad line aborts the job, none is silently dropped, and the
+    quarantine column is a first-class output for replay."""
+    import os as _os
+
+    d = table(spark, sf_dir, "documents")
+    dest = _os.path.join(_SCRATCH, "csv_malformed")
+    lines = d.select(
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("doc_id").cast("string"), F.lit(',"broken')),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("doc_id").cast("string"),
+                F.col("n_chars").cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(dest)
+    schema = "doc_id LONG, n_chars LONG, _corrupt_record STRING"
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dest)
+    )
+    # a parsed row is clean iff the corrupt column is NULL
+    back = back.cache()
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1))
+        .cast("long")
+        .alias("n_quarantined"),
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1))
+        .cast("long")
+        .alias("n_clean"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_chars"))
+        )
+        .cast("long")
+        .alias("clean_chars"),
+    )
