@@ -198,6 +198,7 @@ BNLJ_ALLOWED = {
     "spatial_grid_join",         # 9-row cell-offset table crossed (3x3 replication)
     "heavy_hitters_two_phase",   # 1-row sampled-doc-count scalar crossed
     "max_concurrent_sessions",   # 1-row peak scalar crossed into the timeline
+    "approx_topk_misra_gries",   # 1-row stream-length scalar crossed
 }
 
 
