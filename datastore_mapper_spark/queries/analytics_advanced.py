@@ -2764,3 +2764,67 @@ def cumulative_distinct_users_daily(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@query(
+    "orders_gini_concentration",
+    "aggregation/robust",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               o_custkey
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents, o_custkey)
+                    AS BIGINT) AS r,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               CAST(sum(cents) OVER () AS BIGINT) AS total
+        FROM c
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max(total) AS BIGINT) AS total_cents,
+           CAST(2.0 * sum(r * cents) / (max(n) * CAST(max(total) AS DOUBLE))
+                - (max(n) + 1.0) / max(n) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+)
+def orders_gini_concentration(spark, sf_dir):
+    """Gini coefficient of customer spend — the revenue-concentration
+    scalar behind 'whale' risk analysis: G = 2*Σ(r_i * x_i)/(n*Σx)
+    - (n+1)/n over spend ranked ascending (ties broken on the key so
+    the rank-weighted sum is deterministic).  Σ(r*x) accumulates as
+    exact BIGINTs (rank ≤ n, cents < 2^33, products < 2^63 at any
+    fixture SF); the Gini itself is one fixed double tree.  At 100 TB
+    the global rank falls back to the two-pass `ranged_row_number`;
+    |customers| makes the window cheap here."""
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = c.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_custkey"))
+        .cast("long")
+        .alias("r"),
+        F.count("*").over(Window.partitionBy()).cast("long").alias("n"),
+        F.sum("cents").over(Window.partitionBy()).cast("long").alias(
+            "total"
+        ),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.max("total").cast("long").alias("total_cents"),
+        (
+            F.lit(2.0)
+            * F.sum(F.col("r") * F.col("cents"))
+            / (F.max("n") * F.max("total").cast("double"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n")
+        )
+        .cast("double")
+        .alias("gini"),
+    )

@@ -1003,3 +1003,63 @@ def graph_kcore_membership(spark, sf_dir):
     from ..operators.graph import kcore
 
     return kcore(near_dup_edges(spark, sf_dir), k=2)
+
+
+@query(
+    "graph_degree_distribution",
+    "LLM-pipeline/graph",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT d1, d2
+        FROM cand p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT d1 AS node FROM edges
+              UNION ALL SELECT d2 FROM edges)
+        GROUP BY node
+    )
+    SELECT CAST(floor(log2(degree)) AS BIGINT) AS degree_bucket,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(min(degree) AS BIGINT) AS min_degree,
+           CAST(max(degree) AS BIGINT) AS max_degree
+    FROM deg GROUP BY 1
+    """,
+)
+def graph_degree_distribution(spark, sf_dir):
+    """Degree distribution of the near-dup graph in log2 buckets — the
+    first diagnostic run on any pair graph (a heavy tail here predicts
+    hot CC labels, wedge explosion in the triangle pass, and the
+    boilerplate mega-clusters the LSH hot-bucket star guards
+    against).  Degrees are exact integers off the materialized edge
+    snapshot; log2 bucketing is exact for integer powers on both
+    engines (floor(log2(2^k)) == k — values verified by the
+    hash-match itself).  At 100 TB: one groupBy on node, one 10-row
+    rollup."""
+    pairs = near_dup_edges(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("d1").alias("node"))
+        .unionAll(pairs.select(F.col("d2").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return deg.groupBy(
+        F.floor(F.log2("degree")).cast("long").alias("degree_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("degree").cast("long").alias("min_degree"),
+        F.max("degree").cast("long").alias("max_degree"),
+    )
