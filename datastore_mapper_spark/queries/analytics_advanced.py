@@ -2785,8 +2785,9 @@ def cumulative_distinct_users_daily(spark, sf_dir):
     )
     SELECT CAST(max(n) AS BIGINT) AS n_customers,
            CAST(max(total) AS BIGINT) AS total_cents,
-           CAST(2.0 * sum(r * cents) / (max(n) * CAST(max(total) AS DOUBLE))
-                - (max(n) + 1.0) / max(n) AS DOUBLE) AS gini
+           round(CAST(2.0 * sum(r * cents)
+                      / (max(n) * CAST(max(total) AS DOUBLE))
+                      - (max(n) + 1.0) / max(n) AS DOUBLE), 6) AS gini
     FROM ranked
     """,
 )
@@ -2796,7 +2797,10 @@ def orders_gini_concentration(spark, sf_dir):
     - (n+1)/n over spend ranked ascending (ties broken on the key so
     the rank-weighted sum is deterministic).  Σ(r*x) accumulates as
     exact BIGINTs (rank ≤ n, cents < 2^33, products < 2^63 at any
-    fixture SF); the Gini itself is one fixed double tree.  At 100 TB
+    fixture SF); the Gini itself is one fixed double tree, 6-dp
+    rounded because the rank-weighted sum exceeds 2^53 at sf0.1 and
+    the two engines' int->double conversions landed 2 ulps apart
+    (SURVEY §7.3-H2 armor).  At 100 TB
     the global rank falls back to the two-pass `ranged_row_number`;
     |customers| makes the window cheap here."""
     o = table(spark, sf_dir, "orders")
@@ -2819,12 +2823,13 @@ def orders_gini_concentration(spark, sf_dir):
     return ranked.agg(
         F.max("n").cast("long").alias("n_customers"),
         F.max("total").cast("long").alias("total_cents"),
-        (
-            F.lit(2.0)
-            * F.sum(F.col("r") * F.col("cents"))
-            / (F.max("n") * F.max("total").cast("double"))
-            - (F.max("n") + F.lit(1.0)) / F.max("n")
-        )
-        .cast("double")
-        .alias("gini"),
+        F.round(
+            (
+                F.lit(2.0)
+                * F.sum(F.col("r") * F.col("cents"))
+                / (F.max("n") * F.max("total").cast("double"))
+                - (F.max("n") + F.lit(1.0)) / F.max("n")
+            ).cast("double"),
+            6,
+        ).alias("gini"),
     )
