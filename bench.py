@@ -44,10 +44,58 @@ HEADLINE = [
 ]
 
 
+def _guard_environment(sf_dir: str) -> list[str]:
+    """The two known spurious-drift sources (round-8 BENCH regressed
+    +20% purely from them, r8 VERDICT "Performance"): (1) another live
+    Spark JVM competing for the 32 cores — the r8 driver benched
+    minutes after the 572 s registry sweep; (2) a cold page cache,
+    worth +20-30% on the first parquet pass.  This bench therefore
+    WARNS LOUDLY if another Spark JVM is alive, and always pre-reads
+    the fixture files so the page cache is warm before the clock
+    starts.  Warnings are embedded in the JSON (``env_warnings``) so
+    the artifact self-documents a contaminated run."""
+    warnings = []
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["ps", "-eo", "pid,args"], capture_output=True, text=True
+        ).stdout
+        me = os.getpid()
+        for line in out.splitlines():
+            parts = line.strip().split(None, 1)
+            if len(parts) != 2 or not parts[0].isdigit():
+                continue
+            pid, args = int(parts[0]), parts[1]
+            if pid == me:
+                continue
+            if "org.apache.spark" in args or "pyspark-shell" in args:
+                warnings.append(
+                    f"another Spark JVM is alive (pid {pid}) — timings "
+                    "will read high; kill it and re-run"
+                )
+                break
+    except OSError:
+        pass
+    # warm the page cache: read every fixture file once, outside the clock
+    try:
+        for fname in sorted(os.listdir(sf_dir)):
+            with open(os.path.join(sf_dir, fname), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+    except OSError:
+        pass
+    return warnings
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    env_warnings = _guard_environment(sf_dir)
+    for w in env_warnings:
+        print(f"ENV WARNING: {w}", file=sys.stderr)
 
     from datastore_mapper_spark.catalog import load_tables
     from datastore_mapper_spark.registry import all_queries
@@ -85,6 +133,8 @@ def main() -> None:
         "runs": n_runs,
         "sf": sf,
     }
+    if env_warnings:
+        out["env_warnings"] = env_warnings
     drift = _drift_vs_previous_round(per_query)
     if drift:
         out["drift_warnings"] = drift
@@ -95,12 +145,16 @@ def main() -> None:
 
 
 def _drift_vs_previous_round(per_query: dict[str, float]) -> list[str]:
-    """Regression tripwire (round-6 VERDICT task 7): compare this run's
-    medians against the LATEST committed BENCH_r{N}.json and warn when a
-    query's median exceeds that round's recorded max spread — i.e. the
-    new time is outside anything the prior round ever observed, which
-    run-to-run noise cannot explain.  Warnings go to stderr AND into the
-    JSON (``drift_warnings``) so the artifact self-documents the creep."""
+    """Regression tripwire (round-6 VERDICT task 7; band re-tuned per
+    round-8 VERDICT task 3): compare this run's medians against the
+    LATEST committed BENCH_r{N}.json MEDIAN-to-MEDIAN, with a
+    spread-aware band — warn only when the new median exceeds the old
+    median by more than max(15%, the prior round's own min-max spread
+    for that query).  The r8 rule (median vs prior max spread) fired
+    at 1.01x overshoot — pure noise; a real plan regression moves the
+    median well past both the noise floor and the recorded spread.
+    Warnings go to stderr AND into the JSON (``drift_warnings``) so
+    the artifact self-documents the creep."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
@@ -119,16 +173,19 @@ def _drift_vs_previous_round(per_query: dict[str, float]) -> list[str]:
     tag = os.path.basename(prior[-1])
     warnings = []
     for name, med in per_query.items():
-        hi = max(
-            prev_spread.get(name, []) or [prev_queries.get(name, float("inf"))]
-        )
-        if med > hi:
-            # hi == 0.0 (sub-ms timing rounded to zero) must warn, not
-            # divide-by-zero-crash the bench run
-            ratio = f" ({med / hi:.2f}x)" if hi > 0 else ""
+        prev_med = prev_queries.get(name)
+        if prev_med is None:
+            continue
+        lo_hi = prev_spread.get(name, [prev_med, prev_med])
+        band = max(0.15 * prev_med, max(lo_hi) - min(lo_hi))
+        threshold = prev_med + band
+        if med > threshold:
+            # prev_med == 0.0 (sub-ms timing rounded to zero) must
+            # warn, not divide-by-zero-crash the bench run
+            ratio = f" ({med / prev_med:.2f}x)" if prev_med > 0 else ""
             warnings.append(
-                f"{name}: median {med:.3f}s exceeds {tag} max spread "
-                f"{hi:.3f}s{ratio}"
+                f"{name}: median {med:.3f}s exceeds {tag} median "
+                f"{prev_med:.3f}s + band {band:.3f}s{ratio}"
             )
     return warnings
 

@@ -37,6 +37,37 @@ def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Dat
     )
 
 
+def word_bigram_array(words):
+    """Word-bigram (2-shingle) array over an ALREADY-SPLIT token array
+    column — ``zip_with`` of the array against its own 1-shifted slice.
+
+    Always shingle from a materialized array column, never inline
+    ``element_at(split(text), i)`` inside ``transform``: the inline
+    form re-runs ``split`` for EVERY element index (O(len²) CPU per
+    document — measured as the dominant cost of the round-8 dedup
+    sweep tail), while this form splits once per row."""
+    n = F.size(words)
+    return F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+
+
+def word_bigrams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, g) with per-document DISTINCT word bigrams — the shared
+    candidate-index input of the bigram-Jaccard / containment /
+    drop-contained dedup family."""
+    return df.select(
+        id_col, F.split(text_col, " ").alias("_w")
+    ).select(
+        id_col,
+        F.explode(F.array_distinct(word_bigram_array(F.col("_w")))).alias("g"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

@@ -11,11 +11,25 @@ only the candidates, so the final ``count*k > N`` filter returns
 EXACTLY the true heavy-hitter set — deterministic despite the
 partition-dependent intermediate, which is what lets a SQL oracle
 check the whole pipeline (`approx_topk_misra_gries`).
+
+The per-partition pass runs over Arrow batches (``mapInPandas``), not
+row-at-a-time Python: each batch is pre-aggregated with
+``value_counts()`` and folded into the k counters with the WEIGHTED
+Misra–Gries update (Berinde et al., "Space-optimal heavy hitters with
+strong error bounds").  The weighted update keeps the guarantee: every
+decrement event removes δ from each of the k counters AND discards δ
+of the incoming item's weight — (k+1)·δ total — so the sum of all
+decrements is ≤ N_p/(k+1), any item's estimate undercounts by at most
+that, and an item with partition count > N_p/k ≥ N_p/(k+1) ends with a
+positive counter.  Order-independence of the bound is what makes
+batch-level folding legal.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import StructField, StructType
@@ -32,30 +46,33 @@ def misra_gries_candidates(df: DataFrame, col: str, k: int = 32) -> DataFrame:
     if k < 1:
         raise ValueError(f"misra_gries_candidates: k must be >= 1, got {k}")
 
-    def summarize(rows: Iterator[Row]) -> Iterator[Row]:
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
-        for row in rows:
-            item = row[col]
-            if item is None:
-                continue
-            if item in counters:
-                counters[item] += 1
-            elif len(counters) < k:
-                counters[item] = 1
-            else:
-                # decrement-all step; drop zeros
-                dead = []
-                for key in counters:
-                    counters[key] -= 1
-                    if counters[key] == 0:
-                        dead.append(key)
-                for key in dead:
-                    del counters[key]
-        for item in counters:
-            yield (item,)
+        for pdf in batches:
+            # Arrow-batch pre-aggregation: one weighted update per
+            # DISTINCT item in the batch, never per row.
+            for item, weight in pdf[col].value_counts(dropna=True).items():
+                w = int(weight)
+                if item in counters:
+                    counters[item] += w
+                elif len(counters) < k:
+                    counters[item] = w
+                else:
+                    # weighted decrement-all step; drop zeros, then
+                    # insert any surviving remainder of the new item
+                    d = min(w, min(counters.values()))
+                    dead = []
+                    for key in counters:
+                        counters[key] -= d
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+                    if w > d:
+                        counters[item] = w - d
+        yield pd.DataFrame({"item": list(counters.keys())})
 
     schema = StructType(
         [StructField("item", df.schema[col].dataType, True)]
     )
-    rdd = df.select(col).rdd.mapPartitions(summarize)
-    return df.sparkSession.createDataFrame(rdd, schema).distinct()
+    return df.select(col).mapInPandas(summarize, schema).distinct()

@@ -32,22 +32,26 @@ from ..registry import reorder_front
 # queries (round-2 VERDICT, "Driver-grading mechanics"), so 50
 # oracle-checked rows are pinned to the front.
 #
-# ROUND-8 ROTATION (round-7 VERDICT tasks 1-3): rows 1-30 (the §2.B
-# core) stay pinned.  Rows 31-34 keep the four r7 hash-reds
-# (`agg_salted_skew_sum`, `tpch_q9/q10/q18`) so r8 records their
-# re-grade after the decimal-seam fix: the reds were the driver's
-# pandas-path canonicalization of raw DECIMAL output columns (Spark
-# Decimal at full scale vs DuckDB float64 — judge probe, 50/50
-# correlation), fixed everywhere by the agg_decimal_exact finisher
-# (final CAST to DOUBLE on both engines) and gated permanently by
-# testing.pandas_probe, which every row below passed before rotating
-# in.  Rows 35-50 rotate to tpch_q22, the subquery/CTE module
-# (relational_subqueries.py), the skew-safe sessionization twin, and
-# the four REAL-codec multimodal rows (round-7 flagship work, zero
-# driver signal yet).  The 16 TPC-H rows rotated out (r7-driver-green)
-# move behind the window where tests/test_contract_oracle.py +
-# scripts/check_contract.py still grade them every run.  Schedule:
-# REGISTRY.md §"Driver-grading rotation".
+# ROUND-9 ROTATION (round-8 VERDICT tasks 1+5): rows 1-30 (the §2.B
+# core) stay pinned.  CORRECTNESS_r08 was 50/50 — the whole r8 window
+# is driver-green, so rows 31-50 rotate wholesale to the next 20
+# queued entries from REGISTRY.md §"Driver-grading rotation": the
+# round-7/8 session-1 additions that never had driver contact
+# (interval join, BM25, keep-best-quality dedup, n-gram span
+# coverage, hive-partitioned pruned scan, first-touch attribution,
+# embedding join, the composed multimodal pipeline, incremental
+# ingest dedup, funnel/cohort/DQ family, BPE pair counts, corpus
+# recipe, PSI drift, incremental agg maintenance, deletion cascade,
+# wav downsample) plus the two oracle-checked ANN companions
+# (`ivf_knn_bucketed`, `knn_batch_top3`) the r8 verdict asked for
+# explicitly (task 5).  `recursive_cte_date_spine` and
+# `neardup_cosine_bucketed` from the queue already hold r06 driver
+# greens, so they stay rotated out; `stream_incremental_rollup`
+# defers one round to make room for the ANN pair.  All 20 candidates
+# are oracle-checked (no rows-only) and pass testing.pandas_probe
+# inside compare_query.  The 20 r8-green rows rotate behind the
+# window where tests/test_contract_oracle.py +
+# scripts/check_contract.py still grade them every run.
 _CONTRACT_ORDER = [
     # §2.B rows 1-13: scans + aggregation
     "scan_project", "scan_filter_pushdown", "filter_null_semantics",
@@ -62,12 +66,22 @@ _CONTRACT_ORDER = [
     "window_rank_topn_per_group", "window_row_number_dedup",
     "window_lag_lead_delta", "window_running_sum", "window_moving_avg",
     "window_ntile_first_last", "sort_multi_key_nulls", "topk_global",
-    # rows 31-34: the four r7 reds, re-graded after the seam fix
+    # rows 31-50, rotated IN this round (r8 verdict tasks 1+5): the
+    # never-driver-graded round-7/8 additions + the two ANN companions
+    "join_interval_overlap", "bm25_retrieval_topk",
+    "dedup_keep_best_quality", "ngram_span_dup_coverage",
+    "sink_hive_partitioned_pruned_scan", "attribution_first_touch",
+    "doc_embedding_join", "multimodal_pipeline_canonical",
+    "dedup_incremental_ingest", "funnel_conversion_steps",
+    "cohort_retention_weekly", "dq_rule_violations",
+    "bpe_pair_counts", "pretraining_corpus_recipe",
+    "dq_distribution_drift_psi", "incremental_agg_maintenance",
+    "deletion_propagation_cascade", "multimodal_wav_downsample_stats",
+    "ivf_knn_bucketed", "knn_batch_top3",
+    # rotated out in round 9 (all r8-driver-green; local gate covers)
     "agg_salted_skew_sum",
     "tpch_q9_product_profit", "tpch_q10_returned_items",
     "tpch_q18_large_orders",
-    # rows 35-50, rotated IN this round: q22 + subquery/CTE module +
-    # skew-safe sessionization + the REAL-codec multimodal rows
     "tpch_q22_global_sales_opportunity",
     "subquery_correlated", "scalar_subquery_uncorrelated",
     "join_lateral_topn", "join_nullsafe_eq", "cte_multi_reference",
@@ -76,7 +90,7 @@ _CONTRACT_ORDER = [
     "scd2_validity_intervals", "session_windows_skewsafe",
     "multimodal_bmp_decode_stats", "multimodal_wav_decode_stats",
     "multimodal_y4m_frame_stats", "multimodal_frame_sample_y4m",
-    # rotated OUT this round (all r7-driver-green; local gate covers)
+    # rotated OUT in round 8 (all r7-driver-green; local gate covers)
     "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
     "tpch_q4_order_priority", "tpch_q6_forecast_revenue",
     "tpch_q7_nation_volume", "tpch_q8_market_share",

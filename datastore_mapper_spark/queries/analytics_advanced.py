@@ -19,6 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..operators.dedup import word_bigram_array, word_bigrams
 from ..registry import query
 
 
@@ -319,78 +320,66 @@ def containment_asymmetric_dedup(spark, sf_dir):
     all), yet symmetric Jaccard stays BELOW the near-dup bar — the
     quote/subset/boilerplate-inclusion case that resemblance-based
     dedup (dedup_near_jaccard and friends) deliberately does not
-    flag.  Candidates come from the shared-bigram inverted index (the
-    same near-linear candidate rule as dedup_bigram_jaccard, stated
-    identically in both engines).  The SPARK plan then exploits two
-    algebraic facts the oracle leaves implicit: (1) given full
-    containment ov == min(sz), the Jaccard < 0.5 condition is purely
-    a SIZE condition — min/ (sz1+sz2-min) < 0.5 ⟺ max > 2*min — so
-    candidates are size-pruned BEFORE any overlap work; (2) the
-    overlap itself is a JVM ``array_intersect`` against the
-    broadcast per-doc token arrays (|docs| rows), not a
-    candidates×tokens join — the 170M-row shuffle the naive 3-way
-    join pays at sf0.1 disappears (sweep: 59 s → the candidate join's
-    own cost).  At 100 TB the token-array side stays |docs|-sized per
-    partition bucket; the candidate join is the bounded shared-shingle
-    join."""
+    flag.  Candidates come from the shared-bigram inverted index rule
+    (stated identically in both engines) — but on this fixture that
+    index degenerates (operators/bitset.py), so the Spark plan runs
+    the candidate rule AND the containment test in the packed-bitset
+    blocked kernel shared with dedup_drop_contained / dedup_bigram_
+    jaccard: per doc, a bigram bitset (candidates = inter ≥ 1) and a
+    dictionary-exact token bitset (ov = token inter, containment ⟺
+    ov == min(sz)), plus the algebraic size prune the oracle leaves
+    implicit — given containment, Jaccard < 0.5 ⟺ max > 2·min, an
+    integer condition evaluated inside the kernel.  Only surviving
+    integer counts leave the kernel; the Jaccard double division
+    happens in SQL, so float semantics match the oracle."""
+    from ..operators.bitset import (
+        blocked_pair_survivors,
+        dictionary_ids,
+        packed_bitset,
+    )
+
     d = table(spark, sf_dir, "documents")
-    arrs = d.select(
+    toks = d.select(
         "doc_id",
-        F.array_distinct(F.split(F.col("text"), " ")).alias("tset"),
-    ).withColumn("sz", F.size("tset").cast("long"))
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1), "
-                    "i -> concat(element_at(split(text, ' '), i), ' ', "
-                    "element_at(split(text, ' '), i + 1)))"
-                )
-            )
-        ).alias("g"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
     )
-    cand = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    sh = word_bigrams(d)
+    tok_gid = dictionary_ids(toks, "tok")
+    bg_gid = dictionary_ids(sh, "g")
+    n_tok = tok_gid.count()
+    n_bg = bg_gid.count()
+    tok_masks = packed_bitset(
+        toks.join(F.broadcast(tok_gid), "tok").select("doc_id", "gid"),
+        "doc_id", "gid", n_tok, "tk",
+    )
+    bg_masks = packed_bitset(
+        sh.join(F.broadcast(bg_gid), "g").select("doc_id", "gid"),
+        "doc_id", "gid", n_bg, "bg",
+    )
+    docs = tok_masks.join(bg_masks, "doc_id")
+
+    def keep(inter, sz1, sz2):
+        import numpy as np
+
+        small = np.minimum(sz1["tk"], sz2["tk"])
+        large = np.maximum(sz1["tk"], sz2["tk"])
+        return (
+            (inter["bg"] >= 1)
+            & (inter["tk"] == small)
+            # containment + jaccard < 0.5 ⟺ max > 2*min (integer)
+            & (large > 2 * small)
         )
-        .select(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
-        )
-        .distinct()
+
+    pairs = blocked_pair_survivors(spark, docs, "doc_id", ["tk", "bg"], keep)
+    jac = F.col("tk_inter").cast("double") / (
+        F.col("tk_sz1") + F.col("tk_sz2") - F.col("tk_inter")
     )
-    a1 = arrs.select(
-        F.col("doc_id").alias("d1"),
-        F.col("tset").alias("t1"),
-        F.col("sz").alias("sz1"),
-    )
-    a2 = arrs.select(
-        F.col("doc_id").alias("d2"),
-        F.col("tset").alias("t2"),
-        F.col("sz").alias("sz2"),
-    )
-    ov = F.size(F.array_intersect("t1", "t2")).cast("long")
-    jac = F.col("ov").cast("double") / (
-        F.col("sz1") + F.col("sz2") - F.col("ov")
-    )
-    return (
-        cand.join(F.broadcast(a1), "d1")
-        .join(F.broadcast(a2), "d2")
-        # size prune: full containment + jaccard < 0.5 ⟺ max > 2*min,
-        # checked before any intersect work
-        .filter(F.greatest("sz1", "sz2") > 2 * F.least("sz1", "sz2"))
-        .withColumn("ov", ov)
-        .filter(F.col("ov") == F.least("sz1", "sz2"))
-        .select(
-            "d1",
-            "d2",
-            "ov",
-            F.least("sz1", "sz2").alias("sz_small"),
-            jac.alias("jaccard"),
-        )
+    return pairs.select(
+        "d1",
+        "d2",
+        F.col("tk_inter").alias("ov"),
+        F.least("tk_sz1", "tk_sz2").alias("sz_small"),
+        jac.alias("jaccard"),
     )
 
 
@@ -502,11 +491,14 @@ def attribution_linear_multi_touch(spark, sf_dir):
     twin of attribution_first_touch: each user's purchases are
     credited 1/k to each of their k distinct non-purchase touch
     types.  The 1/k fractions are kept EXACT by crediting in integer
-    units of 840/k (840 = lcm(1..8), and k <= the handful of event
-    types), summing BIGINTs, and performing the single double
-    division per output row at the end — no cross-row float
-    accumulation, so the engines agree bitwise.  At 100 TB this is
-    two user-grain aggregates plus a broadcastable per-user join."""
+    units of 840/k (840 = lcm(1..8); k <= 8 is a pinned fixture
+    invariant — tests/test_contract_oracle.py::
+    test_attribution_lcm_denominator_covers_touch_types — because a
+    9th touch type would truncate identically on both engines,
+    invisible to the hash), summing BIGINTs, and performing the
+    single double division per output row at the end — no cross-row
+    float accumulation, so the engines agree bitwise.  At 100 TB this
+    is two user-grain aggregates plus a broadcastable per-user join."""
     e = table(spark, sf_dir, "events")
     purch = (
         e.filter(F.col("event_type") == "purchase")
@@ -2035,12 +2027,12 @@ def heavy_hitters_two_phase(spark, sf_dir):
     the exact phase aggregates only |candidates| keys — the
     top-frequency table without ever shuffling the full shingle
     stream's long tail."""
-    d = table(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1), "
-        "i -> concat(element_at(split(text, ' '), i), ' ', "
-        "element_at(split(text, ' '), i + 1)))"
+    d = table(spark, sf_dir, "documents").withColumn(
+        # materialize the split once per row; the inline
+        # element_at(split(...), i) form re-splits per element
+        "_w", F.split("text", " ")
     )
+    bigrams = word_bigram_array(F.col("_w"))
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("long") % 4
@@ -2614,55 +2606,56 @@ def dedup_drop_contained(spark, sf_dir):
     integer-exact subset test are the containment query's; the drop
     rule is a deterministic CASE, and the result is the corpus
     partition count (kept + dropped = all).  At 100 TB the drop set
-    is an anti-join key list, exactly like the canonical-doc ship."""
+    is an anti-join key list, exactly like the canonical-doc ship.
+
+    Plan note (round-8 VERDICT task 4): the candidate index
+    degenerates on this fixture (931 distinct bigrams, 82 % of all
+    pairs share one — see operators/bitset.py), so both the
+    candidate rule AND the containment test run in the packed-bitset
+    blocked kernel: per doc, a bigram bitset (candidates = inter ≥ 1)
+    and a dictionary-exact token bitset (containment ⟺ token inter
+    == min(token sz) — one binary matmul per bucket-pair, integer-
+    exact, no hashing).  The kernel emits only the contained pairs;
+    the drop rule and the anti-join stay in SQL."""
+    from ..operators.bitset import (
+        blocked_pair_survivors,
+        dictionary_ids,
+        packed_bitset,
+    )
+
     d = table(spark, sf_dir, "documents")
-    arrs = d.select(
+    toks = d.select(
         "doc_id",
-        F.array_distinct(F.split(F.col("text"), " ")).alias("tset"),
-    ).withColumn("sz", F.size("tset").cast("long"))
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1), "
-                    "i -> concat(element_at(split(text, ' '), i), ' ', "
-                    "element_at(split(text, ' '), i + 1)))"
-                )
-            )
-        ).alias("g"),
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok"),
     )
-    cand = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
+    sh = word_bigrams(d)
+    tok_gid = dictionary_ids(toks, "tok")
+    bg_gid = dictionary_ids(sh, "g")
+    n_tok = tok_gid.count()
+    n_bg = bg_gid.count()
+    tok_masks = packed_bitset(
+        toks.join(F.broadcast(tok_gid), "tok").select("doc_id", "gid"),
+        "doc_id", "gid", n_tok, "tk",
     )
-    a1 = arrs.select(
-        F.col("doc_id").alias("d1"),
-        F.col("tset").alias("t1"),
-        F.col("sz").alias("sz1"),
+    bg_masks = packed_bitset(
+        sh.join(F.broadcast(bg_gid), "g").select("doc_id", "gid"),
+        "doc_id", "gid", n_bg, "bg",
     )
-    a2 = arrs.select(
-        F.col("doc_id").alias("d2"),
-        F.col("tset").alias("t2"),
-        F.col("sz").alias("sz2"),
-    )
-    contained = (
-        cand.join(F.broadcast(a1), "d1")
-        .join(F.broadcast(a2), "d2")
-        .filter(
-            F.size(F.array_intersect("t1", "t2"))
-            == F.least("sz1", "sz2")
-        )
+    docs = tok_masks.join(bg_masks, "doc_id")
+
+    def keep(inter, sz1, sz2):
+        import numpy as np
+
+        shares_bigram = inter["bg"] >= 1
+        contained = inter["tk"] == np.minimum(sz1["tk"], sz2["tk"])
+        return shares_bigram & contained
+
+    contained = blocked_pair_survivors(
+        spark, docs, "doc_id", ["tk", "bg"], keep
     )
     dropped = contained.select(
-        F.when(F.col("sz1") < F.col("sz2"), F.col("d1"))
-        .when(F.col("sz2") < F.col("sz1"), F.col("d2"))
+        F.when(F.col("tk_sz1") < F.col("tk_sz2"), F.col("d1"))
+        .when(F.col("tk_sz2") < F.col("tk_sz1"), F.col("d2"))
         .otherwise(F.greatest("d1", "d2"))
         .alias("doc_id")
     ).distinct()

@@ -728,38 +728,49 @@ def dedup_bigram_jaccard(spark, sf_dir):
     shared-shingle candidate join stays near-linear where a unigram
     join would square up; at 100 TB the candidate step is replaced by
     MinHash-LSH banding over the same shingles (operators/dedup.py) and
-    this exact Jaccard verifies the surviving candidates."""
+    this exact Jaccard verifies the surviving candidates.
+
+    Plan note (round-8 VERDICT task 4): on THIS fixture the shared-
+    shingle index degenerates — 931 distinct bigrams over 5 000 docs
+    at sf0.1, Σ df² = 73 M join rows, 82 % of all pairs are
+    candidates — so every index-join formulation measured 20-40 s.
+    The exact plan with the lowest per-pair constant is the packed-
+    bitset blocked kernel (operators/bitset.py): dictionary-encode
+    the bigrams, pack each doc's shingle set into ⌈V/64⌉ longs, and
+    count pairwise intersections with one binary matmul per bucket-
+    pair (integer-exact).  The kernel emits only integer counts for
+    pairs that can pass (inter ≥ 1 and the size-ratio bound
+    5·min ≥ 3·max implied by jac ≥ 0.6); the Jaccard division,
+    threshold, and rounding all run in Spark SQL on those integers,
+    so float semantics match the oracle bit-for-bit."""
+    from ..operators.bitset import (
+        blocked_pair_survivors,
+        dictionary_ids,
+        packed_bitset,
+    )
+    from ..operators.dedup import word_bigrams
+
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 1), "
-                    "i -> concat(element_at(split(text, ' '), i), ' ', "
-                    "element_at(split(text, ' '), i + 1)))"
-                )
-            )
-        ).alias("g"),
+    sh = word_bigrams(d)
+    gid = dictionary_ids(sh, "g")
+    n_bits = gid.count()  # vocabulary size — dictionary-tier scalar
+    shi = sh.join(F.broadcast(gid), "g").select("doc_id", "gid")
+    docs = packed_bitset(shi, "doc_id", "gid", n_bits, "bg")
+
+    def keep(inter, sz1, sz2):
+        import numpy as np
+
+        small = np.minimum(sz1["bg"], sz2["bg"])
+        large = np.maximum(sz1["bg"], sz2["bg"])
+        # candidate rule (share >= 1 shingle) + integer size bound
+        return (inter["bg"] >= 1) & (5 * small >= 3 * large)
+
+    pairs = blocked_pair_survivors(spark, docs, "doc_id", ["bg"], keep)
+    jac = F.col("bg_inter").cast("double") / (
+        F.col("bg_sz1") + F.col("bg_sz2") - F.col("bg_inter")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    pairs = (
-        sh.alias("a")
-        .join(
-            sh.alias("b"),
-            (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("inter"))
-    )
-    jac = F.col("inter").cast("double") / (
-        F.col("s1.sz") + F.col("s2.sz") - F.col("inter")
-    )
-    return (
-        pairs.join(sizes.alias("s1"), F.col("d1") == F.col("s1.doc_id"))
-        .join(sizes.alias("s2"), F.col("d2") == F.col("s2.doc_id"))
-        .filter(jac >= 0.6)
-        .select("d1", "d2", F.round(jac, 4).alias("jac"))
+    return pairs.filter(jac >= 0.6).select(
+        "d1", "d2", F.round(jac, 4).alias("jac")
     )
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -42,6 +43,99 @@ def _corpus_snapshot_tag(sf_dir: str) -> str:
     # version component invalidates pre-upgrade 2-column tables
     raw = f"{os.path.abspath(sf_dir)}|{fp}|df{NEAR_DUP_DF_CAP}|v2"
     return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
+def _read_or_build_snapshot(spark, dirname: str, build) -> DataFrame:
+    """Read the content-addressed snapshot ``_scratch/<dirname>``,
+    building it atomically on a miss.
+
+    Round-8 ADVICE: the old build path wrote straight to the final dir
+    and rmtree'd superseded siblings inline, so (a) two processes
+    missing ``_SUCCESS`` could interleave writes on the same dir and
+    (b) the cleanup could delete a snapshot a long-lived session was
+    still lazily reading.  Now the build goes to a pid-suffixed temp
+    dir followed by one atomic ``os.rename`` — concurrent builders
+    race harmlessly (the loser keeps the winner's table and drops its
+    own temp) — and NOTHING is deleted on the query path; superseded
+    dirs are reaped only by the explicit maintenance entry point
+    (:func:`clean_scratch` / ``scripts/clean_scratch.py``), which
+    applies an age grace period."""
+    import shutil
+
+    path = os.path.join(_SCRATCH, dirname)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(_SCRATCH, exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        build().write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(path):
+            # pre-atomic-layout garbage (a crashed direct write can
+            # leave a _SUCCESS-less final dir); no reader accepts a
+            # dir without _SUCCESS, so removal is safe
+            shutil.rmtree(path, ignore_errors=True)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # a concurrent builder completed the same tag first —
+            # keep the winner's table, drop ours
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
+
+
+#: Grace period before clean_scratch removes a superseded snapshot —
+#: long enough that a session which resolved its read plan just before
+#: a fixture rewrite has finished any lazy scan of the old table.
+_SCRATCH_GRACE_SECONDS = 6 * 3600
+
+
+def clean_scratch(grace_seconds: int = _SCRATCH_GRACE_SECONDS) -> list[str]:
+    """Explicit scratch maintenance (never runs on a query path):
+    remove snapshot temp dirs and superseded ``near_dup_*`` snapshot
+    generations older than ``grace_seconds``.  The NEWEST generation
+    of each (family, corpus, params) prefix is always kept regardless
+    of age.  Returns the removed dir names."""
+    import shutil
+    import time
+
+    if not os.path.isdir(_SCRATCH):
+        return []
+    now = time.time()
+    removed: list[str] = []
+    groups: dict[str, list[tuple[float, str]]] = {}
+    for d in os.listdir(_SCRATCH):
+        full = os.path.join(_SCRATCH, d)
+        if not os.path.isdir(full):
+            continue
+        try:
+            mtime = os.stat(full).st_mtime
+        except OSError:
+            continue
+        if ".tmp-" in d:
+            if now - mtime > grace_seconds:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(d)
+            continue
+        # per-pid sink scratch (sinks_queries._scratch_dir): reap once
+        # the owning process is gone and the grace period has passed
+        m = re.search(r"_p(\d+)$", d)
+        if m:
+            if not os.path.exists(f"/proc/{m.group(1)}") and (
+                now - mtime > grace_seconds
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(d)
+            continue
+        if d.startswith(("near_dup_edges_", "near_dup_tricredits_")):
+            # group by everything before the trailing content tag; the
+            # tag is the last _-separated component
+            prefix = d.rsplit("_", 1)[0]
+            groups.setdefault(prefix, []).append((mtime, d))
+    for prefix, gens in groups.items():
+        gens.sort(reverse=True)
+        for mtime, d in gens[1:]:  # keep the newest generation
+            if now - mtime > grace_seconds:
+                shutil.rmtree(os.path.join(_SCRATCH, d), ignore_errors=True)
+                removed.append(d)
+    return removed
 
 
 def near_dup_edges(spark, sf_dir) -> DataFrame:
@@ -96,27 +190,9 @@ def near_dup_edges_scored(spark, sf_dir) -> DataFrame:
     prefix = f"near_dup_edges_{sf_name}_df{NEAR_DUP_DF_CAP}_"
     dirname = f"{prefix}{tag}"
     if tag not in _near_dup_edge_cache:
-        path = os.path.join(_SCRATCH, dirname)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            _build_near_dup_pairs(spark, sf_dir).write.mode(
-                "overwrite"
-            ).parquet(path)
-            import shutil
-
-            # drop superseded snapshots: same (corpus, cap) under an
-            # older fingerprint, plus legacy layouts (round-7 app-id
-            # dirs and the short-lived un-capped round-8 layout)
-            for d in os.listdir(_SCRATCH):
-                if not d.startswith("near_dup_edges_") or d == dirname:
-                    continue
-                suffix = d[len("near_dup_edges_"):]
-                superseded = d.startswith(prefix)
-                legacy = "_df" not in suffix and (
-                    "_" not in suffix or suffix.startswith(f"{sf_name}_")
-                )
-                if superseded or legacy:
-                    shutil.rmtree(os.path.join(_SCRATCH, d), ignore_errors=True)
-        _near_dup_edge_cache[tag] = spark.read.parquet(path)
+        _near_dup_edge_cache[tag] = _read_or_build_snapshot(
+            spark, dirname, lambda: _build_near_dup_pairs(spark, sf_dir)
+        )
     return _near_dup_edge_cache[tag]
 
 
@@ -146,20 +222,9 @@ def near_dup_triangle_credits(spark, sf_dir) -> DataFrame:
     prefix = f"near_dup_tricredits_{sf_name}_df{NEAR_DUP_DF_CAP}_"
     dirname = f"{prefix}lim{TRI_CREDIT_LIM}_{tag}"
     if dirname not in _near_dup_edge_cache:
-        path = os.path.join(_SCRATCH, dirname)
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            _build_triangle_credits(spark, sf_dir).write.mode(
-                "overwrite"
-            ).parquet(path)
-            import shutil
-
-            for d in os.listdir(_SCRATCH):
-                if (
-                    d.startswith(prefix)
-                    and d != dirname
-                ):
-                    shutil.rmtree(os.path.join(_SCRATCH, d), ignore_errors=True)
-        _near_dup_edge_cache[dirname] = spark.read.parquet(path)
+        _near_dup_edge_cache[dirname] = _read_or_build_snapshot(
+            spark, dirname, lambda: _build_triangle_credits(spark, sf_dir)
+        )
     return _near_dup_edge_cache[dirname]
 
 

@@ -19,6 +19,17 @@ _SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "_scratch")
 
 
+def _scratch_dir(name: str, sf_dir: str) -> str:
+    """Collision-free sink scratch dest (round-8 ADVICE): the dir name
+    carries the sf basename AND the pid, so a timing sweep and a test
+    session (or runs at different SFs) never interleave write/read on
+    the same path.  Re-runs within one process overwrite their own
+    dir, so accumulation is bounded by live processes; orphans are
+    reaped by scripts/clean_scratch.py."""
+    sf = os.path.basename(os.path.abspath(sf_dir))
+    return os.path.join(_SCRATCH, f"{name}_{sf}_p{os.getpid()}")
+
+
 @query(
     "sink_parquet_roundtrip",
     "sink",
@@ -34,7 +45,7 @@ def sink_parquet_roundtrip(spark, sf_dir):
     partition.  Exercises the write->list->prune->scan path; the
     read-back filter prunes to a single partition directory."""
     li = table(spark, sf_dir, "lineitem")
-    dest = os.path.join(_SCRATCH, "sink_parquet_roundtrip")
+    dest = _scratch_dir("sink_parquet_roundtrip", sf_dir)
     write_partitioned(li, dest, ["l_returnflag"])
     # explicit schema: a zero-row source writes no partition dirs, so
     # schema inference over the empty sink would fail
@@ -88,8 +99,8 @@ def sink_csv_json_roundtrip(spark, sf_dir):
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
-    csv_dest = os.path.join(_SCRATCH, "sink_csv_roundtrip")
-    json_dest = os.path.join(_SCRATCH, "sink_json_roundtrip")
+    csv_dest = _scratch_dir("sink_csv_roundtrip", sf_dir)
+    json_dest = _scratch_dir("sink_json_roundtrip", sf_dir)
     o.write.mode("overwrite").option("header", True).csv(csv_dest)
     o.write.mode("overwrite").json(json_dest)
     schema = "o_orderkey bigint, o_custkey bigint, o_orderstatus string"
@@ -122,7 +133,7 @@ def sink_sorted_layout_pruned_scan(spark, sf_dir):
     from ..operators.scale import write_sorted
 
     o = table(spark, sf_dir, "orders")
-    dest = os.path.join(_SCRATCH, "sorted_orders_layout")
+    dest = _scratch_dir("sorted_orders_layout", sf_dir)
     write_sorted(o, dest, ["o_orderkey"], n_files=8)
     back = spark.read.parquet(dest).filter(
         F.col("o_orderkey").between(2000, 2600)
@@ -158,7 +169,7 @@ def sink_zorder_layout_pruned_scan(spark, sf_dir):
     from ..operators.scale import write_zordered
 
     o = table(spark, sf_dir, "orders")
-    dest = os.path.join(_SCRATCH, "zorder_orders_layout")
+    dest = _scratch_dir("zorder_orders_layout", sf_dir)
     write_zordered(o, dest, "o_custkey", "o_orderkey", n_files=8)
     back = spark.read.schema(o.schema).parquet(dest)
     a = back.filter(F.col("o_custkey").between(10, 40)).agg(
@@ -196,7 +207,7 @@ def sink_orc_roundtrip(spark, sf_dir):
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_linestatus"
     )
-    dest = os.path.join(_SCRATCH, "sink_orc_roundtrip")
+    dest = _scratch_dir("sink_orc_roundtrip", sf_dir)
     li.write.mode("overwrite").orc(dest)
     schema = "l_orderkey bigint, l_linenumber bigint, l_linestatus string"
     back = spark.read.schema(schema).orc(dest)
@@ -234,7 +245,7 @@ def sink_entity_writer_roundtrip(spark, sf_dir):
 
     register(spark)
     o = table(spark, sf_dir, "orders")
-    dest = os.path.join(_SCRATCH, "sink_entity_writer")
+    dest = _scratch_dir("sink_entity_writer", sf_dir)
     shutil.rmtree(dest, ignore_errors=True)
     (
         o.selectExpr(
@@ -285,7 +296,7 @@ def sink_hive_partitioned_pruned_scan(spark, sf_dir):
     predicate over the unpartitioned source, which is what the oracle
     computes."""
     e = table(spark, sf_dir, "events")
-    dest = os.path.join(_SCRATCH, "hive_partitioned_events")
+    dest = _scratch_dir("hive_partitioned_events", sf_dir)
     write_partitioned(
         e.select(
             "event_id", "user_id", "value", "event_type",
@@ -339,8 +350,8 @@ def sink_compaction_small_files(spark, sf_dir):
     e = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    frag = os.path.join(_SCRATCH, "sink_compact_fragmented")
-    compact = os.path.join(_SCRATCH, "sink_compact_done")
+    frag = _scratch_dir("sink_compact_fragmented", sf_dir)
+    compact = _scratch_dir("sink_compact_done", sf_dir)
     # fragment: the splintered state a streaming sink leaves behind
     e.repartition(64).write.mode("overwrite").parquet(frag)
     back = spark.read.schema(e.schema).parquet(frag)
@@ -384,7 +395,7 @@ def sink_schema_evolution_mergeread(spark, sf_dir):
     100 TB schema merging is a footer-only planning step; the data
     files are never rewritten."""
     d = table(spark, sf_dir, "documents")
-    dest = os.path.join(_SCRATCH, "sink_schema_evolution")
+    dest = _scratch_dir("sink_schema_evolution", sf_dir)
     v1 = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
     v2 = d.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id", "lang", "n_chars"
@@ -435,7 +446,7 @@ def csv_malformed_quarantine(spark, sf_dir):
     import os as _os
 
     d = table(spark, sf_dir, "documents")
-    dest = _os.path.join(_SCRATCH, "csv_malformed")
+    dest = _scratch_dir("csv_malformed", sf_dir)
     lines = d.select(
         F.when(
             F.col("doc_id") % 10 == 0,

@@ -147,7 +147,9 @@ def main() -> int:
     for k, v in errs.items():
         print(f"ERR  {k}: {v}")
     spark.stop()
-    return 0
+    # Partial JSON is already on disk; still exit nonzero so wrappers
+    # keying off the status don't silently pass on per-query errors.
+    return 1 if errs else 0
 
 
 if __name__ == "__main__":

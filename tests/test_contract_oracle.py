@@ -87,3 +87,21 @@ def test_contract_rows_registered_first():
     # every row of the round-8 graded window is oracle-checked
     for n in _CONTRACT_ORDER[:50]:
         assert SPECS[n].oracle is not None, n
+
+
+def test_attribution_lcm_denominator_covers_touch_types(oracle):
+    """attribution_linear_multi_touch keeps 1/k fractions exact by
+    crediting integer units of 840 DIV k (840 = lcm(1..8)).  If the
+    fixture ever gains a 9th+ distinct non-purchase event type, the
+    integer division truncates IDENTICALLY on both engines, so the
+    oracle hash cannot catch it (round-8 ADVICE).  Pin the invariant
+    the scheme depends on here instead."""
+    n = oracle.execute(
+        "SELECT count(DISTINCT event_type) FROM events "
+        "WHERE event_type <> 'purchase'"
+    ).fetchone()[0]
+    assert n <= 8, (
+        f"{n} distinct touch types > 8: raise the LCM denominator in "
+        "attribution_linear_multi_touch (Spark AND oracle) before "
+        "trusting its credit_units"
+    )

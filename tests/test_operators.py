@@ -1029,9 +1029,20 @@ def test_snapshot_content_addressing_rebuilds_on_fixture_change(
     assert any(
         d.startswith("near_dup_edges_mini_sf_") and tag2 in d for d in names
     ), "rebuild under the new tag"
+    # the query path never deletes (round-8 ADVICE: atomic rename +
+    # explicit maintenance only) — the superseded generation survives
+    # until clean_scratch reaps it past the grace period
+    assert any(
+        d.startswith("near_dup_edges_mini_sf_") and tag1 in d for d in names
+    ), "query path must not delete the superseded snapshot"
+    llm_text.clean_scratch(grace_seconds=0)
+    names = os.listdir(llm_text._SCRATCH)
     assert not any(
         d.startswith("near_dup_edges_mini_sf_") and tag1 in d for d in names
-    ), "superseded same-corpus snapshot must be cleaned up"
+    ), "clean_scratch must reap the superseded generation"
+    assert any(
+        d.startswith("near_dup_edges_mini_sf_") and tag2 in d for d in names
+    ), "clean_scratch must keep the newest generation"
 
     # hygiene: drop the test corpus snapshots
     for d in os.listdir(llm_text._SCRATCH):

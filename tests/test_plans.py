@@ -301,15 +301,15 @@ def test_compaction_reduces_file_count(spark, sf_dir):
     file count) defeats the maintenance job's purpose."""
     import os
 
-    from datastore_mapper_spark.queries.sinks_queries import _SCRATCH
+    from datastore_mapper_spark.queries.sinks_queries import _scratch_dir
 
     _df("sink_compaction_small_files", spark, sf_dir).collect()
 
     def data_files(d):
         return [f for f in os.listdir(d) if f.endswith(".parquet")]
 
-    frag = data_files(os.path.join(_SCRATCH, "sink_compact_fragmented"))
-    comp = data_files(os.path.join(_SCRATCH, "sink_compact_done"))
+    frag = data_files(_scratch_dir("sink_compact_fragmented", sf_dir))
+    comp = data_files(_scratch_dir("sink_compact_done", sf_dir))
     assert len(frag) >= 32, f"fragmented state not fragmented: {len(frag)}"
     assert len(comp) <= 8, f"compaction did not compact: {len(comp)}"
 
