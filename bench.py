@@ -114,6 +114,13 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
+        # One untimed warm-up PER QUERY before its timed runs: the
+        # first execution of each query pays one-off plan compilation
+        # + whole-stage-codegen javac costs that a 3-run median can't
+        # wash out (the r8 "+20% regression" was exactly this — a
+        # 7-run median landed back at 4.6 s with no code change).
+        # BASELINE.md uses the same warm-JVM steady-state method.
+        specs[name].fn(spark, sf_dir).collect()
         times = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
