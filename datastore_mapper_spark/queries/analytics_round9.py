@@ -1,0 +1,527 @@
+"""Round-9 analytics additions — warehouse / stats / runtime-pruning
+shapes the registry did not cover yet.
+
+Every query follows the repo conventions: identical output aliases on
+both engines, no raw DECIMAL output column (exact decimal
+accumulation with a final CAST to DOUBLE on BOTH engines —
+SURVEY §7.3-H2), deterministic total ordering for every ranked
+output, and integer arithmetic wherever an exact rational answer
+exists (KS statistic, CUSUM) with the single double division at the
+end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .sinks_queries import _scratch_dir
+
+
+@query(
+    "scd2_point_in_time_join",
+    "join",
+    oracle="""
+    WITH periods AS (
+        SELECT o_custkey, o_orderstatus,
+               o_orderdate AS valid_from,
+               COALESCE(lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey),
+                   TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+        FROM orders
+    ), fact AS (
+        SELECT o.o_custkey AS custkey, l.l_shipdate AS ship,
+               l.l_quantity AS qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT p.o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_li,
+           CAST(CAST(sum(CAST(f.qty AS DECIMAL(18,2))) AS DOUBLE)
+                AS DOUBLE) AS sum_qty
+    FROM fact f
+    JOIN periods p
+      ON f.custkey = p.o_custkey
+     AND f.ship >= p.valid_from AND f.ship < p.valid_to
+    GROUP BY 1
+    """,
+)
+def scd2_point_in_time_join(spark, sf_dir):
+    """Point-in-time (as-of interval) dimension lookup — THE classic
+    warehouse join: each fact row finds the ONE dimension version
+    valid at its event time.  The SCD2 timeline is derived per
+    customer from their order history (valid_from = order date,
+    valid_to = next order's date via lead(), '9999-12-31' open end;
+    ties on order date are made total by the o_orderkey tie-break, so
+    a same-day pair yields one zero-length period that can never
+    match).  The join is an equi-join on the customer key with the
+    half-open interval predicate as a residual — Spark shuffles both
+    sides once on custkey and probes each customer's handful of
+    periods, which is exactly the 100 TB shape (the range residual
+    never multiplies rows: periods are disjoint, each fact row
+    matches at most one).  Quantities accumulate as DECIMAL and cast
+    to DOUBLE at the end (§7.3-H2)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    periods = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("9999-12-31 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    okeys = o.select("o_orderkey", "o_custkey")
+    fact = li.join(okeys, li["l_orderkey"] == okeys["o_orderkey"]).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_shipdate").alias("ship"),
+        F.col("l_quantity").alias("qty"),
+    )
+    return (
+        fact.join(
+            periods,
+            (F.col("custkey") == F.col("o_custkey"))
+            & (F.col("ship") >= F.col("valid_from"))
+            & (F.col("ship") < F.col("valid_to")),
+        )
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n_li"),
+            F.sum(F.col("qty").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "cms_heavy_hitters_verified",
+    "sketch",
+    oracle="""
+    WITH w AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+        SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                      i -> list_extract(w, i) || ' ' ||
+                           list_extract(w, i + 1))) AS g
+        FROM w
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sh)
+    SELECT g AS bigram, CAST(count(*) AS BIGINT) AS exact_cnt
+    FROM sh
+    GROUP BY g
+    HAVING 1000 * count(*) >= (SELECT n FROM tot)
+    """,
+)
+def cms_heavy_hitters_verified(spark, sf_dir):
+    """Count-Min-Sketch two-phase heavy hitters — the CMS sibling of
+    approx_topk_misra_gries (operators/sketch.py), built ENTIRELY as
+    DataFrame aggregates: the sketch table cms[j][h_j(g)] is a
+    groupBy over (row of hashes j, xxhash64(g, j) mod width) — a
+    BOUNDED-key aggregate (depth×width cells), so at 100 TB the
+    map-side combine collapses every partition to ≤ d·w rows before
+    the one tiny shuffle; no full-key shuffle of the shingle stream
+    ever happens in phase 1.  Estimates are the classic
+    min_j cms[j][h_j(g)], read by joining the (vocabulary-sized)
+    distinct-shingle frame against the broadcast sketch table; CMS
+    error is strictly one-sided (estimate >= true count), so the
+    candidates are a provable superset of the true heavy hitters.
+    Phase 2 exact-counts only the broadcast candidates and applies
+    the true ``1000·count >= N`` bar, so the final answer is exact and
+    a plain SQL oracle checks the whole pipeline."""
+    from ..operators.dedup import word_bigram_array
+
+    CMS_DEPTH, CMS_WIDTH = 5, 2048
+    d = table(spark, sf_dir, "documents").withColumn(
+        "_w", F.split("text", " ")
+    )
+    sh = d.select(F.explode(word_bigram_array(F.col("_w"))).alias("g"))
+    # phase 1a: the sketch — explode each row into its d (row, bucket)
+    # cells, then a bounded-key aggregate builds the CMS table
+    hashed = sh.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {CMS_DEPTH - 1}), "
+                f"j -> struct(j AS j, "
+                f"pmod(xxhash64(g, j), {CMS_WIDTH}) AS bucket))"
+            )
+        ).alias("cell")
+    ).select("cell.j", "cell.bucket")
+    cms = hashed.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+    # phase 1b: estimate every distinct shingle against the broadcast
+    # sketch; candidates = estimate over the N/1000 bar
+    # distinct's map-side partial dedup keeps the shuffle
+    # vocabulary-bounded per partition
+    vocab = sh.select("g").distinct()
+    probes = vocab.select(
+        "g",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {CMS_DEPTH - 1}), "
+                f"j -> struct(j AS j, "
+                f"pmod(xxhash64(g, j), {CMS_WIDTH}) AS bucket))"
+            )
+        ).alias("cell"),
+    ).select("g", "cell.j", "cell.bucket")
+    est = (
+        probes.join(F.broadcast(cms), ["j", "bucket"])
+        .groupBy("g")
+        .agg(F.min("cnt").alias("estimate"))
+    )
+    total = sh.agg(F.count("*").alias("n"))
+    cand = (
+        est.crossJoin(F.broadcast(total))
+        .filter(1000 * F.col("estimate") >= F.col("n"))
+        .select("g")
+    )
+    # phase 2: exact verify over only the candidates
+    return (
+        sh.join(F.broadcast(cand), "g")
+        .groupBy(F.col("g").alias("bigram"))
+        .agg(F.count("*").alias("exact_cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(1000 * F.col("exact_cnt") >= F.col("n"))
+        .select("bigram", "exact_cnt")
+    )
+
+
+@query(
+    "sink_hive_dynamic_partition_pruning",
+    "sink/scale",
+    oracle="""
+    WITH mondays AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day
+        FROM events
+        WHERE dayofweek(CAST(ts AS DATE)) = 1
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(CAST(sum(CAST(round(e.value, 2) AS DECIMAL(18,2)))
+                AS DOUBLE) AS DOUBLE) AS sum_value
+    FROM events e JOIN mondays m ON CAST(e.ts AS DATE) = m.day
+    GROUP BY 1
+    """,
+)
+def sink_hive_dynamic_partition_pruning(spark, sf_dir):
+    """Dynamic partition pruning — the RUNTIME twin of
+    sink_hive_partitioned_pruned_scan's static pruning: events are
+    written hive-partitioned by day (30 partitions), then joined to a
+    dim whose keys are only known at run time (the Mondays, derived
+    by a query, broadcast).  Catalyst turns the broadcast join into a
+    dynamicpruning subquery on the partition column, so the fact scan
+    reads ~4 of 30 partition directories instead of all of them —
+    asserted on the formatted plan in tests/test_plans.py.  At 100 TB
+    this is the difference between scanning a month and scanning the
+    Mondays.  Values are rounded to cents BEFORE the decimal
+    accumulation on both engines (the raw doubles are FP-noisy), then
+    cast to DOUBLE at the end (§7.3-H2)."""
+    import os
+
+    e = table(spark, sf_dir, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    dest = _scratch_dir("dpp_events_by_day", sf_dir)
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        e.write.mode("overwrite").partitionBy("day").parquet(dest)
+    # explicit schema: a zero-row source writes no partition dirs, so
+    # schema inference over the empty sink would fail
+    fact = spark.read.schema(e.schema).parquet(dest)
+    mondays = (
+        e.filter(F.dayofweek(F.col("ts").cast("date")) == 2)  # Monday
+        .select(F.col("ts").cast("date").cast("string").alias("day"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(mondays), "day")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "topk_with_others_rollup",
+    "window",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name AS nation, c.c_custkey AS custkey,
+               sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT nation, custkey, rev,
+               row_number() OVER (PARTITION BY nation
+                                  ORDER BY rev DESC, custkey) AS rn
+        FROM rev
+    )
+    SELECT nation,
+           CASE WHEN rn <= 3 THEN 'top' || rn ELSE 'OTHERS' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(rev) AS DOUBLE) AS DOUBLE) AS revenue
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def topk_with_others_rollup(spark, sf_dir):
+    """Top-3 customers per nation with an OTHERS bucket — the BI
+    staple that is NOT a plain top-k: the long tail is kept as one
+    aggregated row per group, so the report always sums to the group
+    total.  Revenue is decimal-exact with ties broken by custkey
+    (total order, §7.3-H7); per-nation ranking is one window over the
+    customer-grain aggregate (WindowGroupLimit does NOT apply — every
+    row is needed, the tail just re-aggregates).  At 100 TB the
+    customer-grain aggregate is the only big shuffle; the window and
+    the final rollup reuse its (nation) partitioning."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.col("c_custkey").alias("custkey"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("nation").orderBy(F.desc("rev"), F.asc("custkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "bucket",
+            F.when(F.col("rn") <= 3,
+                   F.concat(F.lit("top"), F.col("rn").cast("string")))
+            .otherwise(F.lit("OTHERS")),
+        )
+        .groupBy("nation", "bucket")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("rev").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "ks_two_sample_doc_lengths",
+    "stats",
+    oracle="""
+    WITH s AS (
+        SELECT n_chars AS v, CAST(source = 'src0' AS INT) AS is1
+        FROM documents WHERE source IN ('src0', 'src1')
+    ), counts AS (
+        SELECT v,
+               CAST(sum(is1) AS BIGINT) AS c1,
+               CAST(sum(1 - is1) AS BIGINT) AS c2
+        FROM s GROUP BY v
+    ), tot AS (
+        SELECT CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(c2) AS BIGINT) AS n2 FROM counts
+    ), cdf AS (
+        SELECT v,
+               sum(c1) OVER (ORDER BY v) AS f1,
+               sum(c2) OVER (ORDER BY v) AS f2
+        FROM counts
+    ), d AS (
+        SELECT v, abs(f1 * (SELECT n2 FROM tot)
+                      - f2 * (SELECT n1 FROM tot)) AS dnum
+        FROM cdf
+    )
+    SELECT CAST(max(dnum) AS BIGINT) AS d_num,
+           (SELECT CAST(min(v) AS BIGINT) FROM d
+             WHERE dnum = (SELECT max(dnum) FROM d)) AS at_value,
+           CAST(max(dnum) AS DOUBLE)
+               / ((SELECT n1 FROM tot) * (SELECT n2 FROM tot)) AS d_stat
+    FROM d
+    HAVING count(*) > 0
+    """,
+)
+def ks_two_sample_doc_lengths(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic between the n_chars
+    distributions of two sources — EXACT by integer arithmetic: with
+    per-value cumulative counts f1, f2 and sample sizes n1, n2,
+    D = max |f1/n1 - f2/n2| = max |f1·n2 - f2·n1| / (n1·n2), so the
+    maximization runs entirely on BIGINTs (no float comparison
+    decides anything) and the single double division happens once at
+    the end.  The distribution-fitting shape every data-quality
+    pipeline runs as "did this source drift?".  Scale: one groupBy on
+    (value), a window over the per-value counts (distinct-value-
+    bounded, not row-bounded), all integer."""
+    d = table(spark, sf_dir, "documents")
+    s = d.filter(F.col("source").isin("src0", "src1")).select(
+        F.col("n_chars").alias("v"),
+        (F.col("source") == "src0").cast("int").alias("is1"),
+    )
+    counts = s.groupBy("v").agg(
+        F.sum("is1").cast("long").alias("c1"),
+        F.sum(1 - F.col("is1")).cast("long").alias("c2"),
+    )
+    wtot = Window.partitionBy()
+    wcdf = Window.partitionBy().orderBy("v")
+    cdf = counts.select(
+        "v",
+        F.sum("c1").over(wcdf).alias("f1"),
+        F.sum("c2").over(wcdf).alias("f2"),
+        F.sum("c1").over(wtot).alias("n1"),
+        F.sum("c2").over(wtot).alias("n2"),
+    )
+    dd = cdf.select(
+        "v", "n1", "n2",
+        F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        .alias("dnum"),
+    )
+    wmax = Window.partitionBy()
+    return (
+        dd.withColumn("mx", F.max("dnum").over(wmax))
+        .filter(F.col("dnum") == F.col("mx"))
+        .groupBy("mx", "n1", "n2")
+        .agg(F.min("v").cast("long").alias("at_value"))
+        .select(
+            F.col("mx").cast("long").alias("d_num"),
+            "at_value",
+            (F.col("mx").cast("double")
+             / (F.col("n1") * F.col("n2"))).alias("d_stat"),
+        )
+    )
+
+
+@query(
+    "changepoint_cusum_daily",
+    "stats",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ), acc AS (
+        SELECT event_type, day, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY day) AS pre,
+               row_number() OVER (PARTITION BY event_type ORDER BY day) AS k,
+               sum(c) OVER (PARTITION BY event_type) AS tot,
+               count(*) OVER (PARTITION BY event_type) AS nd
+        FROM daily
+    ), scored AS (
+        SELECT event_type, day,
+               nd * pre - k * tot AS cnum, nd
+        FROM acc
+    ), best AS (
+        SELECT event_type, min(day) AS cp_day
+        FROM scored s
+        WHERE abs(cnum) = (SELECT max(abs(cnum)) FROM scored s2
+                           WHERE s2.event_type = s.event_type)
+        GROUP BY 1
+    )
+    SELECT s.event_type, b.cp_day,
+           CAST(abs(s.cnum) AS BIGINT) AS cusum_num,
+           CAST(abs(s.cnum) AS DOUBLE) / s.nd AS cusum
+    FROM scored s JOIN best b
+      ON s.event_type = b.event_type AND s.day = b.cp_day
+    """,
+)
+def changepoint_cusum_daily(spark, sf_dir):
+    """CUSUM changepoint detection on the daily event-count series,
+    per event type — where does the level shift?  The classic CUSUM
+    S_k = Σ_{i<=k}(c_i − mean) is kept EXACT by clearing the mean's
+    denominator: S_k·D = D·prefix_k − k·total is pure BIGINT (D =
+    days in the series), so the argmax is decided on integers, ties
+    broken to the earliest day, and the single double division
+    happens only in the output column.  Scale: the daily rollup is
+    the only corpus-sized aggregate; everything after runs on
+    |types|×|days| rows with windows partitioned by type."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("c"))
+    wo = Window.partitionBy("event_type").orderBy("day")
+    wa = Window.partitionBy("event_type")
+    acc = daily.select(
+        "event_type", "day",
+        F.sum("c").over(wo).alias("pre"),
+        F.row_number().over(wo).alias("k"),
+        F.sum("c").over(wa).alias("tot"),
+        F.count("*").over(wa).alias("nd"),
+    )
+    scored = acc.select(
+        "event_type", "day", "nd",
+        (F.col("nd") * F.col("pre") - F.col("k") * F.col("tot"))
+        .alias("cnum"),
+    )
+    best = (
+        scored.withColumn("mx", F.max(F.abs("cnum")).over(wa))
+        .filter(F.abs("cnum") == F.col("mx"))
+        .groupBy(F.col("event_type").alias("bt"))
+        .agg(F.min("day").alias("cp_day"))
+    )
+    return (
+        scored.join(
+            best,
+            (scored["event_type"] == best["bt"])
+            & (scored["day"] == best["cp_day"]),
+        )
+        .select(
+            "event_type",
+            "cp_day",
+            F.abs("cnum").cast("long").alias("cusum_num"),
+            (F.abs("cnum").cast("double") / F.col("nd")).alias("cusum"),
+        )
+    )
+
+
+@query(
+    "grouping_id_diagnostics",
+    "agg",
+    oracle="""
+    SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CASE GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                WHEN 0 THEN 'cell' WHEN 1 THEN 'by_status'
+                WHEN 2 THEN 'by_priority' ELSE 'total' END AS grain,
+           o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_id_diagnostics(spark, sf_dir):
+    """GROUPING() provenance flags over a four-grain grouping-sets
+    cube — completes the rollup/cube family with the diagnostic
+    column BI layers key on to route subtotal rows (NULL in a group
+    column is ambiguous between "subtotal" and "the value was NULL";
+    GROUPING() disambiguates).  The gid is computed the same way on
+    both engines (grouping(status)*2 + grouping(priority)) because
+    native GROUPING_ID bit orders differ across engines.  Decimal-
+    exact revenue, double at the end (§7.3-H2)."""
+    o = table(spark, sf_dir, "orders")
+    gid = (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+    return (
+        # cube(a, b) = exactly the oracle's four grouping sets
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            gid.cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            "gid",
+            F.when(F.col("gid") == 0, "cell")
+            .when(F.col("gid") == 1, "by_status")
+            .when(F.col("gid") == 2, "by_priority")
+            .otherwise("total")
+            .alias("grain"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+            "revenue",
+        )
+    )

@@ -61,6 +61,7 @@ EMPTY_INPUT_KNOWN = {
     "agg_cube": "spark emits no () grouping-set row on empty input",
     "agg_grouping_sets": "spark emits no () grouping-set row on empty input",
     "agg_time_rollup": "spark emits no () grouping-set row on empty input",
+    "grouping_id_diagnostics": "spark emits no () grouping-set row on empty input",
 }
 
 

@@ -1225,3 +1225,63 @@ def test_misra_gries_rejects_bad_k(spark):
     df = spark.createDataFrame([("a",)], "item string")
     with _pytest.raises(ValueError):
         misra_gries_candidates(df, "item", k=0)
+
+
+def test_bitset_blocked_pairs_match_bruteforce(spark):
+    """operators/bitset.py differential: every pairwise intersection
+    count the blocked matmul kernel emits must equal the python
+    set-intersection ground truth, over an adversarial little corpus
+    (empty sets, identical sets, subsets, disjoint sets, ids that
+    collide modulo the bucket count)."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.operators.bitset import (
+        blocked_pair_survivors,
+        dictionary_ids,
+        packed_bitset,
+    )
+
+    sets = {
+        1: {"a", "b", "c"},
+        2: {"a", "b", "c"},          # identical to 1
+        3: {"a", "b"},               # subset of 1
+        4: {"x", "y"},               # disjoint
+        9: {"a", "x"},               # bridges 1 and 4; 9 % 8 == 1 % 8
+        17: set(),                   # empty; 17 % 8 == 1 % 8 == 9 % 8
+        18: {"c", "y", "z"},
+    }
+    rows = [(i, t) for i, ts in sets.items() for t in sorted(ts)]
+    pairs_df = spark.createDataFrame(rows, "doc_id long, tok string")
+    gid = dictionary_ids(pairs_df, "tok")
+    n_bits = gid.count()
+    docs = packed_bitset(
+        pairs_df.join(F.broadcast(gid), "tok").select("doc_id", "gid"),
+        "doc_id", "gid", n_bits, "tk",
+    )
+    # docs with empty sets never reach packed_bitset (no gid rows);
+    # union them in with an explicit zero mask so the kernel sees them
+    n_words = max(1, (n_bits + 63) // 64)
+    empty_ids = [i for i, ts in sets.items() if not ts]
+    if empty_ids:
+        zero = spark.createDataFrame(
+            [(i,) for i in empty_ids], "doc_id long"
+        ).select(
+            "doc_id",
+            F.expr(f"array_repeat(0L, {n_words})").alias("tk"),
+            F.lit(0).cast("long").alias("tk_sz"),
+        )
+        docs = docs.unionByName(zero)
+
+    got = {
+        (r.d1, r.d2): (r.tk_inter, r.tk_sz1, r.tk_sz2)
+        for r in blocked_pair_survivors(
+            spark, docs, "doc_id", ["tk"], lambda inter, s1, s2: inter["tk"] >= 0
+        ).collect()
+    }
+    want = {
+        (a, b): (len(sets[a] & sets[b]), len(sets[a]), len(sets[b]))
+        for a, b in combinations(sorted(sets), 2)
+    }
+    assert got == want

@@ -199,6 +199,7 @@ BNLJ_ALLOWED = {
     "heavy_hitters_two_phase",   # 1-row sampled-doc-count scalar crossed
     "max_concurrent_sessions",   # 1-row peak scalar crossed into the timeline
     "approx_topk_misra_gries",   # 1-row stream-length scalar crossed
+    "cms_heavy_hitters_verified",  # 1-row stream-length scalar crossed (x2)
 }
 
 
@@ -384,3 +385,16 @@ def test_entity_resolution_no_cartesian(spark, sf_dir):
     join+groupBy on node ids — nothing quadratic anywhere."""
     plan = formatted(_df("entity_resolution_groups", spark, sf_dir))
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    """sink_hive_dynamic_partition_pruning: the partitioned fact scan
+    must carry a dynamicpruning expression in its PartitionFilters —
+    i.e. Catalyst reuses the broadcast dim to prune partition dirs at
+    RUN time.  A plan that reads all 30 day-partitions and filters
+    after the scan still passes the oracle but defeats the query's
+    purpose at 100 TB."""
+    plan = formatted(
+        _df("sink_hive_dynamic_partition_pruning", spark, sf_dir)
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
