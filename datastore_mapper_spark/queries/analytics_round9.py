@@ -525,3 +525,175 @@ def grouping_id_diagnostics(spark, sf_dir):
             "revenue",
         )
     )
+
+
+@query(
+    "decile_lift_table",
+    "stats",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    ), ranked AS (
+        SELECT o_custkey, spend, n_orders,
+               ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+        FROM spend
+    ), tot AS (
+        SELECT sum(spend) AS tot_spend,
+               CAST(count(*) AS BIGINT) AS n_cust
+        FROM spend
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(CAST(sum(spend) AS DOUBLE) AS DOUBLE) AS decile_spend,
+           CAST(10.0 AS DOUBLE)
+               * (CAST(sum(spend) AS DOUBLE)
+                  / CAST((SELECT tot_spend FROM tot) AS DOUBLE)) AS lift
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def decile_lift_table(spark, sf_dir):
+    """Decile lift table — the model-evaluation / campaign-targeting
+    staple: rank customers by spend, cut into 10 equal buckets, and
+    report each bucket's share of total spend relative to the 10%
+    baseline (lift = 10·share).  The Spark side NEVER runs a global
+    single-partition window: the rank comes from the two-pass
+    range-partitioned ``ranged_row_number`` (operators/scale.py), and
+    the bucket is derived from (rank, n) with ntile's exact
+    first-buckets-get-the-remainder arithmetic — r <= rem·(q+1) →
+    ceil(r/(q+1)), else rem + ceil((r−rem·(q+1))/q) — all integers,
+    provably identical to the oracle's ntile(10) under the same
+    (spend DESC, custkey) total order (§7.3-H7).  Spend accumulates
+    as DECIMAL; the two ratios are double divisions of exact sums at
+    the very end.  Scale: one customer-grain aggregate, the sampled
+    range exchange, a 10-key rollup."""
+    from ..operators.scale import ranged_row_number
+
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
+    )
+    ranked = ranged_row_number(
+        spend, [F.desc("spend"), F.asc("o_custkey")], "r"
+    )
+    totals = spend.agg(
+        F.count("*").alias("n"), F.sum("spend").alias("tot_spend")
+    )
+    # ntile(10) arithmetic, all integer: q+1-sized buckets first.
+    # ceil(a/b) for positive longs = (a + b - 1) DIV b — never a
+    # double division (exact past 2^53).  greatest(q, 1) keeps the
+    # untaken ELSE branch division well-defined when n < 10.
+    bucket = F.expr(
+        "CASE WHEN r <= (n % 10) * (n DIV 10 + 1) "
+        "THEN (r + n DIV 10) DIV (n DIV 10 + 1) "
+        "ELSE n % 10 + (r - (n % 10) * (n DIV 10 + 1) "
+        "+ greatest(n DIV 10, 1) - 1) DIV greatest(n DIV 10, 1) END"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .withColumn("decile", bucket.cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("spend").cast("double").alias("decile_spend"),
+            (
+                F.lit(10.0)
+                * (
+                    F.sum("spend").cast("double")
+                    / F.first("tot_spend").cast("double")
+                )
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "fulfillment_lead_time_histogram",
+    "analytics",
+    oracle="""
+    WITH lt AS (
+        SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CASE WHEN days < 0 THEN 'pre-order'
+                WHEN days <= 7 THEN 'week1'
+                WHEN days <= 30 THEN 'month1'
+                WHEN days <= 90 THEN 'quarter'
+                ELSE 'long-tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(min(days) AS BIGINT) AS min_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM lt GROUP BY 1
+    """,
+)
+def fulfillment_lead_time_histogram(spark, sf_dir):
+    """Order-to-ship lead-time distribution — the fulfillment-SLA
+    histogram: per line item, days between the order date and its
+    ship date, bucketed into fixed service bands.  datediff is
+    integer-exact on both engines (calendar-day difference of
+    timestamps), so the histogram has no float anywhere.  Scale: one
+    fact-to-fact equi-join on the order key (co-partitionable), then
+    a 5-key aggregate with map-side combine."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("long")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(days.alias("days"))
+        .select(
+            F.when(F.col("days") < 0, "pre-order")
+            .when(F.col("days") <= 7, "week1")
+            .when(F.col("days") <= 30, "month1")
+            .when(F.col("days") <= 90, "quarter")
+            .otherwise("long-tail")
+            .alias("bucket"),
+            "days",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.min("days").alias("min_days"),
+            F.max("days").alias("max_days"),
+        )
+    )
+
+
+@query(
+    "union_schema_evolution_align",
+    "setops",
+    oracle="""
+    SELECT o_orderkey AS k, o_orderstatus AS status,
+           CAST(o_totalprice AS DOUBLE) AS price, NULL AS priority
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, NULL, o_orderpriority
+    FROM orders WHERE o_orderkey % 10 = 5
+    """,
+)
+def union_schema_evolution_align(spark, sf_dir):
+    """Schema-evolution union — the ingest-reality shape where two
+    batches of the same feed carry DIFFERENT column subsets (a column
+    added or retired mid-stream) and must align by NAME with NULL
+    padding, not by position: ``unionByName(allowMissingColumns=
+    True)``.  A positional UNION here would silently put prices in
+    the priority column — the classic evolution bug this operator
+    exists to prevent.  The oracle spells out the NULL padding
+    explicitly.  Scale: union is a zero-shuffle plan node; the
+    alignment is purely logical."""
+    o = table(spark, sf_dir, "orders")
+    old_batch = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    new_batch = o.filter(F.col("o_orderkey") % 10 == 5).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return old_batch.unionByName(new_batch, allowMissingColumns=True)

@@ -73,18 +73,12 @@ def test_contract_rows_registered_first():
 
     names = list(SPECS)
     assert names[: len(_CONTRACT_ORDER)] == _CONTRACT_ORDER
-    # round-8 rotation (REGISTRY.md "Driver-grading rotation"): rows
-    # 1-30 pinned §2.B core, rows 31-34 the four r7 reds held for
-    # re-grade after the decimal-seam fix, rows 35-50 the q22 +
-    # subquery/CTE + multimodal rotation
-    assert names[30] == "agg_salted_skew_sum"
-    assert names[31:34] == [
-        "tpch_q9_product_profit", "tpch_q10_returned_items",
-        "tpch_q18_large_orders",
-    ]
-    assert names[34] == "tpch_q22_global_sales_opportunity"
-    assert names[49] == "multimodal_frame_sample_y4m"
-    # every row of the round-8 graded window is oracle-checked
+    # round-9 rotation (REGISTRY.md "Driver-grading rotation"): rows
+    # 1-30 pinned §2.B core, rows 31-50 the 20 queued never-graded
+    # queries incl. the two ANN companions (r8 VERDICT tasks 1+5)
+    assert names[30] == "join_interval_overlap"
+    assert names[48:50] == ["ivf_knn_bucketed", "knn_batch_top3"]
+    # every row of the round-9 graded window is oracle-checked
     for n in _CONTRACT_ORDER[:50]:
         assert SPECS[n].oracle is not None, n
 

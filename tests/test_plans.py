@@ -200,6 +200,7 @@ BNLJ_ALLOWED = {
     "max_concurrent_sessions",   # 1-row peak scalar crossed into the timeline
     "approx_topk_misra_gries",   # 1-row stream-length scalar crossed
     "cms_heavy_hitters_verified",  # 1-row stream-length scalar crossed (x2)
+    "decile_lift_table",         # 1-row (n, total-spend) scalar crossed
 }
 
 
