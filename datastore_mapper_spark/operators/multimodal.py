@@ -466,13 +466,19 @@ VIDEO_STATS_SCHEMA = StructType(
 )
 
 
-def render_y4m_media(doc_df: DataFrame) -> DataFrame:
+def render_y4m_media(doc_df: DataFrame, luma: str = "linear") -> DataFrame:
     """Render a REAL y4m clip per document, deterministically from
     ``doc_id``: ``n = (id % 6) + 2`` frames of ``(id % 5) + 2`` x
-    ``(id % 4) + 2`` C444 video where frame ``f`` has constant luma
-    ``(id % 200) + f`` and constant chroma 128.  Closed-form ->
-    SQL-predictable decoded stats (``multimodal_y4m_frame_stats``).
-    ASSUMES doc_id >= 0 (see render_bmp_media — %-sign semantics)."""
+    ``(id % 4) + 2`` C444 video with constant chroma 128 and constant
+    per-frame luma.  ``luma="linear"`` gives frame ``f`` luma
+    ``(id % 200) + f`` (SQL-predictable whole-clip stats —
+    ``multimodal_y4m_frame_stats``); ``luma="quadratic"`` gives
+    ``(id + f*f) % 200``, whose frame-to-frame deltas vary and wrap —
+    the scene-cut fixture (``multimodal_temporal_scene_cuts``).
+    Closed-form either way.  ASSUMES doc_id >= 0 (see
+    render_bmp_media — %-sign semantics)."""
+    if luma not in ("linear", "quadratic"):
+        raise ValueError(f"render_y4m_media: unknown luma mode {luma!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -484,7 +490,10 @@ def render_y4m_media(doc_df: DataFrame) -> DataFrame:
                 base = int(doc_id % 200)
                 frames = np.full((n, h, w, 3), 128, dtype=np.uint8)
                 for f in range(n):
-                    frames[f, :, :, 0] = base + f
+                    if luma == "linear":
+                        frames[f, :, :, 0] = base + f
+                    else:
+                        frames[f, :, :, 0] = (int(doc_id) + f * f) % 200
                 blobs.append(encode_y4m(frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
 

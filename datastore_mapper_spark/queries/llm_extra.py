@@ -1353,3 +1353,57 @@ def multimodal_bmp_resize_stats(spark, sf_dir):
         "mean_g",
         "mean_b",
     )
+
+
+@query(
+    "multimodal_temporal_scene_cuts",
+    "LLM-pipeline",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, f,
+               abs(CAST((doc_id + (f + 1) * (f + 1)) % 200 AS BIGINT)
+                   - CAST((doc_id + f * f) % 200 AS BIGINT)) AS dl
+        FROM documents,
+             unnest(range(0, (doc_id % 6) + 1)) AS t(f)
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE dl > 10) AS BIGINT) AS n_cuts,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS mean_abs_delta
+    FROM d GROUP BY doc_id
+    """,
+)
+def multimodal_temporal_scene_cuts(spark, sf_dir):
+    """REAL video temporal analysis — the scene-cut detector of a
+    video training pipeline: decode every frame of each rendered y4m
+    clip, take consecutive-frame luma deltas, and report per clip the
+    number of cuts (|Δ| > 10) and the mean absolute delta.  The
+    quadratic-luma render variant makes the deltas vary and wrap per
+    (doc, frame) — a mis-walk of FRAME markers, a skipped or
+    duplicated frame, or a wrong plane slice all shift some delta and
+    hash-fail.  The per-frame decode reuses sample_y4m_frames
+    (every_n=1, one mapInPandas, fan-out inside the Arrow batch); the
+    temporal differencing is a lag() window per doc on the DECODED
+    rows — JVM-side, exactly how a real pipeline would window over
+    extracted features.  Frame means are integers by construction, so
+    the only division is the final exact mean (§7.3-H2)."""
+    from ..operators.multimodal import render_y4m_media, sample_y4m_frames
+
+    d = table(spark, sf_dir, "documents")
+    frames = sample_y4m_frames(
+        render_y4m_media(d, luma="quadratic"), every_n=1
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_no")
+    deltas = (
+        frames.withColumn(
+            "dl",
+            F.abs(
+                F.col("mean_luma").cast("long")
+                - F.lag(F.col("mean_luma").cast("long")).over(w)
+            ),
+        )
+        .filter(F.col("dl").isNotNull())
+    )
+    return deltas.groupBy("doc_id").agg(
+        F.count(F.when(F.col("dl") > 10, 1)).cast("long").alias("n_cuts"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("mean_abs_delta"),
+    )

@@ -150,16 +150,25 @@ def cogroup_asof_pandas(spark, sf_dir):
     DuckDB oracle replays with a native ASOF LEFT JOIN.  Events with no
     prior order surface as NULL (left semantics).  At 100 TB this is
     one co-partitioned shuffle per side — same wire cost as the
-    equi-join formulation (#22) — with per-key python work instead of
-    a JVM aggregate; prefer #22's built-in form unless the per-group
-    logic genuinely needs pandas."""
+    equi-join formulation (#22) — with python work per GROUP; the
+    production discipline (round-9, after the r8 sweep measured 38 s
+    here) is therefore to cogroup on a BUCKET of keys, not the raw
+    key: one ``merge_asof(by='user_id')`` call handles every key in
+    the bucket, so the per-call Python/Arrow overhead is paid
+    |buckets| times instead of |keys| times (and never for the
+    right-only keys the unfiltered r8 form paid empty calls for —
+    the right side is now pre-filtered to the left's key range).
+    Prefer #22's built-in form unless the per-group logic genuinely
+    needs pandas."""
     e = (
         table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 200)
         .select("event_id", "user_id", "ts_us")
     )
-    o = table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 200)  # match the left key range
+        .select(F.col("o_custkey").alias("user_id"), "o_orderdate")
     )
     out_schema = StructType(
         [
@@ -170,13 +179,23 @@ def cogroup_asof_pandas(spark, sf_dir):
     )
 
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(
+                {"event_id": [], "user_id": [], "last_order_ts": []}
+            ).astype(
+                {"event_id": "int64", "user_id": "int64",
+                 "last_order_ts": "datetime64[us]"}
+            )
+        # merge_asof(by=) needs time-sorted frames; 'by' pairs the
+        # keys inside the bucket
         left = left.sort_values("ts_us")
         right = right.sort_values("o_orderdate")
         merged = pd.merge_asof(
             left,
-            right[["o_orderdate"]],
+            right[["user_id", "o_orderdate"]],
             left_on="ts_us",
             right_on="o_orderdate",
+            by="user_id",
             direction="backward",
         )
         return pd.DataFrame(
@@ -187,9 +206,10 @@ def cogroup_asof_pandas(spark, sf_dir):
             }
         )
 
+    bucket = (F.col("user_id") % 32).alias("bk")
     return (
-        e.groupBy("user_id")
-        .cogroup(o.groupBy("user_id"))
+        e.groupBy(bucket)
+        .cogroup(o.groupBy(bucket))
         .applyInPandas(asof, out_schema)
     )
 
