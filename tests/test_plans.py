@@ -399,3 +399,22 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
         _df("sink_hive_dynamic_partition_pruning", spark, sf_dir)
     )
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_scd2_pit_join_is_equi_not_product(spark, sf_dir):
+    """scd2_point_in_time_join: the custkey equi-key must carry the
+    join (hash/sort-merge) with the validity interval as a residual —
+    a CartesianProduct or BNLJ here means the planner lost the equi
+    conjunct and the plan is O(facts x periods)."""
+    plan = formatted(_df("scd2_point_in_time_join", spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_sketch_builds_with_partial_aggregate(spark, sf_dir):
+    """cms_heavy_hitters_verified: the sketch groupBy must show a
+    map-side partial aggregate — the bounded-key (depth x width)
+    collapse is the whole scale argument of phase 1."""
+    plan = formatted(_df("cms_heavy_hitters_verified", spark, sf_dir))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
