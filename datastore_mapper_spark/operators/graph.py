@@ -57,11 +57,25 @@ def pagerank(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
     ).localCheckpoint()
     # dangling (out-degree 0) node SET is iteration-invariant; only the
-    # mass parked on it changes — materialize the set once
-    dangling_nodes = nodes.join(
-        out_deg, nodes.node == out_deg.src, "left_anti"
+    # mass parked on it changes — carry it as a flag column so the
+    # per-iteration mass rides the SAME aggregate as the delta (one
+    # driver job per iteration instead of two; with the eager
+    # checkpoint that's 2 jobs/iteration, was 3 — on a graph whose
+    # per-job cost is dominated by fixed overhead this was a third of
+    # the query's 26 s)
+    flagged = nodes.join(
+        out_deg.select(F.col("src").alias("node"),
+                       F.lit(True).alias("dang_no")),
+        "node",
+        "left",
+    ).select("node", F.col("dang_no").isNull().alias("dang"))
+    ranks = flagged.select(
+        "node", "dang", F.lit(1.0 / n).alias("rank")
     ).localCheckpoint()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    # uniform init makes the first dangling mass exact: |dangling| / n
+    dangling = (
+        ranks.agg(F.sum(F.col("dang").cast("int"))).first()[0] or 0
+    ) / n
     base = (1.0 - damping) / n
     for _ in range(max_iterations):
         contrib = (
@@ -70,17 +84,11 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inbound"))
         )
-        # mass sitting on dangling nodes redistributes uniformly
-        dangling = (
-            ranks.join(dangling_nodes, "node")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .first()
-            .m
-        )
         new_ranks = (
-            nodes.join(contrib, "node", "left")
+            flagged.join(contrib, "node", "left")
             .select(
                 "node",
+                "dang",
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -90,17 +98,25 @@ def pagerank(
             )
             .localCheckpoint()
         )
-        delta = (
+        # one aggregate yields BOTH the convergence delta and the next
+        # iteration's dangling mass
+        row = (
             new_ranks.alias("n")
-            .join(ranks.alias("o"), "node")
-            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+            .join(ranks.select("node", "rank").alias("o"), "node")
+            .agg(
+                F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"),
+                F.coalesce(
+                    F.sum(F.when(F.col("n.dang"), F.col("n.rank"))),
+                    F.lit(0.0),
+                ).alias("m"),
+            )
             .first()
-            .d
         )
         ranks = new_ranks
-        if delta < tol:
+        dangling = row.m
+        if row.d < tol:
             break
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def kcore(
