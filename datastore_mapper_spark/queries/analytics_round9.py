@@ -697,3 +697,252 @@ def union_schema_evolution_align(spark, sf_dir):
         F.col("o_orderpriority").alias("priority"),
     )
     return old_batch.unionByName(new_batch, allowMissingColumns=True)
+
+
+@query(
+    "sequence_pattern_regex_funnel",
+    "analytics",
+    oracle="""
+    WITH coded AS (
+        SELECT user_id,
+               string_agg(CASE event_type
+                          WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                          ELSE 'e' END, '' ORDER BY ts, event_id)
+                   AS journey
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (WHERE regexp_matches(journey,
+                's[^e]*p')) AS BIGINT) AS n_clean_converts,
+           CAST(count(*) FILTER (WHERE regexp_matches(journey, 'e'))
+                AS BIGINT) AS n_with_error
+    FROM coded
+    """,
+)
+def sequence_pattern_regex_funnel(spark, sf_dir):
+    """Sequence-pattern matching (the MATCH_RECOGNIZE shape, which
+    neither engine implements): each user's event history collapses
+    to a one-char-per-event journey string in exact (ts, event_id)
+    order, and the business pattern — a signup later followed by a
+    purchase with NO error in between — is one regex over it
+    (``s[^e]*p``).  Counts users matching, plus the error-touched
+    cohort.  The encode step is a single groupBy with an in-group
+    sort (array_sort of (ts, id, code) structs — no window, no second
+    shuffle); journeys are bounded by per-user event counts, and the
+    regex runs once per user, JVM-side, on both engines.  The char
+    alphabet makes the regex engine-portable (no regex-dialect
+    hazards)."""
+    e = table(spark, sf_dir, "events")
+    code = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    coded = (
+        e.select("user_id", F.struct("ts", "event_id", code.alias("c")).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda x: x["c"]
+                ),
+                "",
+            ).alias("journey")
+        )
+    )
+    return coded.agg(
+        F.count("*").alias("n_users"),
+        F.count(F.when(F.col("journey").rlike("s[^e]*p"), 1))
+        .cast("long")
+        .alias("n_clean_converts"),
+        F.count(F.when(F.col("journey").rlike("e"), 1))
+        .cast("long")
+        .alias("n_with_error"),
+    )
+
+
+@query(
+    "time_weighted_avg_balance",
+    "analytics",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS bal,
+               CAST(date_diff('day', o_orderdate,
+                    lead(o_orderdate) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)) AS BIGINT)
+                   AS days
+        FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           CAST(sum(days) AS BIGINT) AS total_days,
+           CAST(CAST(sum(bal * days) AS DOUBLE)
+                / CAST(sum(days) AS DOUBLE) AS DOUBLE) AS twab
+    FROM seq
+    WHERE days IS NOT NULL
+    GROUP BY 1
+    HAVING sum(days) > 0
+    """,
+)
+def time_weighted_avg_balance(spark, sf_dir):
+    """Time-weighted average balance — the finance-warehouse classic
+    where a plain AVG is wrong: each customer's cumulative spend
+    level is weighted by how many DAYS it was in force (until their
+    next order; the open-ended last period is excluded).  Balance
+    accumulates as DECIMAL, the day weights are exact integers, the
+    weighted sum is decimal×int (still exact), and the single double
+    division happens at the end — zero float accumulation anywhere.
+    Same-day consecutive orders get zero weight and drop out, so the
+    o_orderkey tie-break never changes the answer.  Scale: one
+    shuffle on custkey drives both windows and the final aggregate."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("bal"),
+        F.datediff(
+            F.lead(F.col("o_orderdate").cast("date")).over(w),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    return (
+        seq.filter(F.col("days").isNotNull())
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.sum("days").alias("total_days"),
+            (
+                F.sum(F.col("bal") * F.col("days")).cast("double")
+                / F.sum("days").cast("double")
+            ).alias("twab"),
+        )
+        .filter(F.col("total_days") > 0)
+        .select("custkey", "total_days", "twab")
+    )
+
+
+@query(
+    "interval_union_coverage",
+    "analytics",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + 1800000000 AS e
+        FROM events
+    ), marked AS (
+        SELECT user_id, s, e,
+               max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_max_e
+        FROM iv
+    )
+    SELECT user_id,
+           CAST(sum(greatest(e - greatest(s, COALESCE(prev_max_e, s)),
+                             0)) AS BIGINT) AS covered_us
+    FROM marked
+    GROUP BY 1
+    """,
+)
+def interval_union_coverage(spark, sf_dir):
+    """Interval-union length (sweep line): each event opens a 30-min
+    activity interval; per user, the total UNION-covered time — the
+    dedup-overlaps twin of max_concurrent_sessions' peak.  The
+    classic one-window formulation: with intervals sorted by start,
+    the new coverage of interval i is ``max(0, e_i − max(s_i,
+    running-max-end before i))``, so one window + one aggregate
+    replaces any self-join.  All arithmetic is integer microseconds
+    (epoch_us on both engines) — exact.  Scale: one shuffle on
+    user_id; the running max is a bounded-state frame."""
+    e = table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")  # unix_micros rejects NTZ; UTC session makes the relabel exact
+    iv = e.select(
+        "user_id",
+        F.unix_micros(ts).alias("s"),
+        (F.unix_micros(ts) + F.lit(1_800_000_000)).alias("e"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn("prev_max_e", F.max("e").over(w))
+    new_cov = F.greatest(
+        F.col("e")
+        - F.greatest(F.col("s"), F.coalesce(F.col("prev_max_e"), F.col("s"))),
+        F.lit(0),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum(new_cov).cast("long").alias("covered_us")
+    )
+
+
+@query(
+    "dq_referential_integrity",
+    "data-quality",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_child,
+           CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+               AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+           CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def dq_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit across the star schema — the
+    foreign-key orphan counts every warehouse loads gate on.  Each
+    edge is one anti-join-shaped aggregate (left join + null-count);
+    dimension sides broadcast, the two fact-to-fact edges shuffle on
+    their keys.  At 100 TB this is the post-load validation pass
+    that runs before anything downstream trusts the data."""
+
+    def edge(label, child, ckey, parent, pkey):
+        p = parent.select(pkey).withColumn("_hit", F.lit(1))
+        return (
+            child.select(F.col(ckey).alias("_k"))
+            .join(p, F.col("_k") == F.col(pkey), "left")
+            .agg(
+                F.lit(label).alias("fk"),
+                F.count("*").alias("n_child"),
+                F.count(F.when(F.col("_hit").isNull(), 1))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(edge("orders->customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(edge("lineitem->part", li, "l_partkey", p, "p_partkey"))
+        .unionAll(edge("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"))
+        .unionAll(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
+    )
