@@ -1407,3 +1407,118 @@ def multimodal_temporal_scene_cuts(spark, sf_dir):
         F.count(F.when(F.col("dl") > 10, 1)).cast("long").alias("n_cuts"),
         (F.sum("dl").cast("double") / F.count("*")).alias("mean_abs_delta"),
     )
+
+
+@query(
+    "corpus_top_p_by_quality",
+    "LLM-pipeline",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, lang,
+               CAST(round(
+                 0.5 * least(1.0, CAST(len(string_split(text, ' '))
+                                       AS DOUBLE) / 100.0)
+                 + 0.3 * (CAST(len(list_distinct(string_split(text, ' ')))
+                               AS DOUBLE)
+                          / len(string_split(text, ' ')))
+                 + 0.2 * least(1.0, CAST({_hits_sql('en')} AS DOUBLE) * 5
+                                    / len(string_split(text, ' '))),
+                 6) AS DECIMAL(18,6)) AS score
+        FROM documents
+    ), ranked AS (
+        SELECT lang, score,
+               sum(score) OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id) AS cum,
+               sum(score) OVER (PARTITION BY lang) AS tot
+        FROM q
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(CAST(sum(score) AS DOUBLE) AS DOUBLE) AS kept_mass,
+           CAST(CAST(max(tot) AS DOUBLE) AS DOUBLE) AS total_mass
+    FROM ranked
+    WHERE (cum - score) * 10 < tot * 9
+    GROUP BY lang
+    """,
+)
+def corpus_top_p_by_quality(spark, sf_dir):
+    """Top-p (nucleus) corpus selection — the data-curation rule that
+    keeps, per language, the SMALLEST highest-quality prefix holding
+    >= 90% of the total quality mass (keep while the mass BEFORE the
+    doc is under the bar, so the crossing doc is included).  Scores
+    are quantized to DECIMAL(18,6) (they are round(_,6) doubles on
+    both engines already), so the cumulative sums, the 90% bar —
+    cleared of its denominator as (cum−score)·10 < tot·9 — and the
+    kept set are all EXACT decimal comparisons: no float decides
+    membership.  The ordering tie-break is doc_id (§7.3-H7).  Scale:
+    one shuffle on lang drives both windows and the rollup; per-lang
+    partitions are corpus-fraction-sized, the same shape as every
+    per-lang curation pass."""
+    from ..operators import text as tx2
+
+    d = table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "lang",
+        tx2.quality_score(F.col("text")).cast("decimal(18,6)").alias("score"),
+    )
+    wcum = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    wall = Window.partitionBy("lang")
+    ranked = q.select(
+        "lang",
+        "score",
+        F.sum("score").over(wcum).alias("cum"),
+        F.sum("score").over(wall).alias("tot"),
+    )
+    return (
+        ranked.filter((F.col("cum") - F.col("score")) * 10 < F.col("tot") * 9)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("score").cast("double").alias("kept_mass"),
+            F.max("tot").cast("double").alias("total_mass"),
+        )
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    "LLM-pipeline",
+    oracle="""
+    WITH keyed AS (
+        SELECT source, md5(text) AS k FROM documents
+    ), grp AS (
+        SELECT source, k, CAST(count(*) AS BIGINT) AS c
+        FROM keyed GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_redundant,
+           CAST(CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS DOUBLE)
+               AS dup_rate
+    FROM grp
+    GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Per-source exact-duplicate rate — the curation dashboard number
+    that decides which sources get the aggressive dedup budget: docs
+    whose exact text already appeared within the same source are
+    redundant; rate = redundant/total.  Keys are md5 digests (16-byte
+    shuffle keys, the dedup_exact_digest discipline), the group-size
+    aggregate is two map-side-combining groupBys, and the one double
+    division happens on exact BIGINTs at the end."""
+    d = table(spark, sf_dir, "documents")
+    grp = d.select("source", F.md5("text").alias("k")).groupBy(
+        "source", "k"
+    ).agg(F.count("*").alias("c"))
+    return grp.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        (F.sum("c") - F.count("*")).cast("long").alias("n_redundant"),
+        (
+            (F.sum("c") - F.count("*")).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("dup_rate"),
+    )
