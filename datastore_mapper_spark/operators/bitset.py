@@ -42,6 +42,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def kernel_fits(
+    n_docs: int,
+    n_bits: int,
+    n_buckets: int = 8,
+    max_group_bytes: int = 1 << 28,
+    max_total_flops: float = 1e11,
+) -> bool:
+    """Cost-based router for :func:`blocked_pair_survivors`: the kernel
+    is the right plan only while (a) one bucket-pair's unpacked 0/1
+    matrices fit in a task's memory — (2n/B)·V·4 bytes per side — and
+    (b) the total matmul work n²·V stays under a budget.  Outside
+    that envelope the inverted-index / MinHash-LSH candidate paths
+    (operators/dedup.py) win; the two cheap statistics every corpus
+    has (doc count, vocabulary size) decide the route, measured in
+    scripts/dedup_crossover.py."""
+    group_rows = max(1, (2 * n_docs) // n_buckets)
+    group_bytes = group_rows * max(64, n_bits) * 4
+    flops = float(n_docs) * n_docs * max(64, n_bits)
+    return group_bytes <= max_group_bytes and flops <= max_total_flops
+
+
 def dictionary_ids(values: DataFrame, col: str) -> DataFrame:
     """Dense 0-based ids for the distinct values of ``col`` — the
     dictionary is vocabulary-sized (broadcast tier).  The single-

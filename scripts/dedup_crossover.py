@@ -17,6 +17,15 @@ for the three candidate-generation strategies the engine ships:
                pairs whose EVERY shared token is above-cap)
   - lsh      : MinHash banding (operators/dedup.minhash_signatures +
                lsh_candidate_pairs), exact-verified
+  - bitset   : packed-bitset blocked matmul kernel
+               (operators/bitset.blocked_pair_survivors) — exact like
+               prefix, but ~all-pairs work with a tiny per-pair
+               constant; ROUTED by operators/bitset.kernel_fits on
+               (doc count, vocabulary size) and reported as "routed
+               to index" where the router says no.  A second
+               TINY-VOCABULARY corpus section (the degenerate regime
+               where every index method collapses — the shape of the
+               round-8 fixture tail) shows where the kernel wins.
 
 Ground truth = the prefix method's output: it is proven lossless
 against a brute-force all-pairs oracle by hypothesis suites
@@ -76,6 +85,28 @@ def make_corpus(n_docs: int) -> list[tuple[int, list[str]]]:
     return docs
 
 
+def make_corpus_tiny_vocab(n_docs: int) -> list[tuple[int, list[str]]]:
+    """The DEGENERATE regime (the round-8 fixture tail's shape): ~60
+    distinct tokens total, so every token is a stopword, Σ df² ~ n²·L
+    and every inverted-index candidate rule collapses toward
+    all-pairs.  Same planted-twin construction as make_corpus."""
+    rng = random.Random(SEED + 1)
+    vocab = [f"t{i}" for i in range(60)]
+    docs: list[tuple[int, list[str]]] = []
+    next_id = 0
+    while next_id < n_docs:
+        toks = sorted(set(rng.sample(vocab, DOC_LEN)))
+        docs.append((next_id, toks))
+        next_id += 1
+        if rng.random() < DUP_FRACTION and next_id < n_docs:
+            twin = list(toks)
+            for _ in range(2):
+                twin[rng.randrange(len(twin))] = rng.choice(vocab)
+            docs.append((next_id, sorted(set(twin))))
+            next_id += 1
+    return docs
+
+
 def jaccard_ok(inter, sz1, sz2) -> bool:
     return inter * THETA[1] >= (sz1 + sz2 - inter) * THETA[0]
 
@@ -91,10 +122,15 @@ def main() -> None:
     spark = get_session("dedup-crossover")
     spark.sparkContext.setLogLevel("ERROR")
 
-    print("| corpus docs | method | time (s) | pairs | recall |")
-    print("| --- | --- | --- | --- | --- |")
-    for n in sizes:
-        corpus = make_corpus(n)
+    for label, maker in (
+        ("healthy vocab (50k tail)", make_corpus),
+        ("tiny vocab (60 tokens)", make_corpus_tiny_vocab),
+    ):
+      print(f"\n### {label}")
+      print("| corpus docs | method | time (s) | pairs | recall |")
+      print("| --- | --- | --- | --- | --- |")
+      for n in sizes:
+        corpus = maker(n)
         doc_toks = spark.createDataFrame(
             corpus, "doc_id long, toks array<string>"
         ).localCheckpoint()  # corpus generation off the clock for every method
@@ -124,12 +160,47 @@ def main() -> None:
             verified = dd.verify_jaccard(cands, docs, threshold=0.8)
             return {(r.d1, r.d2) for r in verified.collect()}
 
-        methods = [("prefix", run_prefix), ("df_cap", run_df_cap), ("lsh", run_lsh)]
+        def run_bitset():
+            from datastore_mapper_spark.operators.bitset import (
+                blocked_pair_survivors,
+                dictionary_ids,
+                kernel_fits,
+                packed_bitset,
+            )
+
+            toks = doc_toks.select("doc_id", F.explode("toks").alias("tok"))
+            gid = dictionary_ids(toks, "tok")
+            v = gid.count()
+            if not kernel_fits(n, v):
+                return None  # router: index paths win here
+            masks = packed_bitset(
+                toks.join(F.broadcast(gid), "tok").select("doc_id", "gid"),
+                "doc_id", "gid", v, "tk",
+            )
+
+            def keep(inter, s1, s2):
+                return inter["tk"] * THETA[1] >= (
+                    s1["tk"] + s2["tk"] - inter["tk"]
+                ) * THETA[0]
+
+            pairs = blocked_pair_survivors(spark, masks, "doc_id", ["tk"], keep)
+            return {(r.d1, r.d2) for r in pairs.collect()}
+
+        methods = [
+            ("prefix", run_prefix),
+            ("df_cap", run_df_cap),
+            ("lsh", run_lsh),
+            ("bitset", run_bitset),
+        ]
         truth: set | None = None
         for name, fn in methods:
             t0 = time.perf_counter()
             got = fn()
             dt = time.perf_counter() - t0
+            if got is None:
+                print(f"| {n} | {name} | — | — | routed to index (kernel_fits=False) |",
+                      flush=True)
+                continue
             if truth is None:
                 truth = got  # prefix runs first and is lossless
             recall = len(got & truth) / len(truth) if truth else 1.0

@@ -1285,3 +1285,18 @@ def test_bitset_blocked_pairs_match_bruteforce(spark):
         for a, b in combinations(sorted(sets), 2)
     }
     assert got == want
+
+
+def test_bitset_kernel_router_envelope():
+    """operators/bitset.kernel_fits: the router must accept the
+    degenerate-fixture shape the kernel was built for (small vocab,
+    thousands of docs) and reject the healthy-vocabulary shapes where
+    the unpacked matrices or the total matmul work explode."""
+    from datastore_mapper_spark.operators.bitset import kernel_fits
+
+    assert kernel_fits(5_000, 1_000)       # the sf0.1 fixture shape
+    assert kernel_fits(1_000, 50_000)      # small corpus, big vocab: fits
+    assert not kernel_fits(10_000, 50_000)   # flops blow the budget
+    assert not kernel_fits(1_000_000, 64)    # n^2 alone blows the budget
+    # memory bound: one bucket-pair's matrices must fit a task
+    assert not kernel_fits(100_000, 500_000, max_total_flops=float("inf"))
