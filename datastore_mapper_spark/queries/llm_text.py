@@ -124,6 +124,18 @@ def clean_scratch(grace_seconds: int = _SCRATCH_GRACE_SECONDS) -> list[str]:
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(d)
             continue
+        # uuid-tagged per-run streaming scratch (checkpoints, memory
+        # partials): dead the moment their query's stream stops, but
+        # nothing ever deleted them — 498 dirs had piled up by round 9.
+        # Age-based reaping is safe: no cross-run reuse by design
+        # (fresh uuid per run).
+        if re.match(
+            r"(ckpt_|stream_partials_|stream_foreach_batch_out|"
+            r"stream_rollup_state)", d
+        ) and now - mtime > grace_seconds:
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(d)
+            continue
         if d.startswith(("near_dup_edges_", "near_dup_tricredits_")):
             # group by everything before the trailing content tag; the
             # tag is the last _-separated component
