@@ -1300,3 +1300,34 @@ def test_bitset_kernel_router_envelope():
     assert not kernel_fits(1_000_000, 64)    # n^2 alone blows the budget
     # memory bound: one bucket-pair's matrices must fit a task
     assert not kernel_fits(100_000, 500_000, max_total_flops=float("inf"))
+
+
+def test_clean_scratch_reaps_only_dead_patterns(tmp_path, monkeypatch):
+    """clean_scratch: age-reaps per-run streaming dirs and dead-pid
+    sink dirs, NEVER the content-keyed reused dirs (stream_src_*,
+    newest near_dup generation) or anything younger than the grace."""
+    import os
+    import time
+
+    from datastore_mapper_spark.queries import llm_text
+
+    monkeypatch.setattr(llm_text, "_SCRATCH", str(tmp_path))
+    old = time.time() - 7200
+    keep = ["stream_src_abc", "near_dup_edges_sf_df1_tagB"]
+    reap = [
+        "ckpt_feb_deadbeef", "stream_partials_cafe",
+        "near_dup_edges_sf_df1_tagA",  # superseded generation
+        "sink_parquet_roundtrip_sf0.01_p999999",  # dead pid
+    ]
+    fresh = ["ckpt_feb_fresh"]
+    for d in keep + reap + fresh:
+        (tmp_path / d).mkdir()
+    for d in keep + reap:
+        os.utime(tmp_path / d, (old, old))
+    # tagB must stay the NEWEST generation of its prefix
+    os.utime(tmp_path / "near_dup_edges_sf_df1_tagB", (old + 60, old + 60))
+
+    removed = set(llm_text.clean_scratch(grace_seconds=3600))
+    assert removed == set(reap)
+    left = set(os.listdir(tmp_path))
+    assert set(keep + fresh) <= left
