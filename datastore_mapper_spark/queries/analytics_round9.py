@@ -946,3 +946,156 @@ def dq_referential_integrity(spark, sf_dir):
         .unionAll(edge("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"))
         .unionAll(edge("customer->nation", c, "c_nationkey", n, "n_nationkey"))
     )
+
+
+@query(
+    "percentile_cont_interpolated",
+    "stats",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(round(quantile_cont(o_totalprice, 0.5), 6) AS DOUBLE)
+               AS p50,
+           CAST(round(quantile_cont(o_totalprice, 0.95), 6) AS DOUBLE)
+               AS p95,
+           CAST(round(quantile_cont(o_totalprice, 0.99), 6) AS DOUBLE)
+               AS p99
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def percentile_cont_interpolated(spark, sf_dir):
+    """ANSI ``PERCENTILE_CONT`` — the INTERPOLATED quantile, completing
+    the family next to the exact nearest-rank forms
+    (percentiles_exact_scalable / percentiles_by_group_exact):
+    between the two straddling order statistics the answer is the
+    linear blend (1−f)·lo + f·hi, which is what BI tools mean by
+    "median".  Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share the formula; the single lerp is rounded at 6 dp on both
+    engines (the inputs are 2-dp prices, so the blend carries only a
+    few low bits of noise — §7.3-H2).  Scale: Spark's exact
+    percentile aggregates per-group sorted buffers; for corpus-scale
+    groups the two-pass range-partitioned form (operators/scale.py)
+    is the escape hatch, as documented there."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+@query(
+    "fn_explode_outer_preserves_empty",
+    "functions",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 3 = 0 THEN []
+                    ELSE string_split(o_orderpriority, '-') END AS arr
+        FROM orders WHERE o_orderkey < 500
+    )
+    SELECT k, u.part, CAST(len(arr) AS INT) AS arr_len
+    FROM src LEFT JOIN LATERAL unnest(arr) AS u(part) ON true
+    """,
+)
+def fn_explode_outer_preserves_empty(spark, sf_dir):
+    """``explode_outer`` null semantics — the ingest case a plain
+    explode silently DROPS: rows whose array is empty (or NULL) must
+    survive with a NULL element, or every downstream count loses the
+    no-attachment entities.  One third of the keys get an empty array
+    by construction; the oracle spells the same semantics as a LEFT
+    JOIN LATERAL UNNEST.  Completes the explode family next to
+    fn_explode_unnest (inner) and fn_posexplode_ordinal."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    src = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.array().cast("array<string>"))
+        .otherwise(F.split("o_orderpriority", "-"))
+        .alias("arr"),
+    )
+    return src.select(
+        "k",
+        F.explode_outer("arr").alias("part"),
+        F.size("arr").alias("arr_len"),
+    )
+
+
+@query(
+    "chunk_level_dup_rate",
+    "LLM-pipeline",
+    oracle="""
+    WITH chunks AS (
+        SELECT doc_id,
+               array_to_string(list_slice(w, s, least(s + 19, n_words)),
+                               ' ') AS chunk
+        FROM (
+            SELECT doc_id, w, len(w) AS n_words,
+                   unnest(generate_series(1, len(w), 15)) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents)
+        )
+    ), grp AS (
+        SELECT md5(chunk) AS k,
+               CAST(count(*) AS BIGINT) AS c,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM chunks GROUP BY 1
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(sum(c) - count(*) AS BIGINT) AS n_redundant,
+           CAST(count(*) FILTER (WHERE n_docs > 1) AS BIGINT)
+               AS n_cross_doc,
+           CAST(CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS DOUBLE)
+               AS dup_rate
+    FROM grp
+    """,
+)
+def chunk_level_dup_rate(spark, sf_dir):
+    """Passage-level duplication (Lee et al.'s exact-substring signal
+    at CHUNK granularity): slide the 20/15 training-chunk window over
+    every document, digest each chunk, and measure how much of the
+    chunk stream is redundant — including the count of chunks
+    repeated ACROSS documents (the boilerplate/quotation signal that
+    doc-level dedup cannot see).  Chunking is the map-only JVM path
+    of chunk_documents_overlap (whole corpus, no cap); the digest
+    groupBy shuffles 16-byte keys; the summary is one row.  At 100 TB
+    this is THE metric that decides whether passage-level dedup is
+    worth its cost on a given corpus."""
+    size, stride = 20, 15
+    d = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    d = d.select("doc_id", w.alias("w"), F.size(w).alias("n_words"))
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_words"), F.lit(stride))
+        ).alias("s"),
+        "w",
+        "n_words",
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice(
+                "w", F.col("s"),
+                F.least(F.col("s") + size - 1, F.col("n_words"))
+                - F.col("s") + 1,
+            ),
+            " ",
+        ).alias("chunk"),
+    )
+    grp = chunks.select("doc_id", F.md5("chunk").alias("k")).groupBy("k").agg(
+        F.count("*").alias("c"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return grp.agg(
+        F.sum("c").alias("n_chunks"),
+        F.count("*").alias("n_distinct"),
+        (F.sum("c") - F.count("*")).cast("long").alias("n_redundant"),
+        F.count(F.when(F.col("n_docs") > 1, 1))
+        .cast("long")
+        .alias("n_cross_doc"),
+        (
+            (F.sum("c") - F.count("*")).cast("double")
+            / F.sum("c").cast("double")
+        ).alias("dup_rate"),
+    )
