@@ -418,3 +418,22 @@ def test_cms_sketch_builds_with_partial_aggregate(spark, sf_dir):
     plan = formatted(_df("cms_heavy_hitters_verified", spark, sf_dir))
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_union_reuses_user_partitioning(spark, sf_dir):
+    """interval_union_coverage: the running-max window and the final
+    per-user aggregate must share the user_id shuffle — one logical
+    exchange (formatted plans list nodes twice: tree + detail), never
+    a second repartition or a self-join."""
+    plan = formatted(_df("interval_union_coverage", spark, sf_dir))
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_twab_single_custkey_shuffle(spark, sf_dir):
+    """time_weighted_avg_balance: both windows and the final rollup
+    ride ONE custkey exchange."""
+    plan = formatted(_df("time_weighted_avg_balance", spark, sf_dir))
+    assert plan.count("Exchange") <= 2
+    assert "CartesianProduct" not in plan
