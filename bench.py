@@ -183,7 +183,9 @@ def _drift_vs_previous_round(per_query: dict[str, float]) -> list[str]:
         prev_med = prev_queries.get(name)
         if prev_med is None:
             continue
-        lo_hi = prev_spread.get(name, [prev_med, prev_med])
+        # `or` fallback: a stored-but-empty spread list must not crash
+        # max()/min() (round-9 ADVICE)
+        lo_hi = prev_spread.get(name) or [prev_med, prev_med]
         band = max(0.15 * prev_med, max(lo_hi) - min(lo_hi))
         threshold = prev_med + band
         if med > threshold:

@@ -148,8 +148,16 @@ def blocked_pair_survivors(
     )
 
     def unpack(series) -> "np.ndarray":
-        # array<long> column -> (n, V_bits) 0/1 float32 matrix
-        packed = np.array(list(series), dtype=np.int64).view(np.uint8)
+        # array<long> column -> (n, V_bits) 0/1 float32 matrix.
+        # '<i8' pins little-endian word layout before the uint8 view:
+        # packed_bitset puts bit g of word w at g-64w counting from
+        # the word's LSB, which matches bitorder='little' only when
+        # the bytes of each word are laid out little-endian too
+        # (round-9 ADVICE — a big-endian host would silently reverse
+        # bytes within each word and miscount every intersection).
+        packed = np.ascontiguousarray(
+            np.array(list(series), dtype=np.int64), dtype="<i8"
+        ).view(np.uint8)
         n = len(series)
         bits = np.unpackbits(
             packed.reshape(n, -1), axis=1, bitorder="little"
@@ -198,3 +206,64 @@ def blocked_pair_survivors(
         return pd.DataFrame(out)
 
     return stream.groupBy("b1", "b2").applyInPandas(kernel, out_schema)
+
+
+def indexed_pair_intersections(
+    long_by_mask: dict[str, DataFrame],
+    id_col: str,
+    candidate_mask: str,
+) -> DataFrame:
+    """Inverted-index twin of :func:`blocked_pair_survivors` — the
+    route :func:`kernel_fits` picks when the corpus is big or the
+    vocabulary healthy, where unpacking (n/B)·V float32 matrices per
+    Arrow group would blow the task envelope (round-9 ADVICE: the
+    kernel must never run unconditionally).
+
+    ``long_by_mask``: mask name -> DISTINCT long-form (id_col, gid)
+    membership.  Candidate pairs share ≥1 element of
+    ``candidate_mask``; each mask's pairwise intersection count is a
+    shared-element index join (cost Σ_g df(g)² — near-linear by the
+    routing precondition), merged onto the candidates with missing
+    counts as 0.  Output schema matches the kernel exactly —
+    (d1, d2, <m>_inter, <m>_sz1, <m>_sz2, d1 < d2) — EXCEPT that no
+    predicate has been applied: callers re-state their kernel
+    ``keep()`` as a SQL filter so both routes stay exact twins.
+    """
+    masks = dict(long_by_mask)
+
+    def pair_counts(long_df: DataFrame, out: str) -> DataFrame:
+        a = long_df.select(F.col(id_col).alias("d1"), "gid")
+        b = long_df.select(F.col(id_col).alias("d2"), "gid")
+        return (
+            a.join(b, "gid")
+            .filter(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count("*").cast("long").alias(out))
+        )
+
+    cand = pair_counts(masks[candidate_mask], f"{candidate_mask}_inter")
+    for m, long_df in masks.items():
+        if m != candidate_mask:
+            cand = cand.join(pair_counts(long_df, f"{m}_inter"),
+                             ["d1", "d2"], "left")
+        sizes = long_df.groupBy(id_col).agg(
+            F.count("*").cast("long").alias(f"{m}_sz")
+        )
+        cand = (
+            cand.join(
+                sizes.select(F.col(id_col).alias("d1"),
+                             F.col(f"{m}_sz").alias(f"{m}_sz1")),
+                "d1",
+            )
+            .join(
+                sizes.select(F.col(id_col).alias("d2"),
+                             F.col(f"{m}_sz").alias(f"{m}_sz2")),
+                "d2",
+            )
+            .withColumn(f"{m}_inter",
+                        F.coalesce(F.col(f"{m}_inter"), F.lit(0)))
+        )
+    ordered = ["d1", "d2"]
+    for m in masks:
+        ordered += [f"{m}_inter", f"{m}_sz1", f"{m}_sz2"]
+    return cand.select(ordered)

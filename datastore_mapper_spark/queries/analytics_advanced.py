@@ -335,6 +335,8 @@ def containment_asymmetric_dedup(spark, sf_dir):
     from ..operators.bitset import (
         blocked_pair_survivors,
         dictionary_ids,
+        indexed_pair_intersections,
+        kernel_fits,
         packed_bitset,
     )
 
@@ -348,29 +350,41 @@ def containment_asymmetric_dedup(spark, sf_dir):
     bg_gid = dictionary_ids(sh, "g")
     n_tok = tok_gid.count()
     n_bg = bg_gid.count()
-    tok_masks = packed_bitset(
-        toks.join(F.broadcast(tok_gid), "tok").select("doc_id", "gid"),
-        "doc_id", "gid", n_tok, "tk",
-    )
-    bg_masks = packed_bitset(
-        sh.join(F.broadcast(bg_gid), "g").select("doc_id", "gid"),
-        "doc_id", "gid", n_bg, "bg",
-    )
-    docs = tok_masks.join(bg_masks, "doc_id")
+    n_docs = d.count()
+    tok_long = toks.join(F.broadcast(tok_gid), "tok").select("doc_id", "gid")
+    bg_long = sh.join(F.broadcast(bg_gid), "g").select("doc_id", "gid")
+    if kernel_fits(n_docs, max(n_tok, n_bg)):
+        tok_masks = packed_bitset(tok_long, "doc_id", "gid", n_tok, "tk")
+        bg_masks = packed_bitset(bg_long, "doc_id", "gid", n_bg, "bg")
+        docs = tok_masks.join(bg_masks, "doc_id")
 
-    def keep(inter, sz1, sz2):
-        import numpy as np
+        def keep(inter, sz1, sz2):
+            import numpy as np
 
-        small = np.minimum(sz1["tk"], sz2["tk"])
-        large = np.maximum(sz1["tk"], sz2["tk"])
-        return (
-            (inter["bg"] >= 1)
-            & (inter["tk"] == small)
-            # containment + jaccard < 0.5 ⟺ max > 2*min (integer)
-            & (large > 2 * small)
+            small = np.minimum(sz1["tk"], sz2["tk"])
+            large = np.maximum(sz1["tk"], sz2["tk"])
+            return (
+                (inter["bg"] >= 1)
+                & (inter["tk"] == small)
+                # containment + jaccard < 0.5 ⟺ max > 2*min (integer)
+                & (large > 2 * small)
+            )
+
+        pairs = blocked_pair_survivors(
+            spark, docs, "doc_id", ["tk", "bg"], keep
         )
-
-    pairs = blocked_pair_survivors(spark, docs, "doc_id", ["tk", "bg"], keep)
+    else:
+        # outside the kernel envelope (round-9 ADVICE): shared-bigram
+        # inverted-index candidates + index-joined token intersections,
+        # with the kernel's keep() re-stated as the equivalent SQL
+        pairs = indexed_pair_intersections(
+            {"tk": tok_long, "bg": bg_long}, "doc_id", "bg"
+        ).filter(
+            (F.col("bg_inter") >= 1)
+            & (F.col("tk_inter") == F.least("tk_sz1", "tk_sz2"))
+            & (F.greatest("tk_sz1", "tk_sz2")
+               > 2 * F.least("tk_sz1", "tk_sz2"))
+        )
     jac = F.col("tk_inter").cast("double") / (
         F.col("tk_sz1") + F.col("tk_sz2") - F.col("tk_inter")
     )
@@ -2620,6 +2634,8 @@ def dedup_drop_contained(spark, sf_dir):
     from ..operators.bitset import (
         blocked_pair_survivors,
         dictionary_ids,
+        indexed_pair_intersections,
+        kernel_fits,
         packed_bitset,
     )
 
@@ -2633,26 +2649,33 @@ def dedup_drop_contained(spark, sf_dir):
     bg_gid = dictionary_ids(sh, "g")
     n_tok = tok_gid.count()
     n_bg = bg_gid.count()
-    tok_masks = packed_bitset(
-        toks.join(F.broadcast(tok_gid), "tok").select("doc_id", "gid"),
-        "doc_id", "gid", n_tok, "tk",
-    )
-    bg_masks = packed_bitset(
-        sh.join(F.broadcast(bg_gid), "g").select("doc_id", "gid"),
-        "doc_id", "gid", n_bg, "bg",
-    )
-    docs = tok_masks.join(bg_masks, "doc_id")
+    n_docs = d.count()
+    tok_long = toks.join(F.broadcast(tok_gid), "tok").select("doc_id", "gid")
+    bg_long = sh.join(F.broadcast(bg_gid), "g").select("doc_id", "gid")
+    if kernel_fits(n_docs, max(n_tok, n_bg)):
+        tok_masks = packed_bitset(tok_long, "doc_id", "gid", n_tok, "tk")
+        bg_masks = packed_bitset(bg_long, "doc_id", "gid", n_bg, "bg")
+        docs = tok_masks.join(bg_masks, "doc_id")
 
-    def keep(inter, sz1, sz2):
-        import numpy as np
+        def keep(inter, sz1, sz2):
+            import numpy as np
 
-        shares_bigram = inter["bg"] >= 1
-        contained = inter["tk"] == np.minimum(sz1["tk"], sz2["tk"])
-        return shares_bigram & contained
+            shares_bigram = inter["bg"] >= 1
+            contained = inter["tk"] == np.minimum(sz1["tk"], sz2["tk"])
+            return shares_bigram & contained
 
-    contained = blocked_pair_survivors(
-        spark, docs, "doc_id", ["tk", "bg"], keep
-    )
+        contained = blocked_pair_survivors(
+            spark, docs, "doc_id", ["tk", "bg"], keep
+        )
+    else:
+        # outside the kernel envelope (round-9 ADVICE): inverted-index
+        # route with the kernel keep() re-stated in SQL
+        contained = indexed_pair_intersections(
+            {"tk": tok_long, "bg": bg_long}, "doc_id", "bg"
+        ).filter(
+            (F.col("bg_inter") >= 1)
+            & (F.col("tk_inter") == F.least("tk_sz1", "tk_sz2"))
+        )
     dropped = contained.select(
         F.when(F.col("tk_sz1") < F.col("tk_sz2"), F.col("d1"))
         .when(F.col("tk_sz2") < F.col("tk_sz1"), F.col("d2"))

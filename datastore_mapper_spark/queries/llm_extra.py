@@ -746,6 +746,8 @@ def dedup_bigram_jaccard(spark, sf_dir):
     from ..operators.bitset import (
         blocked_pair_survivors,
         dictionary_ids,
+        indexed_pair_intersections,
+        kernel_fits,
         packed_bitset,
     )
     from ..operators.dedup import word_bigrams
@@ -754,18 +756,26 @@ def dedup_bigram_jaccard(spark, sf_dir):
     sh = word_bigrams(d)
     gid = dictionary_ids(sh, "g")
     n_bits = gid.count()  # vocabulary size — dictionary-tier scalar
+    n_docs = d.count()  # parquet-metadata count, no scan
     shi = sh.join(F.broadcast(gid), "g").select("doc_id", "gid")
-    docs = packed_bitset(shi, "doc_id", "gid", n_bits, "bg")
+    if kernel_fits(n_docs, n_bits):
+        docs = packed_bitset(shi, "doc_id", "gid", n_bits, "bg")
 
-    def keep(inter, sz1, sz2):
-        import numpy as np
+        def keep(inter, sz1, sz2):
+            import numpy as np
 
-        small = np.minimum(sz1["bg"], sz2["bg"])
-        large = np.maximum(sz1["bg"], sz2["bg"])
-        # candidate rule (share >= 1 shingle) + integer size bound
-        return (inter["bg"] >= 1) & (5 * small >= 3 * large)
+            small = np.minimum(sz1["bg"], sz2["bg"])
+            large = np.maximum(sz1["bg"], sz2["bg"])
+            # candidate rule (share >= 1 shingle) + integer size bound
+            return (inter["bg"] >= 1) & (5 * small >= 3 * large)
 
-    pairs = blocked_pair_survivors(spark, docs, "doc_id", ["bg"], keep)
+        pairs = blocked_pair_survivors(spark, docs, "doc_id", ["bg"], keep)
+    else:
+        # healthy vocabulary / larger corpus: the shared-shingle
+        # inverted index is the subquadratic plan (round-9 ADVICE —
+        # never run the O(n²·V) kernel outside its envelope); the
+        # jac >= 0.6 filter below subsumes the kernel's size prune
+        pairs = indexed_pair_intersections({"bg": shi}, "doc_id", "bg")
     jac = F.col("bg_inter").cast("double") / (
         F.col("bg_sz1") + F.col("bg_sz2") - F.col("bg_inter")
     )

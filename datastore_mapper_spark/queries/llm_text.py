@@ -67,10 +67,16 @@ def _read_or_build_snapshot(spark, dirname: str, build) -> DataFrame:
         os.makedirs(_SCRATCH, exist_ok=True)
         tmp = f"{path}.tmp-{os.getpid()}"
         build().write.mode("overwrite").parquet(tmp)
+        # Round-9 ADVICE: re-check AFTER the build.  A concurrent
+        # builder may have installed a COMPLETED (_SUCCESS-bearing)
+        # snapshot while ours was running; rmtree'ing it here would
+        # yank part files out from under any session that already
+        # resolved a read plan against it.  Only a _SUCCESS-less final
+        # dir (crash garbage from the pre-atomic layout) is removable.
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return spark.read.parquet(path)
         if os.path.isdir(path):
-            # pre-atomic-layout garbage (a crashed direct write can
-            # leave a _SUCCESS-less final dir); no reader accepts a
-            # dir without _SUCCESS, so removal is safe
             shutil.rmtree(path, ignore_errors=True)
         try:
             os.rename(tmp, path)

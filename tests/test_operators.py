@@ -1331,3 +1331,58 @@ def test_clean_scratch_reaps_only_dead_patterns(tmp_path, monkeypatch):
     assert removed == set(reap)
     left = set(os.listdir(tmp_path))
     assert set(keep + fresh) <= left
+
+
+def test_indexed_pair_route_matches_kernel(spark):
+    """operators/bitset.indexed_pair_intersections (the kernel_fits=False
+    route, round-9 ADVICE) must be an exact twin of the blocked kernel
+    on every candidate pair (>= 1 shared element of the candidate
+    mask), same adversarial corpus as the kernel differential."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.operators.bitset import (
+        dictionary_ids,
+        indexed_pair_intersections,
+    )
+
+    sets = {
+        1: {"a", "b", "c"},
+        2: {"a", "b", "c"},
+        3: {"a", "b"},
+        4: {"x", "y"},
+        9: {"a", "x"},
+        18: {"c", "y", "z"},
+    }
+    rows = [(i, t) for i, ts in sets.items() for t in sorted(ts)]
+    pairs_df = spark.createDataFrame(rows, "doc_id long, tok string")
+    gid = dictionary_ids(pairs_df, "tok")
+    long_df = pairs_df.join(F.broadcast(gid), "tok").select("doc_id", "gid")
+    got = {
+        (r.d1, r.d2): (r.tk_inter, r.tk_sz1, r.tk_sz2)
+        for r in indexed_pair_intersections(
+            {"tk": long_df}, "doc_id", "tk"
+        ).collect()
+    }
+    want = {
+        (a, b): (len(sets[a] & sets[b]), len(sets[a]), len(sets[b]))
+        for a, b in combinations(sorted(sets), 2)
+        if sets[a] & sets[b]  # index route only sees candidate pairs
+    }
+    assert got == want
+
+
+def test_dedup_router_routes_are_twins(spark, monkeypatch):
+    """End-to-end route equivalence (round-9 ADVICE): dedup_bigram_jaccard
+    must return the identical pair set whether kernel_fits routes it to
+    the blocked bitset kernel or the inverted-index plan."""
+    import datastore_mapper_spark.operators.bitset as bitset
+    from datastore_mapper_spark.queries.llm_extra import dedup_bigram_jaccard
+
+    sf = "/root/testdata/sf0.001"
+    kernel_rows = {tuple(r) for r in dedup_bigram_jaccard(spark, sf).collect()}
+    monkeypatch.setattr(bitset, "kernel_fits", lambda *a, **k: False)
+    index_rows = {tuple(r) for r in dedup_bigram_jaccard(spark, sf).collect()}
+    assert kernel_rows == index_rows
+    assert kernel_rows  # fixture has near-dup pairs; empty would be vacuous
