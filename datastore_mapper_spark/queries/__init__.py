@@ -33,26 +33,24 @@ from ..registry import reorder_front
 # queries (round-2 VERDICT, "Driver-grading mechanics"), so 50
 # oracle-checked rows are pinned to the front.
 #
-# ROUND-9 ROTATION (round-8 VERDICT tasks 1+5): rows 1-30 (the §2.B
-# core) stay pinned.  CORRECTNESS_r08 was 50/50 — the whole r8 window
-# is driver-green, so rows 31-50 rotate wholesale to the next 20
-# queued entries from REGISTRY.md §"Driver-grading rotation": the
-# round-7/8 session-1 additions that never had driver contact
-# (interval join, BM25, keep-best-quality dedup, n-gram span
-# coverage, hive-partitioned pruned scan, first-touch attribution,
-# embedding join, the composed multimodal pipeline, incremental
-# ingest dedup, funnel/cohort/DQ family, BPE pair counts, corpus
-# recipe, PSI drift, incremental agg maintenance, deletion cascade,
-# wav downsample) plus the two oracle-checked ANN companions
-# (`ivf_knn_bucketed`, `knn_batch_top3`) the r8 verdict asked for
-# explicitly (task 5).  `recursive_cte_date_spine` and
-# `neardup_cosine_bucketed` from the queue already hold r06 driver
-# greens, so they stay rotated out; `stream_incremental_rollup`
-# defers one round to make room for the ANN pair.  All 20 candidates
-# are oracle-checked (no rows-only) and pass testing.pandas_probe
-# inside compare_query.  The 20 r8-green rows rotate behind the
-# window where tests/test_contract_oracle.py +
-# scripts/check_contract.py still grade them every run.
+# ROUND-10 ROTATION (round-9 VERDICT tasks 1+2): rows 1-30 (the §2.B
+# core) stay pinned.  CORRECTNESS_r09 was 50/50 — the whole r9 window
+# is driver-green, so rows 31-50 rotate.  Rows 31-39 are the nine
+# §2.B rows whose LATEST driver record is a stale artifact (the
+# set-op/function-suite r04 catalog-bug reds — all green r03 and in
+# every local gate since — plus `approx_count_distinct`, whose r05
+# record was the `no_oracle` rows-only check; it is now promoted to
+# oracle-checked sketch-then-verify, so this pass records a full
+# green).  Rows 40-50 are the round-10 queue from REGISTRY.md
+# §"Driver-grading rotation": `stream_incremental_rollup` (deferred
+# twice, leads), the analytics batch (market basket, skyline,
+# capped ledger, entity resolution, heavy hitters two-phase,
+# window-frame emulation, exact per-group percentiles, exact bitmap
+# distinct-users, Misra-Gries verified top-k) and
+# `multimodal_bmp_resize_stats`.  All 20 are oracle-checked.  The 20
+# r9-green rows rotate behind the window where
+# tests/test_contract_oracle.py + scripts/check_contract.py still
+# grade them every run.
 _CONTRACT_ORDER = [
     # §2.B rows 1-13: scans + aggregation
     "scan_project", "scan_filter_pushdown", "filter_null_semantics",
@@ -67,8 +65,20 @@ _CONTRACT_ORDER = [
     "window_rank_topn_per_group", "window_row_number_dedup",
     "window_lag_lead_delta", "window_running_sum", "window_moving_avg",
     "window_ntile_first_last", "sort_multi_key_nulls", "topk_global",
-    # rows 31-50, rotated IN this round (r8 verdict tasks 1+5): the
-    # never-driver-graded round-7/8 additions + the two ANN companions
+    # rows 31-39, rotated IN round 10 (r9 verdict task 1): the nine
+    # §2.B rows with stale latest driver records
+    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
+    "fn_string_suite", "fn_math_suite", "fn_conditional", "fn_array_suite",
+    "approx_count_distinct",
+    # rows 40-50, rotated IN round 10 (r9 verdict task 2): the
+    # REGISTRY rotation queue, led by the twice-deferred rollup
+    "stream_incremental_rollup", "market_basket_lift",
+    "skyline_pareto_frontier", "ledger_capped_balance",
+    "entity_resolution_groups", "heavy_hitters_two_phase",
+    "window_groups_frame_emulated", "percentiles_by_group_exact",
+    "distinct_users_bitmap_exact", "approx_topk_misra_gries",
+    "multimodal_bmp_resize_stats",
+    # rotated out in round 10 (all r9-driver-green; local gate covers)
     "join_interval_overlap", "bm25_retrieval_topk",
     "dedup_keep_best_quality", "ngram_span_dup_coverage",
     "sink_hive_partitioned_pruned_scan", "attribution_first_touch",
@@ -115,17 +125,13 @@ _CONTRACT_ORDER = [
     # rotated out in round 6 (r5-driver-green)
     "top_terms_per_lang", "udf_python_scalar", "udf_pandas_vectorized",
     "udaf_grouped_pandas", "sink_parquet_roundtrip",
-    "approx_count_distinct", "stream_tumbling_demo",
-    "stream_dropDuplicates_demo",
+    "stream_tumbling_demo", "stream_dropDuplicates_demo",
     "fn_date_suite", "fn_explode_unnest", "fn_json_extract",
     "agg_collect_sorted",
     "tumbling_window_1h", "sliding_window_counts", "session_windows_gap30m",
     "late_data_watermark_sim",
     "dedup_exact", "dedup_near_jaccard", "knn_cosine_top10",
     "text_stats_by_lang",
-    # rotated out in round 5 (r1-r3 driver-green)
-    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
-    "fn_string_suite", "fn_math_suite", "fn_conditional", "fn_array_suite",
 ]
 
 reorder_front(_CONTRACT_ORDER)

@@ -1,8 +1,10 @@
 """Sink + approximate-aggregate contract queries (SURVEY §2.B #55–#56).
 
-Both are declared rows-only (no oracle): #55's result depends on a
-filesystem round-trip and #56 is an HLL++ estimate no exact oracle can
-reproduce.
+#55 oracles the source aggregate the round-trip must reproduce; #56
+(an HLL++ estimate no exact oracle can reproduce value-for-value) was
+promoted from rows-only to oracle-checked in round 10 via the
+sketch-then-verify pattern — the estimate stays out of the hashed
+output and a 5·rsd bound against the exact count is what's graded.
 """
 
 from __future__ import annotations
@@ -60,16 +62,43 @@ def sink_parquet_roundtrip(spark, sf_dir):
 @query(
     "approx_count_distinct",
     "approx agg",
-    oracle=None,
-    description="HLL++ distinct-user estimate per event type (rows-only).",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS cnt,
+           TRUE AS within_rsd
+    FROM events GROUP BY event_type
+    """,
+    description="HLL++ distinct-user estimate per event type, "
+    "sketch-then-verify: the estimate must land within 5x the "
+    "configured rsd of the exact count (oracle-checked).",
 )
 def approx_count_distinct(spark, sf_dir):
     """approx_count_distinct — the sketch that replaces exact distinct at
-    100 TB (mergeable across partitions, no expand shuffle)."""
+    100 TB (mergeable across partitions, no expand shuffle).
+
+    Promoted from rows-only to oracle-checked (round-9 VERDICT task 5)
+    via the sketch-then-verify pattern shared with
+    heavy_hitters_two_phase: the HLL++ value itself is engine-specific
+    so it never enters the hashed output — instead the query emits the
+    exact distinct count (oracle-able) plus a boolean asserting the
+    sketch landed within 5·rsd of it.  rsd=0.02 is a standard error,
+    so 5σ is a deterministic-in-practice bound (HLL++ is seed-fixed
+    and deterministic in Spark); verified at all three fixture SFs.
+    At 100 TB only the sketch branch runs — the exact branch here IS
+    the verification harness, exactly what a pipeline owner runs on a
+    sampled slice before trusting the sketch fleet-wide."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count("*").alias("cnt"),
+    ).select(
+        "event_type",
+        "exact_users",
+        "cnt",
+        (F.abs(F.col("_approx") - F.col("exact_users"))
+         <= 5 * 0.02 * F.col("exact_users")).alias("within_rsd"),
     )
 
 

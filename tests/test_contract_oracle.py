@@ -73,12 +73,14 @@ def test_contract_rows_registered_first():
 
     names = list(SPECS)
     assert names[: len(_CONTRACT_ORDER)] == _CONTRACT_ORDER
-    # round-9 rotation (REGISTRY.md "Driver-grading rotation"): rows
-    # 1-30 pinned §2.B core, rows 31-50 the 20 queued never-graded
-    # queries incl. the two ANN companions (r8 VERDICT tasks 1+5)
-    assert names[30] == "join_interval_overlap"
-    assert names[48:50] == ["ivf_knn_bucketed", "knn_batch_top3"]
-    # every row of the round-9 graded window is oracle-checked
+    # round-10 rotation (REGISTRY.md "Driver-grading rotation"): rows
+    # 1-30 pinned §2.B core, rows 31-39 the nine stale-record §2.B
+    # rows (r9 VERDICT task 1), rows 40-50 the rotation queue (task 2)
+    assert names[30] == "set_union_all"
+    assert names[38] == "approx_count_distinct"
+    assert names[39] == "stream_incremental_rollup"
+    assert names[49] == "multimodal_bmp_resize_stats"
+    # every row of the round-10 graded window is oracle-checked
     for n in _CONTRACT_ORDER[:50]:
         assert SPECS[n].oracle is not None, n
 
