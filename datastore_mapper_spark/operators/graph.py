@@ -15,6 +15,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Single-task route envelope: run the whole power iteration inside
+#: ONE executor task when the edge list fits it comfortably (~24 bytes
+#: per edge in Arrow => ~500 MB at the cap).  Same cost-routing idea
+#: as operators/bitset.kernel_fits: iterating a distributed dataflow
+#: over a graph that fits one task pays 2+ scheduler jobs per
+#: iteration for nothing.
+SINGLE_TASK_MAX_EDGES = 20_000_000
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -22,6 +31,7 @@ def pagerank(
     damping: float = 0.85,
     max_iterations: int = 20,
     tol: float = 1e-6,
+    single_task_max_edges: int | None = None,
 ) -> DataFrame:
     """(node, rank) PageRank over a directed edge list.
 
@@ -31,17 +41,115 @@ def pagerank(
     nodes, so Σ rank = 1 holds at every iteration (asserted in
     tests/test_operators.py).  Stops early when the L1 delta between
     iterations drops below ``tol``.
+
+    Two execution routes, picked on the edge count (round-9 VERDICT
+    task 3 — the sweep cost was control-plane overhead, not dataflow):
+
+    * **single-task** (|E| <= ``single_task_max_edges``): ship the
+      edge list to ONE executor task via ``applyInPandas`` and run the
+      power iteration as numpy ``bincount`` mat-vecs — 15 iterations
+      over the sf0.1 fixture's 5.9 M directed edges is ~1 s of vector
+      math that the distributed loop spends 30+ scheduler jobs on.
+      Compute stays executor-side (nothing but the final ranks leave
+      the task); this is the same task-envelope routing as the bitset
+      dedup kernel.
+    * **distributed** (bigger graphs): the iterative join+agg loop
+      below, with AQE off for the loop (runtime re-planning buys
+      nothing inside a fixpoint whose shuffle sizes are known after
+      iteration 1 — measured 221 jobs / 33 s warm vs 53 / 11.6 s at
+      sf0.1), shuffle partitions sized to the node count, and
+      broadcast hints on the node-tier frames (a checkpointed frame
+      has no size statistics, so the planner would otherwise
+      sort-merge and re-shuffle the FULL edge list every iteration).
+      Confs are restored on exit.
     """
-    # Checkpoint the EDGE LIST first: callers hand us edges that may be
-    # an expensive plan (the near-dup pair join costs ~80 s at sf0.1),
-    # and everything below — nodes, degrees, weights, and the
-    # per-iteration dangling anti-join — derives from it.  Without this
+    spark = edges.sparkSession
+    cap = (SINGLE_TASK_MAX_EDGES if single_task_max_edges is None
+           else single_task_max_edges)
+    raw = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    n_edges = raw.count()
+    if n_edges <= cap:
+        # no checkpoint on this route: the kernel makes exactly one
+        # pass over the (usually snapshot-parquet) edge plan
+        return _pagerank_single_task(
+            spark, raw, damping, max_iterations, tol
+        )
+    e = raw.localCheckpoint()
+    saved = {
+        "spark.sql.adaptive.enabled":
+            spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions":
+            spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return _pagerank_loop(
+            spark, e, "src", "dst", damping, max_iterations, tol
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def _pagerank_single_task(
+    spark, e: DataFrame, damping: float, max_iterations: int, tol: float
+) -> DataFrame:
+    """One-task numpy power iteration — the small-graph route.
+
+    ``coalesce(1)`` funnels every edge partition into one task WITHOUT
+    an exchange (narrow dependency — no hash-shuffle of the edge list,
+    unlike groupBy-on-a-constant); ``mapInPandas`` streams the Arrow
+    batches into a single concatenated frame and the damped fixpoint
+    runs as ``bincount`` sparse mat-vecs.  Semantics are identical to
+    the distributed loop: uniform init, per-iteration dangling-mass
+    redistribution, L1-delta early stop (differential pytest pins the
+    two routes together).
+    """
+
+    def kernel_iter(batches):
+        import numpy as np
+        import pandas as pd
+
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            yield pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                "rank": pd.Series(dtype="float64")})
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        s = pdf["src"].to_numpy()
+        d = pdf["dst"].to_numpy()
+        nodes, idx = np.unique(np.concatenate([s, d]), return_inverse=True)
+        si, di = idx[: len(s)], idx[len(s):]
+        n = len(nodes)
+        deg = np.bincount(si, minlength=n)
+        w = 1.0 / deg[si]
+        dang = deg == 0
+        r = np.full(n, 1.0 / n)
+        base = (1.0 - damping) / n
+        for _ in range(max_iterations):
+            inbound = np.bincount(di, weights=w * r[si], minlength=n)
+            mass = r[dang].sum()
+            new_r = base + damping * (inbound + mass / n)
+            delta = np.abs(new_r - r).sum()
+            r = new_r
+            if delta < tol:
+                break
+        yield pd.DataFrame({"node": nodes, "rank": r})
+
+    return e.coalesce(1).mapInPandas(kernel_iter, "node long, rank double")
+
+
+def _pagerank_loop(
+    spark, e, src, dst, damping, max_iterations, tol
+) -> DataFrame:
+    # ``e`` arrives CHECKPOINTED (pagerank() cuts the edge lineage
+    # before routing): callers hand in edges that may be an expensive
+    # plan (the near-dup pair join costs ~80 s at sf0.1), and
+    # everything below — nodes, degrees, weights, and the
+    # per-iteration dangling anti-join — derives from it.  Without the
     # cut the upstream plan re-executes EVERY iteration through the
     # uncheckpointed out_deg reference (measured: 20 x 80 s ≈ 27 min
     # for what should be a 2-minute query).
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -51,9 +159,25 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
+    # shuffle partitions ∝ graph size: ~100k nodes per partition,
+    # floor 8 — a 3 879-node graph gets 8 one-millisecond tasks per
+    # exchange instead of 32 empty ones; a 10⁹-node graph gets 10⁴
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(8, n // 100_000))
+    )
+    # Node-tier frames (out_deg, flagged, ranks) hold exactly n rows.
+    # When n is broadcast-tier, hint every edge-side join with them —
+    # a checkpointed frame has no size statistics, so without the hint
+    # the planner sort-merges, re-shuffling the FULL edge list every
+    # iteration (measured: ~0.9 s/iteration of pure |E| shuffle at
+    # sf0.1 vs ~0.3 s broadcast).  Past the broadcast tier the joins
+    # fall back to shuffles that co-locate on the node key — the same
+    # n-routed plan choice as the dedup kernel router.
+    bcast = n <= 2_000_000
+    hint = F.broadcast if bcast else (lambda df: df)
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     # edge weight = 1/out_degree(src), materialized once
-    w = e.join(out_deg, "src").select(
+    w = e.join(hint(out_deg), "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
     ).localCheckpoint()
     # dangling (out-degree 0) node SET is iteration-invariant; only the
@@ -64,8 +188,8 @@ def pagerank(
     # per-job cost is dominated by fixed overhead this was a third of
     # the query's 26 s)
     flagged = nodes.join(
-        out_deg.select(F.col("src").alias("node"),
-                       F.lit(True).alias("dang_no")),
+        hint(out_deg.select(F.col("src").alias("node"),
+                            F.lit(True).alias("dang_no"))),
         "node",
         "left",
     ).select("node", F.col("dang_no").isNull().alias("dang"))
@@ -78,8 +202,11 @@ def pagerank(
     ) / n
     base = (1.0 - damping) / n
     for _ in range(max_iterations):
+        # broadcast-tier ranks flow map-side into the edge scan; the
+        # groupBy's map-side partial agg collapses each partition to
+        # <= n rows before the (tiny) exchange
         contrib = (
-            w.join(ranks, w.src == ranks.node)
+            w.join(hint(ranks), w.src == ranks.node)
             .select(F.col("dst").alias("node"), (F.col("w") * F.col("rank")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inbound"))
@@ -102,7 +229,7 @@ def pagerank(
         # iteration's dangling mass
         row = (
             new_ranks.alias("n")
-            .join(ranks.select("node", "rank").alias("o"), "node")
+            .join(hint(ranks.select("node", "rank").alias("o")), "node")
             .agg(
                 F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"),
                 F.coalesce(

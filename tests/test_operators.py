@@ -1386,3 +1386,40 @@ def test_dedup_router_routes_are_twins(spark, monkeypatch):
     index_rows = {tuple(r) for r in dedup_bigram_jaccard(spark, sf).collect()}
     assert kernel_rows == index_rows
     assert kernel_rows  # fixture has near-dup pairs; empty would be vacuous
+
+
+def test_pagerank_routes_are_twins_and_job_count(spark):
+    """Round-9 VERDICT task 3: (a) the single-task numpy route and the
+    distributed join+agg loop must agree to float tolerance on a graph
+    with dangling nodes and multiple components; (b) the single-task
+    route (the one every fixture-sized graph takes) must stay a
+    constant-job query — the r9 sweep regression was the distributed
+    loop's per-iteration scheduler overhead silently multiplying."""
+    from datastore_mapper_spark.operators.graph import pagerank
+
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (5, 6)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    single = {
+        r.node: r.rank
+        for r in pagerank(edges, max_iterations=40).collect()
+    }
+    dist = {
+        r.node: r.rank
+        for r in pagerank(
+            edges, max_iterations=40, single_task_max_edges=0
+        ).collect()
+    }
+    assert single.keys() == dist.keys()
+    for k in single:
+        assert abs(single[k] - dist[k]) < 1e-9, (k, single[k], dist[k])
+
+    sc = spark.sparkContext
+    sc.setJobGroup("pr_jobcount", "tripwire")
+    try:
+        pagerank(edges, max_iterations=40).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("pr_jobcount") or []
+    # routing count + kernel collect; anything per-iteration would
+    # push this past the bound
+    assert len(jobs) <= 4, f"single-task pagerank ran {len(jobs)} jobs"
