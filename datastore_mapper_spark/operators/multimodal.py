@@ -142,16 +142,194 @@ def decode_ppm(blob: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, rgb.reshape(h, w, 3)
 
 
+def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW compression of an index stream (variable-width
+    codes, LSB-first bit packing, clear/EOI, table reset at 4096, NO
+    early width change — the encoder bumps the code width one code
+    LATER than the decoder's table does, per the GIF89a appendix)."""
+    m = min_code_size
+    clear, eoi = 1 << m, (1 << m) + 1
+
+    def fresh():
+        return {(i,): i for i in range(1 << m)}, clear + 2, m + 1
+
+    table, nxt, width = fresh()
+    acc = bitpos = 0
+    out = bytearray()
+
+    def emit(code: int, w: int) -> None:
+        nonlocal acc, bitpos
+        acc |= code << bitpos
+        bitpos += w
+        while bitpos >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bitpos -= 8
+
+    emit(clear, width)
+    cur = (int(indices[0]),)
+    for px in indices[1:]:
+        cand = cur + (int(px),)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        if nxt < 4096:
+            table[cand] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table, nxt, width = fresh()
+        cur = (int(px),)
+    emit(table[cur], width)
+    emit(eoi, width)
+    if bitpos:
+        out.append(acc & 0xFF)
+    # split into <=255-byte data sub-blocks, 0x00-terminated
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return bytes(blocks)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int,
+                    n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW decompression (inverse of :func:`_lzw_encode_gif`,
+    including the KwKwK ``code == next`` case and deferred-clear
+    behavior when the table is full)."""
+    m = min_code_size
+    clear, eoi = 1 << m, (1 << m) + 1
+
+    def fresh():
+        return {i: (i,) for i in range(1 << m)}, clear + 2, m + 1
+
+    table, nxt, width = fresh()
+    out: list[int] = []
+    prev: int | None = None
+    acc = bits = pos = 0
+    while len(out) < n_pixels:
+        while bits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table, nxt, width = fresh()
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == nxt:
+            entry = table[prev] + (table[prev][0],)
+        else:
+            raise ValueError(f"corrupt LZW code {code} (next={nxt})")
+        out.extend(entry)
+        if prev is not None and nxt < 4096:
+            table[nxt] = table[prev] + (entry[0],)
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev = code
+    return np.array(out[:n_pixels], dtype=np.uint8)
+
+
+def encode_gif87a(index_pixels: np.ndarray, palette: np.ndarray) -> bytes:
+    """Encode an ``(h, w)`` uint8 palette-index array + ``(p, 3)`` RGB
+    palette as a single-image non-interlaced GIF87a — REAL LZW
+    entropy coding, the first compressed format on the in-container
+    codec path (round-9 VERDICT task 6).  ``p`` must be a power of
+    two in [2, 256]."""
+    h, w = index_pixels.shape
+    p = len(palette)
+    n = max(1, (p - 1).bit_length())  # table size = 2^n entries
+    if p != (1 << n):
+        raise ValueError(f"palette size {p} not a power of two")
+    header = b"GIF87a"
+    # logical screen descriptor: global color table, n-1 size field
+    screen = struct.pack("<HHBBB", w, h, 0x80 | ((n - 1) & 7), 0, 0)
+    gct = palette.astype(np.uint8).tobytes()
+    image = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    mcs = max(2, n)  # LZW minimum code size is 2 per spec
+    body = bytes([mcs]) + _lzw_encode_gif(index_pixels.reshape(-1), mcs)
+    return header + screen + gct + image + body + b"\x3B"
+
+
+def decode_gif87a(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of a single-image non-interlaced GIF87a/89a ->
+    ``(width, height, (h, w, 3) RGB uint8 array)``: logical screen +
+    global color table parse, extension-block skip, image descriptor,
+    LZW decompression, palette mapping.  Interlaced images and local
+    color tables raise (the encoder above never emits them)."""
+    if blob[:4] != b"GIF8" or blob[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF blob")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", blob, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        p = 2 << (packed & 7)
+        palette = np.frombuffer(
+            blob, dtype=np.uint8, count=3 * p, offset=pos
+        ).reshape(p, 3)
+        pos += 3 * p
+    while pos < len(blob):
+        marker = blob[pos]
+        pos += 1
+        if marker == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while blob[pos]:
+                pos += 1 + blob[pos]
+            pos += 1
+            continue
+        if marker == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image block")
+        if marker != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+        _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", blob, pos)
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        if ipacked & 0x80:
+            raise NotImplementedError("local color table not supported")
+        if palette is None:
+            raise ValueError("GIF image without a color table")
+        mcs = blob[pos]
+        pos += 1
+        data = bytearray()
+        while blob[pos]:
+            ln = blob[pos]
+            data.extend(blob[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        idx = _lzw_decode_gif(bytes(data), mcs, w * h)
+        rgb = palette[idx].reshape(h, w, 3)
+        return w, h, np.ascontiguousarray(rgb)
+    raise ValueError("truncated GIF")
+
+
 def decode_image(blob: bytes) -> tuple[int, int, np.ndarray]:
-    """Sniff the magic and REAL-decode an uncompressed raster blob."""
+    """Sniff the magic and REAL-decode a raster blob."""
     if blob[:2] == b"BM":
         return decode_bmp24(blob)
     if blob[:2] == b"P6":
         return decode_ppm(blob)
+    if blob[:4] == b"GIF8":
+        return decode_gif87a(blob)
     raise NotImplementedError(
-        "only uncompressed 24-bpp BMP and binary PPM decode in this "
-        "container; compressed codecs (JPEG/PNG/...) need an image "
-        "library — pass fake=True for the deterministic stand-in"
+        "only 24-bpp BMP, binary PPM and LZW GIF87a decode in this "
+        "container; other compressed codecs (JPEG/PNG/...) need an "
+        "image library — pass fake=True for the deterministic stand-in"
     )
 
 
@@ -330,6 +508,42 @@ def render_bmp_media(doc_df: DataFrame) -> DataFrame:
                 px[:, :, 1] = base + y[:, None]
                 px[:, :, 2] = base
                 blobs.append(encode_bmp24(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def render_gif_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL LZW-compressed GIF87a per document,
+    deterministically from ``doc_id`` alone: width ``(id % 11) + 2``,
+    height ``(id % 5) + 2``, a 4-color global palette with
+    ``palette[i] = (base + 17i, base + 5i, base + i)`` for
+    ``base = id % 200`` (max channel 200+51 < 256), and pixel index
+    ``x % 4`` — columns cycle through the palette, which makes the
+    LZW stream non-trivial (runs + repeats) while the decoded channel
+    means stay a closed form of ``doc_id`` a SQL oracle states exactly
+    (``multimodal_gif_decode_stats``).  ASSUMES doc_id >= 0 like every
+    render_*_media law (round-7 ADVICE: Python % vs DuckDB % sign)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id % 11) + 2
+                h = int(doc_id % 5) + 2
+                base = int(doc_id % 200)
+                pal = np.array(
+                    [(base + 17 * i, base + 5 * i, base + i)
+                     for i in range(4)],
+                    dtype=np.uint8,
+                )
+                idx = np.tile(
+                    (np.arange(w, dtype=np.uint8) % 4), (h, 1)
+                )
+                blobs.append(encode_gif87a(idx, pal))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
 
     schema = StructType(

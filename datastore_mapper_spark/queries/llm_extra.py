@@ -1532,3 +1532,50 @@ def dedup_rate_by_source(spark, sf_dir):
             / F.sum("c").cast("double")
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "multimodal_gif_decode_stats",
+    "LLM-pipeline",
+    oracle="""
+    WITH law AS (
+        SELECT doc_id,
+               (doc_id % 11) + 2 AS w,
+               (doc_id % 5) + 2 AS h,
+               doc_id % 200 AS base
+        FROM documents
+    ), idx AS (
+        -- sum of (x % 4) for x in [0, w): 6 per full cycle of 4 plus
+        -- the 0/0/1/3 partial-cycle tail
+        SELECT *,
+               6 * (w // 4) + CASE w % 4 WHEN 0 THEN 0 WHEN 1 THEN 0
+                                         WHEN 2 THEN 1 ELSE 3 END AS fw
+        FROM law
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(base * w * h + 17 * fw * h AS DOUBLE) / (w * h) AS mean_r,
+           CAST(base * w * h + 5 * fw * h AS DOUBLE) / (w * h) AS mean_g,
+           CAST(base * w * h + fw * h AS DOUBLE) / (w * h) AS mean_b
+    FROM idx
+    """,
+)
+def multimodal_gif_decode_stats(spark, sf_dir):
+    """REAL compressed-image decode, end-to-end (round-9 VERDICT task
+    6 — the first ENTROPY-CODED format on the in-container codec
+    path): render a genuine single-image GIF87a per document
+    (variable-width LZW codes, clear/EOI, sub-block framing, global
+    color table — operators/multimodal.encode_gif87a), then decode the
+    BYTES back with the pure-numpy LZW decoder (decode_gif87a) and
+    emit decoded width/height/per-channel means inside Arrow-batched
+    mapInPandas.  The palette/index law is a closed form of ``doc_id``
+    (render_gif_media), so the DuckDB oracle predicts the DECODED
+    pixel stats exactly: any mis-read of the code-width schedule, the
+    KwKwK case, sub-block boundaries, or the palette mapping shifts a
+    mean and hash-fails.  Channel sums are int64 with one exact
+    division (§7.3-H2-safe)."""
+    from ..operators.multimodal import extract_image_stats, render_gif_media
+
+    d = table(spark, sf_dir, "documents")
+    return extract_image_stats(render_gif_media(d))

@@ -60,6 +60,21 @@ def test_semi_anti_plan_as_joins(spark, sf_dir):
     assert "LeftAnti" in formatted(_df("join_anti", spark, sf_dir))
 
 
+def test_join_anti_plan_pinned(spark, sf_dir):
+    """join_anti full plan pin (round-9 VERDICT task 4 — the one
+    headline query that drifted above baseline, traced to bench noise:
+    warm medians are ~0.07 s and the plan below is already optimal).
+    The anti join must stay a BroadcastHashJoin building the FILTERED
+    side, with the price filter pushed into the orders scan — a
+    shuffle anti join or a build-left flip is a 100 TB regression."""
+    plan = formatted(_df("join_anti", spark, sf_dir))
+    assert re.search(r"BroadcastHashJoin LeftAnti BuildRight", plan), plan
+    assert "SortMergeJoin" not in plan
+    info = scan_info(_df("join_anti", spark, sf_dir))
+    pushed = ";".join(info["PushedFilters"])
+    assert "GreaterThan(o_totalprice" in pushed, pushed
+
+
 def test_tpch_q3_broadcasts_dims_and_takes_topk(spark, sf_dir):
     plan = formatted(_df("tpch_q3_shipping_priority", spark, sf_dir))
     assert "BroadcastHashJoin" in plan
