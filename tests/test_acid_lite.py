@@ -1,0 +1,108 @@
+"""sources/acid_lite.py: the transactional mechanics under test —
+atomic exclusive commits, snapshot isolation over immutable files,
+file-level copy-on-write pruning, time travel, delete semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from datastore_mapper_spark.sources import acid_lite
+
+
+@pytest.fixture()
+def tdir(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def test_commit_conflict_one_winner(spark, tdir):
+    """Two writers racing to the same version: exactly one manifest
+    lands; the loser raises CommitConflict and the winner's manifest
+    is untouched."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a")]))
+    acid_lite._commit(tdir, 2, ["data/x.parquet"], parent=1, op="test")
+    with pytest.raises(acid_lite.CommitConflict):
+        acid_lite._commit(tdir, 2, ["data/y.parquet"], parent=1, op="test")
+    m = acid_lite._read_manifest(tdir, 2)
+    assert m["files"] == ["data/x.parquet"]
+
+
+def test_append_retries_past_conflict(spark, tdir):
+    """append() must survive losing a version race by retrying on the
+    new latest."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a")]))
+    # steal version 2 out from under the append
+    acid_lite._commit(tdir, 2, acid_lite._read_manifest(tdir, 1)["files"],
+                      parent=1, op="steal")
+    v = acid_lite.append(spark, tdir, _df(spark, [(2, "b")]))
+    assert v == 3
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+
+def test_snapshot_isolation_and_time_travel(spark, tdir):
+    """A reader that resolved v1 keeps v1 even after a merge commits
+    v2 (immutable files), and read(version=1) returns v1 forever."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    old_reader = acid_lite.read(spark, tdir)  # resolves v1 files NOW
+    acid_lite.merge_upsert(
+        spark, tdir, _df(spark, [(2, "B"), (3, "c")]), key="k"
+    )
+    assert {(r.k, r.v) for r in old_reader.collect()} == {(1, "a"), (2, "b")}
+    assert {(r.k, r.v) for r in acid_lite.read(spark, tdir, 1).collect()} \
+        == {(1, "a"), (2, "b")}
+    assert {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()} \
+        == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_merge_prunes_untouched_files(spark, tdir):
+    """File-level copy-on-write: v1 files holding no matched key must
+    appear VERBATIM in the v2 manifest (carried by reference, not
+    rewritten) — the property that bounds a 100 TB merge to the files
+    the CDC keys actually hit."""
+    # two partitions split by key parity -> two disjoint file sets
+    df = _df(spark, [(i, f"r{i}") for i in range(8)]).repartition(
+        2, (acid_lite.F.col("k") % 2)
+    )
+    acid_lite.create_table(spark, tdir, df)
+    v1_files = acid_lite._read_manifest(tdir, 1)["files"]
+    assert len(v1_files) >= 2
+    # source touches only ODD keys
+    acid_lite.merge_upsert(spark, tdir, _df(spark, [(1, "X")]), key="k")
+    v2_files = set(acid_lite._read_manifest(tdir, 2)["files"])
+    carried = [f for f in v1_files if f in v2_files]
+    rewritten = [f for f in v1_files if f not in v2_files]
+    assert carried, "even-key file must carry over by reference"
+    assert rewritten, "odd-key file must be rewritten"
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    want = {(i, f"r{i}") for i in range(8) if i != 1} | {(1, "X")}
+    assert got == want
+
+
+def test_merge_delete_flag(spark, tdir):
+    """delete_col rows remove their matched target keys and are never
+    inserted."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+    )
+    src = spark.createDataFrame(
+        [(2, "ignored", True), (4, "d", False)],
+        "k bigint, v string, dead boolean",
+    )
+    acid_lite.merge_upsert(spark, tdir, src, key="k", delete_col="dead")
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a"), (3, "c"), (4, "d")}
+
+
+def test_manifest_is_json_with_lineage(spark, tdir):
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a")]))
+    acid_lite.append(spark, tdir, _df(spark, [(2, "b")]))
+    m = json.loads(open(
+        os.path.join(tdir, "manifests", "v2.json")).read())
+    assert m["parent"] == 1 and m["op"] == "append"
