@@ -1643,3 +1643,56 @@ def ivf_kmeans_recall_verified(spark, sf_dir):
         "sim",
         (F.col("ann_mass") >= 0.75 * F.col("exact_mass")).alias("quality_ok"),
     )
+
+
+@query(
+    "multimodal_gif_resize_stats",
+    "LLM-pipeline",
+    oracle="""
+    WITH law AS (
+        SELECT doc_id, (doc_id % 11) + 2 AS w, doc_id % 200 AS base
+        FROM documents
+    ), s AS (
+        SELECT doc_id, base,
+               (w // 4) % 4 + ((2 * w) // 4) % 4 + ((3 * w) // 4) % 4
+                   AS sidx
+        FROM law
+    )
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS width,
+           CAST(3 AS BIGINT) AS height,
+           CAST(12 * base + 51 * sidx AS DOUBLE) / 12 AS mean_r,
+           CAST(12 * base + 15 * sidx AS DOUBLE) / 12 AS mean_g,
+           CAST(12 * base + 3 * sidx AS DOUBLE) / 12 AS mean_b
+    FROM s
+    """,
+)
+def multimodal_gif_resize_stats(spark, sf_dir):
+    """Compressed-decode -> resize -> re-encode -> decode, end-to-end:
+    render a REAL LZW GIF87a per document, decode it (entropy decode +
+    palette mapping), nearest-neighbor resample to 4x3
+    (``src = (dst * src_dim) // dst_dim``), re-encode as BMP, decode
+    AGAIN and hash-match the channel means.  The GIF pixel law depends
+    only on the column (``channel = base + k * (x % 4)``), so the
+    post-resize mean is an exact rational of the sampled column
+    indices ``(i*w)//4`` — the oracle predicts it without seeing a
+    byte, through BOTH codecs and the resample.  Chains the whole
+    multimodal path the north-star asks for (decode, transform,
+    re-encode) in one partition-preserving mapInPandas pipeline."""
+    from ..operators.multimodal import (
+        extract_image_stats,
+        render_gif_media,
+        resize_image_real,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    resized = resize_image_real(render_gif_media(d), 4, 3)
+    stats = extract_image_stats(resized.select("doc_id", "payload"))
+    return stats.select(
+        "doc_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
