@@ -181,6 +181,7 @@ def test_near_jaccard_candidates_join_on_token(spark, sf_dir):
 # or is the documented quadratic oracle baseline whose scale path ships
 # separately (neardup_cosine_pairs -> neardup_cosine_bucketed).
 BNLJ_ALLOWED = {
+    "ivf_kmeans_recall_verified",  # 1-row sim-mass scalar crossed onto top-10
     "late_data_watermark_sim",   # 1-row watermark scalar
     "knn_cosine_top10",          # 1 query vector broadcast
     "knn_batch_top3",            # 10-row query batch broadcast

@@ -331,7 +331,10 @@ def test_compact_parquet_dir_shrinks_file_count(spark, sf_dir, tmp_path):
 def test_rolling_wau_hll_within_error(spark, sf_dir):
     """The HLL rolling-WAU estimate must sit within ~5% of the exact
     rolling distinct count for every day (default lgConfigK=12 gives
-    ~1.6% relative standard error; 5% ≈ 3 sigma)."""
+    ~1.6% relative standard error; 5% ≈ 3 sigma).  Since its round-10
+    promotion the query carries the verification itself (sketch-then-
+    verify): assert every within_bound is true AND the embedded exact
+    column matches the independent exact query."""
     from datastore_mapper_spark.registry import all_queries
 
     specs = all_queries()
@@ -339,13 +342,11 @@ def test_rolling_wau_hll_within_error(spark, sf_dir):
         r.day: r.wau
         for r in specs["rolling_weekly_active_users"].fn(spark, sf_dir).collect()
     }
-    est = {
-        r.day: r.wau_est
-        for r in specs["rolling_wau_hll_sketch"].fn(spark, sf_dir).collect()
-    }
-    assert est.keys() == exact.keys()
-    for day, ex in exact.items():
-        assert abs(est[day] - ex) <= max(2, 0.05 * ex), (day, est[day], ex)
+    got = specs["rolling_wau_hll_sketch"].fn(spark, sf_dir).collect()
+    assert {r.day for r in got} == exact.keys()
+    for r in got:
+        assert r.within_bound, (r.day, r.wau_exact)
+        assert r.wau_exact == exact[r.day], (r.day, r.wau_exact)
 
 
 def test_freqitems_contains_true_heavy_hitters(spark, sf_dir):
