@@ -120,6 +120,62 @@ def unit(vec) -> Column:
     return F.transform(vec, lambda x: x.cast("double") / n)
 
 
+#: Training pools whose float64 matrix fits under this byte cap run the
+#: one-task numpy Lloyd loop; bigger pools take the distributed
+#: join+agg iteration (tests monkeypatch this to 0 to pin the routes
+#: against each other).
+KMEANS_SINGLE_TASK_MAX_BYTES = 512 * 1024 * 1024
+
+
+def _kmeans_single_task(
+    vecs: DataFrame,
+    init: list[tuple[int, list[float]]],
+    max_iterations: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """One-task numpy Lloyd loop — the small-pool route of
+    :func:`kmeans_train`.  ``coalesce(1)`` funnels the pool into a
+    single task with no exchange; semantics mirror the distributed
+    loop exactly: ties go to the smallest centroid_id (numpy argmin =
+    first minimum = ascending-cid order), empty clusters keep their
+    previous centroid, loop stops when no assignment changes."""
+
+    def kernel(batches):
+        parts = [b for b in batches if len(b)]
+        out_ids = [cid for cid, _ in init]
+        cents = np.array([v for _, v in init], dtype=np.float64)
+        if parts and len(cents):
+            pdf = pd.concat(parts, ignore_index=True)
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            assign = None
+            for _ in range(max_iterations):
+                # pairwise squared L2 via the expanded form
+                d2 = (
+                    (x * x).sum(axis=1)[:, None]
+                    - 2.0 * (x @ cents.T)
+                    + (cents * cents).sum(axis=1)[None, :]
+                )
+                new_assign = d2.argmin(axis=1)
+                if assign is not None and np.array_equal(new_assign, assign):
+                    break
+                assign = new_assign
+                for j in range(len(cents)):
+                    members = x[assign == j]
+                    if len(members):
+                        cents[j] = members.mean(axis=0)
+        yield pd.DataFrame(
+            {
+                "centroid_id": pd.Series(out_ids, dtype="int32"),
+                "centroid": [list(c) for c in cents],
+            }
+        )
+
+    return vecs.coalesce(1).mapInPandas(
+        kernel, "centroid_id int, centroid array<double>"
+    )
+
+
 def _nearest_centroid(df: DataFrame, centroids: DataFrame, vec_col: str) -> DataFrame:
     """Attach ``cid`` = id of the L2-nearest centroid.  Centroids are
     broadcast (k rows); argmin rides a single min(struct) aggregate-free
@@ -203,6 +259,29 @@ def kmeans_train(
         .select("centroid_id", "centroid")
         .localCheckpoint()
     )
+    # Single-task route (round-10, same task-envelope cost routing as
+    # operators/bitset.kernel_fits and graph.pagerank): a Lloyd loop
+    # over a training pool that fits one task is pure scheduler
+    # overhead as a distributed dataflow — 6 iterations over the
+    # fixture's 6 000x64 floats (1.5 MB) were paying ~10 s of jobs for
+    # ~10 ms of numpy.  Init centroids/ids come from the SAME
+    # xxhash64-ordered Spark plan (k rows through the driver — the
+    # k-sized control read every trainer already does), so both routes
+    # share init, tie rule (argmin = smallest centroid_id), empty-
+    # cluster carry-over, and the no-change stop; a differential
+    # pytest pins them together.  At 100 TB train_fraction makes the
+    # pool ~10^5 vectors, which STILL fits one task — the distributed
+    # loop is the fallback for deliberately huge pools.
+    n_pool = vecs.count()
+    dim = (vecs.select(F.size(vec_col)).first() or [0])[0] if n_pool else 0
+    if n_pool and n_pool * max(1, dim) * 8 <= KMEANS_SINGLE_TASK_MAX_BYTES:
+        init = [
+            (r[0], list(r[1]))
+            for r in centroids.orderBy("centroid_id").collect()
+        ]
+        return _kmeans_single_task(
+            vecs, init, max_iterations, id_col, vec_col
+        )
     assign = None
     for _ in range(max_iterations):
         new_assign = (

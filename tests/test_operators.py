@@ -1534,3 +1534,36 @@ def test_gif_decode_rejects_unsupported():
     interlaced = bytes(blob[:ipacked_off]) + b"\x40" + bytes(blob[ipacked_off + 1:])
     with _pytest.raises(NotImplementedError):
         decode_gif87a(interlaced)
+
+
+def test_kmeans_routes_are_twins(spark, monkeypatch):
+    """kmeans_train's one-task numpy route and the distributed Lloyd
+    loop must produce the same clustering on well-separated data —
+    same init (shared xxhash64 plan), same tie rule, same stop rule;
+    centroids agree to float-accumulation tolerance."""
+    import numpy as np
+
+    import datastore_mapper_spark.operators.similarity as S
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for c in range(4):
+        center = np.zeros(8)
+        center[c * 2] = 10.0 * (c + 1)
+        rows += [
+            (i + c * 100, (center + rng.randn(8) * 0.01).tolist())
+            for i in range(50)
+        ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    single = {
+        r.centroid_id: np.array(r.centroid)
+        for r in S.kmeans_train(df, k=4, max_iterations=10).collect()
+    }
+    monkeypatch.setattr(S, "KMEANS_SINGLE_TASK_MAX_BYTES", 0)
+    dist = {
+        r.centroid_id: np.array(r.centroid)
+        for r in S.kmeans_train(df, k=4, max_iterations=10).collect()
+    }
+    assert single.keys() == dist.keys() and len(single) == 4
+    for cid in single:
+        assert np.allclose(single[cid], dist[cid], atol=1e-9), cid
