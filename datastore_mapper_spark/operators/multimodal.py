@@ -318,6 +318,119 @@ def decode_gif87a(blob: bytes) -> tuple[int, int, np.ndarray]:
     raise ValueError("truncated GIF")
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png_rgb8(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as an 8-bit truecolor
+    non-interlaced PNG — REAL DEFLATE entropy coding via the stdlib
+    ``zlib`` (no image library), one scanline filter byte per row.
+    ``filter_type`` 0 (None) or 2 (Up) — 2 exercises the unfilter path
+    with actual reconstruction arithmetic."""
+    import struct as _s
+    import zlib
+
+    h, w, _ = pixels.shape
+    if filter_type == 0:
+        raw = b"".join(
+            b"\x00" + pixels[y].tobytes() for y in range(h)
+        )
+    elif filter_type == 2:  # Up: delta vs the row above (row 0 vs zeros)
+        prev = np.zeros((w, 3), dtype=np.uint8)
+        rows = []
+        for y in range(h):
+            rows.append(b"\x02" + ((pixels[y] - prev) & 0xFF)
+                        .astype(np.uint8).tobytes())
+            prev = pixels[y]
+        raw = b"".join(rows)
+    else:
+        raise NotImplementedError(f"filter {filter_type} not emitted")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (_s.pack(">I", len(body)) + tag + body
+                + _s.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (_PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_png_rgb8(blob: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL decode of an 8-bit truecolor non-interlaced PNG ->
+    ``(width, height, (h, w, 3) RGB uint8)``: chunk walk with CRC
+    verification, stdlib-zlib INFLATE of the concatenated IDAT stream,
+    and full scanline UNFILTERING — all five PNG filter types (None,
+    Sub, Up, Average, Paeth) reconstructed per the spec.  Palette,
+    alpha, 16-bit and interlaced variants raise loudly."""
+    import struct as _s
+    import zlib
+
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG blob")
+    pos, idat, meta = 8, [], None
+    while pos < len(blob):
+        (ln,) = _s.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + ln]
+        (crc,) = _s.unpack_from(">I", blob, pos + 8 + ln)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            meta = _s.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = meta
+    if (bit_depth, color_type, interlace) != (8, 2, 0):
+        raise NotImplementedError(
+            f"only 8-bit truecolor non-interlaced PNG decodes "
+            f"in-container (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace})"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8,
+            count=stride, offset=y * (stride + 1) + 1,
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth: sequential
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - 3] if i >= 3 else 0  # left, same channel
+                b = prev[i]
+                if ftype == 1:
+                    rec = line[i] + a
+                elif ftype == 3:
+                    rec = line[i] + (a + b) // 2
+                else:
+                    c = prev[i - 3] if i >= 3 else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                    rec = line[i] + pred
+                cur[i] = rec & 0xFF
+        else:
+            raise ValueError(f"PNG filter {ftype} invalid")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return w, h, out.reshape(h, w, 3)
+
+
 def decode_image(blob: bytes) -> tuple[int, int, np.ndarray]:
     """Sniff the magic and REAL-decode a raster blob."""
     if blob[:2] == b"BM":
@@ -326,10 +439,13 @@ def decode_image(blob: bytes) -> tuple[int, int, np.ndarray]:
         return decode_ppm(blob)
     if blob[:4] == b"GIF8":
         return decode_gif87a(blob)
+    if blob[:8] == _PNG_MAGIC:
+        return decode_png_rgb8(blob)
     raise NotImplementedError(
-        "only 24-bpp BMP, binary PPM and LZW GIF87a decode in this "
-        "container; other compressed codecs (JPEG/PNG/...) need an "
-        "image library — pass fake=True for the deterministic stand-in"
+        "only 24-bpp BMP, binary PPM, LZW GIF87a and 8-bit RGB PNG "
+        "(DEFLATE via stdlib zlib) decode in this container; JPEG and "
+        "video codecs need libraries — pass fake=True for the "
+        "deterministic stand-in"
     )
 
 
@@ -544,6 +660,40 @@ def render_gif_media(doc_df: DataFrame) -> DataFrame:
                     (np.arange(w, dtype=np.uint8) % 4), (h, 1)
                 )
                 blobs.append(encode_gif87a(idx, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def render_png_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL DEFLATE-compressed PNG per document,
+    deterministically from ``doc_id``: width ``(id % 9) + 2``, height
+    ``(id % 6) + 2``, base ``id % 150``, channels
+    ``R = base + 3x + 5y``, ``G = base + 2x``, ``B = base + y`` (max
+    206 < 256, so no wrap — the means stay closed-form rationals).
+    Even ids use scanline filter None, odd ids filter Up, so both
+    reconstruction paths run in-corpus.  ASSUMES doc_id >= 0 (see
+    render_bmp_media — %-sign semantics)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id % 9) + 2
+                h = int(doc_id % 6) + 2
+                base = int(doc_id % 150)
+                x = np.arange(w, dtype=np.int32)
+                y = np.arange(h, dtype=np.int32)
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = base + 3 * x[None, :] + 5 * y[:, None]
+                px[:, :, 1] = base + 2 * x[None, :]
+                px[:, :, 2] = base + y[:, None]
+                blobs.append(
+                    encode_png_rgb8(px, filter_type=2 if doc_id % 2 else 0)
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
 
     schema = StructType(

@@ -222,3 +222,51 @@ def target_encoding_loo(spark, sf_dir):
             (F.col("s") - F.col("cents")).cast("double") / (F.col("n") - 1),
         ).alias("loo_mean_cents"),
     )
+
+
+@query(
+    "percentile_disc_exact_by_group",
+    "stats",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.5) AS p50,
+           quantile_disc(o_totalprice, 0.95) AS p95
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def percentile_disc_exact_by_group(spark, sf_dir):
+    """ANSI ``PERCENTILE_DISC`` — the DISCRETE quantile that returns an
+    ACTUAL element (the smallest value whose cumulative share reaches
+    p, rank ceil(p·n)), completing the family next to the interpolated
+    percentile_cont_interpolated.  Implemented as the scalable
+    rank-pick: one sort-window pass assigns row_number and group
+    count, then the target rank is selected by INTEGER comparison
+    (100·rn ≥ p100·n ∧ 100·(rn−1) < p100·n ⟺ rn = ceil(p·n) exactly,
+    since every p here is a /100 rational) — no float rank arithmetic,
+    so the pick agrees with DuckDB's quantile_disc at every group size
+    including exact multiples.  The output is an exact input value —
+    zero float seams by construction, the reason PERCENTILE_DISC is
+    the quantile of choice for cross-engine contracts.  At 100 TB the
+    same two-pass form range-partitions the sort exactly like
+    percentiles_exact_scalable."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def pick(p100: int, name: str):
+        hit = (100 * F.col("rn") >= p100 * F.col("n")) & (
+            100 * (F.col("rn") - 1) < p100 * F.col("n")
+        )
+        return F.max(F.when(hit, F.col("o_totalprice"))).alias(name)
+
+    return ranked.groupBy("o_orderstatus").agg(
+        pick(25, "p25"), pick(50, "p50"), pick(95, "p95")
+    )

@@ -1696,3 +1696,46 @@ def multimodal_gif_resize_stats(spark, sf_dir):
         "mean_g",
         "mean_b",
     )
+
+
+@query(
+    "multimodal_png_decode_stats",
+    "LLM-pipeline",
+    oracle="""
+    WITH law AS (
+        SELECT doc_id,
+               (doc_id % 9) + 2 AS w,
+               (doc_id % 6) + 2 AS h,
+               doc_id % 150 AS base
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h * base + 3 * h * ((w * (w - 1)) // 2)
+                + 5 * w * ((h * (h - 1)) // 2) AS DOUBLE) / (w * h)
+               AS mean_r,
+           CAST(base + (w - 1) AS DOUBLE) AS mean_g,
+           CAST(w * h * base + w * ((h * (h - 1)) // 2) AS DOUBLE)
+               / (w * h) AS mean_b
+    FROM law
+    """,
+)
+def multimodal_png_decode_stats(spark, sf_dir):
+    """REAL PNG decode, end-to-end — DEFLATE entropy coding through
+    the stdlib zlib (no image library): render a genuine 8-bit
+    truecolor PNG per document (chunk framing, CRC32 per chunk,
+    scanline filters — even ids None, odd ids Up, so both
+    reconstruction paths run), then decode the BYTES back
+    (operators/multimodal.decode_png_rgb8: chunk walk with CRC
+    verification, inflate, full five-filter unfiltering) and emit the
+    decoded channel means inside Arrow-batched mapInPandas.  The pixel
+    law is a closed form of ``doc_id``, so the DuckDB oracle predicts
+    the DECODED stats exactly — a mis-reconstructed filter delta, a
+    stride off-by-one, or a skipped CRC shifts a mean and hash-fails.
+    With GIF/LZW this makes TWO real compressed formats in-container;
+    JPEG stays gated (needs DCT+Huffman libraries)."""
+    from ..operators.multimodal import extract_image_stats, render_png_media
+
+    d = table(spark, sf_dir, "documents")
+    return extract_image_stats(render_png_media(d))
