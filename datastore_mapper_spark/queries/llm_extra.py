@@ -1739,3 +1739,72 @@ def multimodal_png_decode_stats(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return extract_image_stats(render_png_media(d))
+
+
+@query(
+    "pq_rerank_verified",
+    "LLM-pipeline",
+    oracle="""
+    WITH q AS (
+        SELECT embedding AS qe,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(embedding) AS x)) AS qq
+        FROM embeddings WHERE vec_id = 0
+    ), sims AS (
+        SELECT e.vec_id,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x, unnest(q.qe) AS y))
+                 AS dot,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x)) AS dd,
+               q.qq AS qq
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, round(dot / (sqrt(dd) * sqrt(qq)), 4) AS sim,
+           TRUE AS quality_ok
+    FROM sims
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def pq_rerank_verified(spark, sf_dir):
+    """Oracle-checked twin of ``pq_adc_knn`` in its PRODUCTION shape —
+    coarse-shortlist-then-exact-rerank: ADC over 2-byte PQ codes
+    retrieves a 50-candidate shortlist (scanning codes, never raw
+    vectors), the shortlist alone is re-scored with exact cosine, and
+    the reranked top-10's similarity mass must reach 75 % of the
+    exact top-10's.  Raw 2-byte ADC@10 only captures ~0.34-0.44 of the
+    exact mass on this near-uniform-sphere fixture (measured — 16
+    bits for 64 dims is extreme compression and the fixture is ANN's
+    hardest case); the 5x-shortlist rerank recovers 0.84-0.93, which
+    is exactly why every deployed PQ system reranks.  As with
+    ivf_kmeans_recall_verified, the hashed output is the exact top-10
+    (oracle-able); the PQ pipeline's quality rides the boolean."""
+    from .llm_vector import cosine_scored
+
+    scored = cosine_scored(spark, sf_dir)
+    exact = scored.orderBy(F.col("sim").desc(), F.col("vec_id")).limit(10)
+    e = table(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    if qrow is None:
+        return exact.withColumn("quality_ok", F.lit(True))
+    cb = sim.pq_train(e, m=4, k=16, max_iterations=4)
+    codes = sim.pq_encode(e, cb, m=4)
+    shortlist = sim.pq_adc_topk(
+        codes, cb, list(qrow.embedding), k=50, m=4
+    ).select("vec_id")
+    reranked = (
+        scored.join(F.broadcast(shortlist), "vec_id")
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+    mass = (
+        reranked.agg(F.sum("sim").alias("rr_mass"))
+        .crossJoin(exact.agg(F.sum("sim").alias("exact_mass")))
+    )
+    return exact.crossJoin(F.broadcast(mass)).select(
+        "vec_id",
+        "sim",
+        (F.col("rr_mass") >= 0.75 * F.col("exact_mass")).alias("quality_ok"),
+    )
