@@ -1097,3 +1097,346 @@ def downsample_wav(media_df: DataFrame, factor: int = 2) -> DataFrame:
         [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
     )
     return media_df.mapInPandas(batches, schema)
+
+
+# --- Baseline sequential JPEG, grayscale (ITU-T T.81), pure numpy ---
+#
+# The third REAL compressed codec in-container (after LZW GIF and
+# DEFLATE PNG): Annex-K Huffman tables, zigzag, DC prediction,
+# run/size AC coding with byte stuffing, and an orthonormal 8x8 DCT
+# as two matrix multiplies.  The encoder writes an all-ones
+# quantization table, so quantization is the identity on integer
+# coefficients and the only loss is DCT rounding: constant 8x8 blocks
+# round-trip EXACTLY (DC-only spectra) — which is what lets
+# ``multimodal_jpeg_decode_stats`` hash-match a closed-form oracle —
+# and arbitrary images round-trip within +-1 (pytest-pinned).  Color
+# (YCbCr), subsampling and progressive scans raise loudly.
+
+
+# ITU-T T.81 Annex K.3 typical Huffman tables (public spec constants).
+_DC_BITS = [0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    C = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    C[0] /= np.sqrt(2.0)
+    return C
+
+_DCT = _dct_matrix()
+
+def _huff_codes(bits, vals):
+    codes, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+_DC_CODES = _huff_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _huff_codes(_AC_BITS, _AC_VALS)
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+    def put(self, code, ln):
+        self.acc = (self.acc << ln) | (code & ((1 << ln) - 1))
+        self.n += ln
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+def _amplitude_bits(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(pixels, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    out = bytearray(b"\xFF\xD8")  # SOI
+    def seg(marker, body):
+        return marker + struct.pack(">H", len(body) + 2) + body
+    out += seg(b"\xFF\xDB", bytes([0]) + bytes([1] * 64))
+    out += seg(b"\xFF\xC0", struct.pack(">BHHB", 8, h, w, 1)
+               + bytes([1, 0x11, 0]))
+    out += seg(b"\xFF\xC4", bytes([0x00]) + bytes(_DC_BITS[1:]) + bytes(_DC_VALS))
+    out += seg(b"\xFF\xC4", bytes([0x10]) + bytes(_AC_BITS[1:]) + bytes(_AC_VALS))
+    out += seg(b"\xFF\xDA", bytes([1, 1, 0x00, 0, 63, 0]))
+    bw_ = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8].astype(np.float64) - 128.0
+            coef = _DCT @ blk @ _DCT.T
+            q = np.rint(coef).astype(np.int64).reshape(-1)[_ZIGZAG]
+            diff = int(q[0]) - prev_dc
+            prev_dc = int(q[0])
+            s = _category(diff)
+            c, ln = _DC_CODES[s]
+            bw_.put(c, ln)
+            if s:
+                bw_.put(_amplitude_bits(diff, s), s)
+            run = 0
+            nz = np.nonzero(q[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for i in range(1, last + 1):
+                v = int(q[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = _AC_CODES[0xF0]
+                    bw_.put(c, ln)
+                    run -= 16
+                s = _category(v)
+                c, ln = _AC_CODES[(run << 4) | s]
+                bw_.put(c, ln)
+                bw_.put(_amplitude_bits(v, s), s)
+                run = 0
+            if last < 63:
+                c, ln = _AC_CODES[0x00]
+                bw_.put(c, ln)
+    bw_.flush()
+    out += bw_.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+def _huff_tree(bits, vals):
+    # map (length, code) -> value
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+class _BitReader:
+    def __init__(self, data):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+    def _fill(self):
+        while self.n <= 24 and self.pos < len(self.d):
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.d[self.pos] if self.pos < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    b = 0  # hit a marker: feed zeros (spec padding)
+                    self.pos -= 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+    def read(self, ln):
+        if ln == 0:
+            return 0
+        self._fill()
+        if self.n < ln:
+            self.acc <<= (ln - self.n)
+            self.n = ln
+        v = (self.acc >> (self.n - ln)) & ((1 << ln) - 1)
+        self.n -= ln
+        return v
+    def huff(self, table):
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read(1)
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("bad Huffman code")
+
+def _extend(v, size):
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+def decode_jpeg_gray(blob):
+    if blob[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG blob")
+    pos = 2
+    qt = {}
+    dc_tbl = ac_tbl = None
+    h = w = None
+    while pos < len(blob):
+        assert blob[pos] == 0xFF, hex(blob[pos])
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", blob, pos)
+        body = blob[pos + 2: pos + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq:
+                    raise NotImplementedError("16-bit quant table")
+                qt[tq] = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int64)
+                i += 65
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 1:
+                raise NotImplementedError("only 8-bit grayscale baseline")
+            comp_q = body[8]  # after BHHB(6) + id + sampling
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = [0] + list(body[i + 1: i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17: i + 17 + nv])
+                t = _huff_tree(bits, vals)
+                if tc == 0:
+                    dc_tbl = t
+                else:
+                    ac_tbl = t
+                i += 17 + nv
+        elif marker == 0xDA:
+            scan = blob[pos + ln:]
+            br = _BitReader(scan)
+            bh, bw_ = -(-h // 8), -(-w // 8)
+            out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+            prev_dc = 0
+            for by in range(bh):
+                for bx in range(bw_):
+                    zz = np.zeros(64, dtype=np.int64)
+                    s = br.huff(dc_tbl)
+                    diff = _extend(br.read(s), s)
+                    prev_dc += diff
+                    zz[0] = prev_dc
+                    k = 1
+                    while k < 64:
+                        rs = br.huff(ac_tbl)
+                        if rs == 0x00:
+                            break
+                        if rs == 0xF0:
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        size = rs & 15
+                        if k > 63:
+                            raise ValueError("AC run overflow")
+                        zz[k] = _extend(br.read(size), size)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_ZIGZAG] = zz * qt[comp_q]
+                    blk = _DCT.T @ coef.reshape(8, 8) @ _DCT
+                    out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
+            px = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
+            return w, h, px[:h, :w]
+        pos += ln
+    raise ValueError("JPEG missing scan")
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+    ]
+)
+
+
+def render_jpeg_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL baseline JPEG per document, deterministically from
+    ``doc_id``: ``(id % 3) + 1`` x ``(id % 2) + 1`` blocks of 8x8,
+    block (bx, by) filled with the constant ``base + 7*bx + 13*by``
+    (base = id % 180, max 207 < 256).  Constant blocks have DC-only
+    spectra, which the all-ones quantization table round-trips
+    EXACTLY — the property that lets a SQL oracle predict the decoded
+    mean through Huffman + DCT.  ASSUMES doc_id >= 0 (%-sign
+    semantics, see render_bmp_media)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                nbx = int(doc_id % 3) + 1
+                nby = int(doc_id % 2) + 1
+                base = int(doc_id % 180)
+                bx = np.arange(nbx)
+                by = np.arange(nby)
+                vals = base + 7 * bx[None, :] + 13 * by[:, None]
+                px = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                blobs.append(encode_jpeg_gray(px.astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def extract_jpeg_stats(media_df: DataFrame) -> DataFrame:
+    """REAL-decode stats over a binary grayscale-JPEG column: decoded
+    width/height and mean luma via :func:`decode_jpeg_gray` inside
+    Arrow-batched ``mapInPandas``; luma sums accumulate in int64 with
+    one exact division (§7.3-H2-safe, like the other extract_*)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "mean_luma")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_jpeg_gray(bytes(blob))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_luma"].append(
+                    int(px.sum(dtype=np.int64)) / (w * h)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "mean_luma": pd.Series(out["mean_luma"], dtype="float64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, JPEG_STATS_SCHEMA)

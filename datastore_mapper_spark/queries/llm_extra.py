@@ -1808,3 +1808,46 @@ def pq_rerank_verified(spark, sf_dir):
         "sim",
         (F.col("rr_mass") >= 0.75 * F.col("exact_mass")).alias("quality_ok"),
     )
+
+
+@query(
+    "multimodal_jpeg_decode_stats",
+    "LLM-pipeline",
+    oracle="""
+    WITH law AS (
+        SELECT doc_id,
+               (doc_id % 3) + 1 AS nbx,
+               (doc_id % 2) + 1 AS nby,
+               doc_id % 180 AS base
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 * nbx AS INT) AS width,
+           CAST(8 * nby AS INT) AS height,
+           CAST(nbx * nby * base
+                + 7 * nby * ((nbx * (nbx - 1)) // 2)
+                + 13 * nbx * ((nby * (nby - 1)) // 2) AS DOUBLE)
+               / (nbx * nby) AS mean_luma
+    FROM law
+    """,
+)
+def multimodal_jpeg_decode_stats(spark, sf_dir):
+    """REAL baseline JPEG decode, end-to-end — the THIRD compressed
+    codec in-container (Huffman entropy coding + zigzag + DC
+    prediction + 8x8 DCT, ITU-T T.81, pure numpy): render a genuine
+    grayscale JPEG per document, decode the BYTES back
+    (operators/multimodal.decode_jpeg_gray — marker walk, Annex-K
+    Huffman tables, byte-unstuffing, dequant, IDCT) and emit decoded
+    width/height/mean luma in Arrow-batched mapInPandas.  The fixture
+    images are constant per 8x8 block, so their spectra are DC-only
+    and the all-ones quantization table makes the lossy pipeline
+    EXACT on them — the closed-form oracle predicts the decoded mean
+    through the entire entropy-coded round trip; general images
+    round-trip within +-1 (pytest).  Any Huffman mis-decode, DC
+    prediction slip, zigzag transposition, or IDCT scale error shifts
+    the mean and hash-fails.  Color/progressive JPEG stays gated
+    behind NotImplementedError (needs YCbCr + more scan types)."""
+    from ..operators.multimodal import extract_jpeg_stats, render_jpeg_media
+
+    d = table(spark, sf_dir, "documents")
+    return extract_jpeg_stats(render_jpeg_media(d))

@@ -1640,3 +1640,41 @@ def test_png_codec_round_trip_and_filters():
     bad[40] ^= 0xFF
     with _pytest.raises(ValueError):
         decode_png_rgb8(bytes(bad))
+
+
+def test_jpeg_codec_round_trips():
+    """Baseline JPEG codec: constant 8x8 blocks (DC-only spectra with
+    the all-ones quant table) must round-trip EXACTLY; arbitrary
+    images within +-1 (pure DCT rounding); non-baseline variants must
+    raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(5)
+    for bh, bw in [(1, 1), (2, 3), (3, 2)]:
+        vals = rng.randint(0, 256, (bh, bw))
+        px = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+        w, h, got = decode_jpeg_gray(encode_jpeg_gray(px))
+        assert (w, h) == (px.shape[1], px.shape[0])
+        assert np.array_equal(got, px), (bh, bw)
+
+    for shape in [(8, 8), (24, 40), (17, 13)]:  # incl. non-multiple-of-8
+        px = rng.randint(0, 256, shape).astype(np.uint8)
+        w, h, got = decode_jpeg_gray(encode_jpeg_gray(px))
+        assert (w, h) == (shape[1], shape[0])
+        err = np.abs(got.astype(int) - px.astype(int)).max()
+        assert err <= 2, f"{shape} max err {err}"
+
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(b"NOTAJPEG")
+    # flip SOF0 -> SOF2 (progressive): must refuse loudly
+    blob = bytearray(encode_jpeg_gray(px))
+    sof = blob.find(b"\xFF\xC0")
+    blob[sof + 1] = 0xC2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_gray(bytes(blob))
