@@ -270,3 +270,131 @@ def percentile_disc_exact_by_group(spark, sf_dir):
     return ranked.groupBy("o_orderstatus").agg(
         pick(25, "p25"), pick(50, "p50"), pick(95, "p95")
     )
+
+
+@query(
+    "binary_auc_exact",
+    "ml-eval",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ), ranked AS (
+        SELECT y,
+               CAST(rank() OVER (ORDER BY s) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY s) AS BIGINT) AS ties
+        FROM t
+    ), agg AS (
+        SELECT CAST(sum(y) AS BIGINT) AS np,
+               CAST(sum(1 - y) AS BIGINT) AS nn,
+               CAST(sum(CASE WHEN y = 1
+                             THEN 2 * r + ties - 1 END) AS BIGINT) AS s2
+        FROM ranked
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           CAST(s2 - np * (np + 1) AS DOUBLE) / (2 * np * nn) AS auc
+    FROM agg
+    """,
+)
+def binary_auc_exact(spark, sf_dir):
+    """Exact ROC-AUC as the Mann-Whitney rank statistic — the eval
+    metric every data-curation classifier ships with, computed
+    tie-correctly and INTEGER-CLEARED: with average ranks
+    ``r̄ = (2·minrank + ties − 1) / 2``, AUC =
+    (Σ_pos 2r̄ − n₊(n₊+1)) / (2·n₊·n₋) — numerator and denominator are
+    exact int64, so the only float op is the final division.  The plan
+    aggregates to the SCORE HISTOGRAM first (map-side combinable) and
+    prefix-sums ranks over distinct scores only, so no task ever sorts
+    the fact table and the pairwise Σ[s₊ > s₋] form (n₊·n₋ pairs)
+    never appears; at 100 TB a histogram over integer cents is
+    dictionary-tier however large the input.  Scores
+    ride as integer cents (explicit floor on both engines — the
+    double→BIGINT cast-rounding seam found by target_encoding_loo)."""
+    t = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("s"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    # one map-side-combinable aggregate to the SCORE HISTOGRAM, then
+    # the rank prefix-sum runs over distinct scores only — the
+    # unpartitioned window touches a dictionary-tier relation, never
+    # the fact table (minrank = cum_before + 1, so each positive at a
+    # tie group contributes 2·cum_before + cnt + 1 = 2·r̄)
+    hist = t.groupBy("s").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    return hist.agg(
+        F.sum("pos").alias("np"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("nn"),
+        F.sum(
+            F.col("pos")
+            * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        ).alias("s2"),
+    ).select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        ((F.col("s2") - F.col("np") * (F.col("np") + 1)).cast("double")
+         / (2 * F.col("np") * F.col("nn"))).alias("auc"),
+    )
+
+
+@query(
+    "confusion_matrix_threshold_sweep",
+    "ml-eval",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS s,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ), thr AS (
+        SELECT unnest([5000000, 10000000, 15000000, 20000000, 30000000])
+            AS thr_cents
+    )
+    SELECT thr_cents,
+           CAST(sum(CASE WHEN s >= thr_cents AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN s >= thr_cents AND y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN s < thr_cents AND y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN s < thr_cents AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn
+    FROM t CROSS JOIN thr
+    GROUP BY thr_cents
+    """,
+)
+def confusion_matrix_threshold_sweep(spark, sf_dir):
+    """Confusion matrices at a broadcast grid of decision thresholds —
+    the operating-point sweep behind every precision/recall curve.
+    One scan of the scored relation crossed with a 5-row literal
+    threshold dimension (broadcast — the pattern that scales: never
+    re-scan per threshold), conditional integer counts per cell.
+    Precision/recall/F1 are downstream integer ratios the caller
+    derives; the query ships the exact counts, which is what you
+    persist at 100 TB (the curve is re-derivable, the counts are
+    not)."""
+    t = table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("s"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+    )
+    thr = spark.createDataFrame(
+        [(v,) for v in (5000000, 10000000, 15000000, 20000000, 30000000)],
+        "thr_cents bigint",
+    )
+    hit = F.col("s") >= F.col("thr_cents")
+    pos = F.col("y") == 1
+    return (
+        t.crossJoin(F.broadcast(thr))
+        .groupBy("thr_cents")
+        .agg(
+            F.sum(F.when(hit & pos, 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(hit & ~pos, 1).otherwise(0)).alias("fp"),
+            F.sum(F.when(~hit & ~pos, 1).otherwise(0)).alias("tn"),
+            F.sum(F.when(~hit & pos, 1).otherwise(0)).alias("fn"),
+        )
+    )
