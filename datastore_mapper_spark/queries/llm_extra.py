@@ -1137,14 +1137,56 @@ def neardup_jaccard_prefix(spark, sf_dir):
     occasionally round the prefix one token short and silently drop
     pairs.  Verify stage rejoins full token arrays (exact Jaccard).
     The oracle is the exact all-pairs formulation; equality with it
-    proves losslessness end-to-end."""
+    proves losslessness end-to-end.
+
+    Cost routing (round 10, closing the sweep tail): on THIS fixture
+    the token vocabulary is 31, so even the rarest-token prefix index
+    degenerates — every prefix token is shared by hundreds of docs and
+    the candidate join materializes millions of duplicate rows before
+    the distinct (the residual ~28 s).  kernel_fits routes such
+    corpora to the packed-bitset blocked kernel (exact, same
+    (inter, sz1, sz2) integers, threshold applied as integer algebra
+    inside the kernel); the PPJoin prefix plan remains the route for
+    healthy vocabularies, where the prefix theorem actually prunes —
+    and stays pinned by the hypothesis losslessness pytest plus the
+    forced-route twin test."""
+    from ..operators.bitset import (
+        blocked_pair_survivors,
+        dictionary_ids,
+        kernel_fits,
+        packed_bitset,
+    )
     from ..operators.dedup import jaccard_prefix_candidates
 
     d = table(spark, sf_dir, "documents")
     doc_toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    scored = jaccard_prefix_candidates(doc_toks, theta_num=4, theta_den=5)
+    toks = doc_toks.select("doc_id", F.explode("toks").alias("tok"))
+    gid = dictionary_ids(toks, "tok")
+    n_bits = gid.count()
+    n_docs = d.count()
+    if kernel_fits(n_docs, n_bits):
+        long = toks.join(F.broadcast(gid), "tok").select("doc_id", "gid")
+        docs = packed_bitset(long, "doc_id", "gid", n_bits, "tk")
+
+        def keep(inter, sz1, sz2):
+            # J >= 4/5 as exact integers: 5*inter >= 4*(union)
+            return inter["tk"] * 5 >= (sz1["tk"] + sz2["tk"]
+                                       - inter["tk"]) * 4
+
+        scored = blocked_pair_survivors(
+            spark, docs, "doc_id", ["tk"], keep
+        ).select(
+            "d1", "d2",
+            F.col("tk_inter").alias("inter"),
+            F.col("tk_sz1").alias("sz1"),
+            F.col("tk_sz2").alias("sz2"),
+        )
+    else:
+        scored = jaccard_prefix_candidates(
+            doc_toks, theta_num=4, theta_den=5
+        )
     jac = F.col("inter").cast("double") / (
         F.col("sz1") + F.col("sz2") - F.col("inter")
     )

@@ -1678,3 +1678,19 @@ def test_jpeg_codec_round_trips():
     blob[sof + 1] = 0xC2
     with _pytest.raises(NotImplementedError):
         decode_jpeg_gray(bytes(blob))
+
+
+def test_prefix_jaccard_routes_are_twins(spark, monkeypatch):
+    """neardup_jaccard_prefix round-10 routing: the bitset kernel route
+    (degenerate vocab) and the PPJoin prefix route must return the
+    identical exact pair set."""
+    import datastore_mapper_spark.operators.bitset as bitset
+    from datastore_mapper_spark.registry import all_queries
+
+    fn = all_queries()["neardup_jaccard_prefix"].fn
+    sf = "/root/testdata/sf0.001"
+    kernel_rows = {tuple(r) for r in fn(spark, sf).collect()}
+    monkeypatch.setattr(bitset, "kernel_fits", lambda *a, **k: False)
+    ppjoin_rows = {tuple(r) for r in fn(spark, sf).collect()}
+    assert kernel_rows == ppjoin_rows
+    assert kernel_rows  # fixture has near-dup pairs
