@@ -119,10 +119,17 @@ def stream_stream_join_demo(spark, sf_dir):
 @query(
     "stream_stateful_user_totals",
     "streaming",
-    oracle=None,
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(floor(value * 100)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY user_id
+    """,
     description="Custom stateful operator via applyInPandasWithState: "
-    "incrementally-maintained per-user totals (rows-only; pytest "
-    "asserts equality with the batch aggregate).",
+    "incrementally-maintained per-user totals. Promoted to "
+    "oracle-checked in round 10: state accumulates integer cents "
+    "(order-independent), so the replayed final state hash-matches "
+    "the batch aggregate the oracle states.",
 )
 def stream_stateful_user_totals(spark, sf_dir):
     return streaming_user_totals(spark, sf_dir)

@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -28,16 +29,22 @@ from pyspark.sql.types import (
 
 from .demos import _run_to_memory, replay_events_stream
 
+# Totals carry value as INTEGER CENTS (floor(value*100)) rather than a
+# float running sum: integer accumulation is associative and
+# batch-order-independent, which is what makes the final state
+# hash-comparable against a SQL oracle (round-10 promotion of
+# stream_stateful_user_totals from rows-only to oracle-checked) — a
+# float sum's low bits would depend on Arrow batch boundaries.
 OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
         StructField("n_events", LongType()),
-        StructField("sum_value", DoubleType()),
+        StructField("sum_cents", LongType()),
     ]
 )
 
 STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("s", DoubleType())]
+    [StructField("n", LongType()), StructField("s", LongType())]
 )
 
 
@@ -46,12 +53,12 @@ def _update_user_totals(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, s = state.get if state.exists else (0, 0.0)
+    n, s = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        s += float(pdf["value"].sum())
+        s += int(np.floor(pdf["value"].to_numpy() * 100).sum())
     state.update((n, s))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_cents": [s]})
 
 
 def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,7 +102,7 @@ TWS_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
         StructField("n_events", LongType()),
-        StructField("sum_value", DoubleType()),
+        StructField("sum_cents", LongType()),
     ]
 )
 
@@ -106,17 +113,17 @@ class _UserTotalsProcessor(StatefulProcessor):
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._totals = handle.getValueState(
             "totals", StructType([StructField("n", LongType()),
-                                  StructField("s", DoubleType())])
+                                  StructField("s", LongType())])
         )
 
     def handleInputRows(self, key, rows, timerValues):
-        n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+        n, s = self._totals.get() if self._totals.exists() else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            s += int(np.floor(pdf["value"].to_numpy() * 100).sum())
         self._totals.update((n, s))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+            {"user_id": [key[0]], "n_events": [n], "sum_cents": [s]}
         )
 
     def close(self) -> None:

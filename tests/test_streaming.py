@@ -87,13 +87,14 @@ def test_stateful_user_totals_equals_batch(spark, sf_dir):
 
     e = table(spark, sf_dir, "events")
     batch = {
-        r.user_id: (r.n, round(r.s, 6))
+        r.user_id: (r.n, r.s)
         for r in e.groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.floor(F.col("value") * 100)).cast("long").alias("s"))
         .collect()
     }
     stream = {
-        r.user_id: (r.n_events, round(r.sum_value, 6))
+        r.user_id: (r.n_events, r.sum_cents)
         for r in SPECS["stream_stateful_user_totals"].fn(spark, sf_dir).collect()
     }
     assert stream == batch
@@ -142,9 +143,10 @@ def test_tws_user_totals_equals_batch(spark, sf_dir):
 
     e = table(spark, sf_dir, "events")
     batch = {
-        r.user_id: (r.n, round(r.s, 6))
+        r.user_id: (r.n, r.s)
         for r in e.groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.floor(F.col("value") * 100)).cast("long").alias("s"))
         .collect()
     }
 
@@ -157,14 +159,14 @@ def test_tws_user_totals_equals_batch(spark, sf_dir):
 
     if have_protobuf:
         stream = {
-            r.user_id: (r.n_events, round(r.sum_value, 6))
+            r.user_id: (r.n_events, r.sum_cents)
             for r in streaming_user_totals_tws(spark, sf_dir).collect()
         }
     else:
         with pytest.raises(StreamingQueryException, match="driver worker"):
             streaming_user_totals_tws(spark, sf_dir).collect()
         stream = {
-            r.user_id: (r.n_events, round(r.sum_value, 6))
+            r.user_id: (r.n_events, r.sum_cents)
             for r in streaming_user_totals(spark, sf_dir).collect()
         }
     assert stream == batch
