@@ -183,6 +183,7 @@ def test_near_jaccard_candidates_join_on_token(spark, sf_dir):
 BNLJ_ALLOWED = {
     "ivf_kmeans_recall_verified",  # 1-row sim-mass scalar crossed onto top-10
     "pq_rerank_verified",          # 1-row rerank-mass scalar crossed onto top-10
+    "confusion_matrix_threshold_sweep",  # 5-row literal threshold grid broadcast
     "late_data_watermark_sim",   # 1-row watermark scalar
     "knn_cosine_top10",          # 1 query vector broadcast
     "knn_batch_top3",            # 10-row query batch broadcast
