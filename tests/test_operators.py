@@ -1694,3 +1694,74 @@ def test_prefix_jaccard_routes_are_twins(spark, monkeypatch):
     ppjoin_rows = {tuple(r) for r in fn(spark, sf).collect()}
     assert kernel_rows == ppjoin_rows
     assert kernel_rows  # fixture has near-dup pairs
+
+
+def test_codec_fuzz_round_trips():
+    """Property fuzz over the three compressed codecs: random sizes,
+    palettes and pixel contents must round-trip exactly (GIF/PNG) or
+    within the DCT-rounding bound (JPEG DC-only inputs exactly)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_gif87a,
+        decode_jpeg_gray,
+        decode_png_rgb8,
+        encode_gif87a,
+        encode_jpeg_gray,
+        encode_png_rgb8,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40), h=st.integers(1, 25),
+        pbits=st.integers(1, 6), seed=st.integers(0, 2**31 - 1),
+        ftype=st.sampled_from([0, 2]),
+    )
+    def fuzz(w, h, pbits, seed, ftype):
+        rng = np.random.RandomState(seed)
+        p = 1 << pbits
+        idx = rng.randint(0, p, (h, w)).astype(np.uint8)
+        pal = rng.randint(0, 256, (p, 3)).astype(np.uint8)
+        gw, gh, rgb = decode_gif87a(encode_gif87a(idx, pal))
+        assert (gw, gh) == (w, h) and np.array_equal(rgb, pal[idx])
+
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        pw, ph, prgb = decode_png_rgb8(encode_png_rgb8(px, filter_type=ftype))
+        assert (pw, ph) == (w, h) and np.array_equal(prgb, px)
+
+        gray = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        jw, jh, jpx = decode_jpeg_gray(encode_jpeg_gray(gray))
+        assert (jw, jh) == (w, h)
+        assert np.abs(jpx.astype(int) - gray.astype(int)).max() <= 2
+
+    fuzz()
+
+
+def test_acid_merge_race_raises_conflict(spark, tmp_path, monkeypatch):
+    """Two merges racing from the same parent version: the loser must
+    raise CommitConflict (optimistic concurrency), never silently
+    clobber — and the winner's committed state must be intact after.
+    Deterministic interleaving: the loser's view of `latest_version`
+    is pinned stale, so its commit targets the version the winner
+    already took."""
+    import pytest as _pytest
+
+    from datastore_mapper_spark.sources import acid_lite
+
+    tdir = str(tmp_path / "race_tbl")
+    acid_lite.create_table(
+        spark, tdir, spark.createDataFrame([(1, "a")], "k bigint, v string")
+    )
+    # winner commits v2 out-of-band (same files, new version)
+    acid_lite._commit(tdir, 2, acid_lite._read_manifest(tdir, 1)["files"],
+                      parent=1, op="winner")
+    src = spark.createDataFrame([(1, "LOSER")], "k bigint, v string")
+    monkeypatch.setattr(acid_lite, "latest_version", lambda path: 1)
+    with _pytest.raises(acid_lite.CommitConflict):
+        acid_lite.merge_upsert(spark, tdir, src, key="k")
+    monkeypatch.undo()
+    # winner's chain intact: latest still v2, original value preserved
+    assert acid_lite.latest_version(tdir) == 2
+    assert [r.v for r in acid_lite.read(spark, tdir, 2).collect()] == ["a"]
