@@ -26,6 +26,44 @@ _SCRATCH = os.path.join(
     "_scratch",
 )
 
+# State-store partition count for the finite demo replays.  A stateful
+# streaming query spins up one state store PER shuffle partition per
+# stateful operator (a stream-stream join runs FOUR stores per
+# partition: left/right × keyToNumValues/keyWithIndexToValue), and each
+# store pays fixed per-micro-batch commit overhead (delta file + WAL
+# fsync) regardless of how many rows it holds.  At demo volume
+# (~6×10⁵ events) 32 partitions means 128 near-empty store commits per
+# batch dominating wall time — measured 9-15 s vs 3.4 s at 8 on the
+# stream-stream join (round-10 sweep regression, round-11 root cause).
+# At 100 TB the SAME sizing rule applies in reverse: partitions ∝ live
+# state volume (keys × state row size / ~200 MB per store), set before
+# the first .start() because the count is baked into the checkpoint.
+STREAM_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8")
+)
+
+
+class _state_sized_shuffle:
+    """Context manager: pin ``spark.sql.shuffle.partitions`` to the
+    demo state-store count for the duration of a streaming run, then
+    restore the batch setting.  The streaming planner captures the
+    value at ``.start()``; batch queries after the ``with`` block see
+    the original (AQE-coalesced) configuration again."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+
+    def __enter__(self):
+        self._saved = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._saved)
+        return False
+
 
 def _staged_dir(path: str) -> str:
     """The file streaming source requires a *directory*; stage the single
@@ -61,14 +99,15 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> str:
     through :func:`_append_via_batch_partials` instead (round-5 VERDICT
     "What's wrong" #2)."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_shuffle(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return name
 
 
@@ -93,16 +132,17 @@ def _append_via_batch_partials(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         partial_agg(batch_df).write.mode("append").parquet(dest)
 
-    q = (
-        stream_df.writeStream.foreachBatch(_sink)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            os.path.join(_SCRATCH, "ckpt_partials_" + uuid.uuid4().hex[:8]),
+    with _state_sized_shuffle(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.foreachBatch(_sink)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                os.path.join(_SCRATCH, "ckpt_partials_" + uuid.uuid4().hex[:8]),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     if not os.path.exists(dest):
         # zero-batch replay (empty source): schema-stable empty result
         empty = spark.createDataFrame([], stream_df.schema)
@@ -194,13 +234,14 @@ def streaming_foreach_batch_etl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(dest)
         )
 
-    q = (
-        events.writeStream.foreachBatch(_sink)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(_SCRATCH, "ckpt_feb_" + uuid.uuid4().hex[:8]))
-        .start()
-    )
-    q.awaitTermination()
+    with _state_sized_shuffle(spark):
+        q = (
+            events.writeStream.foreachBatch(_sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(_SCRATCH, "ckpt_feb_" + uuid.uuid4().hex[:8]))
+            .start()
+        )
+        q.awaitTermination()
     # explicit schema: an empty replay leaves dest absent or with zero
     # partition dirs (partitionBy writes nothing for an empty batch),
     # where schema inference would fail
@@ -415,16 +456,17 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(state, ignore_errors=True)
         os.rename(new, state)
 
-    q = (
-        events.writeStream.foreachBatch(_merge)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            os.path.join(_SCRATCH, f"ckpt_rollup_{tag}"),
+    with _state_sized_shuffle(spark):
+        q = (
+            events.writeStream.foreachBatch(_merge)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                os.path.join(_SCRATCH, f"ckpt_rollup_{tag}"),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     if not os.path.exists(os.path.join(state, "_SUCCESS")):
         # zero-batch replay (empty source): empty rollup
         return spark.createDataFrame(

@@ -410,3 +410,43 @@ def test_stream_ledger_carries_state_across_batches(spark, sf_dir):
         .collect()
     }
     assert stream_rows == batch_rows and len(stream_rows) > 0
+
+
+def test_stream_state_partitions_sized_and_restored(spark, sf_dir):
+    """Round-10 sweep regression tripwire (round-11): a stateful demo
+    stream must (a) run its state stores at STREAM_STATE_PARTITIONS —
+    not the batch shuffle setting, whose 32 near-empty store commits
+    per micro-batch dominated the stream-stream join wall time — and
+    (b) restore the batch setting afterwards so later batch queries
+    keep their AQE-coalesced configuration."""
+    from datastore_mapper_spark.streaming import demos
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    out = SPECS["stream_stream_join_demo"].fn(spark, sf_dir)
+    assert out.count() >= 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    with demos._state_sized_shuffle(spark):
+        assert (
+            spark.conf.get("spark.sql.shuffle.partitions")
+            == str(demos.STREAM_STATE_PARTITIONS)
+        )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_stream_stream_join_job_count_tripwire(spark, sf_dir):
+    """The round-10 sweep saw stream_stream_join_demo more than double
+    (8.7 s → 18.9 s) with no alarm.  Wall time is too noisy to assert
+    in CI, but the job count is deterministic: the availableNow replay
+    of a single staged file is ONE micro-batch plus the partials fold.
+    Anything that re-introduces per-store scheduling blowup or extra
+    micro-batches pushes this past the bound."""
+    sc = spark.sparkContext
+    sc.setJobGroup("ssj_jobcount", "tripwire")
+    try:
+        SPECS["stream_stream_join_demo"].fn(spark, sf_dir).collect()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("ssj_jobcount") or []
+    # schema read + source staging + micro-batch + partials read/fold;
+    # streaming internals add a few bookkeeping jobs
+    assert len(jobs) <= 12, f"stream-stream join ran {len(jobs)} jobs"
