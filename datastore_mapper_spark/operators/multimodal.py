@@ -167,6 +167,19 @@ def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
             bitpos -= 8
 
     emit(clear, width)
+    if indices.size == 0:
+        # zero-pixel stream: a legal (if degenerate) LZW body is just
+        # clear + end-of-information
+        emit(eoi, width)
+        if bitpos:
+            out.append(acc & 0xFF)
+        blocks = bytearray()
+        for i in range(0, len(out), 255):
+            chunk = out[i : i + 255]
+            blocks.append(len(chunk))
+            blocks.extend(chunk)
+        blocks.append(0)
+        return bytes(blocks)
     cur = (int(indices[0]),)
     for px in indices[1:]:
         cand = cur + (int(px),)

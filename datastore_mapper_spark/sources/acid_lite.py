@@ -139,13 +139,22 @@ def read(spark: SparkSession, path: str, version: int | None = None
 
 def append(spark: SparkSession, path: str, df: DataFrame,
            retries: int = 3) -> int:
-    """Append-only commit: parent files carry over by reference."""
+    """Append-only commit: parent files carry over by reference.  On a
+    nonexistent table (parent 0) the append CREATES it — the v1 commit
+    still goes through the same O_EXCL gate, so an append racing a
+    create has exactly one winner and the loser retries as a normal
+    append against the winner's manifest."""
+    os.makedirs(path, exist_ok=True)
     files = _write_files(df, path)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+    )
     for _ in range(retries + 1):
         parent = latest_version(path)
+        parent_files = _read_manifest(path, parent)["files"] if parent else []
         try:
-            _commit(path, parent + 1, _read_manifest(path, parent)["files"]
-                    + files, parent, "append")
+            _commit(path, parent + 1, parent_files + files, parent,
+                    "append", schema=schema if not parent else None)
             return parent + 1
         except CommitConflict:
             continue  # blind append composes with anything: retry
@@ -170,19 +179,52 @@ def merge_upsert(
       ``input_file_name()``).
     """
     parent = latest_version(path)
+    if parent == 0:
+        raise ValueError(f"table does not exist: {path}")
     manifest = _read_manifest(path, parent)
     target = read(spark, path, parent)
     src = source.localCheckpoint()  # one upstream execution, used 3x
 
-    # which data files contain at least one matched key?
-    touched = {
-        os.path.relpath(r.f, path)
-        for r in target.withColumn("f", F.expr("input_file_name()"))
+    # MERGE INTO rejects multiple source matches per target row; a
+    # duplicate-keyed CDC batch would otherwise silently multi-insert
+    # (each dup inserts, survivors anti-joined once).  One cheap agg
+    # over the already-checkpointed source catches it.
+    kc = src.agg(
+        F.count(key).alias("n"), F.count_distinct(key).alias("d")
+    ).first()
+    if kc.n != kc.d:
+        raise ValueError(
+            f"merge source has {kc.n - kc.d} duplicate '{key}' keys; "
+            "MERGE INTO requires at most one source row per target key"
+        )
+
+    # Which data files contain at least one matched key?
+    # input_file_name() returns a URI (file:/..., possibly URL-encoded
+    # and scheme-variant) — resolve it back to a manifest-relative path
+    # by taking the URI's path component and relativizing against the
+    # table root, NOT by stripping a fixed-width scheme prefix
+    # (round-10 ADVICE: 'substring(f, 6)' broke on file://host, hdfs://
+    # and %-escapes, silently carrying matched files over unrewritten).
+    from urllib.parse import unquote, urlsplit
+
+    uris = (
+        target.withColumn("f", F.input_file_name())
         .join(src.select(key), key, "left_semi")
-        .select(F.expr("substring(f, 6)").alias("f"))  # strip file:
+        .select("f")
         .distinct()
         .collect()
-    }
+    )
+    root = os.path.abspath(path)
+    touched = set()
+    for r in uris:
+        p = unquote(urlsplit(r.f).path) if ":" in r.f else r.f
+        touched.add(os.path.relpath(os.path.abspath(p), root))
+    unknown = touched - set(manifest["files"])
+    if unknown:
+        raise RuntimeError(
+            f"merge resolved scan files not present in manifest v{parent}: "
+            f"{sorted(unknown)[:3]} — input_file_name() mapping is broken"
+        )
     kept = [f for f in manifest["files"] if f not in touched]
 
     touched_abs = [os.path.join(path, f) for f in sorted(touched)]

@@ -67,12 +67,15 @@ def main() -> int:
             "- 1.0) AS embedding",
         ).localCheckpoint()
         times = {}
-        for route, cap in [("single", 512 << 20), ("dist", 0)]:
-            sim_mod.KMEANS_SINGLE_TASK_MAX_BYTES = cap
-            t0 = time.time()
-            S.kmeans_train(vecs, k=16, max_iterations=5).count()
-            times[route] = time.time() - t0
-        sim_mod.KMEANS_SINGLE_TASK_MAX_BYTES = 512 << 20
+        saved_cap = sim_mod.KMEANS_SINGLE_TASK_MAX_BYTES
+        try:
+            for route, cap in [("single", saved_cap), ("dist", 0)]:
+                sim_mod.KMEANS_SINGLE_TASK_MAX_BYTES = cap
+                t0 = time.time()
+                S.kmeans_train(vecs, k=16, max_iterations=5).count()
+                times[route] = time.time() - t0
+        finally:
+            sim_mod.KMEANS_SINGLE_TASK_MAX_BYTES = saved_cap
         lines.append(
             f"| kmeans_train | {n_vecs:,} x {d} | "
             f"{times['single']:.2f} | {times['dist']:.2f} |"

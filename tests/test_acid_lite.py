@@ -106,3 +106,42 @@ def test_manifest_is_json_with_lineage(spark, tdir):
     m = json.loads(open(
         os.path.join(tdir, "manifests", "v2.json")).read())
     assert m["parent"] == 1 and m["op"] == "append"
+
+
+def test_append_creates_missing_table(spark, tdir):
+    """Round-10 ADVICE: append on a nonexistent table used to die with
+    a bare FileNotFoundError for v0.json; it now creates the table
+    (v1 through the same O_EXCL gate) with the frame's schema."""
+    v = acid_lite.append(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    assert v == 1
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # schema landed in the manifest so zero-file descendants stay readable
+    assert "k bigint" in acid_lite._read_manifest(tdir, 1)["schema"]
+
+
+def test_merge_missing_table_clear_error(spark, tdir):
+    with pytest.raises(ValueError, match="does not exist"):
+        acid_lite.merge_upsert(spark, tdir, _df(spark, [(1, "a")]), "k")
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tdir):
+    """MERGE INTO semantics: more than one source row per key is an
+    error, not a silent multi-insert (round-10 ADVICE)."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a")]))
+    dup = _df(spark, [(1, "x"), (1, "y"), (2, "z")])
+    with pytest.raises(ValueError, match="duplicate"):
+        acid_lite.merge_upsert(spark, tdir, dup, "k")
+    # table unchanged — the failed merge committed nothing
+    assert acid_lite.latest_version(tdir) == 1
+
+
+def test_merge_touched_paths_resolve_against_manifest(spark, tdir):
+    """The input_file_name() → manifest-relative resolution must map
+    every matched scan file to a manifest entry (the guard added for
+    the scheme-prefix bug); a normal merge exercises the assert path
+    end to end, including rewritten-vs-carried file accounting."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    acid_lite.merge_upsert(spark, tdir, _df(spark, [(2, "B"), (3, "c")]), "k")
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}

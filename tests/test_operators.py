@@ -1765,3 +1765,17 @@ def test_acid_merge_race_raises_conflict(spark, tmp_path, monkeypatch):
     # winner's chain intact: latest still v2, original value preserved
     assert acid_lite.latest_version(tdir) == 2
     assert [r.v for r in acid_lite.read(spark, tdir, 2).collect()] == ["a"]
+
+
+def test_gif_lzw_empty_stream_roundtrip():
+    """Round-10 ADVICE: the public encoder used to IndexError on a
+    zero-pixel stream deep in the bit packer; an empty index stream is
+    now a legal clear+EOI body that the decoder round-trips."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        _lzw_decode_gif, _lzw_encode_gif,
+    )
+
+    body = _lzw_encode_gif(np.array([], dtype=np.uint8), 2)
+    assert _lzw_decode_gif(body, 2, 0).size == 0
