@@ -35,22 +35,16 @@ from ..registry import reorder_front
 # queries (round-2 VERDICT, "Driver-grading mechanics"), so 50
 # oracle-checked rows are pinned to the front.
 #
-# ROUND-10 ROTATION (round-9 VERDICT tasks 1+2): rows 1-30 (the §2.B
-# core) stay pinned.  CORRECTNESS_r09 was 50/50 — the whole r9 window
-# is driver-green, so rows 31-50 rotate.  Rows 31-39 are the nine
-# §2.B rows whose LATEST driver record is a stale artifact (the
-# set-op/function-suite r04 catalog-bug reds — all green r03 and in
-# every local gate since — plus `approx_count_distinct`, whose r05
-# record was the `no_oracle` rows-only check; it is now promoted to
-# oracle-checked sketch-then-verify, so this pass records a full
-# green).  Rows 40-50 are the round-10 queue from REGISTRY.md
-# §"Driver-grading rotation": `stream_incremental_rollup` (deferred
-# twice, leads), the analytics batch (market basket, skyline,
-# capped ledger, entity resolution, heavy hitters two-phase,
-# window-frame emulation, exact per-group percentiles, exact bitmap
-# distinct-users, Misra-Gries verified top-k) and
-# `multimodal_bmp_resize_stats`.  All 20 are oracle-checked.  The 20
-# r9-green rows rotate behind the window where
+# ROUND-11 ROTATION (round-10 VERDICT tasks 1+3): rows 1-30 (the §2.B
+# core) stay pinned.  CORRECTNESS_r10 was 50/50, so rows 31-50 rotate.
+# Rows 31-36 swap the round-10 flagship subsystems forward for early
+# external attestation (VERDICT task 3): the ACID-lite copy-on-write
+# pair, the three real-compressed-codec rows (GIF87a-LZW, PNG
+# zlib/DEFLATE, baseline JPEG), and the score-histogram exact AUC.
+# Rows 37-50 take the next 14 heads of the REGISTRY rotation queue
+# (the round-8 advanced-analytics family).  All 20 pass the local
+# oracle gate + pandas_probe at sf0.01 before rotating in; the 20
+# r10-green rows rotate behind the window where
 # tests/test_contract_oracle.py + scripts/check_contract.py still
 # grade them every run.
 _CONTRACT_ORDER = [
@@ -67,13 +61,26 @@ _CONTRACT_ORDER = [
     "window_rank_topn_per_group", "window_row_number_dedup",
     "window_lag_lead_delta", "window_running_sum", "window_moving_avg",
     "window_ntile_first_last", "sort_multi_key_nulls", "topk_global",
-    # rows 31-39, rotated IN round 10 (r9 verdict task 1): the nine
-    # §2.B rows with stale latest driver records
+    # rows 31-36, rotated IN round 11 (r10 verdict task 3): the
+    # round-10 flagship subsystems, swapped forward for early driver
+    # contact — ACID-lite CoW pair, the three compressed codecs,
+    # exact AUC
+    "acid_merge_upsert_roundtrip", "acid_time_travel_read",
+    "multimodal_gif_decode_stats", "multimodal_png_decode_stats",
+    "multimodal_jpeg_decode_stats", "binary_auc_exact",
+    # rows 37-50, rotated IN round 11 (r10 verdict task 1): the next
+    # 14 heads of the REGISTRY rotation queue (advanced analytics)
+    "ewma_dyadic_smoothing", "containment_asymmetric_dedup",
+    "chisq_independence_cells", "attribution_linear_multi_touch",
+    "fuzzy_join_blocked_levenshtein", "weighted_median_exact",
+    "spearman_rank_correlation", "funnel_sessionized",
+    "rrf_fusion_topk", "quantile_normalize_by_source",
+    "centroid_pairwise_cosine", "dq_benford_first_digit",
+    "sample_systematic_every_k", "rfm_segmentation",
+    # rotated out in round 11 (all r10-driver-green; local gate covers)
     "set_union_all", "set_union_distinct", "set_intersect", "set_except",
     "fn_string_suite", "fn_math_suite", "fn_conditional", "fn_array_suite",
     "approx_count_distinct",
-    # rows 40-50, rotated IN round 10 (r9 verdict task 2): the
-    # REGISTRY rotation queue, led by the twice-deferred rollup
     "stream_incremental_rollup", "market_basket_lift",
     "skyline_pareto_frontier", "ledger_capped_balance",
     "entity_resolution_groups", "heavy_hitters_two_phase",
