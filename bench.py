@@ -112,6 +112,7 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_query: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    per_jobs: dict[str, int] = {}
     total = 0.0
     for name in HEADLINE:
         # One untimed warm-up PER QUERY before its timed runs: the
@@ -121,6 +122,20 @@ def main() -> None:
         # 7-run median landed back at 4.6 s with no code change).
         # BASELINE.md uses the same warm-JVM steady-state method.
         specs[name].fn(spark, sf_dir).collect()
+        # Control-plane metric (round-10 VERDICT task 8): the Spark
+        # JOB COUNT of one steady-state execution.  At sf0.1 wall time
+        # is overhead-dominated, so a scheduling blowup (the r9
+        # pagerank 221-job explosion) hides inside noisy seconds for a
+        # round — the job count is deterministic and moves FIRST.
+        sc = spark.sparkContext
+        sc.setJobGroup(f"bench_{name}", "job-count probe")
+        try:
+            specs[name].fn(spark, sf_dir).collect()
+        finally:
+            sc.setJobGroup(None, None)
+        per_jobs[name] = len(
+            sc.statusTracker().getJobIdsForGroup(f"bench_{name}") or []
+        )
         times = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -137,12 +152,13 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "spread": spread,
+        "jobs": per_jobs,
         "runs": n_runs,
         "sf": sf,
     }
     if env_warnings:
         out["env_warnings"] = env_warnings
-    drift = _drift_vs_previous_round(per_query)
+    drift = _drift_vs_previous_round(per_query) + _job_count_drift(per_jobs)
     if drift:
         out["drift_warnings"] = drift
         for w in drift:
@@ -195,6 +211,41 @@ def _drift_vs_previous_round(per_query: dict[str, float]) -> list[str]:
             warnings.append(
                 f"{name}: median {med:.3f}s exceeds {tag} median "
                 f"{prev_med:.3f}s + band {band:.3f}s{ratio}"
+            )
+    return warnings
+
+
+def _job_count_drift(per_jobs: dict[str, int]) -> list[str]:
+    """Job-count tripwire: a steady-state headline query's Spark job
+    count is deterministic (AQE replans settle after the warm-up run),
+    so ANY meaningful increase over the last committed round is a plan
+    regression — scheduler-loop blowups multiply it (221 vs 53 for the
+    r9 pagerank case), and they show up rounds before wall-clock does
+    at overhead-dominated scale.  Warn on > max(prev + 2, 1.5x prev):
+    tolerant of one extra AQE materialization, loud on loops."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prior:
+        return []
+    try:
+        with open(prior[-1]) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return []
+    prev = prev.get("parsed", prev)
+    prev_jobs = prev.get("jobs", {})
+    tag = os.path.basename(prior[-1])
+    warnings = []
+    for name, n in per_jobs.items():
+        p = prev_jobs.get(name)
+        if p is None:
+            continue
+        if n > max(p + 2, 1.5 * p):
+            warnings.append(
+                f"{name}: {n} Spark jobs vs {p} in {tag} — plan or "
+                "scheduling regression"
             )
     return warnings
 
