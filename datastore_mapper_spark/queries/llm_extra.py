@@ -480,33 +480,138 @@ def multimodal_pipeline_canonical(spark, sf_dir):
     )
 
 
+#: Doc-coverage bounds for the sketch-then-verify dedup promotions.
+#: PAIR recall is the wrong bar at scale — the LSH big-bucket star
+#: decomposition deliberately replaces k²/2 clique pairs with O(k) hub
+#: edges (pair recall 0.004 at sf0.1 while every cluster stays
+#: connected), so the graded quantity is DOCUMENT coverage: the
+#: fraction of docs with >=1 exact near-dup partner that the sketch
+#: also attaches to some partner.  Measured across sf0.001/0.01/0.1:
+#: minhash 1.0/0.997/0.903, simhash 1.0/1.0/1.0.
+MINHASH_DOC_COVERAGE_BOUND = 0.80
+SIMHASH_DOC_COVERAGE_BOUND = 0.95
+
+_NEARDUP_DOCS_BY_LANG_ORACLE = """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT p.d1, p.d2
+        FROM pairs p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    ), nd AS (
+        SELECT d1 AS doc FROM edges UNION SELECT d2 AS doc FROM edges
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_neardup_docs,
+           CAST(min(nd.doc) AS BIGINT) AS min_doc,
+           CAST(max(nd.doc) AS BIGINT) AS max_doc,
+           TRUE AS coverage_ok
+    FROM nd JOIN documents d ON nd.doc = d.doc_id
+    GROUP BY d.lang
+"""
+
+
+def _neardup_docs_by_lang_verified(spark, sf_dir, sketch_docs, bound):
+    """Shared sketch-then-verify finisher: the hashed output is the
+    EXACT near-dup document census per language (from the
+    content-addressed exact edge snapshot), and ``coverage_ok`` grades
+    the sketch — TRUE iff the sketch attaches >= ``bound`` of the
+    exact near-dup docs to some partner.  The probabilistic object
+    stays out of the hashed values; its QUALITY is what the driver
+    hash-checks, same contract as ivf_kmeans_recall_verified."""
+    from .llm_text import near_dup_edges_scored
+
+    d = table(spark, sf_dir, "documents")
+    exact = near_dup_edges_scored(spark, sf_dir)
+    exact_docs = (
+        exact.select(F.col("d1").alias("doc"))
+        .union(exact.select(F.col("d2").alias("doc")))
+        .distinct()
+    )
+    stats = exact_docs.agg(F.count("*").alias("n_exact")).crossJoin(
+        sketch_docs.join(exact_docs, "doc", "left_semi")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    ok = stats.select(
+        (F.col("n_hit") >= bound * F.col("n_exact")).alias("coverage_ok")
+    )
+    return (
+        exact_docs.join(d.select(F.col("doc_id").alias("doc"), "lang"), "doc")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_neardup_docs"),
+            F.min("doc").alias("min_doc"),
+            F.max("doc").alias("max_doc"),
+        )
+        .crossJoin(F.broadcast(ok))
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     "LLM-pipeline",
-    oracle=None,
-    description="MinHash LSH candidate pairs verified by exact Jaccard "
-    ">= 0.8 (rows-only; probabilistic recall — pytest asserts exact-set "
-    "pairs are always found).",
+    oracle=_NEARDUP_DOCS_BY_LANG_ORACLE,
+    description="MinHash LSH dedup, sketch-then-verify (round-11 "
+    "promotion from rows-only): exact near-dup doc census per lang, "
+    "with coverage_ok grading LSH doc coverage >= 0.80.",
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """The 100 TB near-dup path: MinHash signatures -> LSH banding ->
-    candidate pairs -> exact-Jaccard verify (operators/dedup.py)."""
+    candidate pairs -> exact-Jaccard verify (operators/dedup.py),
+    graded against the exact near-dup doc set (round-10 VERDICT task
+    5).  Doc coverage, not pair recall, is the bar: the big-bucket
+    star decomposition intentionally thins clique pairs to hub edges
+    (connectivity-preserving), so pair recall collapses by design at
+    clique-heavy SFs while every near-dup document stays attached."""
     d = table(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(d)
-    cands = dd.lsh_candidate_pairs(sigs)
-    return dd.verify_jaccard(cands, d, threshold=0.8)
+    found = dd.verify_jaccard(dd.lsh_candidate_pairs(sigs), d, threshold=0.8)
+    sketch_docs = (
+        found.select(F.col("d1").alias("doc"))
+        .union(found.select(F.col("d2").alias("doc")))
+        .distinct()
+    )
+    return _neardup_docs_by_lang_verified(
+        spark, sf_dir, sketch_docs, MINHASH_DOC_COVERAGE_BOUND
+    )
 
 
 @query(
     "dedup_simhash",
     "LLM-pipeline",
-    oracle=None,
-    description="SimHash near-dup pairs with hamming <= 2, half-band "
-    "blocked (rows-only).",
+    oracle=_NEARDUP_DOCS_BY_LANG_ORACLE,
+    description="SimHash dedup, sketch-then-verify (round-11 promotion "
+    "from rows-only): exact near-dup doc census per lang, with "
+    "coverage_ok grading hamming<=2 doc coverage >= 0.95.",
 )
 def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash with half-band blocking, graded against the
+    exact near-dup doc set (round-10 VERDICT task 5).  Jaccard >= 0.8
+    token sets give near-parallel term vectors, so their fingerprints
+    land within hamming 2 — measured doc coverage 1.0 at every SF;
+    the 0.95 bound leaves margin for corpus drift, and a blocking bug
+    (a lost half-band) would zero whole clusters and hash-fail."""
     d = table(spark, sf_dir, "documents")
-    return dd.simhash_near_pairs(dd.simhash(d))
+    pairs = dd.simhash_near_pairs(dd.simhash(d))
+    sketch_docs = (
+        pairs.select(F.col("d1").alias("doc"))
+        .union(pairs.select(F.col("d2").alias("doc")))
+        .distinct()
+    )
+    return _neardup_docs_by_lang_verified(
+        spark, sf_dir, sketch_docs, SIMHASH_DOC_COVERAGE_BOUND
+    )
 
 
 @query(
@@ -556,22 +661,12 @@ def embedding_normalize_quantize(spark, sf_dir):
     )
 
 
-@query(
-    "ivf_kmeans_knn",
-    "LLM-pipeline",
-    # rows-only: Lloyd iteration (a data-dependent fixpoint) is not
-    # SQL-expressible in one DuckDB statement; correctness is carried
-    # by tests/test_operators.py::test_kmeans_ivf_recall_vs_bruteforce
-    # (recall >= 0.8 vs the exact scorer) and the centroid invariants.
-)
-def ivf_kmeans_knn(spark, sf_dir):
-    """IVF ANN over a TRAINED k-means codebook (operators.similarity.
-    kmeans_train + ivf_topk_kmeans): the production form of
-    ivf_knn_bucketed, where Lloyd iterations replace the fixed
-    sign-pattern cells and nprobe trades recall for scan fraction."""
-    e = table(spark, sf_dir, "embeddings")
-    cb = sim.kmeans_train(e, k=8, max_iterations=6)
-    return sim.ivf_topk_kmeans(e, cb, query_id=0, k=10, nprobe=2)
+# ivf_kmeans_knn RETIRED in round 11 (round-10 VERDICT task 5): its
+# rows-only check was strictly dominated by ``ivf_kmeans_recall_verified``
+# (same kmeans_train + ivf_topk_kmeans operators, same nprobe knob, but
+# oracle-checked against the exact scorer with a similarity-mass bound).
+# The operators remain exercised by that query plus
+# tests/test_operators.py::test_kmeans_ivf_recall_vs_bruteforce.
 
 
 @query(

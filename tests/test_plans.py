@@ -219,6 +219,8 @@ BNLJ_ALLOWED = {
     "approx_topk_misra_gries",   # 1-row stream-length scalar crossed
     "cms_heavy_hitters_verified",  # 1-row stream-length scalar crossed (x2)
     "decile_lift_table",         # 1-row (n, total-spend) scalar crossed
+    "dedup_minhash_lsh",         # 1-row coverage_ok verdict crossed (sketch-verify)
+    "dedup_simhash",             # 1-row coverage_ok verdict crossed (sketch-verify)
 }
 
 
@@ -232,7 +234,7 @@ def test_no_unexpected_nested_loop_joins(spark, sf_dir):
 
     offenders = {}
     for name, spec in SPECS.items():
-        if name.startswith(("stream_", "sink_")) or name == "ivf_kmeans_knn":
+        if name.startswith(("stream_", "sink_")):
             continue  # executes side effects on build; audited elsewhere
         with contextlib.redirect_stdout(io.StringIO()):
             df = spec.fn(spark, sf_dir)
