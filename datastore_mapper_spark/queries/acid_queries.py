@@ -119,3 +119,123 @@ def acid_time_travel_read(spark, sf_dir):
     acid_lite.merge_upsert(spark, dest, cdc, key="o_orderkey",
                            delete_col="_deleted")
     return acid_lite.read(spark, dest, version=1)
+
+
+@query(
+    "acid_compact_optimize",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS compacted_ok,
+           TRUE AS time_travel_ok
+    FROM orders
+    WHERE o_orderkey % 10 < 8
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_compact_optimize(spark, sf_dir):
+    """OPTIMIZE as a committed version (round-10 VERDICT task 6): seed
+    the table fragmented — a create plus three appends, each forced to
+    4 files (the foreachBatch-sink small-file pathology) — then
+    ``acid_lite.optimize`` compacts to ~128 MB targets in a NEW
+    version.  The hashed output is the post-OPTIMIZE read-back
+    aggregate (row-identity is the whole contract), with two graded
+    booleans: ``compacted_ok`` (the optimized manifest holds strictly
+    fewer files than its parent) and ``time_travel_ok`` (the
+    pre-compaction version still reads its original fragmented file
+    list — compaction must be copy-on-write, never in-place).  Integer
+    cents on both sides (SURVEY §7.3-H2)."""
+    dest = _table_dir("acid_compact", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    ).filter(F.col("o_orderkey") % 10 < 8)
+    chunks = [o.filter(F.col("o_orderkey") % 4 == i).repartition(4)
+              for i in range(4)]
+    acid_lite.create_table(spark, dest, chunks[0])
+    for c in chunks[1:]:
+        acid_lite.append(spark, dest, c)
+    pre = acid_lite.latest_version(dest)
+    n_before = len(acid_lite._read_manifest(dest, pre)["files"])
+    post = acid_lite.optimize(spark, dest)
+    n_after = len(acid_lite._read_manifest(dest, post)["files"])
+    travel_files = acid_lite._read_manifest(dest, pre)["files"]
+    ok_compact = F.lit(post > pre and n_after < n_before)
+    ok_travel = F.lit(
+        len(travel_files) == n_before
+        and acid_lite.read(spark, dest, version=pre).count()
+        == acid_lite.read(spark, dest, version=post).count()
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, dest)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .select(
+            "o_orderstatus", "n_orders", "sum_cents",
+            ok_compact.alias("compacted_ok"),
+            ok_travel.alias("time_travel_ok"),
+        )
+    )
+
+
+@query(
+    "acid_stats_pruned_scan",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS pruned_ok
+    FROM orders
+    WHERE o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_stats_pruned_scan(spark, sf_dir):
+    """Manifest-stats file skipping (round-10 VERDICT task 6): the
+    table is written as four appends of DISJOINT o_orderkey quartile
+    ranges, so each data file's footer min/max (folded into the
+    manifest at commit time) bounds its keys.  ``read_pruned`` for
+    ``o_orderkey <= max//4`` must then plan a scan over ONLY the first
+    quartile's files — ``pruned_ok`` grades that strictly fewer files
+    than the table total were selected by pure manifest math (no file
+    opened).  The hashed aggregate proves the pruned read is
+    row-identical to the predicate applied to the full table; a stats
+    bug that skips a matching file loses rows and hash-fails, one
+    that mis-keeps files flips ``pruned_ok``.  At 100 TB this is the
+    difference between listing+opening every file and touching the
+    manifest once."""
+    dest = _table_dir("acid_pruned", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    m = o.agg(F.max("o_orderkey")).first()[0] or 0
+    b1, b2, b3 = m // 4, m // 2, (3 * m) // 4
+    acid_lite.create_table(
+        spark, dest, o.filter(F.col("o_orderkey") <= b1).coalesce(2))
+    for lo, hi in ((b1, b2), (b2, b3), (b3, m)):
+        acid_lite.append(
+            spark, dest,
+            o.filter((F.col("o_orderkey") > lo)
+                     & (F.col("o_orderkey") <= hi)).coalesce(2),
+        )
+    selected, total = acid_lite.prune_files(dest, "o_orderkey", hi=b1)
+    pruned_ok = F.lit(len(selected) < total)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read_pruned(spark, dest, "o_orderkey", hi=b1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents).alias("sum_cents"),
+        )
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                pruned_ok.alias("pruned_ok"))
+    )

@@ -27,9 +27,17 @@ This module implements them the way the real formats do:
   and it is asserted by pytest (untouched file paths must appear
   verbatim in the child manifest).
 * **Time travel.**  ``read(path, version=K)`` resolves manifest K.
+* **OPTIMIZE (round 11).**  :func:`optimize` compacts small files
+  into ~128 MB targets as a committed, row-identical version — the
+  parent snapshot (and any reader on it) is untouched.
+* **Column-stats file skipping (round 11).**  Manifests carry
+  per-file [min, max] column stats read once from the parquet footers
+  at commit time; :func:`read_pruned` skips files whose range
+  provably cannot match — Iceberg/Delta data skipping, driver cost
+  file-count-sized.
 
-Deliberately out of scope (documented, not faked): column-level stats
-pruning in manifests, compaction, and cross-table transactions.
+Deliberately out of scope (documented, not faked): cross-table
+transactions and background snapshot expiry.
 """
 
 from __future__ import annotations
@@ -84,16 +92,68 @@ def _write_files(df: DataFrame, path: str) -> list[str]:
     )
 
 
+def _file_stats(path: str, rel: str) -> dict | None:
+    """Per-column [min, max] from the parquet FOOTER of one immutable
+    data file — the same statistics the writer already computed per
+    row group, folded across row groups.  Only JSON-faithful scalar
+    types (int / float / str / bool) are kept: those are the ones the
+    pruning comparator can use soundly.  Returns None when the footer
+    is unreadable (the commit still succeeds — stats are an
+    optimization, absence just means 'never prune this file')."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(path, rel)).metadata
+        out: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = st.min, st.max
+                if not (isinstance(lo, (int, float, str, bool))
+                        and isinstance(hi, (int, float, str, bool))):
+                    continue
+                name = col.path_in_schema
+                if name in out:
+                    out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
+                else:
+                    out[name] = [lo, hi]
+        return out or None
+    except Exception:
+        return None
+
+
 def _commit(path: str, version: int, files: list[str],
             parent: int, op: str, schema: str | None = None) -> None:
     """Atomically publish manifest ``version`` (O_EXCL = one winner).
     ``schema`` (a DDL string) makes zero-file versions readable — an
-    empty table is a legal snapshot, not an error."""
-    if schema is None and parent:
-        schema = _read_manifest(path, parent).get("schema")
+    empty table is a legal snapshot, not an error.
+
+    Each manifest also carries per-file column min/max stats
+    (``stats``): carried-over files inherit the parent's entry
+    (files are immutable, so stats never go stale); newly written
+    files get theirs read from the parquet footer once, at commit
+    time.  Driver-side cost is file-count-sized, same as the file
+    list itself — the Iceberg manifest-entry shape."""
+    parent_stats: dict = {}
+    if parent:
+        pm = _read_manifest(path, parent)
+        if schema is None:
+            schema = pm.get("schema")
+        parent_stats = pm.get("stats") or {}
+    stats = {}
+    for f in files:
+        s = parent_stats.get(f, ...)
+        if s is ...:
+            s = _file_stats(path, f)
+        if s is not None:
+            stats[f] = s
     payload = json.dumps(
         {"version": version, "parent": parent, "op": op, "files": files,
-         "schema": schema},
+         "schema": schema, "stats": stats},
         indent=1,
     )
     os.makedirs(_manifest_dir(path), exist_ok=True)
@@ -241,3 +301,116 @@ def merge_upsert(
     new_files = _write_files(merged, path) if merged.limit(1).count() else []
     _commit(path, parent + 1, sorted(kept) + new_files, parent, "merge")
     return parent + 1
+
+
+def optimize(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """OPTIMIZE (small-file compaction) as a committed version: rewrite
+    the latest snapshot's data files into ``ceil(total_bytes /
+    target_file_bytes)`` files and commit the result with
+    ``op="optimize"`` — row-identical to the parent by construction,
+    so time travel to the pre-compaction version still works and a
+    reader mid-scan on the parent keeps its immutable files.
+
+    This is the lakehouse maintenance job every streaming /
+    foreachBatch sink eventually needs: thousands of kilobyte files
+    turn a 100 TB scan into a listing + task-overhead disaster, while
+    128 MB files match ``spark.sql.files.maxPartitionBytes`` so one
+    task reads one file (same sizing rule as
+    ``operators/scale.compact_parquet_dir``, here routed through the
+    table format's atomic commit instead of a bare directory swap).
+
+    Concurrency: OPTIMIZE races writers like any commit — if another
+    commit lands first, the O_EXCL gate rejects ours and
+    :class:`CommitConflict` propagates.  Re-running against the new
+    latest is always safe (compaction is idempotent on content).
+    Returns the committed version (the parent itself when the table
+    already meets the target — no empty commit)."""
+    import math
+
+    parent = latest_version(path)
+    if parent == 0:
+        raise ValueError(f"table does not exist: {path}")
+    manifest = _read_manifest(path, parent)
+    files = manifest["files"]
+    total = 0
+    for f in files:
+        try:
+            total += os.path.getsize(os.path.join(path, f))
+        except OSError:
+            pass
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    if len(files) <= n_target:
+        return parent  # already compact — nothing to rewrite
+    df = read(spark, path, parent)
+    # coalesce, not repartition: narrow dependency — compaction must
+    # not shuffle 100 TB, it concatenates co-resident row groups
+    new_files = _write_files(df.coalesce(n_target), path)
+    _commit(path, parent + 1, new_files, parent, "optimize")
+    return parent + 1
+
+
+def prune_files(
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """File-skipping by manifest column stats: return (selected
+    relative paths, total file count) for a read with the predicate
+    ``lo <= column <= hi`` (either bound may be None = unbounded).
+
+    A file is SKIPPED only when its recorded [min, max] for ``column``
+    provably cannot overlap the requested range; files without stats
+    for the column are always kept (soundness over savings — same
+    contract as Iceberg/Delta data skipping).  Pure manifest math:
+    no file is opened, driver cost is file-count-sized."""
+    v = latest_version(path) if version is None else version
+    m = _read_manifest(path, v)
+    stats = m.get("stats") or {}
+    selected = []
+    for f in m["files"]:
+        s = (stats.get(f) or {}).get(column)
+        if s is not None:
+            fmin, fmax = s
+            try:
+                if lo is not None and fmax < lo:
+                    continue
+                if hi is not None and fmin > hi:
+                    continue
+            except TypeError:
+                pass  # incomparable types: keep the file (sound)
+        selected.append(f)
+    return selected, len(m["files"])
+
+
+def read_pruned(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with manifest-stats file skipping PLUS the exact
+    residual filter — semantically identical to ``read().filter()``,
+    but files whose stats exclude the range never reach the scan."""
+    v = latest_version(path) if version is None else version
+    selected, _total = prune_files(path, column, lo, hi, version=v)
+    m = _read_manifest(path, v)
+    if not selected:
+        df = spark.createDataFrame([], m["schema"])
+    else:
+        df = spark.read.schema(m["schema"]).parquet(
+            *[os.path.join(path, f) for f in selected]
+        )
+    c = F.col(column)
+    if lo is not None:
+        df = df.filter(c >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(c <= F.lit(hi))
+    return df

@@ -145,3 +145,79 @@ def test_merge_touched_paths_resolve_against_manifest(spark, tdir):
     acid_lite.merge_upsert(spark, tdir, _df(spark, [(2, "B"), (3, "c")]), "k")
     got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_optimize_compacts_and_preserves_versions(spark, tdir):
+    """OPTIMIZE commits a row-identical version with fewer files; the
+    fragmented parent stays readable (copy-on-write, no in-place
+    rewrite)."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).repartition(2))
+    acid_lite.append(spark, tdir, _df(spark, [(3, "c"), (4, "d")]).repartition(2))
+    pre = acid_lite.latest_version(tdir)
+    n_before = len(acid_lite._read_manifest(tdir, pre)["files"])
+    assert n_before == 4
+    post = acid_lite.optimize(spark, tdir)
+    assert post == pre + 1
+    m = acid_lite._read_manifest(tdir, post)
+    assert m["op"] == "optimize" and len(m["files"]) < n_before
+    want = {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    assert {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()} == want
+    assert {(r.k, r.v)
+            for r in acid_lite.read(spark, tdir, version=pre).collect()} == want
+    # already compact -> no empty commit
+    assert acid_lite.optimize(spark, tdir) == post
+
+
+def test_optimize_race_loses_cleanly(spark, tdir, monkeypatch):
+    """A writer that commits between OPTIMIZE's snapshot read and its
+    commit must WIN: the optimizer gets CommitConflict, the table's
+    latest version is the winner's, and no data is lost."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).repartition(2))
+    acid_lite.append(spark, tdir, _df(spark, [(3, "c")]).repartition(2))
+    orig_write = acid_lite._write_files
+    state = {"raced": False}
+
+    def racing_write(df, path):
+        files = orig_write(df, path)
+        if not state["raced"]:
+            state["raced"] = True
+            acid_lite.append(spark, tdir, _df(spark, [(99, "w")]))
+        return files
+
+    monkeypatch.setattr(acid_lite, "_write_files", racing_write)
+    with pytest.raises(acid_lite.CommitConflict):
+        acid_lite.optimize(spark, tdir)
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert (99, "w") in got and (1, "a") in got and (3, "c") in got
+
+
+def test_manifest_stats_and_pruned_read(spark, tdir):
+    """Commits fold parquet-footer min/max into the manifest; pruning
+    selects only overlapping files and read_pruned stays row-identical
+    to read().filter()."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a"), (5, "b")]))
+    acid_lite.append(spark, tdir, _df(spark, [(100, "c"), (200, "d")]))
+    m = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    stats = m["stats"]
+    assert stats, "commit recorded no stats"
+    # every data file has a k range recorded
+    assert all("k" in s for s in stats.values())
+    sel, total = acid_lite.prune_files(tdir, "k", hi=10)
+    assert total == len(m["files"]) and 0 < len(sel) < total
+    got = {(r.k, r.v)
+           for r in acid_lite.read_pruned(spark, tdir, "k", hi=10).collect()}
+    assert got == {(1, "a"), (5, "b")}
+    # range matching nothing: zero files, schema-stable empty frame
+    none_df = acid_lite.read_pruned(spark, tdir, "k", lo=1000)
+    assert none_df.count() == 0 and none_df.schema == acid_lite.read(spark, tdir).schema
+    # files without stats for the column are always kept (soundness)
+    for s in stats.values():
+        s.pop("k", None)
+    import json as _json
+    with open(acid_lite._manifest_path(
+            tdir, acid_lite.latest_version(tdir)), "w") as f:
+        f.write(_json.dumps(m))
+    sel2, total2 = acid_lite.prune_files(tdir, "k", hi=10)
+    assert len(sel2) == total2
