@@ -1122,8 +1122,10 @@ def downsample_wav(media_df: DataFrame, factor: int = 2) -> DataFrame:
 # coefficients and the only loss is DCT rounding: constant 8x8 blocks
 # round-trip EXACTLY (DC-only spectra) — which is what lets
 # ``multimodal_jpeg_decode_stats`` hash-match a closed-form oracle —
-# and arbitrary images round-trip within +-1 (pytest-pinned).  Color
-# (YCbCr), subsampling and progressive scans raise loudly.
+# and arbitrary images round-trip within +-1 (pytest-pinned).  Round
+# 11 adds COLOR (JFIF YCbCr + 4:2:0 subsampling, interleaved MCUs) in
+# :func:`encode_jpeg_color` / :func:`decode_jpeg_color`; progressive
+# scans and other samplings still raise loudly.
 
 
 # ITU-T T.81 Annex K.3 typical Huffman tables (public spec constants).
@@ -1386,6 +1388,273 @@ def decode_jpeg_gray(blob):
     raise ValueError("JPEG missing scan")
 
 
+# --- Color JPEG: YCbCr + 4:2:0 chroma subsampling (round 11) --------
+#
+# Extends the baseline codec to the form virtually every real photo
+# uses: JFIF YCbCr color, 2x2-subsampled chroma, interleaved 16x16
+# MCUs (4 Y blocks + Cb + Cr), per-component DC prediction, separate
+# luma/chroma quantization and Huffman tables (ITU-T T.81 Annex K
+# chroma tables below).  Color conversion quantizes with an explicit
+# ``floor(x + 0.5)`` — NOT np.rint — so the closed-form oracle can
+# state the exact same half-up rounding in SQL (np.rint is
+# half-to-even, which DuckDB round() is not).
+
+# ITU-T T.81 Annex K.3.2 typical chroma Huffman tables.
+_DC_BITS_C = [0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+_DC_CODES_C = _huff_codes(_DC_BITS_C, _DC_VALS_C)
+_AC_CODES_C = _huff_codes(_AC_BITS_C, _AC_VALS_C)
+
+
+def _half_up(x: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5) — the SQL-mirrorable rounding used by the color
+    transforms (np.rint would be half-to-even)."""
+    return np.floor(x + 0.5)
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray):
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = np.clip(_half_up(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(
+        _half_up(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255)
+    cr = np.clip(
+        _half_up(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255)
+    return y.astype(np.int64), cb.astype(np.int64), cr.astype(np.int64)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray):
+    y = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = np.clip(_half_up(y + 1.402 * crf), 0, 255)
+    g = np.clip(_half_up(y - 0.344136 * cbf - 0.714136 * crf), 0, 255)
+    b = np.clip(_half_up(y + 1.772 * cbf), 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def _enc_block(bw_, plane, y0, x0, prev_dc, dc_codes, ac_codes) -> int:
+    """Forward-DCT + quantize (all-ones table) + entropy-code one 8x8
+    block; returns the new DC predictor."""
+    blk = plane[y0:y0 + 8, x0:x0 + 8].astype(np.float64) - 128.0
+    coef = _DCT @ blk @ _DCT.T
+    q = np.rint(coef).astype(np.int64).reshape(-1)[_ZIGZAG]
+    diff = int(q[0]) - prev_dc
+    new_dc = int(q[0])
+    s = _category(diff)
+    c, ln = dc_codes[s]
+    bw_.put(c, ln)
+    if s:
+        bw_.put(_amplitude_bits(diff, s), s)
+    run = 0
+    nz = np.nonzero(q[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(q[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            bw_.put(c, ln)
+            run -= 16
+        s = _category(v)
+        c, ln = ac_codes[(run << 4) | s]
+        bw_.put(c, ln)
+        bw_.put(_amplitude_bits(v, s), s)
+        run = 0
+    if last < 63:
+        c, ln = ac_codes[0x00]
+        bw_.put(c, ln)
+    return new_dc
+
+
+def encode_jpeg_color(rgb: np.ndarray) -> bytes:
+    """Baseline sequential JFIF color JPEG: YCbCr, 4:2:0 subsampling
+    (2x2 box average, half-up), interleaved MCUs, Annex-K luma +
+    chroma Huffman tables, all-ones quantization (identity on integer
+    coefficients, so constant-color images round-trip exactly)."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("expected h x w x 3 RGB array")
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    mh, mw = -(-h // 16) * 16, -(-w // 16) * 16
+    padded = np.pad(rgb, ((0, mh - h), (0, mw - w), (0, 0)), mode="edge")
+    y, cb, cr = _rgb_to_ycbcr(padded)
+    # 4:2:0: 2x2 box average, half-up rounded back to integers
+    def sub(c):
+        s = (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2])
+        return _half_up(s / 4.0).astype(np.int64)
+    cbs, crs = sub(cb), sub(cr)
+    out = bytearray(b"\xFF\xD8")
+
+    def seg(marker, body):
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    out += seg(b"\xFF\xDB", bytes([0]) + bytes([1] * 64))
+    out += seg(b"\xFF\xDB", bytes([1]) + bytes([1] * 64))
+    out += seg(b"\xFF\xC0", struct.pack(">BHHB", 8, h, w, 3)
+               + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    out += seg(b"\xFF\xC4", bytes([0x00]) + bytes(_DC_BITS[1:]) + bytes(_DC_VALS))
+    out += seg(b"\xFF\xC4", bytes([0x10]) + bytes(_AC_BITS[1:]) + bytes(_AC_VALS))
+    out += seg(b"\xFF\xC4", bytes([0x01]) + bytes(_DC_BITS_C[1:]) + bytes(_DC_VALS_C))
+    out += seg(b"\xFF\xC4", bytes([0x11]) + bytes(_AC_BITS_C[1:]) + bytes(_AC_VALS_C))
+    out += seg(b"\xFF\xDA", bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    bw_ = _BitWriter()
+    dc = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(mh // 16):
+        for mx in range(mw // 16):
+            for sy in (0, 1):
+                for sx in (0, 1):
+                    dc["y"] = _enc_block(
+                        bw_, y, my * 16 + sy * 8, mx * 16 + sx * 8,
+                        dc["y"], _DC_CODES, _AC_CODES)
+            dc["cb"] = _enc_block(bw_, cbs, my * 8, mx * 8, dc["cb"],
+                                  _DC_CODES_C, _AC_CODES_C)
+            dc["cr"] = _enc_block(bw_, crs, my * 8, mx * 8, dc["cr"],
+                                  _DC_CODES_C, _AC_CODES_C)
+    bw_.flush()
+    out += bw_.buf
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _dec_block(br, dc_tbl, ac_tbl, prev_dc, qtab) -> tuple[np.ndarray, int]:
+    """Entropy-decode + dequantize + IDCT one 8x8 block."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = br.huff(dc_tbl)
+    prev_dc += _extend(br.read(s), s)
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        rs = br.huff(ac_tbl)
+        if rs == 0x00:
+            break
+        if rs == 0xF0:
+            k += 16
+            continue
+        k += rs >> 4
+        size = rs & 15
+        if k > 63:
+            raise ValueError("AC run overflow")
+        zz[k] = _extend(br.read(size), size)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = zz * qtab
+    return _DCT.T @ coef.reshape(8, 8) @ _DCT, prev_dc
+
+
+def decode_jpeg_color(blob):
+    """Decode a baseline 4:2:0 YCbCr JPEG back to (w, h, rgb array).
+    Parses the real marker stream (multi-table DQT/DHT, 3-component
+    SOF0/SOS); any sampling other than Y=2x2, C=1x1 raises loudly."""
+    if blob[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG blob")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    dc_tbls: dict[int, dict] = {}
+    ac_tbls: dict[int, dict] = {}
+    h = w = None
+    comp_q = {}
+    while pos < len(blob):
+        assert blob[pos] == 0xFF, hex(blob[pos])
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", blob, pos)
+        body = blob[pos + 2: pos + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq:
+                    raise NotImplementedError("16-bit quant table")
+                qt[tq] = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int64)
+                i += 65
+        elif marker == 0xC0:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 3:
+                raise NotImplementedError("expected 8-bit 3-component SOF0")
+            samp = {}
+            for ci in range(nc):
+                cid, sf, tq = body[6 + 3 * ci: 9 + 3 * ci]
+                samp[cid] = sf
+                comp_q[cid] = tq
+            if samp.get(1) != 0x22 or samp.get(2) != 0x11 or samp.get(3) != 0x11:
+                raise NotImplementedError("only 4:2:0 (Y 2x2, C 1x1)")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("only baseline sequential (SOF0)")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = [0] + list(body[i + 1: i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17: i + 17 + nv])
+                t = _huff_tree(bits, vals)
+                (dc_tbls if tc == 0 else ac_tbls)[th] = t
+                i += 17 + nv
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 3:
+                raise NotImplementedError("expected 3-component scan")
+            scan_tbl = {}
+            for ci in range(ns):
+                cid, tt = body[1 + 2 * ci], body[2 + 2 * ci]
+                scan_tbl[cid] = (dc_tbls[tt >> 4], ac_tbls[tt & 15])
+            scan = blob[pos + ln:]
+            br = _BitReader(scan)
+            mh, mw = -(-h // 16), -(-w // 16)
+            yp = np.zeros((mh * 16, mw * 16), dtype=np.float64)
+            cbp = np.zeros((mh * 8, mw * 8), dtype=np.float64)
+            crp = np.zeros((mh * 8, mw * 8), dtype=np.float64)
+            dc = {1: 0, 2: 0, 3: 0}
+            for my in range(mh):
+                for mx in range(mw):
+                    for sy in (0, 1):
+                        for sx in (0, 1):
+                            blk, dc[1] = _dec_block(
+                                br, *scan_tbl[1], dc[1], qt[comp_q[1]])
+                            yp[my * 16 + sy * 8: my * 16 + sy * 8 + 8,
+                               mx * 16 + sx * 8: mx * 16 + sx * 8 + 8] = blk
+                    blk, dc[2] = _dec_block(br, *scan_tbl[2], dc[2],
+                                            qt[comp_q[2]])
+                    cbp[my * 8: my * 8 + 8, mx * 8: mx * 8 + 8] = blk
+                    blk, dc[3] = _dec_block(br, *scan_tbl[3], dc[3],
+                                            qt[comp_q[3]])
+                    crp[my * 8: my * 8 + 8, mx * 8: mx * 8 + 8] = blk
+            to_int = lambda p: np.clip(np.rint(p + 128.0), 0, 255).astype(np.int64)
+            y_i = to_int(yp)[:h, :w]
+            # nearest-neighbor 2x upsample, then crop
+            cb_i = np.repeat(np.repeat(to_int(cbp), 2, 0), 2, 1)[:h, :w]
+            cr_i = np.repeat(np.repeat(to_int(crp), 2, 0), 2, 1)[:h, :w]
+            return w, h, _ycbcr_to_rgb(y_i, cb_i, cr_i)
+        pos += ln
+    raise ValueError("JPEG missing scan")
+
+
 JPEG_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -1453,3 +1722,77 @@ def extract_jpeg_stats(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, JPEG_STATS_SCHEMA)
+
+
+JPEG_COLOR_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def render_jpeg_color_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL color (YCbCr 4:2:0) baseline JPEG per document:
+    a ``(doc_id % 7) + 3`` x ``(doc_id % 5) + 3`` image of the
+    constant color ``(id % 200, 7*id % 200, 13*id % 200)``.  Constant
+    color makes every Y/Cb/Cr block DC-only after the half-up
+    quantized color transform, so the full lossy pipeline —
+    subsampling included — is EXACT and a SQL oracle can state the
+    decoded means through both color transforms.  Odd sizes exercise
+    the 16-pixel MCU padding + crop path.  ASSUMES doc_id >= 0."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id % 7) + 3
+                h = int(doc_id % 5) + 3
+                rgb = np.empty((h, w, 3), dtype=np.uint8)
+                rgb[..., 0] = int(doc_id % 200)
+                rgb[..., 1] = int((doc_id * 7) % 200)
+                rgb[..., 2] = int((doc_id * 13) % 200)
+                blobs.append(encode_jpeg_color(rgb))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def extract_jpeg_color_stats(media_df: DataFrame) -> DataFrame:
+    """REAL-decode stats over a binary color-JPEG column: decoded
+    width/height and per-channel means via :func:`decode_jpeg_color`
+    inside Arrow-batched ``mapInPandas``; channel sums accumulate in
+    int64 with one exact division (§7.3-H2-safe)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_jpeg_color(bytes(blob))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                for ch, key in enumerate(("mean_r", "mean_g", "mean_b")):
+                    out[key].append(
+                        int(px[..., ch].sum(dtype=np.int64)) / (w * h)
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, JPEG_COLOR_STATS_SCHEMA)

@@ -1982,9 +1982,69 @@ def multimodal_jpeg_decode_stats(spark, sf_dir):
     through the entire entropy-coded round trip; general images
     round-trip within +-1 (pytest).  Any Huffman mis-decode, DC
     prediction slip, zigzag transposition, or IDCT scale error shifts
-    the mean and hash-fails.  Color/progressive JPEG stays gated
-    behind NotImplementedError (needs YCbCr + more scan types)."""
+    the mean and hash-fails.  Round 11: color (YCbCr 4:2:0) landed as
+    ``multimodal_jpeg_color_stats``; progressive stays gated."""
     from ..operators.multimodal import extract_jpeg_stats, render_jpeg_media
 
     d = table(spark, sf_dir, "documents")
     return extract_jpeg_stats(render_jpeg_media(d))
+
+
+@query(
+    "multimodal_jpeg_color_stats",
+    "LLM-pipeline",
+    oracle="""
+    WITH law AS (
+        SELECT doc_id,
+               (doc_id % 7) + 3 AS w,
+               (doc_id % 5) + 3 AS h,
+               CAST(doc_id % 200 AS DOUBLE) AS r,
+               CAST((doc_id * 7) % 200 AS DOUBLE) AS g,
+               CAST((doc_id * 13) % 200 AS DOUBLE) AS b
+        FROM documents
+    ), ycc AS (
+        SELECT doc_id, w, h,
+               floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5) AS y,
+               floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+                   AS cb,
+               floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+                   AS cr
+        FROM law
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           least(greatest(
+               floor(y + 1.402 * (cr - 128) + 0.5), 0), 255) AS mean_r,
+           least(greatest(
+               floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+                     + 0.5), 0), 255) AS mean_g,
+           least(greatest(
+               floor(y + 1.772 * (cb - 128) + 0.5), 0), 255) AS mean_b
+    FROM ycc
+    """,
+)
+def multimodal_jpeg_color_stats(spark, sf_dir):
+    """REAL color JPEG decode, end-to-end (round-10 VERDICT task 7):
+    render a genuine JFIF YCbCr 4:2:0 baseline JPEG per document —
+    two quantization tables, four Annex-K Huffman tables (luma +
+    chroma), interleaved 16x16 MCUs (4 Y + Cb + Cr), per-component DC
+    prediction — then decode the BYTES back
+    (operators/multimodal.decode_jpeg_color) and emit decoded
+    width/height and per-channel means in Arrow-batched mapInPandas.
+    The fixture colors are constant per image and the color transforms
+    quantize with explicit half-up rounding, so the ENTIRE lossy
+    pipeline (RGB→YCbCr, 2x2 chroma box subsample, DCT, entropy code,
+    and back) is exact on them: the oracle predicts the decoded means
+    by running the same two color transforms in SQL, through identical
+    IEEE-double expressions.  A wrong MCU interleave, a swapped
+    chroma table, a mis-predicted per-component DC, or a broken
+    upsample shifts a channel mean and hash-fails; general images
+    round-trip within a pytest-pinned bound."""
+    from ..operators.multimodal import (
+        extract_jpeg_color_stats,
+        render_jpeg_color_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_jpeg_color_stats(render_jpeg_color_media(d))

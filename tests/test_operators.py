@@ -1779,3 +1779,57 @@ def test_gif_lzw_empty_stream_roundtrip():
 
     body = _lzw_encode_gif(np.array([], dtype=np.uint8), 2)
     assert _lzw_decode_gif(body, 2, 0).size == 0
+
+
+def test_jpeg_color_codec_round_trips():
+    """Color (YCbCr 4:2:0) baseline JPEG: constant-color images must
+    round-trip EXACTLY through the quantized color transforms (the
+    closed-form-oracle contract); Y-varying images with constant
+    chroma (lossless 2x2 chroma subsample) stay within a small DCT +
+    double-color-transform rounding bound; wrong samplings refuse."""
+    import numpy as np
+    import pytest as _pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datastore_mapper_spark.operators.multimodal import (
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+        decode_jpeg_color,
+        encode_jpeg_color,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(1, 40), h=st.integers(1, 34),
+        r=st.integers(0, 255), g=st.integers(0, 255), b=st.integers(0, 255),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def fuzz(w, h, r, g, b, seed):
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        img[..., 0], img[..., 1], img[..., 2] = r, g, b
+        want = _ycbcr_to_rgb(*_rgb_to_ycbcr(img))
+        gw, gh, got = decode_jpeg_color(encode_jpeg_color(img))
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(got, want), (r, g, b)
+
+        rng = np.random.RandomState(seed)
+        y = rng.randint(30, 220, (h, w)).astype(np.int64)
+        cb = np.full((h, w), rng.randint(108, 148))
+        cr = np.full((h, w), rng.randint(108, 148))
+        rgb = _ycbcr_to_rgb(y, cb, cr)
+        _, _, out = decode_jpeg_color(encode_jpeg_color(rgb))
+        assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 4
+
+    fuzz()
+
+    with _pytest.raises(ValueError):
+        decode_jpeg_color(b"NOTAJPEG")
+    img = np.full((9, 9, 3), 77, dtype=np.uint8)
+    blob = bytearray(encode_jpeg_color(img))
+    sof = blob.find(b"\xFF\xC0")
+    # flip Y sampling 0x22 -> 0x11 (4:4:4): must refuse loudly
+    assert blob[sof + 10 + 1] == 0x22
+    blob[sof + 10 + 1] = 0x11
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg_color(bytes(blob))
