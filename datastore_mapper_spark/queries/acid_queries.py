@@ -239,3 +239,139 @@ def acid_stats_pruned_scan(spark, sf_dir):
         .select("o_orderstatus", "n_orders", "sum_cents",
                 pruned_ok.alias("pruned_ok"))
     )
+
+
+@query(
+    "acid_delete_where_pruned",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS file_bound_ok
+    FROM orders
+    WHERE o_orderkey > (SELECT max(o_orderkey) // 2 FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_delete_where_pruned(spark, sf_dir):
+    """Copy-on-write DELETE with stats pruning (round 11): the table
+    is laid out as four disjoint o_orderkey quartile appends; DELETE
+    of the bottom half must (a) drop the first quartile's files
+    WITHOUT reading them (wholly inside the range), (b) rewrite only
+    the boundary quartile, and (c) carry the top-half files untouched
+    by reference — ``file_bound_ok`` grades that the post-delete
+    manifest still contains every upper-half file verbatim AND is
+    strictly smaller than the parent.  The hashed aggregate is the
+    surviving rows, stated directly from ``orders`` by the oracle; a
+    dropped survivor file or an under-deleted boundary file
+    hash-fails."""
+    dest = _table_dir("acid_delete", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    m = o.agg(F.max("o_orderkey")).first()[0] or 0
+    b1, b2, b3 = m // 4, m // 2, (3 * m) // 4
+    acid_lite.create_table(
+        spark, dest, o.filter(F.col("o_orderkey") <= b1).coalesce(2))
+    for lo, hi in ((b1, b2), (b2, b3), (b3, m)):
+        acid_lite.append(
+            spark, dest,
+            o.filter((F.col("o_orderkey") > lo)
+                     & (F.col("o_orderkey") <= hi)).coalesce(2),
+        )
+    pre = acid_lite.latest_version(dest)
+    pre_files = acid_lite._read_manifest(dest, pre)["files"]
+    upper = {
+        f for f in pre_files
+        if (acid_lite._read_manifest(dest, pre)["stats"].get(f) or {})
+        .get("o_orderkey", [0, 0])[0] > b2
+    }
+    post = acid_lite.delete_where(spark, dest, "o_orderkey", hi=b2)
+    post_files = acid_lite._read_manifest(dest, post)["files"]
+    bound_ok = F.lit(
+        upper.issubset(set(post_files)) and len(post_files) < len(pre_files)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, dest)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                bound_ok.alias("file_bound_ok"))
+    )
+
+
+@query(
+    "acid_schema_evolution_append",
+    "table-format",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1
+                THEN CAST(NULL AS VARCHAR) ELSE o_orderpriority
+           END AS priority_tag
+    FROM orders
+    WHERE o_orderkey % 10 = 3
+    """,
+)
+def acid_schema_evolution_append(spark, sf_dir):
+    """Additive schema evolution through the table format (round 11):
+    v1 holds the odd half of an orders slice WITHOUT ``priority_tag``;
+    ``append_evolve`` lands the even half WITH it, widening the
+    manifest schema.  The read resolves old files against the merged
+    schema, so pre-evolution rows come back NULL for the new column —
+    the Iceberg/Delta mergeSchema contract, stated exactly by the
+    oracle's CASE.  A reader that drops old files, defaults the
+    column to anything but NULL, or refuses the widened schema
+    hash-fails."""
+    dest = _table_dir("acid_evolve", sf_dir)
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 3)
+    v1 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice",
+        F.col("o_orderpriority").alias("priority_tag"))
+    acid_lite.create_table(spark, dest, v1)
+    acid_lite.append_evolve(spark, dest, v2)
+    return acid_lite.read(spark, dest)
+
+
+@query(
+    "acid_expire_snapshots_vacuum",
+    "table-format",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 10 = 7 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 7 THEN 'U'
+                ELSE o_orderstatus END AS o_orderstatus,
+           TRUE AS vacuum_ok
+    FROM orders
+    WHERE o_orderkey % 10 < 8 AND o_orderkey % 10 <> 6
+       OR o_orderkey % 10 = 8
+    """,
+)
+def acid_expire_snapshots_vacuum(spark, sf_dir):
+    """VACUUM (round 11): after the standard create→merge history,
+    ``expire_snapshots(keep_from=2)`` must remove v1's manifest and
+    exactly the data files only v1 referenced (the merge-rewritten
+    ones), while every file v2 still references survives —
+    ``vacuum_ok`` grades that (a) ≥1 orphan file was deleted, (b) v1
+    is no longer resolvable, and (c) every v2 manifest entry still
+    exists on disk.  The hashed output is the post-vacuum read of v2,
+    which must be byte-identical to the pre-vacuum merge result (the
+    oracle restates it from ``orders``) — VACUUM must never touch
+    live data."""
+    dest = _table_dir("acid_vacuum", sf_dir)
+    target, cdc = _seed_and_cdc(spark, sf_dir)
+    acid_lite.create_table(spark, dest, target.repartition(4, "o_orderkey"))
+    acid_lite.merge_upsert(spark, dest, cdc, key="o_orderkey",
+                           delete_col="_deleted")
+    stats = acid_lite.expire_snapshots(dest, keep_from=2)
+    v2_files = acid_lite._read_manifest(dest, 2)["files"]
+    v1_gone = not os.path.exists(acid_lite._manifest_path(dest, 1))
+    live_ok = all(os.path.exists(os.path.join(dest, f)) for f in v2_files)
+    ok = F.lit(stats["files_removed"] >= 1 and v1_gone and live_ok
+               and stats["manifests_removed"] == 1)
+    return acid_lite.read(spark, dest).withColumn("vacuum_ok", ok)

@@ -36,8 +36,15 @@ This module implements them the way the real formats do:
   provably cannot match — Iceberg/Delta data skipping, driver cost
   file-count-sized.
 
+* **DELETE / schema evolution / VACUUM (round 11).**
+  :func:`delete_where` rewrites only the files whose stats can match
+  the range (whole-in-range files drop unread); :func:`append_evolve`
+  widens the manifest schema additively (old files read NULL for new
+  columns); :func:`expire_snapshots` removes expired manifests and
+  the data files no retained version references.
+
 Deliberately out of scope (documented, not faked): cross-table
-transactions and background snapshot expiry.
+transactions.
 """
 
 from __future__ import annotations
@@ -414,3 +421,146 @@ def read_pruned(
     if hi is not None:
         df = df.filter(c <= F.lit(hi))
     return df
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+) -> int:
+    """DELETE FROM t WHERE lo <= column <= hi, copy-on-write with
+    stats pruning: only files whose manifest [min, max] can contain
+    matching rows are rewritten (minus the deleted rows); every other
+    file carries into the new version by reference — the same
+    file-level bound as MERGE, driven by pure manifest math instead
+    of a key join.  A file wholly inside the range is dropped without
+    being read.  Returns the committed version."""
+    parent = latest_version(path)
+    if parent == 0:
+        raise ValueError(f"table does not exist: {path}")
+    m = _read_manifest(path, parent)
+    stats = m.get("stats") or {}
+    candidates, _total = prune_files(path, column, lo, hi, version=parent)
+    kept = [f for f in m["files"] if f not in set(candidates)]
+    new_files: list[str] = []
+    rewrite: list[str] = []
+    for f in candidates:
+        s = (stats.get(f) or {}).get(column)
+        if s is not None:
+            fmin, fmax = s
+            try:
+                if ((lo is None or lo <= fmin)
+                        and (hi is None or fmax <= hi)):
+                    continue  # whole file in range: drop, never read it
+            except TypeError:
+                pass
+            rewrite.append(f)
+        else:
+            rewrite.append(f)
+    if rewrite:
+        df = spark.read.schema(m["schema"]).parquet(
+            *[os.path.join(path, f) for f in rewrite]
+        )
+        c = F.col(column)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (c >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (c <= F.lit(hi))
+        survivors = df.filter(~cond | c.isNull())
+        if survivors.limit(1).count():
+            new_files = _write_files(survivors, path)
+    _commit(path, parent + 1, sorted(kept) + new_files, parent, "delete")
+    return parent + 1
+
+
+def _merge_schema(old_ddl: str, df: DataFrame) -> str:
+    """Schema evolution for appends: the union of the table's columns
+    (in order) and any NEW trailing columns the frame adds.  Dropping
+    or retyping a column is refused — that rewrites history, which an
+    append must never do."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    old = _parse_datatype_string(old_ddl)
+    old_names = {f.name: f.dataType.simpleString() for f in old.fields}
+    for f in df.schema.fields:
+        have = old_names.get(f.name)
+        if have is not None and have != f.dataType.simpleString():
+            raise ValueError(
+                f"append cannot retype column '{f.name}': table has "
+                f"{have}, frame has {f.dataType.simpleString()}"
+            )
+    new_cols = [f for f in df.schema.fields if f.name not in old_names]
+    missing = set(old_names) - {f.name for f in df.schema.fields}
+    # frames may omit table columns (they read back as NULL) and may
+    # add new ones (old files read back NULL for them)
+    merged = list(old.fields) + new_cols
+    _ = missing  # informational: omitted columns are legal
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in merged
+    )
+
+
+def append_evolve(spark: SparkSession, path: str, df: DataFrame,
+                  retries: int = 3) -> int:
+    """Append with additive schema evolution: new columns widen the
+    manifest schema; files written before the column existed read
+    back NULL for it (parquet-by-name resolution against the manifest
+    schema — the Iceberg/Delta ``mergeSchema`` contract).  Existing
+    columns must keep their types."""
+    if latest_version(path) == 0:
+        return append(spark, path, df, retries=retries)
+    files = _write_files(df, path)
+    for _ in range(retries + 1):
+        parent = latest_version(path)
+        pm = _read_manifest(path, parent)
+        merged = _merge_schema(pm["schema"], df)
+        try:
+            _commit(path, parent + 1, pm["files"] + files, parent,
+                    "append", schema=merged)
+            return parent + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"append to {path} lost {retries + 1} races")
+
+
+def expire_snapshots(path: str, keep_from: int) -> dict:
+    """VACUUM: drop manifests OLDER than ``keep_from`` and delete data
+    files referenced by NO retained manifest.  Readers of retained
+    versions are unaffected (their file sets stay whole); time travel
+    to expired versions correctly fails with a missing manifest.
+    Returns {"manifests_removed": n, "files_removed": n}.
+
+    Like Iceberg's ``expire_snapshots``, this is the ONE operation
+    that deletes data — run it only after every reader has moved past
+    the expired versions (the retention window is an operational SLA,
+    not something the filesystem can enforce)."""
+    latest = latest_version(path)
+    if keep_from > latest:
+        raise ValueError(f"keep_from {keep_from} > latest {latest}")
+    retained_files: set[str] = set()
+    all_versions = []
+    mdir = _manifest_dir(path)
+    for fname in os.listdir(mdir):
+        if fname.startswith("v") and fname.endswith(".json"):
+            all_versions.append(int(fname[1:-5]))
+    for v in all_versions:
+        if v >= keep_from:
+            retained_files.update(_read_manifest(path, v)["files"])
+    n_manifests = n_files = 0
+    for v in sorted(all_versions):
+        if v >= keep_from:
+            continue
+        for f in _read_manifest(path, v)["files"]:
+            if f not in retained_files:
+                try:
+                    os.unlink(os.path.join(path, f))
+                    n_files += 1
+                except FileNotFoundError:
+                    pass
+                retained_files.add(f)  # already gone: don't retry
+        os.unlink(_manifest_path(path, v))
+        n_manifests += 1
+    return {"manifests_removed": n_manifests, "files_removed": n_files}

@@ -221,3 +221,68 @@ def test_manifest_stats_and_pruned_read(spark, tdir):
         f.write(_json.dumps(m))
     sel2, total2 = acid_lite.prune_files(tdir, "k", hi=10)
     assert len(sel2) == total2
+
+
+def test_delete_where_prunes_and_drops_unread(spark, tdir):
+    """DELETE by range: wholly-in-range files drop without a read,
+    boundary files rewrite, out-of-range files carry by reference."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    acid_lite.append(spark, tdir, _df(spark, [(10, "c"), (20, "d")]))
+    acid_lite.append(spark, tdir, _df(spark, [(100, "e"), (200, "f")]))
+    pre = acid_lite.latest_version(tdir)
+    pre_m = acid_lite._read_manifest(tdir, pre)
+    upper = [f for f in pre_m["files"]
+             if ((pre_m["stats"].get(f) or {}).get("k") or [0])[0] >= 100]
+    post = acid_lite.delete_where(spark, tdir, "k", hi=15)
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(20, "d"), (100, "e"), (200, "f")}
+    post_files = acid_lite._read_manifest(tdir, post)["files"]
+    # the untouched upper file carried by reference (same path)
+    assert set(upper) <= set(post_files)
+    # time travel to the pre-delete version still sees everything
+    assert acid_lite.read(spark, tdir, version=pre).count() == 6
+    # unbounded delete empties the table but stays readable
+    acid_lite.delete_where(spark, tdir, "k")
+    assert acid_lite.read(spark, tdir).count() == 0
+
+
+def test_append_evolve_widens_schema(spark, tdir):
+    """Additive evolution: new columns read back NULL for old files;
+    retyping refuses."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a")]))
+    evolved = spark.createDataFrame(
+        [(2, "b", 9.5)], "k bigint, v string, score double")
+    acid_lite.append_evolve(spark, tdir, evolved)
+    rows = {(r.k, r.v, r.score)
+            for r in acid_lite.read(spark, tdir).collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+    bad = spark.createDataFrame([("x", "y")], "k string, v string")
+    with pytest.raises(ValueError, match="retype"):
+        acid_lite.append_evolve(spark, tdir, bad)
+    # a frame may also OMIT columns: they read back NULL
+    acid_lite.append_evolve(
+        spark, tdir, spark.createDataFrame([(3,)], "k bigint"))
+    got = {(r.k, r.v, r.score)
+           for r in acid_lite.read(spark, tdir).collect()}
+    assert (3, None, None) in got
+
+
+def test_expire_snapshots_removes_only_orphans(spark, tdir):
+    """VACUUM deletes expired manifests + files no retained version
+    references; shared files survive; expired versions stop
+    resolving."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    acid_lite.append(spark, tdir, _df(spark, [(3, "c")]))          # v2
+    acid_lite.delete_where(spark, tdir, "k", lo=1, hi=1)           # v3
+    v3_files = acid_lite._read_manifest(tdir, 3)["files"]
+    stats = acid_lite.expire_snapshots(tdir, keep_from=3)
+    assert stats["manifests_removed"] == 2
+    assert stats["files_removed"] >= 1  # v1's rewritten file is orphaned
+    for f in v3_files:
+        assert os.path.exists(os.path.join(tdir, f))
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(2, "b"), (3, "c")}
+    with pytest.raises(FileNotFoundError):
+        acid_lite.read(spark, tdir, version=1)
+    with pytest.raises(ValueError):
+        acid_lite.expire_snapshots(tdir, keep_from=99)
