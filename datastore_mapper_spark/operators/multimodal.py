@@ -1796,3 +1796,230 @@ def extract_jpeg_color_stats(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, JPEG_COLOR_STATS_SCHEMA)
+
+
+# --- IMA-ADPCM compressed audio (round 11) --------------------------
+#
+# The FOURTH real compressed codec in-container, and the first for
+# audio: 4:1 adaptive differential PCM (IMA/DVI spec, WAV format tag
+# 0x0011).  Each block stores a 16-bit seed predictor + step index,
+# then one 4-bit nibble per sample; both coders walk the same
+# 89-entry step table, so the decoder's state provably equals the
+# encoder's reconstruction path — the invariant the fuzz test pins
+# sample-exactly.  Signals that are CONSTANT WITHIN EACH BLOCK
+# round-trip exactly (delta 0 ⇒ nibble 0 ⇒ predictor unchanged),
+# which is what lets a closed-form SQL oracle predict decoded stats
+# through the compressed container — the same trick as the JPEG
+# constant-block law.
+
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+], dtype=np.int64)
+
+_IMA_INDEX_TABLE = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8],
+    dtype=np.int64,
+)
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One decoder step: reconstruct the next sample from a nibble."""
+    step = int(_IMA_STEP_TABLE[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        pred -= diff
+    else:
+        pred += diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + int(_IMA_INDEX_TABLE[nibble])))
+    return pred, index
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int = 16_000, block_align: int = 256
+) -> bytes:
+    """Encode a 1-D int16 array as a mono IMA-ADPCM WAV (format tag
+    0x0011).  Block layout per the IMA/DVI spec: 4-byte header (seed
+    sample int16, step index uint8, reserved 0) + packed nibbles (low
+    nibble first), ``(block_align - 4) * 2 + 1`` samples per block.
+    The step index persists across blocks (re-seeded into each block
+    header), matching reference encoders."""
+    samples = np.asarray(samples, dtype=np.int64)
+    spb = (block_align - 4) * 2 + 1
+    blocks = bytearray()
+    index = 0
+    n = len(samples)
+    if n == 0:
+        raise ValueError("empty signal")
+    for start in range(0, n, spb):
+        chunk = samples[start:start + spb]
+        pred = int(chunk[0])
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            target = int(s)
+            step = int(_IMA_STEP_TABLE[index])
+            diff = target - pred
+            nibble = 0
+            if diff < 0:
+                nibble = 8
+                diff = -diff
+            if diff >= step:
+                nibble |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nibble |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nibble |= 1
+            pred, index = _ima_step(pred, index, nibble)
+            nibbles.append(nibble)
+        # pad the final block with repeats of the last predictor
+        # (delta-0 nibbles keep the decoder state consistent)
+        while len(nibbles) < spb - 1:
+            step = int(_IMA_STEP_TABLE[index])
+            pred, index = _ima_step(pred, index, 0)
+            nibbles.append(0)
+        for i in range(0, len(nibbles), 2):
+            blocks.append(nibbles[i] | (nibbles[i + 1] << 4))
+    n_blocks = -(-n // spb)
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x0011, 1, sample_rate, byte_rate,
+        block_align, 4, 2, spb,
+    )
+    fact = struct.pack("<I", n)
+    return (
+        struct.pack("<4sI4s", b"RIFF",
+                    4 + 8 + len(fmt) + 8 + 4 + 8 + len(blocks), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"fact", 4) + fact
+        + struct.pack("<4sI", b"data", len(blocks)) + bytes(blocks)
+    )
+
+
+def decode_wav_ima_adpcm(blob: bytes) -> tuple[int, np.ndarray]:
+    """REAL decode of a mono IMA-ADPCM WAV -> ``(sample_rate, int16
+    samples)``: RIFF chunk walk, fmt validation (tag 0x0011, mono,
+    4-bit), fact-chunk sample count, per-block seed + nibble replay
+    through the shared step table."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, rate, align, spb, total, data = 12, None, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack_from("<4sI", blob, pos)
+        body = pos + 8
+        if cid == b"fmt ":
+            tag, n_ch, rate, _, align, bits = struct.unpack_from(
+                "<HHIIHH", blob, body)
+            if tag != 0x0011 or n_ch != 1 or bits != 4:
+                raise NotImplementedError(
+                    f"only mono 4-bit IMA-ADPCM (got tag={tag:#x}, "
+                    f"channels={n_ch}, bits={bits})")
+            if size >= 20:
+                (spb,) = struct.unpack_from("<H", blob, body + 18)
+        elif cid == b"fact":
+            (total,) = struct.unpack_from("<I", blob, body)
+        elif cid == b"data":
+            data = blob[body: body + size]
+        pos = body + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if spb is None:
+        spb = (align - 4) * 2 + 1
+    out = []
+    for off in range(0, len(data), align):
+        block = data[off: off + align]
+        pred, index, _ = struct.unpack_from("<hBB", block, 0)
+        out.append(pred)
+        for b in block[4:]:
+            for nibble in (b & 0xF, b >> 4):
+                pred, index = _ima_step(pred, index, nibble)
+                out.append(pred)
+    samples = np.array(out, dtype=np.int16)
+    if total is not None:
+        samples = samples[:total]
+    return rate, samples
+
+
+ADPCM_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("mean_amp", DoubleType()),
+    ]
+)
+
+
+def render_adpcm_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL IMA-ADPCM WAV per document: ``(doc_id % 3) + 1``
+    blocks (505 samples each at block_align 256), block ``b`` holding
+    the constant ``base + 311*b`` with ``base = (doc_id % 100) * 250
+    - 12500`` (int16-safe).  Constant-within-block signals round-trip
+    the adaptive codec exactly (delta-0 nibbles), so a SQL oracle can
+    state the decoded mean through the compressed container.  ASSUMES
+    doc_id >= 0."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        spb = (256 - 4) * 2 + 1
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                nb = int(doc_id % 3) + 1
+                base = int(doc_id % 100) * 250 - 12500
+                sig = np.concatenate([
+                    np.full(spb, base + 311 * b, dtype=np.int16)
+                    for b in range(nb)
+                ])
+                rate = 8000 + int(doc_id % 3) * 4000
+                blobs.append(encode_wav_ima_adpcm(sig, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def extract_adpcm_stats(media_df: DataFrame) -> DataFrame:
+    """REAL-decode stats over a binary IMA-ADPCM column: sample rate,
+    sample count and mean amplitude via :func:`decode_wav_ima_adpcm`
+    in Arrow-batched ``mapInPandas``; amplitude sums accumulate in
+    int64 with one exact division (§7.3-H2-safe)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "sample_rate", "n_samples", "mean_amp")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav_ima_adpcm(bytes(blob))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["mean_amp"].append(
+                    int(samples.sum(dtype=np.int64)) / max(len(samples), 1)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "mean_amp": pd.Series(out["mean_amp"], dtype="float64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, ADPCM_STATS_SCHEMA)

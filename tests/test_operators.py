@@ -1833,3 +1833,76 @@ def test_jpeg_color_codec_round_trips():
     blob[sof + 10 + 1] = 0x11
     with _pytest.raises(NotImplementedError):
         decode_jpeg_color(bytes(blob))
+
+
+def test_adpcm_codec_state_tracking_fuzz():
+    """IMA-ADPCM codec invariants: (a) per-block-constant signals
+    round-trip EXACTLY (the closed-form-oracle contract); (b) for
+    ARBITRARY signals the decoder's reconstruction must equal the
+    encoder's own predictor path sample-for-sample (the shared
+    step-table walk is the codec); (c) non-ADPCM WAVs refuse."""
+    import numpy as np
+    import pytest as _pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datastore_mapper_spark.operators.multimodal import (
+        _ima_step,
+        decode_wav_ima_adpcm,
+        encode_wav_ima_adpcm,
+        encode_wav_pcm16,
+    )
+
+    spb = (256 - 4) * 2 + 1
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        vals=st.lists(st.integers(-32768, 32767), min_size=1, max_size=3),
+        seed=st.integers(0, 2**31 - 1),
+        n=st.integers(1, 1200),
+    )
+    def fuzz(vals, seed, n):
+        sig = np.concatenate(
+            [np.full(spb, v, dtype=np.int16) for v in vals])
+        rate, out = decode_wav_ima_adpcm(encode_wav_ima_adpcm(sig, 8000))
+        assert rate == 8000 and np.array_equal(out, sig)
+
+        rng = np.random.RandomState(seed)
+        sig = rng.randint(-32768, 32768, n).astype(np.int16)
+        _, out = decode_wav_ima_adpcm(encode_wav_ima_adpcm(sig))
+        assert len(out) == n
+        # replay the encoder's state machine independently (including
+        # the per-block predictor RE-SEED from the raw header sample):
+        # the decoder output must match it exactly
+        from datastore_mapper_spark.operators.multimodal import (
+            _IMA_STEP_TABLE,
+        )
+
+        pred, index, want = int(sig[0]), 0, [int(sig[0])]
+        for i, s in enumerate(sig[1:], start=1):
+            if i % spb == 0:
+                pred = int(s)  # block header seeds the raw sample
+                want.append(pred)
+                continue
+            step = int(_IMA_STEP_TABLE[index])
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib, diff = 8, -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step(pred, index, nib)
+            want.append(pred)
+        assert np.array_equal(out[:n].astype(int), np.array(want))
+
+    fuzz()
+
+    with _pytest.raises(NotImplementedError):
+        decode_wav_ima_adpcm(
+            encode_wav_pcm16(np.zeros(4, dtype=np.int16)))
