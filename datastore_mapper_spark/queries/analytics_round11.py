@@ -1,0 +1,459 @@
+"""Round-11 analytics wave: information-theoretic and robust-statistics
+operators not yet covered by the registry — mutual information,
+Kendall's tau, Theil–Sen robust slope, Monroe log-odds-with-prior term
+scoring, week-over-week audience Jaccard, drawdown-from-peak, and
+Poisson rate intervals.
+
+Shared seams (SURVEY §7.3): every money aggregate goes through integer
+cents with ``floor()`` stated on BOTH engines; transcendental outputs
+(ln/sqrt) are rounded to 6 decimals (JVM Math vs DuckDB libm may
+differ in the last ulp — the BM25 precedent); order statistics use an
+explicit row_number pick, not engine-specific quantile semantics.
+
+Scale notes: every query aggregates the fact table FIRST (group sizes
+are dictionary-tier: langs x sources, nations, days, weeks), so the
+pairwise self-joins (Kendall, Theil–Sen) run on tens-to-hundreds of
+aggregated rows — never on raw facts.  No global single-partition
+windows over fact-tier frames anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..registry import query
+
+
+@query(
+    "mutual_information_lang_source",
+    "analytics/stats",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+    ), m AS (
+        SELECT lang, source, n,
+               sum(n) OVER (PARTITION BY lang) AS nl,
+               sum(n) OVER (PARTITION BY source) AS ns,
+               sum(n) OVER () AS nn
+        FROM cells
+    )
+    SELECT lang, source, n,
+           round((CAST(n AS DOUBLE) / nn)
+                 * ln(CAST(n AS DOUBLE) * nn / (CAST(nl AS DOUBLE) * ns)),
+                 6) AS mi_term
+    FROM m
+    """,
+)
+def mutual_information_lang_source(spark, sf_dir):
+    """Pointwise mutual-information decomposition of I(lang; source):
+    one row per contingency cell with its additive MI term
+    ``p(l,s) * ln(p(l,s) / (p(l) p(s)))`` — the quantity a corpus
+    curator reads to see WHICH language/source pairings are
+    over/under-represented (the chi-squared query's
+    information-theoretic twin).  Marginals come from windows over the
+    ALREADY-AGGREGATED cell frame (|langs| x |sources| rows —
+    dictionary-tier at any corpus size), so the only fact-table pass
+    is the initial groupBy."""
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    nl = F.sum("n").over(Window.partitionBy("lang"))
+    ns = F.sum("n").over(Window.partitionBy("source"))
+    nn = F.sum("n").over(Window.partitionBy())
+    m = cells.select("lang", "source", "n", nl.alias("nl"),
+                     ns.alias("ns"), nn.alias("nn"))
+    term = (F.col("n").cast("double") / F.col("nn")) * F.log(
+        F.col("n").cast("double") * F.col("nn")
+        / (F.col("nl").cast("double") * F.col("ns"))
+    )
+    return m.select("lang", "source", "n", F.round(term, 6).alias("mi_term"))
+
+
+@query(
+    "kendall_tau_yearly_nation_revenue",
+    "analytics/stats",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name,
+               CAST(sum(CASE WHEN year(o.o_orderdate) = 1996
+                    THEN CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS r96,
+               CAST(sum(CASE WHEN year(o.o_orderdate) = 1997
+                    THEN CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS r97
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE year(o.o_orderdate) IN (1996, 1997)
+        GROUP BY n.n_name
+    ), pairs AS (
+        SELECT CASE WHEN sign(a.r96 - b.r96) * sign(a.r97 - b.r97) > 0
+                    THEN 1 ELSE 0 END AS conc,
+               CASE WHEN sign(a.r96 - b.r96) * sign(a.r97 - b.r97) < 0
+                    THEN 1 ELSE 0 END AS disc
+        FROM rev a JOIN rev b ON a.n_name < b.n_name
+    )
+    SELECT CAST((SELECT count(*) FROM rev) AS BIGINT) AS n_nations,
+           CAST(sum(conc) AS BIGINT) AS concordant,
+           CAST(sum(disc) AS BIGINT) AS discordant,
+           round(CAST(sum(conc) - sum(disc) AS DOUBLE) / count(*), 6)
+               AS tau_a
+    FROM pairs
+    """,
+)
+def kendall_tau_yearly_nation_revenue(spark, sf_dir):
+    """Kendall's tau-a between nations' 1996 and 1997 revenue rankings
+    — the rank-correlation complement to ``spearman_rank_correlation``
+    that is robust to any monotone transform and is defined directly
+    on concordant/discordant PAIRS.  The pairwise self-join runs on
+    the 25-row aggregated nation frame (never on orders), so the
+    O(n²) is over n = |nations| — constant at any fact scale.  Exact
+    integer-cents comparisons decide concordance; only the final
+    ratio is floating point."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    yr = F.year("o_orderdate")
+    rev = (
+        o.filter(yr.isin(1996, 1997))
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(yr == 1996, cents).otherwise(0)).alias("r96"),
+            F.sum(F.when(yr == 1997, cents).otherwise(0)).alias("r97"),
+        )
+    )
+    a, b = rev.alias("a"), rev.alias("b")
+    # sign() before multiplying: the raw cents-delta product overflows
+    # int64 at sf0.1 (~1e12 x 1e12) — concordance only needs the signs
+    prod = (F.signum((F.col("a.r96") - F.col("b.r96")).cast("double"))
+            * F.signum((F.col("a.r97") - F.col("b.r97")).cast("double")))
+    # broadcast the |nations|-row side: the non-equi pair join then
+    # plans BNLJ over a 25-row build, not an unhinted CartesianProduct
+    pairs = a.join(F.broadcast(b),
+                   F.col("a.n_name") < F.col("b.n_name")).select(
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+    )
+    n_nations = rev.agg(F.count("*").alias("n_nations"))
+    agg = pairs.agg(
+        F.sum("conc").alias("concordant"),
+        F.sum("disc").alias("discordant"),
+        F.count("*").alias("npairs"),
+    )
+    return n_nations.crossJoin(F.broadcast(agg)).select(
+        "n_nations", "concordant", "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.col("npairs"), 6,
+        ).alias("tau_a"),
+    )
+
+
+@query(
+    "theil_sen_daily_revenue_slope",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(datediff('day', DATE '1996-01-01',
+                             CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+        GROUP BY 1
+    ), slopes AS (
+        SELECT CAST(b.cents - a.cents AS DOUBLE) / (b.d - a.d) AS s
+        FROM daily a JOIN daily b ON a.d < b.d
+    ), ranked AS (
+        SELECT s, row_number() OVER (ORDER BY s) AS rn,
+               count(*) OVER () AS m
+        FROM slopes
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(m AS BIGINT) AS n_pairs,
+           round(s, 6) AS median_slope
+    FROM ranked WHERE rn = (m + 1) // 2
+    """,
+)
+def theil_sen_daily_revenue_slope(spark, sf_dir):
+    """Theil–Sen robust trend estimate over Q1-1996 daily revenue: the
+    LOWER MEDIAN of all pairwise slopes — immune to the outlier days
+    that wreck the least-squares fit in ``regression_price_trend``
+    (its robust twin).  The O(n²) pair join runs on the ~90-row daily
+    AGGREGATE (never raw orders), and the median is an explicit
+    row_number pick at rank ``(m+1)//2`` so both engines select the
+    identical order statistic.  Slopes are exact integer-cent
+    differences over integer day gaps; one double division each."""
+    o = table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    daily = (
+        o.filter((day >= F.lit("1996-01-01")) & (day < F.lit("1996-04-01")))
+        .groupBy(F.datediff(day, F.lit("1996-01-01")).cast("bigint").alias("d"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+             .alias("cents"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        ((F.col("b.cents") - F.col("a.cents")).cast("double")
+         / (F.col("b.d") - F.col("a.d"))).alias("s")
+    )
+    w = Window.orderBy("s")
+    ranked = slopes.select(
+        "s", F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    )
+    n_days = daily.agg(F.count("*").alias("n_days"))
+    med = ranked.filter(F.col("rn") == (F.col("m") + 1) / 2).select(
+        F.col("m").alias("n_pairs"), F.round("s", 6).alias("median_slope")
+    )
+    return n_days.crossJoin(F.broadcast(med)).select(
+        "n_days", "n_pairs", "median_slope"
+    )
+
+
+@query(
+    "log_odds_monroe_terms",
+    "analytics/text",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), ywl AS (
+        SELECT lang, term, CAST(count(*) AS BIGINT) AS y
+        FROM toks GROUP BY lang, term
+    ), tot AS (
+        SELECT lang, term, y,
+               sum(y) OVER (PARTITION BY term) AS yw,
+               sum(y) OVER (PARTITION BY lang) AS nl,
+               sum(y) OVER () AS nn,
+               (SELECT count(DISTINCT term) FROM toks) AS v
+        FROM ywl
+    ), z AS (
+        SELECT lang, term, y,
+               (ln(CAST(y + 1 AS DOUBLE)
+                   / (nl + v - y - 1))
+                - ln(CAST(yw - y + 1 AS DOUBLE)
+                     / (nn - nl + v - (yw - y) - 1)))
+               / sqrt(1.0 / (y + 1) + 1.0 / (yw - y + 1)) AS zscore
+        FROM tot
+    ), ranked AS (
+        SELECT lang, term, y, zscore,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY zscore DESC, term) AS rnk
+        FROM z
+    )
+    SELECT lang, term, y, round(zscore, 6) AS z, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def log_odds_monroe_terms(spark, sf_dir):
+    """'Fightin' words' (Monroe/Colaresi/Quinn): per language, the top
+    3 terms by variance-normalized log-odds ratio against the REST of
+    the corpus, with a +1 Dirichlet prior — the statistically sound
+    version of tf-idf term charts, and the standard way to audit what
+    actually distinguishes one corpus slice from another before
+    training on it.  All marginals are windows over the (lang x term)
+    COUNT frame; the fact table is tokenized exactly once.  The
+    z-score is deterministic double math off integer counts, rounded
+    to 6; ties break on the term string."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("term"))
+    ywl = toks.groupBy("lang", "term").agg(F.count("*").alias("y"))
+    vocab = toks.select(F.countDistinct("term").alias("v"))
+    t = ywl.select(
+        "lang", "term", "y",
+        F.sum("y").over(Window.partitionBy("term")).alias("yw"),
+        F.sum("y").over(Window.partitionBy("lang")).alias("nl"),
+        F.sum("y").over(Window.partitionBy()).alias("nn"),
+    ).crossJoin(F.broadcast(vocab))
+    num = (
+        F.log((F.col("y") + 1).cast("double")
+              / (F.col("nl") + F.col("v") - F.col("y") - 1))
+        - F.log((F.col("yw") - F.col("y") + 1).cast("double")
+                / (F.col("nn") - F.col("nl") + F.col("v")
+                   - (F.col("yw") - F.col("y")) - 1))
+    )
+    var = 1.0 / (F.col("y") + 1) + 1.0 / (F.col("yw") - F.col("y") + 1)
+    z = t.select("lang", "term", "y", (num / F.sqrt(var)).alias("zscore"))
+    w = Window.partitionBy("lang").orderBy(F.col("zscore").desc(), "term")
+    return (
+        z.select("lang", "term", "y", "zscore",
+                 F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "term", "y", F.round("zscore", 6).alias("z"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+@query(
+    "wow_user_jaccard",
+    "analytics/retention",
+    oracle="""
+    WITH wk AS (
+        SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS w,
+               user_id
+        FROM events
+    ), sizes AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS n FROM wk GROUP BY w
+    ), inter AS (
+        SELECT b.w AS w, CAST(count(*) AS BIGINT) AS i
+        FROM wk a JOIN wk b
+          ON a.user_id = b.user_id AND b.w = a.w + INTERVAL 7 DAY
+        GROUP BY b.w
+    )
+    SELECT cur.w AS week_start, prev.n AS prev_users, cur.n AS cur_users,
+           COALESCE(i.i, 0) AS common_users,
+           round(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                 / (prev.n + cur.n - COALESCE(i.i, 0)), 6) AS jaccard
+    FROM sizes cur
+    JOIN sizes prev ON cur.w = prev.w + INTERVAL 7 DAY
+    LEFT JOIN inter i ON i.w = cur.w
+    """,
+)
+def wow_user_jaccard(spark, sf_dir):
+    """Week-over-week audience overlap: the Jaccard similarity of each
+    ISO week's distinct-user set against the previous week's — the
+    set-valued stability metric behind churn dashboards (cohort
+    retention measures who RETURNS; this measures how much the whole
+    audience SHIFTED).  The user-set intersection is an equi-join on
+    (user, week+7d) over the deduped (week, user) frame — shuffle
+    volume is |weekly active users|, never raw events — and the
+    weekly sizes frame is |weeks|-tier."""
+    e = table(spark, sf_dir, "events")
+    wk = e.select(
+        F.date_trunc("week", "ts").cast("date").alias("w"), "user_id"
+    ).distinct()
+    sizes = wk.groupBy("w").agg(F.count("*").alias("n"))
+    a, b = wk.alias("a"), wk.alias("b")
+    inter = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("b.w") == F.date_add(F.col("a.w"), 7)))
+        .groupBy(F.col("b.w").alias("w"))
+        .agg(F.count("*").alias("i"))
+    )
+    cur, prev = sizes.alias("cur"), sizes.alias("prev")
+    joined = (
+        cur.join(prev, F.col("cur.w") == F.date_add(F.col("prev.w"), 7))
+        .join(inter.alias("i"), F.col("i.w") == F.col("cur.w"), "left")
+    )
+    i0 = F.coalesce(F.col("i.i"), F.lit(0))
+    return joined.select(
+        F.col("cur.w").alias("week_start"),
+        F.col("prev.n").alias("prev_users"),
+        F.col("cur.n").alias("cur_users"),
+        i0.alias("common_users"),
+        F.round(i0.cast("double")
+                / (F.col("prev.n") + F.col("cur.n") - i0), 6)
+        .alias("jaccard"),
+    )
+
+
+@query(
+    "drawdown_from_peak_daily",
+    "analytics/window",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri,
+               CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders WHERE year(o_orderdate) = 1996
+        GROUP BY 1, 2
+    ), dd AS (
+        SELECT pri, d, cents,
+               max(cents) OVER (PARTITION BY pri ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - cents AS drop
+        FROM daily
+    ), ranked AS (
+        SELECT pri, d, drop,
+               row_number() OVER (PARTITION BY pri
+                                  ORDER BY drop DESC, d) AS rn
+        FROM dd
+    )
+    SELECT pri, CAST(drop AS BIGINT) AS max_drawdown_cents,
+           d AS worst_day
+    FROM ranked WHERE rn = 1
+    """,
+)
+def drawdown_from_peak_daily(spark, sf_dir):
+    """Largest drop from the running peak of daily revenue, per order
+    priority — the 'max drawdown' statistic (finance) applied to a
+    rate series: how far below its best day each segment ever fell,
+    and when.  One running-max window partitioned by priority (never
+    global), then a deterministic argmax pick (earliest worst day on
+    ties).  Exact integer cents end to end."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.filter(F.year("o_orderdate") == 1996)
+        .groupBy(F.col("o_orderpriority").alias("pri"),
+                 F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+             .alias("cents"))
+    )
+    wrun = (Window.partitionBy("pri").orderBy("d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    dd = daily.select(
+        "pri", "d", "cents",
+        (F.max("cents").over(wrun) - F.col("cents")).alias("drop"),
+    )
+    wr = Window.partitionBy("pri").orderBy(F.col("drop").desc(), "d")
+    return (
+        dd.select("pri", "d", "drop", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("pri", F.col("drop").cast("bigint").alias("max_drawdown_cents"),
+                F.col("d").alias("worst_day"))
+    )
+
+
+@query(
+    "poisson_rate_ci_by_type",
+    "analytics/stats",
+    oracle="""
+    WITH span AS (
+        SELECT CAST(datediff('day', min(CAST(ts AS DATE)),
+                             max(CAST(ts AS DATE))) + 1 AS BIGINT)
+               AS days
+        FROM events
+    ), cnt AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, days,
+           round(CAST(n AS DOUBLE) / days, 6) AS rate_per_day,
+           round(CAST(n AS DOUBLE) / days
+                 - 1.96 * sqrt(CAST(n AS DOUBLE)) / days, 6) AS ci_low,
+           round(CAST(n AS DOUBLE) / days
+                 + 1.96 * sqrt(CAST(n AS DOUBLE)) / days, 6) AS ci_high
+    FROM cnt, span
+    """,
+)
+def poisson_rate_ci_by_type(spark, sf_dir):
+    """Per-event-type arrival rate with a 95 % Poisson interval
+    (normal approximation: rate ± 1.96·sqrt(n)/days) over the
+    fixture's observed day span — the uncertainty-aware version of a
+    plain count/day dashboard tile.  One fact-table aggregate plus a
+    1-row span scalar broadcast; deterministic double math off
+    integer counts, rounded to 6."""
+    e = table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    span = e.agg(
+        (F.datediff(F.max(day), F.min(day)) + 1).cast("bigint").alias("days")
+    )
+    cnt = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    nd = F.col("n").cast("double")
+    return cnt.crossJoin(F.broadcast(span)).select(
+        "event_type", "n", "days",
+        F.round(nd / F.col("days"), 6).alias("rate_per_day"),
+        F.round(nd / F.col("days")
+                - 1.96 * F.sqrt(nd) / F.col("days"), 6).alias("ci_low"),
+        F.round(nd / F.col("days")
+                + 1.96 * F.sqrt(nd) / F.col("days"), 6).alias("ci_high"),
+    )

@@ -221,6 +221,10 @@ BNLJ_ALLOWED = {
     "decile_lift_table",         # 1-row (n, total-spend) scalar crossed
     "dedup_minhash_lsh",         # 1-row coverage_ok verdict crossed (sketch-verify)
     "dedup_simhash",             # 1-row coverage_ok verdict crossed (sketch-verify)
+    "kendall_tau_yearly_nation_revenue",  # two 1-row summary frames crossed
+    "theil_sen_daily_revenue_slope",  # 1-row day-count x 1-row median crossed
+    "log_odds_monroe_terms",     # 1-row vocab-size scalar crossed
+    "poisson_rate_ci_by_type",   # 1-row day-span scalar crossed
 }
 
 
