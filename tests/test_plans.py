@@ -225,6 +225,7 @@ BNLJ_ALLOWED = {
     "theil_sen_daily_revenue_slope",  # 1-row day-count x 1-row median crossed
     "log_odds_monroe_terms",     # 1-row vocab-size scalar crossed
     "poisson_rate_ci_by_type",   # 1-row day-span scalar crossed
+    "bloom_semi_join_runtime_filter",  # 1-row bitmap + verdict frames crossed
 }
 
 

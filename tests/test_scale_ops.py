@@ -617,3 +617,38 @@ def test_cbo_column_stats_propagate_cardinality(spark, sf_dir):
         spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
         for t in ("cbo_orders", "cbo_cust"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bloom_prefilter_no_false_negatives_and_bounded_fps(spark):
+    """operators/bloom.py invariants: (a) bloom_semi_join is
+    row-identical to the plain left-semi join (false negatives
+    impossible — the seed-type seam between build and probe hashing
+    would break exactly this); (b) the prefilter's false-positive
+    rate stays near the m/n=10, k=7 theory bound (~1 %); (c) the
+    probe-side test stays in whole-stage codegen (no Python eval in
+    the plan)."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.operators.bloom import (
+        bloom_build,
+        bloom_semi_join,
+        might_contain,
+    )
+
+    build = spark.range(500).select((F.col("id") * 7 + 1).alias("k"))
+    probe = spark.range(20_000).select(F.col("id").alias("pk"))
+    res, num_bits = bloom_semi_join(probe, build, "pk", "k")
+    exact = probe.join(build, probe.pk == build.k, "left_semi")
+    got = {r.pk for r in res.collect()}
+    want = {r.pk for r in exact.collect()}
+    assert got == want
+    bloom = bloom_build(build.select("k").distinct(), "k", num_bits)
+    kept = (
+        probe.crossJoin(F.broadcast(bloom))
+        .filter(might_contain("bloom", "pk", num_bits))
+        .count()
+    )
+    fp_rate = (kept - len(want)) / (20_000 - len(want))
+    assert 0 <= fp_rate <= 0.05, fp_rate
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
