@@ -375,3 +375,89 @@ def acid_expire_snapshots_vacuum(spark, sf_dir):
     ok = F.lit(stats["files_removed"] >= 1 and v1_gone and live_ok
                and stats["manifests_removed"] == 1)
     return acid_lite.read(spark, dest).withColumn("vacuum_ok", ok)
+
+
+@query(
+    "stream_acid_exactly_once_sink",
+    "table-format/streaming",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS exactly_once_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_acid_exactly_once_sink(spark, sf_dir):
+    """Structured Streaming INTO the ACID table with exactly-once
+    delivery (round 11): each micro-batch appends via
+    ``append_idempotent`` tagged ``batch-{batch_id}`` — the Delta
+    txnAppId protocol, where idempotence lives in the table's commit
+    chain, not in sink-side state.  After the two-batch chronological
+    replay completes, the query SIMULATES the at-least-once failure
+    mode foreachBatch actually has (a batch re-delivered after a
+    driver restart) by re-appending batch 0 with its original tag:
+    ``exactly_once_ok`` grades that the re-delivery was a no-op (same
+    version returned, no new commit).  The hashed aggregate proves the
+    table holds each source row exactly once — the oracle states it
+    straight from ``events``."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F2
+
+    from ..catalog import with_ts_us
+    from ..session import configure
+    from ..streaming.demos import _staged_two_batch_dir, _state_sized_shuffle
+
+    configure(spark)
+    dest = _table_dir("acid_stream_sink", sf_dir)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    events = with_ts_us(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_two_batch_dir(sf_dir))
+    )
+    cols = ["event_id", "user_id", "event_type", "value"]
+
+    def _sink(batch_df, batch_id):
+        acid_lite.append_idempotent(
+            batch_df.sparkSession, dest, batch_df.select(*cols),
+            txn_id=f"batch-{batch_id}")
+
+    with _state_sized_shuffle(spark):
+        q = (
+            events.writeStream.foreachBatch(_sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation",
+                    os.path.join(_SCRATCH,
+                                 "ckpt_acid_sink_" + _uuid.uuid4().hex[:8]))
+            .start()
+        )
+        q.awaitTermination()
+    v_done = acid_lite.latest_version(dest)
+    ok = True
+    if v_done == 0:
+        # zero-batch replay (empty source): vacuously exactly-once
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, sum_cents bigint"
+        ).withColumn("exactly_once_ok", F2.lit(True))
+    # simulate a re-delivered micro-batch: the tag alone must no-op
+    # (the frame is never evaluated on a tag hit, so an empty stand-in
+    # proves the dedup lives in the commit chain, not the data)
+    replay_df = spark.createDataFrame(
+        [], acid_lite.read(spark, dest).schema)
+    v_replay = acid_lite.append_idempotent(
+        spark, dest, replay_df, txn_id="batch-0")
+    ok = (v_replay <= v_done
+          and acid_lite.latest_version(dest) == v_done)
+    cents = F2.floor(F2.col("value") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, dest)
+        .groupBy("event_type")
+        .agg(F2.count("*").alias("n_events"),
+             F2.sum(cents).alias("sum_cents"))
+        .withColumn("exactly_once_ok", F2.lit(ok))
+    )

@@ -564,3 +564,75 @@ def expire_snapshots(path: str, keep_from: int) -> dict:
         os.unlink(_manifest_path(path, v))
         n_manifests += 1
     return {"manifests_removed": n_manifests, "files_removed": n_files}
+
+
+def append_idempotent(spark: SparkSession, path: str, df: DataFrame,
+                      txn_id: str, retries: int = 3) -> int:
+    """Exactly-once append: a commit tagged ``txn_id`` lands at most
+    once per table — re-delivery of the same transaction (a retried
+    streaming micro-batch, a replayed job) finds the tag in the
+    manifest chain and returns the already-committed version without
+    writing.  This is the Delta ``txnAppId``/``txnVersion`` dedup
+    protocol: the sink's idempotence lives in the TABLE's commit
+    metadata, not in fragile sink-side state, so it survives driver
+    restarts and checkpoint loss.
+
+    The chain walk is manifest-count-sized (driver-side JSON reads);
+    at production version counts the real formats index txn tags in
+    the latest snapshot — same semantics, amortized lookup."""
+    os.makedirs(path, exist_ok=True)
+    files: list[str] | None = None
+    for _ in range(retries + 1):
+        parent = latest_version(path)
+        v = parent
+        while v > 0:
+            m = _read_manifest(path, v)
+            if m.get("txn") == txn_id:
+                return v  # already committed: re-delivery is a no-op
+            v = m.get("parent", 0)
+        if files is None:  # write the data at most once across retries
+            files = _write_files(df, path)
+        schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+        )
+        parent_files = _read_manifest(path, parent)["files"] if parent else []
+        payload_schema = schema if not parent else None
+        try:
+            _commit_txn(path, parent + 1, parent_files + files, parent,
+                        "append", txn_id, schema=payload_schema)
+            return parent + 1
+        except CommitConflict:
+            continue  # re-check the chain: the winner may be OUR txn
+    raise CommitConflict(f"append to {path} lost {retries + 1} races")
+
+
+def _commit_txn(path: str, version: int, files: list[str], parent: int,
+                op: str, txn_id: str, schema: str | None = None) -> None:
+    """`_commit` plus a transaction tag in the manifest payload."""
+    parent_stats: dict = {}
+    if parent:
+        pm = _read_manifest(path, parent)
+        if schema is None:
+            schema = pm.get("schema")
+        parent_stats = pm.get("stats") or {}
+    stats = {}
+    for f in files:
+        s = parent_stats.get(f, ...)
+        if s is ...:
+            s = _file_stats(path, f)
+        if s is not None:
+            stats[f] = s
+    payload = json.dumps(
+        {"version": version, "parent": parent, "op": op, "files": files,
+         "schema": schema, "stats": stats, "txn": txn_id},
+        indent=1,
+    )
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    try:
+        fd = os.open(_manifest_path(path, version),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {version} already committed at {path}") from exc
+    with os.fdopen(fd, "w") as f:
+        f.write(payload)

@@ -286,3 +286,25 @@ def test_expire_snapshots_removes_only_orphans(spark, tdir):
         acid_lite.read(spark, tdir, version=1)
     with pytest.raises(ValueError):
         acid_lite.expire_snapshots(tdir, keep_from=99)
+
+
+def test_append_idempotent_txn_dedup(spark, tdir):
+    """The Delta txnAppId protocol: the same txn tag commits at most
+    once; different tags append normally; re-delivery returns the
+    original version without evaluating the frame."""
+    v1 = acid_lite.append_idempotent(
+        spark, tdir, _df(spark, [(1, "a")]), txn_id="batch-0")
+    assert v1 == 1
+    # re-delivery: same tag, DIFFERENT (even empty) frame — no-op
+    v_again = acid_lite.append_idempotent(
+        spark, tdir, _df(spark, []), txn_id="batch-0")
+    assert v_again == 1 and acid_lite.latest_version(tdir) == 1
+    v2 = acid_lite.append_idempotent(
+        spark, tdir, _df(spark, [(2, "b")]), txn_id="batch-1")
+    assert v2 == 2
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # a non-txn commit in between must not break the chain walk
+    acid_lite.append(spark, tdir, _df(spark, [(3, "c")]))
+    assert acid_lite.append_idempotent(
+        spark, tdir, _df(spark, []), txn_id="batch-1") == 2

@@ -73,14 +73,14 @@ def test_contract_rows_registered_first():
 
     names = list(SPECS)
     assert names[: len(_CONTRACT_ORDER)] == _CONTRACT_ORDER
-    # round-10 rotation (REGISTRY.md "Driver-grading rotation"): rows
-    # 1-30 pinned §2.B core, rows 31-39 the nine stale-record §2.B
-    # rows (r9 VERDICT task 1), rows 40-50 the rotation queue (task 2)
-    assert names[30] == "set_union_all"
-    assert names[38] == "approx_count_distinct"
-    assert names[39] == "stream_incremental_rollup"
-    assert names[49] == "multimodal_bmp_resize_stats"
-    # every row of the round-10 graded window is oracle-checked
+    # round-11 rotation (REGISTRY.md "Driver-grading rotation"): rows
+    # 1-30 pinned §2.B core, rows 31-36 the r10 flagship swap-forwards
+    # (r10 VERDICT task 3), rows 37-50 the next queue heads (task 1)
+    assert names[30] == "acid_merge_upsert_roundtrip"
+    assert names[35] == "binary_auc_exact"
+    assert names[36] == "ewma_dyadic_smoothing"
+    assert names[49] == "rfm_segmentation"
+    # every row of the round-11 graded window is oracle-checked
     for n in _CONTRACT_ORDER[:50]:
         assert SPECS[n].oracle is not None, n
 
