@@ -461,3 +461,54 @@ def stream_acid_exactly_once_sink(spark, sf_dir):
              F2.sum(cents).alias("sum_cents"))
         .withColumn("exactly_once_ok", F2.lit(ok))
     )
+
+
+@query(
+    "acid_optimize_zorder_pruned",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS custkey_pruned_ok,
+           TRUE AS orderkey_pruned_ok
+    FROM orders
+    WHERE o_custkey <= (SELECT max(o_custkey) // 8 FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_optimize_zorder_pruned(spark, sf_dir):
+    """OPTIMIZE ZORDER BY through the table format (round 11): the
+    orders slice lands key-shuffled (no natural order), then
+    ``optimize_zorder(o_custkey, o_orderkey)`` rewrites it clustered
+    on the scaled Morton interleave as a committed version whose
+    manifest stats come from the CLUSTERED files' footers.  The two
+    graded booleans assert the payoff on BOTH dimensions: a selective
+    range on o_custkey AND a selective range on o_orderkey must each
+    prune to strictly fewer files than the table holds, by pure
+    manifest math — single-column sorting can only ever deliver one
+    of the two.  The hashed aggregate is the pruned custkey-range
+    read, which must be row-identical to the predicate on the raw
+    table (the oracle states it from ``orders``)."""
+    dest = _table_dir("acid_zorder", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    m = o.agg(F.max("o_custkey"), F.max("o_orderkey")).first()
+    ck_hi, ok_hi = (m[0] or 0) // 8, (m[1] or 0) // 8
+    acid_lite.create_table(spark, dest, o.repartition(8, "o_orderkey"))
+    acid_lite.optimize_zorder(spark, dest, "o_custkey", "o_orderkey")
+    sel_c, total = acid_lite.prune_files(dest, "o_custkey", hi=ck_hi)
+    sel_o, _ = acid_lite.prune_files(dest, "o_orderkey", hi=ok_hi)
+    ck_ok = F.lit(0 < len(sel_c) < total if total else True)
+    ok_ok = F.lit(0 < len(sel_o) < total if total else True)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read_pruned(spark, dest, "o_custkey", hi=ck_hi)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                ck_ok.alias("custkey_pruned_ok"),
+                ok_ok.alias("orderkey_pruned_ok"))
+    )

@@ -636,3 +636,58 @@ def _commit_txn(path: str, version: int, files: list[str], parent: int,
             f"version {version} already committed at {path}") from exc
     with os.fdopen(fd, "w") as f:
         f.write(payload)
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 8,
+) -> int:
+    """OPTIMIZE ZORDER BY (col_a, col_b): rewrite the latest snapshot
+    clustered on the min/max-scaled Morton interleave of two columns
+    and commit it as a row-identical version.  Because manifest stats
+    are folded from the rewritten files' footers at commit time, the
+    clustered layout makes :func:`read_pruned` selective on EITHER
+    column — the Delta/Iceberg ZORDER + data-skipping combination,
+    end to end through this table format.
+
+    Unlike :func:`optimize` (coalesce, narrow), clustering NEEDS the
+    range shuffle — that is the cost a 100 TB table pays once per
+    OPTIMIZE to make every later selective scan prune."""
+    from ..operators.scale import morton_code
+
+    parent = latest_version(path)
+    if parent == 0:
+        raise ValueError(f"table does not exist: {path}")
+    df = read(spark, path, parent)
+    stats = df.agg(
+        F.min(col_a).alias("a_min"), F.max(col_a).alias("a_max"),
+        F.min(col_b).alias("b_min"), F.max(col_b).alias("b_max"),
+    ).first()
+    if stats.a_min is None or stats.b_min is None:
+        return parent  # empty snapshot: nothing to cluster
+    domain = (1 << bits) - 1
+
+    def scaled(col, lo, hi):
+        span = max(int(hi) - int(lo), 1)
+        return F.floor(
+            (F.col(col).cast("double") - float(lo)) / span * domain
+        ).cast("long")
+
+    z = morton_code(
+        scaled(col_a, stats.a_min, stats.a_max),
+        scaled(col_b, stats.b_min, stats.b_max),
+        bits,
+    )
+    zdf = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    new_files = _write_files(zdf, path)
+    _commit(path, parent + 1, new_files, parent, "optimize-zorder")
+    return parent + 1

@@ -308,3 +308,28 @@ def test_append_idempotent_txn_dedup(spark, tdir):
     acid_lite.append(spark, tdir, _df(spark, [(3, "c")]))
     assert acid_lite.append_idempotent(
         spark, tdir, _df(spark, []), txn_id="batch-1") == 2
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tdir):
+    """ZORDER + manifest stats: after clustering on the Morton
+    interleave, range pruning must be selective on BOTH columns —
+    single-column sort can only deliver one."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("bigint").alias("b"),
+        F.col("id").alias("payload"),
+    ).repartition(8)  # key-shuffled: no natural order
+    acid_lite.create_table(spark, tdir, df)
+    v = acid_lite.optimize_zorder(spark, tdir, "a", "b", n_files=8)
+    assert acid_lite._read_manifest(tdir, v)["op"] == "optimize-zorder"
+    sel_a, total = acid_lite.prune_files(tdir, "a", hi=7)
+    sel_b, _ = acid_lite.prune_files(tdir, "b", hi=7)
+    assert total >= 4
+    assert 0 < len(sel_a) < total, (len(sel_a), total)
+    assert 0 < len(sel_b) < total, (len(sel_b), total)
+    # row identity through the clustered rewrite
+    got = acid_lite.read_pruned(spark, tdir, "a", hi=7).count()
+    want = df.filter(F.col("a") <= 7).count()
+    assert got == want
