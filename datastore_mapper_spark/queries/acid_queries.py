@@ -512,3 +512,55 @@ def acid_optimize_zorder_pruned(spark, sf_dir):
                 ck_ok.alias("custkey_pruned_ok"),
                 ok_ok.alias("orderkey_pruned_ok"))
     )
+
+
+@query(
+    "acid_change_data_feed",
+    "table-format",
+    oracle="""
+    WITH changes AS (
+        SELECT 'delete' AS change_type,
+               CAST(o_orderkey AS BIGINT) AS k
+        FROM orders WHERE o_orderkey % 10 = 6
+        UNION ALL
+        SELECT 'insert', o_orderkey FROM orders WHERE o_orderkey % 10 = 8
+        UNION ALL
+        SELECT 'update_preimage', o_orderkey
+        FROM orders WHERE o_orderkey % 10 = 7
+        UNION ALL
+        SELECT 'update_postimage', o_orderkey
+        FROM orders WHERE o_orderkey % 10 = 7
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(k) AS BIGINT) AS min_key,
+           CAST(max(k) AS BIGINT) AS max_key
+    FROM changes GROUP BY change_type
+    """,
+)
+def acid_change_data_feed(spark, sf_dir):
+    """Change Data Feed between table versions (round 11): after the
+    standard create→MERGE history, ``change_data_feed(v1, v2)``
+    reconstructs row-level changes purely from the manifest FILE
+    DELTA — inserts (CDC keys %10=8), deletes (%10=6), and
+    update pre/post images (%10=7), while rows merely CARRIED through
+    rewritten files (co-located, untouched) cancel out and must NOT
+    appear.  The oracle states the exact expected change set from the
+    merge law, so a misclassified carry row, a lost delete, or a
+    duplicated image hash-fails.  Cost is bounded by the CoW rewrite
+    set, never the table — the Delta CDF contract from
+    copy-on-write first principles."""
+    dest = _table_dir("acid_cdf", sf_dir)
+    target, cdc = _seed_and_cdc(spark, sf_dir)
+    acid_lite.create_table(spark, dest, target.repartition(4, "o_orderkey"))
+    acid_lite.merge_upsert(spark, dest, cdc, key="o_orderkey",
+                           delete_col="_deleted")
+    cdf = acid_lite.change_data_feed(spark, dest, "o_orderkey", 1, 2)
+    return (
+        cdf.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )

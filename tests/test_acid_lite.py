@@ -333,3 +333,37 @@ def test_optimize_zorder_prunes_both_dimensions(spark, tdir):
     got = acid_lite.read_pruned(spark, tdir, "a", hi=7).count()
     want = df.filter(F.col("a") <= 7).count()
     assert got == want
+
+
+def test_change_data_feed_classifies_and_cancels_carries(spark, tdir):
+    """CDF from manifest file deltas: inserts/deletes/update images
+    classify correctly; rows merely carried through a rewritten file
+    (co-located with a change, themselves untouched) must NOT appear;
+    schema-evolution columns backfill NULL on pre-images."""
+    from pyspark.sql import functions as F
+
+    # one file holds keys 1..4 (k%2 groups them 2+2); merge touches
+    # only key 1, so keys co-located with it are carried via rewrite
+    df = _df(spark, [(i, f"r{i}") for i in range(1, 5)]).coalesce(1)
+    acid_lite.create_table(spark, tdir, df)
+    src = spark.createDataFrame(
+        [(1, "X", False), (9, "new", False), (3, "ignored", True)],
+        "k bigint, v string, dead boolean")
+    acid_lite.merge_upsert(spark, tdir, src, key="k", delete_col="dead")
+    cdf = acid_lite.change_data_feed(spark, tdir, "k", 1, 2)
+    got = {(r.k, r.v, r._change_type) for r in cdf.collect()}
+    assert got == {
+        (1, "r1", "update_preimage"),
+        (1, "X", "update_postimage"),
+        (9, "new", "insert"),
+        (3, "r3", "delete"),
+    }, got
+    # schema evolution: a new column appears as an update when non-null
+    acid_lite.append_evolve(
+        spark, tdir,
+        spark.createDataFrame([(50, "e", 1.5)],
+                              "k bigint, v string, score double"))
+    cdf2 = acid_lite.change_data_feed(spark, tdir, "k", 2, 3)
+    rows = {(r.k, r._change_type) for r in cdf2.collect()}
+    assert rows == {(50, "insert")}
+    assert "score" in cdf2.columns
