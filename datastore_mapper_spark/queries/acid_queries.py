@@ -564,3 +564,49 @@ def acid_change_data_feed(spark, sf_dir):
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+@query(
+    "acid_incremental_consumption",
+    "table-format/streaming",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS increments_disjoint_ok
+    FROM orders
+    WHERE o_orderkey % 10 < 8
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_incremental_consumption(spark, sf_dir):
+    """The ACID table as a streaming SOURCE (round 11): committed
+    versions are the offsets.  Four appends land the orders slice;
+    a consumer then reads increments (0→2] and (2→4] — Delta's
+    append-only streaming-read contract — and the query proves the
+    exactly-once arithmetic: the two increments are DISJOINT (their
+    row counts sum to the full table's) and their UNION is the hashed
+    output, which must equal the whole slice stated by the oracle.
+    A file double-delivered across offsets or dropped between them
+    breaks either the boolean or the hash."""
+    dest = _table_dir("acid_incr", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    ).filter(F.col("o_orderkey") % 10 < 8)
+    for i in range(4):
+        acid_lite.append(spark, dest,
+                         o.filter(F.col("o_orderkey") % 4 == i))
+    inc1 = acid_lite.read_incremental(spark, dest, 0, 2)
+    inc2 = acid_lite.read_incremental(spark, dest, 2, 4)
+    n1, n2 = inc1.count(), inc2.count()
+    total = acid_lite.read(spark, dest).count()
+    disjoint_ok = F.lit(n1 + n2 == total and n1 > 0 if total else True)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        inc1.unionByName(inc2)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                disjoint_ok.alias("increments_disjoint_ok"))
+    )

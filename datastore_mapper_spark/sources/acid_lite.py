@@ -769,3 +769,38 @@ def change_data_feed(
         _align(inserted).unionByName(_align(deleted))
         .unionByName(_align(upd_pre)).unionByName(_align(upd_post))
     )
+
+
+def read_incremental(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental consumption: rows in files ADDED in versions
+    ``(from_version, to_version]`` — the table as a streaming source,
+    where committed versions are the offsets (Delta's streaming-read
+    contract for append-only tables).  A consumer that checkpoints
+    the last version it saw reads each appended row exactly once:
+    increments over consecutive version ranges are disjoint and union
+    to the full table.  Commits that REMOVE files (merge, delete,
+    optimize) break the append-only premise; they raise here and the
+    consumer must switch to :func:`change_data_feed`."""
+    to_v = latest_version(path) if to_version is None else to_version
+    if from_version > to_v:
+        raise ValueError(f"from {from_version} > to {to_v}")
+    base = set(_read_manifest(path, from_version)["files"]) \
+        if from_version else set()
+    mt = _read_manifest(path, to_v)
+    removed = base - set(mt["files"])
+    if removed:
+        raise ValueError(
+            f"versions ({from_version}, {to_v}] removed "
+            f"{len(removed)} files (non-append commit) — use "
+            "change_data_feed for row-level semantics"
+        )
+    new_files = [f for f in mt["files"] if f not in base]
+    if not new_files:
+        return spark.createDataFrame([], mt["schema"])
+    return spark.read.schema(mt["schema"]).parquet(
+        *[os.path.join(path, f) for f in new_files])

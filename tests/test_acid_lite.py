@@ -367,3 +367,20 @@ def test_change_data_feed_classifies_and_cancels_carries(spark, tdir):
     rows = {(r.k, r._change_type) for r in cdf2.collect()}
     assert rows == {(50, "insert")}
     assert "score" in cdf2.columns
+
+
+def test_read_incremental_offsets_exactly_once(spark, tdir):
+    """Version-offset streaming reads: consecutive increments are
+    disjoint, union to the table, and a non-append commit in the
+    range refuses with a pointer to change_data_feed."""
+    for i in range(3):
+        acid_lite.append(spark, tdir, _df(spark, [(i, f"v{i}")]))
+    inc1 = {(r.k, r.v)
+            for r in acid_lite.read_incremental(spark, tdir, 0, 1).collect()}
+    inc2 = {(r.k, r.v)
+            for r in acid_lite.read_incremental(spark, tdir, 1, 3).collect()}
+    assert inc1 == {(0, "v0")} and inc2 == {(1, "v1"), (2, "v2")}
+    assert not acid_lite.read_incremental(spark, tdir, 3, 3).count()
+    acid_lite.delete_where(spark, tdir, "k", hi=0)  # v4 removes a file
+    with pytest.raises(ValueError, match="change_data_feed"):
+        acid_lite.read_incremental(spark, tdir, 3, 4)
