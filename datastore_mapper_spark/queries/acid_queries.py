@@ -610,3 +610,47 @@ def acid_incremental_consumption(spark, sf_dir):
         .select("o_orderstatus", "n_orders", "sum_cents",
                 disjoint_ok.alias("increments_disjoint_ok"))
     )
+
+
+@query(
+    "acid_metadata_count_pushdown",
+    "table-format",
+    oracle="""
+    WITH c AS (
+        SELECT CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n0,
+               CAST(sum(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2
+        FROM orders
+    )
+    SELECT 1 AS version, n0 AS n_rows, TRUE AS metadata_only FROM c
+    UNION ALL
+    SELECT 2, n0 + n1, TRUE FROM c
+    UNION ALL
+    SELECT 3, n0 + n1 + n2, TRUE FROM c
+    """,
+)
+def acid_metadata_count_pushdown(spark, sf_dir):
+    """Metadata-only COUNT(*) (round 11): every commit folds each data
+    file's footer row count into the manifest (``::rows``), so
+    counting ANY snapshot — current or time-travelled — is pure
+    manifest math with zero data files opened, exactly the
+    Iceberg/Delta COUNT pushdown.  Three appends build three
+    versions; the query emits each version's count with
+    ``metadata_only`` graded TRUE (a file missing its footer entry
+    would force a data read and flip it).  The oracle restates the
+    cumulative counts from the append law; a stale or double-counted
+    manifest entry hash-fails."""
+    dest = _table_dir("acid_metacount", sf_dir)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for i in range(3):
+        acid_lite.append(spark, dest,
+                         o.filter(F.col("o_orderkey") % 3 == i))
+    rows = []
+    for v in (1, 2, 3):
+        n, meta_only = acid_lite.count_rows(spark, dest, version=v)
+        rows.append((v, n, meta_only))
+    return spark.createDataFrame(
+        rows, "version int, n_rows bigint, metadata_only boolean")

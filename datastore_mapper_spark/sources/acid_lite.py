@@ -128,7 +128,11 @@ def _file_stats(path: str, rel: str) -> dict | None:
                     out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
                 else:
                     out[name] = [lo, hi]
-        return out or None
+        # "::rows" is not a legal column name, so it can never collide
+        # with real column stats: the per-file row count makes COUNT(*)
+        # a metadata-only query (Iceberg/Delta do the same)
+        out["::rows"] = md.num_rows
+        return out
     except Exception:
         return None
 
@@ -804,3 +808,31 @@ def read_incremental(
         return spark.createDataFrame([], mt["schema"])
     return spark.read.schema(mt["schema"]).parquet(
         *[os.path.join(path, f) for f in new_files])
+
+
+def count_rows(spark: SparkSession, path: str,
+               version: int | None = None) -> tuple[int, bool]:
+    """COUNT(*) for a snapshot.  Returns ``(count,
+    metadata_only)``: when every manifest entry carries its ``::rows``
+    footer count the answer is pure manifest math — no data file is
+    opened, the Iceberg/Delta metadata-only COUNT pushdown; files
+    missing the entry (pre-stats commits) are read and counted, and
+    ``metadata_only`` comes back False."""
+    v = latest_version(path) if version is None else version
+    m = _read_manifest(path, v)
+    stats = m.get("stats") or {}
+    total = 0
+    missing = []
+    for f in m["files"]:
+        r = (stats.get(f) or {}).get("::rows")
+        if r is None:
+            missing.append(f)
+        else:
+            total += int(r)
+    if missing:
+        total += (
+            spark.read.schema(m["schema"])
+            .parquet(*[os.path.join(path, f) for f in missing])
+            .count()
+        )
+    return total, not missing

@@ -202,8 +202,11 @@ def test_manifest_stats_and_pruned_read(spark, tdir):
     m = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
     stats = m["stats"]
     assert stats, "commit recorded no stats"
-    # every data file has a k range recorded
-    assert all("k" in s for s in stats.values())
+    # every NON-EMPTY data file has a k range recorded (zero-row part
+    # files carry only their ::rows footer count)
+    assert all("k" in s for s in stats.values()
+               if s.get("::rows", 1) > 0)
+    assert any("k" in s for s in stats.values())
     sel, total = acid_lite.prune_files(tdir, "k", hi=10)
     assert total == len(m["files"]) and 0 < len(sel) < total
     got = {(r.k, r.v)
@@ -384,3 +387,24 @@ def test_read_incremental_offsets_exactly_once(spark, tdir):
     acid_lite.delete_where(spark, tdir, "k", hi=0)  # v4 removes a file
     with pytest.raises(ValueError, match="change_data_feed"):
         acid_lite.read_incremental(spark, tdir, 3, 4)
+
+
+def test_count_rows_metadata_only_and_fallback(spark, tdir):
+    """COUNT(*) from manifest ::rows entries alone; a manifest missing
+    an entry (pre-stats commit) falls back to reading just that file
+    and reports metadata_only=False."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    acid_lite.append(spark, tdir, _df(spark, [(3, "c")]))
+    n, meta = acid_lite.count_rows(spark, tdir)
+    assert (n, meta) == (3, True)
+    n1, meta1 = acid_lite.count_rows(spark, tdir, version=1)
+    assert (n1, meta1) == (2, True)
+    # simulate a legacy manifest: strip one file's stats entry
+    v = acid_lite.latest_version(tdir)
+    m = acid_lite._read_manifest(tdir, v)
+    victim = m["files"][0]
+    m["stats"].pop(victim, None)
+    with open(acid_lite._manifest_path(tdir, v), "w") as f:
+        f.write(json.dumps(m))
+    n2, meta2 = acid_lite.count_rows(spark, tdir)
+    assert n2 == 3 and meta2 is False
