@@ -654,3 +654,49 @@ def acid_metadata_count_pushdown(spark, sf_dir):
         rows.append((v, n, meta_only))
     return spark.createDataFrame(
         rows, "version int, n_rows bigint, metadata_only boolean")
+
+
+@query(
+    "acid_replace_where_backfill",
+    "table-format",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 4
+                                    FROM orders)
+                THEN CAST(floor((o_totalprice + 5.0) * 100) AS BIGINT)
+                ELSE CAST(floor(o_totalprice * 100) AS BIGINT)
+           END AS cents,
+           o_orderstatus
+    FROM orders
+    """,
+)
+def acid_replace_where_backfill(spark, sf_dir):
+    """Atomic range backfill (Delta replaceWhere, round 11): the
+    bottom o_orderkey quartile is re-derived with corrected prices
+    (+5.00) and swapped in with ONE commit — readers see either the
+    old day or the corrected day, never an empty gap, and the upper
+    quartiles' files carry by reference (same stats-driven bound as
+    DELETE).  The hashed output is every row of the post-backfill
+    table in integer cents; the oracle restates the correction law
+    from ``orders``, so a row lost in the swap, a double-applied
+    correction, or an out-of-range leak hash-fails."""
+    dest = _table_dir("acid_replwhere", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    m = o.agg(F.max("o_orderkey")).first()[0] or 0
+    b1 = m // 4
+    acid_lite.create_table(
+        spark, dest, o.filter(F.col("o_orderkey") <= b1).coalesce(2))
+    acid_lite.append(
+        spark, dest, o.filter(F.col("o_orderkey") > b1).coalesce(2))
+    corrected = o.filter(F.col("o_orderkey") <= b1).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 5.0).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    if m:
+        acid_lite.replace_where(spark, dest, "o_orderkey", None, b1,
+                                corrected)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return acid_lite.read(spark, dest).select(
+        "o_orderkey", cents.alias("cents"), "o_orderstatus")

@@ -61,6 +61,44 @@ class CommitConflict(Exception):
     """Another writer committed the same version first."""
 
 
+class ConcurrentModification(Exception):
+    """A concurrent commit touched the same files this operation
+    rewrote — the rebase is not sound; re-run the operation against
+    the new snapshot."""
+
+
+def _rebase_commit(path: str, touched: list[str], new_files: list[str],
+                   op: str, retries: int = 3) -> int:
+    """Commit a file-level edit (remove ``touched``, add ``new_files``)
+    with LOGICAL conflict detection: losing the version race to a
+    commit that left every touched file in place (e.g. a concurrent
+    append, or an edit of disjoint files) is NOT a conflict — the edit
+    rebases onto the new latest and commits without redoing its data
+    work.  Only a racer that removed one of OUR touched files raises
+    :class:`ConcurrentModification` (the caller must re-plan).  This
+    is Delta/Iceberg optimistic concurrency: version numbers collide,
+    file sets decide."""
+    removed = set(touched)
+    for _ in range(retries + 1):
+        cur = latest_version(path)
+        cm = _read_manifest(path, cur)
+        missing = removed - set(cm["files"])
+        if missing:
+            raise ConcurrentModification(
+                f"{len(missing)} file(s) this {op} rewrote were removed "
+                f"by a concurrent commit (e.g. {sorted(missing)[:2]}) — "
+                "re-run against the new snapshot"
+            )
+        kept = [f for f in cm["files"] if f not in removed]
+        try:
+            _commit(path, cur + 1, sorted(kept) + sorted(new_files),
+                    cur, op)
+            return cur + 1
+        except CommitConflict:
+            continue  # version race only: rebase again
+    raise CommitConflict(f"{op} at {path} lost {retries + 1} races")
+
+
 def _manifest_dir(path: str) -> str:
     return os.path.join(path, "manifests")
 
@@ -310,8 +348,8 @@ def merge_upsert(
     else:
         merged = inserts
     new_files = _write_files(merged, path) if merged.limit(1).count() else []
-    _commit(path, parent + 1, sorted(kept) + new_files, parent, "merge")
-    return parent + 1
+    _ = kept  # the rebase recomputes kept against the commit-time latest
+    return _rebase_commit(path, sorted(touched), new_files, "merge")
 
 
 def optimize(
@@ -360,8 +398,10 @@ def optimize(
     # coalesce, not repartition: narrow dependency — compaction must
     # not shuffle 100 TB, it concatenates co-resident row groups
     new_files = _write_files(df.coalesce(n_target), path)
-    _commit(path, parent + 1, new_files, parent, "optimize")
-    return parent + 1
+    # touched = every parent file: a concurrent APPEND rebases cleanly
+    # (its files carry alongside the compacted set); a concurrent
+    # rewrite of any compacted file raises ConcurrentModification
+    return _rebase_commit(path, files, new_files, "optimize")
 
 
 def prune_files(
@@ -476,8 +516,7 @@ def delete_where(
         survivors = df.filter(~cond | c.isNull())
         if survivors.limit(1).count():
             new_files = _write_files(survivors, path)
-    _commit(path, parent + 1, sorted(kept) + new_files, parent, "delete")
-    return parent + 1
+    return _rebase_commit(path, candidates, new_files, "delete")
 
 
 def _merge_schema(old_ddl: str, df: DataFrame) -> str:
@@ -836,3 +875,69 @@ def count_rows(spark: SparkSession, path: str,
             .count()
         )
     return total, not missing
+
+
+def replace_where(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo,
+    hi,
+    df: DataFrame,
+) -> int:
+    """Atomic range backfill (Delta's ``replaceWhere``): ONE commit
+    that deletes every row with ``lo <= column <= hi`` and inserts
+    ``df`` in its place — the idiom for re-running a day's pipeline
+    output without a delete/append window where readers see neither.
+
+    Uses the same stats-driven file bound as :func:`delete_where`
+    (wholly-in-range files drop unread, boundary files rewrite minus
+    the range, the rest carry by reference).  The replacement frame is
+    VALIDATED to lie within the range — rows outside it would silently
+    clobber data the predicate promised not to touch, so they raise."""
+    parent = latest_version(path)
+    if parent == 0:
+        raise ValueError(f"table does not exist: {path}")
+    m = _read_manifest(path, parent)
+    c = F.col(column)
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (c >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (c <= F.lit(hi))
+    src = df.localCheckpoint()
+    n_outside = src.filter(~cond | c.isNull()).count()
+    if n_outside:
+        raise ValueError(
+            f"replaceWhere frame has {n_outside} rows outside "
+            f"[{lo}, {hi}] on '{column}'"
+        )
+    stats = m.get("stats") or {}
+    candidates, _total = prune_files(path, column, lo, hi, version=parent)
+    kept = [f for f in m["files"] if f not in set(candidates)]
+    rewrite = []
+    for f in candidates:
+        s = (stats.get(f) or {}).get(column)
+        whole = False
+        if s is not None:
+            try:
+                whole = ((lo is None or lo <= s[0])
+                         and (hi is None or s[1] <= hi))
+            except TypeError:
+                whole = False
+        if not whole:
+            rewrite.append(f)
+    pieces = [src]
+    if rewrite:
+        survivors = (
+            spark.read.schema(m["schema"])
+            .parquet(*[os.path.join(path, f) for f in rewrite])
+            .filter(~cond | c.isNull())
+        )
+        pieces.append(survivors.select(*src.columns))
+    merged = pieces[0]
+    for p in pieces[1:]:
+        merged = merged.unionByName(p)
+    new_files = _write_files(merged, path) if merged.limit(1).count() else []
+    _ = kept  # the rebase recomputes kept against the commit-time latest
+    return _rebase_commit(path, candidates, new_files, "replace_where")

@@ -169,10 +169,13 @@ def test_optimize_compacts_and_preserves_versions(spark, tdir):
     assert acid_lite.optimize(spark, tdir) == post
 
 
-def test_optimize_race_loses_cleanly(spark, tdir, monkeypatch):
-    """A writer that commits between OPTIMIZE's snapshot read and its
-    commit must WIN: the optimizer gets CommitConflict, the table's
-    latest version is the winner's, and no data is lost."""
+def test_optimize_race_rebases_onto_concurrent_append(spark, tdir, monkeypatch):
+    """Logical conflict detection (round 11): an append that lands
+    between OPTIMIZE's snapshot read and its commit left every file
+    OPTIMIZE compacted in place, so the compaction REBASES onto the
+    new latest — both writers succeed, no data work redone, and the
+    final snapshot holds the appended rows NEXT TO the compacted set
+    (they were not part of the compaction input)."""
     acid_lite.create_table(
         spark, tdir, _df(spark, [(1, "a"), (2, "b")]).repartition(2))
     acid_lite.append(spark, tdir, _df(spark, [(3, "c")]).repartition(2))
@@ -187,10 +190,60 @@ def test_optimize_race_loses_cleanly(spark, tdir, monkeypatch):
         return files
 
     monkeypatch.setattr(acid_lite, "_write_files", racing_write)
-    with pytest.raises(acid_lite.CommitConflict):
-        acid_lite.optimize(spark, tdir)
+    v = acid_lite.optimize(spark, tdir)
+    assert acid_lite._read_manifest(tdir, v)["op"] == "optimize"
     got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
-    assert (99, "w") in got and (1, "a") in got and (3, "c") in got
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (99, "w")}
+
+
+def test_conflicting_file_edits_raise_concurrent_modification(
+        spark, tdir, monkeypatch):
+    """Two writers rewriting the SAME file cannot both rebase: the
+    loser must raise ConcurrentModification (re-plan required), and
+    the winner's state must be intact."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    orig_write = acid_lite._write_files
+    state = {"raced": False}
+
+    def racing_write(df, path):
+        files = orig_write(df, path)
+        if not state["raced"]:
+            state["raced"] = True
+            # the racer deletes key 2 — rewriting the same file our
+            # delete_where(k<=1) planned to rewrite
+            acid_lite.delete_where(spark, tdir, "k", lo=2, hi=2)
+        return files
+
+    monkeypatch.setattr(acid_lite, "_write_files", racing_write)
+    with pytest.raises(acid_lite.ConcurrentModification):
+        acid_lite.delete_where(spark, tdir, "k", hi=1)
+    # winner's delete landed; loser changed nothing
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a")}
+
+
+def test_disjoint_deletes_both_commit_via_rebase(spark, tdir, monkeypatch):
+    """Edits of DISJOINT files rebase past each other: a delete racing
+    a delete of a different file commits without re-planning."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    acid_lite.append(
+        spark, tdir, _df(spark, [(100, "x"), (200, "y")]).coalesce(1))
+    orig_write = acid_lite._write_files
+    state = {"raced": False}
+
+    def racing_write(df, path):
+        files = orig_write(df, path)
+        if not state["raced"]:
+            state["raced"] = True
+            acid_lite.delete_where(spark, tdir, "k", lo=200)  # upper file
+        return files
+
+    monkeypatch.setattr(acid_lite, "_write_files", racing_write)
+    acid_lite.delete_where(spark, tdir, "k", hi=1)  # lower file
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(2, "b"), (100, "x")}
 
 
 def test_manifest_stats_and_pruned_read(spark, tdir):
@@ -408,3 +461,25 @@ def test_count_rows_metadata_only_and_fallback(spark, tdir):
         f.write(json.dumps(m))
     n2, meta2 = acid_lite.count_rows(spark, tdir)
     assert n2 == 3 and meta2 is False
+
+
+def test_replace_where_atomic_backfill(spark, tdir):
+    """replaceWhere: one commit swaps a key range for the replacement
+    frame; out-of-range replacement rows refuse; untouched files carry
+    by reference; time travel sees the pre-backfill data."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    acid_lite.append(spark, tdir, _df(spark, [(100, "x"), (200, "y")]))
+    pre = acid_lite.latest_version(tdir)
+    upper = [f for f in acid_lite._read_manifest(tdir, pre)["files"]
+             if ((acid_lite._read_manifest(tdir, pre)["stats"].get(f)
+                  or {}).get("k") or [0])[0] >= 100]
+    v = acid_lite.replace_where(
+        spark, tdir, "k", 0, 10, _df(spark, [(5, "NEW")]))
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(5, "NEW"), (100, "x"), (200, "y")}
+    post_files = acid_lite._read_manifest(tdir, v)["files"]
+    assert set(upper) <= set(post_files)  # carried by reference
+    assert acid_lite.read(spark, tdir, version=pre).count() == 4
+    with pytest.raises(ValueError, match="outside"):
+        acid_lite.replace_where(
+            spark, tdir, "k", 0, 10, _df(spark, [(99, "bad")]))
