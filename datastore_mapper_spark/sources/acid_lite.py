@@ -42,6 +42,16 @@ This module implements them the way the real formats do:
   widens the manifest schema additively (old files read NULL for new
   columns); :func:`expire_snapshots` removes expired manifests and
   the data files no retained version references.
+* **Round-11 second half.**  :func:`append_idempotent` (txn-tagged
+  exactly-once appends — the Delta txnAppId protocol),
+  :func:`change_data_feed` (row diffs from the manifest file delta),
+  :func:`read_incremental` (versions as streaming-source offsets),
+  :func:`count_rows` (metadata-only COUNT from per-file footer row
+  counts), :func:`replace_where` (atomic range backfill),
+  :func:`optimize_zorder` (Morton-clustered committed rewrite), and
+  :func:`_rebase_commit` — LOGICAL conflict detection: commits rebase
+  past concurrent commits that left their touched files intact;
+  only same-file edits raise :class:`ConcurrentModification`.
 
 Deliberately out of scope (documented, not faked): cross-table
 transactions.
