@@ -523,3 +523,298 @@ def bloom_semi_join_runtime_filter(spark, sf_dir):
         .agg(F.count("*").alias("n_orders"), F.sum(cents).alias("sum_cents"))
         .crossJoin(F.broadcast(eff))
     )
+
+
+@query(
+    "cohens_kappa_quality_raters",
+    "analytics/stats",
+    oracle="""
+    WITH rated AS (
+        SELECT (n_chars >= 200) AS a,
+               (len(string_split(text, ' ')) >= 40) AS b
+        FROM documents
+    ), cells AS (
+        SELECT CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS yy,
+               CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS yn,
+               CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ny,
+               CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nn,
+               CAST(count(*) AS BIGINT) AS n
+        FROM rated
+    )
+    SELECT yy, yn, ny, nn,
+           round(((CAST(yy + nn AS DOUBLE) / n)
+                  - (CAST(yy + yn AS DOUBLE) / n * (yy + ny) / n
+                     + CAST(ny + nn AS DOUBLE) / n * (yn + nn) / n))
+                 / (1.0 - (CAST(yy + yn AS DOUBLE) / n * (yy + ny) / n
+                           + CAST(ny + nn AS DOUBLE) / n
+                             * (yn + nn) / n)), 6) AS kappa
+    FROM cells
+    """,
+)
+def cohens_kappa_quality_raters(spark, sf_dir):
+    """Cohen's kappa between two document-quality 'raters' (a char
+    gate and a token gate): chance-corrected agreement — the honest
+    way to report whether two labeling heuristics actually agree
+    beyond their base rates, which raw percent-agreement overstates
+    badly on skewed corpora.  One conditional-aggregate pass builds
+    the 2x2 table; kappa is deterministic double math off integer
+    counts, rounded to 6."""
+    d = table(spark, sf_dir, "documents")
+    a = F.col("n_chars") >= 200
+    b = F.size(F.split("text", " ")) >= 40
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))
+    cells = d.agg(
+        cnt(a & b).alias("yy"), cnt(a & ~b).alias("yn"),
+        cnt(~a & b).alias("ny"), cnt(~a & ~b).alias("nn"),
+        F.count("*").alias("n"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("yy") + F.col("nn")).cast("double") / n
+    pe = ((F.col("yy") + F.col("yn")).cast("double") / n
+          * (F.col("yy") + F.col("ny")) / n
+          + (F.col("ny") + F.col("nn")).cast("double") / n
+          * (F.col("yn") + F.col("nn")) / n)
+    return cells.select(
+        "yy", "yn", "ny", "nn",
+        F.round((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )
+
+
+@query(
+    "two_proportion_z_segments",
+    "analytics/stats",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS hit
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+    ), agg AS (
+        SELECT CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN seg = 'BUILDING' THEN hit ELSE 0 END)
+                    AS BIGINT) AS x1,
+               CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN seg = 'AUTOMOBILE' THEN hit ELSE 0 END)
+                    AS BIGINT) AS x2
+        FROM j
+    )
+    SELECT n1, x1, n2, x2,
+           round((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+                 / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                        * (1.0 / n1 + 1.0 / n2)), 6) AS z
+    FROM agg
+    """,
+)
+def two_proportion_z_segments(spark, sf_dir):
+    """Two-proportion z-test: is the 'F'-status order rate different
+    between BUILDING and AUTOMOBILE customers?  The pooled-variance z
+    statistic every A/B readout starts from, computed in ONE
+    conditional-aggregate pass over the broadcast-joined fact (no
+    per-group collect, no second scan).  Deterministic double math
+    off four integer counts, rounded to 6."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            .alias("hit"),
+        )
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("seg") == "BUILDING", F.col("hit"))
+              .otherwise(0)).alias("x1"),
+        F.sum(F.when(F.col("seg") == "AUTOMOBILE", 1).otherwise(0))
+        .alias("n2"),
+        F.sum(F.when(F.col("seg") == "AUTOMOBILE", F.col("hit"))
+              .otherwise(0)).alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (F.col("n1") + F.col("n2"))
+    se = F.sqrt(pp * (1.0 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+    return agg.select(
+        "n1", "x1", "n2", "x2", F.round((p1 - p2) / se, 6).alias("z"))
+
+
+@query(
+    "hhi_revenue_concentration_by_region",
+    "analytics/stats",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    ), tot AS (
+        SELECT region, n_name, cents,
+               sum(cents) OVER (PARTITION BY region) AS rtot
+        FROM rev
+    )
+    SELECT region,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           round(sum((CAST(cents AS DOUBLE) / rtot)
+                     * (CAST(cents AS DOUBLE) / rtot)) * 10000, 6)
+               AS hhi
+    FROM tot GROUP BY region
+    """,
+)
+def hhi_revenue_concentration_by_region(spark, sf_dir):
+    """Herfindahl–Hirschman index of nation revenue shares within each
+    region — the antitrust-style concentration measure (10000 = one
+    nation takes everything, 10000/n = perfectly even), complementing
+    the Gini query with the squared-share formulation regulators
+    actually quote.  Shares come from a window over the aggregated
+    (region x nation) frame; exact integer cents feed one double
+    division per cell."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), "n_name")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    share = (F.col("cents").cast("double")
+             / F.sum("cents").over(Window.partitionBy("region")))
+    return (
+        rev.select("region", (share * share).alias("s2"))
+        .groupBy("region")
+        .agg(F.count("*").alias("n_nations"),
+             F.round(F.sum("s2") * 10000, 6).alias("hhi"))
+    )
+
+
+@query(
+    "gini_split_gain_stump",
+    "analytics/stats",
+    oracle="""
+    WITH lab AS (
+        SELECT (o_totalprice >= 150000.0) AS left_side,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS pos,
+               CAST(sum(CASE WHEN left_side THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nl,
+               CAST(sum(CASE WHEN left_side THEN y ELSE 0 END)
+                    AS BIGINT) AS posl
+        FROM lab
+    )
+    SELECT n, pos, nl, posl,
+           round((1.0 - power(CAST(pos AS DOUBLE) / n, 2)
+                      - power(1.0 - CAST(pos AS DOUBLE) / n, 2))
+                 - (CAST(nl AS DOUBLE) / n)
+                   * (1.0 - power(CAST(posl AS DOUBLE) / nl, 2)
+                          - power(1.0 - CAST(posl AS DOUBLE) / nl, 2))
+                 - (CAST(n - nl AS DOUBLE) / n)
+                   * (1.0 - power(CAST(pos - posl AS DOUBLE) / (n - nl), 2)
+                          - power(1.0 - CAST(pos - posl AS DOUBLE)
+                                  / (n - nl), 2)), 6) AS gini_gain
+    FROM agg
+    """,
+)
+def gini_split_gain_stump(spark, sf_dir):
+    """Gini-impurity split gain of a decision stump (price >= 150k
+    predicting status 'F') — the quantity a tree trainer maximizes at
+    every node, here as ONE conditional-aggregate pass (no per-split
+    shuffle): parent impurity minus the size-weighted child
+    impurities, from four integer counts.  The feature-engineering
+    sanity check before training on a 100 TB fact table: is this
+    split worth anything?"""
+    o = table(spark, sf_dir, "orders")
+    left = F.col("o_totalprice") >= 150000.0
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    agg = o.agg(
+        F.count("*").alias("n"),
+        F.sum(y).alias("pos"),
+        F.sum(F.when(left, 1).otherwise(0)).alias("nl"),
+        F.sum(F.when(left, y).otherwise(0)).alias("posl"),
+    )
+    nd = F.col("n").cast("double")
+
+    def gini(p):
+        return 1.0 - F.pow(p, 2) - F.pow(1.0 - p, 2)
+
+    parent = gini(F.col("pos").cast("double") / nd)
+    pl = F.col("posl").cast("double") / F.col("nl")
+    pr = (F.col("pos") - F.col("posl")).cast("double") / (F.col("n") - F.col("nl"))
+    gain = (parent
+            - (F.col("nl").cast("double") / nd) * gini(pl)
+            - ((F.col("n") - F.col("nl")).cast("double") / nd) * gini(pr))
+    return agg.select("n", "pos", "nl", "posl",
+                      F.round(gain, 6).alias("gini_gain"))
+
+
+@query(
+    "odds_ratio_urgent_high_value",
+    "analytics/stats",
+    oracle="""
+    WITH lab AS (
+        SELECT (o_orderpriority = '1-URGENT') AS urgent,
+               (o_totalprice >= 150000.0) AS high
+        FROM orders
+    ), cells AS (
+        SELECT CAST(sum(CASE WHEN urgent AND high THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(sum(CASE WHEN urgent AND NOT high THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(sum(CASE WHEN NOT urgent AND high THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(sum(CASE WHEN NOT urgent AND NOT high THEN 1 ELSE 0
+                        END) AS BIGINT) AS d
+        FROM lab
+    )
+    SELECT a, b, c, d,
+           round((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)
+                 / ((CAST(b AS DOUBLE) + 0.5)
+                    * (CAST(c AS DOUBLE) + 0.5)), 6) AS odds_ratio,
+           round(ln((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)
+                    / ((CAST(b AS DOUBLE) + 0.5)
+                       * (CAST(c AS DOUBLE) + 0.5))), 6) AS log_or
+    FROM cells
+    """,
+)
+def odds_ratio_urgent_high_value(spark, sf_dir):
+    """2x2 odds ratio with the Haldane–Anscombe +0.5 correction: how
+    much more likely is a high-value order given 1-URGENT priority?
+    The epidemiology-standard effect size for two binary variables,
+    zero-cell-safe, from one conditional-aggregate pass.  Counts are
+    exact integers; the ratio and its log round to 6."""
+    o = table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    high = F.col("o_totalprice") >= 150000.0
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))
+    cells = o.agg(
+        cnt(urgent & high).alias("a"), cnt(urgent & ~high).alias("b"),
+        cnt(~urgent & high).alias("c"), cnt(~urgent & ~high).alias("d"),
+    )
+    orr = ((F.col("a").cast("double") + 0.5)
+           * (F.col("d").cast("double") + 0.5)
+           / ((F.col("b").cast("double") + 0.5)
+              * (F.col("c").cast("double") + 0.5)))
+    return cells.select(
+        "a", "b", "c", "d",
+        F.round(orr, 6).alias("odds_ratio"),
+        F.round(F.log(orr), 6).alias("log_or"),
+    )
