@@ -198,11 +198,13 @@ def _commit(path: str, version: int, files: list[str],
     time.  Driver-side cost is file-count-sized, same as the file
     list itself — the Iceberg manifest-entry shape."""
     parent_stats: dict = {}
+    parent_txns: dict = {}
     if parent:
         pm = _read_manifest(path, parent)
         if schema is None:
             schema = pm.get("schema")
         parent_stats = pm.get("stats") or {}
+        parent_txns = pm.get("txns") or {}
     stats = {}
     for f in files:
         s = parent_stats.get(f, ...)
@@ -210,11 +212,14 @@ def _commit(path: str, version: int, files: list[str],
             s = _file_stats(path, f)
         if s is not None:
             stats[f] = s
-    payload = json.dumps(
-        {"version": version, "parent": parent, "op": op, "files": files,
-         "schema": schema, "stats": stats},
-        indent=1,
-    )
+    payload = {"version": version, "parent": parent, "op": op,
+               "files": files, "schema": schema, "stats": stats}
+    if parent_txns:
+        # carry the txn-dedup map through NON-txn commits too, so the
+        # latest manifest stays authoritative across interleaved
+        # appends/merges and across snapshot expiry
+        payload["txns"] = parent_txns
+    payload = json.dumps(payload, indent=1)
     os.makedirs(_manifest_dir(path), exist_ok=True)
     try:
         fd = os.open(
@@ -637,12 +642,9 @@ def append_idempotent(spark: SparkSession, path: str, df: DataFrame,
     files: list[str] | None = None
     for _ in range(retries + 1):
         parent = latest_version(path)
-        v = parent
-        while v > 0:
-            m = _read_manifest(path, v)
-            if m.get("txn") == txn_id:
-                return v  # already committed: re-delivery is a no-op
-            v = m.get("parent", 0)
+        seen = _known_txns(path, parent)
+        if txn_id in seen:
+            return seen[txn_id]  # already committed: no-op re-delivery
         if files is None:  # write the data at most once across retries
             files = _write_files(df, path)
         schema = ", ".join(
@@ -652,16 +654,45 @@ def append_idempotent(spark: SparkSession, path: str, df: DataFrame,
         payload_schema = schema if not parent else None
         try:
             _commit_txn(path, parent + 1, parent_files + files, parent,
-                        "append", txn_id, schema=payload_schema)
+                        "append", txn_id, schema=payload_schema,
+                        txns={**seen, txn_id: parent + 1})
             return parent + 1
         except CommitConflict:
-            continue  # re-check the chain: the winner may be OUR txn
+            continue  # re-check: the race winner may be OUR txn
     raise CommitConflict(f"append to {path} lost {retries + 1} races")
 
 
+def _known_txns(path: str, version: int) -> dict[str, int]:
+    """All transaction tags visible at ``version``: the manifest's
+    carried-forward ``txns`` map (every txn commit copies its
+    parent's map and adds itself, so the LATEST manifest alone is
+    authoritative — O(1) per lookup and immune to snapshot expiry,
+    the same reason Delta keeps txn state in the snapshot).  Legacy
+    manifests without the map fall back to a chain walk that stops
+    cleanly at an expired (missing) ancestor."""
+    if version == 0:
+        return {}
+    m = _read_manifest(path, version)
+    if "txns" in m:
+        return dict(m["txns"])
+    out: dict[str, int] = {}
+    v = version
+    while v > 0:
+        try:
+            m = _read_manifest(path, v)
+        except FileNotFoundError:
+            break  # expired ancestors: their txns are unknowable
+        if m.get("txn") and m["txn"] not in out:
+            out[m["txn"]] = v
+        v = m.get("parent", 0)
+    return out
+
+
 def _commit_txn(path: str, version: int, files: list[str], parent: int,
-                op: str, txn_id: str, schema: str | None = None) -> None:
-    """`_commit` plus a transaction tag in the manifest payload."""
+                op: str, txn_id: str, schema: str | None = None,
+                txns: dict[str, int] | None = None) -> None:
+    """`_commit` plus a transaction tag AND the carried-forward txn
+    map in the manifest payload."""
     parent_stats: dict = {}
     if parent:
         pm = _read_manifest(path, parent)
@@ -677,7 +708,8 @@ def _commit_txn(path: str, version: int, files: list[str], parent: int,
             stats[f] = s
     payload = json.dumps(
         {"version": version, "parent": parent, "op": op, "files": files,
-         "schema": schema, "stats": stats, "txn": txn_id},
+         "schema": schema, "stats": stats, "txn": txn_id,
+         "txns": txns if txns is not None else {txn_id: version}},
         indent=1,
     )
     os.makedirs(_manifest_dir(path), exist_ok=True)

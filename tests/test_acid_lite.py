@@ -483,3 +483,24 @@ def test_replace_where_atomic_backfill(spark, tdir):
     with pytest.raises(ValueError, match="outside"):
         acid_lite.replace_where(
             spark, tdir, "k", 0, 10, _df(spark, [(99, "bad")]))
+
+
+def test_txn_dedup_survives_interleaving_and_expiry(spark, tdir):
+    """The txn map is carried through NON-txn commits and survives
+    snapshot expiry — re-delivery of an ancient batch stays a no-op
+    even after its manifest was vacuumed (the Delta keep-txn-state-in-
+    snapshot rationale)."""
+    acid_lite.append_idempotent(
+        spark, tdir, _df(spark, [(1, "a")]), txn_id="batch-0")
+    acid_lite.append(spark, tdir, _df(spark, [(2, "b")]))  # plain commit
+    acid_lite.append_idempotent(
+        spark, tdir, _df(spark, [(3, "c")]), txn_id="batch-1")
+    acid_lite.delete_where(spark, tdir, "k", lo=2, hi=2)   # non-append
+    latest = acid_lite.latest_version(tdir)
+    acid_lite.expire_snapshots(tdir, keep_from=latest)
+    # batch-0's manifest is gone; the tag must still dedup
+    v = acid_lite.append_idempotent(
+        spark, tdir, _df(spark, []), txn_id="batch-0")
+    assert v == 1 and acid_lite.latest_version(tdir) == latest
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a"), (3, "c")}
