@@ -617,12 +617,14 @@ def acid_incremental_consumption(spark, sf_dir):
     "table-format",
     oracle="""
     WITH c AS (
-        SELECT CAST(sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n0,
-               CAST(sum(CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n1,
-               CAST(sum(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n2
+        -- COALESCE: empty input must yield 0-row counts, not NULLs
+        -- (the Spark side counts files, which is 0 on empty)
+        SELECT CAST(COALESCE(sum(CASE WHEN o_orderkey % 3 = 0
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n0,
+               CAST(COALESCE(sum(CASE WHEN o_orderkey % 3 = 1
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+               CAST(COALESCE(sum(CASE WHEN o_orderkey % 3 = 2
+                                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2
         FROM orders
     )
     SELECT 1 AS version, n0 AS n_rows, TRUE AS metadata_only FROM c
