@@ -702,3 +702,52 @@ def acid_replace_where_backfill(spark, sf_dir):
     cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
     return acid_lite.read(spark, dest).select(
         "o_orderkey", cents.alias("cents"), "o_orderstatus")
+
+
+@query(
+    "acid_deletion_vectors_mor",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS files_untouched_ok,
+           TRUE AS metadata_count_ok
+    FROM orders
+    WHERE o_orderkey * 4 > (SELECT max(o_orderkey) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_deletion_vectors_mor(spark, sf_dir):
+    """Merge-on-read DELETE via deletion vectors (round 11, the
+    Iceberg-v2 / Delta-DV read path): deleting the bottom o_orderkey
+    quartile writes ONLY a position sidecar — ``files_untouched_ok``
+    grades that the post-delete manifest lists the parent's data
+    files VERBATIM (write cost ∝ deleted rows, not touched files; at
+    100 TB this is why point deletes commit in seconds).  Every read
+    anti-joins the vectors out, which the hashed aggregate proves
+    row-identical to the predicate on the raw table; and
+    ``metadata_count_ok`` grades that COUNT(*) stays metadata-only
+    with the DV rows subtracted (footer counts minus dv_rows)."""
+    dest = _table_dir("acid_dv", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    m = o.agg(F.max("o_orderkey")).first()[0] or 0
+    b1 = m // 4
+    acid_lite.create_table(spark, dest, o.coalesce(4))
+    pre_files = acid_lite._read_manifest(dest, 1)["files"]
+    v = acid_lite.delete_where_dv(spark, dest, "o_orderkey", hi=b1)
+    post = acid_lite._read_manifest(dest, v)
+    files_ok = F.lit(post["files"] == pre_files)
+    n_meta, meta_only = acid_lite.count_rows(spark, dest)
+    survivors = acid_lite.read(spark, dest)
+    count_ok = F.lit(bool(meta_only) and n_meta == survivors.count())
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        survivors.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                files_ok.alias("files_untouched_ok"),
+                count_ok.alias("metadata_count_ok"))
+    )

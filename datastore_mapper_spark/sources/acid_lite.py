@@ -48,10 +48,16 @@ This module implements them the way the real formats do:
   :func:`read_incremental` (versions as streaming-source offsets),
   :func:`count_rows` (metadata-only COUNT from per-file footer row
   counts), :func:`replace_where` (atomic range backfill),
-  :func:`optimize_zorder` (Morton-clustered committed rewrite), and
+  :func:`optimize_zorder` (Morton-clustered committed rewrite),
   :func:`_rebase_commit` — LOGICAL conflict detection: commits rebase
   past concurrent commits that left their touched files intact;
-  only same-file edits raise :class:`ConcurrentModification`.
+  only same-file edits raise :class:`ConcurrentModification` — and
+  :func:`delete_where_dv`, DELETION VECTORS (Iceberg-v2 position
+  deletes / Delta DVs): merge-on-read deletes whose write cost is
+  proportional to the deleted rows, applied by every read via a
+  (file, row_index) anti-join, subtracted from metadata COUNTs,
+  surfaced by CDF as a dv-delta, and purged by OPTIMIZE; CoW ops
+  refuse while vectors are live (they read files directly).
 
 Deliberately out of scope (documented, not faked): cross-table
 transactions.
@@ -78,7 +84,8 @@ class ConcurrentModification(Exception):
 
 
 def _rebase_commit(path: str, touched: list[str], new_files: list[str],
-                   op: str, retries: int = 3) -> int:
+                   op: str, retries: int = 3,
+                   purge_dvs: bool = False) -> int:
     """Commit a file-level edit (remove ``touched``, add ``new_files``)
     with LOGICAL conflict detection: losing the version race to a
     commit that left every touched file in place (e.g. a concurrent
@@ -102,7 +109,7 @@ def _rebase_commit(path: str, touched: list[str], new_files: list[str],
         kept = [f for f in cm["files"] if f not in removed]
         try:
             _commit(path, cur + 1, sorted(kept) + sorted(new_files),
-                    cur, op)
+                    cur, op, dvs=[] if purge_dvs else None)
             return cur + 1
         except CommitConflict:
             continue  # version race only: rebase again
@@ -186,7 +193,8 @@ def _file_stats(path: str, rel: str) -> dict | None:
 
 
 def _commit(path: str, version: int, files: list[str],
-            parent: int, op: str, schema: str | None = None) -> None:
+            parent: int, op: str, schema: str | None = None,
+            dvs: list[str] | None = None, dv_rows: int = 0) -> None:
     """Atomically publish manifest ``version`` (O_EXCL = one winner).
     ``schema`` (a DDL string) makes zero-file versions readable — an
     empty table is a legal snapshot, not an error.
@@ -219,6 +227,14 @@ def _commit(path: str, version: int, files: list[str],
         # latest manifest stays authoritative across interleaved
         # appends/merges and across snapshot expiry
         payload["txns"] = parent_txns
+    if dvs is None and parent:
+        # deletion vectors carry through commits that do not purge or
+        # extend them (appends) — pm was read above when parent > 0
+        dvs = pm.get("dvs") or []
+        dv_rows = pm.get("dv_rows") or 0
+    if dvs:
+        payload["dvs"] = dvs
+        payload["dv_rows"] = dv_rows or 0
     payload = json.dumps(payload, indent=1)
     os.makedirs(_manifest_dir(path), exist_ok=True)
     try:
@@ -247,10 +263,24 @@ def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
     return 1
 
 
+def _rel_path_expr(path: str):
+    """Executor-side file-relative path from ``_metadata.file_path``:
+    strip the table root's ``file:`` URI prefix.  Guarded at the DV
+    write site (rows outside the prefix raise), so a scheme drift
+    cannot silently mis-key positions."""
+    prefix = "file:" + os.path.abspath(path) + "/"
+    return F.expr(
+        f"substring(_metadata.file_path, {len(prefix) + 1})"
+    ).alias("__rel"), prefix
+
+
 def read(spark: SparkSession, path: str, version: int | None = None
          ) -> DataFrame:
     """Snapshot read of ``version`` (default: latest) — exactly the
-    manifest's file list, immune to concurrent commits."""
+    manifest's file list, immune to concurrent commits.  Snapshots
+    carrying DELETION VECTORS (merge-on-read position deletes,
+    :func:`delete_where_dv`) anti-join the DV sidecars on
+    (file, row_index) at read time — the Iceberg-v2 read path."""
     v = latest_version(path) if version is None else version
     m = _read_manifest(path, v)
     files = [os.path.join(path, f) for f in m["files"]]
@@ -258,7 +288,16 @@ def read(spark: SparkSession, path: str, version: int | None = None
         # an empty table is a legal snapshot (e.g. every row deleted,
         # or created from a zero-row frame): 0 rows, manifest schema
         return spark.createDataFrame([], m["schema"])
-    return spark.read.schema(m["schema"]).parquet(*files)
+    df = spark.read.schema(m["schema"]).parquet(*files)
+    dvs = m.get("dvs") or []
+    if not dvs:
+        return df
+    rel, _prefix = _rel_path_expr(path)
+    base = spark.read.schema(m["schema"]).parquet(*files).select(
+        "*", rel, F.col("_metadata.row_index").alias("__ri"))
+    dv = spark.read.parquet(*[os.path.join(path, d) for d in dvs]).select(
+        F.col("rel").alias("__rel"), F.col("row_index").alias("__ri"))
+    return base.join(dv, ["__rel", "__ri"], "left_anti").drop("__rel", "__ri")
 
 
 def append(spark: SparkSession, path: str, df: DataFrame,
@@ -306,6 +345,12 @@ def merge_upsert(
     if parent == 0:
         raise ValueError(f"table does not exist: {path}")
     manifest = _read_manifest(path, parent)
+    if _has_dvs(manifest):
+        raise ValueError(
+            "table carries deletion vectors — run optimize() to purge "
+            "them before a copy-on-write MERGE (the CoW rewrite reads "
+            "touched files directly and would resurrect deleted rows)"
+        )
     target = read(spark, path, parent)
     src = source.localCheckpoint()  # one upstream execution, used 3x
 
@@ -407,8 +452,10 @@ def optimize(
         except OSError:
             pass
     n_target = max(1, math.ceil(total / target_file_bytes))
-    if len(files) <= n_target:
+    if len(files) <= n_target and not _has_dvs(manifest):
         return parent  # already compact — nothing to rewrite
+    # read() applies any deletion vectors, so the compacted rewrite
+    # PURGES them: the commit below carries dvs=[] explicitly
     df = read(spark, path, parent)
     # coalesce, not repartition: narrow dependency — compaction must
     # not shuffle 100 TB, it concatenates co-resident row groups
@@ -416,7 +463,8 @@ def optimize(
     # touched = every parent file: a concurrent APPEND rebases cleanly
     # (its files carry alongside the compacted set); a concurrent
     # rewrite of any compacted file raises ConcurrentModification
-    return _rebase_commit(path, files, new_files, "optimize")
+    return _rebase_commit(path, files, new_files, "optimize",
+                          purge_dvs=True)
 
 
 def prune_files(
@@ -500,6 +548,12 @@ def delete_where(
     if parent == 0:
         raise ValueError(f"table does not exist: {path}")
     m = _read_manifest(path, parent)
+    if _has_dvs(m):
+        raise ValueError(
+            "table carries deletion vectors — run optimize() to purge "
+            "them before a copy-on-write DELETE (use delete_where_dv "
+            "for merge-on-read deletes)"
+        )
     stats = m.get("stats") or {}
     candidates, _total = prune_files(path, column, lo, hi, version=parent)
     kept = [f for f in m["files"] if f not in set(candidates)]
@@ -606,12 +660,15 @@ def expire_snapshots(path: str, keep_from: int) -> dict:
             all_versions.append(int(fname[1:-5]))
     for v in all_versions:
         if v >= keep_from:
-            retained_files.update(_read_manifest(path, v)["files"])
+            rm = _read_manifest(path, v)
+            retained_files.update(rm["files"])
+            retained_files.update(rm.get("dvs") or [])
     n_manifests = n_files = 0
     for v in sorted(all_versions):
         if v >= keep_from:
             continue
-        for f in _read_manifest(path, v)["files"]:
+        em = _read_manifest(path, v)
+        for f in em["files"] + (em.get("dvs") or []):
             if f not in retained_files:
                 try:
                     os.unlink(os.path.join(path, f))
@@ -706,12 +763,16 @@ def _commit_txn(path: str, version: int, files: list[str], parent: int,
             s = _file_stats(path, f)
         if s is not None:
             stats[f] = s
-    payload = json.dumps(
-        {"version": version, "parent": parent, "op": op, "files": files,
-         "schema": schema, "stats": stats, "txn": txn_id,
-         "txns": txns if txns is not None else {txn_id: version}},
-        indent=1,
-    )
+    payload = {"version": version, "parent": parent, "op": op,
+               "files": files, "schema": schema, "stats": stats,
+               "txn": txn_id,
+               "txns": txns if txns is not None else {txn_id: version}}
+    if parent:
+        pm2 = _read_manifest(path, parent)
+        if pm2.get("dvs"):
+            payload["dvs"] = pm2["dvs"]
+            payload["dv_rows"] = pm2.get("dv_rows") or 0
+    payload = json.dumps(payload, indent=1)
     os.makedirs(_manifest_dir(path), exist_ok=True)
     try:
         fd = os.open(_manifest_path(path, version),
@@ -808,13 +869,27 @@ def change_data_feed(
     from_files = [f for f in mf["files"] if f not in set(mt["files"])]
     to_files = [f for f in mt["files"] if f not in set(mf["files"])]
 
-    def _load(files, schema):
+    def _load(files, schema, dvs=None):
         if not files:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(
+        df = spark.read.schema(schema).parquet(
             *[os.path.join(path, f) for f in files])
+        if not dvs:
+            return df
+        # rows a deletion vector already removed in the FROM snapshot
+        # were logically gone before this range — they must not appear
+        # as pre-images or re-report as deletes
+        rel, _p = _rel_path_expr(path)
+        base = spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in files]
+        ).select("*", rel, F.col("_metadata.row_index").alias("__ri"))
+        pos = spark.read.parquet(
+            *[os.path.join(path, d) for d in dvs]).select(
+            F.col("rel").alias("__rel"), F.col("row_index").alias("__ri"))
+        return base.join(pos, ["__rel", "__ri"], "left_anti").drop(
+            "__rel", "__ri")
 
-    pre = _load(from_files, mf["schema"])
+    pre = _load(from_files, mf["schema"], dvs=mf.get("dvs"))
     post = _load(to_files, mt["schema"])
     # content digest over the SHARED non-key columns (schema evolution
     # may have added columns to `post`; new columns count as change
@@ -850,10 +925,33 @@ def change_data_feed(
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(None))
         return df.select(*out_cols)
-    return (
+    out = (
         _align(inserted).unionByName(_align(deleted))
         .unionByName(_align(upd_pre)).unionByName(_align(upd_post))
     )
+    # deletion-vector delta: positions added in (from, to] are deletes
+    # of rows whose FILES did not change — resolve them back to row
+    # content by a position join against the carried data files
+    dv_new = [d for d in (mt.get("dvs") or [])
+              if d not in set(mf.get("dvs") or [])]
+    if dv_new:
+        carried = [f for f in mt["files"] if f in set(mf["files"])]
+        if carried:
+            rel, _p = _rel_path_expr(path)
+            base = spark.read.schema(mt["schema"]).parquet(
+                *[os.path.join(path, f) for f in carried]
+            ).select("*", rel, F.col("_metadata.row_index").alias("__ri"))
+            pos = spark.read.parquet(
+                *[os.path.join(path, d) for d in dv_new]).select(
+                F.col("rel").alias("__rel"),
+                F.col("row_index").alias("__ri"))
+            dv_deleted = (
+                base.join(pos, ["__rel", "__ri"], "left_semi")
+                .drop("__rel", "__ri")
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            out = out.unionByName(_align(dv_deleted))
+    return out
 
 
 def read_incremental(
@@ -902,7 +1000,7 @@ def count_rows(spark: SparkSession, path: str,
     v = latest_version(path) if version is None else version
     m = _read_manifest(path, v)
     stats = m.get("stats") or {}
-    total = 0
+    total = -(m.get("dv_rows") or 0)  # position deletes subtract
     missing = []
     for f in m["files"]:
         r = (stats.get(f) or {}).get("::rows")
@@ -941,6 +1039,12 @@ def replace_where(
     if parent == 0:
         raise ValueError(f"table does not exist: {path}")
     m = _read_manifest(path, parent)
+    if _has_dvs(m):
+        raise ValueError(
+            "table carries deletion vectors — run optimize() to purge "
+            "them before replaceWhere (the CoW rewrite reads touched "
+            "files directly and would resurrect deleted rows)"
+        )
     c = F.col(column)
     cond = F.lit(True)
     if lo is not None:
@@ -983,3 +1087,80 @@ def replace_where(
     new_files = _write_files(merged, path) if merged.limit(1).count() else []
     _ = kept  # the rebase recomputes kept against the commit-time latest
     return _rebase_commit(path, candidates, new_files, "replace_where")
+
+
+def _has_dvs(m: dict) -> bool:
+    return bool(m.get("dvs"))
+
+
+def delete_where_dv(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+) -> int:
+    """Merge-on-read DELETE via deletion vectors (Iceberg v2 position
+    deletes / Delta deletion vectors): instead of rewriting data
+    files, the matching rows' (file, row_index) positions land in a
+    parquet SIDECAR listed in the manifest, and every read anti-joins
+    them out.  The write cost is proportional to the DELETED rows —
+    not the touched files — which is the point: a 100-row delete
+    against a 100 TB table commits in seconds, and OPTIMIZE purges
+    the vectors into a clean rewrite later (the read-amplification /
+    write-amplification trade both real formats expose).
+
+    Stats pruning still bounds the scan to candidate files.  Stacked
+    DV deletes accumulate sidecars; :func:`optimize` applies and
+    drops them."""
+    parent = latest_version(path)
+    if parent == 0:
+        raise ValueError(f"table does not exist: {path}")
+    m = _read_manifest(path, parent)
+    candidates, _total = prune_files(path, column, lo, hi, version=parent)
+    if not candidates:
+        return parent  # nothing can match: no commit needed
+    rel, prefix = _rel_path_expr(path)
+    scan = spark.read.schema(m["schema"]).parquet(
+        *[os.path.join(path, f) for f in candidates]
+    ).select(
+        "*", rel, F.col("_metadata.row_index").alias("__ri"),
+        F.col("_metadata.file_path").alias("__fp"),
+    )
+    c = F.col(column)
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (c >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (c <= F.lit(hi))
+    hits = scan.filter(cond & c.isNotNull())
+    bad = hits.filter(~F.col("__fp").startswith(prefix)).limit(1).count()
+    if bad:
+        raise RuntimeError(
+            "scan file URI does not start with the table-root prefix — "
+            "deletion-vector keying would be unsound"
+        )
+    # positions already excluded by EXISTING dvs must not be re-added
+    positions = hits.select(F.col("__rel").alias("rel"),
+                            F.col("__ri").alias("row_index"))
+    old_dvs = m.get("dvs") or []
+    if old_dvs:
+        prior = spark.read.parquet(
+            *[os.path.join(path, d) for d in old_dvs]).select(
+            "rel", "row_index")
+        positions = positions.join(prior, ["rel", "row_index"],
+                                   "left_anti")
+    n_new = positions.count()
+    if n_new == 0:
+        return parent  # delete matched nothing new: no empty commit
+    rel_dir = os.path.join("dv", uuid.uuid4().hex[:12])
+    dest = os.path.join(path, rel_dir)
+    positions.write.mode("error").parquet(dest)
+    new_dvs = sorted(
+        os.path.join(rel_dir, f)
+        for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+    _commit(path, parent + 1, m["files"], parent, "delete-dv",
+            dvs=old_dvs + new_dvs,
+            dv_rows=(m.get("dv_rows") or 0) + n_new)
+    return parent + 1

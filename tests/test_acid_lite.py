@@ -504,3 +504,70 @@ def test_txn_dedup_survives_interleaving_and_expiry(spark, tdir):
     assert v == 1 and acid_lite.latest_version(tdir) == latest
     got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
     assert got == {(1, "a"), (3, "c")}
+
+
+def test_deletion_vectors_merge_on_read(spark, tdir):
+    """Merge-on-read DELETE: positions land in a sidecar, DATA FILES
+    ARE UNTOUCHED, reads anti-join them out, metadata COUNT subtracts
+    them, stacking works, CoW ops refuse until OPTIMIZE purges."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(i, f"r{i}") for i in range(1, 7)])
+        .coalesce(2))
+    v1_files = acid_lite._read_manifest(tdir, 1)["files"]
+    v2 = acid_lite.delete_where_dv(spark, tdir, "k", lo=2, hi=3)
+    m2 = acid_lite._read_manifest(tdir, v2)
+    assert m2["files"] == v1_files          # no data file rewritten
+    assert m2["dvs"] and m2["dv_rows"] == 2
+    got = {r.k for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {1, 4, 5, 6}
+    assert acid_lite.count_rows(spark, tdir) == (4, True)
+    # time travel: pre-delete snapshot has no DVs applied
+    assert acid_lite.read(spark, tdir, version=1).count() == 6
+    # stacked DV delete accumulates; overlap is not double-counted
+    v3 = acid_lite.delete_where_dv(spark, tdir, "k", lo=3, hi=4)
+    assert acid_lite._read_manifest(tdir, v3)["dv_rows"] == 3
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} == {1, 5, 6}
+    # CoW ops refuse while DVs are live
+    with pytest.raises(ValueError, match="deletion vectors"):
+        acid_lite.merge_upsert(spark, tdir, _df(spark, [(1, "X")]), "k")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        acid_lite.delete_where(spark, tdir, "k", hi=1)
+    # a DV delete matching nothing new is a no-op (no empty commit)
+    assert acid_lite.delete_where_dv(spark, tdir, "k", lo=2, hi=4) == v3
+    # appends carry DVs forward
+    v4 = acid_lite.append(spark, tdir, _df(spark, [(9, "z")]))
+    assert acid_lite._read_manifest(tdir, v4)["dv_rows"] == 3
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} \
+        == {1, 5, 6, 9}
+    # OPTIMIZE purges: clean rewrite, dvs dropped, rows identical
+    v5 = acid_lite.optimize(spark, tdir)
+    m5 = acid_lite._read_manifest(tdir, v5)
+    assert not m5.get("dvs") and not m5.get("dv_rows")
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} \
+        == {1, 5, 6, 9}
+    assert acid_lite.count_rows(spark, tdir) == (4, True)
+    # CoW works again after the purge
+    acid_lite.merge_upsert(spark, tdir, _df(spark, [(1, "X")]), "k")
+    assert {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()} \
+        == {(1, "X"), (5, "r5"), (6, "r6"), (9, "z")}
+
+
+def test_deletion_vectors_in_change_data_feed(spark, tdir):
+    """CDF across a DV commit: the file set is unchanged, so the
+    deletes come from the DV DELTA, resolved back to row content;
+    rows a prior DV already removed never re-report."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+        .coalesce(1))
+    acid_lite.delete_where_dv(spark, tdir, "k", lo=2, hi=2)   # v2
+    cdf = acid_lite.change_data_feed(spark, tdir, "k", 1, 2)
+    assert {(r.k, r.v, r._change_type) for r in cdf.collect()} \
+        == {(2, "b", "delete")}
+    acid_lite.delete_where_dv(spark, tdir, "k", lo=3, hi=3)   # v3
+    cdf2 = acid_lite.change_data_feed(spark, tdir, "k", 2, 3)
+    assert {(r.k, r.v, r._change_type) for r in cdf2.collect()} \
+        == {(3, "c", "delete")}
+    # full range: both deletes, each exactly once
+    cdf3 = acid_lite.change_data_feed(spark, tdir, "k", 1, 3)
+    assert {(r.k, r._change_type) for r in cdf3.collect()} \
+        == {(2, "delete"), (3, "delete")}
