@@ -85,7 +85,8 @@ class ConcurrentModification(Exception):
 
 def _rebase_commit(path: str, touched: list[str], new_files: list[str],
                    op: str, retries: int = 3,
-                   purge_dvs: bool = False) -> int:
+                   purge_dvs: bool = False,
+                   expect_dvs: list[str] | None = None) -> int:
     """Commit a file-level edit (remove ``touched``, add ``new_files``)
     with LOGICAL conflict detection: losing the version race to a
     commit that left every touched file in place (e.g. a concurrent
@@ -94,11 +95,25 @@ def _rebase_commit(path: str, touched: list[str], new_files: list[str],
     work.  Only a racer that removed one of OUR touched files raises
     :class:`ConcurrentModification` (the caller must re-plan).  This
     is Delta/Iceberg optimistic concurrency: version numbers collide,
-    file sets decide."""
+    file sets decide.
+
+    ``expect_dvs`` is the deletion-vector set of the snapshot the
+    caller PLANNED against.  A concurrent :func:`delete_where_dv`
+    removes no files — file-set comparison alone cannot see it — but
+    a rebase past it would commit data recomputed from pre-delete
+    rows (row resurrection), so a DV delta is a conflict too, exactly
+    as Delta/Iceberg treat DV-vs-rewrite races (round-11 ADVICE)."""
     removed = set(touched)
     for _ in range(retries + 1):
         cur = latest_version(path)
         cm = _read_manifest(path, cur)
+        if expect_dvs is not None and \
+                sorted(cm.get("dvs") or []) != sorted(expect_dvs):
+            raise ConcurrentModification(
+                f"deletion vectors changed under this {op} (a concurrent "
+                "merge-on-read DELETE landed) — re-run against the new "
+                "snapshot"
+            )
         missing = removed - set(cm["files"])
         if missing:
             raise ConcurrentModification(
@@ -409,7 +424,8 @@ def merge_upsert(
         merged = inserts
     new_files = _write_files(merged, path) if merged.limit(1).count() else []
     _ = kept  # the rebase recomputes kept against the commit-time latest
-    return _rebase_commit(path, sorted(touched), new_files, "merge")
+    return _rebase_commit(path, sorted(touched), new_files, "merge",
+                          expect_dvs=[])
 
 
 def optimize(
@@ -464,7 +480,8 @@ def optimize(
     # (its files carry alongside the compacted set); a concurrent
     # rewrite of any compacted file raises ConcurrentModification
     return _rebase_commit(path, files, new_files, "optimize",
-                          purge_dvs=True)
+                          purge_dvs=True,
+                          expect_dvs=manifest.get("dvs") or [])
 
 
 def prune_files(
@@ -585,7 +602,8 @@ def delete_where(
         survivors = df.filter(~cond | c.isNull())
         if survivors.limit(1).count():
             new_files = _write_files(survivors, path)
-    return _rebase_commit(path, candidates, new_files, "delete")
+    return _rebase_commit(path, candidates, new_files, "delete",
+                          expect_dvs=[])
 
 
 def _merge_schema(old_ddl: str, df: DataFrame) -> str:
@@ -681,6 +699,21 @@ def expire_snapshots(path: str, keep_from: int) -> dict:
     return {"manifests_removed": n_manifests, "files_removed": n_files}
 
 
+def _cleanup_empty_dir(path: str, rel_files: list[str]) -> None:
+    """Remove the per-write ``data/<uuid>/`` directory once its files
+    are unlinked (plus Spark's _SUCCESS marker) — best-effort."""
+    dirs = {os.path.dirname(f) for f in rel_files}
+    for d in dirs:
+        full = os.path.join(path, d)
+        try:
+            for extra in os.listdir(full):
+                if extra.startswith(("_", ".")):
+                    os.unlink(os.path.join(full, extra))
+            os.rmdir(full)
+        except OSError:
+            pass
+
+
 def append_idempotent(spark: SparkSession, path: str, df: DataFrame,
                       txn_id: str, retries: int = 3) -> int:
     """Exactly-once append: a commit tagged ``txn_id`` lands at most
@@ -701,7 +734,20 @@ def append_idempotent(spark: SparkSession, path: str, df: DataFrame,
         parent = latest_version(path)
         seen = _known_txns(path, parent)
         if txn_id in seen:
-            return seen[txn_id]  # already committed: no-op re-delivery
+            # already committed: no-op re-delivery.  If WE wrote data
+            # before losing the race to our own txn (another worker
+            # delivering the same batch), reclaim the never-referenced
+            # files now — expire_snapshots only deletes files that
+            # expired manifests reference, so nothing else ever would
+            # (round-11 ADVICE: orphan-file leak).
+            if files is not None:
+                for f in files:
+                    try:
+                        os.unlink(os.path.join(path, f))
+                    except FileNotFoundError:
+                        pass
+                _cleanup_empty_dir(path, files)
+            return seen[txn_id]
         if files is None:  # write the data at most once across retries
             files = _write_files(df, path)
         schema = ", ".join(
@@ -802,12 +848,20 @@ def optimize_zorder(
 
     Unlike :func:`optimize` (coalesce, narrow), clustering NEEDS the
     range shuffle — that is the cost a 100 TB table pays once per
-    OPTIMIZE to make every later selective scan prune."""
+    OPTIMIZE to make every later selective scan prune.
+
+    Deletion vectors are PURGED by the rewrite (round-11 ADVICE):
+    :func:`read` already applies them, so the clustered files contain
+    only live rows and the commit must drop the sidecars — carrying
+    them onto all-new files would double-delete nothing (positions
+    are keyed to the old files) while making ``count_rows`` subtract
+    ``dv_rows`` twice and keeping CoW ops refusing forever."""
     from ..operators.scale import morton_code
 
     parent = latest_version(path)
     if parent == 0:
         raise ValueError(f"table does not exist: {path}")
+    manifest = _read_manifest(path, parent)
     df = read(spark, path, parent)
     stats = df.agg(
         F.min(col_a).alias("a_min"), F.max(col_a).alias("a_max"),
@@ -835,8 +889,12 @@ def optimize_zorder(
         .drop("__z")
     )
     new_files = _write_files(zdf, path)
-    _commit(path, parent + 1, new_files, parent, "optimize-zorder")
-    return parent + 1
+    # touched = every parent file (the rewrite replaces the snapshot);
+    # rebase semantics match optimize(): a concurrent append carries
+    # alongside, a concurrent rewrite or DV delete conflicts
+    return _rebase_commit(path, manifest["files"], new_files,
+                          "optimize-zorder", purge_dvs=True,
+                          expect_dvs=manifest.get("dvs") or [])
 
 
 def change_data_feed(
@@ -889,8 +947,14 @@ def change_data_feed(
         return base.join(pos, ["__rel", "__ri"], "left_anti").drop(
             "__rel", "__ri")
 
+    # the TO snapshot's vectors also apply to the ADDED files: a file
+    # appended and then DV-deleted within (from, to] must not emit its
+    # dead rows as inserts — they do not exist at `to` (round-11
+    # ADVICE).  The anti-join keys on (file, row_index), so vectors
+    # for carried files simply miss; those are handled by the dv-delta
+    # block below.
     pre = _load(from_files, mf["schema"], dvs=mf.get("dvs"))
-    post = _load(to_files, mt["schema"])
+    post = _load(to_files, mt["schema"], dvs=mt.get("dvs"))
     # content digest over the SHARED non-key columns (schema evolution
     # may have added columns to `post`; new columns count as change
     # only when their value is non-null on the post side)
@@ -1086,7 +1150,8 @@ def replace_where(
         merged = merged.unionByName(p)
     new_files = _write_files(merged, path) if merged.limit(1).count() else []
     _ = kept  # the rebase recomputes kept against the commit-time latest
-    return _rebase_commit(path, candidates, new_files, "replace_where")
+    return _rebase_commit(path, candidates, new_files, "replace_where",
+                          expect_dvs=[])
 
 
 def _has_dvs(m: dict) -> bool:

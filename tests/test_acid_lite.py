@@ -571,3 +571,107 @@ def test_deletion_vectors_in_change_data_feed(spark, tdir):
     cdf3 = acid_lite.change_data_feed(spark, tdir, "k", 1, 3)
     assert {(r.k, r._change_type) for r in cdf3.collect()} \
         == {(2, "delete"), (3, "delete")}
+
+
+def test_zorder_purges_deletion_vectors(spark, tdir):
+    """OPTIMIZE ZORDER over a DV-carrying snapshot (round-11 ADVICE):
+    read() applied the vectors, so the clustered rewrite must PURGE
+    them — dangling vectors would make count_rows undercount and keep
+    CoW ops refusing forever."""
+    acid_lite.create_table(
+        spark, tdir,
+        spark.createDataFrame(
+            [(i, i % 7, f"r{i}") for i in range(1, 21)],
+            "k bigint, g bigint, v string").coalesce(2))
+    acid_lite.delete_where_dv(spark, tdir, "k", lo=5, hi=8)
+    v = acid_lite.optimize_zorder(spark, tdir, "k", "g", n_files=2)
+    m = acid_lite._read_manifest(tdir, v)
+    assert not m.get("dvs") and not m.get("dv_rows")
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} \
+        == set(range(1, 21)) - {5, 6, 7, 8}
+    assert acid_lite.count_rows(spark, tdir) == (16, True)
+    # CoW works again after the purge
+    acid_lite.merge_upsert(
+        spark, tdir,
+        spark.createDataFrame([(1, 0, "X")], "k bigint, g bigint, v string"),
+        "k")
+    assert {r.v for r in acid_lite.read(spark, tdir).collect()
+            if r.k == 1} == {"X"}
+
+
+def test_rebase_conflicts_on_concurrent_dv_delete(spark, tdir, monkeypatch):
+    """A concurrent delete_where_dv removes NO files, so file-set
+    comparison alone cannot see it — the rebase must detect the DV
+    delta and raise ConcurrentModification instead of silently
+    resurrecting the concurrently-deleted rows (round-11 ADVICE)."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    orig_write = acid_lite._write_files
+    state = {"raced": False}
+
+    def racing_write(df, path):
+        files = orig_write(df, path)
+        if not state["raced"]:
+            state["raced"] = True
+            acid_lite.delete_where_dv(spark, tdir, "k", lo=3, hi=3)
+        return files
+
+    monkeypatch.setattr(acid_lite, "_write_files", racing_write)
+    with pytest.raises(acid_lite.ConcurrentModification, match="deletion"):
+        acid_lite.delete_where(spark, tdir, "k", hi=1)
+    # the DV delete (winner) is intact; the loser changed nothing
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} == {1, 2}
+    # re-running against the new snapshot refuses cleanly (live DVs)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        acid_lite.delete_where(spark, tdir, "k", hi=1)
+
+
+def test_cdf_dv_on_file_added_within_range(spark, tdir):
+    """A file appended AND THEN DV-deleted within (from, to] must not
+    emit its dead rows as inserts — they do not exist at `to`
+    (round-11 ADVICE).  Live rows of the same file still insert."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a")]).coalesce(1))          # v1
+    acid_lite.append(
+        spark, tdir, _df(spark, [(2, "b"), (3, "c")]).coalesce(1))  # v2
+    acid_lite.delete_where_dv(spark, tdir, "k", lo=3, hi=3)         # v3
+    cdf = acid_lite.change_data_feed(spark, tdir, "k", 1, 3)
+    got = {(r.k, r._change_type) for r in cdf.collect()}
+    assert got == {(2, "insert")}  # 3 appeared and died inside the range
+
+
+def test_append_idempotent_reclaims_orphans(spark, tdir, monkeypatch):
+    """A worker that writes its data files, then finds its txn already
+    committed by a concurrent deliverer, must reclaim the
+    never-referenced files (round-11 ADVICE: nothing else ever would)."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a")]))
+    orig_commit = acid_lite._commit_txn
+    state = {"raced": False}
+
+    def racing_commit(path, version, files, parent, op, txn_id, **kw):
+        if not state["raced"]:
+            state["raced"] = True
+            # the concurrent deliverer lands the SAME txn first
+            acid_lite.append_idempotent(
+                spark, tdir, _df(spark, [(2, "b")]), txn_id="batch-7")
+            raise acid_lite.CommitConflict("simulated version race")
+        return orig_commit(path, version, files, parent, op, txn_id, **kw)
+
+    monkeypatch.setattr(acid_lite, "_commit_txn", racing_commit)
+    v = acid_lite.append_idempotent(
+        spark, tdir, _df(spark, [(2, "b")]), txn_id="batch-7")
+    m = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    assert v == acid_lite.latest_version(tdir)
+    # every parquet on disk is referenced by SOME manifest — no orphans
+    on_disk = set()
+    for root, _dirs, fnames in os.walk(os.path.join(tdir, "data")):
+        for fn in fnames:
+            if fn.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(root, fn), tdir))
+    referenced = set()
+    for mv in range(1, acid_lite.latest_version(tdir) + 1):
+        referenced.update(acid_lite._read_manifest(tdir, mv)["files"])
+    assert on_disk <= referenced
+    assert {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()} \
+        == {(1, "a"), (2, "b")}
+    _ = m
