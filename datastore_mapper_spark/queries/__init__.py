@@ -36,16 +36,17 @@ from ..registry import reorder_front
 # queries (round-2 VERDICT, "Driver-grading mechanics"), so 50
 # oracle-checked rows are pinned to the front.
 #
-# ROUND-11 ROTATION (round-10 VERDICT tasks 1+3): rows 1-30 (the §2.B
-# core) stay pinned.  CORRECTNESS_r10 was 50/50, so rows 31-50 rotate.
-# Rows 31-36 swap the round-10 flagship subsystems forward for early
-# external attestation (VERDICT task 3): the ACID-lite copy-on-write
-# pair, the three real-compressed-codec rows (GIF87a-LZW, PNG
-# zlib/DEFLATE, baseline JPEG), and the score-histogram exact AUC.
-# Rows 37-50 take the next 14 heads of the REGISTRY rotation queue
-# (the round-8 advanced-analytics family).  All 20 pass the local
+# ROUND-12 ROTATION (round-11 VERDICT task 1): rows 1-30 (the §2.B
+# core) stay pinned.  CORRECTNESS_r11 was 50/50 (fourth straight), so
+# rows 31-50 rotate.  Rows 31-47 swap the round-11 flagship
+# subsystems forward for first external attestation: the 12-query
+# ACID depth family (incl. the txn-idempotent exactly-once streaming
+# sink), the color-JPEG and IMA-ADPCM codec rows, the bloom runtime
+# join prefilter, and the two dedup rows promoted from rows-only to
+# oracle-checked doc-coverage sketch-verify.  Rows 48-50 take the
+# next 3 heads of the REGISTRY rotation queue.  All 20 pass the local
 # oracle gate + pandas_probe at sf0.01 before rotating in; the 20
-# r10-green rows rotate behind the window where
+# r11-green rows rotate behind the window where
 # tests/test_contract_oracle.py + scripts/check_contract.py still
 # grade them every run.
 _CONTRACT_ORDER = [
@@ -62,15 +63,31 @@ _CONTRACT_ORDER = [
     "window_rank_topn_per_group", "window_row_number_dedup",
     "window_lag_lead_delta", "window_running_sum", "window_moving_avg",
     "window_ntile_first_last", "sort_multi_key_nulls", "topk_global",
-    # rows 31-36, rotated IN round 11 (r10 verdict task 3): the
-    # round-10 flagship subsystems, swapped forward for early driver
-    # contact — ACID-lite CoW pair, the three compressed codecs,
-    # exact AUC
+    # rows 31-47, rotated IN round 12 (r11 verdict task 1): the
+    # round-11 flagship subsystems, swapped forward for first driver
+    # contact — the ACID depth family (compaction, stats-pruned scan,
+    # CoW DELETE, deletion vectors, ZORDER, CDF, incremental reads,
+    # replaceWhere, metadata COUNT, schema evolution, VACUUM,
+    # txn-idempotent exactly-once sink), the two new codecs (color
+    # JPEG 4:2:0, IMA-ADPCM), the bloom runtime prefilter, and the
+    # promoted-to-oracle minhash-LSH / simhash dedup rows
+    "acid_compact_optimize", "acid_stats_pruned_scan",
+    "acid_delete_where_pruned", "acid_deletion_vectors_mor",
+    "acid_optimize_zorder_pruned", "acid_change_data_feed",
+    "acid_incremental_consumption", "acid_replace_where_backfill",
+    "acid_metadata_count_pushdown", "acid_schema_evolution_append",
+    "acid_expire_snapshots_vacuum", "stream_acid_exactly_once_sink",
+    "multimodal_jpeg_color_stats", "multimodal_adpcm_decode_stats",
+    "bloom_semi_join_runtime_filter",
+    "dedup_minhash_lsh", "dedup_simhash",
+    # rows 48-50: next 3 heads of the REGISTRY rotation queue (the
+    # round-8 advanced-analytics family)
+    "spatial_grid_join", "seasonality_dow_hour_index",
+    "streak_three_declines",
+    # rotated out in round 12 (all r11-driver-green; local gate covers)
     "acid_merge_upsert_roundtrip", "acid_time_travel_read",
     "multimodal_gif_decode_stats", "multimodal_png_decode_stats",
     "multimodal_jpeg_decode_stats", "binary_auc_exact",
-    # rows 37-50, rotated IN round 11 (r10 verdict task 1): the next
-    # 14 heads of the REGISTRY rotation queue (advanced analytics)
     "ewma_dyadic_smoothing", "containment_asymmetric_dedup",
     "chisq_independence_cells", "attribution_linear_multi_touch",
     "fuzzy_join_blocked_levenshtein", "weighted_median_exact",
