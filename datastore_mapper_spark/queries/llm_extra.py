@@ -525,20 +525,17 @@ _NEARDUP_DOCS_BY_LANG_ORACLE = """
 def _neardup_docs_by_lang_verified(spark, sf_dir, sketch_docs, bound):
     """Shared sketch-then-verify finisher: the hashed output is the
     EXACT near-dup document census per language (from the
-    content-addressed exact edge snapshot), and ``coverage_ok`` grades
-    the sketch — TRUE iff the sketch attaches >= ``bound`` of the
-    exact near-dup docs to some partner.  The probabilistic object
-    stays out of the hashed values; its QUALITY is what the driver
-    hash-checks, same contract as ivf_kmeans_recall_verified."""
-    from .llm_text import near_dup_edges_scored
+    content-addressed census snapshot, llm_text.near_dup_doc_census —
+    one materialization per corpus, r11 VERDICT task 3), and
+    ``coverage_ok`` grades the sketch — TRUE iff the sketch attaches
+    >= ``bound`` of the exact near-dup docs to some partner.  The
+    probabilistic object stays out of the hashed values; its QUALITY
+    is what the driver hash-checks, same contract as
+    ivf_kmeans_recall_verified."""
+    from .llm_text import near_dup_doc_census
 
-    d = table(spark, sf_dir, "documents")
-    exact = near_dup_edges_scored(spark, sf_dir)
-    exact_docs = (
-        exact.select(F.col("d1").alias("doc"))
-        .union(exact.select(F.col("d2").alias("doc")))
-        .distinct()
-    )
+    census = near_dup_doc_census(spark, sf_dir)  # (doc, lang) snapshot
+    exact_docs = census.select("doc")
     stats = exact_docs.agg(F.count("*").alias("n_exact")).crossJoin(
         sketch_docs.join(exact_docs, "doc", "left_semi")
         .agg(F.count("*").alias("n_hit"))
@@ -547,8 +544,7 @@ def _neardup_docs_by_lang_verified(spark, sf_dir, sketch_docs, bound):
         (F.col("n_hit") >= bound * F.col("n_exact")).alias("coverage_ok")
     )
     return (
-        exact_docs.join(d.select(F.col("doc_id").alias("doc"), "lang"), "doc")
-        .groupBy("lang")
+        census.groupBy("lang")
         .agg(
             F.count("*").alias("n_neardup_docs"),
             F.min("doc").alias("min_doc"),

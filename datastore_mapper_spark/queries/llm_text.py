@@ -142,7 +142,8 @@ def clean_scratch(grace_seconds: int = _SCRATCH_GRACE_SECONDS) -> list[str]:
             shutil.rmtree(full, ignore_errors=True)
             removed.append(d)
             continue
-        if d.startswith(("near_dup_edges_", "near_dup_tricredits_")):
+        if d.startswith(("near_dup_edges_", "near_dup_tricredits_",
+                         "near_dup_doccensus_")):
             # group by everything before the trailing content tag; the
             # tag is the last _-separated component
             prefix = d.rsplit("_", 1)[0]
@@ -212,6 +213,43 @@ def near_dup_edges_scored(spark, sf_dir) -> DataFrame:
             spark, dirname, lambda: _build_near_dup_pairs(spark, sf_dir)
         )
     return _near_dup_edge_cache[tag]
+
+
+def near_dup_doc_census(spark, sf_dir) -> DataFrame:
+    """The exact near-dup DOC census ``(doc, lang)`` — every document
+    with at least one exact Jaccard>=0.8 partner, with its language —
+    the THIRD derived artifact materialized once per corpus snapshot
+    (after the edge list and the triangle credits).
+
+    Both sketch-verify dedup rows (``dedup_minhash_lsh``,
+    ``dedup_simhash``) grade their sketches against this census; before
+    this snapshot each run re-derived it from the edge table (two
+    branch reads + a distinct + a documents join), which DOUBLED the
+    minhash row's sweep cost when it was promoted to oracle-checked in
+    round 11 (r11 VERDICT task 3).  Now the verify pass is a parquet
+    scan; only the sketch itself — the graded object — recomputes."""
+    tag = _corpus_snapshot_tag(sf_dir)
+    sf_name = os.path.basename(os.path.abspath(sf_dir))
+    prefix = f"near_dup_doccensus_{sf_name}_df{NEAR_DUP_DF_CAP}_"
+    dirname = f"{prefix}{tag}"
+    if dirname not in _near_dup_edge_cache:
+        _near_dup_edge_cache[dirname] = _read_or_build_snapshot(
+            spark, dirname, lambda: _build_doc_census(spark, sf_dir)
+        )
+    return _near_dup_edge_cache[dirname]
+
+
+def _build_doc_census(spark, sf_dir) -> DataFrame:
+    exact = near_dup_edges_scored(spark, sf_dir)
+    docs = (
+        exact.select(F.col("d1").alias("doc"))
+        .union(exact.select(F.col("d2").alias("doc")))
+        .distinct()
+    )
+    d = table(spark, sf_dir, "documents")
+    return docs.join(
+        d.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+    )
 
 
 #: Output bound of graph_clustering_coefficient — baked into the
