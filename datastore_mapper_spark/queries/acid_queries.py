@@ -751,3 +751,68 @@ def acid_deletion_vectors_mor(spark, sf_dir):
                 files_ok.alias("files_untouched_ok"),
                 count_ok.alias("metadata_count_ok"))
     )
+
+
+@query(
+    "acid_partitioned_scan",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(
+               (o_totalprice
+                + CASE WHEN o_orderstatus = 'O' THEN 1000.0 ELSE 0.0 END)
+               * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           TRUE AS pruned_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_partitioned_scan(spark, sf_dir):
+    """Partitioned tables end-to-end (round-11 VERDICT task 4): the
+    orders slice is created PARTITIONED BY o_orderstatus (hive-layout
+    identity partitioning — per-file partition values live in the
+    manifest next to the min/max stats, as exact [v, v] ranges), one
+    whole partition ('O') is swapped via DYNAMIC-PARTITION OVERWRITE
+    (``replace_partitions``: the corrected batch's own file layout
+    names the partitions to drop — zero extra Spark jobs, the Delta
+    replaceWhere-on-partition-values idiom), and the final read
+    re-attaches the partition column executor-side from the file
+    paths (one codegen regexp, no per-partition unions).
+
+    ``pruned_ok`` grades partition pruning strictly: a manifest-only
+    ``prune_files`` for status 'O' must select ONLY files under
+    ``o_orderstatus=O/`` and strictly fewer than the table's total —
+    i.e. the scan for one partition provably never lists the others,
+    which at a 100 TB date-partitioned table is the difference
+    between touching one day and touching every file.  The hashed
+    per-status aggregate proves the overwrite replaced exactly the
+    'O' rows (+1000.00 correction) while the other partitions'
+    files carried by reference."""
+    dest = _table_dir("acid_part", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    acid_lite.create_table(spark, dest, o.coalesce(2),
+                           partition_by=["o_orderstatus"])
+    corrected = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    if corrected.limit(1).count():
+        acid_lite.replace_partitions(spark, dest, corrected)
+    selected, total = acid_lite.prune_files(
+        dest, "o_orderstatus", "O", "O")
+    pruned_ok = F.lit(
+        0 < len(selected) < total
+        and all("o_orderstatus=O/" in f for f in selected)
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, dest)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                pruned_ok.alias("pruned_ok"))
+    )

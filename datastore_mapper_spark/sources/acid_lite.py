@@ -86,7 +86,8 @@ class ConcurrentModification(Exception):
 def _rebase_commit(path: str, touched: list[str], new_files: list[str],
                    op: str, retries: int = 3,
                    purge_dvs: bool = False,
-                   expect_dvs: list[str] | None = None) -> int:
+                   expect_dvs: list[str] | None = None,
+                   new_partitions: dict | None = None) -> int:
     """Commit a file-level edit (remove ``touched``, add ``new_files``)
     with LOGICAL conflict detection: losing the version race to a
     commit that left every touched file in place (e.g. a concurrent
@@ -124,7 +125,8 @@ def _rebase_commit(path: str, touched: list[str], new_files: list[str],
         kept = [f for f in cm["files"] if f not in removed]
         try:
             _commit(path, cur + 1, sorted(kept) + sorted(new_files),
-                    cur, op, dvs=[] if purge_dvs else None)
+                    cur, op, dvs=[] if purge_dvs else None,
+                    partitions=new_partitions)
             return cur + 1
         except CommitConflict:
             continue  # version race only: rebase again
@@ -169,6 +171,121 @@ def _write_files(df: DataFrame, path: str) -> list[str]:
     )
 
 
+def _parse_partition_values(rel: str, partition_by: list[str]) -> dict:
+    """Hive-style ``col=val`` path segments of one data file →
+    ``{col: str | None}`` (None = ``__HIVE_DEFAULT_PARTITION__``,
+    hive's NULL sentinel; values are %-unescaped)."""
+    from urllib.parse import unquote
+
+    keys = set(partition_by)
+    out: dict[str, str | None] = {}
+    for seg in rel.split("/"):
+        k, eq, v = seg.partition("=")
+        if eq and k in keys:
+            out[k] = None if v == "__HIVE_DEFAULT_PARTITION__" \
+                else unquote(v)
+    return out
+
+
+def _write_files_partitioned(
+    df: DataFrame, path: str, partition_by: list[str],
+) -> tuple[list[str], dict[str, dict]]:
+    """Write ``df`` hive-partitioned under ``data/<uuid>/`` and return
+    (relative file paths, {file: {col: str-value}}).  The partition
+    VALUES live in the directory names (and therefore in the
+    manifest), not in the data files — the hive/Iceberg identity-
+    partition layout; the split itself is Spark's distributed
+    ``partitionBy`` writer, never a driver loop over values."""
+    rel_dir = os.path.join("data", uuid.uuid4().hex[:12])
+    dest = os.path.join(path, rel_dir)
+    df.write.partitionBy(*partition_by).mode("error").parquet(dest)
+    files: list[str] = []
+    parts: dict[str, dict] = {}
+    for root, _dirs, fnames in os.walk(dest):
+        for fn in fnames:
+            if fn.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, fn), path)
+                files.append(rel)
+                parts[rel] = _parse_partition_values(rel, partition_by)
+    return sorted(files), parts
+
+
+def _write_files_any(
+    df: DataFrame, path: str, partition_by: list[str] | None,
+) -> tuple[list[str], dict[str, dict] | None]:
+    """Route to the partitioned or flat writer by the table's layout."""
+    if partition_by:
+        return _write_files_partitioned(df, path, partition_by)
+    return _write_files(df, path), None
+
+
+def _typed_partition_value(v: str | None, sql_type: str):
+    """A path-string partition value as the column's manifest type, so
+    partition entries can sit in the per-file ``stats`` as an exact
+    [v, v] range and the ordinary stats comparator prunes on them.
+    Temporal/string types stay strings — ISO forms compare lexically,
+    and the comparator keeps the file on any TypeError (sound)."""
+    if v is None:
+        return None
+    t = sql_type.lower()
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return int(v)
+    if t in ("float", "double"):
+        return float(v)
+    if t == "boolean":
+        return v.lower() == "true"
+    return v
+
+
+def _schema_types(schema_ddl: str) -> dict[str, str]:
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema_ddl)
+    return {f.name: f.dataType.simpleString() for f in st.fields}
+
+
+def _load_files(spark: SparkSession, path: str, m: dict,
+                files: list[str], extra: list | None = None) -> DataFrame:
+    """Read a manifest's data files, re-attaching hive partition
+    columns for partitioned tables: the values are recovered
+    EXECUTOR-SIDE from ``_metadata.file_path`` with one codegen
+    regexp per partition column — a single scan, no per-partition
+    unions, no driver loop (the basePath discovery route rejects the
+    ``data/<uuid>/col=val`` two-level layout outright).  ``extra``
+    appends computed columns (e.g. DV row positions) that need the
+    scan's ``_metadata`` still in reach."""
+    full_schema = m["schema"]
+    if not files:
+        df = spark.createDataFrame([], full_schema)
+        return df if not extra else df.select("*", *extra)
+    pby = m.get("partition_by") or []
+    paths = [os.path.join(path, f) for f in files]
+    if not pby:
+        df = spark.read.schema(full_schema).parquet(*paths)
+        return df if not extra else df.select("*", *extra)
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(full_schema)
+    data_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in st.fields if f.name not in set(pby)
+    )
+    df = spark.read.schema(data_schema).parquet(*paths)
+    cols = []
+    for f in st.fields:
+        if f.name in set(pby):
+            raw = F.regexp_extract(
+                F.col("_metadata.file_path"), f"/{f.name}=([^/]+)/", 1)
+            val = F.when(
+                raw == "__HIVE_DEFAULT_PARTITION__", F.lit(None)
+            ).otherwise(F.url_decode(raw))
+            cols.append(
+                val.cast(f.dataType.simpleString()).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols, *(extra or []))
+
+
 def _file_stats(path: str, rel: str) -> dict | None:
     """Per-column [min, max] from the parquet FOOTER of one immutable
     data file — the same statistics the writer already computed per
@@ -207,9 +324,55 @@ def _file_stats(path: str, rel: str) -> dict | None:
         return None
 
 
+def _assemble_stats_partitions(
+    path: str, files: list[str], schema: str | None,
+    parent_stats: dict, parent_partitions: dict,
+    partition_by: list[str] | None, partitions: dict | None,
+) -> tuple[dict, dict]:
+    """Per-file (stats, partition-values) maps for a commit: carried
+    files inherit the parent's entries (files are immutable, so
+    neither goes stale); new files get footer stats read once plus
+    their partition values from the writer.  Partition values are
+    ALSO injected into stats as exact [v, v] ranges, typed per the
+    manifest schema, so the ordinary stats comparator
+    (:func:`prune_files`) partition-prunes with zero new code —
+    identity-transform Iceberg partitioning expressed in the same
+    metadata the min/max skipping already uses."""
+    new_parts = partitions or {}
+    types = _schema_types(schema) if (partition_by and schema) else {}
+    stats: dict = {}
+    out_parts: dict = {}
+    for f in files:
+        s = parent_stats.get(f, ...)
+        if s is ...:
+            s = _file_stats(path, f)
+        pvals = parent_partitions.get(f) or new_parts.get(f)
+        if partition_by and pvals is None:
+            # a flat-written file can never join a partitioned table
+            # (e.g. an append that raced the partitioned create): the
+            # loader could not recover its partition values, so fail
+            # the commit loudly instead of reading NULLs later
+            raise ValueError(
+                f"file {f} has no partition values for partitioned "
+                f"table layout {partition_by}"
+            )
+        if partition_by and pvals is not None:
+            out_parts[f] = pvals
+            s = dict(s) if s is not None else {}
+            for col, v in pvals.items():
+                tv = _typed_partition_value(v, types.get(col, "string"))
+                if tv is not None:
+                    s[col] = [tv, tv]
+        if s is not None:
+            stats[f] = s
+    return stats, out_parts
+
+
 def _commit(path: str, version: int, files: list[str],
             parent: int, op: str, schema: str | None = None,
-            dvs: list[str] | None = None, dv_rows: int = 0) -> None:
+            dvs: list[str] | None = None, dv_rows: int = 0,
+            partition_by: list[str] | None = None,
+            partitions: dict | None = None) -> None:
     """Atomically publish manifest ``version`` (O_EXCL = one winner).
     ``schema`` (a DDL string) makes zero-file versions readable — an
     empty table is a legal snapshot, not an error.
@@ -219,24 +382,30 @@ def _commit(path: str, version: int, files: list[str],
     (files are immutable, so stats never go stale); newly written
     files get theirs read from the parquet footer once, at commit
     time.  Driver-side cost is file-count-sized, same as the file
-    list itself — the Iceberg manifest-entry shape."""
+    list itself — the Iceberg manifest-entry shape.  Partitioned
+    tables additionally carry ``partition_by`` (the layout, fixed at
+    create) and per-file ``partitions`` values (``partitions`` arg =
+    the NEWLY written files' values; carried files inherit)."""
     parent_stats: dict = {}
     parent_txns: dict = {}
+    parent_partitions: dict = {}
     if parent:
         pm = _read_manifest(path, parent)
         if schema is None:
             schema = pm.get("schema")
+        if partition_by is None:
+            partition_by = pm.get("partition_by")
         parent_stats = pm.get("stats") or {}
         parent_txns = pm.get("txns") or {}
-    stats = {}
-    for f in files:
-        s = parent_stats.get(f, ...)
-        if s is ...:
-            s = _file_stats(path, f)
-        if s is not None:
-            stats[f] = s
+        parent_partitions = pm.get("partitions") or {}
+    stats, out_parts = _assemble_stats_partitions(
+        path, files, schema, parent_stats, parent_partitions,
+        partition_by, partitions)
     payload = {"version": version, "parent": parent, "op": op,
                "files": files, "schema": schema, "stats": stats}
+    if partition_by:
+        payload["partition_by"] = partition_by
+        payload["partitions"] = out_parts
     if parent_txns:
         # carry the txn-dedup map through NON-txn commits too, so the
         # latest manifest stays authoritative across interleaved
@@ -265,16 +434,27 @@ def _commit(path: str, version: int, files: list[str],
         f.write(payload)
 
 
-def create_table(spark: SparkSession, path: str, df: DataFrame) -> int:
-    """Create version 1 from ``df``.  Fails if the table exists."""
+def create_table(spark: SparkSession, path: str, df: DataFrame,
+                 partition_by: list[str] | None = None) -> int:
+    """Create version 1 from ``df``.  Fails if the table exists.
+    ``partition_by`` fixes a hive-layout identity partitioning for
+    the table's lifetime: every later write splits on those columns
+    (Spark's distributed ``partitionBy`` writer), the per-file
+    partition VALUES live in the manifest next to the min/max stats,
+    and every read/delete/replace partition-prunes on them."""
     if latest_version(path) != 0:
         raise ValueError(f"table already exists: {path}")
+    if partition_by:
+        missing = set(partition_by) - set(df.columns)
+        if missing:
+            raise ValueError(f"partition columns not in frame: {missing}")
     os.makedirs(path, exist_ok=True)
-    files = _write_files(df, path)
+    files, parts = _write_files_any(df, path, partition_by)
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema
     )
-    _commit(path, 1, files, parent=0, op="create", schema=schema)
+    _commit(path, 1, files, parent=0, op="create", schema=schema,
+            partition_by=partition_by, partitions=parts)
     return 1
 
 
@@ -298,18 +478,14 @@ def read(spark: SparkSession, path: str, version: int | None = None
     (file, row_index) at read time — the Iceberg-v2 read path."""
     v = latest_version(path) if version is None else version
     m = _read_manifest(path, v)
-    files = [os.path.join(path, f) for f in m["files"]]
-    if not files:
-        # an empty table is a legal snapshot (e.g. every row deleted,
-        # or created from a zero-row frame): 0 rows, manifest schema
-        return spark.createDataFrame([], m["schema"])
-    df = spark.read.schema(m["schema"]).parquet(*files)
+    df = _load_files(spark, path, m, m["files"])
     dvs = m.get("dvs") or []
     if not dvs:
         return df
     rel, _prefix = _rel_path_expr(path)
-    base = spark.read.schema(m["schema"]).parquet(*files).select(
-        "*", rel, F.col("_metadata.row_index").alias("__ri"))
+    base = _load_files(
+        spark, path, m, m["files"],
+        extra=[rel, F.col("_metadata.row_index").alias("__ri")])
     dv = spark.read.parquet(*[os.path.join(path, d) for d in dvs]).select(
         F.col("rel").alias("__rel"), F.col("row_index").alias("__ri"))
     return base.join(dv, ["__rel", "__ri"], "left_anti").drop("__rel", "__ri")
@@ -321,9 +497,13 @@ def append(spark: SparkSession, path: str, df: DataFrame,
     nonexistent table (parent 0) the append CREATES it — the v1 commit
     still goes through the same O_EXCL gate, so an append racing a
     create has exactly one winner and the loser retries as a normal
-    append against the winner's manifest."""
+    append against the winner's manifest.  On a partitioned table the
+    new rows split through the same hive-layout writer as create."""
     os.makedirs(path, exist_ok=True)
-    files = _write_files(df, path)
+    parent0 = latest_version(path)
+    pby = _read_manifest(path, parent0).get("partition_by") \
+        if parent0 else None
+    files, parts = _write_files_any(df, path, pby)
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema
     )
@@ -332,7 +512,8 @@ def append(spark: SparkSession, path: str, df: DataFrame,
         parent_files = _read_manifest(path, parent)["files"] if parent else []
         try:
             _commit(path, parent + 1, parent_files + files, parent,
-                    "append", schema=schema if not parent else None)
+                    "append", schema=schema if not parent else None,
+                    partitions=parts)
             return parent + 1
         except CommitConflict:
             continue  # blind append composes with anything: retry
@@ -411,21 +592,24 @@ def merge_upsert(
         )
     kept = [f for f in manifest["files"] if f not in touched]
 
-    touched_abs = [os.path.join(path, f) for f in sorted(touched)]
     inserts = src
     if delete_col is not None:
         inserts = inserts.filter(~F.col(delete_col))
     inserts = inserts.drop(*([delete_col] if delete_col else []))
-    if touched_abs:
-        touched_df = spark.read.parquet(*touched_abs)
+    pby = manifest.get("partition_by")
+    if touched:
+        touched_df = _load_files(spark, path, manifest, sorted(touched))
         survivors = touched_df.join(src.select(key), key, "left_anti")
-        merged = survivors.unionByName(inserts)
+        merged = survivors.unionByName(inserts.select(*touched_df.columns))
     else:
         merged = inserts
-    new_files = _write_files(merged, path) if merged.limit(1).count() else []
+    new_files: list[str] = []
+    new_parts = None
+    if merged.limit(1).count():
+        new_files, new_parts = _write_files_any(merged, path, pby)
     _ = kept  # the rebase recomputes kept against the commit-time latest
     return _rebase_commit(path, sorted(touched), new_files, "merge",
-                          expect_dvs=[])
+                          expect_dvs=[], new_partitions=new_parts)
 
 
 def optimize(
@@ -474,14 +658,19 @@ def optimize(
     # PURGES them: the commit below carries dvs=[] explicitly
     df = read(spark, path, parent)
     # coalesce, not repartition: narrow dependency — compaction must
-    # not shuffle 100 TB, it concatenates co-resident row groups
-    new_files = _write_files(df.coalesce(n_target), path)
+    # not shuffle 100 TB, it concatenates co-resident row groups.  On
+    # a partitioned table the hive writer re-splits each coalesced
+    # task by value, so the bound is n_target files PER PARTITION
+    # (real OPTIMIZE is per-partition too).
+    new_files, new_parts = _write_files_any(
+        df.coalesce(n_target), path, manifest.get("partition_by"))
     # touched = every parent file: a concurrent APPEND rebases cleanly
     # (its files carry alongside the compacted set); a concurrent
     # rewrite of any compacted file raises ConcurrentModification
     return _rebase_commit(path, files, new_files, "optimize",
                           purge_dvs=True,
-                          expect_dvs=manifest.get("dvs") or [])
+                          expect_dvs=manifest.get("dvs") or [],
+                          new_partitions=new_parts)
 
 
 def prune_files(
@@ -533,12 +722,7 @@ def read_pruned(
     v = latest_version(path) if version is None else version
     selected, _total = prune_files(path, column, lo, hi, version=v)
     m = _read_manifest(path, v)
-    if not selected:
-        df = spark.createDataFrame([], m["schema"])
-    else:
-        df = spark.read.schema(m["schema"]).parquet(
-            *[os.path.join(path, f) for f in selected]
-        )
+    df = _load_files(spark, path, m, selected)
     c = F.col(column)
     if lo is not None:
         df = df.filter(c >= F.lit(lo))
@@ -589,10 +773,9 @@ def delete_where(
             rewrite.append(f)
         else:
             rewrite.append(f)
+    new_parts = None
     if rewrite:
-        df = spark.read.schema(m["schema"]).parquet(
-            *[os.path.join(path, f) for f in rewrite]
-        )
+        df = _load_files(spark, path, m, rewrite)
         c = F.col(column)
         cond = F.lit(True)
         if lo is not None:
@@ -601,9 +784,10 @@ def delete_where(
             cond = cond & (c <= F.lit(hi))
         survivors = df.filter(~cond | c.isNull())
         if survivors.limit(1).count():
-            new_files = _write_files(survivors, path)
+            new_files, new_parts = _write_files_any(
+                survivors, path, m.get("partition_by"))
     return _rebase_commit(path, candidates, new_files, "delete",
-                          expect_dvs=[])
+                          expect_dvs=[], new_partitions=new_parts)
 
 
 def _merge_schema(old_ddl: str, df: DataFrame) -> str:
@@ -640,16 +824,18 @@ def append_evolve(spark: SparkSession, path: str, df: DataFrame,
     back NULL for it (parquet-by-name resolution against the manifest
     schema — the Iceberg/Delta ``mergeSchema`` contract).  Existing
     columns must keep their types."""
-    if latest_version(path) == 0:
+    v0 = latest_version(path)
+    if v0 == 0:
         return append(spark, path, df, retries=retries)
-    files = _write_files(df, path)
+    pby = _read_manifest(path, v0).get("partition_by")
+    files, parts = _write_files_any(df, path, pby)
     for _ in range(retries + 1):
         parent = latest_version(path)
         pm = _read_manifest(path, parent)
         merged = _merge_schema(pm["schema"], df)
         try:
             _commit(path, parent + 1, pm["files"] + files, parent,
-                    "append", schema=merged)
+                    "append", schema=merged, partitions=parts)
             return parent + 1
         except CommitConflict:
             continue
@@ -730,6 +916,7 @@ def append_idempotent(spark: SparkSession, path: str, df: DataFrame,
     the latest snapshot — same semantics, amortized lookup."""
     os.makedirs(path, exist_ok=True)
     files: list[str] | None = None
+    parts: dict | None = None
     for _ in range(retries + 1):
         parent = latest_version(path)
         seen = _known_txns(path, parent)
@@ -749,7 +936,9 @@ def append_idempotent(spark: SparkSession, path: str, df: DataFrame,
                 _cleanup_empty_dir(path, files)
             return seen[txn_id]
         if files is None:  # write the data at most once across retries
-            files = _write_files(df, path)
+            pby = _read_manifest(path, parent).get("partition_by") \
+                if parent else None
+            files, parts = _write_files_any(df, path, pby)
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema
         )
@@ -758,7 +947,8 @@ def append_idempotent(spark: SparkSession, path: str, df: DataFrame,
         try:
             _commit_txn(path, parent + 1, parent_files + files, parent,
                         "append", txn_id, schema=payload_schema,
-                        txns={**seen, txn_id: parent + 1})
+                        txns={**seen, txn_id: parent + 1},
+                        partitions=parts)
             return parent + 1
         except CommitConflict:
             continue  # re-check: the race winner may be OUR txn
@@ -793,26 +983,30 @@ def _known_txns(path: str, version: int) -> dict[str, int]:
 
 def _commit_txn(path: str, version: int, files: list[str], parent: int,
                 op: str, txn_id: str, schema: str | None = None,
-                txns: dict[str, int] | None = None) -> None:
+                txns: dict[str, int] | None = None,
+                partitions: dict | None = None) -> None:
     """`_commit` plus a transaction tag AND the carried-forward txn
     map in the manifest payload."""
     parent_stats: dict = {}
+    parent_partitions: dict = {}
+    partition_by: list[str] | None = None
     if parent:
         pm = _read_manifest(path, parent)
         if schema is None:
             schema = pm.get("schema")
+        partition_by = pm.get("partition_by")
         parent_stats = pm.get("stats") or {}
-    stats = {}
-    for f in files:
-        s = parent_stats.get(f, ...)
-        if s is ...:
-            s = _file_stats(path, f)
-        if s is not None:
-            stats[f] = s
+        parent_partitions = pm.get("partitions") or {}
+    stats, out_parts = _assemble_stats_partitions(
+        path, files, schema, parent_stats, parent_partitions,
+        partition_by, partitions)
     payload = {"version": version, "parent": parent, "op": op,
                "files": files, "schema": schema, "stats": stats,
                "txn": txn_id,
                "txns": txns if txns is not None else {txn_id: version}}
+    if partition_by:
+        payload["partition_by"] = partition_by
+        payload["partitions"] = out_parts
     if parent:
         pm2 = _read_manifest(path, parent)
         if pm2.get("dvs"):
@@ -888,13 +1082,18 @@ def optimize_zorder(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
-    new_files = _write_files(zdf, path)
+    # partitioned tables: the hive writer re-splits each z-run by
+    # partition value — files stay z-sorted WITHIN each partition, so
+    # both partition pruning and z-range stats pruning apply
+    new_files, new_parts = _write_files_any(
+        zdf, path, manifest.get("partition_by"))
     # touched = every parent file (the rewrite replaces the snapshot);
     # rebase semantics match optimize(): a concurrent append carries
     # alongside, a concurrent rewrite or DV delete conflicts
     return _rebase_commit(path, manifest["files"], new_files,
                           "optimize-zorder", purge_dvs=True,
-                          expect_dvs=manifest.get("dvs") or [])
+                          expect_dvs=manifest.get("dvs") or [],
+                          new_partitions=new_parts)
 
 
 def change_data_feed(
@@ -927,20 +1126,18 @@ def change_data_feed(
     from_files = [f for f in mf["files"] if f not in set(mt["files"])]
     to_files = [f for f in mt["files"] if f not in set(mf["files"])]
 
-    def _load(files, schema, dvs=None):
+    def _load(files, man, dvs=None):
         if not files:
-            return spark.createDataFrame([], schema)
-        df = spark.read.schema(schema).parquet(
-            *[os.path.join(path, f) for f in files])
+            return spark.createDataFrame([], man["schema"])
         if not dvs:
-            return df
+            return _load_files(spark, path, man, files)
         # rows a deletion vector already removed in the FROM snapshot
         # were logically gone before this range — they must not appear
         # as pre-images or re-report as deletes
         rel, _p = _rel_path_expr(path)
-        base = spark.read.schema(schema).parquet(
-            *[os.path.join(path, f) for f in files]
-        ).select("*", rel, F.col("_metadata.row_index").alias("__ri"))
+        base = _load_files(
+            spark, path, man, files,
+            extra=[rel, F.col("_metadata.row_index").alias("__ri")])
         pos = spark.read.parquet(
             *[os.path.join(path, d) for d in dvs]).select(
             F.col("rel").alias("__rel"), F.col("row_index").alias("__ri"))
@@ -953,8 +1150,8 @@ def change_data_feed(
     # ADVICE).  The anti-join keys on (file, row_index), so vectors
     # for carried files simply miss; those are handled by the dv-delta
     # block below.
-    pre = _load(from_files, mf["schema"], dvs=mf.get("dvs"))
-    post = _load(to_files, mt["schema"], dvs=mt.get("dvs"))
+    pre = _load(from_files, mf, dvs=mf.get("dvs"))
+    post = _load(to_files, mt, dvs=mt.get("dvs"))
     # content digest over the SHARED non-key columns (schema evolution
     # may have added columns to `post`; new columns count as change
     # only when their value is non-null on the post side)
@@ -1002,9 +1199,9 @@ def change_data_feed(
         carried = [f for f in mt["files"] if f in set(mf["files"])]
         if carried:
             rel, _p = _rel_path_expr(path)
-            base = spark.read.schema(mt["schema"]).parquet(
-                *[os.path.join(path, f) for f in carried]
-            ).select("*", rel, F.col("_metadata.row_index").alias("__ri"))
+            base = _load_files(
+                spark, path, mt, carried,
+                extra=[rel, F.col("_metadata.row_index").alias("__ri")])
             pos = spark.read.parquet(
                 *[os.path.join(path, d) for d in dv_new]).select(
                 F.col("rel").alias("__rel"),
@@ -1047,10 +1244,7 @@ def read_incremental(
             "change_data_feed for row-level semantics"
         )
     new_files = [f for f in mt["files"] if f not in base]
-    if not new_files:
-        return spark.createDataFrame([], mt["schema"])
-    return spark.read.schema(mt["schema"]).parquet(
-        *[os.path.join(path, f) for f in new_files])
+    return _load_files(spark, path, mt, new_files)
 
 
 def count_rows(spark: SparkSession, path: str,
@@ -1073,11 +1267,7 @@ def count_rows(spark: SparkSession, path: str,
         else:
             total += int(r)
     if missing:
-        total += (
-            spark.read.schema(m["schema"])
-            .parquet(*[os.path.join(path, f) for f in missing])
-            .count()
-        )
+        total += _load_files(spark, path, m, missing).count()
     return total, not missing
 
 
@@ -1139,19 +1329,20 @@ def replace_where(
             rewrite.append(f)
     pieces = [src]
     if rewrite:
-        survivors = (
-            spark.read.schema(m["schema"])
-            .parquet(*[os.path.join(path, f) for f in rewrite])
-            .filter(~cond | c.isNull())
-        )
+        survivors = _load_files(spark, path, m, rewrite).filter(
+            ~cond | c.isNull())
         pieces.append(survivors.select(*src.columns))
     merged = pieces[0]
     for p in pieces[1:]:
         merged = merged.unionByName(p)
-    new_files = _write_files(merged, path) if merged.limit(1).count() else []
+    new_files = []
+    new_parts = None
+    if merged.limit(1).count():
+        new_files, new_parts = _write_files_any(
+            merged, path, m.get("partition_by"))
     _ = kept  # the rebase recomputes kept against the commit-time latest
     return _rebase_commit(path, candidates, new_files, "replace_where",
-                          expect_dvs=[])
+                          expect_dvs=[], new_partitions=new_parts)
 
 
 def _has_dvs(m: dict) -> bool:
@@ -1186,11 +1377,10 @@ def delete_where_dv(
     if not candidates:
         return parent  # nothing can match: no commit needed
     rel, prefix = _rel_path_expr(path)
-    scan = spark.read.schema(m["schema"]).parquet(
-        *[os.path.join(path, f) for f in candidates]
-    ).select(
-        "*", rel, F.col("_metadata.row_index").alias("__ri"),
-        F.col("_metadata.file_path").alias("__fp"),
+    scan = _load_files(
+        spark, path, m, candidates,
+        extra=[rel, F.col("_metadata.row_index").alias("__ri"),
+               F.col("_metadata.file_path").alias("__fp")],
     )
     c = F.col(column)
     cond = F.lit(True)
@@ -1229,3 +1419,53 @@ def delete_where_dv(
             dvs=old_dvs + new_dvs,
             dv_rows=(m.get("dv_rows") or 0) + n_new)
     return parent + 1
+
+
+def replace_partitions(spark: SparkSession, path: str,
+                       df: DataFrame) -> int:
+    """Dynamic-partition overwrite (Spark's
+    ``partitionOverwriteMode=dynamic`` / Hive ``INSERT OVERWRITE`` /
+    Delta ``replaceWhere`` on partition values), as ONE atomic
+    commit: every file belonging to a partition tuple PRESENT in
+    ``df`` is dropped and ``df``'s files take its place; partitions
+    the frame does not touch carry by reference.  This is the idiom
+    for re-running one day's pipeline output against a
+    date-partitioned 100 TB table — the rewrite cost is bounded by
+    the partitions in the batch, never the table.
+
+    Which partitions the batch holds is derived from the batch's own
+    written file LAYOUT (the hive dirs), so classifying the overwrite
+    set costs zero extra Spark jobs; dropping the old files is pure
+    manifest math against the per-file partition values.  Conflict
+    rules match the other rewrites: a concurrent commit that removed
+    one of the replaced files, or changed the deletion-vector set,
+    raises :class:`ConcurrentModification`."""
+    parent = latest_version(path)
+    if parent == 0:
+        raise ValueError(f"table does not exist: {path}")
+    m = _read_manifest(path, parent)
+    pby = m.get("partition_by")
+    if not pby:
+        raise ValueError(
+            f"table {path} is not partitioned — use replace_where for "
+            "range backfills on unpartitioned tables"
+        )
+    if _has_dvs(m):
+        raise ValueError(
+            "table carries deletion vectors — run optimize() to purge "
+            "them before a partition overwrite (dropped files would "
+            "leave their vectors dangling)"
+        )
+    new_files, new_parts = _write_files_partitioned(df, path, pby)
+    if not new_files:
+        return parent  # empty batch: no partitions to replace
+    replaced = {
+        tuple(sorted(p.items())) for p in new_parts.values()
+    }
+    old_parts = m.get("partitions") or {}
+    touched = [
+        f for f in m["files"]
+        if tuple(sorted((old_parts.get(f) or {}).items())) in replaced
+    ]
+    return _rebase_commit(path, touched, new_files, "replace_partitions",
+                          expect_dvs=[], new_partitions=new_parts)

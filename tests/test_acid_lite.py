@@ -675,3 +675,140 @@ def test_append_idempotent_reclaims_orphans(spark, tdir, monkeypatch):
     assert {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()} \
         == {(1, "a"), (2, "b")}
     _ = m
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string, day bigint")
+
+
+def test_partitioned_create_read_prune(spark, tdir):
+    """Partitioned create: hive-layout files, per-file partition
+    values in the manifest, partition columns re-attached on read,
+    and partition-pruned reads that provably skip files."""
+    acid_lite.create_table(
+        spark, tdir,
+        _pdf(spark, [(i, f"r{i}", i % 3) for i in range(12)]).coalesce(2),
+        partition_by=["day"])
+    m = acid_lite._read_manifest(tdir, 1)
+    assert m["partition_by"] == ["day"]
+    assert all("day=" in f for f in m["files"])
+    # every file's manifest partition value matches its path, and the
+    # value is injected into stats as an exact [v, v] range
+    for f in m["files"]:
+        v = m["partitions"][f]["day"]
+        assert f"day={v}/" in f
+        assert m["stats"][f]["day"] == [int(v), int(v)]
+    r = acid_lite.read(spark, tdir)
+    assert r.columns == ["k", "v", "day"]
+    got = {(x.k, x.v, x.day) for x in r.collect()}
+    assert got == {(i, f"r{i}", i % 3) for i in range(12)}
+    # partition pruning is exact: only day=1 files selected
+    sel, total = acid_lite.prune_files(tdir, "day", 1, 1)
+    assert total == len(m["files"])
+    assert sel and all("day=1/" in f for f in sel)
+    rp = acid_lite.read_pruned(spark, tdir, "day", 1, 1)
+    assert {x.k for x in rp.collect()} == {1, 4, 7, 10}
+
+
+def test_partitioned_null_and_string_values(spark, tdir):
+    """NULL partition values round-trip through hive's
+    __HIVE_DEFAULT_PARTITION__ sentinel; string values with spaces
+    survive the %-escape round trip."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b c"), (3, None)], "k bigint, cat string")
+    acid_lite.create_table(spark, tdir, df, partition_by=["cat"])
+    got = {(r.k, r.cat) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "b c"), (3, None)}
+
+
+def test_replace_partitions_dynamic_overwrite(spark, tdir):
+    """Dynamic-partition overwrite: exactly the partitions present in
+    the batch are replaced (their old files drop by manifest math,
+    zero extra Spark jobs); untouched partitions carry by reference."""
+    acid_lite.create_table(
+        spark, tdir,
+        _pdf(spark, [(i, "old", i % 3) for i in range(9)]).coalesce(1),
+        partition_by=["day"])
+    m1 = acid_lite._read_manifest(tdir, 1)
+    carried = [f for f in m1["files"] if "day=2/" in f]
+    v = acid_lite.replace_partitions(
+        spark, tdir,
+        _pdf(spark, [(100, "new", 0), (101, "new", 1)]))
+    m2 = acid_lite._read_manifest(tdir, v)
+    # day=2 files carried verbatim; day=0 / day=1 files all replaced
+    assert set(carried) <= set(m2["files"])
+    assert not [f for f in m2["files"]
+                if f in set(m1["files"]) and "day=2" not in f]
+    got = {(r.k, r.v, r.day) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(100, "new", 0), (101, "new", 1),
+                   (2, "old", 2), (5, "old", 2), (8, "old", 2)}
+    # time travel still shows the pre-overwrite contents
+    assert acid_lite.read(spark, tdir, 1).count() == 9
+    # unpartitioned tables refuse
+    flat = tdir + "_flat"
+    acid_lite.create_table(spark, flat, _df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="not partitioned"):
+        acid_lite.replace_partitions(spark, flat, _df(spark, [(2, "b")]))
+
+
+def test_replace_partitions_race(spark, tdir, monkeypatch):
+    """A concurrent append into a REPLACED partition must conflict (its
+    file would be silently clobbered by the overwrite's rebase
+    otherwise is wrong — the append's file is NOT in the overwrite's
+    touched set, so it survives alongside: verify both rows land);
+    a concurrent rewrite OF a replaced file raises."""
+    acid_lite.create_table(
+        spark, tdir, _pdf(spark, [(1, "old", 0), (2, "old", 1)]),
+        partition_by=["day"])
+    orig_write = acid_lite._write_files_partitioned
+    state = {"raced": False}
+
+    def racing_write(df, path, pby):
+        out = orig_write(df, path, pby)
+        if not state["raced"]:
+            state["raced"] = True
+            # concurrent DELETE rewrites the day=0 file the overwrite
+            # is about to replace -> ConcurrentModification
+            acid_lite.delete_where(spark, tdir, "k", lo=1, hi=1)
+        return out
+
+    monkeypatch.setattr(acid_lite, "_write_files_partitioned", racing_write)
+    with pytest.raises(acid_lite.ConcurrentModification):
+        acid_lite.replace_partitions(
+            spark, tdir, _pdf(spark, [(100, "new", 0)]))
+    # winner's delete landed intact
+    got = {(r.k, r.day) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(2, 1)}
+
+
+def test_partitioned_merge_delete_dv_optimize(spark, tdir):
+    """The rest of the op surface composes with partitioning: CoW
+    MERGE rewrites only touched partitions' files, delete_where drops
+    whole partitions unread, DV deletes + OPTIMIZE purge keep the
+    hive layout, and reads always re-attach the partition columns."""
+    acid_lite.create_table(
+        spark, tdir,
+        _pdf(spark, [(i, "base", i % 3) for i in range(12)]).coalesce(1),
+        partition_by=["day"])
+    m1 = acid_lite._read_manifest(tdir, 1)
+    v2 = acid_lite.merge_upsert(
+        spark, tdir, _pdf(spark, [(0, "UPD", 0), (99, "INS", 1)]), "k")
+    m2 = acid_lite._read_manifest(tdir, v2)
+    # day=2 files untouched by the merge: carried by reference
+    assert {f for f in m1["files"] if "day=2/" in f} <= set(m2["files"])
+    r = acid_lite.read(spark, tdir)
+    assert {x.v for x in r.filter("k = 0").collect()} == {"UPD"}
+    assert r.count() == 13
+    # whole-partition delete drops files unread (stats = exact [v,v])
+    v3 = acid_lite.delete_where(spark, tdir, "day", lo=2, hi=2)
+    m3 = acid_lite._read_manifest(tdir, v3)
+    assert not [f for f in m3["files"] if "day=2/" in f]
+    assert acid_lite.read(spark, tdir).count() == 9
+    # DV delete then OPTIMIZE purge, partition columns intact
+    acid_lite.delete_where_dv(spark, tdir, "k", lo=99, hi=99)
+    assert acid_lite.count_rows(spark, tdir) == (8, True)
+    v5 = acid_lite.optimize(spark, tdir)
+    m5 = acid_lite._read_manifest(tdir, v5)
+    assert not m5.get("dvs") and all("day=" in f for f in m5["files"])
+    got = acid_lite.read(spark, tdir)
+    assert got.count() == 8 and got.columns == ["k", "v", "day"]
