@@ -816,3 +816,99 @@ def acid_partitioned_scan(spark, sf_dir):
         .select("o_orderstatus", "n_orders", "sum_cents",
                 pruned_ok.alias("pruned_ok"))
     )
+
+
+@query(
+    "acid_merge_three_way",
+    "table-format",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 10 = 7
+                     AND (o_orderkey <= (SELECT max(o_orderkey) // 4
+                                         FROM orders)
+                          OR o_orderkey > (SELECT (max(o_orderkey) * 3) // 4
+                                           FROM orders))
+                THEN o_totalprice + 1000.0 ELSE o_totalprice
+           END AS o_totalprice,
+           CASE WHEN o_orderkey % 10 = 7
+                     AND (o_orderkey <= (SELECT max(o_orderkey) // 4
+                                         FROM orders)
+                          OR o_orderkey > (SELECT (max(o_orderkey) * 3) // 4
+                                           FROM orders))
+                THEN 'U' ELSE o_orderstatus
+           END AS o_orderstatus,
+           TRUE AS dv_used_ok
+    FROM orders
+    WHERE (o_orderkey <= (SELECT max(o_orderkey) // 4 FROM orders)
+           AND o_orderkey % 10 = 7)
+       OR (o_orderkey > (SELECT (max(o_orderkey) * 3) // 8 FROM orders)
+           AND o_orderkey <= (SELECT (max(o_orderkey) * 3) // 4 FROM orders)
+           AND o_orderkey % 10 < 8)
+       OR (o_orderkey > (SELECT (max(o_orderkey) * 3) // 4 FROM orders)
+           AND o_orderkey % 10 IN (0, 1, 2, 3, 4, 6, 7, 8))
+    """,
+)
+def acid_merge_three_way(spark, sf_dir):
+    """The FULL three-way MERGE (round-11 VERDICT task 5): one commit
+    carrying WHEN MATCHED UPDATE (+1000.00, status 'U'), WHEN MATCHED
+    DELETE (flagged rows), WHEN NOT MATCHED INSERT, and WHEN NOT
+    MATCHED BY SOURCE THEN DELETE scoped to ``o_orderkey <= 3·max/8``
+    — the snapshot-sync clause Delta/Iceberg added last, here graded
+    end-to-end through the filesystem.
+
+    The target is written as four DISJOINT o_orderkey quartile files;
+    the source touches only the bottom quartile (updates) and the top
+    quartile (update/delete/insert), so the SECOND quartile's file has
+    no matched keys and straddles the scope boundary — by the
+    three-mechanism cost model it must take DELETION VECTORS for its
+    stale rows instead of a rewrite (``dv_used_ok`` grades that the
+    commit carries vectors with dv_rows > 0 and that the file itself
+    is carried VERBATIM).  Quartiles 3-4 prove carry/rewrite
+    respectively, and the hashed row set proves all four clauses
+    compose: a resurrected stale row, a lost carry, a double-applied
+    update, or a survived delete-flag row all hash-fail.  At 100 TB
+    the scoped NMBS clause is what keeps "sync this day against its
+    re-computed snapshot" from meaning "rewrite the table"."""
+    dest = _table_dir("acid_merge3", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    t = o.filter(F.col("o_orderkey") % 10 < 8)
+    m = o.agg(F.max("o_orderkey")).first()[0] or 0
+    b1, b2, b3, hs = m // 4, m // 2, (3 * m) // 4, (3 * m) // 8
+    acid_lite.create_table(
+        spark, dest, t.filter(F.col("o_orderkey") <= b1).coalesce(1))
+    for lo, hi in ((b1, b2), (b2, b3), (b3, m)):
+        acid_lite.append(
+            spark, dest,
+            t.filter((F.col("o_orderkey") > lo)
+                     & (F.col("o_orderkey") <= hi)).coalesce(1))
+    q2_files = {
+        f for f in acid_lite._read_manifest(dest, 4)["files"]
+        if (acid_lite._read_manifest(dest, 4)["stats"][f]
+            ["o_orderkey"][0] > b1)
+        and (acid_lite._read_manifest(dest, 4)["stats"][f]
+             ["o_orderkey"][1] <= b2)
+    }
+    k = F.col("o_orderkey")
+    src = o.filter(
+        ((k <= b1) & (k % 10 == 7))
+        | ((k > b3) & (k % 10).isin(5, 7, 8))
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.when(k % 10 == 7, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(k % 10 == 7, F.lit("U"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        (k % 10 == 5).alias("_deleted"),
+    )
+    v = acid_lite.merge_three_way(
+        spark, dest, src, key="o_orderkey", delete_col="_deleted",
+        nmbs_scope=("o_orderkey", None, hs))
+    mv = acid_lite._read_manifest(dest, v)
+    dv_ok = F.lit(
+        bool(mv.get("dvs")) and (mv.get("dv_rows") or 0) > 0
+        and q2_files <= set(mv["files"])  # boundary file carried verbatim
+    )
+    return acid_lite.read(spark, dest, v).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        dv_ok.alias("dv_used_ok"))

@@ -87,7 +87,9 @@ def _rebase_commit(path: str, touched: list[str], new_files: list[str],
                    op: str, retries: int = 3,
                    purge_dvs: bool = False,
                    expect_dvs: list[str] | None = None,
-                   new_partitions: dict | None = None) -> int:
+                   new_partitions: dict | None = None,
+                   add_dvs: list[str] | None = None,
+                   add_dv_rows: int = 0) -> int:
     """Commit a file-level edit (remove ``touched``, add ``new_files``)
     with LOGICAL conflict detection: losing the version race to a
     commit that left every touched file in place (e.g. a concurrent
@@ -123,9 +125,10 @@ def _rebase_commit(path: str, touched: list[str], new_files: list[str],
                 "re-run against the new snapshot"
             )
         kept = [f for f in cm["files"] if f not in removed]
+        dvs = add_dvs if add_dvs else ([] if purge_dvs else None)
         try:
             _commit(path, cur + 1, sorted(kept) + sorted(new_files),
-                    cur, op, dvs=[] if purge_dvs else None,
+                    cur, op, dvs=dvs, dv_rows=add_dv_rows,
                     partitions=new_partitions)
             return cur + 1
         except CommitConflict:
@@ -520,6 +523,57 @@ def append(spark: SparkSession, path: str, df: DataFrame,
     raise CommitConflict(f"append to {path} lost {retries + 1} races")
 
 
+def _checked_merge_source(source: DataFrame, key: str) -> DataFrame:
+    """Checkpoint the merge source (one upstream execution, used 3x)
+    and reject duplicate keys: MERGE INTO allows at most one source
+    match per target row — a duplicate-keyed CDC batch would otherwise
+    silently multi-insert (each dup inserts, survivors anti-joined
+    once)."""
+    src = source.localCheckpoint()
+    kc = src.agg(
+        F.count(key).alias("n"), F.count_distinct(key).alias("d")
+    ).first()
+    if kc.n != kc.d:
+        raise ValueError(
+            f"merge source has {kc.n - kc.d} duplicate '{key}' keys; "
+            "MERGE INTO requires at most one source row per target key"
+        )
+    return src
+
+
+def _matched_data_files(spark: SparkSession, path: str, parent: int,
+                        manifest: dict, src: DataFrame, key: str) -> set:
+    """Which data files contain at least one source-matched key?
+    input_file_name() returns a URI (file:/..., possibly URL-encoded
+    and scheme-variant) — resolve it back to a manifest-relative path
+    by taking the URI's path component and relativizing against the
+    table root, NOT by stripping a fixed-width scheme prefix
+    (round-10 ADVICE: 'substring(f, 6)' broke on file://host, hdfs://
+    and %-escapes, silently carrying matched files over unrewritten)."""
+    from urllib.parse import unquote, urlsplit
+
+    target = read(spark, path, parent)
+    uris = (
+        target.withColumn("f", F.input_file_name())
+        .join(src.select(key), key, "left_semi")
+        .select("f")
+        .distinct()
+        .collect()
+    )
+    root = os.path.abspath(path)
+    touched = set()
+    for r in uris:
+        p = unquote(urlsplit(r.f).path) if ":" in r.f else r.f
+        touched.add(os.path.relpath(os.path.abspath(p), root))
+    unknown = touched - set(manifest["files"])
+    if unknown:
+        raise RuntimeError(
+            f"merge resolved scan files not present in manifest v{parent}: "
+            f"{sorted(unknown)[:3]} — input_file_name() mapping is broken"
+        )
+    return touched
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -547,49 +601,8 @@ def merge_upsert(
             "them before a copy-on-write MERGE (the CoW rewrite reads "
             "touched files directly and would resurrect deleted rows)"
         )
-    target = read(spark, path, parent)
-    src = source.localCheckpoint()  # one upstream execution, used 3x
-
-    # MERGE INTO rejects multiple source matches per target row; a
-    # duplicate-keyed CDC batch would otherwise silently multi-insert
-    # (each dup inserts, survivors anti-joined once).  One cheap agg
-    # over the already-checkpointed source catches it.
-    kc = src.agg(
-        F.count(key).alias("n"), F.count_distinct(key).alias("d")
-    ).first()
-    if kc.n != kc.d:
-        raise ValueError(
-            f"merge source has {kc.n - kc.d} duplicate '{key}' keys; "
-            "MERGE INTO requires at most one source row per target key"
-        )
-
-    # Which data files contain at least one matched key?
-    # input_file_name() returns a URI (file:/..., possibly URL-encoded
-    # and scheme-variant) — resolve it back to a manifest-relative path
-    # by taking the URI's path component and relativizing against the
-    # table root, NOT by stripping a fixed-width scheme prefix
-    # (round-10 ADVICE: 'substring(f, 6)' broke on file://host, hdfs://
-    # and %-escapes, silently carrying matched files over unrewritten).
-    from urllib.parse import unquote, urlsplit
-
-    uris = (
-        target.withColumn("f", F.input_file_name())
-        .join(src.select(key), key, "left_semi")
-        .select("f")
-        .distinct()
-        .collect()
-    )
-    root = os.path.abspath(path)
-    touched = set()
-    for r in uris:
-        p = unquote(urlsplit(r.f).path) if ":" in r.f else r.f
-        touched.add(os.path.relpath(os.path.abspath(p), root))
-    unknown = touched - set(manifest["files"])
-    if unknown:
-        raise RuntimeError(
-            f"merge resolved scan files not present in manifest v{parent}: "
-            f"{sorted(unknown)[:3]} — input_file_name() mapping is broken"
-        )
+    src = _checked_merge_source(source, key)
+    touched = _matched_data_files(spark, path, parent, manifest, src, key)
     kept = [f for f in manifest["files"] if f not in touched]
 
     inserts = src
@@ -1408,13 +1421,7 @@ def delete_where_dv(
     n_new = positions.count()
     if n_new == 0:
         return parent  # delete matched nothing new: no empty commit
-    rel_dir = os.path.join("dv", uuid.uuid4().hex[:12])
-    dest = os.path.join(path, rel_dir)
-    positions.write.mode("error").parquet(dest)
-    new_dvs = sorted(
-        os.path.join(rel_dir, f)
-        for f in os.listdir(dest) if f.endswith(".parquet")
-    )
+    new_dvs = _write_dv_sidecar(positions, path)
     _commit(path, parent + 1, m["files"], parent, "delete-dv",
             dvs=old_dvs + new_dvs,
             dv_rows=(m.get("dv_rows") or 0) + n_new)
@@ -1469,3 +1476,145 @@ def replace_partitions(spark: SparkSession, path: str,
     ]
     return _rebase_commit(path, touched, new_files, "replace_partitions",
                           expect_dvs=[], new_partitions=new_parts)
+
+
+def _write_dv_sidecar(positions: DataFrame, path: str) -> list[str]:
+    """Write a (rel, row_index) position frame as a deletion-vector
+    parquet sidecar under ``dv/<uuid>/``; returns relative paths."""
+    rel_dir = os.path.join("dv", uuid.uuid4().hex[:12])
+    dest = os.path.join(path, rel_dir)
+    positions.write.mode("error").parquet(dest)
+    return sorted(
+        os.path.join(rel_dir, f)
+        for f in os.listdir(dest) if f.endswith(".parquet")
+    )
+
+
+def merge_three_way(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+    nmbs_scope: tuple | None = None,
+) -> int:
+    """The full three-way MERGE of Delta/Iceberg (round-11 VERDICT
+    task 5), as ONE atomic commit:
+
+    * WHEN MATCHED THEN UPDATE — matched target rows are replaced by
+      the source row,
+    * WHEN MATCHED AND ``delete_col`` THEN DELETE — delete-flagged
+      source rows drop their targets,
+    * WHEN NOT MATCHED THEN INSERT — unmatched source rows insert,
+    * WHEN NOT MATCHED BY SOURCE AND ``column BETWEEN lo AND hi``
+      THEN DELETE — target rows inside ``nmbs_scope = (column, lo,
+      hi)`` whose key is absent from the source are STALE and
+      deleted.  This is the snapshot-sync idiom ("the source IS the
+      complete current state for this scope"); the mandatory scope
+      bound is what keeps the clause from meaning "rewrite the whole
+      100 TB table", exactly why Delta's docs insist on a condition.
+
+    File-level cost model — three mechanisms, cheapest applicable
+    wins per file:
+
+    1. files holding MATCHED keys rewrite copy-on-write (their stale
+       in-scope rows drop inside the same rewrite, free);
+    2. carried files WHOLLY inside the scope drop from the manifest
+       by pure stats math without being read (no matched keys can be
+       in them, so every row is stale — the delete_where bound);
+    3. carried files PARTIALLY in scope take DELETION VECTORS for
+       their stale rows (write cost ∝ stale rows) instead of a whole-
+       file rewrite — the Iceberg-v2 merge-on-read MERGE shape.
+
+    The commit is still one O_EXCL manifest; a concurrent commit that
+    removed a touched/dropped file or changed the DV set raises
+    :class:`ConcurrentModification`."""
+    parent = latest_version(path)
+    if parent == 0:
+        raise ValueError(f"table does not exist: {path}")
+    manifest = _read_manifest(path, parent)
+    if _has_dvs(manifest):
+        raise ValueError(
+            "table carries deletion vectors — run optimize() to purge "
+            "them before a copy-on-write MERGE (the CoW rewrite reads "
+            "touched files directly and would resurrect deleted rows)"
+        )
+    src = _checked_merge_source(source, key)
+    touched = _matched_data_files(spark, path, parent, manifest, src, key)
+    pby = manifest.get("partition_by")
+
+    in_scope = None
+    drop_whole: list[str] = []
+    dv_files: list[str] = []
+    n_dv = 0
+    if nmbs_scope is not None:
+        scol, lo, hi = nmbs_scope
+        c = F.col(scol)
+        in_scope = F.lit(True)
+        if lo is not None:
+            in_scope = in_scope & (c >= F.lit(lo))
+        if hi is not None:
+            in_scope = in_scope & (c <= F.lit(hi))
+        in_scope = in_scope & c.isNotNull()
+        stats = manifest.get("stats") or {}
+        cands, _total = prune_files(path, scol, lo, hi, version=parent)
+        dv_cands: list[str] = []
+        for f in cands:
+            if f in touched:
+                continue  # mechanism 1: stale rows drop in the rewrite
+            s = (stats.get(f) or {}).get(scol)
+            whole = False
+            if s is not None:
+                try:
+                    whole = ((lo is None or lo <= s[0])
+                             and (hi is None or s[1] <= hi))
+                except TypeError:
+                    whole = False
+            # mechanism 2: no matched key lives here (else f would be
+            # touched), so a wholly-in-scope file is 100% stale — drop
+            # it from the manifest without reading it
+            (drop_whole if whole else dv_cands).append(f)
+        if dv_cands:
+            # mechanism 3: DV positions for stale rows of boundary files
+            rel, prefix = _rel_path_expr(path)
+            scan = _load_files(
+                spark, path, manifest, dv_cands,
+                extra=[rel, F.col("_metadata.row_index").alias("__ri"),
+                       F.col("_metadata.file_path").alias("__fp")],
+            )
+            stale = scan.filter(in_scope).join(
+                src.select(key), key, "left_anti")
+            bad = stale.filter(
+                ~F.col("__fp").startswith(prefix)).limit(1).count()
+            if bad:
+                raise RuntimeError(
+                    "scan file URI does not start with the table-root "
+                    "prefix — deletion-vector keying would be unsound"
+                )
+            positions = stale.select(
+                F.col("__rel").alias("rel"), F.col("__ri").alias("row_index")
+            ).localCheckpoint()
+            n_dv = positions.count()
+            if n_dv:
+                dv_files = _write_dv_sidecar(positions, path)
+
+    inserts = src
+    if delete_col is not None:
+        inserts = inserts.filter(~F.col(delete_col))
+    inserts = inserts.drop(*([delete_col] if delete_col else []))
+    new_files: list[str] = []
+    new_parts = None
+    if touched:
+        touched_df = _load_files(spark, path, manifest, sorted(touched))
+        survivors = touched_df.join(src.select(key), key, "left_anti")
+        if in_scope is not None:
+            survivors = survivors.filter(~in_scope)  # stale rows drop here
+        merged = survivors.unionByName(inserts.select(*touched_df.columns))
+    else:
+        merged = inserts
+    if merged.limit(1).count():
+        new_files, new_parts = _write_files_any(merged, path, pby)
+    return _rebase_commit(
+        path, sorted(touched) + drop_whole, new_files, "merge3",
+        expect_dvs=[], new_partitions=new_parts,
+        add_dvs=dv_files or None, add_dv_rows=n_dv)

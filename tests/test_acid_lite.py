@@ -812,3 +812,71 @@ def test_partitioned_merge_delete_dv_optimize(spark, tdir):
     assert not m5.get("dvs") and all("day=" in f for f in m5["files"])
     got = acid_lite.read(spark, tdir)
     assert got.count() == 8 and got.columns == ["k", "v", "day"]
+
+
+def test_merge_three_way_mechanisms(spark, tdir):
+    """Three-way MERGE picks the cheapest mechanism per file: matched
+    files rewrite (stale rows drop inside the rewrite), carried files
+    wholly in the NMBS scope drop from the manifest UNREAD, boundary
+    files take deletion vectors proportional to their stale rows."""
+    for lo in (0, 10, 20, 30):  # four disjoint range files
+        rows = _df(spark, [(i, "base") for i in range(lo, lo + 10)])
+        if lo == 0:
+            acid_lite.create_table(spark, tdir, rows.coalesce(1))
+        else:
+            acid_lite.append(spark, tdir, rows.coalesce(1))
+    m1 = acid_lite._read_manifest(tdir, 4)
+    src = spark.createDataFrame(
+        [(35, "U", False), (37, "x", True), (99, "INS", False)],
+        "k bigint, v string, _del boolean")
+    v = acid_lite.merge_three_way(
+        spark, tdir, src, "k", delete_col="_del",
+        nmbs_scope=("k", None, 15))
+    m = acid_lite._read_manifest(tdir, v)
+    # file 0-9 wholly in scope: dropped without a read
+    f09 = [f for f in m1["files"]
+           if m1["stats"][f]["k"] == [0, 9]]
+    assert f09 and not set(f09) & set(m["files"])
+    # file 10-19 straddles the boundary: carried verbatim + DV (6 rows)
+    f1019 = [f for f in m1["files"] if m1["stats"][f]["k"] == [10, 19]]
+    assert set(f1019) <= set(m["files"])
+    assert m["dvs"] and m["dv_rows"] == 6
+    # file 20-29 untouched, out of scope: carried with no vectors
+    f2029 = [f for f in m1["files"] if m1["stats"][f]["k"] == [20, 29]]
+    assert set(f2029) <= set(m["files"])
+    # file 30-39 held matched keys: rewritten
+    f3039 = [f for f in m1["files"] if m1["stats"][f]["k"] == [30, 39]]
+    assert not set(f3039) & set(m["files"])
+    got = sorted((r.k, r.v) for r in acid_lite.read(spark, tdir).collect())
+    exp = sorted([(k, "base") for k in list(range(16, 35)) + [36, 38, 39]]
+                 + [(35, "U"), (99, "INS")])
+    assert got == exp
+    assert acid_lite.count_rows(spark, tdir) == (24, True)
+    # OPTIMIZE purges the merge's vectors; contents stable
+    acid_lite.optimize(spark, tdir)
+    assert sorted((r.k, r.v)
+                  for r in acid_lite.read(spark, tdir).collect()) == exp
+
+
+def test_merge_three_way_conflicts_on_concurrent_dv(spark, tdir,
+                                                    monkeypatch):
+    """A concurrent merge-on-read DELETE landing during a three-way
+    merge must conflict (the merge planned against a DV-free
+    snapshot)."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    orig = acid_lite._write_files_any
+    state = {"raced": False}
+
+    def racing(df, path, pby):
+        out = orig(df, path, pby)
+        if not state["raced"]:
+            state["raced"] = True
+            acid_lite.delete_where_dv(spark, tdir, "k", lo=3, hi=3)
+        return out
+
+    monkeypatch.setattr(acid_lite, "_write_files_any", racing)
+    with pytest.raises(acid_lite.ConcurrentModification, match="deletion"):
+        acid_lite.merge_three_way(
+            spark, tdir, _df(spark, [(1, "UPD")]), "k")
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} == {1, 2}
