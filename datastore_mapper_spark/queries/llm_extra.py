@@ -968,27 +968,14 @@ def unigram_logprob_score(spark, sf_dir):
     )
 
 
-@query(
-    "pq_adc_knn",
-    "LLM-pipeline",
-    # rows-only: PQ's trained codebooks are a data-dependent fixpoint;
-    # correctness is carried by tests/test_operators.py::test_pq_* —
-    # planted-twin recall, per-vector code cardinality, monotone
-    # reconstruction error in k.
-)
-def pq_adc_knn(spark, sf_dir):
-    """Product-quantization ANN (operators.similarity.pq_train/encode/
-    adc_topk): vectors compress to m=4 4-bit codes (2 bytes vs 256),
-    and queries score by asymmetric distance against the broadcast
-    m×k lookup table — a 100 TB corpus scans codes, never raw
-    embeddings.  Returns the ADC top-10 for query vector 0."""
-    e = table(spark, sf_dir, "embeddings")
-    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
-    if qrow is None:  # empty corpus / missing query id: vacuous ANN
-        return spark.createDataFrame([], "vec_id long, adist double")
-    cb = sim.pq_train(e, m=4, k=16, max_iterations=4)
-    codes = sim.pq_encode(e, cb, m=4)
-    return sim.pq_adc_topk(codes, cb, list(qrow.embedding), k=10, m=4)
+# pq_adc_knn RETIRED in round 12 (round-11 VERDICT task 7, same
+# precedent as ivf_kmeans_knn in round 11): its rows-only check was
+# strictly dominated by ``pq_rerank_verified`` (same
+# pq_train/pq_encode/pq_adc_topk operators in their production
+# rerank-then-verify shape, but oracle-checked against the exact
+# scorer).  The operators remain exercised by that query plus
+# tests/test_operators.py::test_pq_* (planted-twin recall, per-vector
+# code cardinality, monotone reconstruction error in k).
 
 
 @query(
@@ -1902,7 +1889,8 @@ def multimodal_png_decode_stats(spark, sf_dir):
     """,
 )
 def pq_rerank_verified(spark, sf_dir):
-    """Oracle-checked twin of ``pq_adc_knn`` in its PRODUCTION shape —
+    """PQ ANN in its PRODUCTION shape (absorbed the retired rows-only
+    ``pq_adc_knn`` in round 12) —
     coarse-shortlist-then-exact-rerank: ADC over 2-byte PQ codes
     retrieves a 50-candidate shortlist (scanning codes, never raw
     vectors), the shortlist alone is re-scored with exact cosine, and

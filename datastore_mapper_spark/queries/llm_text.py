@@ -643,25 +643,87 @@ def dedup_cluster_assign_star(spark, sf_dir):
 @query(
     "doc_pagerank_centrality",
     "LLM-pipeline",
-    # rows-only: PageRank's damped fixpoint is not one-statement SQL;
-    # the algorithm is differentially tested against a numpy power
-    # iteration in tests/test_operators.py::test_pagerank_matches_*
+    oracle="""
+    WITH RECURSIVE toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT d1, d2
+        FROM cand p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    ), sym AS (
+        SELECT d1 AS u, d2 AS v FROM edges
+        UNION SELECT d2, d1 FROM edges
+    ), reach(node, lab) AS (
+        SELECT u, u FROM sym
+        UNION
+        SELECT s.u, r.lab FROM sym s JOIN reach r ON s.v = r.node
+    ), clusters AS (
+        SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs,
+           TRUE AS mass_ok, TRUE AS cluster_mass_ok
+    FROM clusters GROUP BY cluster_id
+    ORDER BY n_docs DESC, cluster_id
+    LIMIT 20
+    """,
 )
 def doc_pagerank_centrality(spark, sf_dir):
     """PageRank centrality over the (symmetrized) near-dup pair graph
-    (operators/graph.pagerank): within a duplicate cluster the most-
-    connected document scores highest — the principled alternative to
-    min-doc_id when choosing which duplicate to KEEP (highest-quality
-    hub rather than lowest id).  Iterative join+agg per round,
-    lineage-checkpointed; ranks sum to 1 (dangling mass
-    redistributed)."""
+    (operators/graph.pagerank) — PROMOTED round 12 from rows-only to
+    oracle-checked invariant-verify (r11 VERDICT task 7, the
+    recall-verified pattern): the hashed rows are the EXACT top-20
+    duplicate clusters by size (recursive-CTE oracle), and the
+    iterative fixpoint's PHYSICS ride two graded booleans.
+    ``mass_ok`` = total rank sums to 1 (dangling mass redistributed);
+    ``cluster_mass_ok`` = every connected component's rank mass equals
+    |C|/N to 1e-9 — an EXACT theorem for damped PageRank on a
+    symmetrized graph (teleport spreads uniformly, walks never cross
+    components, so component mass is invariant at every iteration;
+    measured deviation <=2e-15 at all three SFs).  Top-k rank
+    IDENTITY is deliberately not graded: within a duplicate clique
+    ranks tie to ~1e-12, so the top-20 set is ill-conditioned
+    (measured 15-vs-25-iteration overlap 0.2 at sf0.1) — the
+    invariant is the well-posed quantity.  Within a cluster the
+    highest-rank document is the principled KEEP choice (hub, not
+    min-id)."""
     from ..operators.graph import pagerank
 
     pairs = near_dup_edges(spark, sf_dir)
     edges = pairs.union(pairs.select(F.col("d2"), F.col("d1")))
     pr = pagerank(edges, src="d1", dst="d2", max_iterations=15)
-    return pr.select(
-        F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank")
+    cc = connected_components(pairs)
+    n = cc.count()
+    stats = (
+        pr.join(cc, "node")
+        .groupBy("cluster_id")
+        .agg(F.sum("rank").alias("m"), F.count("*").alias("c"))
+        .agg(
+            F.abs(F.sum("m") - 1.0).alias("total_dev"),
+            F.max(F.abs(F.col("m") - F.col("c") / F.lit(float(max(n, 1)))))
+            .alias("cluster_dev"),
+        )
+        .select(
+            (F.col("total_dev") <= 1e-6).alias("mass_ok"),
+            (F.col("cluster_dev") <= 1e-9).alias("cluster_mass_ok"),
+        )
+    )
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "cluster_id")
+        .limit(20)
+        .crossJoin(F.broadcast(stats))
     )
 
 
