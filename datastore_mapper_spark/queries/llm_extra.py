@@ -1702,6 +1702,69 @@ def multimodal_gif_decode_stats(spark, sf_dir):
 
 
 @query(
+    "multimodal_gif_anim_stats",
+    "LLM-pipeline",
+    oracle="""
+    WITH law AS (
+        SELECT doc_id,
+               (doc_id % 3) + 2 AS n,
+               (doc_id % 7) + 2 AS w,
+               (doc_id % 4) + 2 AS h,
+               doc_id % 200 AS base
+        FROM documents
+    ), sums AS (
+        SELECT *,
+               (doc_id % 4) + ((doc_id + 1) % 4)
+                 + CASE WHEN n >= 3 THEN (doc_id + 2) % 4 ELSE 0 END
+                 + CASE WHEN n >= 4 THEN (doc_id + 3) % 4 ELSE 0 END
+                 AS sumidx,
+               (doc_id % 7) + ((doc_id + 1) % 7)
+                 + CASE WHEN n >= 3 THEN (doc_id + 2) % 7 ELSE 0 END
+                 + CASE WHEN n >= 4 THEN (doc_id + 3) % 7 ELSE 0 END
+                 AS sum7
+        FROM law
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_frames,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 * n + sum7 AS BIGINT) AS total_delay_cs,
+           CAST((base * n + 17 * sumidx) * w * h AS DOUBLE) / (n * w * h)
+               AS mean_r,
+           CAST((base * n + 5 * sumidx) * w * h AS DOUBLE) / (n * w * h)
+               AS mean_g,
+           CAST((base * n + sumidx) * w * h AS DOUBLE) / (n * w * h)
+               AS mean_b
+    FROM sums
+    """,
+)
+def multimodal_gif_anim_stats(spark, sf_dir):
+    """ANIMATED GIF decode, end-to-end (round-11 VERDICT task 8 —
+    extends the round-10 single-image GIF row to the multi-frame
+    GIF89a grammar): render a genuine animated GIF per document
+    (NETSCAPE2.0 loop extension, per-frame Graphic Control Extension
+    carrying centisecond delays, one LZW-coded full-screen image per
+    frame — operators/multimodal.encode_gif89a_animated), walk it
+    back frame by frame with the pure-numpy decoder
+    (decode_gif_frames), and emit per-doc frame count, dimensions,
+    TOTAL animation delay, and mean RGB across every frame's pixels
+    inside Arrow-batched mapInPandas.  The frame/palette/delay law is
+    a closed form of ``doc_id`` (render_gif_anim_media), so the
+    oracle predicts every decoded quantity exactly: a mis-parsed GCE,
+    a dropped frame, a delay mis-attributed across frames, or any
+    LZW slip shifts a value and hash-fails.  The oracle mirrors the
+    engine's exact integer-sum-then-one-division arithmetic
+    (§7.3-H2)."""
+    from ..operators.multimodal import (
+        extract_gif_anim_stats,
+        render_gif_anim_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_gif_anim_stats(render_gif_anim_media(d))
+
+
+@query(
     "ivf_kmeans_recall_verified",
     "LLM-pipeline",
     oracle="""

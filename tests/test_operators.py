@@ -1906,3 +1906,51 @@ def test_adpcm_codec_state_tracking_fuzz():
     with _pytest.raises(NotImplementedError):
         decode_wav_ima_adpcm(
             encode_wav_pcm16(np.zeros(4, dtype=np.int16)))
+
+
+def test_gif_animated_round_trip_fuzz():
+    """Property fuzz over the ANIMATED GIF89a grammar (round-12): any
+    frame count / palette / delays / pixel contents must round-trip
+    exactly — frames in order, delays attributed to THEIR frame, and
+    the single-image 87a path still decodes through the multi-frame
+    walker with delay 0."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif87a,
+        encode_gif89a_animated,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 24), h=st.integers(1, 16),
+        pbits=st.integers(1, 5), nf=st.integers(1, 6),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def fuzz(w, h, pbits, nf, seed):
+        rng = np.random.RandomState(seed)
+        p = 1 << pbits
+        pal = rng.randint(0, 256, (p, 3)).astype(np.uint8)
+        frames = [rng.randint(0, p, (h, w)).astype(np.uint8)
+                  for _ in range(nf)]
+        delays = [int(rng.randint(0, 1000)) for _ in range(nf)]
+        blob = encode_gif89a_animated(frames, pal, delays)
+        gw, gh, dec = decode_gif_frames(blob)
+        assert (gw, gh) == (w, h) and len(dec) == nf
+        for (d, rgb), fr, dexp in zip(dec, frames, delays):
+            assert d == dexp
+            assert np.array_equal(rgb, pal[fr])
+
+    fuzz()
+    # static 87a through the multi-frame walker: one frame, delay 0
+    import numpy as np
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_gif_frames, encode_gif87a)
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4) % 4
+    pal = np.arange(12, dtype=np.uint8).reshape(4, 3)
+    w, h, dec = decode_gif_frames(encode_gif87a(idx, pal))
+    assert (w, h, len(dec)) == (4, 3, 1) and dec[0][0] == 0
+    assert np.array_equal(dec[0][1], pal[idx])
