@@ -405,7 +405,8 @@ def _commit(path: str, version: int, files: list[str],
         path, files, schema, parent_stats, parent_partitions,
         partition_by, partitions)
     payload = {"version": version, "parent": parent, "op": op,
-               "files": files, "schema": schema, "stats": stats}
+               "files": files, "schema": schema, "stats": stats,
+               "ts": _commit_ts()}
     if partition_by:
         payload["partition_by"] = partition_by
         payload["partitions"] = out_parts
@@ -1015,7 +1016,7 @@ def _commit_txn(path: str, version: int, files: list[str], parent: int,
         partition_by, partitions)
     payload = {"version": version, "parent": parent, "op": op,
                "files": files, "schema": schema, "stats": stats,
-               "txn": txn_id,
+               "ts": _commit_ts(), "txn": txn_id,
                "txns": txns if txns is not None else {txn_id: version}}
     if partition_by:
         payload["partition_by"] = partition_by
@@ -1618,3 +1619,88 @@ def merge_three_way(
         path, sorted(touched) + drop_whole, new_files, "merge3",
         expect_dvs=[], new_partitions=new_parts,
         add_dvs=dv_files or None, add_dv_rows=n_dv)
+
+
+def _commit_ts() -> float:
+    """Wall-clock commit timestamp (epoch seconds).  Strictly
+    informational for AS OF resolution — ordering authority is always
+    the version number (clocks skew; versions are the O_EXCL truth)."""
+    import time
+
+    return time.time()
+
+
+def version_as_of(path: str, ts: float) -> int:
+    """Resolve a wall-clock timestamp to the LATEST version committed
+    at or before it — Delta's ``TIMESTAMP AS OF`` / Iceberg's
+    snapshot-at-timestamp lookup.  Versions are scanned in order and
+    the commit ``ts`` is taken as monotone per table (commits are
+    serialized by the O_EXCL gate; a skewed clock can only mis-place a
+    version against WALL time, never against other versions, because
+    the max-version-with-ts<=t rule breaks ties toward the newest
+    eligible version).  Raises when ``ts`` predates the first retained
+    commit (same contract as time travel to an expired version)."""
+    latest = latest_version(path)
+    if latest == 0:
+        raise ValueError(f"table does not exist: {path}")
+    best = None
+    mdir = _manifest_dir(path)
+    for fname in os.listdir(mdir):
+        if not (fname.startswith("v") and fname.endswith(".json")):
+            continue
+        v = int(fname[1:-5])
+        m = _read_manifest(path, v)
+        mts = m.get("ts")
+        if mts is not None and mts <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no retained version committed at or before ts={ts} "
+            f"at {path} (earliest may have been expired)"
+        )
+    return best
+
+
+def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
+    """``SELECT ... TIMESTAMP AS OF ts``: snapshot read of the latest
+    version committed at or before the wall-clock timestamp."""
+    return read(spark, path, version=version_as_of(path, ts))
+
+
+def tag_version(path: str, name: str, version: int | None = None) -> int:
+    """Tag a committed version with a stable name (Iceberg tags /
+    Delta named snapshots): ``tags/<name>.json`` records the version;
+    readers resolve the tag instead of remembering a number, and
+    VACUUM policy can key retention off tags.  Tags are immutable —
+    re-tagging an existing name raises (create a new name); the tag
+    file is written with the same O_EXCL primitive as manifests."""
+    v = latest_version(path) if version is None else version
+    if not os.path.exists(_manifest_path(path, v)):
+        raise ValueError(f"version {v} not committed at {path}")
+    tdir = os.path.join(path, "tags")
+    os.makedirs(tdir, exist_ok=True)
+    safe = name.replace("/", "_")
+    try:
+        fd = os.open(os.path.join(tdir, f"{safe}.json"),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise ValueError(f"tag '{name}' already exists at {path}") from exc
+    with os.fdopen(fd, "w") as f:
+        f.write(json.dumps({"name": name, "version": v}))
+    return v
+
+
+def resolve_tag(path: str, name: str) -> int:
+    """Tag name -> version number; raises on an unknown tag."""
+    safe = name.replace("/", "_")
+    tpath = os.path.join(path, "tags", f"{safe}.json")
+    try:
+        with open(tpath) as f:
+            return int(json.load(f)["version"])
+    except FileNotFoundError as exc:
+        raise ValueError(f"unknown tag '{name}' at {path}") from exc
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Snapshot read of a tagged version (``VERSION AS OF <tag>``)."""
+    return read(spark, path, version=resolve_tag(path, name))

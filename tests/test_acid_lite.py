@@ -880,3 +880,37 @@ def test_merge_three_way_conflicts_on_concurrent_dv(spark, tdir,
         acid_lite.merge_three_way(
             spark, tdir, _df(spark, [(1, "UPD")]), "k")
     assert {r.k for r in acid_lite.read(spark, tdir).collect()} == {1, 2}
+
+
+def test_timestamp_as_of_and_tags(spark, tdir):
+    """TIMESTAMP AS OF resolves the latest version committed at or
+    before a wall clock; tags name versions immutably and read through
+    the normal snapshot path."""
+    import time as _t
+
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a")]))
+    t1 = _t.time()
+    _t.sleep(0.02)
+    acid_lite.append(spark, tdir, _df(spark, [(2, "b")]))
+    t2 = _t.time()
+    _t.sleep(0.02)
+    acid_lite.append(spark, tdir, _df(spark, [(3, "c")]))
+    assert acid_lite.version_as_of(tdir, t1) == 1
+    assert acid_lite.version_as_of(tdir, t2) == 2
+    assert acid_lite.version_as_of(tdir, _t.time()) == 3
+    assert {r.k for r in acid_lite.read_as_of(spark, tdir, t2).collect()} \
+        == {1, 2}
+    with pytest.raises(ValueError, match="no retained version"):
+        acid_lite.version_as_of(tdir, t1 - 3600)
+    # tags: name a version, read through it, immutability enforced
+    acid_lite.tag_version(tdir, "audit-2024Q1", version=2)
+    assert acid_lite.resolve_tag(tdir, "audit-2024Q1") == 2
+    assert {r.k for r in
+            acid_lite.read_tag(spark, tdir, "audit-2024Q1").collect()} \
+        == {1, 2}
+    with pytest.raises(ValueError, match="already exists"):
+        acid_lite.tag_version(tdir, "audit-2024Q1", version=3)
+    with pytest.raises(ValueError, match="unknown tag"):
+        acid_lite.resolve_tag(tdir, "nope")
+    with pytest.raises(ValueError, match="not committed"):
+        acid_lite.tag_version(tdir, "future", version=99)
