@@ -912,3 +912,69 @@ def acid_merge_three_way(spark, sf_dir):
     return acid_lite.read(spark, dest, v).select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
         dv_ok.alias("dv_used_ok"))
+
+
+@query(
+    "stream_acid_source_demo",
+    "streaming/table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def stream_acid_source_demo(spark, sf_dir):
+    """The ACID table as a REAL Structured Streaming SOURCE
+    (sources/acid_stream.py — the Delta streaming-read contract):
+    orders lands in the table as TWO committed versions, a
+    ``readStream.format("acid_table")`` query drains them through
+    genuine micro-batches (offsets = table versions, one executor
+    task per immutable data file; the driver only does manifest
+    math), and the final per-status aggregate of the memory sink must
+    hash-match plain SQL over ``orders`` — a dropped file task, a
+    replayed batch, or a version-watermark slip changes a count and
+    hash-fails.  GROUP BY is on the sink table (batch), so the
+    streaming side stays a pure append pipeline."""
+    import tempfile
+    import time
+
+    from ..sources.acid_stream import register
+
+    dest = _table_dir("acid_src", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    acid_lite.create_table(
+        spark, dest, o.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
+    acid_lite.append(
+        spark, dest, o.filter(F.col("o_orderkey") % 2 == 1).coalesce(2))
+    expected = o.count()
+    register(spark)
+    stream = (
+        spark.readStream.format("acid_table")
+        .option("path", dest)
+        .load()
+    )
+    name = f"acid_source_sink_{os.getpid()}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= expected:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return spark.table(name).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(cents).alias("sum_cents"),
+    )

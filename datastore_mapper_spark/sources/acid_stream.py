@@ -1,0 +1,169 @@
+"""The ACID-lite table as a REAL Structured Streaming SOURCE.
+
+``acid_lite.read_incremental`` already exposes committed versions as
+batch-readable offsets; this module turns that into a first-class
+``spark.readStream.format("acid_table")`` source via the Python Data
+Source API — the Delta streaming-source contract end to end:
+
+* **Offsets are table versions.**  ``initialOffset`` starts at the
+  version in option ``starting_version`` (default 0 = everything);
+  ``latestOffset`` re-lists the manifest dir each micro-batch, so
+  rows appended by ANY writer (another session, another process)
+  flow into the stream; the checkpoint WAL stores the version
+  watermark and replays are exactly-once by construction (the file
+  set added in (v1, v2] is immutable once v2 commits).
+* **One input partition per ADDED FILE** — the full
+  :class:`DataSourceStreamReader` API, not the driver-side Simple
+  variant: ``partitions(start, end)`` is manifest math on the driver
+  (file-count-sized), and each task opens exactly one immutable
+  parquet file with pyarrow EXECUTOR-SIDE.  At 100 TB the driver
+  never touches row data; a micro-batch's parallelism is its file
+  count, same as Delta's streaming scan.
+* **Append-only discipline.**  A commit that REMOVED files inside the
+  offset range (merge / delete / optimize) breaks the
+  incremental-read premise; ``partitions`` raises the same error as
+  ``read_incremental`` and the consumer must switch to
+  ``change_data_feed``.  Partitioned tables and live deletion vectors
+  are refused at plan time for the same reason (their read paths need
+  engine-side joins the per-file task deliberately avoids).
+
+Graded end-to-end by ``stream_acid_source_demo`` (an oracle-checked
+streaming row: the stream drains a two-version orders table through a
+real micro-batch pipeline and the final aggregate must hash-match the
+plain SQL statement of the same slice).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from . import acid_lite
+
+
+def _ddl_field_names(ddl: str) -> list[str]:
+    """Field names of a top-level DDL string, WITHOUT a SparkContext:
+    the Data Source planning hooks (``schema``/``partitions``/``read``)
+    run in Python worker processes where ``_parse_datatype_string`` has
+    no active session to call into.  Split on top-level commas
+    (tracking ()/<> nesting for decimal(38,2), array<struct<...>>)
+    and take each field's first token."""
+    names, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            names.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    names.append("".join(cur))
+    return [n.strip().split()[0].strip("`") for n in names if n.strip()]
+
+
+class AcidFileSlice(InputPartition):
+    """One immutable data file of the version range being read."""
+
+    def __init__(self, abs_path: str, ddl: str):
+        self.abs_path = abs_path
+        self.ddl = ddl
+
+
+class AcidStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("acid_table source requires option 'path'")
+        self.start_v = int(options.get("starting_version", 0))
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_v}
+
+    def latestOffset(self) -> dict:
+        return {"version": acid_lite.latest_version(self.path)}
+
+    def partitions(self, start: dict, end: dict
+                   ) -> Sequence[AcidFileSlice]:
+        s, e = int(start["version"]), int(end["version"])
+        if e <= s:
+            return []
+        base = set(
+            acid_lite._read_manifest(self.path, s)["files"]
+        ) if s else set()
+        mt = acid_lite._read_manifest(self.path, e)
+        if mt.get("partition_by"):
+            raise ValueError(
+                "acid_table streaming source does not support "
+                "partitioned tables (per-file tasks cannot re-attach "
+                "partition columns) — read via acid_lite.read_incremental"
+            )
+        if mt.get("dvs"):
+            raise ValueError(
+                "acid_table streaming source does not support live "
+                "deletion vectors — OPTIMIZE first or use change_data_feed"
+            )
+        removed = base - set(mt["files"])
+        if removed:
+            raise ValueError(
+                f"versions ({s}, {e}] removed {len(removed)} files "
+                "(non-append commit) — use change_data_feed for "
+                "row-level semantics"
+            )
+        ddl = mt["schema"]
+        return [
+            AcidFileSlice(os.path.join(self.path, f), ddl)
+            for f in mt["files"] if f not in base
+        ]
+
+    def read(self, partition: AcidFileSlice) -> Iterator[tuple]:
+        import pyarrow.parquet as pq
+
+        names = _ddl_field_names(partition.ddl)
+        tbl = pq.read_table(partition.abs_path)
+        cols = []
+        for n in names:
+            if n in tbl.column_names:
+                cols.append(tbl.column(n).to_pylist())
+            else:  # schema-evolution column absent from an old file
+                cols.append([None] * tbl.num_rows)
+        return iter(zip(*cols)) if tbl.num_rows else iter(())
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are table versions; nothing to clean up
+
+
+class AcidTableDataSource(DataSource):
+    """``spark.readStream.format("acid_table").option("path", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "acid_table"
+
+    def schema(self) -> str:
+        # a DDL STRING, not a StructType: this hook runs in a Python
+        # worker process with no active SparkContext, so the JVM-side
+        # DDL parser is unreachable — Spark accepts the string and
+        # parses it engine-side
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("acid_table source requires option 'path'")
+        v = acid_lite.latest_version(path)
+        if v == 0:
+            raise ValueError(f"table does not exist: {path}")
+        return acid_lite._read_manifest(path, v)["schema"]
+
+    def streamReader(self, schema: StructType) -> AcidStreamReader:
+        return AcidStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(AcidTableDataSource)

@@ -450,3 +450,90 @@ def test_stream_stream_join_job_count_tripwire(spark, sf_dir):
     # schema read + source staging + micro-batch + partials read/fold;
     # streaming internals add a few bookkeeping jobs
     assert len(jobs) <= 12, f"stream-stream join ran {len(jobs)} jobs"
+
+
+def test_acid_stream_source_exactly_once_resume(spark, tmp_path):
+    """The acid_table streaming source resumes from its checkpointed
+    VERSION watermark: drain two committed versions, stop, append a
+    third, restart against the SAME checkpoint into a file sink — the
+    sink must hold every row exactly once (no v1/v2 re-emit, no v3
+    loss).  Also: non-append commits in the offset range refuse."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.sources import acid_lite
+    from datastore_mapper_spark.sources.acid_stream import register
+
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v string")
+    acid_lite.create_table(spark, tbl, mk([(1, "a"), (2, "b")]))
+    acid_lite.append(spark, tbl, mk([(3, "c")]))
+    register(spark)
+
+    def drain(expected_total):
+        q = (
+            spark.readStream.format("acid_table").option("path", tbl).load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(sink).count() >= expected_total:
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    drain(3)
+    got = spark.read.parquet(sink)
+    assert {(r.k, r.v) for r in got.collect()} == {(1, "a"), (2, "b"),
+                                                   (3, "c")}
+    # new version lands while the stream is DOWN; resume picks up
+    # exactly the delta
+    acid_lite.append(spark, tbl, mk([(4, "d"), (5, "e")]))
+    drain(5)
+    rows = [(r.k, r.v) for r in spark.read.parquet(sink).collect()]
+    assert sorted(rows) == [(1, "a"), (2, "b"), (3, "c"), (4, "d"),
+                            (5, "e")]  # exactly once: no dup, no loss
+    # a non-append commit breaks the append-only premise and refuses
+    acid_lite.delete_where(spark, tbl, "k", hi=1)
+    from datastore_mapper_spark.sources.acid_stream import AcidStreamReader
+    r = AcidStreamReader({"path": tbl})
+    with pytest.raises(ValueError, match="non-append"):
+        r.partitions({"version": 3},
+                     {"version": acid_lite.latest_version(tbl)})
+
+
+def test_acid_stream_source_refuses_partitioned_and_dv(spark, tmp_path):
+    """Plan-time guards: partitioned tables and live deletion vectors
+    need engine-side joins the per-file task cannot do."""
+    from datastore_mapper_spark.sources import acid_lite
+    from datastore_mapper_spark.sources.acid_stream import AcidStreamReader
+
+    p1 = str(tmp_path / "part")
+    acid_lite.create_table(
+        spark, p1,
+        spark.createDataFrame([(1, "a", 0)], "k bigint, v string, d bigint"),
+        partition_by=["d"])
+    r = AcidStreamReader({"path": p1})
+    with pytest.raises(ValueError, match="partitioned"):
+        r.partitions({"version": 0}, {"version": 1})
+    p2 = str(tmp_path / "dv")
+    acid_lite.create_table(
+        spark, p2, spark.createDataFrame([(1, "a"), (2, "b")],
+                                         "k bigint, v string"))
+    acid_lite.delete_where_dv(spark, p2, "k", hi=1)
+    r2 = AcidStreamReader({"path": p2})
+    with pytest.raises(ValueError, match="deletion vectors"):
+        r2.partitions({"version": 0},
+                      {"version": acid_lite.latest_version(p2)})
