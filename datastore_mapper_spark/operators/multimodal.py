@@ -2267,3 +2267,339 @@ def extract_adpcm_stats(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, ADPCM_STATS_SCHEMA)
+
+
+# --- Progressive JPEG (SOF2), grayscale (round 12) ------------------
+#
+# The other half of round-11 VERDICT task 8: multi-SCAN decoding.  A
+# progressive stream transmits each block's spectrum in pieces —
+# here a 4-scan script: DC first pass at successive-approximation
+# Al=1 (coarse image), a DC refinement scan supplying the low bit,
+# then two spectral-selection AC scans (bands 1..5 and 6..63, Al=0)
+# using the EOBn end-of-band RUN codes that only exist in
+# progressive mode (one code can skip thousands of finished blocks).
+# Coefficients accumulate across scans and a single dequantize+IDCT
+# runs at EOI — exactly how browsers paint the blurry-then-sharp
+# versions of the same photo.  Same Annex-K tables, BitWriter/Reader,
+# zigzag and DCT as the baseline codec; AC successive approximation
+# (Ah>0 on AC bands) is out of scope and raises loudly.
+
+
+# Progressive AC scans need EOBn symbols (0x10..0xE0) that the
+# Annex-K BASELINE AC table deliberately omits (baseline has only EOB
+# 0x00 + ZRL 0xF0 + (run,size) codes).  Real encoders optimize a
+# custom table per image; a FLAT canonical table covering all 256 RS
+# values (255 at 9 bits + 1 at 10, Kraft-complete, no all-ones code
+# so 1-bit padding can never alias a symbol) is spec-legal and keeps
+# the encoder deterministic.
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_AC_PROG_VALS = list(range(256))
+_AC_PROG_CODES = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+
+def encode_jpeg_gray_progressive(pixels: np.ndarray) -> bytes:
+    """Encode 8-bit grayscale as a 4-scan progressive JPEG (SOF2):
+    DC(Al=1) -> DC refine -> AC[1..5] -> AC[6..63], all-ones quant
+    table (DC-only images round-trip exactly, like the baseline
+    encoder)."""
+    h, w = pixels.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(pixels, ((0, bh * 8 - h), (0, bw * 8 - w)),
+                    mode="edge")
+    # quantized zigzag spectra of every block, in scan order
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8:(by + 1) * 8,
+                         bx * 8:(bx + 1) * 8].astype(np.float64) - 128.0
+            coef = _DCT @ blk @ _DCT.T
+            blocks.append(np.rint(coef).astype(np.int64).reshape(-1)[_ZIGZAG])
+
+    out = bytearray(b"\xFF\xD8")
+
+    def seg(marker, body):
+        return marker + struct.pack(">H", len(body) + 2) + body
+
+    out += seg(b"\xFF\xDB", bytes([0]) + bytes([1] * 64))
+    out += seg(b"\xFF\xC2", struct.pack(">BHHB", 8, h, w, 1)
+               + bytes([1, 0x11, 0]))
+    out += seg(b"\xFF\xC4", bytes([0x00]) + bytes(_DC_BITS[1:])
+               + bytes(_DC_VALS))
+    out += seg(b"\xFF\xC4", bytes([0x10]) + bytes(_AC_PROG_BITS[1:])
+               + bytes(_AC_PROG_VALS))
+
+    def sos(ss, se, ah, al):
+        return seg(b"\xFF\xDA", bytes([1, 1, 0x00,
+                                       ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first pass, Al=1 — diffs of (dc >> 1), predicted in
+    # the shifted domain (T.81 G.1.2.1)
+    out += sos(0, 0, 0, 1)
+    bw_ = _BitWriter()
+    prev = 0
+    for zz in blocks:
+        v = int(zz[0]) >> 1
+        diff = v - prev
+        prev = v
+        s = _category(diff)
+        c, ln = _DC_CODES[s]
+        bw_.put(c, ln)
+        if s:
+            bw_.put(_amplitude_bits(diff, s), s)
+    bw_.flush()
+    out += bw_.buf
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw low bit per block
+    out += sos(0, 0, 1, 0)
+    bw_ = _BitWriter()
+    for zz in blocks:
+        bw_.put(int(zz[0]) & 1, 1)
+    bw_.flush()
+    out += bw_.buf
+
+    # scans 3-4: AC spectral-selection first passes with EOBn runs
+    for ss, se in ((1, 5), (6, 63)):
+        out += sos(ss, se, 0, 0)
+        bw_ = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            c, ln = _AC_PROG_CODES[r << 4]
+            bw_.put(c, ln)
+            if r:
+                bw_.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for zz in blocks:
+            band = zz[ss:se + 1]
+            nz = np.nonzero(band)[0]
+            if len(nz) == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last = nz[-1]
+            for i in range(last + 1):
+                v = int(band[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = _AC_PROG_CODES[0xF0]
+                    bw_.put(c, ln)
+                    run -= 16
+                s = _category(v)
+                c, ln = _AC_PROG_CODES[(run << 4) | s]
+                bw_.put(c, ln)
+                bw_.put(_amplitude_bits(v, s), s)
+                run = 0
+            if last < se - ss:
+                eobrun += 1  # this block ends early: opens an EOB run
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        bw_.flush()
+        out += bw_.buf
+
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
+def _scan_end(blob: bytes, pos: int) -> int:
+    """First byte AFTER a scan's entropy data: the next 0xFF that is
+    not a 0x00 stuffing byte (restart markers are never emitted by
+    the encoders here)."""
+    i = pos
+    while i < len(blob) - 1:
+        if blob[i] == 0xFF and blob[i + 1] != 0x00:
+            return i
+        i += 1
+    return len(blob)
+
+
+def decode_jpeg_gray_progressive(blob):
+    """REAL multi-scan progressive decode (SOF2 grayscale): parses
+    every SOS (spectral selection Ss..Se, successive approximation
+    Ah/Al), accumulates coefficients — DC first pass shifted << Al,
+    DC refinement OR-ing the low bit, AC first passes with EOBn
+    end-of-band run codes — and runs ONE dequantize+IDCT at EOI.
+    AC refinement scans (Ah>0 on an AC band) raise loudly."""
+    if blob[:2] != b"\xFF\xD8":
+        raise ValueError("not a JPEG blob")
+    pos = 2
+    qt = {}
+    dc_tbl = ac_tbl = None
+    h = w = None
+    comp_q = 0
+    coeffs = None
+    pred = 0
+    while pos < len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", blob, pos)
+        body = blob[pos + 2: pos + ln]
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq:
+                    raise NotImplementedError("16-bit quant table")
+                qt[tq] = np.frombuffer(body, np.uint8, 64, i + 1
+                                       ).astype(np.int64)
+                i += 65
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or nc != 1:
+                raise NotImplementedError(
+                    "only 8-bit grayscale progressive")
+            comp_q = body[8]
+            nb = (-(-h // 8)) * (-(-w // 8))
+            coeffs = np.zeros((nb, 64), dtype=np.int64)
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB):
+            raise NotImplementedError(
+                "decode_jpeg_gray_progressive handles SOF2 only")
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = [0] + list(body[i + 1: i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17: i + 17 + nv])
+                t = _huff_tree(bits, vals)
+                if tc == 0:
+                    dc_tbl = t
+                else:
+                    ac_tbl = t
+                i += 17 + nv
+        elif marker == 0xDA:
+            ss, se = body[3], body[4]
+            ah, al = body[5] >> 4, body[5] & 15
+            data_start = pos + ln
+            data_end = _scan_end(blob, data_start)
+            br = _BitReader(blob[data_start:data_end])
+            if coeffs is None:
+                raise ValueError("scan before SOF2")
+            if ss == 0 and se == 0:
+                if ah == 0:  # DC first pass (shifted domain)
+                    pred = 0
+                    for b in range(len(coeffs)):
+                        s = br.huff(dc_tbl)
+                        pred += _extend(br.read(s), s)
+                        coeffs[b, 0] = pred << al
+                else:  # DC refinement: one raw bit at position Al
+                    for b in range(len(coeffs)):
+                        if br.read(1):
+                            coeffs[b, 0] |= 1 << al
+            else:
+                if ah != 0:
+                    raise NotImplementedError(
+                        "AC successive-approximation refinement "
+                        "scans not supported")
+                eobrun = 0
+                for b in range(len(coeffs)):
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = br.huff(ac_tbl)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r < 15:  # EOBn: run of 2^r + bits
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("AC band overflow")
+                        coeffs[b, k] = _extend(br.read(s), s) << al
+                        k += 1
+            pos = data_end - 2  # step over scan; +ln below re-adds
+            ln = 2
+        pos += ln
+    if coeffs is None or h is None:
+        raise ValueError("JPEG missing SOF2/scan")
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+    q = qt[comp_q]
+    for b in range(len(coeffs)):
+        by, bx = divmod(b, bw_)
+        coef = np.zeros(64, dtype=np.float64)
+        coef[_ZIGZAG] = coeffs[b] * q
+        out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+            _DCT.T @ coef.reshape(8, 8) @ _DCT
+    px = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
+    return w, h, px[:h, :w]
+
+
+def render_jpeg_progressive_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL PROGRESSIVE (SOF2) grayscale JPEG per document,
+    deterministically from ``doc_id``: ``(id % 4) + 1`` x
+    ``(id % 3) + 1`` blocks of 8x8, block (bx, by) constant at
+    ``base + 5*bx + 11*by`` (base = id % 170, max 206 < 256) — block-
+    constant spectra are DC-only, so the 4-scan progressive pipeline
+    (coarse DC, DC refinement bit, two EOB-run AC bands) reproduces
+    them EXACTLY and the SQL oracle states the decoded mean in closed
+    form.  ASSUMES doc_id >= 0 (%-sign semantics)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                nbx = int(doc_id % 4) + 1
+                nby = int(doc_id % 3) + 1
+                base = int(doc_id % 170)
+                bx = np.arange(nbx)
+                by = np.arange(nby)
+                vals = base + 5 * bx[None, :] + 11 * by[:, None]
+                px = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                blobs.append(
+                    encode_jpeg_gray_progressive(px.astype(np.uint8)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def extract_jpeg_progressive_stats(media_df: DataFrame) -> DataFrame:
+    """Multi-scan progressive decode stats (same output contract as
+    :func:`extract_jpeg_stats`, but through
+    :func:`decode_jpeg_gray_progressive`'s scan accumulator)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "mean_luma")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, px = decode_jpeg_gray_progressive(bytes(blob))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_luma"].append(
+                    int(px.sum(dtype=np.int64)) / (w * h)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "mean_luma": pd.Series(out["mean_luma"], dtype="float64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, JPEG_STATS_SCHEMA)

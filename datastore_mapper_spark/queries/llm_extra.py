@@ -2139,3 +2139,48 @@ def multimodal_adpcm_decode_stats(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return extract_adpcm_stats(render_adpcm_media(d))
+
+
+@query(
+    "multimodal_jpeg_progressive_stats",
+    "LLM-pipeline",
+    oracle="""
+    WITH law AS (
+        SELECT doc_id,
+               (doc_id % 4) + 1 AS nbx,
+               (doc_id % 3) + 1 AS nby,
+               doc_id % 170 AS base
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(8 * nbx AS INT) AS width,
+           CAST(8 * nby AS INT) AS height,
+           CAST(nbx * nby * base
+                + 5 * nby * ((nbx * (nbx - 1)) // 2)
+                + 11 * nbx * ((nby * (nby - 1)) // 2) AS DOUBLE)
+               / (nbx * nby) AS mean_luma
+    FROM law
+    """,
+)
+def multimodal_jpeg_progressive_stats(spark, sf_dir):
+    """PROGRESSIVE JPEG decode, end-to-end (round-11 VERDICT task 8 —
+    un-gates the mode the baseline decoder refuses): each document
+    renders as a genuine 4-SCAN SOF2 stream — DC first pass at
+    successive approximation Al=1, a DC refinement scan supplying the
+    low bit, then two spectral-selection AC bands coded with the EOBn
+    end-of-band run codes that only exist in progressive mode — and
+    the pure-numpy scan accumulator (decode_jpeg_gray_progressive)
+    walks every SOS, merges the partial coefficients, and IDCTs once
+    at EOI.  Block-constant fixtures keep the lossy pipeline exact,
+    so the oracle predicts the decoded mean through all four scans;
+    on arbitrary images the progressive reconstruction is pytest-
+    pinned BIT-IDENTICAL to the baseline decoder's (same spectra,
+    different transport).  A mis-ordered scan, a dropped refinement
+    bit, or a mis-counted EOB run shifts a mean and hash-fails."""
+    from ..operators.multimodal import (
+        extract_jpeg_progressive_stats,
+        render_jpeg_progressive_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_jpeg_progressive_stats(render_jpeg_progressive_media(d))

@@ -1954,3 +1954,45 @@ def test_gif_animated_round_trip_fuzz():
     w, h, dec = decode_gif_frames(encode_gif87a(idx, pal))
     assert (w, h, len(dec)) == (4, 3, 1) and dec[0][0] == 0
     assert np.array_equal(dec[0][1], pal[idx])
+
+
+def test_jpeg_progressive_matches_baseline_reconstruction():
+    """Progressive (SOF2, 4-scan) and baseline (SOF0) code the SAME
+    spectra over different transports: for any image the two decoders
+    must reconstruct BIT-IDENTICAL pixels; DC-only (block-constant)
+    images are exact; each decoder refuses the other's SOF."""
+    import numpy as np
+    import pytest as _pt
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        decode_jpeg_gray_progressive,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(w=st.integers(1, 40), h=st.integers(1, 25),
+           seed=st.integers(0, 2**31 - 1))
+    def fuzz(w, h, seed):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        pw, ph, ppx = decode_jpeg_gray_progressive(
+            encode_jpeg_gray_progressive(img))
+        bw, bh, bpx = decode_jpeg_gray(encode_jpeg_gray(img))
+        assert (pw, ph) == (w, h)
+        assert np.array_equal(ppx, bpx)
+        assert np.abs(ppx.astype(int) - img.astype(int)).max() <= 2
+
+    fuzz()
+    import numpy as np
+    flat = np.full((17, 9), 203, np.uint8)
+    _, _, px = decode_jpeg_gray_progressive(
+        encode_jpeg_gray_progressive(flat))
+    assert np.array_equal(px, flat)  # DC-only: exact through 4 scans
+    with _pt.raises(NotImplementedError):
+        decode_jpeg_gray(encode_jpeg_gray_progressive(flat))
+    with _pt.raises(NotImplementedError):
+        decode_jpeg_gray_progressive(encode_jpeg_gray(flat))

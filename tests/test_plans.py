@@ -206,6 +206,7 @@ BNLJ_ALLOWED = {
     "percentiles_exact_scalable",  # 1-row total-count scalar (two-pass ranks)
     "funnel_conversion_steps",   # three 1-row stage-count frames crossed
     "dq_rule_violations",        # 1-row violation/denominator frames crossed
+    "doc_pagerank_centrality",   # 1-row mass-invariant scalar crossed onto top-20
     "approx_quantile_error_audit",  # two 1-row (approx, exact) frames crossed
     "dq_distribution_drift_psi",  # 1-row totals frame crossed into 9 bins
     "deletion_propagation_cascade",  # four 1-row blast-radius counts crossed
