@@ -1286,9 +1286,8 @@ def pretraining_corpus_recipe(spark, sf_dir):
     from pyspark.sql import Window
 
     from ..operators import text as tx
-    from ..operators.dedup import connected_components
     from ..operators.scale import ranged_running_sum
-    from .llm_text import near_dup_edges
+    from .llm_text import near_dup_cluster_labels
 
     d = table(spark, sf_dir, "documents")
     scored = d.select(
@@ -1297,7 +1296,7 @@ def pretraining_corpus_recipe(spark, sf_dir):
         tx.quality_score(F.col("text")).alias("score"),
     )
 
-    cc = connected_components(near_dup_edges(spark, sf_dir))
+    cc = near_dup_cluster_labels(spark, sf_dir)
     members = scored.join(
         cc.select(F.col("node").alias("doc_id"), "cluster_id"), "doc_id"
     )
