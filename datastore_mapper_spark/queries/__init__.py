@@ -29,6 +29,7 @@ from . import analytics_round9  # noqa: F401
 from . import acid_queries  # noqa: F401
 from . import analytics_round10  # noqa: F401
 from . import analytics_round11  # noqa: F401
+from . import analytics_round12  # noqa: F401
 
 from ..registry import reorder_front
 

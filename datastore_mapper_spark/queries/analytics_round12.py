@@ -1,0 +1,522 @@
+"""Round-12 analytics wave: classical hypothesis-testing and
+time-series statistics not yet covered by the registry — Welch's
+two-sample t, Mann–Whitney U with tie correction, one-way ANOVA,
+Benjamini–Hochberg FDR selection, lag-k autocorrelation, and
+McNemar's paired test.
+
+Shared seams (SURVEY §7.3): money goes through integer cents; sums of
+squares ride DECIMAL(38,0) (cents² × row counts overflow int64 at
+sf0.1 — the round-11 Kendall lesson, solved at the type level this
+time); the final test statistic is ONE double expression built from
+exact integers, identical token-for-token on both engines, rounded to
+6 decimals.  Every query aggregates the fact table first, so joins
+and windows run on dictionary-tier frames (segments, langs, regions,
+days, brands); group-size guards (``n >= 2``) make the empty-input
+twin emit zero rows on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..registry import query
+
+
+def _cents(col):
+    return F.floor(F.col(col) * 100).cast("bigint")
+
+
+@query(
+    "welch_t_test_segments",
+    "analytics/stats",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), g AS (
+        SELECT seg,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        FROM base GROUP BY seg HAVING count(*) >= 2
+    ), ab AS (
+        SELECT
+            max(CASE WHEN seg = 'BUILDING' THEN n END) AS n1,
+            max(CASE WHEN seg = 'BUILDING' THEN s1 END) AS sa1,
+            max(CASE WHEN seg = 'BUILDING' THEN s2 END) AS sa2,
+            max(CASE WHEN seg = 'MACHINERY' THEN n END) AS n2,
+            max(CASE WHEN seg = 'MACHINERY' THEN s1 END) AS sb1,
+            max(CASE WHEN seg = 'MACHINERY' THEN s2 END) AS sb2
+        FROM g
+    )
+    SELECT n1, n2,
+           round(sa1 / n1, 6) AS mean1, round(sb1 / n2, 6) AS mean2,
+           round((sa1 / n1 - sb1 / n2)
+                 / sqrt((sa2 - sa1 * sa1 / n1) / (n1 - 1) / n1
+                        + (sb2 - sb1 * sb1 / n2) / (n2 - 1) / n2),
+                 6) AS t_stat,
+           round(((sa2 - sa1 * sa1 / n1) / (n1 - 1) / n1
+                  + (sb2 - sb1 * sb1 / n2) / (n2 - 1) / n2)
+                 * ((sa2 - sa1 * sa1 / n1) / (n1 - 1) / n1
+                    + (sb2 - sb1 * sb1 / n2) / (n2 - 1) / n2)
+                 / (((sa2 - sa1 * sa1 / n1) / (n1 - 1) / n1)
+                    * ((sa2 - sa1 * sa1 / n1) / (n1 - 1) / n1) / (n1 - 1)
+                    + ((sb2 - sb1 * sb1 / n2) / (n2 - 1) / n2)
+                      * ((sb2 - sb1 * sb1 / n2) / (n2 - 1) / n2) / (n2 - 1)),
+                 6) AS welch_df
+    FROM ab WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+    """,
+)
+def welch_t_test_segments(spark, sf_dir):
+    """Welch's unequal-variance two-sample t between the BUILDING and
+    MACHINERY market segments' order values, with the
+    Welch–Satterthwaite degrees of freedom.  The sufficient statistics
+    (n, Σx, Σx²) accumulate EXACTLY in DECIMAL(38,0) cents (cents² ×
+    sf0.1 row counts overflow int64); the t statistic and df are each
+    ONE double expression over those exact integers, token-identical
+    in the oracle, rounded to 6 dp.  Scale: two partial-aggregate
+    passes over the fact join — the broadcast dim join keeps the fact
+    table's partitioning, and the final 2-row pivot is driver-trivial."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(F.col("c_mktsegment").alias("seg"),
+                _cents("o_totalprice").alias("cents"))
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    g = (
+        base.groupBy("seg")
+        .agg(F.count("*").alias("n"),
+             F.sum(dec).cast("double").alias("s1"),
+             F.sum(dec * dec).cast("double").alias("s2"))
+        .filter(F.col("n") >= 2)
+    )
+    ab = g.agg(
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("s1"))).alias("sa1"),
+        F.max(F.when(F.col("seg") == "BUILDING", F.col("s2"))).alias("sa2"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("s1"))).alias("sb1"),
+        F.max(F.when(F.col("seg") == "MACHINERY", F.col("s2"))).alias("sb2"),
+    ).filter(F.col("n1").isNotNull() & F.col("n2").isNotNull())
+    va = "(sa2 - sa1 * sa1 / n1) / (n1 - 1) / n1"
+    vb = "(sb2 - sb1 * sb1 / n2) / (n2 - 1) / n2"
+    return ab.select(
+        "n1", "n2",
+        F.expr("round(sa1 / n1, 6)").alias("mean1"),
+        F.expr("round(sb1 / n2, 6)").alias("mean2"),
+        F.expr(
+            f"round((sa1 / n1 - sb1 / n2) / sqrt({va} + {vb}), 6)"
+        ).alias("t_stat"),
+        F.expr(
+            f"round(({va} + {vb}) * ({va} + {vb}) "
+            f"/ (({va}) * ({va}) / (n1 - 1) "
+            f"+ ({vb}) * ({vb}) / (n2 - 1)), 6)"
+        ).alias("welch_df"),
+    )
+
+
+@query(
+    "mann_whitney_u_doc_lengths",
+    "analytics/stats",
+    oracle="""
+    WITH base AS (
+        SELECT lang,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS x
+        FROM documents WHERE lang IN ('en', 'de')
+    ), ranked AS (
+        -- average ranks as EXACT half-integers: 2*avg_rank is an int
+        SELECT lang, x,
+               CAST(2 * count(*) OVER (ORDER BY x
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - count(*) OVER (PARTITION BY x) + 1 AS BIGINT)
+                   AS rank2
+        FROM base
+    ), sums AS (
+        SELECT
+            CAST(sum(CASE WHEN lang = 'en' THEN rank2 END) AS BIGINT)
+                AS r2_en,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n1,
+            CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n2
+        FROM ranked
+    ), ties AS (
+        SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tsum
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM base GROUP BY x)
+    )
+    SELECT n1, n2,
+           CAST(r2_en - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * n1 * n2 - (r2_en - n1 * (n1 + 1)) AS BIGINT) AS u2_x2,
+           round(((r2_en - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                        * ((n1 + n2 + 1)
+                           - CAST(tsum AS DOUBLE)
+                             / ((n1 + n2) * (n1 + n2 - 1)))),
+                 6) AS z_stat
+    FROM sums, ties
+    WHERE n1 >= 2 AND n2 >= 2
+    """,
+)
+def mann_whitney_u_doc_lengths(spark, sf_dir):
+    """Mann–Whitney U (Wilcoxon rank-sum) comparing 'en' vs 'de'
+    document token counts, with the tie-corrected normal
+    approximation.  Average ranks over ties are half-integers, so the
+    rank sums ride as EXACT ``2x`` integers (``rank2 = 2*avg_rank``)
+    until the single final double expression; the tie term Σ(t³−t) is
+    exact int64.  Scale: ranks come from one count-distinct-sized
+    window over the value domain (token counts), not a global sort of
+    raw docs."""
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de"))
+    base = d.select(
+        "lang", F.size(F.split("text", " ")).cast("bigint").alias("x"))
+    w_cum = Window.orderBy("x").rangeBetween(Window.unboundedPreceding, 0)
+    w_val = Window.partitionBy("x")
+    ranked = base.withColumn(
+        "rank2",
+        (2 * F.count("*").over(w_cum) - F.count("*").over(w_val) + 1)
+        .cast("bigint"),
+    )
+    sums = ranked.agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("rank2"))).alias("r2_en"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("n2"),
+    )
+    ties = (
+        base.groupBy("x").agg(F.count("*").alias("t"))
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+             .alias("tsum"))
+    )
+    j = sums.crossJoin(F.broadcast(ties)).filter(
+        (F.col("n1") >= 2) & (F.col("n2") >= 2))
+    return j.select(
+        "n1", "n2",
+        F.expr("CAST(r2_en - n1 * (n1 + 1) AS BIGINT)").alias("u1_x2"),
+        F.expr("CAST(2 * n1 * n2 - (r2_en - n1 * (n1 + 1)) AS BIGINT)")
+        .alias("u2_x2"),
+        F.expr(
+            "round(((r2_en - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0) "
+            "/ sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0 "
+            "* ((n1 + n2 + 1) - CAST(tsum AS DOUBLE) "
+            "/ ((n1 + n2) * (n1 + n2 - 1)))), 6)"
+        ).alias("z_stat"),
+    )
+
+
+@query(
+    "anova_oneway_region_revenue",
+    "analytics/stats",
+    oracle="""
+    WITH base AS (
+        SELECT r.r_name AS region,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), g AS (
+        SELECT region, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        FROM base GROUP BY region HAVING count(*) >= 2
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nn,
+               sum(s1) AS t1, sum(s2) AS t2,
+               sum(s1 * s1 / n) AS sb
+        FROM g
+    )
+    SELECT k, nn,
+           round((sb - t1 * t1 / nn) / (k - 1)
+                 / ((t2 - sb) / (nn - k)), 6) AS f_stat,
+           round((sb - t1 * t1 / nn)
+                 / (t2 - t1 * t1 / nn), 6) AS eta_sq
+    FROM tot WHERE k >= 2 AND nn > k
+    """,
+)
+def anova_oneway_region_revenue(spark, sf_dir):
+    """One-way ANOVA of order value across the five regions: F =
+    between-group over within-group mean square, plus eta² effect
+    size.  Identical sufficient-statistic discipline as the Welch row
+    (exact DECIMAL(38,0) cents sums; one final double expression).
+    Scale: partial aggregation collapses the fact table per region
+    before the 5-row total pass — no raw-row shuffle beyond the
+    broadcast dim joins."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region"),
+                _cents("o_totalprice").alias("cents"))
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    g = (
+        base.groupBy("region")
+        .agg(F.count("*").alias("n"),
+             F.sum(dec).cast("double").alias("s1"),
+             F.sum(dec * dec).cast("double").alias("s2"))
+        .filter(F.col("n") >= 2)
+    )
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("nn"),
+        F.sum("s1").alias("t1"),
+        F.sum("s2").alias("t2"),
+        F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("sb"),
+    ).filter((F.col("k") >= 2) & (F.col("nn") > F.col("k")))
+    return tot.select(
+        "k", "nn",
+        F.expr("round((sb - t1 * t1 / nn) / (k - 1) "
+               "/ ((t2 - sb) / (nn - k)), 6)").alias("f_stat"),
+        F.expr("round((sb - t1 * t1 / nn) "
+               "/ (t2 - t1 * t1 / nn), 6)").alias("eta_sq"),
+    )
+
+
+@query(
+    "bh_fdr_discoveries",
+    "analytics/stats",
+    oracle="""
+    WITH pvals AS (
+        SELECT p_brand AS test_id,
+               CAST((sum(p_partkey) * 2654435761) % 1000003 AS BIGINT)
+                   AS pnum
+        FROM part GROUP BY p_brand
+    ), ranked AS (
+        SELECT test_id, pnum,
+               CAST(rank() OVER (ORDER BY pnum, test_id) AS BIGINT) AS k,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pvals
+    ), cut AS (
+        -- BH: largest k with p_(k) <= (k/m)*alpha, alpha = 0.25;
+        -- exact integer comparison: pnum * m * 4 <= k * 1000003
+        SELECT coalesce(max(CASE WHEN pnum * m * 4 <= k * 1000003
+                                 THEN k END), 0) AS kstar
+        FROM ranked
+    )
+    SELECT r.test_id,
+           round(CAST(r.pnum AS DOUBLE) / 1000003, 6) AS p_value,
+           r.k, r.m,
+           r.k <= cut.kstar AS discovered,
+           cut.kstar AS kstar
+    FROM ranked r, cut
+    WHERE r.k <= 5
+    """,
+)
+def bh_fdr_discoveries(spark, sf_dir):
+    """Benjamini–Hochberg FDR selection at alpha = 0.25 over one
+    deterministic p-value per part brand (a hash of the brand's key
+    sum scaled into [0,1) — the PROCEDURE is what is graded: rank the
+    p-values, find the largest k with p_(k) <= (k/m)·alpha — kstar —
+    and flag everything at or below it as discovered).  The hashed
+    output is the 5 smallest p-values with their `discovered` flags
+    plus kstar, so the row grades the cut even when it lands at 0
+    (a discoveries-only projection would emit zero rows and grade
+    nothing).  The threshold comparison is EXACT integer math
+    (pnum·m·4 <= k·1000003) — no float boundary can flip a
+    discovery.  Scale: one partial agg per brand (dictionary-tier),
+    then window + scalar-cut on ~25 rows."""
+    p = table(spark, sf_dir, "part")
+    pvals = p.groupBy(F.col("p_brand").alias("test_id")).agg(
+        ((F.sum("p_partkey") * F.lit(2654435761)) % 1000003)
+        .cast("bigint").alias("pnum")
+    )
+    w = Window.orderBy("pnum", "test_id")
+    ranked = pvals.select(
+        "test_id", "pnum",
+        F.rank().over(w).cast("bigint").alias("k"),
+    ).crossJoin(F.broadcast(pvals.agg(F.count("*").alias("m"))))
+    cut = ranked.agg(
+        F.coalesce(
+            F.max(F.when(
+                F.col("pnum") * F.col("m") * 4 <= F.col("k") * 1000003,
+                F.col("k"))),
+            F.lit(0),
+        ).alias("kstar")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .filter(F.col("k") <= 5)
+        .select(
+            "test_id",
+            F.round(F.col("pnum").cast("double") / 1000003, 6)
+            .alias("p_value"),
+            "k", "m",
+            (F.col("k") <= F.col("kstar")).alias("discovered"),
+            "kstar",
+        )
+    )
+
+
+@query(
+    "acf_lag_k_daily_revenue",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderdate
+    ), idx AS (
+        SELECT d, cents,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        FROM daily
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        FROM idx
+    ), lagk AS (
+        SELECT l.lag AS lag,
+               CAST(sum(CAST(a.cents AS DECIMAL(38,0))
+                        * CAST(b.cents AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(a.cents AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(b.cents AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(count(*) AS BIGINT) AS np
+        FROM (SELECT unnest(generate_series(1, 7)) AS lag) l
+        JOIN idx a ON TRUE
+        JOIN idx b ON b.i = a.i + l.lag
+        GROUP BY l.lag
+    )
+    SELECT lag, np,
+           round((sxy - sx * sy / np)
+                 / (s2 - s1 * s1 / n) * n / np, 6) AS acf
+    FROM lagk, tot
+    WHERE n >= 3 AND np >= 2
+    ORDER BY lag
+    """,
+)
+def acf_lag_k_daily_revenue(spark, sf_dir):
+    """Autocorrelation of the daily-revenue series at lags 1..7 (the
+    weekly-seasonality diagnostic), computed from EXACT
+    DECIMAL(38,0) cross-products of integer day-cents — the paired
+    sums (Σxy, Σx, Σy per lag) and the global variance are exact, the
+    ACF value is one double expression, rounded to 6 dp.  Scale: the
+    series is day-dictionary-tier after the first partial agg; the
+    lag self-join runs on |days| rows x 7 lags."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(_cents("o_totalprice")).alias("cents"))
+    idx = daily.select(
+        "d", "cents",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = idx.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("cents")).cast("double").alias("s1"),
+        F.sum(dec("cents") * dec("cents")).cast("double").alias("s2"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    lagk = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("a.cents").cast("decimal(38,0)")
+                  * F.col("b.cents").cast("decimal(38,0)"))
+            .cast("double").alias("sxy"),
+            F.sum(F.col("a.cents").cast("decimal(38,0)"))
+            .cast("double").alias("sx"),
+            F.sum(F.col("b.cents").cast("decimal(38,0)"))
+            .cast("double").alias("sy"),
+            F.count("*").alias("np"),
+        )
+    )
+    return (
+        lagk.crossJoin(F.broadcast(tot))
+        .filter((F.col("n") >= 3) & (F.col("np") >= 2))
+        .select(
+            "lag", "np",
+            F.expr("round((sxy - sx * sy / np) "
+                   "/ (s2 - s1 * s1 / n) * n / np, 6)").alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+@query(
+    "mcnemar_urgency_shift",
+    "analytics/stats",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey,
+               CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS INT)
+                   AS hot,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders
+    ), pairs AS (
+        SELECT f.o_custkey,
+               f.hot AS first_hot, l.hot AS last_hot
+        FROM seq f JOIN seq l
+          ON f.o_custkey = l.o_custkey AND f.rn = 1 AND l.rn = l.n
+        WHERE f.n >= 2
+    ), cells AS (
+        SELECT
+            CAST(sum(CASE WHEN first_hot = 1 AND last_hot = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(sum(CASE WHEN first_hot = 0 AND last_hot = 1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs
+    )
+    SELECT b, c, n_pairs,
+           round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+               AS mcnemar_chi2
+    FROM cells WHERE b + c > 0
+    """,
+)
+def mcnemar_urgency_shift(spark, sf_dir):
+    """McNemar's test for paired binary change: per customer, was the
+    FIRST order hot-priority (1-URGENT/2-HIGH) vs the LAST — the
+    discordant cells b (hot→cold) and c (cold→hot) drive χ² =
+    (b−c)²/(b+c).  Deterministic pair pick: row_number over
+    (o_orderdate, o_orderkey).  All cells are exact integers; one
+    final double division.  Scale: one window pass partitioned by
+    customer, then a counts-only reduction."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wc = Window.partitionBy("o_custkey")
+    seq = o.select(
+        "o_custkey",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        .cast("int").alias("hot"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    f = seq.filter((F.col("rn") == 1) & (F.col("n") >= 2)).select(
+        "o_custkey", F.col("hot").alias("first_hot"))
+    la = seq.filter(F.col("rn") == F.col("n")).select(
+        "o_custkey", F.col("hot").alias("last_hot"))
+    pairs = f.join(la, "o_custkey")
+    cells = pairs.agg(
+        F.sum(F.when((F.col("first_hot") == 1) & (F.col("last_hot") == 0),
+                     1).otherwise(0)).cast("bigint").alias("b"),
+        F.sum(F.when((F.col("first_hot") == 0) & (F.col("last_hot") == 1),
+                     1).otherwise(0)).cast("bigint").alias("c"),
+        F.count("*").alias("n_pairs"),
+    ).filter(F.col("b") + F.col("c") > 0)
+    return cells.select(
+        "b", "c", "n_pairs",
+        F.expr("round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)")
+        .alias("mcnemar_chi2"),
+    )
