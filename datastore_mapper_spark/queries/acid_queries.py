@@ -882,12 +882,14 @@ def acid_merge_three_way(spark, sf_dir):
             spark, dest,
             t.filter((F.col("o_orderkey") > lo)
                      & (F.col("o_orderkey") <= hi)).coalesce(1))
+    m4 = acid_lite._read_manifest(dest, 4)
+    stats4 = m4.get("stats") or {}
+    # zero-row files carry no per-column min/max in their footers —
+    # .get() keeps the empty-corpus twin from KeyError-ing
+    rngs = {f: (stats4.get(f) or {}).get("o_orderkey") for f in m4["files"]}
     q2_files = {
-        f for f in acid_lite._read_manifest(dest, 4)["files"]
-        if (acid_lite._read_manifest(dest, 4)["stats"][f]
-            ["o_orderkey"][0] > b1)
-        and (acid_lite._read_manifest(dest, 4)["stats"][f]
-             ["o_orderkey"][1] <= b2)
+        f for f, s in rngs.items()
+        if s is not None and s[0] > b1 and s[1] <= b2
     }
     k = F.col("o_orderkey")
     src = o.filter(

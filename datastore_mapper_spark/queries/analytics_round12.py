@@ -520,3 +520,79 @@ def mcnemar_urgency_shift(spark, sf_dir):
         F.expr("round(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)")
         .alias("mcnemar_chi2"),
     )
+
+
+@query(
+    "kaplan_meier_transit",
+    "analytics/stats",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                    AS BIGINT) AS t,
+               CAST(l.l_returnflag <> 'R' AS INT) AS ev
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), agg AS (
+        SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS m
+        FROM obs GROUP BY t
+    ), risk AS (
+        SELECT t, d,
+               CAST(sum(m) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n
+        FROM agg
+    ), ev AS (
+        SELECT t, d, n, 1.0 - CAST(d AS DOUBLE) / n AS factor
+        FROM risk WHERE d > 0
+    )
+    SELECT a.t, a.d, a.n,
+           round(product(b.factor ORDER BY b.t), 6) AS survival
+    FROM ev a JOIN ev b ON b.t <= a.t
+    GROUP BY a.t, a.d, a.n
+    """,
+)
+def kaplan_meier_transit(spark, sf_dir):
+    """Kaplan–Meier survival estimator over order-to-ship lead times
+    (ship − order days), with returned lineitems ('R') treated as
+    right-censored: S(t) = Π_{event times t' <= t} (1 − d/n), d =
+    events at t', n = the at-risk set (everything still in transit).
+    d/n/risk-set counts are exact integers; the survival curve is an
+    ORDERED product of per-step doubles — ascending event time on
+    BOTH engines (Spark: fold over sort_array(collect_list); DuckDB:
+    product(... ORDER BY t)), so the IEEE multiplication order is
+    identical, plus a 6-dp round.  Scale: the fact table collapses to
+    the |distinct durations| dictionary (≈30 rows) in one partial
+    agg; the triangular self-join runs on that dictionary, never raw
+    lineitems."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    obs = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("t"),
+        (F.col("l_returnflag") != "R").cast("int").alias("ev"),
+    )
+    agg = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").alias("m"),
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    risk = agg.select(
+        "t", "d", F.sum("m").over(w).cast("bigint").alias("n"))
+    ev = risk.filter(F.col("d") > 0).withColumn(
+        "factor", F.lit(1.0) - F.col("d").cast("double") / F.col("n"))
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("b.t") <= F.col("a.t"))
+        .groupBy(F.col("a.t").alias("t"), F.col("a.d").alias("d"),
+                 F.col("a.n").alias("n"))
+        .agg(F.expr(
+            "collect_list(struct(b.t AS tp, b.factor AS factor))"
+        ).alias("fs"))
+        .select(
+            "t", "d", "n",
+            F.expr(
+                "round(aggregate(sort_array(fs), cast(1.0 as double), "
+                "(acc, x) -> acc * x.factor), 6)"
+            ).alias("survival"),
+        )
+    )
