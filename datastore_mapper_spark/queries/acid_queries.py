@@ -980,3 +980,63 @@ def stream_acid_source_demo(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.sum(cents).alias("sum_cents"),
     )
+
+
+@query(
+    "acid_bucket_pruned_lookup",
+    "table-format",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+           o_orderstatus,
+           TRUE AS bucket_pruned_ok
+    FROM orders
+    WHERE o_custkey = (SELECT o_custkey FROM orders
+                       ORDER BY o_orderkey LIMIT 1)
+    """,
+)
+def acid_bucket_pruned_lookup(spark, sf_dir):
+    """HIDDEN partitioning via an Iceberg-style bucket transform
+    (round-12): the orders slice is created PARTITIONED BY
+    ``bucket(8, o_custkey)`` — the derived bucket lives only in the
+    hive dirs + manifest while o_custkey stays IN the data files —
+    and a point lookup on one customer must prune by pure manifest
+    math to ~1/8 of the files, even though every file's o_custkey
+    min/max spans the whole key domain (the case range stats cannot
+    touch; THE reason real formats bucket high-cardinality keys).
+    ``bucket_pruned_ok`` grades that strictly fewer files than the
+    table survived pruning AND that every survivor's directory is the
+    looked-up key's bucket; the hashed rows are the customer's orders
+    read through the pruned scan, which the oracle states from plain
+    SQL."""
+    dest = _table_dir("acid_bucket", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    acid_lite.create_table(spark, dest, o.repartition(4),
+                           partition_by=["bucket(8, o_custkey)"])
+    pick = o.orderBy("o_orderkey").select("o_custkey").first()
+    if pick is None:  # empty corpus: nothing to look up
+        return acid_lite.read(spark, dest).select(
+            "o_orderkey", "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            .alias("cents"),
+            "o_orderstatus", F.lit(True).alias("bucket_pruned_ok"))
+    cust = int(pick.o_custkey)
+    selected, total = acid_lite.prune_files_source(
+        dest, "o_custkey", cust, cust)
+    pruned_ok = F.lit(
+        0 < len(selected) < total
+        and all(f"o_custkey_bucket8={cust % 8}/" in f for f in selected)
+    )
+    m = acid_lite._read_manifest(dest, 1)
+    df = acid_lite._load_files(spark, dest, m, selected)
+    return (
+        df.filter(F.col("o_custkey") == cust)
+        .select(
+            "o_orderkey", "o_custkey",
+            F.floor(F.col("o_totalprice") * 100).cast("bigint")
+            .alias("cents"),
+            "o_orderstatus",
+            pruned_ok.alias("bucket_pruned_ok"),
+        )
+    )

@@ -174,6 +174,71 @@ def _write_files(df: DataFrame, path: str) -> list[str]:
     )
 
 
+def _parse_transform(spec: str):
+    """An Iceberg-style partition-spec entry -> (derived_name,
+    source_col, spark_expr_fn, py_fn, sql_type_fn).
+
+    * ``"col"``            — identity: values live ONLY in the hive
+      dirs; reads re-attach the column from the file path.
+    * ``"bucket(n, col)"`` — ``col % n`` (non-negative): HIDDEN
+      partitioning — the source column stays in the data files and
+      the derived bucket exists only in dir names + manifest, so an
+      equality lookup on a high-cardinality key prunes to ~1/n of the
+      files where min/max ranges overlap uselessly.  (Iceberg buckets
+      by murmur3; the mod transform keeps the value replicable by
+      pure driver-side math — same mechanics, simpler hash.)
+    * ``"truncate(w, col)"`` — ``col - (col % w)``: monotone, so
+      RANGE predicates on the source map to derived ranges.
+    * ``"month(col)"``     — ``yyyy-MM`` string of a date/timestamp:
+      monotone under lexicographic order.
+    """
+    import re as _re
+
+    m = _re.fullmatch(r"\s*bucket\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*", spec)
+    if m:
+        n, col = int(m.group(1)), m.group(2)
+        return (
+            f"{col}_bucket{n}", col,
+            lambda c=col, n=n: F.pmod(F.col(c), F.lit(n)).cast("long"),
+            lambda v, n=n: None if v is None else int(v) % n,
+            "bigint", "bucket",
+        )
+    m = _re.fullmatch(r"\s*truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)\s*", spec)
+    if m:
+        w, col = int(m.group(1)), m.group(2)
+        return (
+            f"{col}_trunc{w}", col,
+            lambda c=col, w=w: (F.col(c) - F.pmod(F.col(c), F.lit(w)))
+            .cast("long"),
+            lambda v, w=w: None if v is None else int(v) - int(v) % w,
+            "bigint", "truncate",
+        )
+    m = _re.fullmatch(r"\s*month\(\s*(\w+)\s*\)\s*", spec)
+    if m:
+        col = m.group(1)
+        def _to_month(v):
+            if v is None:
+                return None
+            if isinstance(v, str):
+                return v[:7]  # 'yyyy-MM-dd...' -> 'yyyy-MM'
+            return f"{v.year:04d}-{v.month:02d}"  # date/datetime
+
+        return (
+            f"{col}_month", col,
+            lambda c=col: F.date_format(F.col(c), "yyyy-MM"),
+            _to_month,
+            "string", "month",
+        )
+    if not spec.replace("_", "a").isalnum():
+        raise ValueError(f"unsupported partition transform: {spec!r}")
+    return (spec, spec, None, lambda v: v, None, "identity")  # identity
+
+
+def _partition_names(partition_by: list[str]) -> list[str]:
+    """Derived hive-dir column names of a partition spec list."""
+    return [_parse_transform(s)[0] for s in partition_by]
+
+
 def _parse_partition_values(rel: str, partition_by: list[str]) -> dict:
     """Hive-style ``col=val`` path segments of one data file →
     ``{col: str | None}`` (None = ``__HIVE_DEFAULT_PARTITION__``,
@@ -194,14 +259,24 @@ def _write_files_partitioned(
     df: DataFrame, path: str, partition_by: list[str],
 ) -> tuple[list[str], dict[str, dict]]:
     """Write ``df`` hive-partitioned under ``data/<uuid>/`` and return
-    (relative file paths, {file: {col: str-value}}).  The partition
-    VALUES live in the directory names (and therefore in the
-    manifest), not in the data files — the hive/Iceberg identity-
-    partition layout; the split itself is Spark's distributed
-    ``partitionBy`` writer, never a driver loop over values."""
+    (relative file paths, {file: {derived-col: str-value}}).  The
+    partition VALUES live in the directory names (and therefore in
+    the manifest), not in the data files — the hive/Iceberg layout;
+    the split itself is Spark's distributed ``partitionBy`` writer,
+    never a driver loop over values.  Transform specs (bucket /
+    truncate / month) add their derived column just for the write —
+    the SOURCE column stays in the data files (hidden partitioning),
+    while identity columns live only in the dirs and are re-attached
+    on read."""
+    names = []
+    for spec in partition_by:
+        name, _src, expr_fn, _py, _ty, _kind = _parse_transform(spec)
+        names.append(name)
+        if expr_fn is not None:
+            df = df.withColumn(name, expr_fn())
     rel_dir = os.path.join("data", uuid.uuid4().hex[:12])
     dest = os.path.join(path, rel_dir)
-    df.write.partitionBy(*partition_by).mode("error").parquet(dest)
+    df.write.partitionBy(*names).mode("error").parquet(dest)
     files: list[str] = []
     parts: dict[str, dict] = {}
     for root, _dirs, fnames in os.walk(dest):
@@ -209,7 +284,7 @@ def _write_files_partitioned(
             if fn.endswith(".parquet"):
                 rel = os.path.relpath(os.path.join(root, fn), path)
                 files.append(rel)
-                parts[rel] = _parse_partition_values(rel, partition_by)
+                parts[rel] = _parse_partition_values(rel, names)
     return sorted(files), parts
 
 
@@ -342,7 +417,13 @@ def _assemble_stats_partitions(
     identity-transform Iceberg partitioning expressed in the same
     metadata the min/max skipping already uses."""
     new_parts = partitions or {}
-    types = _schema_types(schema) if (partition_by and schema) else {}
+    types: dict[str, str] = {}
+    if partition_by and schema:
+        types = _schema_types(schema)
+        for spec in partition_by:
+            name, _src, _e, _py, ty, _kind = _parse_transform(spec)
+            if ty is not None:  # transform: declared type, not schema
+                types[name] = ty
     stats: dict = {}
     out_parts: dict = {}
     for f in files:
@@ -449,9 +530,12 @@ def create_table(spark: SparkSession, path: str, df: DataFrame,
     if latest_version(path) != 0:
         raise ValueError(f"table already exists: {path}")
     if partition_by:
-        missing = set(partition_by) - set(df.columns)
+        missing = {
+            _parse_transform(s)[1] for s in partition_by
+        } - set(df.columns)
         if missing:
-            raise ValueError(f"partition columns not in frame: {missing}")
+            raise ValueError(
+                f"partition source columns not in frame: {missing}")
     os.makedirs(path, exist_ok=True)
     files, parts = _write_files_any(df, path, partition_by)
     schema = ", ".join(
@@ -1704,3 +1788,44 @@ def resolve_tag(path: str, name: str) -> int:
 def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
     """Snapshot read of a tagged version (``VERSION AS OF <tag>``)."""
     return read(spark, path, version=resolve_tag(path, name))
+
+
+def prune_files_source(
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Transform-aware file skipping for a predicate on a SOURCE
+    column (``lo <= column <= hi``, either bound None): intersects
+    the ordinary min/max stats pruning with every partition transform
+    derived from ``column`` —
+
+    * identity: the derived [v, v] stats already participate;
+    * truncate / month: monotone, so the source range maps to the
+      derived range [T(lo), T(hi)];
+    * bucket: non-monotone — prunes only EQUALITY lookups
+      (``lo == hi``), where the derived value is exactly
+      ``bucket(lo)`` and everything else provably cannot match.
+      This is hidden partitioning's payoff: a point lookup on a
+      high-cardinality key touches ~1/n of the files even though
+      every file's min/max range spans the whole key domain."""
+    v = latest_version(path) if version is None else version
+    m = _read_manifest(path, v)
+    selected, total = prune_files(path, column, lo, hi, version=v)
+    keep = set(selected)
+    for spec in m.get("partition_by") or []:
+        name, src, _e, py, _ty, kind = _parse_transform(spec)
+        if src != column or kind == "identity":
+            continue
+        if kind == "bucket":
+            if lo is None or lo != hi:
+                continue  # buckets cannot prune ranges
+            dlo = dhi = py(lo)
+        else:  # truncate / month: monotone transforms map the range
+            dlo = py(lo) if lo is not None else None
+            dhi = py(hi) if hi is not None else None
+        dsel, _t = prune_files(path, name, dlo, dhi, version=v)
+        keep &= set(dsel)
+    return [f for f in m["files"] if f in keep], total

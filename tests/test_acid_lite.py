@@ -914,3 +914,64 @@ def test_timestamp_as_of_and_tags(spark, tdir):
         acid_lite.resolve_tag(tdir, "nope")
     with pytest.raises(ValueError, match="not committed"):
         acid_lite.tag_version(tdir, "future", version=99)
+
+
+def test_partition_transforms_hidden_bucket_truncate_month(spark, tdir):
+    """Iceberg-style hidden partitioning: transform specs derive the
+    hive dir value while the SOURCE column stays in the data files;
+    point lookups bucket-prune, monotone transforms range-prune, and
+    rewrites preserve the layout."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(i, f"r{i}", dt.datetime(1995, 1 + i % 4, 1 + i % 25))
+         for i in range(32)],
+        "k bigint, v string, ts timestamp")
+    acid_lite.create_table(spark, tdir, df.coalesce(2),
+                           partition_by=["bucket(4, k)"])
+    m = acid_lite._read_manifest(tdir, 1)
+    assert m["partition_by"] == ["bucket(4, k)"]
+    assert all("k_bucket4=" in f for f in m["files"])
+    r = acid_lite.read(spark, tdir)
+    assert set(r.columns) == {"k", "v", "ts"}  # source col in data
+    assert r.count() == 32
+    # equality lookup prunes to one bucket; ranges cannot bucket-prune
+    sel, total = acid_lite.prune_files_source(tdir, "k", 7, 7)
+    assert sel and len(sel) < total
+    assert all("k_bucket4=3/" in f for f in sel)
+    assert {x.k for x in acid_lite._load_files(
+        spark, tdir, m, sel).filter("k = 7").collect()} == {7}
+    # CoW merge keeps the transform layout
+    acid_lite.merge_upsert(
+        spark, tdir,
+        spark.createDataFrame(
+            [(7, "UPD", dt.datetime(1995, 1, 1))],
+            "k bigint, v string, ts timestamp"), "k")
+    m2 = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    assert all("k_bucket4=" in f for f in m2["files"])
+    assert {x.v for x in acid_lite.read(spark, tdir)
+            .filter("k = 7").collect()} == {"UPD"}
+    # truncate: monotone range mapping
+    t2 = tdir + "_tr"
+    acid_lite.create_table(spark, t2, df.coalesce(1),
+                           partition_by=["truncate(8, k)"])
+    sel2, tot2 = acid_lite.prune_files_source(t2, "k", 3, 10)
+    assert sel2 and len(sel2) < tot2
+    assert all(("k_trunc8=0/" in f) or ("k_trunc8=8/" in f) for f in sel2)
+    # month on timestamps
+    t3 = tdir + "_mo"
+    acid_lite.create_table(spark, t3, df.coalesce(1),
+                           partition_by=["month(ts)"])
+    sel3, tot3 = acid_lite.prune_files_source(
+        t3, "ts", dt.datetime(1995, 2, 1), dt.datetime(1995, 2, 28))
+    assert sel3 and len(sel3) < tot3
+    assert all("ts_month=1995-02/" in f for f in sel3)
+    got = acid_lite._load_files(
+        spark, t3, acid_lite._read_manifest(t3, 1), sel3)
+    assert got.count() == 8  # the 1995-02 rows, nothing else
+    # unknown transform refuses loudly
+    with pytest.raises(ValueError, match="unsupported partition"):
+        acid_lite.create_table(
+            spark, tdir + "_bad",
+            spark.createDataFrame([(1,)], "k bigint"),
+            partition_by=["year(k)"])
