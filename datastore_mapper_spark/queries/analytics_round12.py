@@ -580,19 +580,19 @@ def kaplan_meier_transit(spark, sf_dir):
         "t", "d", F.sum("m").over(w).cast("bigint").alias("n"))
     ev = risk.filter(F.col("d") > 0).withColumn(
         "factor", F.lit(1.0) - F.col("d").cast("double") / F.col("n"))
-    a, b = ev.alias("a"), ev.alias("b")
-    return (
-        a.join(F.broadcast(b), F.col("b.t") <= F.col("a.t"))
-        .groupBy(F.col("a.t").alias("t"), F.col("a.d").alias("d"),
-                 F.col("a.n").alias("n"))
-        .agg(F.expr(
-            "collect_list(struct(b.t AS tp, b.factor AS factor))"
-        ).alias("fs"))
-        .select(
-            "t", "d", "n",
-            F.expr(
-                "round(aggregate(sort_array(fs), cast(1.0 as double), "
-                "(acc, x) -> acc * x.factor), 6)"
-            ).alias("survival"),
-        )
+    # prefix product via a running collect_list window (rows enter the
+    # frame in ascending-t order, matching the oracle's
+    # product(... ORDER BY t) multiplication order bit-for-bit) — no
+    # self-join needed on the ~120-row event dictionary
+    w2 = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "t", "d", "n",
+        F.round(
+            F.aggregate(
+                F.collect_list("factor").over(w2),
+                F.lit(1.0),
+                lambda acc, x: acc * x,
+            ),
+            6,
+        ).alias("survival"),
     )
