@@ -608,26 +608,35 @@ def append(spark: SparkSession, path: str, df: DataFrame,
     raise CommitConflict(f"append to {path} lost {retries + 1} races")
 
 
-def _checked_merge_source(source: DataFrame, key: str) -> DataFrame:
+def _key_list(key) -> list[str]:
+    """MERGE keys normalize to a list: a single column name or a
+    composite-key column list (multi-column equality is the common
+    real-format ON clause)."""
+    return [key] if isinstance(key, str) else list(key)
+
+
+def _checked_merge_source(source: DataFrame, key) -> DataFrame:
     """Checkpoint the merge source (one upstream execution, used 3x)
     and reject duplicate keys: MERGE INTO allows at most one source
     match per target row — a duplicate-keyed CDC batch would otherwise
     silently multi-insert (each dup inserts, survivors anti-joined
-    once)."""
+    once).  Composite keys count distinct over the key struct."""
+    keys = _key_list(key)
     src = source.localCheckpoint()
     kc = src.agg(
-        F.count(key).alias("n"), F.count_distinct(key).alias("d")
+        F.count(F.struct(*keys)).alias("n"),
+        F.count_distinct(F.struct(*keys)).alias("d"),
     ).first()
     if kc.n != kc.d:
         raise ValueError(
-            f"merge source has {kc.n - kc.d} duplicate '{key}' keys; "
+            f"merge source has {kc.n - kc.d} duplicate {keys} keys; "
             "MERGE INTO requires at most one source row per target key"
         )
     return src
 
 
 def _matched_data_files(spark: SparkSession, path: str, parent: int,
-                        manifest: dict, src: DataFrame, key: str) -> set:
+                        manifest: dict, src: DataFrame, key) -> set:
     """Which data files contain at least one source-matched key?
     input_file_name() returns a URI (file:/..., possibly URL-encoded
     and scheme-variant) — resolve it back to a manifest-relative path
@@ -637,10 +646,11 @@ def _matched_data_files(spark: SparkSession, path: str, parent: int,
     and %-escapes, silently carrying matched files over unrewritten)."""
     from urllib.parse import unquote, urlsplit
 
+    keys = _key_list(key)
     target = read(spark, path, parent)
     uris = (
         target.withColumn("f", F.input_file_name())
-        .join(src.select(key), key, "left_semi")
+        .join(src.select(*keys), keys, "left_semi")
         .select("f")
         .distinct()
         .collect()
@@ -697,7 +707,8 @@ def merge_upsert(
     pby = manifest.get("partition_by")
     if touched:
         touched_df = _load_files(spark, path, manifest, sorted(touched))
-        survivors = touched_df.join(src.select(key), key, "left_anti")
+        survivors = touched_df.join(
+            src.select(*_key_list(key)), _key_list(key), "left_anti")
         merged = survivors.unionByName(inserts.select(*touched_df.columns))
     else:
         merged = inserts
@@ -1668,7 +1679,7 @@ def merge_three_way(
                        F.col("_metadata.file_path").alias("__fp")],
             )
             stale = scan.filter(in_scope).join(
-                src.select(key), key, "left_anti")
+                src.select(*_key_list(key)), _key_list(key), "left_anti")
             bad = stale.filter(
                 ~F.col("__fp").startswith(prefix)).limit(1).count()
             if bad:
@@ -1691,7 +1702,8 @@ def merge_three_way(
     new_parts = None
     if touched:
         touched_df = _load_files(spark, path, manifest, sorted(touched))
-        survivors = touched_df.join(src.select(key), key, "left_anti")
+        survivors = touched_df.join(
+            src.select(*_key_list(key)), _key_list(key), "left_anti")
         if in_scope is not None:
             survivors = survivors.filter(~in_scope)  # stale rows drop here
         merged = survivors.unionByName(inserts.select(*touched_df.columns))

@@ -975,3 +975,39 @@ def test_partition_transforms_hidden_bucket_truncate_month(spark, tdir):
             spark, tdir + "_bad",
             spark.createDataFrame([(1,)], "k bigint"),
             partition_by=["year(k)"])
+
+
+def test_merge_composite_keys(spark, tdir):
+    """MERGE with a multi-column key (the common real-format ON
+    clause): matching is on the (k1, k2) pair, duplicate detection
+    counts distinct key structs, and the three-way variant composes."""
+    df = spark.createDataFrame(
+        [(1, "a", "v1"), (1, "b", "v2"), (2, "a", "v3"), (2, "b", "v4")],
+        "k1 bigint, k2 string, v string")
+    acid_lite.create_table(spark, tdir, df.coalesce(1))
+    src = spark.createDataFrame(
+        [(1, "b", "UPD"), (3, "a", "INS")], "k1 bigint, k2 string, v string")
+    acid_lite.merge_upsert(spark, tdir, src, key=["k1", "k2"])
+    got = {(r.k1, r.k2, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a", "v1"), (1, "b", "UPD"), (2, "a", "v3"),
+                   (2, "b", "v4"), (3, "a", "INS")}
+    # duplicate composite keys refuse (same k1 alone is NOT a dup)
+    dup = spark.createDataFrame(
+        [(9, "x", "p"), (9, "x", "q")], "k1 bigint, k2 string, v string")
+    with pytest.raises(ValueError, match="duplicate"):
+        acid_lite.merge_upsert(spark, tdir, dup, key=["k1", "k2"])
+    ok = spark.createDataFrame(
+        [(9, "x", "p"), (9, "y", "q")], "k1 bigint, k2 string, v string")
+    acid_lite.merge_upsert(spark, tdir, ok, key=["k1", "k2"])
+    assert acid_lite.read(spark, tdir).count() == 7
+    # three-way merge with composite key + scoped NMBS delete
+    src3 = spark.createDataFrame(
+        [(1, "a", "UPD3", False)],
+        "k1 bigint, k2 string, v string, _del boolean")
+    acid_lite.merge_three_way(
+        spark, tdir, src3, key=["k1", "k2"], delete_col="_del",
+        nmbs_scope=("k1", None, 1))
+    got = {(r.k1, r.k2, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    # k1<=1 scope: only (1,a) in source -> (1,b) stale-deleted
+    assert got == {(1, "a", "UPD3"), (2, "a", "v3"), (2, "b", "v4"),
+                   (3, "a", "INS"), (9, "x", "p"), (9, "y", "q")}
