@@ -596,3 +596,169 @@ def kaplan_meier_transit(spark, sf_dir):
             6,
         ).alias("survival"),
     )
+
+
+@query(
+    "markov_event_transitions",
+    "analytics/sequence",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ), cells AS (
+        SELECT event_type AS from_type, nxt AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE nxt IS NOT NULL
+        GROUP BY event_type, nxt
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM cells
+    """,
+)
+def markov_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: consecutive (from → to) event-type pairs via one lead()
+    window (deterministic order: ts, event_id tiebreak), exact
+    transition counts, and row-normalized probabilities as one
+    division.  The |types|² matrix is dictionary-tier; the only
+    fact-scale work is the single user-partitioned window — the
+    sequence-model feature extraction a behavior pipeline ships."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type",
+        F.lead("event_type").over(w).alias("nxt"))
+    cells = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"),
+                 F.col("nxt").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return cells.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wf), 6)
+        .alias("p"),
+    )
+
+
+@query(
+    "shannon_entropy_tokens_by_lang",
+    "analytics/text",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), freq AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY lang, tok
+    ), tot AS (
+        SELECT lang, CAST(sum(n) AS BIGINT) AS nn,
+               CAST(count(*) AS BIGINT) AS vocab
+        FROM freq GROUP BY lang
+    )
+    SELECT f.lang, t.vocab, t.nn,
+           round(-sum((CAST(f.n AS DOUBLE) / t.nn)
+                      * ln(CAST(f.n AS DOUBLE) / t.nn)) / ln(2.0), 6)
+               AS entropy_bits
+    FROM freq f JOIN tot t ON f.lang = t.lang
+    GROUP BY f.lang, t.vocab, t.nn
+    """,
+)
+def shannon_entropy_tokens_by_lang(spark, sf_dir):
+    """Shannon entropy (bits/token) of each language's unigram
+    distribution — the corpus-diversity signal a data-mixing recipe
+    weighs against raw size (low entropy = repetitive/templated
+    text).  Token counts are exact; each term of -Σ p·log2(p) is built
+    from the same integer pair on both engines and the sum is rounded
+    to 6 dp AFTER the division by ln(2) (sum order over a few thousand
+    distinct tokens is engine-dependent but the partials differ below
+    the rounding floor — same contract as mutual_information).  Scale:
+    one explode + two partial aggs, vocab-dictionary-tier joins."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    tot = freq.groupBy("lang").agg(
+        F.sum("n").alias("nn"), F.count("*").alias("vocab"))
+    p = F.col("n").cast("double") / F.col("nn")
+    return (
+        freq.join(tot, "lang")
+        .groupBy("lang", "vocab", "nn")
+        .agg(F.round(-F.sum(p * F.log(p)) / F.log(F.lit(2.0)), 6)
+             .alias("entropy_bits"))
+    )
+
+
+@query(
+    "zipf_slope_top_terms",
+    "analytics/text",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY tok
+    ), ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+                   AS r,
+               n
+        FROM freq ORDER BY n DESC, tok LIMIT 100
+    ), pts AS (
+        SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+        FROM ranked
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS k, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM pts
+    )
+    SELECT k,
+           round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+               AS zipf_slope,
+           round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx)
+                 / k, 6) AS intercept
+    FROM s WHERE k >= 2
+    """,
+)
+def zipf_slope_top_terms(spark, sf_dir):
+    """Zipf's-law exponent: the OLS slope of log(frequency) on
+    log(rank) over the corpus's top-100 terms (natural text ≈ −1;
+    templated/synthetic corpora flatten — a generation-quality
+    tripwire).  Ranks are deterministic (count desc, token tiebreak);
+    the log points sum into OLS normal equations whose 100-term
+    partials agree within the 6-dp round on both engines; the slope
+    and intercept are single double expressions.  Scale: one explode
+    + partial agg, then top-100 via TakeOrdered — never a global
+    sort of the vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok").agg(F.count("*").alias("n"))
+    )
+    ranked = (
+        freq.orderBy(F.desc("n"), "tok").limit(100)
+        .select(
+            F.row_number().over(Window.orderBy(F.desc("n"), "tok"))
+            .cast("bigint").alias("r"),
+            "n",
+        )
+    )
+    pts = ranked.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"))
+    s = pts.agg(
+        F.count("*").alias("k"), F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).filter(F.col("k") >= 2)
+    return s.select(
+        "k",
+        F.expr("round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)")
+        .alias("zipf_slope"),
+        F.expr("round((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) "
+               "* sx) / k, 6)").alias("intercept"),
+    )
