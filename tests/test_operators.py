@@ -1996,3 +1996,61 @@ def test_jpeg_progressive_matches_baseline_reconstruction():
         decode_jpeg_gray(encode_jpeg_gray_progressive(flat))
     with _pt.raises(NotImplementedError):
         decode_jpeg_gray_progressive(encode_jpeg_gray(flat))
+
+
+def test_tdigest_compress_and_merge_accuracy():
+    """t-digest invariants: weight conservation, monotone centroid
+    means, bounded quantile error on heavy-tailed data, and the
+    MERGE property — compressing per-chunk digests' centroids again
+    stays within the same error class as one-shot compression."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.sketch import _tdigest_compress
+
+    rng = np.random.RandomState(7)
+    v = rng.lognormal(3.0, 1.2, 40000)
+    means, ws = _tdigest_compress(v, np.ones(len(v)), 100)
+    assert abs(sum(ws) - len(v)) < 1e-6            # weight conserved
+    assert all(a <= b + 1e-12 for a, b in zip(means, means[1:]))
+    assert len(means) <= 120                        # ~delta/2 clusters
+
+    def quantile_from(means, ws, p):
+        means, ws = np.array(means), np.array(ws)
+        cum = np.cumsum(ws) - ws / 2
+        return float(np.interp(p, cum / ws.sum(), means))
+
+    for p in (0.01, 0.5, 0.99):
+        est = quantile_from(means, ws, p)
+        exact = np.quantile(v, p)
+        assert abs(est - exact) / exact < 0.05, (p, est, exact)
+    # mergeability: 8 chunk digests -> recompress -> same error class
+    chunks = np.array_split(v, 8)
+    cm, cw = [], []
+    for c in chunks:
+        m, w = _tdigest_compress(c, np.ones(len(c)), 100)
+        cm.extend(m)
+        cw.extend(w)
+    mm, mw = _tdigest_compress(np.array(cm), np.array(cw), 100)
+    assert abs(sum(mw) - len(v)) < 1e-6
+    for p in (0.01, 0.5, 0.99):
+        est = quantile_from(mm, mw, p)
+        exact = np.quantile(v, p)
+        assert abs(est - exact) / exact < 0.05, (p, est, exact)
+
+
+def test_tdigest_quantiles_spark_end_to_end(spark, sf_dir):
+    """The distributed path: per-partition digests + driver merge land
+    within 2% of exact on the orders price column."""
+    import numpy as np
+
+    from datastore_mapper_spark.catalog import table
+    from datastore_mapper_spark.operators.sketch import tdigest_quantiles
+
+    o = table(spark, sf_dir, "orders")
+    probs = [0.1, 0.5, 0.9]
+    ests = tdigest_quantiles(o, "o_totalprice", probs)
+    vals = np.array([r.o_totalprice
+                     for r in o.select("o_totalprice").collect()])
+    for p, e in zip(probs, ests):
+        exact = np.quantile(vals, p)
+        assert abs(e - exact) / exact < 0.02, (p, e, exact)
