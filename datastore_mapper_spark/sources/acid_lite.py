@@ -1841,3 +1841,62 @@ def prune_files_source(
         dsel, _t = prune_files(path, name, dlo, dhi, version=v)
         keep &= set(dsel)
     return [f for f in m["files"] if f in keep], total
+
+
+def remove_orphan_files(path: str, grace_seconds: float = 3600.0) -> dict:
+    """Iceberg's ``remove_orphan_files``: delete data/DV files under
+    the table root that NO manifest of ANY retained version references
+    and that are older than ``grace_seconds``.
+
+    Orphans are a normal byproduct of optimistic concurrency — every
+    rewrite (merge / delete / replace / optimize / overwrite) writes
+    its files BEFORE racing for the commit, so a loser that raises
+    :class:`ConcurrentModification` strands them, as does a crashed
+    writer; ``expire_snapshots`` never touches them because it only
+    deletes files that EXPIRED manifests reference.  The grace period
+    is the safety contract: a writer that has written but not yet
+    committed holds files that look orphaned — a freshly-written file
+    must never be swept, so anything younger than the grace window is
+    kept (the same mtime rule the real procedure uses).  Returns
+    {"files_removed": n, "bytes_removed": n}."""
+    import time
+
+    latest = latest_version(path)
+    if latest == 0:
+        raise ValueError(f"table does not exist: {path}")
+    referenced: set[str] = set()
+    mdir = _manifest_dir(path)
+    for fname in os.listdir(mdir):
+        if fname.startswith("v") and fname.endswith(".json"):
+            m = _read_manifest(path, int(fname[1:-5]))
+            referenced.update(m["files"])
+            referenced.update(m.get("dvs") or [])
+    cutoff = time.time() - grace_seconds
+    n_files = n_bytes = 0
+    for sub in ("data", "dv"):
+        root = os.path.join(path, sub)
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, fnames in os.walk(root):
+            for fn in fnames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, path)
+                if rel in referenced:
+                    continue
+                try:
+                    st = os.stat(full)
+                    if st.st_mtime > cutoff:
+                        continue  # possibly a not-yet-committed write
+                    os.unlink(full)
+                    n_files += 1
+                    n_bytes += st.st_size
+                except OSError:
+                    continue
+        # best-effort removal of now-empty write dirs
+        for dirpath, dirs, fnames in os.walk(root, topdown=False):
+            if not dirs and not fnames and dirpath != root:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+    return {"files_removed": n_files, "bytes_removed": n_bytes}

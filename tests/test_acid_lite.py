@@ -1011,3 +1011,59 @@ def test_merge_composite_keys(spark, tdir):
     # k1<=1 scope: only (1,a) in source -> (1,b) stale-deleted
     assert got == {(1, "a", "UPD3"), (2, "a", "v3"), (2, "b", "v4"),
                    (3, "a", "INS"), (9, "x", "p"), (9, "y", "q")}
+
+
+def test_remove_orphan_files(spark, tdir, monkeypatch):
+    """Orphans from a conflict-aborted rewrite are reclaimed by the
+    Iceberg-style sweep; referenced files and files inside the grace
+    window survive."""
+    import time
+
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    # manufacture a conflict-aborted delete: the loser wrote its
+    # survivor files, then raised ConcurrentModification
+    orig = acid_lite._write_files_any
+    state = {"raced": False}
+
+    def racing(df, path, pby):
+        out = orig(df, path, pby)
+        if not state["raced"]:
+            state["raced"] = True
+            acid_lite.delete_where_dv(spark, tdir, "k", lo=2, hi=2)
+        return out
+
+    monkeypatch.setattr(acid_lite, "_write_files_any", racing)
+    with pytest.raises(acid_lite.ConcurrentModification):
+        acid_lite.delete_where(spark, tdir, "k", hi=1)
+    monkeypatch.setattr(acid_lite, "_write_files_any", orig)
+
+    def on_disk():
+        out = set()
+        for sub in ("data", "dv"):
+            for root, _d, fns in os.walk(os.path.join(tdir, sub)):
+                for fn in fns:
+                    if fn.endswith(".parquet"):
+                        out.add(os.path.relpath(
+                            os.path.join(root, fn), tdir))
+        return out
+
+    referenced = set()
+    for v in range(1, acid_lite.latest_version(tdir) + 1):
+        m = acid_lite._read_manifest(tdir, v)
+        referenced.update(m["files"])
+        referenced.update(m.get("dvs") or [])
+    orphans = on_disk() - referenced
+    assert orphans  # the aborted rewrite really stranded files
+    # inside the grace window: nothing is swept
+    r0 = acid_lite.remove_orphan_files(tdir, grace_seconds=3600)
+    assert r0["files_removed"] == 0 and orphans <= on_disk()
+    # past the grace window: exactly the orphans go
+    r1 = acid_lite.remove_orphan_files(tdir, grace_seconds=0)
+    assert r1["files_removed"] >= len(orphans)
+    assert on_disk() == referenced - {f for f in referenced
+                                      if not os.path.exists(
+                                          os.path.join(tdir, f))}
+    # table still reads correctly (winner's DV delete intact)
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} == {1}
+    _ = time
