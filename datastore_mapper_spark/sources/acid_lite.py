@@ -1900,3 +1900,44 @@ def remove_orphan_files(path: str, grace_seconds: float = 3600.0) -> dict:
                 except OSError:
                     pass
     return {"files_removed": n_files, "bytes_removed": n_bytes}
+
+
+def describe_history(path: str) -> list[dict]:
+    """DESCRIBE HISTORY: one dict per retained version, newest first —
+    version, parent, operation, commit timestamp, file/DV counts, row
+    count when every entry carries footer stats (metadata-only), and
+    the txn tag if the commit was idempotent.  Pure manifest math."""
+    latest = latest_version(path)
+    if latest == 0:
+        raise ValueError(f"table does not exist: {path}")
+    out = []
+    mdir = _manifest_dir(path)
+    versions = sorted(
+        (int(f[1:-5]) for f in os.listdir(mdir)
+         if f.startswith("v") and f.endswith(".json")),
+        reverse=True,
+    )
+    for v in versions:
+        m = _read_manifest(path, v)
+        stats = m.get("stats") or {}
+        rows = 0
+        complete = True
+        for f in m["files"]:
+            r = (stats.get(f) or {}).get("::rows")
+            if r is None:
+                complete = False
+                break
+            rows += int(r)
+        rows -= m.get("dv_rows") or 0
+        out.append({
+            "version": v,
+            "parent": m.get("parent", 0),
+            "op": m.get("op"),
+            "ts": m.get("ts"),
+            "n_files": len(m["files"]),
+            "n_dvs": len(m.get("dvs") or []),
+            "n_rows": rows if complete else None,
+            "txn": m.get("txn"),
+            "partition_by": m.get("partition_by"),
+        })
+    return out

@@ -1067,3 +1067,22 @@ def test_remove_orphan_files(spark, tdir, monkeypatch):
     # table still reads correctly (winner's DV delete intact)
     assert {r.k for r in acid_lite.read(spark, tdir).collect()} == {1}
     _ = time
+
+
+def test_describe_history(spark, tdir):
+    """DESCRIBE HISTORY lists retained versions newest-first with op,
+    counts, metadata-only row counts and txn tags."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    acid_lite.append_idempotent(
+        spark, tdir, _df(spark, [(3, "c")]), txn_id="batch-1")
+    acid_lite.delete_where_dv(spark, tdir, "k", lo=2, hi=2)
+    h = acid_lite.describe_history(tdir)
+    assert [e["version"] for e in h] == [3, 2, 1]
+    assert [e["op"] for e in h] == ["delete-dv", "append", "create"]
+    assert h[0]["n_rows"] == 2 and h[1]["n_rows"] == 3
+    assert h[1]["txn"] == "batch-1"
+    assert h[0]["n_dvs"] == 1 and h[2]["n_dvs"] == 0
+    assert all(e["ts"] is not None for e in h)
+    # expiry drops rows from the listing
+    acid_lite.expire_snapshots(tdir, keep_from=2)
+    assert [e["version"] for e in acid_lite.describe_history(tdir)] == [3, 2]
