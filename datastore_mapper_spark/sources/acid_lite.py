@@ -827,9 +827,13 @@ def read_pruned(
 ) -> DataFrame:
     """Snapshot read with manifest-stats file skipping PLUS the exact
     residual filter — semantically identical to ``read().filter()``,
-    but files whose stats exclude the range never reach the scan."""
+    but files whose stats exclude the range never reach the scan.
+    Transform-partitioned tables additionally prune through their
+    partition transforms (:func:`prune_files_source`): a bucket
+    equality lookup reads ~1/n of the files, monotone transforms map
+    the range."""
     v = latest_version(path) if version is None else version
-    selected, _total = prune_files(path, column, lo, hi, version=v)
+    selected, _total = prune_files_source(path, column, lo, hi, version=v)
     m = _read_manifest(path, v)
     df = _load_files(spark, path, m, selected)
     c = F.col(column)
