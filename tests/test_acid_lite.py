@@ -1086,3 +1086,39 @@ def test_describe_history(spark, tdir):
     # expiry drops rows from the listing
     acid_lite.expire_snapshots(tdir, keep_from=2)
     assert [e["version"] for e in acid_lite.describe_history(tdir)] == [3, 2]
+
+
+def test_schema_evolution_composes_with_partitioning(spark, tdir):
+    """append_evolve on partitioned tables: the widened schema and the
+    hive layout coexist — old files read NULL for new columns while
+    identity partition columns still re-attach from the paths, and
+    transform tables keep their derived dirs."""
+    acid_lite.create_table(
+        spark, tdir,
+        spark.createDataFrame([(1, "a", 0), (2, "b", 1)],
+                              "k bigint, v string, day bigint"),
+        partition_by=["day"])
+    acid_lite.append_evolve(
+        spark, tdir,
+        spark.createDataFrame([(3, "c", 0, 9.5)],
+                              "k bigint, v string, day bigint, score double"))
+    r = acid_lite.read(spark, tdir)
+    assert r.columns == ["k", "v", "day", "score"]
+    assert sorted((x.k, x.day, x.score) for x in r.collect()) == [
+        (1, 0, None), (2, 1, None), (3, 0, 9.5)]
+    m = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    assert all("day=" in f for f in m["files"])
+    # bucket-transform table: layout preserved through evolution
+    t2 = tdir + "_bkt"
+    acid_lite.create_table(
+        spark, t2, spark.createDataFrame([(1, "a")], "k bigint, v string"),
+        partition_by=["bucket(4, k)"])
+    acid_lite.append_evolve(
+        spark, t2,
+        spark.createDataFrame([(2, "b", 7)],
+                              "k bigint, v string, extra bigint"))
+    assert sorted((x.k, x.extra)
+                  for x in acid_lite.read(spark, t2).collect()) == [
+        (1, None), (2, 7)]
+    m2 = acid_lite._read_manifest(t2, 2)
+    assert all("k_bucket4=" in f for f in m2["files"])

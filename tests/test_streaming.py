@@ -537,3 +537,40 @@ def test_acid_stream_source_refuses_partitioned_and_dv(spark, tmp_path):
     with pytest.raises(ValueError, match="deletion vectors"):
         r2.partitions({"version": 0},
                       {"version": acid_lite.latest_version(p2)})
+
+
+def test_acid_stream_source_reads_evolved_schema(spark, tmp_path):
+    """The streaming source serves the LATEST manifest schema: files
+    written before a column existed stream NULL for it (the per-file
+    pyarrow task backfills absent columns)."""
+    import time
+
+    from datastore_mapper_spark.sources import acid_lite
+    from datastore_mapper_spark.sources.acid_stream import register
+
+    tbl = str(tmp_path / "tbl")
+    acid_lite.create_table(
+        spark, tbl, spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    acid_lite.append_evolve(
+        spark, tbl,
+        spark.createDataFrame([(2, "b", 5.0)],
+                              "k bigint, v string, score double"))
+    register(spark)
+    name = "acid_evo_sink"
+    q = (
+        spark.readStream.format("acid_table").option("path", tbl).load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 2:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {(r.k, r.v, r.score) for r in spark.table(name).collect()}
+    assert got == {(1, "a", None), (2, "b", 5.0)}
