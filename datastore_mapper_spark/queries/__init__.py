@@ -37,19 +37,21 @@ from ..registry import reorder_front
 # queries (round-2 VERDICT, "Driver-grading mechanics"), so 50
 # oracle-checked rows are pinned to the front.
 #
-# ROUND-12 ROTATION (round-11 VERDICT task 1): rows 1-30 (the §2.B
-# core) stay pinned.  CORRECTNESS_r11 was 50/50 (fourth straight), so
-# rows 31-50 rotate.  Rows 31-47 swap the round-11 flagship
-# subsystems forward for first external attestation: the 12-query
-# ACID depth family (incl. the txn-idempotent exactly-once streaming
-# sink), the color-JPEG and IMA-ADPCM codec rows, the bloom runtime
-# join prefilter, and the two dedup rows promoted from rows-only to
-# oracle-checked doc-coverage sketch-verify.  Rows 48-50 take the
-# next 3 heads of the REGISTRY rotation queue.  All 20 pass the local
-# oracle gate + pandas_probe at sf0.01 before rotating in; the 20
-# r11-green rows rotate behind the window where
-# tests/test_contract_oracle.py + scripts/check_contract.py still
-# grade them every run.
+# ROUND-13 ROTATION (round-12 VERDICT task 1): rows 1-30 (the §2.B
+# core) stay pinned.  CORRECTNESS_r12 was 50/50 (fifth straight), so
+# rows 31-50 rotate.  Rows 31-48 swap the round-12 flagship
+# subsystems forward for first external attestation: the table-format
+# wave (partitioned tables + dynamic-partition overwrite, three-way
+# MERGE with per-file mechanism routing, hidden bucket-transform
+# pruning, the ACID table as a native streaming SOURCE), the codec
+# pair (animated GIF89a, progressive JPEG SOF2), the promoted
+# doc_pagerank_centrality (invariant-verify oracle), the 7-query
+# classical-stats wave, and the tdigest / markov / entropy / zipf
+# queue heads.  Rows 49-50 take the next 2 heads of the REGISTRY
+# rotation queue.  All 20 pass the local oracle gate + pandas_probe
+# at sf0.01 before rotating in; the 20 r12-green rows rotate behind
+# the window where tests/test_contract_oracle.py +
+# scripts/check_contract.py still grade them every run.
 _CONTRACT_ORDER = [
     # §2.B rows 1-13: scans + aggregation
     "scan_project", "scan_filter_pushdown", "filter_null_semantics",
@@ -64,14 +66,29 @@ _CONTRACT_ORDER = [
     "window_rank_topn_per_group", "window_row_number_dedup",
     "window_lag_lead_delta", "window_running_sum", "window_moving_avg",
     "window_ntile_first_last", "sort_multi_key_nulls", "topk_global",
-    # rows 31-47, rotated IN round 12 (r11 verdict task 1): the
-    # round-11 flagship subsystems, swapped forward for first driver
-    # contact — the ACID depth family (compaction, stats-pruned scan,
-    # CoW DELETE, deletion vectors, ZORDER, CDF, incremental reads,
-    # replaceWhere, metadata COUNT, schema evolution, VACUUM,
-    # txn-idempotent exactly-once sink), the two new codecs (color
-    # JPEG 4:2:0, IMA-ADPCM), the bloom runtime prefilter, and the
-    # promoted-to-oracle minhash-LSH / simhash dedup rows
+    # rows 31-48, rotated IN round 13 (r12 verdict task 1): the
+    # round-12 flagship subsystems, swapped forward for first driver
+    # contact — the table-format wave (hive-layout partitioned tables
+    # + dynamic-partition overwrite, three-way MERGE with per-file
+    # CoW/stats-drop/DV routing, hidden bucket-transform pruning, the
+    # ACID table as a native Structured Streaming source), the codec
+    # pair (animated GIF89a multi-frame, progressive JPEG SOF2), the
+    # promoted doc_pagerank_centrality, the 7-query classical-stats
+    # wave, and the tdigest / markov / entropy / zipf queue heads
+    "acid_partitioned_scan", "acid_merge_three_way",
+    "acid_bucket_pruned_lookup", "stream_acid_source_demo",
+    "multimodal_gif_anim_stats", "multimodal_jpeg_progressive_stats",
+    "doc_pagerank_centrality",
+    "welch_t_test_segments", "mann_whitney_u_doc_lengths",
+    "anova_oneway_region_revenue", "bh_fdr_discoveries",
+    "acf_lag_k_daily_revenue", "mcnemar_urgency_shift",
+    "kaplan_meier_transit",
+    "tdigest_quantiles_verified", "markov_event_transitions",
+    "shannon_entropy_tokens_by_lang", "zipf_slope_top_terms",
+    # rows 49-50: next 2 heads of the REGISTRY rotation queue (the
+    # round-8 session-2 advanced-analytics family)
+    "hierarchy_share_rollup", "sink_schema_evolution_mergeread",
+    # rotated out in round 13 (all r12-driver-green; local gate covers)
     "acid_compact_optimize", "acid_stats_pruned_scan",
     "acid_delete_where_pruned", "acid_deletion_vectors_mor",
     "acid_optimize_zorder_pruned", "acid_change_data_feed",
@@ -81,8 +98,6 @@ _CONTRACT_ORDER = [
     "multimodal_jpeg_color_stats", "multimodal_adpcm_decode_stats",
     "bloom_semi_join_runtime_filter",
     "dedup_minhash_lsh", "dedup_simhash",
-    # rows 48-50: next 3 heads of the REGISTRY rotation queue (the
-    # round-8 advanced-analytics family)
     "spatial_grid_join", "seasonality_dow_hour_index",
     "streak_three_declines",
     # rotated out in round 12 (all r11-driver-green; local gate covers)

@@ -73,14 +73,14 @@ def test_contract_rows_registered_first():
 
     names = list(SPECS)
     assert names[: len(_CONTRACT_ORDER)] == _CONTRACT_ORDER
-    # round-12 rotation (REGISTRY.md "Driver-grading rotation"): rows
-    # 1-30 pinned §2.B core, rows 31-47 the r11 flagship swap-forwards
-    # (r11 VERDICT task 1), rows 48-50 the next queue heads
-    assert names[30] == "acid_compact_optimize"
-    assert names[41] == "stream_acid_exactly_once_sink"
-    assert names[46] == "dedup_simhash"
-    assert names[49] == "streak_three_declines"
-    # every row of the round-12 graded window is oracle-checked
+    # round-13 rotation (REGISTRY.md "Driver-grading rotation"): rows
+    # 1-30 pinned §2.B core, rows 31-48 the r12 flagship swap-forwards
+    # (r12 VERDICT task 1), rows 49-50 the next queue heads
+    assert names[30] == "acid_partitioned_scan"
+    assert names[33] == "stream_acid_source_demo"
+    assert names[44] == "tdigest_quantiles_verified"
+    assert names[49] == "sink_schema_evolution_mergeread"
+    # every row of the round-13 graded window is oracle-checked
     for n in _CONTRACT_ORDER[:50]:
         assert SPECS[n].oracle is not None, n
 

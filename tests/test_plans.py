@@ -231,6 +231,7 @@ BNLJ_ALLOWED = {
     "log_odds_monroe_terms",     # 1-row vocab-size scalar crossed
     "poisson_rate_ci_by_type",   # 1-row day-span scalar crossed
     "bloom_semi_join_runtime_filter",  # 1-row bitmap + verdict frames crossed
+    "tdigest_quantiles_verified",  # 1-row exact-count scalar crossed onto the digest
 }
 
 
