@@ -1040,3 +1040,93 @@ def acid_bucket_pruned_lookup(spark, sf_dir):
             pruned_ok.alias("bucket_pruned_ok"),
         )
     )
+
+
+@query(
+    "acid_partition_evolution",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS both_specs_ok,
+           TRUE AS bucket_pruned_ok,
+           TRUE AS identity_pruned_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_partition_evolution(spark, sf_dir):
+    """PARTITION-SPEC EVOLUTION (round-12 VERDICT task 4 — the
+    Iceberg spec-id mechanism, ``acid_lite.set_partition_spec``): the
+    even-keyed half of orders is created under an IDENTITY spec
+    (``o_orderstatus`` hive dirs), the spec then evolves at a version
+    boundary to a HIDDEN bucket transform (``bucket(8, o_orderkey)``)
+    with a METADATA-ONLY commit — zero files rewritten — and the
+    odd-keyed half appends under the new layout.  Old files keep the
+    spec that wrote them (per-file spec-id in the manifest); reads
+    union one scan per spec, re-attaching ``o_orderstatus`` from the
+    dir names for generation 1 while generation 2 carries it in the
+    data pages.
+
+    Three graded booleans pin the scale mechanics across BOTH specs:
+    ``both_specs_ok`` — the final manifest holds files tagged under
+    two distinct specs (a rewrite would merge them); ``bucket_pruned_ok``
+    — an equality lookup on a generation-2 key prunes to strictly
+    fewer files than the table, every selected generation-2 file lies
+    in the key's bucket dir, AND the pruned read row-matches the full
+    filter (files-scanned assertion spanning both specs);
+    ``identity_pruned_ok`` — a status lookup still excludes at least
+    one generation-1 file by its hive-dir [v, v] stats.  The hashed
+    per-status aggregate over the unioned read proves no row was
+    lost, duplicated, or mis-attributed across the layout change."""
+    dest = _table_dir("acid_specevo", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    acid_lite.create_table(spark, dest, o.filter(k % 2 == 0).coalesce(2),
+                           partition_by=["o_orderstatus"])
+    acid_lite.set_partition_spec(dest, ["bucket(8, o_orderkey)"])
+    acid_lite.append(spark, dest, o.filter(k % 2 == 1).coalesce(4))
+    v = acid_lite.latest_version(dest)
+    man = acid_lite._read_manifest(dest, v)
+    fspec = man.get("file_spec") or {}
+    sids = {fspec.get(f) for f in man["files"]}
+    both_specs = len(sids) >= 2 and len(man["files"]) >= 2
+    # generation-2 point lookup: the largest ODD key (empty-safe)
+    pick = (o.filter(k % 2 == 1).agg(F.max("o_orderkey")).first() or [None])
+    bucket_ok = identity_ok = True
+    if pick[0] is not None:
+        key = int(pick[0])
+        sel, total = acid_lite.prune_files_source(
+            dest, "o_orderkey", key, key)
+        g2 = [f for f in sel if fspec.get(f) == man["default_spec"]]
+        bucket_ok = (
+            0 < len(sel) < total
+            and all(f"o_orderkey_bucket8={key % 8}/" in f for f in g2)
+        )
+        n_pruned = acid_lite.read_pruned(
+            spark, dest, "o_orderkey", key, key).count()
+        n_full = acid_lite.read(spark, dest).filter(k == key).count()
+        bucket_ok = bucket_ok and n_pruned == n_full == 1
+        # generation-1 identity pruning survives the evolution
+        sel_s, total_s = acid_lite.prune_files_source(
+            dest, "o_orderstatus", "F", "F")
+        g1_all = [f for f in man["files"] if fspec.get(f) != man["default_spec"]]
+        g1_sel = [f for f in sel_s if fspec.get(f) != man["default_spec"]]
+        identity_ok = (
+            len(g1_sel) < len(g1_all)
+            and all("o_orderstatus=F/" in f for f in g1_sel)
+        )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, dest)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                F.lit(bool(both_specs)).alias("both_specs_ok"),
+                F.lit(bool(bucket_ok)).alias("bucket_pruned_ok"),
+                F.lit(bool(identity_ok)).alias("identity_pruned_ok"))
+    )

@@ -331,14 +331,52 @@ def _load_files(spark: SparkSession, path: str, m: dict,
     unions, no driver loop (the basePath discovery route rejects the
     ``data/<uuid>/col=val`` two-level layout outright).  ``extra``
     appends computed columns (e.g. DV row positions) that need the
-    scan's ``_metadata`` still in reach."""
+    scan's ``_metadata`` still in reach.
+
+    A SPEC-EVOLVED table (:func:`set_partition_spec`) reads as one
+    scan PER SPEC, unioned: a file written under an identity spec
+    stores that column only in its directory name, while a file
+    written under a later spec stores it in the data pages — the
+    layouts differ physically, so each spec group gets the read plan
+    its own layout needs (the spec count is the number of layout
+    changes ever made — 2 or 3, never file-count-sized)."""
     full_schema = m["schema"]
     if not files:
         df = spark.createDataFrame([], full_schema)
         return df if not extra else df.select("*", *extra)
-    pby = m.get("partition_by") or []
+    specs = m.get("specs")
+    if specs is not None:
+        fspec = m.get("file_spec") or {}
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            sid = fspec.get(f, m.get("default_spec"))
+            groups.setdefault(sid, []).append(f)
+        parts = [
+            _load_files_one(spark, path, full_schema,
+                            groups[sid], specs.get(sid) or [], extra)
+            for sid in sorted(groups)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    return _load_files_one(spark, path, full_schema, files,
+                           m.get("partition_by") or [], extra)
+
+
+def _load_files_one(spark: SparkSession, path: str, full_schema: str,
+                    files: list[str], pby: list[str],
+                    extra: list | None = None) -> DataFrame:
+    """One-layout read (docstring above): ``pby`` is the partition
+    spec THE GIVEN FILES were written under.  Identity entries are
+    re-attached from the hive dir names; transform entries (bucket /
+    truncate / month) are hidden — their source column is in the data
+    pages and the derived column never surfaces."""
+    identity = {
+        s for s in pby if _parse_transform(s)[5] == "identity"
+    }
     paths = [os.path.join(path, f) for f in files]
-    if not pby:
+    if not identity:
         df = spark.read.schema(full_schema).parquet(*paths)
         return df if not extra else df.select("*", *extra)
     from pyspark.sql.types import _parse_datatype_string
@@ -346,12 +384,12 @@ def _load_files(spark: SparkSession, path: str, m: dict,
     st = _parse_datatype_string(full_schema)
     data_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
-        for f in st.fields if f.name not in set(pby)
+        for f in st.fields if f.name not in identity
     )
     df = spark.read.schema(data_schema).parquet(*paths)
     cols = []
     for f in st.fields:
-        if f.name in set(pby):
+        if f.name in identity:
             raw = F.regexp_extract(
                 F.col("_metadata.file_path"), f"/{f.name}=([^/]+)/", 1)
             val = F.when(
@@ -406,6 +444,7 @@ def _assemble_stats_partitions(
     path: str, files: list[str], schema: str | None,
     parent_stats: dict, parent_partitions: dict,
     partition_by: list[str] | None, partitions: dict | None,
+    specs: dict | None = None, file_spec: dict | None = None,
 ) -> tuple[dict, dict]:
     """Per-file (stats, partition-values) maps for a commit: carried
     files inherit the parent's entries (files are immutable, so
@@ -415,32 +454,49 @@ def _assemble_stats_partitions(
     manifest schema, so the ordinary stats comparator
     (:func:`prune_files`) partition-prunes with zero new code —
     identity-transform Iceberg partitioning expressed in the same
-    metadata the min/max skipping already uses."""
+    metadata the min/max skipping already uses.
+
+    With PARTITION-SPEC EVOLUTION (``specs`` + ``file_spec``,
+    :func:`set_partition_spec`) each file's partition values belong
+    to the spec that WROTE the file, so the [v, v] type lookup and
+    the values-present check both consult the file's own spec — a
+    file written while the table was flat legally carries no values
+    even though the current default spec is partitioned."""
     new_parts = partitions or {}
+    # Derived-name -> SQL type over ALL specs in the table's history:
+    # derived names embed their transform parameters (o_orderkey_bucket8),
+    # so a cross-spec name collision implies an identical transform and
+    # the union is unambiguous.
+    all_specs = ([list(s) for s in (specs or {}).values()]
+                 if specs else ([partition_by] if partition_by else []))
     types: dict[str, str] = {}
-    if partition_by and schema:
+    if all_specs and schema:
         types = _schema_types(schema)
-        for spec in partition_by:
-            name, _src, _e, _py, ty, _kind = _parse_transform(spec)
-            if ty is not None:  # transform: declared type, not schema
-                types[name] = ty
+        for spec_list in all_specs:
+            for spec in spec_list:
+                name, _src, _e, _py, ty, _kind = _parse_transform(spec)
+                if ty is not None:  # transform: declared type, not schema
+                    types[name] = ty
     stats: dict = {}
     out_parts: dict = {}
     for f in files:
+        own_spec = partition_by
+        if specs is not None and file_spec is not None:
+            own_spec = specs.get(file_spec.get(f)) or []
         s = parent_stats.get(f, ...)
         if s is ...:
             s = _file_stats(path, f)
         pvals = parent_partitions.get(f) or new_parts.get(f)
-        if partition_by and pvals is None:
-            # a flat-written file can never join a partitioned table
+        if own_spec and pvals is None:
+            # a flat-written file can never join a partitioned layout
             # (e.g. an append that raced the partitioned create): the
             # loader could not recover its partition values, so fail
             # the commit loudly instead of reading NULLs later
             raise ValueError(
                 f"file {f} has no partition values for partitioned "
-                f"table layout {partition_by}"
+                f"table layout {own_spec}"
             )
-        if partition_by and pvals is not None:
+        if pvals is not None:
             out_parts[f] = pvals
             s = dict(s) if s is not None else {}
             for col, v in pvals.items():
@@ -456,7 +512,9 @@ def _commit(path: str, version: int, files: list[str],
             parent: int, op: str, schema: str | None = None,
             dvs: list[str] | None = None, dv_rows: int = 0,
             partition_by: list[str] | None = None,
-            partitions: dict | None = None) -> None:
+            partitions: dict | None = None,
+            specs: dict | None = None,
+            default_spec: str | None = None) -> None:
     """Atomically publish manifest ``version`` (O_EXCL = one winner).
     ``schema`` (a DDL string) makes zero-file versions readable — an
     empty table is a legal snapshot, not an error.
@@ -473,24 +531,48 @@ def _commit(path: str, version: int, files: list[str],
     parent_stats: dict = {}
     parent_txns: dict = {}
     parent_partitions: dict = {}
+    parent_fspec: dict = {}
     if parent:
         pm = _read_manifest(path, parent)
         if schema is None:
             schema = pm.get("schema")
         if partition_by is None:
             partition_by = pm.get("partition_by")
+        if specs is None:
+            specs = pm.get("specs")
+            default_spec = pm.get("default_spec")
         parent_stats = pm.get("stats") or {}
         parent_txns = pm.get("txns") or {}
         parent_partitions = pm.get("partitions") or {}
+        parent_fspec = pm.get("file_spec") or {}
+    file_spec = None
+    if specs is not None:
+        # spec-evolved table: every file is tagged with the spec that
+        # wrote it — carried files keep their tag, new files take the
+        # current default spec (Iceberg spec-id semantics).  On the
+        # FIRST evolution the parent has no tags: its whole history is
+        # the implicit spec the evolution materialized as "1".
+        parent_files = set(pm["files"]) if parent else set()
+        fallback_old = (pm.get("default_spec") or "1") if parent else "1"
+        file_spec = {
+            f: parent_fspec.get(
+                f, fallback_old if f in parent_files else default_spec)
+            for f in files
+        }
     stats, out_parts = _assemble_stats_partitions(
         path, files, schema, parent_stats, parent_partitions,
-        partition_by, partitions)
+        partition_by, partitions, specs=specs, file_spec=file_spec)
     payload = {"version": version, "parent": parent, "op": op,
                "files": files, "schema": schema, "stats": stats,
                "ts": _commit_ts()}
     if partition_by:
         payload["partition_by"] = partition_by
+    if out_parts or partition_by:
         payload["partitions"] = out_parts
+    if specs is not None:
+        payload["specs"] = specs
+        payload["default_spec"] = default_spec
+        payload["file_spec"] = file_spec
     if parent_txns:
         # carry the txn-dedup map through NON-txn commits too, so the
         # latest manifest stays authoritative across interleaved
@@ -1578,6 +1660,62 @@ def replace_partitions(spark: SparkSession, path: str,
                           expect_dvs=[], new_partitions=new_parts)
 
 
+def set_partition_spec(path: str, partition_by: list[str] | None,
+                       retries: int = 3) -> int:
+    """Evolve the table's partition spec at a version boundary
+    (Iceberg partition-spec evolution, round-12 VERDICT task 4): a
+    METADATA-ONLY commit — zero data files are touched, read, or
+    rewritten.  Files written before the boundary keep the spec that
+    wrote them (tracked per-file, the Iceberg spec-id); files written
+    after take the new spec.  Reads union one scan per spec
+    (:func:`_load_files`), and :func:`prune_files_source` prunes each
+    generation by its own layout — an equality lookup on a newly
+    bucketed key still skips ~(n-1)/n of the NEW files while the old
+    files fall back to plain min/max skipping.
+
+    ``partition_by`` may be ``None``/``[]`` to evolve a partitioned
+    table back to a flat layout.  Returns the committed version (the
+    current one if the spec is already in effect)."""
+    for _ in range(retries + 1):
+        parent = latest_version(path)
+        if parent == 0:
+            raise ValueError(f"table does not exist: {path}")
+        pm = _read_manifest(path, parent)
+        new_spec = list(partition_by or [])
+        specs = dict(pm.get("specs") or {})
+        if not specs:
+            # first evolution: the table's entire history so far is
+            # one implicit spec — materialize it as spec "1"
+            specs["1"] = list(pm.get("partition_by") or [])
+        cur_default = pm.get("default_spec") or "1"
+        if specs.get(cur_default) == new_spec:
+            return parent  # already in effect: no-op, no commit
+        schema_cols = set(_schema_types(pm["schema"]))
+        for spec in new_spec:
+            _name, src, _e, _py, _ty, _kind = _parse_transform(spec)
+            if src not in schema_cols:
+                raise ValueError(
+                    f"partition source column {src!r} not in table "
+                    f"schema")
+        # reuse a historical spec id if the exact spec list returns
+        sid = next((s for s, v in specs.items() if v == new_spec), None)
+        if sid is None:
+            sid = str(max(int(s) for s in specs) + 1)
+            specs[sid] = new_spec
+        try:
+            # _commit tags carried files with the parent's (possibly
+            # implicit "1") spec and would tag NEW files with `sid` —
+            # a set-spec commit adds none, so the tag map is complete
+            _commit(path, parent + 1, pm["files"], parent, "set-spec",
+                    partition_by=new_spec,
+                    specs=specs, default_spec=sid)
+            return parent + 1
+        except CommitConflict:
+            continue  # version race: re-read the new latest and retry
+    raise CommitConflict(f"set_partition_spec at {path} lost "
+                         f"{retries + 1} races")
+
+
 def _write_dv_sidecar(positions: DataFrame, path: str) -> list[str]:
     """Write a (rel, row_index) position frame as a deletion-vector
     parquet sidecar under ``dv/<uuid>/``; returns relative paths."""
@@ -1831,7 +1969,23 @@ def prune_files_source(
     m = _read_manifest(path, v)
     selected, total = prune_files(path, column, lo, hi, version=v)
     keep = set(selected)
-    for spec in m.get("partition_by") or []:
+    # Union of every spec in the table's history (spec evolution): a
+    # derived column's [v, v] stats exist ONLY on the files its spec
+    # wrote, and the stats comparator keeps any file without them, so
+    # intersecting per-transform prunes each generation by its own
+    # layout and is sound for every other generation.
+    specs = m.get("specs")
+    spec_entries: list[str] = []
+    if specs is not None:
+        seen = set()
+        for spec_list in specs.values():
+            for s in spec_list:
+                if s not in seen:
+                    seen.add(s)
+                    spec_entries.append(s)
+    else:
+        spec_entries = list(m.get("partition_by") or [])
+    for spec in spec_entries:
         name, src, _e, py, _ty, kind = _parse_transform(spec)
         if src != column or kind == "identity":
             continue

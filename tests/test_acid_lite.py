@@ -1122,3 +1122,135 @@ def test_schema_evolution_composes_with_partitioning(spark, tdir):
         (1, None), (2, 7)]
     m2 = acid_lite._read_manifest(t2, 2)
     assert all("k_bucket4=" in f for f in m2["files"])
+
+
+# ---------------------------------------------------------------- spec evolution
+
+
+def test_set_partition_spec_metadata_only(spark, tdir):
+    """Evolving the partition spec must be a metadata-only commit:
+    the file list is IDENTICAL (zero rewrites), op is set-spec, the
+    old files are tagged with the implicit spec "1", and the default
+    moves to the new spec."""
+    acid_lite.create_table(
+        spark, tdir, _pdf(spark, [(1, "a", 0), (2, "b", 1)]),
+        partition_by=["day"])
+    m1 = acid_lite._read_manifest(tdir, 1)
+    v = acid_lite.set_partition_spec(tdir, ["bucket(4, k)"])
+    assert v == 2
+    m2 = acid_lite._read_manifest(tdir, 2)
+    assert m2["op"] == "set-spec"
+    assert m2["files"] == m1["files"]
+    assert m2["specs"] == {"1": ["day"], "2": ["bucket(4, k)"]}
+    assert m2["default_spec"] == "2"
+    assert set(m2["file_spec"].values()) == {"1"}
+    # reads are unchanged across the boundary
+    got = {(r.k, r.v, r.day) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a", 0), (2, "b", 1)}
+
+
+def test_spec_evolution_mixed_read_and_prune(spark, tdir):
+    """After identity->bucket evolution: generation-1 files re-attach
+    the identity column from dir names, generation-2 files carry it
+    in data pages, the union loses nothing, and each generation
+    prunes by its OWN layout."""
+    acid_lite.create_table(
+        spark, tdir,
+        _pdf(spark, [(i, "g1", i % 3) for i in range(6)]).coalesce(1),
+        partition_by=["day"])
+    acid_lite.set_partition_spec(tdir, ["bucket(4, k)"])
+    acid_lite.append(
+        spark, tdir,
+        _pdf(spark, [(i, "g2", i % 3) for i in range(100, 108)])
+        .coalesce(1))
+    got = {(r.k, r.v, r.day)
+           for r in acid_lite.read(spark, tdir).collect()}
+    assert got == ({(i, "g1", i % 3) for i in range(6)}
+                   | {(i, "g2", i % 3) for i in range(100, 108)})
+    m = acid_lite._read_manifest(tdir, 3)
+    fs = m["file_spec"]
+    assert {fs[f] for f in m["files"]} == {"1", "2"}
+    # bucket prune: equality on a generation-2 key keeps only that
+    # key's bucket among generation-2 files (g1 files fall back to
+    # min/max stats and are excluded there: their k-max is 5)
+    sel, total = acid_lite.prune_files_source(tdir, "k", 101, 101)
+    assert 0 < len(sel) < total
+    assert all(f"k_bucket4={101 % 4}/" in f
+               for f in sel if fs[f] == "2")
+    rows = acid_lite.read_pruned(spark, tdir, "k", 101, 101).collect()
+    assert [(r.k, r.v) for r in rows] == [(101, "g2")]
+    # identity prune: day=0 excludes generation-1 files for other days
+    sel_d, _ = acid_lite.prune_files_source(tdir, "day", 0, 0)
+    g1_sel = [f for f in sel_d if fs[f] == "1"]
+    assert g1_sel and all("day=0/" in f for f in g1_sel)
+
+
+def test_set_partition_spec_race_retries(spark, tdir, monkeypatch):
+    """A concurrent append landing between the evolution's snapshot
+    read and its commit must NOT be lost: the evolution retries onto
+    the new latest and carries the appended file, tagged with the
+    spec that wrote it (the pre-evolution spec)."""
+    acid_lite.create_table(spark, tdir, _pdf(spark, [(1, "a", 0)]))
+    orig_commit = acid_lite._commit
+    state = {"raced": False}
+
+    def racing_commit(path, version, files, parent, op, **kw):
+        if op == "set-spec" and not state["raced"]:
+            state["raced"] = True
+            acid_lite.append(spark, tdir, _pdf(spark, [(2, "b", 1)]))
+        return orig_commit(path, version, files, parent, op, **kw)
+
+    monkeypatch.setattr(acid_lite, "_commit", racing_commit)
+    v = acid_lite.set_partition_spec(tdir, ["day"])
+    m = acid_lite._read_manifest(tdir, v)
+    assert m["op"] == "set-spec" and v == 3
+    # both rows survive; the appended (flat-spec) file is tagged "1"
+    got = {(r.k, r.day) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, 0), (2, 1)}
+    assert set(m["file_spec"].values()) == {"1"}
+    assert m["specs"]["1"] == [] and m["specs"][m["default_spec"]] == ["day"]
+
+
+def test_spec_evolution_composes_with_rewrites(spark, tdir):
+    """delete_where over a spec-evolved table: survivors of rewritten
+    generation-1 files are REWRITTEN UNDER THE CURRENT spec (Iceberg:
+    rewrites adopt the default spec) and re-tagged; untouched files
+    keep their original tag.  Evolving back to flat works too."""
+    acid_lite.create_table(
+        spark, tdir,
+        _pdf(spark, [(i, "x", i % 2) for i in range(8)]).coalesce(1),
+        partition_by=["day"])
+    acid_lite.set_partition_spec(tdir, ["bucket(2, k)"])
+    v = acid_lite.delete_where(spark, tdir, "k", lo=0, hi=0)
+    m = acid_lite._read_manifest(tdir, v)
+    fs = m["file_spec"]
+    rewritten = [f for f in m["files"] if fs[f] == "2"]
+    assert rewritten and all("k_bucket2=" in f for f in rewritten)
+    got = {r.k for r in acid_lite.read(spark, tdir).collect()}
+    assert got == set(range(1, 8))
+    # back to flat: appends stop partitioning, reads still union fine
+    acid_lite.set_partition_spec(tdir, [])
+    acid_lite.append(spark, tdir, _pdf(spark, [(100, "flat", 9)]))
+    m2 = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    flat = [f for f in m2["files"]
+            if m2["file_spec"][f] == m2["default_spec"]]
+    assert flat and all("=" not in f for f in flat)
+    got2 = {r.k for r in acid_lite.read(spark, tdir).collect()}
+    assert got2 == set(range(1, 8)) | {100}
+
+
+def test_set_partition_spec_noop_and_validation(spark, tdir):
+    """Re-declaring the current spec is a no-op (no new version); an
+    unknown source column fails loudly; re-declaring a HISTORICAL
+    spec reuses its spec id instead of minting a duplicate."""
+    acid_lite.create_table(spark, tdir, _pdf(spark, [(1, "a", 0)]),
+                           partition_by=["day"])
+    assert acid_lite.set_partition_spec(tdir, ["day"]) == 1  # no-op
+    with pytest.raises(ValueError):
+        acid_lite.set_partition_spec(tdir, ["bucket(4, nope)"])
+    v2 = acid_lite.set_partition_spec(tdir, ["bucket(4, k)"])
+    v3 = acid_lite.set_partition_spec(tdir, ["day"])  # back: reuse "1"
+    m = acid_lite._read_manifest(tdir, v3)
+    assert v2 == 2 and v3 == 3
+    assert m["default_spec"] == "1"
+    assert m["specs"] == {"1": ["day"], "2": ["bucket(4, k)"]}
