@@ -288,10 +288,29 @@ def _write_files_partitioned(
     return sorted(files), parts
 
 
+def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
+    """Rename a logical frame's columns to their PHYSICAL names before
+    a write (column mapping, :func:`rename_column`): physical names
+    are immutable once written, so files written after a rename store
+    the SAME physical column as files written before it and one read
+    schema covers every generation."""
+    if not mapping:
+        return df
+    return df.select(*[
+        F.col(c).alias(mapping.get(c, c)) for c in df.columns
+    ])
+
+
 def _write_files_any(
     df: DataFrame, path: str, partition_by: list[str] | None,
+    mapping: dict | None = None,
 ) -> tuple[list[str], dict[str, dict] | None]:
-    """Route to the partitioned or flat writer by the table's layout."""
+    """Route to the partitioned or flat writer by the table's layout.
+    ``mapping`` (logical -> physical column names) is applied before
+    the write; partition-source columns are never mapped (rename/drop
+    of a partition column is refused), so the hive dir names stay
+    stable across renames."""
+    df = _to_physical(df, mapping)
     if partition_by:
         return _write_files_partitioned(df, path, partition_by)
     return _write_files(df, path), None
@@ -345,6 +364,7 @@ def _load_files(spark: SparkSession, path: str, m: dict,
         df = spark.createDataFrame([], full_schema)
         return df if not extra else df.select("*", *extra)
     specs = m.get("specs")
+    mapping = m.get("mapping")
     if specs is not None:
         fspec = m.get("file_spec") or {}
         groups: dict[str, list[str]] = {}
@@ -353,7 +373,8 @@ def _load_files(spark: SparkSession, path: str, m: dict,
             groups.setdefault(sid, []).append(f)
         parts = [
             _load_files_one(spark, path, full_schema,
-                            groups[sid], specs.get(sid) or [], extra)
+                            groups[sid], specs.get(sid) or [], extra,
+                            mapping=mapping)
             for sid in sorted(groups)
         ]
         out = parts[0]
@@ -361,29 +382,39 @@ def _load_files(spark: SparkSession, path: str, m: dict,
             out = out.unionByName(p)
         return out
     return _load_files_one(spark, path, full_schema, files,
-                           m.get("partition_by") or [], extra)
+                           m.get("partition_by") or [], extra,
+                           mapping=mapping)
 
 
 def _load_files_one(spark: SparkSession, path: str, full_schema: str,
                     files: list[str], pby: list[str],
-                    extra: list | None = None) -> DataFrame:
+                    extra: list | None = None,
+                    mapping: dict | None = None) -> DataFrame:
     """One-layout read (docstring above): ``pby`` is the partition
     spec THE GIVEN FILES were written under.  Identity entries are
     re-attached from the hive dir names; transform entries (bucket /
     truncate / month) are hidden — their source column is in the data
-    pages and the derived column never surfaces."""
+    pages and the derived column never surfaces.
+
+    COLUMN MAPPING (:func:`rename_column` / :func:`drop_column`): the
+    scan reads each column by its immutable PHYSICAL name and aliases
+    it back to the logical name, so files written before a rename and
+    files written after it resolve through one schema; a column the
+    manifest schema no longer carries (dropped) is simply never
+    selected, whatever generations still store it."""
+    mapping = mapping or {}
     identity = {
         s for s in pby if _parse_transform(s)[5] == "identity"
     }
     paths = [os.path.join(path, f) for f in files]
-    if not identity:
-        df = spark.read.schema(full_schema).parquet(*paths)
-        return df if not extra else df.select("*", *extra)
     from pyspark.sql.types import _parse_datatype_string
 
     st = _parse_datatype_string(full_schema)
+    if not identity and not mapping:
+        df = spark.read.schema(full_schema).parquet(*paths)
+        return df if not extra else df.select("*", *extra)
     data_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
+        f"{mapping.get(f.name, f.name)} {f.dataType.simpleString()}"
         for f in st.fields if f.name not in identity
     )
     df = spark.read.schema(data_schema).parquet(*paths)
@@ -398,7 +429,8 @@ def _load_files_one(spark: SparkSession, path: str, full_schema: str,
             cols.append(
                 val.cast(f.dataType.simpleString()).alias(f.name))
         else:
-            cols.append(F.col(f.name))
+            cols.append(
+                F.col(mapping.get(f.name, f.name)).alias(f.name))
     return df.select(*cols, *(extra or []))
 
 
@@ -514,7 +546,9 @@ def _commit(path: str, version: int, files: list[str],
             partition_by: list[str] | None = None,
             partitions: dict | None = None,
             specs: dict | None = None,
-            default_spec: str | None = None) -> None:
+            default_spec: str | None = None,
+            mapping: dict | None = None,
+            dropped_physical: list[str] | None = None) -> None:
     """Atomically publish manifest ``version`` (O_EXCL = one winner).
     ``schema`` (a DDL string) makes zero-file versions readable — an
     empty table is a legal snapshot, not an error.
@@ -541,6 +575,10 @@ def _commit(path: str, version: int, files: list[str],
         if specs is None:
             specs = pm.get("specs")
             default_spec = pm.get("default_spec")
+        if mapping is None:
+            mapping = pm.get("mapping")
+        if dropped_physical is None:
+            dropped_physical = pm.get("dropped_physical")
         parent_stats = pm.get("stats") or {}
         parent_txns = pm.get("txns") or {}
         parent_partitions = pm.get("partitions") or {}
@@ -573,6 +611,10 @@ def _commit(path: str, version: int, files: list[str],
         payload["specs"] = specs
         payload["default_spec"] = default_spec
         payload["file_spec"] = file_spec
+    if mapping:
+        payload["mapping"] = mapping
+    if dropped_physical:
+        payload["dropped_physical"] = dropped_physical
     if parent_txns:
         # carry the txn-dedup map through NON-txn commits too, so the
         # latest manifest stays authoritative across interleaved
@@ -671,9 +713,9 @@ def append(spark: SparkSession, path: str, df: DataFrame,
     new rows split through the same hive-layout writer as create."""
     os.makedirs(path, exist_ok=True)
     parent0 = latest_version(path)
-    pby = _read_manifest(path, parent0).get("partition_by") \
-        if parent0 else None
-    files, parts = _write_files_any(df, path, pby)
+    pm0 = _read_manifest(path, parent0) if parent0 else {}
+    files, parts = _write_files_any(df, path, pm0.get("partition_by"),
+                                    mapping=pm0.get("mapping"))
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema
     )
@@ -797,7 +839,8 @@ def merge_upsert(
     new_files: list[str] = []
     new_parts = None
     if merged.limit(1).count():
-        new_files, new_parts = _write_files_any(merged, path, pby)
+        new_files, new_parts = _write_files_any(
+            merged, path, pby, mapping=manifest.get("mapping"))
     _ = kept  # the rebase recomputes kept against the commit-time latest
     return _rebase_commit(path, sorted(touched), new_files, "merge",
                           expect_dvs=[], new_partitions=new_parts)
@@ -854,7 +897,8 @@ def optimize(
     # task by value, so the bound is n_target files PER PARTITION
     # (real OPTIMIZE is per-partition too).
     new_files, new_parts = _write_files_any(
-        df.coalesce(n_target), path, manifest.get("partition_by"))
+        df.coalesce(n_target), path, manifest.get("partition_by"),
+        mapping=manifest.get("mapping"))
     # touched = every parent file: a concurrent APPEND rebases cleanly
     # (its files carry alongside the compacted set); a concurrent
     # rewrite of any compacted file raises ConcurrentModification
@@ -862,6 +906,13 @@ def optimize(
                           purge_dvs=True,
                           expect_dvs=manifest.get("dvs") or [],
                           new_partitions=new_parts)
+
+
+def _physical(m: dict, column: str) -> str:
+    """A logical column's immutable PHYSICAL name (column mapping):
+    footer-derived stats are keyed by the name in the parquet pages,
+    so every stats consultation routes through this."""
+    return (m.get("mapping") or {}).get(column, column)
 
 
 def prune_files(
@@ -883,6 +934,7 @@ def prune_files(
     v = latest_version(path) if version is None else version
     m = _read_manifest(path, v)
     stats = m.get("stats") or {}
+    column = _physical(m, column)
     selected = []
     for f in m["files"]:
         s = (stats.get(f) or {}).get(column)
@@ -955,8 +1007,9 @@ def delete_where(
     kept = [f for f in m["files"] if f not in set(candidates)]
     new_files: list[str] = []
     rewrite: list[str] = []
+    pcol = _physical(m, column)
     for f in candidates:
-        s = (stats.get(f) or {}).get(column)
+        s = (stats.get(f) or {}).get(pcol)
         if s is not None:
             fmin, fmax = s
             try:
@@ -980,7 +1033,8 @@ def delete_where(
         survivors = df.filter(~cond | c.isNull())
         if survivors.limit(1).count():
             new_files, new_parts = _write_files_any(
-                survivors, path, m.get("partition_by"))
+                survivors, path, m.get("partition_by"),
+                mapping=m.get("mapping"))
     return _rebase_commit(path, candidates, new_files, "delete",
                           expect_dvs=[], new_partitions=new_parts)
 
@@ -1018,19 +1072,36 @@ def append_evolve(spark: SparkSession, path: str, df: DataFrame,
     manifest schema; files written before the column existed read
     back NULL for it (parquet-by-name resolution against the manifest
     schema — the Iceberg/Delta ``mergeSchema`` contract).  Existing
-    columns must keep their types."""
+    columns must keep their types.
+
+    Composes with COLUMN MAPPING: a new column whose name collides
+    with a DROPPED column's physical name (a re-add after
+    :func:`drop_column`) gets a FRESH physical name via a mapping
+    entry, so old files' dead pages are never resurrected — pre-add
+    rows correctly read NULL for the re-added column."""
     v0 = latest_version(path)
     if v0 == 0:
         return append(spark, path, df, retries=retries)
-    pby = _read_manifest(path, v0).get("partition_by")
-    files, parts = _write_files_any(df, path, pby)
+    m0 = _read_manifest(path, v0)
+    pby = m0.get("partition_by")
+    mapping = dict(m0.get("mapping") or {})
+    old_cols = set(_schema_types(m0["schema"]))
+    used_physical = set(mapping.values()) | \
+        set(m0.get("dropped_physical") or [])
+    new_mapping = False
+    for c in df.columns:
+        if c not in old_cols and c not in mapping and c in used_physical:
+            mapping[c] = f"{c}_{uuid.uuid4().hex[:8]}"
+            new_mapping = True
+    files, parts = _write_files_any(df, path, pby, mapping=mapping)
     for _ in range(retries + 1):
         parent = latest_version(path)
         pm = _read_manifest(path, parent)
         merged = _merge_schema(pm["schema"], df)
         try:
             _commit(path, parent + 1, pm["files"] + files, parent,
-                    "append", schema=merged, partitions=parts)
+                    "append", schema=merged, partitions=parts,
+                    mapping=mapping if new_mapping else None)
             return parent + 1
         except CommitConflict:
             continue
@@ -1131,9 +1202,10 @@ def append_idempotent(spark: SparkSession, path: str, df: DataFrame,
                 _cleanup_empty_dir(path, files)
             return seen[txn_id]
         if files is None:  # write the data at most once across retries
-            pby = _read_manifest(path, parent).get("partition_by") \
-                if parent else None
-            files, parts = _write_files_any(df, path, pby)
+            pmi = _read_manifest(path, parent) if parent else {}
+            files, parts = _write_files_any(
+                df, path, pmi.get("partition_by"),
+                mapping=pmi.get("mapping"))
         schema = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema
         )
@@ -1281,7 +1353,8 @@ def optimize_zorder(
     # partition value — files stay z-sorted WITHIN each partition, so
     # both partition pruning and z-range stats pruning apply
     new_files, new_parts = _write_files_any(
-        zdf, path, manifest.get("partition_by"))
+        zdf, path, manifest.get("partition_by"),
+        mapping=manifest.get("mapping"))
     # touched = every parent file (the rewrite replaces the snapshot);
     # rebase semantics match optimize(): a concurrent append carries
     # alongside, a concurrent rewrite or DV delete conflicts
@@ -1511,8 +1584,9 @@ def replace_where(
     candidates, _total = prune_files(path, column, lo, hi, version=parent)
     kept = [f for f in m["files"] if f not in set(candidates)]
     rewrite = []
+    pcol = _physical(m, column)
     for f in candidates:
-        s = (stats.get(f) or {}).get(column)
+        s = (stats.get(f) or {}).get(pcol)
         whole = False
         if s is not None:
             try:
@@ -1534,7 +1608,8 @@ def replace_where(
     new_parts = None
     if merged.limit(1).count():
         new_files, new_parts = _write_files_any(
-            merged, path, m.get("partition_by"))
+            merged, path, m.get("partition_by"),
+            mapping=m.get("mapping"))
     _ = kept  # the rebase recomputes kept against the commit-time latest
     return _rebase_commit(path, candidates, new_files, "replace_where",
                           expect_dvs=[], new_partitions=new_parts)
@@ -1645,7 +1720,8 @@ def replace_partitions(spark: SparkSession, path: str,
             "them before a partition overwrite (dropped files would "
             "leave their vectors dangling)"
         )
-    new_files, new_parts = _write_files_partitioned(df, path, pby)
+    new_files, new_parts = _write_files_partitioned(
+        _to_physical(df, m.get("mapping")), path, pby)
     if not new_files:
         return parent  # empty batch: no partitions to replace
     replaced = {
@@ -1713,6 +1789,101 @@ def set_partition_spec(path: str, partition_by: list[str] | None,
         except CommitConflict:
             continue  # version race: re-read the new latest and retry
     raise CommitConflict(f"set_partition_spec at {path} lost "
+                         f"{retries + 1} races")
+
+
+def _all_spec_sources(m: dict) -> set[str]:
+    """Source columns of every partition spec in the table's history
+    (rename/drop must refuse them: historical hive dirs are named by
+    the column and cannot be relabeled without a rewrite)."""
+    spec_lists = (list((m.get("specs") or {}).values())
+                  or [m.get("partition_by") or []])
+    return {
+        _parse_transform(s)[1] for sl in spec_lists for s in sl
+    }
+
+
+def rename_column(path: str, old: str, new: str, retries: int = 3) -> int:
+    """Rename a column WITHOUT rewriting any data file (column
+    mapping, round-12 VERDICT task 5 — the Delta name-mapping /
+    Iceberg field-id mechanism): a metadata-only commit updates the
+    logical schema and records ``new -> physical`` in the manifest's
+    mapping, where the PHYSICAL name (the name in the parquet pages)
+    stays whatever the column was first written as.  Writers rename
+    logical->physical before every write, so post-rename files store
+    the SAME physical column as pre-rename files and one read schema
+    covers all generations; stats consultations route through
+    :func:`_physical`.  Partition-source columns (any spec in
+    history) are refused — their hive dir names cannot be relabeled
+    without a rewrite."""
+    for _ in range(retries + 1):
+        parent = latest_version(path)
+        if parent == 0:
+            raise ValueError(f"table does not exist: {path}")
+        pm = _read_manifest(path, parent)
+        types = _schema_types(pm["schema"])
+        if old not in types:
+            raise ValueError(f"no such column: {old!r}")
+        if new in types:
+            raise ValueError(f"column already exists: {new!r}")
+        if old in _all_spec_sources(pm):
+            raise ValueError(
+                f"{old!r} is a partition-source column — rename "
+                "requires a layout rewrite, not a mapping commit")
+        mapping = dict(pm.get("mapping") or {})
+        mapping[new] = mapping.pop(old, old)
+        schema = ", ".join(
+            f"{new if n == old else n} {t}" for n, t in types.items()
+        )
+        try:
+            _commit(path, parent + 1, pm["files"], parent,
+                    "rename-column", schema=schema, mapping=mapping)
+            return parent + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"rename_column at {path} lost "
+                         f"{retries + 1} races")
+
+
+def drop_column(path: str, col: str, retries: int = 3) -> int:
+    """Drop a column WITHOUT rewriting any data file: a metadata-only
+    commit removes the field from the logical schema — the physical
+    column stays in the already-written immutable files and is simply
+    never selected again.  The physical name is remembered in
+    ``dropped_physical`` so a later re-add of the same logical name
+    maps to a FRESH physical name instead of resurrecting the old
+    pages' values (:func:`append_evolve`).  Partition-source columns
+    are refused, same as rename."""
+    for _ in range(retries + 1):
+        parent = latest_version(path)
+        if parent == 0:
+            raise ValueError(f"table does not exist: {path}")
+        pm = _read_manifest(path, parent)
+        types = _schema_types(pm["schema"])
+        if col not in types:
+            raise ValueError(f"no such column: {col!r}")
+        if len(types) == 1:
+            raise ValueError("cannot drop the only column")
+        if col in _all_spec_sources(pm):
+            raise ValueError(
+                f"{col!r} is a partition-source column — drop "
+                "requires a layout rewrite, not a mapping commit")
+        mapping = dict(pm.get("mapping") or {})
+        phys = mapping.pop(col, col)
+        dropped = list(pm.get("dropped_physical") or [])
+        if phys not in dropped:
+            dropped.append(phys)
+        schema = ", ".join(
+            f"{n} {t}" for n, t in types.items() if n != col
+        )
+        try:
+            _commit(path, parent + 1, pm["files"], parent,
+                    "drop-column", schema=schema, mapping=mapping,
+                    dropped_physical=dropped)
+            return parent + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"drop_column at {path} lost "
                          f"{retries + 1} races")
 
 
@@ -1797,10 +1968,11 @@ def merge_three_way(
         stats = manifest.get("stats") or {}
         cands, _total = prune_files(path, scol, lo, hi, version=parent)
         dv_cands: list[str] = []
+        pscol = _physical(manifest, scol)
         for f in cands:
             if f in touched:
                 continue  # mechanism 1: stale rows drop in the rewrite
-            s = (stats.get(f) or {}).get(scol)
+            s = (stats.get(f) or {}).get(pscol)
             whole = False
             if s is not None:
                 try:
@@ -1852,7 +2024,8 @@ def merge_three_way(
     else:
         merged = inserts
     if merged.limit(1).count():
-        new_files, new_parts = _write_files_any(merged, path, pby)
+        new_files, new_parts = _write_files_any(
+            merged, path, pby, mapping=manifest.get("mapping"))
     return _rebase_commit(
         path, sorted(touched) + drop_whole, new_files, "merge3",
         expect_dvs=[], new_partitions=new_parts,

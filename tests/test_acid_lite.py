@@ -182,8 +182,8 @@ def test_optimize_race_rebases_onto_concurrent_append(spark, tdir, monkeypatch):
     orig_write = acid_lite._write_files
     state = {"raced": False}
 
-    def racing_write(df, path):
-        files = orig_write(df, path)
+    def racing_write(df, path, **kw):
+        files = orig_write(df, path, **kw)
         if not state["raced"]:
             state["raced"] = True
             acid_lite.append(spark, tdir, _df(spark, [(99, "w")]))
@@ -206,8 +206,8 @@ def test_conflicting_file_edits_raise_concurrent_modification(
     orig_write = acid_lite._write_files
     state = {"raced": False}
 
-    def racing_write(df, path):
-        files = orig_write(df, path)
+    def racing_write(df, path, **kw):
+        files = orig_write(df, path, **kw)
         if not state["raced"]:
             state["raced"] = True
             # the racer deletes key 2 — rewriting the same file our
@@ -233,8 +233,8 @@ def test_disjoint_deletes_both_commit_via_rebase(spark, tdir, monkeypatch):
     orig_write = acid_lite._write_files
     state = {"raced": False}
 
-    def racing_write(df, path):
-        files = orig_write(df, path)
+    def racing_write(df, path, **kw):
+        files = orig_write(df, path, **kw)
         if not state["raced"]:
             state["raced"] = True
             acid_lite.delete_where(spark, tdir, "k", lo=200)  # upper file
@@ -609,8 +609,8 @@ def test_rebase_conflicts_on_concurrent_dv_delete(spark, tdir, monkeypatch):
     orig_write = acid_lite._write_files
     state = {"raced": False}
 
-    def racing_write(df, path):
-        files = orig_write(df, path)
+    def racing_write(df, path, **kw):
+        files = orig_write(df, path, **kw)
         if not state["raced"]:
             state["raced"] = True
             acid_lite.delete_where_dv(spark, tdir, "k", lo=3, hi=3)
@@ -763,8 +763,8 @@ def test_replace_partitions_race(spark, tdir, monkeypatch):
     orig_write = acid_lite._write_files_partitioned
     state = {"raced": False}
 
-    def racing_write(df, path, pby):
-        out = orig_write(df, path, pby)
+    def racing_write(df, path, pby, **kw):
+        out = orig_write(df, path, pby, **kw)
         if not state["raced"]:
             state["raced"] = True
             # concurrent DELETE rewrites the day=0 file the overwrite
@@ -868,8 +868,8 @@ def test_merge_three_way_conflicts_on_concurrent_dv(spark, tdir,
     orig = acid_lite._write_files_any
     state = {"raced": False}
 
-    def racing(df, path, pby):
-        out = orig(df, path, pby)
+    def racing(df, path, pby, **kw):
+        out = orig(df, path, pby, **kw)
         if not state["raced"]:
             state["raced"] = True
             acid_lite.delete_where_dv(spark, tdir, "k", lo=3, hi=3)
@@ -1026,8 +1026,8 @@ def test_remove_orphan_files(spark, tdir, monkeypatch):
     orig = acid_lite._write_files_any
     state = {"raced": False}
 
-    def racing(df, path, pby):
-        out = orig(df, path, pby)
+    def racing(df, path, pby, **kw):
+        out = orig(df, path, pby, **kw)
         if not state["raced"]:
             state["raced"] = True
             acid_lite.delete_where_dv(spark, tdir, "k", lo=2, hi=2)
@@ -1254,3 +1254,100 @@ def test_set_partition_spec_noop_and_validation(spark, tdir):
     assert v2 == 2 and v3 == 3
     assert m["default_spec"] == "1"
     assert m["specs"] == {"1": ["day"], "2": ["bucket(4, k)"]}
+
+
+# ---------------------------------------------------------------- column mapping
+
+
+def test_rename_column_metadata_only(spark, tdir):
+    """rename is a metadata-only commit: identical file list, logical
+    schema updated, mapping records new->physical, reads resolve both
+    pre- and post-rename files through the one physical name, and
+    stats pruning on the NEW name still prunes (it routes through the
+    physical name the footers were written with)."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    acid_lite.append(spark, tdir, _df(spark, [(10, "c")]).coalesce(1))
+    m_pre = acid_lite._read_manifest(tdir, 2)
+    v = acid_lite.rename_column(tdir, "k", "key_id")
+    m = acid_lite._read_manifest(tdir, v)
+    assert m["op"] == "rename-column"
+    assert m["files"] == m_pre["files"]
+    assert m["mapping"] == {"key_id": "k"}
+    assert "key_id bigint" in m["schema"] and "k bigint" not in m["schema"]
+    got = {(r.key_id, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "b"), (10, "c")}
+    # post-rename append writes the PHYSICAL column; reads still unify
+    acid_lite.append(spark, tdir, spark.createDataFrame(
+        [(20, "d")], "key_id bigint, v string").coalesce(1))
+    got2 = {r.key_id for r in acid_lite.read(spark, tdir).collect()}
+    assert got2 == {1, 2, 10, 20}
+    # pruning on the logical name maps to physical footer stats
+    sel, total = acid_lite.prune_files(tdir, "key_id", 10, 10)
+    assert 0 < len(sel) < total
+    rows = acid_lite.read_pruned(spark, tdir, "key_id", 10, 10).collect()
+    assert [(r.key_id, r.v) for r in rows] == [(10, "c")]
+
+
+def test_drop_column_and_safe_readd(spark, tdir):
+    """drop is metadata-only; a later re-add of the same logical name
+    maps to a fresh physical name, so pre-add rows read NULL instead
+    of resurrecting the dropped pages' values."""
+    acid_lite.create_table(
+        spark, tdir, spark.createDataFrame(
+            [(1, "a", 9.5), (2, "b", 8.0)],
+            "k bigint, v string, score double").coalesce(1))
+    v = acid_lite.drop_column(tdir, "score")
+    m = acid_lite._read_manifest(tdir, v)
+    assert m["op"] == "drop-column"
+    assert m["dropped_physical"] == ["score"]
+    assert "score" not in m["schema"]
+    assert acid_lite.read(spark, tdir).columns == ["k", "v"]
+    # re-add: same logical name, fresh physical name
+    acid_lite.append_evolve(spark, tdir, spark.createDataFrame(
+        [(3, "c", 100.0)], "k bigint, v string, score double").coalesce(1))
+    m2 = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    phys = m2["mapping"]["score"]
+    assert phys != "score" and phys.startswith("score_")
+    got = {(r.k, r.score) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, None), (2, None), (3, 100.0)}
+
+
+def test_rename_then_rewrite_ops_compose(spark, tdir):
+    """delete_where / merge after a rename: filters and keys are
+    LOGICAL, rewrites store the PHYSICAL column, reads stay unified
+    — and time travel to a pre-rename version shows the old name."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(i, "x") for i in range(6)]).coalesce(1))
+    acid_lite.rename_column(tdir, "k", "kid")
+    acid_lite.delete_where(spark, tdir, "kid", lo=0, hi=1)
+    got = {r.kid for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {2, 3, 4, 5}
+    src = spark.createDataFrame(
+        [(2, "UPD"), (99, "INS")], "kid bigint, v string")
+    acid_lite.merge_upsert(spark, tdir, src, "kid")
+    rows = {(r.kid, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert rows == {(2, "UPD"), (3, "x"), (4, "x"), (5, "x"), (99, "INS")}
+    # pre-rename snapshot still reads under the OLD logical name
+    old = acid_lite.read(spark, tdir, version=1)
+    assert old.columns == ["k", "v"]
+    assert {r.k for r in old.collect()} == set(range(6))
+
+
+def test_mapping_validation(spark, tdir):
+    """rename/drop refuse unknown columns, duplicate targets,
+    partition-source columns, and dropping the last column."""
+    acid_lite.create_table(spark, tdir, _pdf(spark, [(1, "a", 0)]),
+                           partition_by=["day"])
+    with pytest.raises(ValueError):
+        acid_lite.rename_column(tdir, "nope", "x")
+    with pytest.raises(ValueError):
+        acid_lite.rename_column(tdir, "k", "v")  # target exists
+    with pytest.raises(ValueError):
+        acid_lite.rename_column(tdir, "day", "d")  # partition source
+    with pytest.raises(ValueError):
+        acid_lite.drop_column(tdir, "day")
+    acid_lite.drop_column(tdir, "v")
+    acid_lite.drop_column(tdir, "k")
+    with pytest.raises(ValueError):
+        acid_lite.drop_column(tdir, "day")  # also the only column now
