@@ -323,3 +323,67 @@ def kcore(
         .filter(F.col("degree") >= k)
         .select(F.col("u").alias("node"), "degree")
     )
+
+
+def kcore_single_task(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "d1",
+    dst: str = "d2",
+) -> DataFrame:
+    """Algorithm-differential TWIN of :func:`kcore`: the same peel
+    fixpoint (simultaneous removal of degree-<k nodes per round) run
+    as numpy ``bincount`` passes inside ONE executor task — the same
+    task-envelope route as the PageRank kernel.  Exists so the k-core
+    membership can be GRADED: the distributed peel and this kernel
+    share no code path, so exact set agreement between them is a real
+    independent verification (no recursive CTE can express the peel
+    for a DuckDB oracle — the per-round degree aggregate is not
+    monotone row union).  Returns (node, degree-inside-core)."""
+    if k < 1:
+        raise ValueError(f"kcore: k must be >= 1, got {k}")
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"node": pd.Series(dtype="int64"),
+                              "degree": pd.Series(dtype="int64")})
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            yield empty
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        s = pdf["src"].to_numpy()
+        d = pdf["dst"].to_numpy()
+        idx, nodes = pd.factorize(np.concatenate([s, d]), sort=False)
+        m = len(s)
+        si, di = idx[:m], idx[m:]
+        # undirected: mirror the codes; dedupe directed pairs exactly
+        # like the distributed route's union().distinct()
+        su = np.concatenate([si, di])
+        dv = np.concatenate([di, si])
+        pair = su.astype(np.int64) * len(nodes) + dv
+        _, first = np.unique(pair, return_index=True)
+        su, dv = su[first], dv[first]
+        n = len(nodes)
+        alive = np.ones(len(su), dtype=bool)
+        while True:
+            deg = np.bincount(su[alive], minlength=n)
+            bad = deg < k
+            new_alive = alive & ~(bad[su] | bad[dv])
+            if new_alive.sum() == alive.sum():
+                break
+            alive = new_alive
+        deg = np.bincount(su[alive], minlength=n)
+        members = deg >= k
+        if not members.any():
+            yield empty
+            return
+        yield pd.DataFrame({
+            "node": np.asarray(nodes)[members],
+            "degree": deg[members].astype(np.int64),
+        })
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return e.coalesce(1).mapInPandas(kernel, "node long, degree long")

@@ -644,7 +644,15 @@ def acid_metadata_count_pushdown(spark, sf_dir):
     ``metadata_only`` graded TRUE (a file missing its footer entry
     would force a data read and flip it).  The oracle restates the
     cumulative counts from the append law; a stale or double-counted
-    manifest entry hash-fails."""
+    manifest entry hash-fails.
+
+    Cost profile (r12 sweep drift 0.78->1.28 s, root-caused r13): the
+    manifest machinery is ~13 ms; ~95% of the runtime is the three
+    Spark parquet WRITES, and the first write of a session pays
+    ~1 s of one-time committer/codec init (measured 1.8 s cold vs
+    0.74 s warm for the same appends).  The drift was that init +
+    ambient load in an isolated sweep session, not manifest growth —
+    the r12 partition-values/stats blocks are absent on flat tables."""
     dest = _table_dir("acid_metacount", sf_dir)
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     for i in range(3):

@@ -632,33 +632,41 @@ def approx_quantile_error_audit(spark, sf_dir):
 @query(
     "hll_error_audit",
     "approx agg/audit",
-    oracle=None,
-    description="approx_count_distinct (HLL++, rsd=0.01) vs the exact "
-    "distinct count per event type, with relative error — rows-only; "
-    "pytest asserts error < 5*rsd.",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS error_ok
+    FROM events
+    GROUP BY event_type
+    """,
 )
 def hll_error_audit(spark, sf_dir):
     """Accuracy audit for HLL++ distinct counting — the estimator that
     replaces exact count(DISTINCT) at 100 TB (fixed 1.5 KB of state
-    per group vs an unbounded distinct-set shuffle).  Emits exact,
-    estimate, and relative error per event type; pytest pins
-    |error| < 5x the requested rsd so an accuracy regression in the
-    sketch (or a silently changed rsd) is caught by the suite, not by
-    a downstream dashboard."""
+    per group vs an unbounded distinct-set shuffle).  PROMOTED round
+    13 from rows-only to oracle-checked sketch-verify (r12 VERDICT
+    task 8 — the ``approx_count_distinct`` precedent): DuckDB cannot
+    replay Spark's HLL++ registers, so the sketch ESTIMATE stays out
+    of the hashed output; what the driver grades is the EXACT
+    per-type distinct count (restated by plain SQL) plus ``error_ok``
+    — the estimate within 5x the requested rsd of the exact count for
+    EVERY group, so an accuracy regression in the sketch (a Spark
+    upgrade, a silently changed rsd knob) flips a graded boolean.
+    The pytest audit keeps the raw per-group error surface."""
     e = table(spark, sf_dir, "events")
-    return (
+    per = (
         e.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("exact_users"),
             F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         )
-        .select(
-            "event_type", "exact_users", "approx_users",
-            F.round(
-                F.abs(F.col("approx_users") - F.col("exact_users"))
-                / F.col("exact_users"), 6
-            ).alias("rel_error"),
-        )
+    )
+    return per.select(
+        "event_type", "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 5 * 0.01 * F.col("exact_users")
+        ).alias("error_ok"),
     )
 
 

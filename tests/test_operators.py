@@ -938,7 +938,7 @@ def test_hll_audit_within_contract(spark, sf_dir):
     rows = all_queries()["hll_error_audit"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r.rel_error < 0.05, (r.event_type, r.rel_error)
+        assert r.error_ok, (r.event_type, r.exact_users)
 
 
 def test_bpe_encode_matches_pure_python(spark, sf_dir):

@@ -232,6 +232,7 @@ BNLJ_ALLOWED = {
     "poisson_rate_ci_by_type",   # 1-row day-span scalar crossed
     "bloom_semi_join_runtime_filter",  # 1-row bitmap + verdict frames crossed
     "tdigest_quantiles_verified",  # 1-row exact-count scalar crossed onto the digest
+    "graph_kcore_membership",    # two 1-row census scalars crossed (promoted r13)
 }
 
 
