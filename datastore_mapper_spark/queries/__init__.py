@@ -30,6 +30,7 @@ from . import acid_queries  # noqa: F401
 from . import analytics_round10  # noqa: F401
 from . import analytics_round11  # noqa: F401
 from . import analytics_round12  # noqa: F401
+from . import analytics_round13  # noqa: F401
 
 from ..registry import reorder_front
 

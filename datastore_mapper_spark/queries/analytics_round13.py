@@ -1,0 +1,486 @@
+"""Round-13 analytics wave: classical statistics widening the round-12
+family — Cohen's d effect size, Brown–Forsythe variance homogeneity,
+the Wald–Wolfowitz runs test, the Durbin–Watson autocorrelation
+statistic, Cramér's V association, and a lexical-diversity census
+(type-token ratio + hapax legomena).
+
+Shared seams (SURVEY §7.3, the round-12 lessons): money rides integer
+cents; sums of squares ride DECIMAL(38,0) (cents² × sf0.1 row counts
+overflow int64); any statistic whose naive accumulation would be an
+order-dependent double sum is re-derived as EXACT integer algebra
+first (Durbin–Watson multiplies residuals by n so the mean subtraction
+stays integral; Brown–Forsythe doubles the absolute deviations so the
+interpolated median's .5 becomes integral), and the final statistic is
+ONE double expression over those exact integers, token-identical in
+the oracle, rounded to 6 decimals.  Dictionary-tier frames only after
+the first aggregate; group-size guards keep the empty-input twin at
+zero rows on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..registry import query
+
+
+def _cents(col):
+    return F.floor(F.col(col) * 100).cast("bigint")
+
+
+@query(
+    "cohens_d_priority_effect",
+    "analytics/stats",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'hi' ELSE 'lo' END AS grp,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), g AS (
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        FROM base GROUP BY grp HAVING count(*) >= 2
+    ), ab AS (
+        SELECT max(CASE WHEN grp = 'hi' THEN n END) AS n1,
+               max(CASE WHEN grp = 'hi' THEN s1 END) AS sa1,
+               max(CASE WHEN grp = 'hi' THEN s2 END) AS sa2,
+               max(CASE WHEN grp = 'lo' THEN n END) AS n2,
+               max(CASE WHEN grp = 'lo' THEN s1 END) AS sb1,
+               max(CASE WHEN grp = 'lo' THEN s2 END) AS sb2
+        FROM g
+    )
+    SELECT n1, n2,
+           round((sa1 / n1 - sb1 / n2)
+                 / sqrt(((sa2 - sa1 * sa1 / n1)
+                         + (sb2 - sb1 * sb1 / n2))
+                        / (n1 + n2 - 2)),
+                 6) AS cohens_d
+    FROM ab WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+    """,
+)
+def cohens_d_priority_effect(spark, sf_dir):
+    """Cohen's d (pooled-SD standardized effect size) between
+    high-priority ('1-URGENT'/'2-HIGH') and other orders' values —
+    the effect-size companion the round-12 Welch t row reports
+    significance without.  Same sufficient-statistic seam: (n, Σx,
+    Σx²) exact in DECIMAL(38,0) cents, d = one double expression over
+    them with the pooled variance ((SSa + SSb) / (n1+n2-2)),
+    token-identical in the oracle, rounded to 6 dp.  One partial-agg
+    pass over orders; everything after is a 2-row pivot."""
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+               F.lit("hi")).otherwise(F.lit("lo")).alias("grp"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    dec = F.col("cents").cast("decimal(38,0)")
+    g = (
+        base.groupBy("grp")
+        .agg(F.count("*").alias("n"),
+             F.sum(dec).cast("double").alias("s1"),
+             F.sum(dec * dec).cast("double").alias("s2"))
+        .filter(F.col("n") >= 2)
+    )
+    ab = g.agg(
+        F.max(F.when(F.col("grp") == "hi", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "hi", F.col("s1"))).alias("sa1"),
+        F.max(F.when(F.col("grp") == "hi", F.col("s2"))).alias("sa2"),
+        F.max(F.when(F.col("grp") == "lo", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "lo", F.col("s1"))).alias("sb1"),
+        F.max(F.when(F.col("grp") == "lo", F.col("s2"))).alias("sb2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    sa1, sa2 = F.col("sa1"), F.col("sa2")
+    sb1, sb2 = F.col("sb1"), F.col("sb2")
+    return (
+        ab.filter(n1.isNotNull() & n2.isNotNull())
+        .select(
+            "n1", "n2",
+            F.round(
+                (sa1 / n1 - sb1 / n2)
+                / F.sqrt(((sa2 - sa1 * sa1 / n1)
+                          + (sb2 - sb1 * sb1 / n2))
+                         / (n1 + n2 - 2)),
+                6,
+            ).alias("cohens_d"),
+        )
+    )
+
+
+@query(
+    "levene_brown_forsythe_segments",
+    "analytics/stats",
+    oracle="""
+    WITH base AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), med AS (
+        SELECT seg, median(cents) AS med FROM base GROUP BY seg
+    ), z AS (
+        -- 2*|x - group median| is INTEGRAL (the interpolated median
+        -- is k or k+0.5), so the spread sums accumulate exactly
+        SELECT b.seg,
+               CAST(round(2 * abs(b.cents - m.med), 0)
+                    AS DECIMAL(38,0)) AS z2
+        FROM base b JOIN med m ON b.seg = m.seg
+    ), g AS (
+        SELECT seg, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(z2) AS DOUBLE) AS s1,
+               CAST(sum(z2 * z2) AS DOUBLE) AS s2
+        FROM z GROUP BY seg HAVING count(*) >= 2
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_all,
+               CAST(sum(s1) AS DOUBLE) AS s1_all,
+               sum(s1 * s1 / n) AS sb_part,
+               CAST(sum(s2) AS DOUBLE) AS s2_all
+        FROM g
+    )
+    SELECT k AS n_groups, n_all,
+           round(((sb_part - s1_all * s1_all / n_all) / (k - 1))
+                 / ((s2_all - sb_part) / (n_all - k)),
+                 6) AS bf_stat
+    FROM tot WHERE k >= 2 AND n_all > k
+    """,
+)
+def levene_brown_forsythe_segments(spark, sf_dir):
+    """Brown–Forsythe variance-homogeneity test (Levene with the
+    MEDIAN center — the robust form) of order values across the five
+    market segments: a one-way ANOVA F over z = |x - median_g|.  Seam
+    engineering: the interpolated group median is k or k+0.5 exactly,
+    so 2z is an integer — rounded into DECIMAL(38,0), both spread
+    sums accumulate exactly and the F statistic is one double
+    expression (the 4x scale factor cancels between numerator and
+    denominator), rounded to 6 dp.  Two aggregate passes over the
+    broadcast-dim fact join plus a 5-row dictionary join — the
+    group-median re-join is segment-tier, not fact-tier."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("seg"),
+                _cents("o_totalprice").alias("cents"))
+    )
+    med = base.groupBy("seg").agg(
+        F.percentile("cents", F.lit(0.5)).alias("med"))
+    z = base.join(F.broadcast(med), "seg").select(
+        "seg",
+        F.round(2 * F.abs(F.col("cents") - F.col("med")), 0)
+        .cast("decimal(38,0)").alias("z2"),
+    )
+    g = (
+        z.groupBy("seg")
+        .agg(F.count("*").alias("n"),
+             F.sum("z2").cast("double").alias("s1"),
+             F.sum(F.col("z2") * F.col("z2")).cast("double").alias("s2"))
+        .filter(F.col("n") >= 2)
+    )
+    tot = g.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n_all"),
+        F.sum("s1").alias("s1_all"),
+        F.sum(F.col("s1") * F.col("s1") / F.col("n")).alias("sb_part"),
+        F.sum("s2").alias("s2_all"),
+    )
+    k, n_all = F.col("k"), F.col("n_all")
+    s1_all, sb_part, s2_all = F.col("s1_all"), F.col("sb_part"), F.col("s2_all")
+    return (
+        tot.filter((k >= 2) & (n_all > k))
+        .select(
+            k.alias("n_groups"), n_all.alias("n_all"),
+            F.round(
+                ((sb_part - s1_all * s1_all / n_all) / (k - 1))
+                / ((s2_all - sb_part) / (n_all - k)),
+                6,
+            ).alias("bf_stat"),
+        )
+    )
+
+
+@query(
+    "runs_test_daily_revenue",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), med AS (SELECT median(cents) AS med FROM daily),
+    signed AS (
+        SELECT d, CASE WHEN cents > med THEN 1 ELSE 0 END AS s
+        FROM daily, med WHERE cents <> med
+    ), runs AS (
+        SELECT s,
+               CASE WHEN lag(s) OVER (ORDER BY d) IS NULL
+                         OR lag(s) OVER (ORDER BY d) <> s
+                    THEN 1 ELSE 0 END AS brk
+        FROM signed
+    ), agg AS (
+        SELECT CAST(sum(s) AS BIGINT) AS n1,
+               CAST(count(*) - sum(s) AS BIGINT) AS n2,
+               CAST(sum(brk) AS BIGINT) AS r
+        FROM runs
+    )
+    SELECT n1, n2, r AS n_runs,
+           round((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))),
+                 6) AS z_stat
+    FROM agg WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+    """,
+)
+def runs_test_daily_revenue(spark, sf_dir):
+    """Wald–Wolfowitz runs test for randomness of the daily-revenue
+    series around its median: days above/below the median daily
+    revenue form a binary sequence; too FEW runs means persistence
+    (trend/regime), too many means oscillation.  n1, n2, and the run
+    count are exact integers off one day-tier window pass
+    (median-valued days excluded, the standard treatment); the normal
+    approximation z is one double expression over them, rounded to
+    6 dp.  The fact table collapses to the ~2 400-row day dictionary
+    in the first aggregate; the window and median run on that."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("cents"))
+    )
+    med = daily.agg(F.percentile("cents", F.lit(0.5)).alias("med"))
+    signed = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("med"))
+        .select("d", F.when(F.col("cents") > F.col("med"), 1)
+                .otherwise(0).alias("s"))
+    )
+    w = Window.orderBy("d")
+    runs = signed.select(
+        "s",
+        F.when(F.lag("s").over(w).isNull()
+               | (F.lag("s").over(w) != F.col("s")), 1)
+        .otherwise(0).alias("brk"),
+    )
+    agg = runs.agg(
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("s")).cast("bigint").alias("n2"),
+        F.sum("brk").cast("bigint").alias("r"),
+    )
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    return (
+        agg.filter((n1 > 0) & (n2 > 0) & (n1 + n2 > 1))
+        .select(
+            "n1", "n2", r.alias("n_runs"),
+            F.round(
+                (r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                / F.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                         / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))),
+                6,
+            ).alias("z_stat"),
+        )
+    )
+
+
+@query(
+    "durbin_watson_daily_revenue",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS DECIMAL(38,0)) AS cents
+        FROM orders GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+               CAST(sum(cents) AS DECIMAL(38,0)) AS s
+        FROM daily
+    ), resid AS (
+        -- residuals scaled by n stay EXACT integers: n*e_t = n*x_t - S
+        SELECT d, n * cents - s AS e
+        FROM daily, tot
+    ), diffs AS (
+        SELECT e, e - lag(e) OVER (ORDER BY d) AS de
+        FROM resid
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(de * de) AS DOUBLE)
+                 / CAST(sum(e * e) AS DOUBLE), 6) AS dw_stat
+    FROM diffs
+    HAVING count(*) > 1 AND sum(e * e) <> 0
+    """,
+)
+def durbin_watson_daily_revenue(spark, sf_dir):
+    """Durbin–Watson first-order autocorrelation statistic of the
+    daily-revenue residuals (DW ≈ 2(1-ρ₁): <2 positive persistence,
+    >2 alternation) — the residual-domain companion of the round-12
+    ACF row.  Seam engineering: residuals are scaled by n so the mean
+    subtraction stays INTEGRAL (n·e_t = n·x_t − Σx, exact in
+    DECIMAL(38,0); the n² factor cancels in the ratio), both
+    quadratic sums accumulate exactly, and DW is a single double
+    division rounded to 6 dp — no order-dependent double accumulation
+    anywhere.  Day-dictionary tier after the first aggregate."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).cast("decimal(38,0)")
+             .alias("cents"))
+    )
+    tot = daily.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("cents").cast("decimal(38,0)").alias("s"),
+    )
+    resid = daily.crossJoin(F.broadcast(tot)).select(
+        "d", (F.col("n") * F.col("cents") - F.col("s")).alias("e"))
+    w = Window.orderBy("d")
+    diffs = resid.select(
+        "e", (F.col("e") - F.lag("e").over(w)).alias("de"))
+    return (
+        diffs.agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.sum(F.col("de") * F.col("de")).alias("num"),
+            F.sum(F.col("e") * F.col("e")).alias("den"),
+        )
+        .filter((F.col("n_days") > 1) & (F.col("den") != 0))
+        .select(
+            "n_days",
+            F.round(F.col("num").cast("double")
+                    / F.col("den").cast("double"), 6).alias("dw_stat"),
+        )
+    )
+
+
+@query(
+    "cramers_v_priority_status",
+    "analytics/stats",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS pri, o_orderstatus AS st,
+               CAST(count(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ), margins AS (
+        SELECT c.pri, c.st, c.o,
+               rt.rt, ct.ct, n.n
+        FROM cells c
+        JOIN (SELECT pri, CAST(sum(o) AS BIGINT) AS rt
+              FROM cells GROUP BY pri) rt ON c.pri = rt.pri
+        JOIN (SELECT st, CAST(sum(o) AS BIGINT) AS ct
+              FROM cells GROUP BY st) ct ON c.st = ct.st
+        CROSS JOIN (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells) n
+    ), chi AS (
+        SELECT max(n) AS n,
+               CAST(count(DISTINCT pri) AS BIGINT) AS r,
+               CAST(count(DISTINCT st) AS BIGINT) AS c,
+               sum(CAST(o AS DOUBLE) * o / (CAST(rt AS DOUBLE) * ct))
+                   AS q
+        FROM margins
+    )
+    SELECT n, r AS n_rows_dim, c AS n_cols_dim,
+           round(n * (q - 1), 6) AS chi2,
+           round(sqrt((q - 1) / least(r - 1, c - 1)), 6) AS cramers_v
+    FROM chi WHERE r > 1 AND c > 1
+    """,
+)
+def cramers_v_priority_status(spark, sf_dir):
+    """Cramér's V association strength between order priority (5
+    levels) and order status (3 levels) — the normalized companion of
+    the round-11 chi-square independence row.  χ² folds to the
+    margin-exact identity n·(Σ O²/(rowtot·coltot) − 1), so the only
+    floating-point accumulation is a 15-term sum of O(1) doubles
+    (error ~1e-15, five orders below the 6-dp round); V =
+    sqrt((q−1)/min(r−1, c−1)) is one expression over the same exact
+    counts.  Contingency cells are a 15-row dictionary after one
+    fact-table aggregate."""
+    o = table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(F.col("o_orderpriority").alias("pri"),
+                  F.col("o_orderstatus").alias("st"))
+        .agg(F.count("*").alias("o"))
+    )
+    rt = cells.groupBy("pri").agg(F.sum("o").cast("bigint").alias("rt"))
+    ct = cells.groupBy("st").agg(F.sum("o").cast("bigint").alias("ct"))
+    n = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    margins = (
+        cells.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(n))
+    )
+    chi = margins.agg(
+        F.max("n").alias("n"),
+        F.countDistinct("pri").alias("r"),
+        F.countDistinct("st").alias("c"),
+        F.sum(F.col("o").cast("double") * F.col("o")
+              / (F.col("rt").cast("double") * F.col("ct"))).alias("q"),
+    )
+    r, c, q = F.col("r"), F.col("c"), F.col("q")
+    return (
+        chi.filter((r > 1) & (c > 1))
+        .select(
+            "n", r.alias("n_rows_dim"), c.alias("n_cols_dim"),
+            F.round(F.col("n") * (q - 1), 6).alias("chi2"),
+            F.round(F.sqrt((q - 1) / F.least(r - 1, c - 1)), 6)
+            .alias("cramers_v"),
+        )
+    )
+
+
+@query(
+    "lexical_diversity_by_lang",
+    "LLM-pipeline/text",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS freq
+        FROM toks GROUP BY lang, tok
+    )
+    SELECT lang,
+           CAST(sum(freq) AS BIGINT) AS total_tokens,
+           CAST(count(*) AS BIGINT) AS distinct_tokens,
+           CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax_count,
+           round(CAST(count(*) AS DOUBLE) / sum(freq), 6) AS ttr,
+           round(CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS hapax_rate
+    FROM vocab GROUP BY lang HAVING sum(freq) > 0
+    ORDER BY lang
+    """,
+)
+def lexical_diversity_by_lang(spark, sf_dir):
+    """Lexical-diversity census per language: type-token ratio
+    (distinct/total tokens — the classical richness measure whose
+    drop signals template/boilerplate corpora) and the hapax-legomena
+    rate (share of vocabulary appearing exactly once — Zipf's tail
+    mass; a LOW rate means the crawl is recycling itself, the
+    pretraining signal the round-12 Zipf-slope row approaches from
+    the head).  All four censused quantities are exact integers off
+    one explode + two aggregates; the ratios are single divisions
+    rounded to 6 dp.  The explode is the only fact-width pass; the
+    vocab tier is (lang, token) and the output is lang-tier."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    vocab = toks.groupBy("lang", "tok").agg(F.count("*").alias("freq"))
+    return (
+        vocab.groupBy("lang")
+        .agg(
+            F.sum("freq").cast("bigint").alias("total_tokens"),
+            F.count("*").cast("bigint").alias("distinct_tokens"),
+            F.sum(F.when(F.col("freq") == 1, 1).otherwise(0))
+            .cast("bigint").alias("hapax_count"),
+        )
+        .filter(F.col("total_tokens") > 0)
+        .select(
+            "lang", "total_tokens", "distinct_tokens", "hapax_count",
+            F.round(F.col("distinct_tokens").cast("double")
+                    / F.col("total_tokens"), 6).alias("ttr"),
+            F.round(F.col("hapax_count").cast("double")
+                    / F.col("distinct_tokens"), 6).alias("hapax_rate"),
+        )
+        .orderBy("lang")
+    )
