@@ -1307,3 +1307,75 @@ def acid_cdf_of_merge3(spark, sf_dir):
              F.min("o_orderkey").alias("min_key"),
              F.max("o_orderkey").alias("max_key"))
     )
+
+
+@query(
+    "acid_shallow_clone",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS zero_copy_ok,
+           TRUE AS source_intact_ok
+    FROM orders
+    WHERE o_orderkey > (SELECT max(o_orderkey) // 4 FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_shallow_clone(spark, sf_dir):
+    """Zero-copy SHALLOW CLONE (round-13 — the Delta CLONE contract,
+    ``acid_lite.shallow_clone``): the orders table is cloned with ONE
+    manifest write referencing the source's files by absolute path
+    (no byte of data moves), then the clone diverges — a CoW DELETE
+    drops the bottom o_orderkey quartile, rewriting only the touched
+    referenced files INTO THE CLONE'S tree while the source files are
+    never modified or deleted.
+
+    ``zero_copy_ok`` grades that the clone's v1 carried zero local
+    data files and every reference was absolute with the source's
+    per-file stats attached (pruning parity); ``source_intact_ok``
+    grades that the source's exact (count, cents-sum) aggregate is
+    BIT-IDENTICAL after the clone's edits.  The hashed rows are the
+    post-delete clone per status, restated by the oracle from the
+    delete law.  At 100 TB a shallow clone is how a team forks a
+    production table for an experiment in O(manifest) time — the
+    vacuum guard (absolute refs never unlinked) is what makes the
+    fork safe to retire."""
+    src = _table_dir("acid_clonesrc", sf_dir)
+    dst = _table_dir("acid_clonedst", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    acid_lite.create_table(spark, src, o.coalesce(2))
+    before = acid_lite.read(spark, src).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("s")).first()
+    acid_lite.shallow_clone(src, dst)
+    m1 = acid_lite._read_manifest(dst, 1)
+    stats1 = m1.get("stats") or {}
+    zero_copy = (
+        all(os.path.isabs(f) for f in m1["files"])
+        and not os.path.isdir(os.path.join(dst, "data"))
+        and all(f in stats1 for f in m1["files"])
+    )
+    mx = o.agg(F.max("o_orderkey")).first()[0] or 0
+    if mx:
+        acid_lite.delete_where(spark, dst, "o_orderkey",
+                               lo=None, hi=mx // 4)
+    after = acid_lite.read(spark, src).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("s")).first()
+    intact = (before.n, before.s) == (after.n, after.s)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, dst)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                F.lit(bool(zero_copy)).alias("zero_copy_ok"),
+                F.lit(bool(intact)).alias("source_intact_ok"))
+    )

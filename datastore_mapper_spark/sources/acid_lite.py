@@ -1140,11 +1140,15 @@ def expire_snapshots(path: str, keep_from: int) -> dict:
         em = _read_manifest(path, v)
         for f in em["files"] + (em.get("dvs") or []):
             if f not in retained_files:
-                try:
-                    os.unlink(os.path.join(path, f))
-                    n_files += 1
-                except FileNotFoundError:
-                    pass
+                # absolute refs are ANOTHER table's files (shallow
+                # clone): expiring the clone must never reach into the
+                # source — the Delta CLONE/VACUUM contract
+                if not os.path.isabs(f):
+                    try:
+                        os.unlink(os.path.join(path, f))
+                        n_files += 1
+                    except FileNotFoundError:
+                        pass
                 retained_files.add(f)  # already gone: don't retry
         os.unlink(_manifest_path(path, v))
         n_manifests += 1
@@ -1154,7 +1158,7 @@ def expire_snapshots(path: str, keep_from: int) -> dict:
 def _cleanup_empty_dir(path: str, rel_files: list[str]) -> None:
     """Remove the per-write ``data/<uuid>/`` directory once its files
     are unlinked (plus Spark's _SUCCESS marker) — best-effort."""
-    dirs = {os.path.dirname(f) for f in rel_files}
+    dirs = {os.path.dirname(f) for f in rel_files if not os.path.isabs(f)}
     for d in dirs:
         full = os.path.join(path, d)
         try:
@@ -2172,6 +2176,87 @@ def prune_files_source(
         dsel, _t = prune_files(path, name, dlo, dhi, version=v)
         keep &= set(dsel)
     return [f for f in m["files"] if f in keep], total
+
+
+def shallow_clone(src_path: str, dst_path: str,
+                  version: int | None = None) -> int:
+    """Zero-copy SHALLOW CLONE (the Delta CLONE semantics): create a
+    NEW table whose v1 manifest references the source snapshot's data
+    files BY ABSOLUTE PATH — no byte of data moves, driver cost is
+    one manifest write.  The clone is immediately independent:
+
+    * writes to the clone add its own (relative) files; the source
+      never sees them;
+    * CoW edits (DELETE/MERGE/replaceWhere) that touch a referenced
+      source file read it and write the survivors LOCALLY — the
+      reference drops from the clone's manifest, the source file
+      itself is untouched (CoW never deletes data);
+    * ``expire_snapshots`` / ``_cleanup_empty_dir`` skip absolute
+      refs, so vacuuming the clone can never reach into the source
+      (the Delta CLONE/VACUUM contract);
+    * ``optimize()`` rewrites every referenced file into the clone's
+      own tree — the explicit "materialize into a deep copy" step.
+
+    Per-file metadata (stats, partition values, spec tags) carries
+    over with the keys rewritten to the absolute form, so pruning on
+    the clone is exactly as effective as on the source.  Sources
+    carrying DELETION VECTORS are refused (DV sidecars key positions
+    by source-relative paths, which a clone cannot re-key soundly —
+    run ``optimize()`` on the source first, same restriction class as
+    Delta's).  Returns the clone's committed version (1)."""
+    v = latest_version(src_path) if version is None else version
+    if v == 0:
+        raise ValueError(f"source table does not exist: {src_path}")
+    if latest_version(dst_path) != 0:
+        raise ValueError(f"table already exists: {dst_path}")
+    m = _read_manifest(src_path, v)
+    if m.get("dvs"):
+        raise ValueError(
+            "source snapshot carries deletion vectors — run optimize() "
+            "on the source to purge them before cloning")
+    src_root = os.path.abspath(src_path)
+
+    def _abs(f: str) -> str:
+        return f if os.path.isabs(f) else os.path.join(src_root, f)
+
+    files = [_abs(f) for f in m["files"]]
+    remap = dict(zip(m["files"], files))
+    os.makedirs(dst_path, exist_ok=True)
+    payload = {
+        "version": 1, "parent": 0, "op": "clone",
+        "files": files, "schema": m["schema"],
+        "stats": {remap[f]: s for f, s in (m.get("stats") or {}).items()
+                  if f in remap},
+        "ts": _commit_ts(),
+        "clone_of": {"path": src_root, "version": v},
+    }
+    if m.get("partition_by"):
+        payload["partition_by"] = m["partition_by"]
+    if m.get("partitions"):
+        payload["partitions"] = {
+            remap[f]: p for f, p in m["partitions"].items() if f in remap
+        }
+    if m.get("specs") is not None:
+        payload["specs"] = m["specs"]
+        payload["default_spec"] = m.get("default_spec")
+        payload["file_spec"] = {
+            remap[f]: s for f, s in (m.get("file_spec") or {}).items()
+            if f in remap
+        }
+    if m.get("mapping"):
+        payload["mapping"] = m["mapping"]
+    if m.get("dropped_physical"):
+        payload["dropped_physical"] = m["dropped_physical"]
+    os.makedirs(_manifest_dir(dst_path), exist_ok=True)
+    try:
+        fd = os.open(_manifest_path(dst_path, 1),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version 1 already committed at {dst_path}") from exc
+    with os.fdopen(fd, "w") as f:
+        f.write(json.dumps(payload, indent=1))
+    return 1
 
 
 def remove_orphan_files(path: str, grace_seconds: float = 3600.0) -> dict:

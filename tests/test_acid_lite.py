@@ -1351,3 +1351,86 @@ def test_mapping_validation(spark, tdir):
     acid_lite.drop_column(tdir, "k")
     with pytest.raises(ValueError):
         acid_lite.drop_column(tdir, "day")  # also the only column now
+
+
+# ---------------------------------------------------------------- shallow clone
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tdir, tmp_path):
+    """CLONE copies no data (the clone's v1 references the source's
+    files by absolute path), then the two tables diverge: writes to
+    the clone never appear in the source and vice versa."""
+    src = tdir
+    dst = str(tmp_path / "clone")
+    acid_lite.create_table(
+        spark, src, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    acid_lite.shallow_clone(src, dst)
+    m = acid_lite._read_manifest(dst, 1)
+    assert m["op"] == "clone"
+    assert all(os.path.isabs(f) for f in m["files"])
+    assert not os.path.isdir(os.path.join(dst, "data"))  # zero copy
+    got = {(r.k, r.v) for r in acid_lite.read(spark, dst).collect()}
+    assert got == {(1, "a"), (2, "b")}
+    # divergence both ways
+    acid_lite.append(spark, dst, _df(spark, [(3, "clone-only")]))
+    acid_lite.append(spark, src, _df(spark, [(4, "src-only")]))
+    assert {r.k for r in acid_lite.read(spark, dst).collect()} == {1, 2, 3}
+    assert {r.k for r in acid_lite.read(spark, src).collect()} == {1, 2, 4}
+
+
+def test_clone_cow_edit_and_vacuum_never_touch_source(spark, tdir,
+                                                      tmp_path):
+    """A CoW DELETE on the clone rewrites the referenced file into the
+    CLONE's tree and drops the reference; expiring the clone's old
+    snapshots must not unlink the source's files."""
+    src = tdir
+    dst = str(tmp_path / "clone")
+    acid_lite.create_table(
+        spark, src, _df(spark, [(i, "x") for i in range(6)]).coalesce(1))
+    src_files = [os.path.join(src, f)
+                 for f in acid_lite._read_manifest(src, 1)["files"]]
+    acid_lite.shallow_clone(src, dst)
+    acid_lite.delete_where(spark, dst, "k", lo=0, hi=2)
+    m2 = acid_lite._read_manifest(dst, 2)
+    assert all(not os.path.isabs(f) for f in m2["files"])  # localized
+    assert {r.k for r in acid_lite.read(spark, dst).collect()} == {3, 4, 5}
+    # vacuum the clone past v1 (which referenced the source file)
+    res = acid_lite.expire_snapshots(dst, keep_from=2)
+    assert res["manifests_removed"] == 1
+    assert all(os.path.exists(f) for f in src_files)  # source intact
+    assert {r.k for r in acid_lite.read(spark, src).collect()} \
+        == set(range(6))
+
+
+def test_clone_carries_stats_and_partitioning(spark, tdir, tmp_path):
+    """Pruning on the clone is as effective as on the source: stats
+    and partition values carry with remapped keys; optimize()
+    materializes the clone into its own tree."""
+    src = tdir
+    dst = str(tmp_path / "clone")
+    acid_lite.create_table(
+        spark, src,
+        _pdf(spark, [(i, "x", i % 2) for i in range(8)]).coalesce(1),
+        partition_by=["day"])
+    acid_lite.shallow_clone(src, dst)
+    sel, total = acid_lite.prune_files(dst, "day", 0, 0)
+    assert 0 < len(sel) < total
+    got = {(r.k, r.day)
+           for r in acid_lite.read_pruned(spark, dst, "day", 0, 0).collect()}
+    assert got == {(i, 0) for i in range(0, 8, 2)}
+    v = acid_lite.optimize(spark, dst)
+    m = acid_lite._read_manifest(dst, v)
+    assert all(not os.path.isabs(f) for f in m["files"])  # deep now
+    assert {r.k for r in acid_lite.read(spark, dst).collect()} \
+        == set(range(8))
+
+
+def test_clone_refuses_dvs_and_existing_dest(spark, tdir, tmp_path):
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    acid_lite.delete_where_dv(spark, tdir, "k", lo=1, hi=1)
+    with pytest.raises(ValueError):
+        acid_lite.shallow_clone(tdir, str(tmp_path / "c1"))
+    acid_lite.optimize(spark, tdir)  # purges DVs
+    acid_lite.shallow_clone(tdir, str(tmp_path / "c2"))
+    with pytest.raises(ValueError):
+        acid_lite.shallow_clone(tdir, str(tmp_path / "c2"))
