@@ -2603,3 +2603,312 @@ def extract_jpeg_progressive_stats(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, JPEG_STATS_SCHEMA)
+
+
+# --- G.711 mu-law (round 13) ----------------------------------------
+#
+# The telephony companding codec (ITU-T G.711): 16-bit PCM mapped to
+# 8 bits through a piecewise-linear approximation of a logarithm —
+# sign bit, 3-bit segment (exponent), 4-bit mantissa, all bits
+# complemented on the wire.  Lossy but IDEMPOTENT on its own
+# codebook: decode(encode(v)) lands on a 256-value lattice and
+# encode(decode(c)) == c, which is what lets the render law put
+# lattice values in the signal so a SQL oracle can state the decoded
+# means exactly through the compressed container.
+
+_MULAW_BIAS = 0x84  # 132
+_MULAW_CLIP = 32635
+
+
+def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode a 1-D int16 array as a mono G.711 mu-law WAV (format
+    tag 0x0007, 8 bits per sample).  Vectorized numpy companding:
+    bias + clip, segment = position of the top set bit of the biased
+    magnitude (7..14), mantissa = the next 4 bits, all complemented."""
+    v = np.asarray(samples, dtype=np.int64)
+    if v.size == 0:
+        raise ValueError("empty signal")
+    sign = np.where(v < 0, 0x80, 0)
+    mag = np.minimum(np.abs(v) + _MULAW_BIAS, _MULAW_CLIP + _MULAW_BIAS)
+    # segment: floor(log2(mag)) for mag in [2^7, 2^15) -> 0..7
+    seg = np.clip(np.floor(np.log2(mag)).astype(np.int64) - 7, 0, 7)
+    mant = (mag >> (seg + 3)) & 0x0F
+    code = (~(sign | (seg << 4) | mant)) & 0xFF
+    data = code.astype(np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHH", 0x0007, 1, sample_rate, sample_rate, 1, 8)
+    fact = struct.pack("<I", v.size)
+    return (
+        struct.pack("<4sI4s", b"RIFF",
+                    4 + 8 + len(fmt) + 8 + 4 + 8 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"fact", 4) + fact
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def decode_wav_mulaw(blob: bytes) -> tuple[int, np.ndarray]:
+    """REAL decode of a mono G.711 mu-law WAV -> ``(sample_rate,
+    int16 samples)``: RIFF chunk walk, fmt validation (tag 0x0007,
+    mono, 8-bit), then the standard expansion
+    ``((mant << 3) + bias) << seg  -  bias`` with the sign bit."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos = 12
+    fmt = data = None
+    n_fact = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos:pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4:pos + 8])
+        body = blob[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"fact":
+            (n_fact,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # odd chunks pad one byte
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 0x0007:
+        raise ValueError(f"not mu-law (format tag 0x{tag:04x})")
+    if channels != 1 or bits != 8:
+        raise NotImplementedError("only mono 8-bit mu-law is supported")
+    code = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    if n_fact is not None:
+        code = code[:n_fact]
+    c = (~code) & 0xFF
+    seg = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = (((mant << 3) + _MULAW_BIAS) << seg) - _MULAW_BIAS
+    out = np.where(c & 0x80, -mag, mag)
+    return rate, out.astype(np.int16)
+
+
+MULAW_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, mean_amp double"
+)
+
+
+def render_mulaw_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL G.711 mu-law WAV per document, deterministically
+    from ``doc_id``: ``800 + (id % 3) * 400`` samples of the CONSTANT
+    lattice value ``s * ((((id % 16) * 8 + 132) << (id % 8)) - 132)``
+    with sign ``s = +1`` for even ids, ``-1`` for odd — a mu-law
+    codebook point, so the lossy companding round-trips it EXACTLY
+    and the SQL oracle can state the decoded mean in closed form.
+    Sample rate ``8000 * ((id % 2) + 1)``.  ASSUMES doc_id >= 0
+    (render-law contract, round-7 ADVICE)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                mag = (((i % 16) * 8 + 132) << (i % 8)) - 132
+                val = mag if i % 2 == 0 else -mag
+                n = 800 + (i % 3) * 400
+                rate = 8000 * ((i % 2) + 1)
+                sig = np.full(n, val, dtype=np.int16)
+                blobs.append(encode_wav_mulaw(sig, rate))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def extract_mulaw_stats(media_df: DataFrame) -> DataFrame:
+    """REAL-decode stats over a binary mu-law column: sample rate,
+    sample count, mean amplitude via :func:`decode_wav_mulaw` in
+    Arrow-batched ``mapInPandas``; int64-exact sums, one division."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "sample_rate", "n_samples", "mean_amp")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = decode_wav_mulaw(bytes(blob))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["mean_amp"].append(
+                    int(samples.sum(dtype=np.int64)) / max(len(samples), 1)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "mean_amp": pd.Series(out["mean_amp"], dtype="float64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, MULAW_STATS_SCHEMA)
+
+
+# --- TGA (Truevision TARGA) with RLE (round 13) ----------------------
+#
+# The classic 18-byte-header image container; type 10 = run-length
+# encoded true color.  RLE packets: control byte c -> (c & 0x7F) + 1
+# pixels, repeated from ONE following pixel when c & 0x80 (run
+# packet) or read verbatim when not (raw packet); packets never cross
+# scanlines in conforming writers.  Pixels are BGR order; default
+# origin is BOTTOM-LEFT (descriptor bit 5 clear), same vertical flip
+# discipline as BMP.
+
+
+def encode_tga_rle(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a type-10 (RLE
+    true-color) bottom-up TGA.  Maximal run packets for repeats >= 2,
+    raw packets otherwise, 128-pixel packet cap, packets never cross
+    scanlines."""
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    header = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, 10, 0, 0, 0, 0, 0, w, h, 24, 0)
+    out = bytearray(header)
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = px[y]
+        x = 0
+        while x < w:
+            # measure the run at x
+            run = 1
+            while (x + run < w and run < 128
+                   and (row[x + run] == row[x]).all()):
+                run += 1
+            if run >= 2:
+                out.append(0x80 | (run - 1))
+                out += bytes((int(row[x][2]), int(row[x][1]),
+                              int(row[x][0])))  # BGR
+                x += run
+            else:
+                # raw packet: scan forward until a >=2 run starts
+                start = x
+                x += 1
+                while x < w and x - start < 128:
+                    if (x + 1 < w and (row[x + 1] == row[x]).all()):
+                        break
+                    x += 1
+                n = x - start
+                out.append(n - 1)
+                for xx in range(start, x):
+                    out += bytes((int(row[xx][2]), int(row[xx][1]),
+                                  int(row[xx][0])))
+    return bytes(out)
+
+
+def decode_tga_rle(blob: bytes) -> np.ndarray:
+    """REAL decode of a type-10 24-bpp TGA -> (h, w, 3) uint8 RGB:
+    header walk (id field skip, color-map rejection), RLE packet
+    replay, BGR swap, bottom-up flip per descriptor bit 5."""
+    if len(blob) < 18:
+        raise ValueError("truncated TGA header")
+    (idlen, cmap_type, img_type, _cm_first, _cm_len, _cm_bits,
+     _x0, _y0, w, h, bpp, desc) = struct.unpack("<BBBHHBHHHHBB", blob[:18])
+    if img_type != 10:
+        raise NotImplementedError(f"TGA image type {img_type} (only RLE "
+                                  "true-color, type 10, is supported)")
+    if cmap_type != 0:
+        raise NotImplementedError("color-mapped TGA is not supported")
+    if bpp != 24:
+        raise NotImplementedError(f"{bpp}-bpp TGA (only 24)")
+    pos = 18 + idlen
+    flat = np.empty((h * w, 3), dtype=np.uint8)
+    filled = 0
+    total = h * w
+    while filled < total:
+        if pos >= len(blob):
+            raise ValueError("truncated TGA pixel data")
+        ctrl = blob[pos]
+        pos += 1
+        n = (ctrl & 0x7F) + 1
+        if ctrl & 0x80:  # run packet: one BGR pixel, repeated
+            b, g, r = blob[pos], blob[pos + 1], blob[pos + 2]
+            pos += 3
+            flat[filled:filled + n] = (r, g, b)
+        else:  # raw packet: n literal BGR pixels
+            raw = np.frombuffer(
+                blob[pos:pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+            flat[filled:filled + n] = raw[:, ::-1]  # BGR -> RGB
+        filled += n
+    px = flat.reshape(h, w, 3)
+    if not (desc & 0x20):  # bottom-left origin: flip to top-down
+        px = px[::-1]
+    return px
+
+
+TGA_STATS_SCHEMA = (
+    "doc_id long, width int, height int, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def render_tga_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL RLE-compressed TGA per document, deterministically
+    from ``doc_id``: width ``(id % 13) + 2``, height ``(id % 7) + 2``,
+    pixel law ``R = base + (x // 4) * 4``, ``G = base + y``,
+    ``B = base`` for ``base = id % 200`` — horizontal 4-pixel bands
+    give the encoder genuine run packets while the remainder columns
+    exercise raw packets, and the channel means stay in closed form
+    for the SQL oracle.  ASSUMES doc_id >= 0 (render-law contract)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = i % 13 + 2
+                h = i % 7 + 2
+                base = i % 200
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = (base + (x // 4) * 4)[None, :]
+                px[:, :, 1] = (base + y)[:, None]
+                px[:, :, 2] = base
+                blobs.append(encode_tga_rle(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def extract_tga_stats(media_df: DataFrame) -> DataFrame:
+    """REAL-decode stats over a binary TGA column: dimensions + exact
+    per-channel means via :func:`decode_tga_rle` in Arrow-batched
+    ``mapInPandas``; channel sums in int64, one exact division."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "mean_r", "mean_g",
+                    "mean_b")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_tga_rle(bytes(blob))
+                h, w, _ = px.shape
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n = h * w
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(sums[0] / n)
+                out["mean_g"].append(sums[1] / n)
+                out["mean_b"].append(sums[2] / n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, TGA_STATS_SCHEMA)

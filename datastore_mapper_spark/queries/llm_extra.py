@@ -2184,3 +2184,97 @@ def multimodal_jpeg_progressive_stats(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return extract_jpeg_progressive_stats(render_jpeg_progressive_media(d))
+
+
+@query(
+    "multimodal_mulaw_decode_stats",
+    "LLM-pipeline",
+    oracle="""
+    WITH law AS (
+        SELECT doc_id,
+               (((doc_id % 16) * 8 + 132) << (doc_id % 8)) - 132 AS mag,
+               CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(8000 * ((doc_id % 2) + 1) AS INT) AS sample_rate,
+           CAST(800 + (doc_id % 3) * 400 AS BIGINT) AS n_samples,
+           CAST(s * mag AS DOUBLE) AS mean_amp
+    FROM law
+    """,
+)
+def multimodal_mulaw_decode_stats(spark, sf_dir):
+    """REAL telephony-codec decode, end-to-end (round 13): render a
+    genuine mono G.711 mu-law WAV per document (format tag 0x0007 —
+    the piecewise-log companding of every landline call: sign bit,
+    3-bit segment, 4-bit mantissa, complemented on the wire), decode
+    the BYTES back (operators/multimodal.decode_wav_mulaw: RIFF walk
+    incl. odd-chunk padding, fmt validation, fact-count truncation,
+    the ((mant<<3)+bias)<<seg - bias expansion) and emit rate / count
+    / mean amplitude in Arrow-batched mapInPandas.  The render law
+    puts each document's constant signal ON the mu-law codebook
+    lattice, so the LOSSY companding round-trips it exactly and the
+    closed-form oracle states the decoded mean through the 2:1
+    container; a segment-shift slip, bias miss, or complement flip
+    moves every decoded value and hash-fails.  Off-lattice signals
+    are pinned by the companding-error fuzz bound in pytest.  Sixth
+    real audio/image codec family in-container."""
+    from ..operators.multimodal import (
+        extract_mulaw_stats,
+        render_mulaw_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_mulaw_stats(render_mulaw_media(d))
+
+
+@query(
+    "multimodal_tga_decode_stats",
+    "LLM-pipeline",
+    oracle="""
+    WITH law AS (
+        SELECT doc_id,
+               (doc_id % 13) + 2 AS w,
+               (doc_id % 7) + 2 AS h,
+               doc_id % 200 AS base,
+               ((doc_id % 13) + 2) // 4 AS q,
+               ((doc_id % 13) + 2) % 4 AS r
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           -- ONE division of the exact integer numerator: float
+           -- division is correctly rounded, so k/w here and the
+           -- decoder's (h*k)/(w*h) are the SAME rational -> the same
+           -- double (base + x/w would associate differently and
+           -- drift a last bit)
+           CAST(base * w + 8 * q * (q - 1) + 4 * q * r AS DOUBLE) / w
+               AS mean_r,
+           base + CAST(h - 1 AS DOUBLE) / 2 AS mean_g,
+           CAST(base AS DOUBLE) AS mean_b
+    FROM law
+    """,
+)
+def multimodal_tga_decode_stats(spark, sf_dir):
+    """REAL RLE-image decode, end-to-end (round 13): render a genuine
+    type-10 (run-length-encoded true-color) TARGA per document — the
+    18-byte header + run/raw packet stream + BGR order + bottom-up
+    origin of the classic games/VFX format — then decode the BYTES
+    back (operators/multimodal.decode_tga_rle: header walk, packet
+    replay, BGR swap, descriptor-bit-5 flip) and emit dimensions +
+    exact channel means in Arrow-batched mapInPandas.  The pixel law
+    (horizontal 4-pixel R bands over a per-row G gradient) forces
+    BOTH packet kinds through the encoder — runs inside each band,
+    raws at band remainders — and keeps the channel means closed-form
+    for the oracle: a run-length off-by-one, packet-boundary slip,
+    BGR order flip, or forgotten vertical flip shifts a mean and
+    hash-fails.  Arbitrary images are pinned by the round-trip fuzz
+    in pytest."""
+    from ..operators.multimodal import (
+        extract_tga_stats,
+        render_tga_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_tga_stats(render_tga_media(d))

@@ -2054,3 +2054,74 @@ def test_tdigest_quantiles_spark_end_to_end(spark, sf_dir):
     for p, e in zip(probs, ests):
         exact = np.quantile(vals, p)
         assert abs(e - exact) / exact < 0.02, (p, e, exact)
+
+
+def test_mulaw_codec_fuzz():
+    """G.711 mu-law: (a) codebook idempotence — decode(encode(v)) is a
+    fixpoint lattice and re-encoding lands on the same byte; (b) the
+    companding error bound on arbitrary signals (relative ~1/16 from
+    the 4-bit mantissa, absolute <= the top segment's step); (c) the
+    render law's lattice values round-trip EXACTLY (the property the
+    SQL oracle depends on)."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_wav_mulaw,
+        encode_wav_mulaw,
+    )
+
+    rng = np.random.default_rng(7)
+    # (a) idempotence on the decoded lattice
+    sig = rng.integers(-32000, 32000, 500).astype(np.int16)
+    _, once = decode_wav_mulaw(encode_wav_mulaw(sig))
+    _, twice = decode_wav_mulaw(encode_wav_mulaw(once))
+    assert (once == twice).all()
+    # (b) companding error bound
+    err = np.abs(once.astype(np.int64) - sig.astype(np.int64))
+    step = np.maximum(np.abs(sig.astype(np.int64)) + 132, 256) // 16
+    assert (err <= step + 4).all(), int(err.max())
+    # (c) the render-law lattice is exact
+    for i in range(0, 64):
+        mag = (((i % 16) * 8 + 132) << (i % 8)) - 132
+        val = mag if i % 2 == 0 else -mag
+        s = np.full(9, val, dtype=np.int16)
+        rate, out = decode_wav_mulaw(encode_wav_mulaw(s, 16000))
+        assert rate == 16000 and (out == val).all(), (i, val)
+    # malformed container refused
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_wav_mulaw(b"RIFFxxxxJUNK")
+
+
+def test_tga_rle_round_trip_fuzz():
+    """TGA type-10: exact round-trip on random images (both packet
+    kinds), long->128-cap run splitting, scanline isolation, and the
+    format guards (non-RLE type, color maps, odd bpp refused)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_tga_rle,
+        encode_tga_rle,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        h = int(rng.integers(1, 9))
+        w = int(rng.integers(1, 20))
+        # mix structured runs with noise so both packet kinds appear
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        if rng.random() < 0.5:
+            px[:, : w // 2] = px[:, :1]
+        assert (decode_tga_rle(encode_tga_rle(px)) == px).all()
+    # >128-pixel runs must split packets and still round-trip
+    px = np.full((3, 700, 3), 42, np.uint8)
+    blob = encode_tga_rle(px)
+    assert (decode_tga_rle(blob) == px).all()
+    # guards
+    bad = bytearray(blob)
+    bad[2] = 2  # uncompressed true-color: not implemented here
+    with _pytest.raises(NotImplementedError):
+        decode_tga_rle(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_tga_rle(blob[:10])
