@@ -484,3 +484,155 @@ def lexical_diversity_by_lang(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "mann_kendall_trend_daily",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), s AS (
+        SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1
+                             ELSE 0 END) AS BIGINT) AS s
+        FROM daily a JOIN daily b ON a.d < b.d
+    ), ties AS (
+        SELECT COALESCE(sum(CAST(t * (t - 1) * (2 * t + 5)
+                                 AS BIGINT)), 0) AS tt
+        FROM (SELECT count(*) AS t FROM daily GROUP BY cents
+              HAVING count(*) > 1)
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+    SELECT n.n AS n_days, s.s AS s_stat,
+           round((s.s - CASE WHEN s.s > 0 THEN 1
+                             WHEN s.s < 0 THEN -1 ELSE 0 END)
+                 / sqrt((n.n * (n.n - 1.0) * (2 * n.n + 5) - ties.tt)
+                        / 18.0),
+                 6) AS z_stat
+    FROM s, ties, n WHERE n.n >= 3
+    """,
+)
+def mann_kendall_trend_daily(spark, sf_dir):
+    """Mann–Kendall monotonic-trend test on the daily-revenue series —
+    the nonparametric companion of the round-11 Theil–Sen slope row
+    (same estimator family: Kendall score over all day pairs).  The S
+    statistic (Σ sign(x_j − x_i) over i<j) and the tie-group variance
+    correction (Σ t(t−1)(2t+5)) are exact integers; z applies the
+    standard continuity correction and rounds one double expression
+    to 6 dp.  The fact table collapses to the ~2 400-row day
+    dictionary FIRST, so the triangular pair join is ~3M dictionary
+    comparisons, never fact-tier (the same envelope as
+    kendall_tau_yearly_nation_revenue)."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).cast("bigint").alias("cents"))
+        .localCheckpoint()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s_df = (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .agg(F.sum(
+            F.when(F.col("b.cents") > F.col("a.cents"), 1)
+            .when(F.col("b.cents") < F.col("a.cents"), -1)
+            .otherwise(0)).cast("bigint").alias("s"))
+    )
+    ties = (
+        daily.groupBy("cents").agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(F.coalesce(
+            F.sum((F.col("t") * (F.col("t") - 1)
+                   * (2 * F.col("t") + 5)).cast("bigint")),
+            F.lit(0).cast("bigint")).alias("tt"))
+    )
+    n_df = daily.agg(F.count("*").cast("bigint").alias("n"))
+    s, n, tt = F.col("s"), F.col("n"), F.col("tt")
+    return (
+        s_df.crossJoin(F.broadcast(ties)).crossJoin(F.broadcast(n_df))
+        .filter(n >= 3)
+        .select(
+            n.alias("n_days"), s.alias("s_stat"),
+            F.round(
+                (s - F.when(s > 0, 1).when(s < 0, -1).otherwise(0))
+                / F.sqrt((n * (n - 1.0) * (2 * n + 5) - tt) / 18.0),
+                6,
+            ).alias("z_stat"),
+        )
+    )
+
+
+@query(
+    "hellinger_lang_drift_sources",
+    "analytics/stats",
+    oracle="""
+    WITH marked AS (
+        SELECT lang,
+               CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                    THEN 1 ELSE 0 END AS is_a
+        FROM documents
+    ), per AS (
+        SELECT lang,
+               CAST(sum(is_a) AS BIGINT) AS a_n,
+               CAST(sum(1 - is_a) AS BIGINT) AS b_n
+        FROM marked GROUP BY lang
+    ), tot AS (
+        SELECT CAST(sum(a_n) AS BIGINT) AS a_tot,
+               CAST(sum(b_n) AS BIGINT) AS b_tot
+        FROM per
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_langs,
+           round(sqrt(sum(
+               (sqrt(CAST(a_n AS DOUBLE) / a_tot)
+                - sqrt(CAST(b_n AS DOUBLE) / b_tot))
+               * (sqrt(CAST(a_n AS DOUBLE) / a_tot)
+                  - sqrt(CAST(b_n AS DOUBLE) / b_tot)))
+               / 2), 6) AS hellinger,
+           round(1 - sum(sqrt(CAST(a_n AS DOUBLE) / a_tot
+                              * CAST(b_n AS DOUBLE) / b_tot)), 6)
+               AS one_minus_bc
+    FROM per, tot
+    WHERE a_tot > 0 AND b_tot > 0
+    GROUP BY a_tot, b_tot
+    """,
+)
+def hellinger_lang_drift_sources(spark, sf_dir):
+    """Hellinger distance (and its Bhattacharyya-coefficient
+    complement) between the language distributions of two source
+    cohorts — the bounded, symmetric drift metric that stays finite
+    on disjoint supports, where the round-9 PSI row needs epsilon
+    floors.  Language counts are exact integers off one aggregate;
+    the distance is a 5-term double sum (error ~1e-16, six orders
+    under the 6-dp round).  Dictionary-tier throughout after the
+    first fact pass — the 100 TB shape for any corpus-mix drift
+    monitor."""
+    d = table(spark, sf_dir, "documents")
+    marked = d.select(
+        "lang",
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+        .cast("int").alias("is_a"),
+    )
+    per = marked.groupBy("lang").agg(
+        F.sum("is_a").cast("bigint").alias("a_n"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("b_n"),
+    )
+    tot = per.agg(F.sum("a_n").cast("bigint").alias("a_tot"),
+                  F.sum("b_n").cast("bigint").alias("b_tot"))
+    j = per.crossJoin(F.broadcast(tot)).filter(
+        (F.col("a_tot") > 0) & (F.col("b_tot") > 0))
+    pa = F.col("a_n").cast("double") / F.col("a_tot")
+    pb = F.col("b_n").cast("double") / F.col("b_tot")
+    return (
+        j.groupBy("a_tot", "b_tot")
+        .agg(
+            F.count("*").cast("bigint").alias("n_langs"),
+            F.round(F.sqrt(F.sum(
+                (F.sqrt(pa) - F.sqrt(pb))
+                * (F.sqrt(pa) - F.sqrt(pb))) / 2), 6).alias("hellinger"),
+            F.round(1 - F.sum(F.sqrt(pa * pb)), 6).alias("one_minus_bc"),
+        )
+        .drop("a_tot", "b_tot")
+        .select("n_langs", "hellinger", "one_minus_bc")
+    )
