@@ -636,3 +636,90 @@ def hellinger_lang_drift_sources(spark, sf_dir):
         .drop("a_tot", "b_tot")
         .select("n_langs", "hellinger", "one_minus_bc")
     )
+
+
+@query(
+    "bigram_perplexity_by_lang",
+    "LLM-pipeline/text",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, string_split(text, ' ') AS t FROM documents
+    ), bigrams AS (
+        SELECT lang, t[i.i] AS w1, t[i.i + 1] AS w2
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+    ), c12 AS (
+        SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12
+        FROM bigrams GROUP BY lang, w1, w2
+    ), c1 AS (
+        SELECT lang, w1, CAST(sum(c12) AS BIGINT) AS c1
+        FROM c12 GROUP BY lang, w1
+    ), vocab AS (
+        SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS v
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        GROUP BY lang
+    )
+    SELECT a.lang,
+           CAST(sum(a.c12) AS BIGINT) AS n_bigrams,
+           max(v.v) AS vocab_size,
+           round(exp(-sum(a.c12 * (ln(a.c12 + 1) - ln(b.c1 + v.v)))
+                     / sum(a.c12)), 4) AS perplexity
+    FROM c12 a
+    JOIN c1 b ON a.lang = b.lang AND a.w1 = b.w1
+    JOIN vocab v ON a.lang = v.lang
+    GROUP BY a.lang HAVING sum(a.c12) > 0
+    ORDER BY a.lang
+    """,
+)
+def bigram_perplexity_by_lang(spark, sf_dir):
+    """Add-one-smoothed bigram language-model perplexity per language,
+    trained and scored on the same corpus — the classic fluency /
+    repetitiveness signal (boilerplate-heavy corpora score LOW
+    perplexity; the quality-filter companion of the round-12
+    entropy-by-lang row, one modeling rung up).  Adjacent-token pairs
+    come from one zip of the token array with its tail (no
+    self-join); counts c(w1,w2), prefix counts c(w1), and vocabulary
+    V are exact integers; the cross-entropy sum Σ c·(ln(c+1) −
+    ln(c1+V)) runs over bigram TYPES (dictionary tier), and the final
+    perplexity exp(−Σ/N) is rounded to 4 dp — the type-tier double
+    sum's error is ~1e-12, four orders under the round.  At 100 TB
+    this shape (explode → two count tiers → one join on the prefix)
+    is the standard distributed n-gram LM estimation plan."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.split(F.col("text"), " ").alias("t"))
+    bigrams = toks.select(
+        "lang",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1,
+                        F.greatest(F.size("t") - 1, F.lit(0))).alias("w1"),
+                F.expr("slice(t, 2, greatest(size(t) - 1, 0))").alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("lang", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = bigrams.groupBy("lang", "w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12"))
+    c1 = c12.groupBy("lang", "w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"))
+    vocab = (
+        d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    return (
+        c12.join(c1, ["lang", "w1"])
+        .join(F.broadcast(vocab), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum("c12").cast("bigint").alias("n_bigrams"),
+            F.max("v").alias("vocab_size"),
+            F.round(
+                F.exp(-F.sum(F.col("c12")
+                             * (F.log(F.col("c12") + 1)
+                                - F.log(F.col("c1") + F.col("v"))))
+                      / F.sum("c12")), 4).alias("perplexity"),
+        )
+        .filter(F.col("n_bigrams") > 0)
+        .orderBy("lang")
+    )
