@@ -2912,3 +2912,222 @@ def extract_tga_stats(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, TGA_STATS_SCHEMA)
+
+
+# --- QOI ("Quite OK Image") lossless codec (round 13) -----------------
+#
+# The 2021 single-page lossless format (qoiformat.org): a 14-byte
+# header ("qoif", BE width/height, channels, colorspace), then a
+# byte-aligned op stream over a running previous-pixel + 64-slot
+# hash-indexed color array, closed by seven 0x00 and one 0x01:
+#
+#   0xFE r g b        QOI_OP_RGB    explicit color (alpha carried)
+#   0xFF r g b a      QOI_OP_RGBA   explicit color+alpha
+#   0b00iiiiii        QOI_OP_INDEX  replay array[i], i = hash(px)
+#   0b01drdgdb        QOI_OP_DIFF   2-bit channel deltas, bias 2
+#   0b10dg...  drdg|dbdg  QOI_OP_LUMA  6-bit dg bias 32; 4-bit dr-dg /
+#                                      db-dg bias 8 (second byte)
+#   0b11rrrrrr        QOI_OP_RUN    repeat prev 1..62 (bias -1; 63/64
+#                                   are the RGB/RGBA tags)
+#
+# hash(px) = (3r + 5g + 7b + 11a) % 64.  All deltas wrap mod 256.
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a REAL QOI file
+    (channels=3, alpha fixed 255): maximal RUN chunks, INDEX on hash
+    hits, DIFF / LUMA for small wrapped deltas, explicit RGB
+    otherwise — the reference-encoder op priority, so output is
+    byte-identical to qoi.c on the same input."""
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("expected (h, w, 3) RGB")
+    out = bytearray(b"qoif")
+    out += struct.pack(">IIBB", w, h, 3, 0)
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    flat = px.reshape(-1, 3)
+    for i in range(flat.shape[0]):
+        r, g, b = int(flat[i, 0]), int(flat[i, 1]), int(flat[i, 2])
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hi = _qoi_hash(r, g, b, 255)
+        if index[hi] == (r, g, b, 255):
+            out.append(hi)
+        else:
+            index[hi] = (r, g, b, 255)
+            dr = (r - pr + 128) % 256 - 128
+            dg = (g - pg + 128) % 256 - 128
+            db = (b - pb + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                           | (db + 2))
+            elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                  and -8 <= db - dg <= 7):
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes((0xFE, r, g, b))
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(blob: bytes) -> np.ndarray:
+    """REAL decode of a QOI file -> (h, w, 3) uint8 RGB: header walk,
+    op dispatch over the running pixel + 64-slot index (stored after
+    every non-run chunk, the qoi.c discipline), wrapped-delta replay,
+    end-marker check.  4-channel files decode with alpha dropped."""
+    if len(blob) < 22 or blob[:4] != b"qoif":
+        raise ValueError("not a QOI file")
+    w, h, channels, _cs = struct.unpack(">IIBB", blob[4:14])
+    if channels not in (3, 4):
+        raise ValueError(f"QOI channels {channels}")
+    if blob[-8:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("missing QOI end marker")
+    total = w * h
+    flat = np.empty((total, 3), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, filled = 14, 0
+    end = len(blob) - 8
+    while filled < total:
+        if pos >= end:
+            raise ValueError("truncated QOI op stream")
+        op = blob[pos]
+        pos += 1
+        if op == 0xFE:  # RGB
+            r, g, b = blob[pos], blob[pos + 1], blob[pos + 2]
+            pos += 3
+        elif op == 0xFF:  # RGBA
+            r, g, b, a = blob[pos], blob[pos + 1], blob[pos + 2], \
+                blob[pos + 3]
+            pos += 4
+        elif op >> 6 == 0b00:  # INDEX
+            r, g, b, a = index[op & 0x3F]
+        elif op >> 6 == 0b01:  # DIFF
+            r = (r + ((op >> 4) & 3) - 2) % 256
+            g = (g + ((op >> 2) & 3) - 2) % 256
+            b = (b + (op & 3) - 2) % 256
+        elif op >> 6 == 0b10:  # LUMA
+            dg = (op & 0x3F) - 32
+            second = blob[pos]
+            pos += 1
+            r = (r + dg + ((second >> 4) & 0x0F) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (second & 0x0F) - 8) % 256
+        else:  # RUN
+            n = (op & 0x3F) + 1
+            if filled + n > total:
+                raise ValueError("QOI run overflows image")
+            flat[filled:filled + n] = (r, g, b)
+            filled += n
+            continue
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+        flat[filled] = (r, g, b)
+        filled += 1
+    return flat.reshape(h, w, 3)
+
+
+QOI_STATS_SCHEMA = (
+    "doc_id long, width int, height int, compressed_ok boolean, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def render_qoi_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL QOI image per document, deterministically from
+    ``doc_id``: width ``(id % 11) + 3``, height ``(id % 5) + 2``,
+    pixel law ``R = base + 2*(x // 3)``, ``G = base + 2*(y // 2)``,
+    ``B = base`` for ``base = id % 193``.  The law routes every op
+    kind through the encoder — 3-pixel R bands produce RUN chunks,
+    band steps (+2,0,0) produce DIFF, row wraps produce LUMA/RGB, and
+    paired rows (same G) revisit row-0 colors so their first pixel
+    replays from the hash INDEX — while channel means stay in closed
+    form for the SQL oracle.  ASSUMES doc_id >= 0."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                w = i % 11 + 3
+                h = i % 5 + 2
+                base = i % 193
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = (base + 2 * (x // 3))[None, :]
+                px[:, :, 1] = (base + 2 * (y // 2))[:, None]
+                px[:, :, 2] = base
+                blobs.append(encode_qoi(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def extract_qoi_stats(media_df: DataFrame) -> DataFrame:
+    """REAL-decode stats over a binary QOI column: dimensions, a
+    compression receipt (op count strictly below the pixel count —
+    provable because every >=3-wide band emits a RUN and paired rows
+    replay via INDEX+RUN, so the law guarantees it for ALL doc_ids)
+    and exact per-channel means via :func:`decode_qoi` in
+    Arrow-batched ``mapInPandas``; sums in int64, ONE division."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "compressed_ok",
+                    "mean_r", "mean_g", "mean_b")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(blob)
+                px = decode_qoi(raw)
+                h, w, _ = px.shape
+                sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n = h * w
+                # count ops by a header-less re-walk: cheap (byte scan)
+                n_ops = 0
+                pos, end = 14, len(raw) - 8
+                while pos < end:
+                    op = raw[pos]
+                    n_ops += 1
+                    pos += (4 if op == 0xFE else 5 if op == 0xFF
+                            else 2 if op >> 6 == 0b10 else 1)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["compressed_ok"].append(bool(n_ops < n))
+                out["mean_r"].append(sums[0] / n)
+                out["mean_g"].append(sums[1] / n)
+                out["mean_b"].append(sums[2] / n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "width": pd.Series(out["width"], dtype="int32"),
+                    "height": pd.Series(out["height"], dtype="int32"),
+                    "compressed_ok": pd.Series(
+                        out["compressed_ok"], dtype="bool"),
+                    "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                    "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                    "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                }
+            )
+
+    return media_df.mapInPandas(batches, QOI_STATS_SCHEMA)

@@ -1379,3 +1379,312 @@ def acid_shallow_clone(spark, sf_dir):
                 F.lit(bool(zero_copy)).alias("zero_copy_ok"),
                 F.lit(bool(intact)).alias("source_intact_ok"))
     )
+
+
+@query(
+    "acid_check_constraints",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS reject_atomic_ok,
+           TRUE AS guard_metadata_only_ok
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_check_constraints(spark, sf_dir):
+    """CHECK constraints through the table format (round 13 — Delta's
+    ``ALTER TABLE ADD CONSTRAINT`` semantics,
+    ``acid_lite.add_check_constraint``): a third of orders seeds the
+    table, ``o_totalprice > 0`` lands as a METADATA-ONLY commit after
+    validating the existing rows, then a poisoned batch (every
+    ``o_orderkey % 6 == 1`` row carries a negated price) is appended
+    and MUST be rejected atomically — no version moves, no file lands,
+    the error quotes an offending row — before the clean batch of the
+    same keys lands normally.
+
+    ``reject_atomic_ok`` grades the rejection (ConstraintViolation
+    raised AND version + exact (count, cents) aggregate unchanged);
+    ``guard_metadata_only_ok`` grades that the ADD CONSTRAINT commit
+    carried its parent's file list verbatim (zero rewrite).  The
+    hashed rows are the final per-status aggregate — equal to the
+    clean union, which is what the oracle states.  At 100 TB the
+    enforcement cost is one pruned pass over the INCOMING batch, never
+    the table; the existing-data validation on ADD is the one full
+    scan, exactly the price Delta pays."""
+    dest = _table_dir("acid_cons", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    acid_lite.create_table(spark, dest, o.filter(k % 3 == 0).coalesce(2))
+    v_guard = acid_lite.add_check_constraint(
+        spark, dest, "price_pos", "o_totalprice > 0")
+    mg = acid_lite._read_manifest(dest, v_guard)
+    metadata_only = (
+        mg.get("op") == "add_constraint"
+        and mg["files"] == acid_lite._read_manifest(dest, v_guard - 1)["files"]
+        and mg.get("constraints") == {"price_pos": "o_totalprice > 0"}
+    )
+    snap = acid_lite.read(spark, dest).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("s")
+    ).first()
+    clean = o.filter(k % 3 == 1)
+    poison = clean.withColumn(
+        "o_totalprice",
+        F.when(k % 6 == 1, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice")))
+    has_poison = poison.filter(F.col("o_totalprice") <= 0).limit(1).count()
+    rejected = not has_poison  # empty input: nothing to reject = pass
+    if has_poison:
+        try:
+            acid_lite.append(spark, dest, poison)
+        except acid_lite.ConstraintViolation:
+            rejected = True
+    after = acid_lite.read(spark, dest).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("s")
+    ).first()
+    atomic = (
+        rejected
+        and acid_lite.latest_version(dest) == v_guard
+        and (snap.n, snap.s) == (after.n, after.s)
+    )
+    acid_lite.append(spark, dest, clean)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, dest)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                F.lit(bool(atomic)).alias("reject_atomic_ok"),
+                F.lit(bool(metadata_only)).alias("guard_metadata_only_ok"))
+    )
+
+
+@query(
+    "acid_restore_version",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS metadata_only_ok,
+           TRUE AS history_preserved_ok
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_restore_version(spark, sf_dir):
+    """RESTORE TABLE ... TO VERSION AS OF (round 13 — Delta RESTORE,
+    ``acid_lite.restore_table``): the even-keyed half of orders seeds
+    v1, the odd half appends (v2), a CoW DELETE drops the bottom
+    key quartile (v3), then the table is RESTORED to v1.  The final
+    read must be bit-identical to v1 — the oracle states it directly
+    from the seed predicate.
+
+    ``metadata_only_ok`` grades that the restore commit's file list
+    IS v1's file list (zero data files moved or rewritten — rollback
+    is manifest math); ``history_preserved_ok`` grades that history
+    still shows the append+delete AND that time travel to the
+    pre-restore version still returns the post-delete row count (a
+    restore is a new commit, not an erasure — the Delta contract).
+    At 100 TB this is the 5-second undo for a bad pipeline deploy:
+    cost is one manifest write regardless of table size."""
+    dest = _table_dir("acid_restore", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    acid_lite.create_table(spark, dest, o.filter(k % 2 == 0).coalesce(2))
+    acid_lite.append(spark, dest, o.filter(k % 2 == 1).coalesce(2))
+    mx = o.agg(F.max("o_orderkey")).first()[0] or 0
+    if mx:
+        acid_lite.delete_where(spark, dest, "o_orderkey", None, mx // 4)
+    v_pre = acid_lite.latest_version(dest)
+    n_pre = acid_lite.read(spark, dest).count()
+    rv = acid_lite.restore_table(dest, version=1)
+    mr = acid_lite._read_manifest(dest, rv)
+    metadata_only = (
+        mr.get("op") == "restore"
+        and mr.get("restore_of") == 1
+        and mr["files"] == acid_lite._read_manifest(dest, 1)["files"]
+    )
+    ops = [h["op"] for h in acid_lite.describe_history(dest)]
+    history_ok = (
+        ops[0] == "restore"
+        and "append" in ops
+        and acid_lite.read(spark, dest, version=v_pre).count() == n_pre
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, dest)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                F.lit(bool(metadata_only)).alias("metadata_only_ok"),
+                F.lit(bool(history_ok)).alias("history_preserved_ok"))
+    )
+
+
+@query(
+    "acid_metadata_tables",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS row_count,
+           TRUE AS files_rollup_ok,
+           TRUE AS history_rollup_ok
+    FROM orders
+    WHERE o_orderkey % 5 < 4
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_metadata_tables(spark, sf_dir):
+    """Inspection (metadata) tables (round 13 — Iceberg's
+    ``table.files`` / ``.history`` / ``.partitions``,
+    ``acid_lite.metadata_table``): a status-partitioned table is built
+    in two commits, then the PARTITIONS metadata table itself is the
+    graded result — its per-partition row counts must equal the real
+    per-status COUNT(*), which the oracle states from the seed
+    predicate.  Metadata answering a data question exactly is the
+    whole point of manifest-resident stats.
+
+    ``files_rollup_ok`` grades the FILES table: one row per manifest
+    entry and footer row counts summing to the table's COUNT(*);
+    ``history_rollup_ok`` grades the HISTORY table: create+append ops
+    with the latest version's metadata-only row count matching.  All
+    three tables are pure manifest math — the driver-side list is
+    file-count-sized, the same envelope as the manifest JSON, so the
+    inspection stays O(files) at 100 TB while the data stays on disk."""
+    dest = _table_dir("acid_metatbl", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    acid_lite.create_table(spark, dest, o.filter(k % 5 < 3).coalesce(2),
+                           partition_by=["o_orderstatus"])
+    acid_lite.append(spark, dest, o.filter(k % 5 == 3).coalesce(2))
+    total = acid_lite.read(spark, dest).count()
+    files = acid_lite.metadata_table(spark, dest, "files")
+    m = acid_lite._read_manifest(dest, acid_lite.latest_version(dest))
+    fsum = files.agg(F.sum("row_count")).first()[0] or 0
+    files_ok = files.count() == len(m["files"]) and fsum == total
+    hist = acid_lite.metadata_table(spark, dest, "history")
+    hrows = {r.version: r for r in hist.collect()}  # version-count-sized
+    history_ok = (
+        hrows[1].op == "create"
+        and hrows[max(hrows)].n_rows == total
+        and len(hrows) == acid_lite.latest_version(dest)
+    )
+    parts = acid_lite.metadata_table(spark, dest, "partitions")
+    return (
+        parts
+        .select(F.element_at(F.col("partition"), "o_orderstatus")
+                .alias("o_orderstatus"),
+                F.col("row_count"),
+                F.lit(bool(files_ok)).alias("files_rollup_ok"),
+                F.lit(bool(history_ok)).alias("history_rollup_ok"))
+        .groupBy("o_orderstatus", "files_rollup_ok", "history_rollup_ok")
+        .agg(F.sum("row_count").alias("row_count"))
+        .select("o_orderstatus", "row_count",
+                "files_rollup_ok", "history_rollup_ok")
+    )
+
+
+@query(
+    "acid_wap_publish",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS audit_isolated_ok,
+           TRUE AS zero_copy_publish_ok
+    FROM orders
+    WHERE o_orderkey % 8 <> 1
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_wap_publish(spark, sf_dir):
+    """WRITE-AUDIT-PUBLISH (round 13 — the Iceberg WAP / audit-branch
+    pattern, ``shallow_clone`` + ``acid_lite.publish``): main holds
+    the ``%4==0`` quarter of orders; a zero-copy staging clone takes
+    the ``%4 IN (1,2)`` half, POISONED (``%8==1`` rows carry negated
+    prices); the audit query finds the bad rows ON STAGING while main
+    is provably untouched; a staging CoW DELETE fixes them; a racer
+    appends the ``%4==3`` quarter to MAIN inside the audit window;
+    publish then lands the staged delta as ONE commit that REBASES
+    over the racer.  Final table = everything except the poisoned
+    keys — the oracle states it as ``o_orderkey % 8 <> 1``.
+
+    ``audit_isolated_ok`` grades isolation: during the audit, main's
+    version had not moved and its exact (count, cents) aggregate was
+    the pre-clone one, while staging already saw the poison.
+    ``zero_copy_publish_ok`` grades the mechanics: every clone-point
+    data file is still referenced (as a main-relative path — refs
+    moved zero bytes) and the staged rows arrived via RENAMED files,
+    not a rewrite (publish cost is O(staged files), never O(table)).
+    At 100 TB this is how a pipeline ships a risky batch: full-power
+    audit queries against real table state, with the blast radius of
+    a no-op until publish."""
+    dest = _table_dir("acid_wapmain", sf_dir)
+    staging = _table_dir("acid_wapstage", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    acid_lite.create_table(spark, dest, o.filter(k % 4 == 0).coalesce(2))
+    base_files = list(acid_lite._read_manifest(dest, 1)["files"])
+    pre = acid_lite.read(spark, dest).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("s")
+    ).first()
+    acid_lite.shallow_clone(dest, staging)
+    batch = (
+        o.filter((k % 4).isin(1, 2))
+        .withColumn("o_totalprice",
+                    F.when(k % 8 == 1, -F.col("o_totalprice"))
+                    .otherwise(F.col("o_totalprice")))
+    )
+    acid_lite.append(spark, staging, batch.coalesce(2))
+    # AUDIT: the poison is visible on staging, invisible on main
+    n_bad = acid_lite.read(spark, staging).filter(
+        F.col("o_totalprice") <= 0).count()
+    mid = acid_lite.read(spark, dest).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("s")
+    ).first()
+    expect_bad = batch.filter(F.col("o_totalprice") <= 0).count()
+    isolated = (
+        acid_lite.latest_version(dest) == 1
+        and (mid.n, mid.s) == (pre.n, pre.s)
+        and n_bad == expect_bad
+    )
+    if n_bad:
+        acid_lite.delete_where(spark, staging, "o_totalprice", None, 0.0)
+    # a concurrent writer lands on MAIN inside the audit window
+    acid_lite.append(spark, dest, o.filter(k % 4 == 3).coalesce(2))
+    pv = acid_lite.publish(spark, staging, dest)
+    mp = acid_lite._read_manifest(dest, pv)
+    zero_copy = (
+        set(base_files) <= set(mp["files"])
+        and not any(os.path.isabs(f) for f in mp["files"])
+        and mp.get("op") == "wap_publish"
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, dest)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                F.lit(bool(isolated)).alias("audit_isolated_ok"),
+                F.lit(bool(zero_copy)).alias("zero_copy_publish_ok"))
+    )

@@ -2356,3 +2356,58 @@ def sq8_knn_recall_verified(spark, sf_dir):
         (F.col("ann_mass") >= 0.97 * F.col("exact_mass"))
         .alias("quality_ok"),
     )
+
+
+@query(
+    "multimodal_qoi_decode_stats",
+    "LLM-pipeline",
+    oracle="""
+    WITH law AS (
+        SELECT doc_id,
+               (doc_id % 11) + 3 AS w,
+               (doc_id % 5) + 2 AS h,
+               doc_id % 193 AS base,
+               ((doc_id % 11) + 3) // 3 AS q,
+               ((doc_id % 11) + 3) % 3 AS rw,
+               ((doc_id % 5) + 2) // 2 AS m,
+               ((doc_id % 5) + 2) % 2 AS rh
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           TRUE AS compressed_ok,
+           -- one correctly-rounded division of the exact integer
+           -- numerator: the decoder's (h*k)/(w*h) is the same
+           -- rational as k/w -> the same double (SURVEY §7.3-H2)
+           CAST(base * w + 3 * q * (q - 1) + 2 * rw * q AS DOUBLE) / w
+               AS mean_r,
+           CAST(base * h + 2 * (m * (m - 1) + rh * m) AS DOUBLE) / h
+               AS mean_g,
+           CAST(base AS DOUBLE) AS mean_b
+    FROM law
+    """,
+)
+def multimodal_qoi_decode_stats(spark, sf_dir):
+    """REAL QOI decode, end-to-end (round 13 — the 2021 "Quite OK
+    Image" lossless format, qoiformat.org): render a genuine QOI file
+    per document — 14-byte header, running previous-pixel + 64-slot
+    hash index, RUN / INDEX / DIFF / LUMA / RGB op stream, 8-byte end
+    marker — then decode the BYTES back
+    (operators/multimodal.decode_qoi) and emit dimensions, a
+    compression receipt (op count strictly below pixel count: the
+    render law guarantees RUN and INDEX chunks fire for every image)
+    and exact channel means in Arrow-batched mapInPandas.  The pixel
+    law (3-pixel R bands over paired-row G) routes ALL FIVE op kinds
+    through the encoder: a wrapped-delta sign error, LUMA nibble
+    swap, stale hash slot, or run off-by-one shifts a mean or the
+    receipt and hash-fails.  Arbitrary images are pinned by the
+    round-trip fuzz in pytest (RGB-heavy, run-heavy, delta-heavy,
+    palette-heavy corpora + the >62-pixel run flush)."""
+    from ..operators.multimodal import (
+        extract_qoi_stats,
+        render_qoi_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_qoi_stats(render_qoi_media(d))

@@ -83,13 +83,19 @@ class ConcurrentModification(Exception):
     the new snapshot."""
 
 
+class ConstraintViolation(Exception):
+    """An incoming batch (or the existing table, on ADD CONSTRAINT)
+    violates a CHECK constraint — nothing was committed."""
+
+
 def _rebase_commit(path: str, touched: list[str], new_files: list[str],
                    op: str, retries: int = 3,
                    purge_dvs: bool = False,
                    expect_dvs: list[str] | None = None,
                    new_partitions: dict | None = None,
                    add_dvs: list[str] | None = None,
-                   add_dv_rows: int = 0) -> int:
+                   add_dv_rows: int = 0,
+                   schema: str | None = None) -> int:
     """Commit a file-level edit (remove ``touched``, add ``new_files``)
     with LOGICAL conflict detection: losing the version race to a
     commit that left every touched file in place (e.g. a concurrent
@@ -129,7 +135,7 @@ def _rebase_commit(path: str, touched: list[str], new_files: list[str],
         try:
             _commit(path, cur + 1, sorted(kept) + sorted(new_files),
                     cur, op, dvs=dvs, dv_rows=add_dv_rows,
-                    partitions=new_partitions)
+                    partitions=new_partitions, schema=schema)
             return cur + 1
         except CommitConflict:
             continue  # version race only: rebase again
@@ -548,7 +554,8 @@ def _commit(path: str, version: int, files: list[str],
             specs: dict | None = None,
             default_spec: str | None = None,
             mapping: dict | None = None,
-            dropped_physical: list[str] | None = None) -> None:
+            dropped_physical: list[str] | None = None,
+            constraints: dict | None = None) -> None:
     """Atomically publish manifest ``version`` (O_EXCL = one winner).
     ``schema`` (a DDL string) makes zero-file versions readable — an
     empty table is a legal snapshot, not an error.
@@ -579,6 +586,10 @@ def _commit(path: str, version: int, files: list[str],
             mapping = pm.get("mapping")
         if dropped_physical is None:
             dropped_physical = pm.get("dropped_physical")
+        if constraints is None:
+            # CHECK constraints carry through every commit kind; an
+            # explicit {} (drop_constraint) clears them
+            constraints = pm.get("constraints")
         parent_stats = pm.get("stats") or {}
         parent_txns = pm.get("txns") or {}
         parent_partitions = pm.get("partitions") or {}
@@ -615,6 +626,8 @@ def _commit(path: str, version: int, files: list[str],
         payload["mapping"] = mapping
     if dropped_physical:
         payload["dropped_physical"] = dropped_physical
+    if constraints:
+        payload["constraints"] = constraints
     if parent_txns:
         # carry the txn-dedup map through NON-txn commits too, so the
         # latest manifest stays authoritative across interleaved
@@ -714,6 +727,7 @@ def append(spark: SparkSession, path: str, df: DataFrame,
     os.makedirs(path, exist_ok=True)
     parent0 = latest_version(path)
     pm0 = _read_manifest(path, parent0) if parent0 else {}
+    _enforce_constraints(df, pm0, "append")
     files, parts = _write_files_any(df, path, pm0.get("partition_by"),
                                     mapping=pm0.get("mapping"))
     schema = ", ".join(
@@ -821,6 +835,10 @@ def merge_upsert(
             "touched files directly and would resurrect deleted rows)"
         )
     src = _checked_merge_source(source, key)
+    _enforce_constraints(
+        src.filter(~F.col(delete_col)).drop(delete_col)
+        if delete_col is not None else src,
+        manifest, "merge")
     touched = _matched_data_files(spark, path, parent, manifest, src, key)
     kept = [f for f in manifest["files"] if f not in touched]
 
@@ -1093,6 +1111,7 @@ def append_evolve(spark: SparkSession, path: str, df: DataFrame,
         if c not in old_cols and c not in mapping and c in used_physical:
             mapping[c] = f"{c}_{uuid.uuid4().hex[:8]}"
             new_mapping = True
+    _enforce_constraints(df, m0, "append")
     files, parts = _write_files_any(df, path, pby, mapping=mapping)
     for _ in range(retries + 1):
         parent = latest_version(path)
@@ -1577,6 +1596,7 @@ def replace_where(
         cond = cond & (c >= F.lit(lo))
     if hi is not None:
         cond = cond & (c <= F.lit(hi))
+    _enforce_constraints(df, m, "replace_where")
     src = df.localCheckpoint()
     n_outside = src.filter(~cond | c.isNull()).count()
     if n_outside:
@@ -1724,6 +1744,7 @@ def replace_partitions(spark: SparkSession, path: str,
             "them before a partition overwrite (dropped files would "
             "leave their vectors dangling)"
         )
+    _enforce_constraints(df, m, "replace_partitions")
     new_files, new_parts = _write_files_partitioned(
         _to_physical(df, m.get("mapping")), path, pby)
     if not new_files:
@@ -1953,6 +1974,10 @@ def merge_three_way(
             "touched files directly and would resurrect deleted rows)"
         )
     src = _checked_merge_source(source, key)
+    _enforce_constraints(
+        src.filter(~F.col(delete_col)).drop(delete_col)
+        if delete_col is not None else src,
+        manifest, "merge")
     touched = _matched_data_files(spark, path, parent, manifest, src, key)
     pby = manifest.get("partition_by")
 
@@ -2357,3 +2382,375 @@ def describe_history(path: str) -> list[dict]:
             "partition_by": m.get("partition_by"),
         })
     return out
+
+
+# --------------------------------------------------------------------
+# CHECK constraints (Delta table-constraint semantics)
+# --------------------------------------------------------------------
+
+def _constraint_probe(df: DataFrame, m: dict):
+    """Project ``df`` so every column of the MANIFEST schema exists
+    (missing ones read NULL, typed) — a constraint on a column an
+    evolving append does not carry must see NULL (→ UNKNOWN → pass,
+    SQL-standard CHECK), not an analysis error."""
+    have = set(df.columns)
+    out = df
+    for c, t in _schema_types(m["schema"]).items():
+        if c not in have:
+            out = out.withColumn(c, F.lit(None).cast(t))
+    return out
+
+
+def _enforce_constraints(df: DataFrame, m: dict | None, op: str) -> None:
+    """Validate an incoming batch against the table's CHECK
+    constraints BEFORE any file is written.  SQL-standard semantics:
+    a row violates only when the predicate evaluates to FALSE —
+    UNKNOWN (NULL) passes, which also makes ``col IS NOT NULL`` the
+    NOT NULL constraint.  Cost is one pruned pass over the batch per
+    constraint; the ``.collect()`` is bounded at ONE row by the
+    ``limit(1)`` (it exists to quote an offending row in the error)."""
+    cons = (m or {}).get("constraints") or {}
+    if not cons:
+        return
+    probe = _constraint_probe(df, m)
+    for name, pred in cons.items():
+        bad = probe.filter(
+            F.coalesce(F.expr(pred).cast("boolean"), F.lit(True))
+            == F.lit(False)
+        ).limit(1).collect()
+        if bad:
+            raise ConstraintViolation(
+                f"{op} violates CHECK constraint '{name}' ({pred}); "
+                f"example row: {bad[0].asDict()}"
+            )
+
+
+def add_check_constraint(spark: SparkSession, path: str, name: str,
+                         predicate: str, retries: int = 3) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT <name> CHECK (<predicate>) —
+    Delta's table-constraint mechanics: the EXISTING rows are
+    validated first (one full read, the same cost Delta pays), then
+    the constraint lands as a METADATA-ONLY commit (zero files
+    rewritten) and every later append / merge / replaceWhere batch is
+    validated before its files are written, failing atomically (the
+    table never sees the bad batch).  NOT NULL is the special case
+    ``<col> IS NOT NULL``.  Constraints carry through every commit
+    kind, survive snapshot expiry, and are dropped by
+    :func:`drop_constraint`."""
+    v0 = latest_version(path)
+    if v0 == 0:
+        raise ValueError(f"table does not exist: {path}")
+    m0 = _read_manifest(path, v0)
+    if name in (m0.get("constraints") or {}):
+        raise ValueError(f"constraint '{name}' already exists at {path}")
+    bad = read(spark, path).filter(
+        F.coalesce(F.expr(predicate).cast("boolean"), F.lit(True))
+        == F.lit(False)
+    ).limit(1).count()
+    if bad:
+        raise ConstraintViolation(
+            f"existing rows violate CHECK ({predicate}) — constraint "
+            f"'{name}' not added"
+        )
+    for _ in range(retries + 1):
+        parent = latest_version(path)
+        pm = _read_manifest(path, parent)
+        cons = dict(pm.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint '{name}' already exists at {path}")
+        cons[name] = predicate
+        try:
+            _commit(path, parent + 1, pm["files"], parent,
+                    "add_constraint", constraints=cons)
+            return parent + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"add_constraint at {path} lost {retries + 1} races")
+
+
+def drop_constraint(path: str, name: str, retries: int = 3) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT — metadata-only commit."""
+    v0 = latest_version(path)
+    if v0 == 0:
+        raise ValueError(f"table does not exist: {path}")
+    for _ in range(retries + 1):
+        parent = latest_version(path)
+        pm = _read_manifest(path, parent)
+        cons = dict(pm.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"unknown constraint '{name}' at {path}")
+        del cons[name]
+        try:
+            # an explicit {} clears the carry (None would inherit)
+            _commit(path, parent + 1, pm["files"], parent,
+                    "drop_constraint", constraints=cons)
+            return parent + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(
+        f"drop_constraint at {path} lost {retries + 1} races")
+
+
+# --------------------------------------------------------------------
+# RESTORE (Delta RESTORE TABLE ... TO VERSION/TIMESTAMP AS OF)
+# --------------------------------------------------------------------
+
+def _write_manifest_payload(path: str, payload: dict) -> None:
+    """O_EXCL manifest publish of a pre-assembled payload — the same
+    one-winner gate as :func:`_commit`, for commits (restore, clone)
+    whose metadata is copied from another snapshot rather than
+    derived from the parent."""
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    try:
+        fd = os.open(_manifest_path(path, payload["version"]),
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError as exc:
+        raise CommitConflict(
+            f"version {payload['version']} already committed at {path}"
+        ) from exc
+    with os.fdopen(fd, "w") as f:
+        f.write(json.dumps(payload, indent=1))
+
+
+def restore_table(path: str, version: int | None = None,
+                  tag: str | None = None, retries: int = 3) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF <v> / tag (Delta RESTORE):
+    commit a NEW version whose snapshot state — file list, schema,
+    per-file stats / partition values / spec tags, deletion vectors,
+    column mapping — is COPIED from the target version.  Metadata-only
+    (zero data files moved or rewritten) and history-preserving: the
+    restore is itself a commit, so time travel to any pre-restore
+    version still works and ``describe_history`` shows the restore as
+    an operation.  Restoring past a VACUUM is refused up front: every
+    target data file and DV sidecar must still exist on disk
+    (``expire_snapshots`` deletes files unreachable from retained
+    manifests, exactly the rows Delta's RESTORE errors on).
+
+    The table's CURRENT constraints are kept (not the target's): a
+    restore rolls back DATA, not the guards added since — the
+    restored rows were validated when their constraints landed, and
+    silently shedding a CHECK on rollback would be a correctness trap.
+    The idempotent-writer txn map also carries from the current
+    latest, so a restore can never resurrect an already-applied
+    streaming epoch."""
+    if (version is None) == (tag is None):
+        raise ValueError("pass exactly one of version= / tag=")
+    v = resolve_tag(path, tag) if tag is not None else int(version)
+    if latest_version(path) == 0:
+        raise ValueError(f"table does not exist: {path}")
+    if not os.path.exists(_manifest_path(path, v)):
+        raise ValueError(
+            f"version {v} is not retained at {path} (expired?)")
+    tm = _read_manifest(path, v)
+    missing = [
+        f for f in list(tm["files"]) + list(tm.get("dvs") or [])
+        if not os.path.exists(
+            f if os.path.isabs(f) else os.path.join(path, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore {path} to v{v}: {len(missing)} data "
+            f"file(s) were vacuumed (e.g. {sorted(missing)[:2]})")
+    drop = {"version", "parent", "op", "ts", "txns", "constraints",
+            "restore_of"}
+    for _ in range(retries + 1):
+        parent = latest_version(path)
+        pm = _read_manifest(path, parent)
+        payload = {k: val for k, val in tm.items() if k not in drop}
+        payload.update(version=parent + 1, parent=parent, op="restore",
+                       ts=_commit_ts(), restore_of=v)
+        if pm.get("txns"):
+            payload["txns"] = pm["txns"]
+        if pm.get("constraints"):
+            payload["constraints"] = pm["constraints"]
+        try:
+            _write_manifest_payload(path, payload)
+            return parent + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"restore at {path} lost {retries + 1} races")
+
+
+# --------------------------------------------------------------------
+# Metadata tables (Iceberg's `table.files` / `.history` / `.partitions`)
+# --------------------------------------------------------------------
+
+def metadata_table(spark: SparkSession, path: str, kind: str,
+                   version: int | None = None) -> DataFrame:
+    """The table's OWN metadata as a queryable DataFrame — Iceberg's
+    inspection tables (``db.tbl.files`` / ``.history`` /
+    ``.partitions``), pure manifest math.  The driver-side row list is
+    file-count-sized (files) / version-count-sized (history) /
+    partition-count-sized (partitions) — the same envelope as the
+    manifest JSON itself, never row data.
+
+    * ``files``: one row per live data file — path, spec id,
+      partition values, footer row count, stats'd column count,
+      whether it is an absolute (clone) reference.
+    * ``history``: :func:`describe_history` as a DataFrame.
+    * ``partitions``: files/rows rolled up per partition tuple.
+    """
+    v = latest_version(path) if version is None else version
+    if v == 0:
+        raise ValueError(f"table does not exist: {path}")
+    m = _read_manifest(path, v)
+    if kind == "files":
+        stats = m.get("stats") or {}
+        parts = m.get("partitions") or {}
+        fspec = m.get("file_spec") or {}
+        rows = [
+            (
+                f,
+                str(fspec.get(f)) if fspec.get(f) is not None else None,
+                {k: str(val) for k, val in (parts.get(f) or {}).items()}
+                or None,
+                int(stats[f]["::rows"])
+                if f in stats and "::rows" in stats[f] else None,
+                sum(1 for k in (stats.get(f) or {}) if k != "::rows"),
+                os.path.isabs(f),
+            )
+            for f in sorted(m["files"])
+        ]
+        return spark.createDataFrame(
+            rows,
+            schema=("file string, spec_id string, "
+                    "partition map<string,string>, row_count bigint, "
+                    "n_stat_cols int, is_absolute_ref boolean"),
+        )
+    if kind == "history":
+        hist = describe_history(path)
+        rows = [
+            (h["version"], h["parent"], h["op"], float(h["ts"]),
+             h["n_files"], h["n_dvs"], h["n_rows"], h["txn"])
+            for h in hist
+        ]
+        return spark.createDataFrame(
+            rows,
+            schema=("version int, parent int, op string, ts double, "
+                    "n_files int, n_dvs int, n_rows bigint, txn string"),
+        )
+    if kind == "partitions":
+        stats = m.get("stats") or {}
+        parts = m.get("partitions") or {}
+        agg: dict[tuple, list] = {}
+        for f in m["files"]:
+            key = tuple(sorted(
+                (k, str(val)) for k, val in (parts.get(f) or {}).items()))
+            ent = agg.setdefault(key, [0, 0, True])
+            ent[0] += 1
+            r = (stats.get(f) or {}).get("::rows")
+            if r is None:
+                ent[2] = False
+            else:
+                ent[1] += int(r)
+        rows = [
+            (dict(k) or None, n, rows_ if complete else None)
+            for k, (n, rows_, complete) in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            schema=("partition map<string,string>, n_files int, "
+                    "row_count bigint"),
+        )
+    raise ValueError(f"unknown metadata table kind: {kind!r}")
+
+
+# --------------------------------------------------------------------
+# Write-Audit-Publish (Iceberg WAP / Delta staged commits)
+# --------------------------------------------------------------------
+
+def publish(spark: SparkSession, staging_path: str, main_path: str,
+            retries: int = 3) -> int:
+    """WRITE-AUDIT-PUBLISH: fast-forward MAIN by the changes staged on
+    a :func:`shallow_clone` of it — the Iceberg WAP / audit-branch
+    pattern.  The flow is::
+
+        staging = shallow_clone(main, scratch)   # zero-copy branch
+        append/delete/merge on staging           # WRITE
+        ...audit queries on staging...           # AUDIT (main untouched)
+        publish(spark, staging, main)            # PUBLISH: one commit
+
+    Publish computes the staged snapshot as a DELTA against the clone
+    point (refs the staging dropped = CoW deletes; staging-local files
+    = new data), MOVES the local files into main's tree (same-fs
+    rename, no bytes copied), and lands the delta as ONE atomic commit
+    through the same logical-conflict rebase as every other edit:
+    concurrent main APPENDS compose (the publish rebases over them);
+    a concurrent commit that removed a ref the staging edited raises
+    :class:`ConcurrentModification`; a concurrent DV delete on main is
+    likewise a conflict (``expect_dvs=[]``).  Schema evolved on
+    staging publishes iff main's schema is unchanged since the clone
+    point — both sides evolving is a conflict, not a silent merge.
+
+    Refused up front: a staging that is not a clone of ``main_path``,
+    staged DELETION VECTORS (sidecars key positions by staging-relative
+    paths — ``optimize()`` the staging first, the clone restriction
+    class), a staged partition-SPEC change, and absolute refs that do
+    not come from the clone-point snapshot.  If the publish loses its
+    conflict race AFTER the file move, the moved files are orphans in
+    main's tree — unreachable from any manifest, swept by
+    :func:`remove_orphan_files` (never a correctness issue)."""
+    sv = latest_version(staging_path)
+    if sv == 0:
+        raise ValueError(f"staging table does not exist: {staging_path}")
+    sm = _read_manifest(staging_path, sv)
+    s1 = _read_manifest(staging_path, 1)
+    co = s1.get("clone_of") or {}
+    main_root = os.path.abspath(main_path)
+    if co.get("path") != main_root:
+        raise ValueError(
+            f"{staging_path} is not a shallow clone of {main_path}")
+    if sm.get("dvs"):
+        raise ValueError(
+            "staged snapshot carries deletion vectors — run optimize() "
+            "on the staging table before publish")
+    base_v = int(co["version"])
+    base_m = _read_manifest(main_path, base_v)
+    if (sm.get("specs") or None) != (s1.get("specs") or None) or \
+            sm.get("default_spec") != s1.get("default_spec"):
+        raise ValueError(
+            "staging changed the partition spec — evolve the spec on "
+            "main directly, then re-stage")
+    base_rel = list(base_m["files"])
+    base_abs = {os.path.join(main_root, f) if not os.path.isabs(f) else f: f
+                for f in base_rel}
+    kept_refs, local_new, foreign = [], [], []
+    for f in sm["files"]:
+        if os.path.isabs(f):
+            (kept_refs if f in base_abs else foreign).append(f)
+        else:
+            local_new.append(f)
+    if foreign:
+        raise ValueError(
+            f"staging references {len(foreign)} absolute file(s) not "
+            f"from the clone-point snapshot (e.g. {sorted(foreign)[:2]})")
+    dropped = [base_abs[f] for f in base_abs if f not in set(kept_refs)]
+    # schema reconciliation (additive evolution staged on the branch)
+    schema = None
+    if sm["schema"] != base_m["schema"]:
+        cur_schema = _read_manifest(
+            main_path, latest_version(main_path))["schema"]
+        if cur_schema != base_m["schema"]:
+            raise ConcurrentModification(
+                "schema evolved on BOTH main and staging since the "
+                "clone point — re-stage from the new main")
+        schema = sm["schema"]
+    # move staged local files into main (same filesystem: pure rename)
+    import shutil
+
+    token = f"wap-{uuid.uuid4().hex[:8]}"
+    sparts = sm.get("partitions") or {}
+    moved, moved_parts = [], {}
+    for rel in local_new:
+        dst_rel = f"{token}/{rel}"
+        dst = os.path.join(main_root, dst_rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(os.path.join(staging_path, rel), dst)
+        moved.append(dst_rel)
+        if rel in sparts:
+            moved_parts[dst_rel] = sparts[rel]
+    return _rebase_commit(
+        main_path, sorted(dropped), sorted(moved), "wap_publish",
+        retries=retries, expect_dvs=[],
+        new_partitions=moved_parts or None, schema=schema)

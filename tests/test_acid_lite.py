@@ -1434,3 +1434,208 @@ def test_clone_refuses_dvs_and_existing_dest(spark, tdir, tmp_path):
     acid_lite.shallow_clone(tdir, str(tmp_path / "c2"))
     with pytest.raises(ValueError):
         acid_lite.shallow_clone(tdir, str(tmp_path / "c2"))
+
+
+# --------------------------------------------------------------------
+# round 13: CHECK constraints / RESTORE / metadata tables / WAP publish
+# --------------------------------------------------------------------
+
+def test_check_constraint_rejects_bad_batch_atomically(spark, tdir):
+    """A violating append/merge raises ConstraintViolation and leaves
+    NO trace: version unmoved, contents identical. A passing batch
+    then lands normally; NULL in the constrained expression passes
+    (SQL-standard CHECK: only FALSE violates)."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    acid_lite.add_check_constraint(spark, tdir, "k_pos", "k > 0")
+    v0 = acid_lite.latest_version(tdir)
+    with pytest.raises(acid_lite.ConstraintViolation):
+        acid_lite.append(spark, tdir, _df(spark, [(3, "c"), (-1, "x")]))
+    with pytest.raises(acid_lite.ConstraintViolation):
+        acid_lite.merge_upsert(spark, tdir, _df(spark, [(-2, "y")]), key="k")
+    assert acid_lite.latest_version(tdir) == v0
+    assert acid_lite.read(spark, tdir).count() == 2
+    # NULL k -> UNKNOWN -> passes (and IS NOT NULL is the NOT NULL form)
+    acid_lite.append(spark, tdir, spark.createDataFrame(
+        [(None, "n")], "k bigint, v string"))
+    assert acid_lite.read(spark, tdir).count() == 3
+    acid_lite.add_check_constraint(spark, tdir, "v_nn", "v IS NOT NULL")
+    with pytest.raises(acid_lite.ConstraintViolation):
+        acid_lite.append(spark, tdir, spark.createDataFrame(
+            [(9, None)], "k bigint, v string"))
+
+
+def test_add_constraint_validates_existing_and_drop(spark, tdir):
+    """ADD CONSTRAINT scans existing rows first (Delta semantics);
+    DROP removes it so the batch that used to fail now lands.  Both
+    are metadata-only commits (file list unchanged)."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a"), (-5, "b")]))
+    with pytest.raises(acid_lite.ConstraintViolation):
+        acid_lite.add_check_constraint(spark, tdir, "k_pos", "k > 0")
+    v = acid_lite.add_check_constraint(spark, tdir, "k_big", "k > -10")
+    m = acid_lite._read_manifest(tdir, v)
+    assert m["files"] == acid_lite._read_manifest(tdir, v - 1)["files"]
+    assert m["constraints"] == {"k_big": "k > -10"}
+    with pytest.raises(ValueError):
+        acid_lite.add_check_constraint(spark, tdir, "k_big", "k > 0")
+    acid_lite.drop_constraint(tdir, "k_big")
+    acid_lite.append(spark, tdir, _df(spark, [(-9, "z")]))
+    assert acid_lite.read(spark, tdir).count() == 3
+    with pytest.raises(ValueError):
+        acid_lite.drop_constraint(tdir, "nope")
+
+
+def test_constraint_on_evolving_append_sees_null(spark, tdir):
+    """A CHECK on a column the incoming evolve-append does not carry
+    must evaluate against NULL (pass), not fail analysis."""
+    acid_lite.create_table(
+        spark, tdir,
+        spark.createDataFrame([(1, "a", 10.0)], "k bigint, v string, p double"))
+    acid_lite.add_check_constraint(spark, tdir, "p_pos", "p > 0")
+    acid_lite.append_evolve(spark, tdir, _df(spark, [(2, "b")]))  # no p col
+    got = {(r.k, r.p) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, 10.0), (2, None)}
+
+
+def test_restore_metadata_only_history_preserving(spark, tdir):
+    """RESTORE returns the table to an old version's exact contents as
+    a NEW commit: zero files rewritten (the restored manifest's file
+    list IS the target's), pre-restore versions stay readable, and the
+    current constraints + txn map survive the rollback."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    acid_lite.merge_upsert(spark, tdir, _df(spark, [(2, "B"), (3, "c")]), key="k")
+    acid_lite.add_check_constraint(spark, tdir, "k_pos", "k > 0")
+    v_pre = acid_lite.latest_version(tdir)
+    rv = acid_lite.restore_table(tdir, version=1)
+    assert rv == v_pre + 1
+    m = acid_lite._read_manifest(tdir, rv)
+    assert m["files"] == acid_lite._read_manifest(tdir, 1)["files"]
+    assert m["restore_of"] == 1
+    assert m["constraints"] == {"k_pos": "k > 0"}  # guard survives rollback
+    assert {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()} \
+        == {(1, "a"), (2, "b")}
+    # pre-restore state is still one time travel away
+    assert {(r.k, r.v) for r in acid_lite.read(spark, tdir, v_pre).collect()} \
+        == {(1, "a"), (2, "B"), (3, "c")}
+    ops = [h["op"] for h in acid_lite.describe_history(tdir)]
+    assert ops[0] == "restore" and "merge" in ops
+    # restore-to-tag resolves the same way
+    acid_lite.tag_version(tdir, "good", 1)
+    rv2 = acid_lite.restore_table(tdir, tag="good")
+    assert acid_lite._read_manifest(tdir, rv2)["restore_of"] == 1
+    with pytest.raises(ValueError):
+        acid_lite.restore_table(tdir, version=1, tag="good")
+
+
+def test_restore_refuses_vacuumed_target(spark, tdir):
+    """Restoring to a version whose files were physically removed must
+    refuse up front, not commit a manifest of dangling refs."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a")]))
+    acid_lite.merge_upsert(spark, tdir, _df(spark, [(1, "A")]), key="k")
+    # physically delete v1's (now unreferenced) file, like VACUUM would
+    f1 = acid_lite._read_manifest(tdir, 1)["files"][0]
+    os.remove(os.path.join(tdir, f1))
+    with pytest.raises(ValueError, match="vacuumed"):
+        acid_lite.restore_table(tdir, version=1)
+    with pytest.raises(ValueError, match="not retained"):
+        acid_lite.restore_table(tdir, version=99)
+
+
+def test_metadata_tables_files_history_partitions(spark, tdir):
+    """files/history/partitions inspection tables agree with the
+    manifest and with a real read: per-file row counts sum to
+    COUNT(*), partition rollups match the hive layout, history rows
+    mirror describe_history."""
+    df = spark.createDataFrame(
+        [(1, "x", "A"), (2, "y", "A"), (3, "z", "B")],
+        "k bigint, v string, p string")
+    acid_lite.create_table(spark, tdir, df.coalesce(1), partition_by=["p"])
+    acid_lite.append(spark, tdir, spark.createDataFrame(
+        [(4, "w", "B")], "k bigint, v string, p string"))
+    files = acid_lite.metadata_table(spark, tdir, "files")
+    total = acid_lite.read(spark, tdir).count()
+    assert files.agg({"row_count": "sum"}).first()[0] == total
+    m = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    assert files.count() == len(m["files"])
+    parts = {(tuple(sorted((r.partition or {}).items())), r.n_files,
+              r.row_count)
+             for r in acid_lite.metadata_table(spark, tdir, "partitions")
+             .collect()}
+    assert ((("p", "A"),), 1, 2) in parts
+    assert ((("p", "B"),), 2, 2) in parts
+    hist = acid_lite.metadata_table(spark, tdir, "history")
+    assert [r.op for r in hist.orderBy("version").collect()] \
+        == ["create", "append"]
+    with pytest.raises(ValueError):
+        acid_lite.metadata_table(spark, tdir, "nope")
+
+
+def test_wap_publish_isolation_and_single_commit(spark, tdir, tmp_path):
+    """The WAP flow: staging writes are invisible to main; publish
+    lands ALL staged changes (an append and a CoW delete) as ONE main
+    commit; zero-copy refs stay refs (main's untouched file is still
+    the same path)."""
+    st = str(tmp_path / "staging")
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    base_files = set(acid_lite._read_manifest(tdir, 1)["files"])
+    acid_lite.shallow_clone(tdir, st)
+    acid_lite.append(spark, st, _df(spark, [(3, "c"), (-4, "bad")]))
+    assert acid_lite.latest_version(tdir) == 1          # AUDIT: isolated
+    assert acid_lite.read(spark, tdir).count() == 2
+    acid_lite.delete_where(spark, st, "k", None, 0)     # fix on staging
+    v = acid_lite.publish(spark, st, tdir)
+    assert v == 2
+    assert {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()} \
+        == {(1, "a"), (2, "b"), (3, "c")}
+    m = acid_lite._read_manifest(tdir, 2)
+    assert base_files <= set(m["files"])                # refs unmoved
+    assert not any(os.path.isabs(f) for f in m["files"])
+
+
+def test_wap_publish_rebases_over_concurrent_append(spark, tdir, tmp_path):
+    """A main append racing the audit window composes: publish rebases
+    and both the appended and the staged rows survive."""
+    st = str(tmp_path / "staging")
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a")]))
+    acid_lite.shallow_clone(tdir, st)
+    acid_lite.append(spark, st, _df(spark, [(2, "staged")]))
+    acid_lite.append(spark, tdir, _df(spark, [(3, "racer")]))
+    acid_lite.publish(spark, st, tdir)
+    assert {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()} \
+        == {(1, "a"), (2, "staged"), (3, "racer")}
+
+
+def test_wap_publish_conflicts_and_refusals(spark, tdir, tmp_path):
+    """A concurrent main edit that removed a file the staging ALSO
+    edited is a ConcurrentModification; a non-clone staging and staged
+    DVs are refused up front."""
+    st = str(tmp_path / "staging")
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    acid_lite.shallow_clone(tdir, st)
+    # staging rewrites the (only) base file via CoW delete...
+    acid_lite.delete_where(spark, st, "k", 2, 2)
+    # ...and main CONCURRENTLY rewrites the same file
+    acid_lite.merge_upsert(spark, tdir, _df(spark, [(1, "A!")]), key="k")
+    with pytest.raises(acid_lite.ConcurrentModification):
+        acid_lite.publish(spark, st, tdir)
+    # not-a-clone refusal
+    other = str(tmp_path / "other")
+    acid_lite.create_table(spark, other, _df(spark, [(9, "z")]))
+    with pytest.raises(ValueError, match="not a shallow clone"):
+        acid_lite.publish(spark, other, tdir)
+
+
+def test_wap_publish_staged_schema_evolution(spark, tdir, tmp_path):
+    """Additive schema evolution staged on the branch publishes (main
+    unchanged since clone); pre-existing rows read NULL for the new
+    column.  If MAIN also evolved, publish raises instead of silently
+    merging schemas."""
+    st = str(tmp_path / "staging")
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a")]))
+    acid_lite.shallow_clone(tdir, st)
+    acid_lite.append_evolve(spark, st, spark.createDataFrame(
+        [(2, "b", 9.5)], "k bigint, v string, score double"))
+    acid_lite.publish(spark, st, tdir)
+    got = {(r.k, r.score) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, None), (2, 9.5)}
