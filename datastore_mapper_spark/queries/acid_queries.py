@@ -1688,3 +1688,173 @@ def acid_wap_publish(spark, sf_dir):
                 F.lit(bool(isolated)).alias("audit_isolated_ok"),
                 F.lit(bool(zero_copy)).alias("zero_copy_publish_ok"))
     )
+
+
+@query(
+    "acid_minmax_metadata_pushdown",
+    "table-format",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 3 < 2
+    ),
+    s2 AS (
+        SELECT * FROM s
+        WHERE o_orderkey <> (SELECT max(o_orderkey) FROM s)
+    )
+    SELECT (SELECT min(o_orderkey) FROM s) AS min_key,
+           (SELECT max(o_orderkey) FROM s) AS max_key,
+           (SELECT CAST(floor(min(o_totalprice) * 100) AS BIGINT) FROM s)
+               AS min_cents,
+           (SELECT CAST(floor(max(o_totalprice) * 100) AS BIGINT) FROM s)
+               AS max_cents,
+           (SELECT max(o_orderkey) FROM s2) AS max_key_after_delete,
+           (SELECT CAST(floor(max(o_totalprice) * 100) AS BIGINT) FROM s2)
+               AS max_cents_after_delete,
+           TRUE AS pushdown_ok,
+           TRUE AS dv_fallback_ok
+    """,
+)
+def acid_minmax_metadata_pushdown(spark, sf_dir):
+    """Metadata-only MIN/MAX (round 13 — the sibling of the graded
+    COUNT(*) pushdown, ``acid_lite.minmax_columns``): two-thirds of
+    orders lands in two commits, then MIN/MAX of both the key and the
+    price are answered from pure manifest math — fold the per-file
+    footer [lo, hi] entries — with ``pushdown_ok`` grading that the
+    metadata path actually fired (zero data files opened) AND agreed
+    with a real full-scan aggregate.
+
+    Then the row holding the MAX key is deleted MERGE-ON-READ (a
+    deletion vector — no file removed, no stats changed), and
+    ``dv_fallback_ok`` grades the SOUNDNESS rule: with a DV present
+    the metadata answer is no longer provably exact (the deleted row
+    may BE the extremum — here it is, by construction), so the call
+    must come back ``metadata_only=False`` with the exact post-delete
+    extremes from the fallback scan.  The oracle restates all six
+    values from the seed predicate.  At 100 TB the happy path is a
+    free O(files) fold; the DV rule is what keeps it from quietly
+    returning a resurrected maximum."""
+    dest = _table_dir("acid_minmax", sf_dir)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    acid_lite.create_table(spark, dest, o.filter(k % 3 == 0).coalesce(2))
+    acid_lite.append(spark, dest, o.filter(k % 3 == 1).coalesce(2))
+    mm, meta_only = acid_lite.minmax_columns(
+        spark, dest, ["o_orderkey", "o_totalprice"])
+    exact = acid_lite.read(spark, dest).agg(
+        F.min("o_orderkey"), F.max("o_orderkey"),
+        F.min("o_totalprice"), F.max("o_totalprice")).first()
+    pushdown_ok = meta_only and (
+        (mm["o_orderkey"][0], mm["o_orderkey"][1],
+         mm["o_totalprice"][0], mm["o_totalprice"][1])
+        == (exact[0], exact[1], exact[2], exact[3])
+    )
+    mk = mm["o_orderkey"][1]
+    fallback_ok = True
+    mk2 = mc2 = None
+    if mk is not None:
+        acid_lite.delete_where_dv(spark, dest, "o_orderkey", mk, mk)
+        mm2, meta2 = acid_lite.minmax_columns(
+            spark, dest, ["o_orderkey", "o_totalprice"])
+        exact2 = acid_lite.read(spark, dest).agg(
+            F.max("o_orderkey"), F.max("o_totalprice")).first()
+        fallback_ok = (not meta2) and (
+            (mm2["o_orderkey"][1], mm2["o_totalprice"][1])
+            == (exact2[0], exact2[1])
+        )
+        mk2 = mm2["o_orderkey"][1]
+        mc2 = (int(mm2["o_totalprice"][1] * 100)
+               if mm2["o_totalprice"][1] is not None else None)
+
+    def cents(x):
+        import math
+        return int(math.floor(x * 100)) if x is not None else None
+
+    row = [(
+        mm["o_orderkey"][0], mk,
+        cents(mm["o_totalprice"][0]), cents(mm["o_totalprice"][1]),
+        mk2,
+        (None if mc2 is None else mc2),
+        bool(pushdown_ok), bool(fallback_ok),
+    )]
+    return spark.createDataFrame(
+        row,
+        schema=("min_key bigint, max_key bigint, min_cents bigint, "
+                "max_cents bigint, max_key_after_delete bigint, "
+                "max_cents_after_delete bigint, pushdown_ok boolean, "
+                "dv_fallback_ok boolean"),
+    )
+
+
+@query(
+    "acid_generated_columns",
+    "table-format",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 500) AS BIGINT) AS price_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           TRUE AS reject_ok,
+           TRUE AS pruned_ok
+    FROM orders
+    WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY 1
+    """,
+)
+def acid_generated_columns(spark, sf_dir):
+    """GENERATED ALWAYS AS columns (round 13 — Delta generated-column
+    semantics, ``create_table(generated=...)`` +
+    ``acid_lite._apply_generated_cols``): the table declares
+    ``price_bucket = floor(o_totalprice / 500)`` at create; the seed
+    batch does NOT carry the column (materialized by the writer), a
+    second append does not either, a third batch SUPPLIES it with a
+    corrupted value and must be rejected atomically
+    (``reject_ok``), and because the seed was range-clustered on
+    price, an equality lookup on the GENERATED column prunes files by
+    its manifest stats (``pruned_ok``: strictly fewer files selected
+    AND the pruned read row-matches the full filter) — the Delta trick
+    where a query on a derived value gets partition-pruning-class
+    skipping without the user ever computing the derivation.
+
+    The hashed rows are the per-bucket counts, which the oracle states
+    by applying the SAME expression to the source — exact because the
+    writer materialized, never copied."""
+    dest = _table_dir("acid_gencol", sf_dir)
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    gen = {"price_bucket": "CAST(floor(o_totalprice / 500) AS BIGINT)"}
+    seed = o.filter(k % 3 == 0)
+    if seed.limit(1).count():
+        seed = seed.repartitionByRange(4, "o_totalprice")
+    acid_lite.create_table(spark, dest, seed, generated=gen)
+    acid_lite.append(spark, dest, o.filter(k % 3 == 1).coalesce(2))
+    reject_ok = True
+    poison = (
+        o.filter(k % 3 == 1).limit(1)
+        .withColumn("price_bucket", F.lit(-999).cast("bigint"))
+    )
+    if poison.limit(1).count():
+        v0 = acid_lite.latest_version(dest)
+        reject_ok = False
+        try:
+            acid_lite.append(spark, dest, poison)
+        except acid_lite.ConstraintViolation:
+            reject_ok = acid_lite.latest_version(dest) == v0
+    # prune on the GENERATED column: pick the median bucket
+    pick = (acid_lite.read(spark, dest)
+            .agg(F.min("price_bucket"), F.max("price_bucket")).first())
+    pruned_ok = True
+    if pick[0] is not None and pick[1] is not None and pick[1] > pick[0]:
+        mid = (int(pick[0]) + int(pick[1])) // 2
+        sel, total = acid_lite.prune_files(dest, "price_bucket", mid, mid)
+        n_pruned = acid_lite.read_pruned(
+            spark, dest, "price_bucket", mid, mid).count()
+        n_full = acid_lite.read(spark, dest).filter(
+            F.col("price_bucket") == mid).count()
+        pruned_ok = 0 < len(sel) < total and n_pruned == n_full
+    return (
+        acid_lite.read(spark, dest)
+        .groupBy("price_bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .select("price_bucket", "n_orders",
+                F.lit(bool(reject_ok)).alias("reject_ok"),
+                F.lit(bool(pruned_ok)).alias("pruned_ok"))
+    )

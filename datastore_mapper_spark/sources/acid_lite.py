@@ -555,7 +555,8 @@ def _commit(path: str, version: int, files: list[str],
             default_spec: str | None = None,
             mapping: dict | None = None,
             dropped_physical: list[str] | None = None,
-            constraints: dict | None = None) -> None:
+            constraints: dict | None = None,
+            generated: dict | None = None) -> None:
     """Atomically publish manifest ``version`` (O_EXCL = one winner).
     ``schema`` (a DDL string) makes zero-file versions readable — an
     empty table is a legal snapshot, not an error.
@@ -590,6 +591,8 @@ def _commit(path: str, version: int, files: list[str],
             # CHECK constraints carry through every commit kind; an
             # explicit {} (drop_constraint) clears them
             constraints = pm.get("constraints")
+        if generated is None:
+            generated = pm.get("generated")
         parent_stats = pm.get("stats") or {}
         parent_txns = pm.get("txns") or {}
         parent_partitions = pm.get("partitions") or {}
@@ -628,6 +631,8 @@ def _commit(path: str, version: int, files: list[str],
         payload["dropped_physical"] = dropped_physical
     if constraints:
         payload["constraints"] = constraints
+    if generated:
+        payload["generated"] = generated
     if parent_txns:
         # carry the txn-dedup map through NON-txn commits too, so the
         # latest manifest stays authoritative across interleaved
@@ -657,15 +662,28 @@ def _commit(path: str, version: int, files: list[str],
 
 
 def create_table(spark: SparkSession, path: str, df: DataFrame,
-                 partition_by: list[str] | None = None) -> int:
+                 partition_by: list[str] | None = None,
+                 generated: dict[str, str] | None = None) -> int:
     """Create version 1 from ``df``.  Fails if the table exists.
     ``partition_by`` fixes a hive-layout identity partitioning for
     the table's lifetime: every later write splits on those columns
     (Spark's distributed ``partitionBy`` writer), the per-file
     partition VALUES live in the manifest next to the min/max stats,
-    and every read/delete/replace partition-prunes on them."""
+    and every read/delete/replace partition-prunes on them.
+
+    ``generated`` declares GENERATED ALWAYS AS columns (Delta's
+    generated-column semantics, create-time only): ``{name: sql_expr}``.
+    Every write — this create and all later appends/merges — either
+    MATERIALIZES the column from the expression (when the batch does
+    not carry it) or VALIDATES the supplied values against it (a
+    mismatch is a :class:`ConstraintViolation`), so the stored column
+    is exact by construction and range queries can prune on its
+    manifest stats.  A generated column may serve as a partition
+    source — the Delta idiom for hidden date partitioning."""
     if latest_version(path) != 0:
         raise ValueError(f"table already exists: {path}")
+    if generated:
+        df = _apply_generated_cols(df, generated, "create")
     if partition_by:
         missing = {
             _parse_transform(s)[1] for s in partition_by
@@ -679,7 +697,8 @@ def create_table(spark: SparkSession, path: str, df: DataFrame,
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema
     )
     _commit(path, 1, files, parent=0, op="create", schema=schema,
-            partition_by=partition_by, partitions=parts)
+            partition_by=partition_by, partitions=parts,
+            generated=generated)
     return 1
 
 
@@ -727,7 +746,7 @@ def append(spark: SparkSession, path: str, df: DataFrame,
     os.makedirs(path, exist_ok=True)
     parent0 = latest_version(path)
     pm0 = _read_manifest(path, parent0) if parent0 else {}
-    _enforce_constraints(df, pm0, "append")
+    df = _prepare_batch(df, pm0, "append")
     files, parts = _write_files_any(df, path, pm0.get("partition_by"),
                                     mapping=pm0.get("mapping"))
     schema = ", ".join(
@@ -835,6 +854,9 @@ def merge_upsert(
             "touched files directly and would resurrect deleted rows)"
         )
     src = _checked_merge_source(source, key)
+    if manifest.get("generated"):
+        src = _apply_generated_cols(
+            src, manifest["generated"], "merge")
     _enforce_constraints(
         src.filter(~F.col(delete_col)).drop(delete_col)
         if delete_col is not None else src,
@@ -1111,7 +1133,7 @@ def append_evolve(spark: SparkSession, path: str, df: DataFrame,
         if c not in old_cols and c not in mapping and c in used_physical:
             mapping[c] = f"{c}_{uuid.uuid4().hex[:8]}"
             new_mapping = True
-    _enforce_constraints(df, m0, "append")
+    df = _prepare_batch(df, m0, "append")
     files, parts = _write_files_any(df, path, pby, mapping=mapping)
     for _ in range(retries + 1):
         parent = latest_version(path)
@@ -1596,7 +1618,7 @@ def replace_where(
         cond = cond & (c >= F.lit(lo))
     if hi is not None:
         cond = cond & (c <= F.lit(hi))
-    _enforce_constraints(df, m, "replace_where")
+    df = _prepare_batch(df, m, "replace_where")
     src = df.localCheckpoint()
     n_outside = src.filter(~cond | c.isNull()).count()
     if n_outside:
@@ -1744,7 +1766,7 @@ def replace_partitions(spark: SparkSession, path: str,
             "them before a partition overwrite (dropped files would "
             "leave their vectors dangling)"
         )
-    _enforce_constraints(df, m, "replace_partitions")
+    df = _prepare_batch(df, m, "replace_partitions")
     new_files, new_parts = _write_files_partitioned(
         _to_physical(df, m.get("mapping")), path, pby)
     if not new_files:
@@ -1974,6 +1996,9 @@ def merge_three_way(
             "touched files directly and would resurrect deleted rows)"
         )
     src = _checked_merge_source(source, key)
+    if manifest.get("generated"):
+        src = _apply_generated_cols(
+            src, manifest["generated"], "merge")
     _enforce_constraints(
         src.filter(~F.col(delete_col)).drop(delete_col)
         if delete_col is not None else src,
@@ -2272,6 +2297,10 @@ def shallow_clone(src_path: str, dst_path: str,
         payload["mapping"] = m["mapping"]
     if m.get("dropped_physical"):
         payload["dropped_physical"] = m["dropped_physical"]
+    if m.get("constraints"):
+        payload["constraints"] = m["constraints"]  # guards clone too
+    if m.get("generated"):
+        payload["generated"] = m["generated"]
     os.makedirs(_manifest_dir(dst_path), exist_ok=True)
     try:
         fd = os.open(_manifest_path(dst_path, 1),
@@ -2399,6 +2428,41 @@ def _constraint_probe(df: DataFrame, m: dict):
         if c not in have:
             out = out.withColumn(c, F.lit(None).cast(t))
     return out
+
+
+
+def _apply_generated_cols(df: DataFrame, generated: dict,
+                          op: str) -> DataFrame:
+    """Materialize or validate GENERATED ALWAYS AS columns on an
+    incoming batch (Delta generated-column write semantics): a column
+    the batch does not carry is computed from its expression; a column
+    the batch DOES carry is validated value-by-value against it
+    (null-safe), raising :class:`ConstraintViolation` on the first
+    mismatch — the ``.collect()`` is bounded at ONE row by limit(1),
+    it exists to quote the offending row."""
+    for name, expr_sql in (generated or {}).items():
+        e = F.expr(expr_sql)
+        if name in df.columns:
+            bad = df.filter(~F.col(name).eqNullSafe(e)).limit(1).collect()
+            if bad:
+                raise ConstraintViolation(
+                    f"{op} supplies generated column '{name}' with a "
+                    f"value that contradicts its expression "
+                    f"({expr_sql}); example row: {bad[0].asDict()}")
+        else:
+            df = df.withColumn(name, e)
+    return df
+
+
+def _prepare_batch(df: DataFrame, m: dict | None, op: str) -> DataFrame:
+    """The single write-side gate: materialize/validate generated
+    columns, then enforce CHECK constraints (in that order, so a CHECK
+    may reference a generated column)."""
+    gen = (m or {}).get("generated")
+    if gen:
+        df = _apply_generated_cols(df, gen, op)
+    _enforce_constraints(df, m, op)
+    return df
 
 
 def _enforce_constraints(df: DataFrame, m: dict | None, op: str) -> None:
@@ -2754,3 +2818,57 @@ def publish(spark: SparkSession, staging_path: str, main_path: str,
         main_path, sorted(dropped), sorted(moved), "wap_publish",
         retries=retries, expect_dvs=[],
         new_partitions=moved_parts or None, schema=schema)
+
+
+def minmax_columns(spark: SparkSession, path: str, columns: list[str],
+                   version: int | None = None) -> tuple[dict, bool]:
+    """MIN/MAX for a snapshot from manifest stats — the sibling of
+    :func:`count_rows`'s metadata-only COUNT pushdown.  Returns
+    ``({col: (min, max)}, metadata_only)``.
+
+    The answer is pure manifest math (fold per-file [lo, hi] across
+    live files) ONLY when it is provably exact: every live file must
+    carry stats for the column AND the snapshot must hold no deletion
+    vectors — a DV may have deleted precisely the extremal row, so
+    any DV forces the fallback scan (Iceberg's rule for
+    metadata-answerable aggregates).  The fallback reads ONLY the
+    files that could change the answer... conservatively all of them:
+    min/max cannot be localized the way COUNT can, so correctness
+    beats cleverness.  Empty tables return (None, None)."""
+    v = latest_version(path) if version is None else version
+    m = _read_manifest(path, v)
+    stats = m.get("stats") or {}
+    sound = not _has_dvs(m)
+    out: dict[str, tuple] = {}
+    if sound:
+        for col in columns:
+            pcol = _physical(m, col)
+            lo = hi = None
+            for f in m["files"]:
+                if int((stats.get(f) or {}).get("::rows", 1) or 0) == 0:
+                    continue  # empty file: no rows, no extremes
+                s = (stats.get(f) or {}).get(pcol)
+                if s is None:
+                    sound = False
+                    break
+                try:
+                    lo = s[0] if lo is None else min(lo, s[0])
+                    hi = s[1] if hi is None else max(hi, s[1])
+                except TypeError:
+                    sound = False
+                    break
+            if not sound:
+                break
+            out[col] = (lo, hi)
+    if sound:
+        return out, True
+    df = read(spark, path, version=v)
+    aggs = []
+    for col in columns:
+        aggs += [F.min(col).alias(f"__lo_{col}"),
+                 F.max(col).alias(f"__hi_{col}")]
+    row = df.agg(*aggs).first()
+    return (
+        {col: (row[f"__lo_{col}"], row[f"__hi_{col}"]) for col in columns},
+        False,
+    )

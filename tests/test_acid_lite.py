@@ -1639,3 +1639,53 @@ def test_wap_publish_staged_schema_evolution(spark, tdir, tmp_path):
     acid_lite.publish(spark, st, tdir)
     got = {(r.k, r.score) for r in acid_lite.read(spark, tdir).collect()}
     assert got == {(1, None), (2, 9.5)}
+
+
+def test_minmax_metadata_pushdown_and_dv_fallback(spark, tdir):
+    """minmax_columns answers from manifest stats when provably exact,
+    and falls back to a scan (metadata_only=False) the moment a
+    deletion vector could have removed the extremum."""
+    acid_lite.create_table(
+        spark, tdir,
+        spark.createDataFrame([(i, float(i)) for i in range(1, 11)],
+                              "k bigint, p double").repartition(3))
+    mm, meta = acid_lite.minmax_columns(spark, tdir, ["k", "p"])
+    assert meta and mm["k"] == (1, 10) and mm["p"] == (1.0, 10.0)
+    acid_lite.delete_where_dv(spark, tdir, "k", 10, 10)
+    mm2, meta2 = acid_lite.minmax_columns(spark, tdir, ["k"])
+    assert not meta2 and mm2["k"] == (1, 9)
+
+
+def test_generated_columns_materialize_validate_prune(spark, tdir):
+    """Generated columns: materialized when absent, validated when
+    supplied (mismatch = atomic rejection), stats-prunable, and the
+    definition survives a shallow clone."""
+    src = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 21)], "k bigint, p double")
+    acid_lite.create_table(
+        spark, tdir, src.repartitionByRange(4, "p"),
+        generated={"b": "CAST(floor(p / 5) AS BIGINT)"})
+    assert "b" in acid_lite.read(spark, tdir).columns
+    acid_lite.append(spark, tdir, spark.createDataFrame(
+        [(21, 99.0)], "k bigint, p double"))
+    assert acid_lite.read(spark, tdir).filter("k = 21").first().b == 19
+    v0 = acid_lite.latest_version(tdir)
+    with pytest.raises(acid_lite.ConstraintViolation):
+        acid_lite.append(spark, tdir, spark.createDataFrame(
+            [(22, 99.0, 3)], "k bigint, p double, b bigint"))
+    assert acid_lite.latest_version(tdir) == v0
+    # range-clustered seed -> the generated column's stats prune
+    sel, total = acid_lite.prune_files(tdir, "b", 0, 0)
+    assert 0 < len(sel) < total
+    # merge materializes too
+    acid_lite.merge_upsert(spark, tdir, spark.createDataFrame(
+        [(1, 7.0)], "k bigint, p double"), key="k")
+    assert acid_lite.read(spark, tdir).filter("k = 1").first().b == 1
+    # clone carries the definition
+    clone = tdir + "_clone"
+    acid_lite.shallow_clone(tdir, clone)
+    assert acid_lite._read_manifest(clone, 1)["generated"] == {
+        "b": "CAST(floor(p / 5) AS BIGINT)"}
+    with pytest.raises(acid_lite.ConstraintViolation):
+        acid_lite.append(spark, clone, spark.createDataFrame(
+            [(30, 99.0, 0)], "k bigint, p double, b bigint"))
