@@ -611,3 +611,100 @@ def sq8_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --- 1-bit binary quantization (BQ, round 13) -------------------------
+#
+# The bottom rung of the compression ladder (below SQ8's 4x and PQ's
+# 16x): keep ONLY the sign of every dimension, packed 32 dims per
+# long — a 32x footprint cut vs float32.  Hamming distance between
+# sign patterns is a monotone proxy for angular similarity
+# (sim ≈ cos(π·ham/d), the classic SimHash/LSH bound; RaBitQ-class
+# systems refine the same idea), so the scan phase is pure
+# XOR+popcount whole-stage codegen over packed longs, and a small
+# exact rerank restores true cosine order.  At 100 TB the packed
+# codes are what stays resident; 32 dims/long (not 64) keeps every
+# partial sum far from long overflow and the Python/JVM packing laws
+# trivially identical.
+
+
+def bq_encode(
+    emb_df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    code_col: str = "bq",
+) -> DataFrame:
+    """Pack sign bits (x > 0) into ``ceil(dim/32)`` longs, array
+    order = dimension order, MSB-first within a block.  Pure codegen:
+    one slice+aggregate fold per block, no Python."""
+    blocks = []
+    for j in range(0, dim, 32):
+        ln = min(32, dim - j)
+        blocks.append(
+            F.aggregate(
+                F.slice(F.col(vec_col), j + 1, ln),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc * 2
+                + F.when(x > 0, F.lit(1)).otherwise(F.lit(0)),
+            )
+        )
+    return emb_df.withColumn(code_col, F.array(*blocks))
+
+
+def _bq_pack_py(vec, dim: int) -> list[int]:
+    """The same packing law, driver-side, for the one query vector."""
+    out = []
+    for j in range(0, dim, 32):
+        acc = 0
+        for x in vec[j:j + 32]:
+            acc = acc * 2 + (1 if float(x) > 0 else 0)
+        out.append(acc)
+    return out
+
+
+def bq_topk(
+    emb_df: DataFrame,
+    dim: int,
+    query_id: int,
+    k: int = 10,
+    candidates: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via sign-bit Hamming scan + exact
+    rerank: score every packed code with XOR+popcount against the ONE
+    broadcast query code (cheapest possible scan — two long ops per
+    32 dims), keep the ``candidates`` Hamming-nearest, then rerank
+    JUST those with the exact full-precision cosine.  Returns (id,
+    sim) with sim = the EXACT cosine (rounded 4 dp), so a candidate
+    set that contains the true top-k reproduces the brute-force
+    answer bit-for-bit — the recall knob is ``candidates``, not a
+    similarity approximation."""
+    qrow = emb_df.filter(F.col(id_col) == query_id).first()
+    if qrow is None:
+        return emb_df.select(F.col(id_col),
+                             F.lit(0.0).alias("sim")).limit(0)
+    qvec = [float(v) for v in qrow[vec_col]]
+    qcode = _bq_pack_py(qvec, dim)
+    enc = bq_encode(emb_df, dim, vec_col=vec_col)
+    qarr = F.array(*[F.lit(int(c)).cast("long") for c in qcode])
+    ham = F.aggregate(
+        F.zip_with(F.col("bq"), qarr,
+                   lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x,
+    )
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    cand = (
+        enc.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.col(vec_col), ham.alias("__ham"))
+        .orderBy(F.col("__ham"), F.col(id_col))
+        .limit(candidates)
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qlit), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -2190,3 +2190,34 @@ def test_qoi_round_trip_fuzz():
         decode_qoi(b"nope" + b"\x00" * 30)
     with _pytest.raises(ValueError):
         decode_qoi(encode_qoi(long_run)[:-1])  # clipped end marker
+
+
+def test_bq_packing_law_and_recall(spark, sf_dir):
+    """Binary quantization: the JVM packing fold and the driver-side
+    Python packer produce identical codes (same 32-dims-per-long
+    MSB-first law), Hamming(self)=0, and the reranked top-k of the
+    fixture query reproduces >=93% of the exact top-10 mass."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+    from datastore_mapper_spark.operators import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 1).first()
+    dim = len(q["embedding"])
+    enc_row = sim.bq_encode(e.filter(F.col("vec_id") == 1), dim).first()
+    assert list(enc_row["bq"]) == sim._bq_pack_py(q["embedding"], dim)
+    qlit = F.array(*[F.lit(float(v)) for v in q["embedding"]])
+    exact = (
+        e.filter(F.col("vec_id") != 1)
+        .select("vec_id",
+                F.round(sim.cosine(F.col("embedding"), qlit), 4)
+                .alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id").limit(10)
+    ).collect()
+    approx = sim.bq_topk(e, dim, 1, k=10, candidates=128).collect()
+    exm = sum(r.sim for r in exact)
+    apm = sum(r.sim for r in approx)
+    assert apm >= 0.93 * exm
+    # missing query id -> empty frame, stable schema
+    assert sim.bq_topk(e, dim, query_id=-1).count() == 0

@@ -234,6 +234,7 @@ BNLJ_ALLOWED = {
     "tdigest_quantiles_verified",  # 1-row exact-count scalar crossed onto the digest
     "graph_kcore_membership",    # two 1-row census scalars crossed (promoted r13)
     "sq8_knn_recall_verified",   # 1-row sim-mass scalar crossed onto top-10
+    "bq_knn_recall_verified",    # 1-row sim-mass scalar crossed onto top-10
     "mann_kendall_trend_daily",  # triangular join on the ~2400-row day dict
     "hellinger_lang_drift_sources",  # 1-row totals frame crossed into 5 langs
     "cramers_v_priority_status",  # 1-row n scalar crossed into 15 cells
