@@ -708,3 +708,65 @@ def bq_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# --- distributed covariance + driver-side PCA (round 13) --------------
+
+
+def covariance_gram(emb_df: DataFrame, dim: int,
+                    vec_col: str = "embedding"):
+    """Exact covariance of a vector column via PER-PARTITION GRAM
+    PARTIALS: each Arrow batch folds into one ``(n, Σx, XᵀX)``
+    accumulator per input partition (a BLAS matmul per batch — the
+    compute-optimal kernel), so the shuffle-free reduce ships ONE row
+    of d + d² doubles per partition.  The ``.collect()`` is bounded
+    at the partition count (~32 rows × ~33 KB at d=64) — the model is
+    dimension²-sized, never corpus-sized, the same envelope class as
+    the t-digest centroid union.  Returns ``(n, mean, cov)`` with
+    cov = E[xxᵀ] − μμᵀ (population), or ``(0, None, None)`` on an
+    empty corpus."""
+    import numpy as np
+
+    def batches(it):
+        n = 0
+        s1 = np.zeros(dim, dtype=np.float64)
+        s2 = np.zeros((dim, dim), dtype=np.float64)
+        for pdf in it:
+            if len(pdf):
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                n += X.shape[0]
+                s1 += X.sum(axis=0)
+                s2 += X.T @ X
+        yield pd.DataFrame({
+            "n": pd.Series([n], dtype="int64"),
+            "s1": [s1.tolist()],
+            "s2": [s2.ravel().tolist()],
+        })
+
+    parts = emb_df.select(vec_col).mapInPandas(
+        batches, "n long, s1 array<double>, s2 array<double>")
+    rows = parts.collect()  # one row per partition, by construction
+    n = sum(int(r.n) for r in rows)
+    if n == 0:
+        return 0, None, None
+    s1 = np.zeros(dim)
+    s2 = np.zeros((dim, dim))
+    for r in rows:
+        s1 += np.asarray(r.s1)
+        s2 += np.asarray(r.s2).reshape(dim, dim)
+    mean = s1 / n
+    cov = s2 / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def pca_eigh(cov):
+    """Eigendecomposition of the d×d covariance on the driver
+    (symmetric → ``eigh``), eigenvalues sorted DESCENDING with their
+    vectors — the right split of labor at 100 TB: the distributed
+    pass is one Gram scan, the O(d³) eigensolve on a 64×64 matrix is
+    microseconds anywhere."""
+    import numpy as np
+
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    return w[order], v[:, order]

@@ -1858,3 +1858,100 @@ def acid_generated_columns(spark, sf_dir):
                 F.lit(bool(reject_ok)).alias("reject_ok"),
                 F.lit(bool(pruned_ok)).alias("pruned_ok"))
     )
+
+
+@query(
+    "stream_acid_to_acid_pipeline",
+    "table-format/streaming",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS exactly_once_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_acid_to_acid_pipeline(spark, sf_dir):
+    """ACID table -> Structured Streaming -> ACID table, end-to-end
+    (round 13 — the full Delta medallion hop, composing the two
+    halves graded separately in rounds 11-12): the BRONZE table holds
+    events in two committed versions; a ``readStream.format
+    ("acid_table")`` query drains them through real micro-batches
+    (offsets = table versions, one task per immutable file), each
+    batch derives ``cents`` and lands in the SILVER table via
+    ``append_idempotent`` tagged ``pipe-{batch_id}`` — the Delta
+    txnAppId protocol, idempotence in the commit chain.  After the
+    drain, batch 0 is RE-DELIVERED with its original tag and
+    ``exactly_once_ok`` grades the no-op (version unmoved): the
+    failure mode foreachBatch actually has, survived by table
+    mechanics rather than sink-side state.  The hashed per-type
+    aggregate over SILVER must equal plain SQL over ``events`` — a
+    duplicated batch, dropped file task, or watermark slip
+    hash-fails.  At 100 TB this is the canonical incremental
+    pipeline: the source side reads only NEW versions' files, the
+    sink side costs one manifest write per batch."""
+    import time
+
+    from ..sources.acid_stream import register
+
+    bronze = _table_dir("acid_pipe_src", sf_dir)
+    silver = _table_dir("acid_pipe_dst", sf_dir)
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    acid_lite.create_table(
+        spark, bronze, ev.filter(F.col("event_id") % 2 == 0).coalesce(2))
+    acid_lite.append(
+        spark, bronze, ev.filter(F.col("event_id") % 2 == 1).coalesce(2))
+    expected = ev.count()
+    register(spark)
+    stream = (
+        spark.readStream.format("acid_table")
+        .option("path", bronze)
+        .load()
+    )
+
+    def _hop(batch_df, batch_id):
+        out = batch_df.withColumn(
+            "cents", F.floor(F.col("value") * 100).cast("bigint"))
+        acid_lite.append_idempotent(
+            batch_df.sparkSession, silver, out,
+            txn_id=f"pipe-{batch_id}")
+
+    import tempfile
+
+    q = (
+        stream.writeStream.foreachBatch(_hop)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if acid_lite.latest_version(silver) and \
+                    acid_lite.count_rows(spark, silver)[0] >= expected:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    ok = True
+    v_done = acid_lite.latest_version(silver)
+    if v_done:
+        replay = spark.createDataFrame(
+            [], acid_lite.read(spark, silver).schema)
+        v_replay = acid_lite.append_idempotent(
+            spark, silver, replay, txn_id="pipe-0")
+        ok = (v_replay <= v_done
+              and acid_lite.latest_version(silver) == v_done)
+    if not acid_lite.latest_version(silver):
+        return spark.createDataFrame(
+            [], "event_type string, n_events bigint, sum_cents bigint"
+        ).withColumn("exactly_once_ok", F.lit(True))
+    return (
+        acid_lite.read(spark, silver)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("cents").alias("sum_cents"))
+        .withColumn("exactly_once_ok", F.lit(ok))
+    )

@@ -723,3 +723,264 @@ def bigram_perplexity_by_lang(spark, sf_dir):
         .filter(F.col("n_bigrams") > 0)
         .orderBy("lang")
     )
+
+
+@query(
+    "fisher_exact_segment_balance",
+    "statistics",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(sum(CASE WHEN seg AND pos THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a,
+               CAST(sum(CASE WHEN seg AND NOT pos THEN 1 ELSE 0 END)
+                   AS BIGINT) AS b,
+               CAST(sum(CASE WHEN NOT seg AND pos THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c,
+               CAST(sum(CASE WHEN NOT seg AND NOT pos THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d
+        FROM (SELECT c_mktsegment = 'BUILDING' AS seg,
+                     c_acctbal > 0 AS pos FROM customer)
+    ),
+    params AS (
+        SELECT a, b, c, d, a + b AS r1, a + c AS c1,
+               a + b + c + d AS n FROM cells
+    ),
+    ks AS (
+        SELECT a, r1, c1, n,
+               unnest(generate_series(
+                   CAST(GREATEST(0, r1 + c1 - n) AS BIGINT),
+                   CAST(LEAST(r1, c1) AS BIGINT))) AS k
+        FROM params
+    ),
+    pmf AS (
+        SELECT k, a,
+               exp(lgamma(r1 + 1) - lgamma(k + 1) - lgamma(r1 - k + 1)
+                 + lgamma(n - r1 + 1) - lgamma(c1 - k + 1)
+                 - lgamma(n - r1 - c1 + k + 1)
+                 - (lgamma(n + 1) - lgamma(c1 + 1) - lgamma(n - c1 + 1)))
+                   AS p
+        FROM ks
+    ),
+    obs AS (SELECT p AS p0 FROM pmf WHERE k = a)
+    SELECT p2.a, p2.b, p2.c, p2.d,
+           round(sum(CASE WHEN pmf.p <= o.p0 * (1 + 1e-7)
+                          THEN pmf.p ELSE 0 END), 6) AS p_two_sided,
+           round(sum(CASE WHEN pmf.k <= p2.a THEN pmf.p ELSE 0 END), 6)
+               AS p_left,
+           round(sum(CASE WHEN pmf.k >= p2.a THEN pmf.p ELSE 0 END), 6)
+               AS p_right
+    FROM pmf, obs o, params p2
+    GROUP BY p2.a, p2.b, p2.c, p2.d
+    """,
+)
+def fisher_exact_segment_balance(spark, sf_dir):
+    """FISHER'S EXACT TEST on the 2x2 (BUILDING segment) x (positive
+    account balance) table — the small-sample-exact sibling of the
+    graded chi-square: the hypergeometric PMF is summed over the
+    entire support in LOG-GAMMA space, with the R-convention
+    two-sided rule (every table whose PMF <= observed x (1+1e-7)).
+
+    Distribution of labor is the sketch-then-verify shape inverted:
+    Spark reduces 1.5M rows to FOUR integers (one conditional-
+    aggregate pass — the only distributed work); the support walk is
+    O(min(r1, c1)) driver-side lgamma math on those four numbers,
+    exactly what any engine does after the cells land (the
+    ``.first()`` is 1 row by construction).  The oracle replays the
+    identical summation via DuckDB's lgamma + generate_series; both
+    engines agree to the 6 rounded decimals at all SFs (libm-level
+    drift is ~1e-12 over a ~1e3-term sum).  Empty input yields NULL
+    cells -> zero rows on both engines."""
+    import math
+
+    cu = table(spark, sf_dir, "customer")
+    seg = F.col("c_mktsegment") == "BUILDING"
+    pos = F.col("c_acctbal") > 0
+    cnt = lambda cond: F.sum(F.when(cond, 1).otherwise(0))  # noqa: E731
+    row = cu.agg(
+        cnt(seg & pos).alias("a"), cnt(seg & ~pos).alias("b"),
+        cnt(~seg & pos).alias("c"), cnt(~seg & ~pos).alias("d"),
+    ).first()
+    schema = ("a bigint, b bigint, c bigint, d bigint, "
+              "p_two_sided double, p_left double, p_right double")
+    if row is None or row.a is None:
+        return spark.createDataFrame([], schema)
+    a, b, c, d = int(row.a), int(row.b), int(row.c), int(row.d)
+    r1, c1, n = a + b, a + c, a + b + c + d
+    lg = math.lgamma
+    den = lg(n + 1) - lg(c1 + 1) - lg(n - c1 + 1)
+
+    def pmf(k: int) -> float:
+        return math.exp(
+            lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1)
+            + lg(n - r1 + 1) - lg(c1 - k + 1) - lg(n - r1 - c1 + k + 1)
+            - den)
+
+    lo, hi = max(0, r1 + c1 - n), min(r1, c1)
+    p0 = pmf(a)
+    p_two = sum(p for p in map(pmf, range(lo, hi + 1))
+                if p <= p0 * (1 + 1e-7))
+    p_left = sum(pmf(k) for k in range(lo, a + 1))
+    p_right = sum(pmf(k) for k in range(a, hi + 1))
+    return spark.createDataFrame(
+        [(a, b, c, d, round(p_two, 6), round(p_left, 6),
+          round(p_right, 6))], schema)
+
+
+@query(
+    "corr_matrix_lineitem",
+    "statistics",
+    oracle="""
+    WITH t AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS p,
+               CAST(round(l_discount * 100) AS BIGINT) AS dis,
+               CAST(round(l_tax * 100) AS BIGINT) AS tax
+        FROM lineitem
+    ),
+    pairs AS (
+        SELECT 'price_discount' AS pair, p AS x, dis AS y FROM t
+        UNION ALL SELECT 'price_quantity', p, q FROM t
+        UNION ALL SELECT 'price_tax', p, tax FROM t
+        UNION ALL SELECT 'quantity_discount', q, dis FROM t
+        UNION ALL SELECT 'quantity_tax', q, tax FROM t
+        UNION ALL SELECT 'tax_discount', tax, dis FROM t
+    ),
+    sums AS (
+        SELECT pair,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+               CAST(sum(CAST(x AS DECIMAL(38,0))
+                        * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sxy,
+               CAST(sum(CAST(x AS DECIMAL(38,0))
+                        * CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sxx,
+               CAST(sum(CAST(y AS DECIMAL(38,0))
+                        * CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS syy
+        FROM pairs GROUP BY pair
+    )
+    SELECT pair, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS pearson_r
+    FROM sums
+    WHERE n >= 2 AND n * sxx > sx * sx AND n * syy > sy * sy
+    """,
+)
+def corr_matrix_lineitem(spark, sf_dir):
+    """PAIRWISE PEARSON CORRELATION MATRIX over the four lineitem
+    measures (quantity, price, discount, tax) — six pairs from ONE
+    aggregation pass (not six scans: all fifteen moment sums land in
+    a single groupBy-less agg, then unpivot to the long format the
+    oracle states).  The house FP-determinism seam: every measure is
+    integer-scaled (cents, discount/tax percent points), the moment
+    sums ride DECIMAL(38,0) exact algebra (cents² x sf0.1 row counts
+    overflow int64), and each correlation is ONE double expression
+    over those exact integers — token-identical in the oracle, round
+    6.  Degenerate pairs (zero variance) drop on both engines.  At
+    100 TB this is the screening pass before any modeling work: cost
+    is one map-side-combined scan regardless of pair count."""
+    li = table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("p"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("dis"),
+        F.round(F.col("l_tax") * 100, 0).cast("bigint").alias("tax"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    measures = {"quantity": "q", "price": "p", "discount": "dis",
+                "tax": "tax"}
+    pairs = [("price", "discount"), ("price", "quantity"),
+             ("price", "tax"), ("quantity", "discount"),
+             ("quantity", "tax"), ("tax", "discount")]
+    aggs = [F.count("*").alias("n")]
+    for m, c in measures.items():
+        aggs.append(F.sum(dec(c)).alias(f"s_{m}"))
+        aggs.append(F.sum(dec(c) * dec(c)).alias(f"ss_{m}"))
+    for x, y in pairs:
+        aggs.append(F.sum(dec(measures[x]) * dec(measures[y]))
+                    .alias(f"sxy_{x}_{y}"))
+    sums = t.agg(*aggs)
+    rows = []
+    for x, y in pairs:
+        n = F.col("n").cast("decimal(38,0)")
+        sx, sy = F.col(f"s_{x}"), F.col(f"s_{y}")
+        sxx, syy = F.col(f"ss_{x}"), F.col(f"ss_{y}")
+        sxy = F.col(f"sxy_{x}_{y}")
+        num = (n * sxy - sx * sy).cast("double")
+        vx = (n * sxx - sx * sx)
+        vy = (n * syy - sy * sy)
+        rows.append(sums.select(
+            F.lit(f"{x}_{y}").alias("pair"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(num / (F.sqrt(vx.cast("double"))
+                           * F.sqrt(vy.cast("double"))), 6)
+            .alias("pearson_r"),
+            (vx > 0).alias("__vx"), (vy > 0).alias("__vy"),
+        ))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return (out.filter((F.col("n") >= 2) & F.col("__vx") & F.col("__vy"))
+            .drop("__vx", "__vy"))
+
+
+@query(
+    "calibration_bins_brier",
+    "ml-eval",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey % 1000 AS k,
+               (o_orderkey % 1000) // 100 AS bin,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        FROM orders
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS DOUBLE) / (999 * count(*)) AS mean_p,
+           CAST(sum(y) AS DOUBLE) / count(*) AS frac_pos,
+           CAST(sum((k - 999 * y) * (k - 999 * y)) AS DOUBLE)
+               / (998001 * count(*)) AS bin_brier
+    FROM t
+    GROUP BY bin
+    """,
+)
+def calibration_bins_brier(spark, sf_dir):
+    """CALIBRATION TABLE + BRIER SCORE for a probabilistic classifier
+    (the eval sibling of the graded exact AUC): predicted probability
+    ``p = (o_orderkey % 1000) / 999`` (a deterministic rational —
+    the fixture's stand-in for a model score), outcome ``y = (status
+    = 'F')``.  Per decile-of-score bin: count, mean predicted
+    probability, observed positive rate, and the bin's Brier
+    contribution — the (mean_p vs frac_pos) gap IS the calibration
+    curve, and Σ n·bin_brier / Σ n is the global Brier score.
+
+    Every emitted double is ONE correctly-rounded division of an
+    exact int64 numerator (p's denominator 999 factors out:
+    (k - 999y)² sums stay < 2^63 at sf0.1), so Spark and DuckDB agree
+    BITWISE with no rounding seam at all — the strongest determinism
+    class in the suite.  One groupBy pass; 10 dictionary-tier rows."""
+    o = table(spark, sf_dir, "orders")
+    k = (F.col("o_orderkey") % 1000).cast("bigint")
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    t = o.select(k.alias("k"), F.floor(k / 100).cast("int").alias("bin"),
+                 y.alias("y"))
+    num = (F.col("k") - 999 * F.col("y"))
+    return (
+        t.groupBy("bin")
+        .agg(F.count("*").alias("n"),
+             F.sum("k").alias("sk"),
+             F.sum("y").alias("sy"),
+             F.sum(num * num).alias("snum"))
+        .select(
+            "bin", "n",
+            (F.col("sk").cast("double") / (999 * F.col("n")))
+            .alias("mean_p"),
+            (F.col("sy").cast("double") / F.col("n")).alias("frac_pos"),
+            (F.col("snum").cast("double") / (998001 * F.col("n")))
+            .alias("bin_brier"),
+        )
+    )

