@@ -1955,3 +1955,71 @@ def stream_acid_to_acid_pipeline(spark, sf_dir):
              F.sum("cents").alias("sum_cents"))
         .withColumn("exactly_once_ok", F.lit(ok))
     )
+
+
+@query(
+    "acid_bloom_index_lookup",
+    "table-format",
+    oracle="""
+    WITH pick AS (
+        SELECT min(o_orderkey) AS k FROM orders
+        WHERE o_orderkey >=
+            (SELECT (min(o_orderkey) + max(o_orderkey)) // 2 FROM orders)
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents,
+           TRUE AS stats_blind_ok,
+           TRUE AS bloom_pruned_ok
+    FROM orders o, pick
+    WHERE o.o_orderkey = pick.k
+    """,
+)
+def acid_bloom_index_lookup(spark, sf_dir):
+    """PER-FILE BLOOM FILTER INDEX (round 13 — Delta's
+    ``CREATE BLOOMFILTER INDEX``, ``acid_lite.build_bloom_index``):
+    orders is deliberately HASH-SCATTERED into files so every file's
+    o_orderkey [min, max] spans the whole domain — the exact layout
+    where min/max stats are useless for a point lookup —
+    then a one-pass, column-pruned index build commits per-file bloom
+    sidecars as a metadata version, and an equality lookup on the
+    mid-domain key is answered through ``read_bloom_pruned``.
+
+    ``stats_blind_ok`` grades the premise: stats pruning alone keeps
+    EVERY file (so any skipping is the bloom's doing);
+    ``bloom_pruned_ok`` grades the payoff: the bloom keeps strictly
+    fewer files than the table AND the pruned read row-matches the
+    full-scan filter (a false negative — the one failure a bloom must
+    never have — would drop the row and hash-fail).  The hashed row
+    is the picked order itself.  At 100 TB this is the index you
+    build for needle-in-haystack ID lookups on unclustered columns:
+    index cost is one column-pruned scan, lookup cost is O(files)
+    sidecar probes + ~1 data file."""
+    dest = _table_dir("acid_bloom", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    acid_lite.create_table(spark, dest, o.repartition(6, "o_orderkey"))
+    acid_lite.build_bloom_index(spark, dest, "o_orderkey", fpp=0.01)
+    bounds = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    schema_empty = ("o_orderkey bigint, o_custkey bigint, cents bigint, "
+                    "stats_blind_ok boolean, bloom_pruned_ok boolean")
+    if bounds is None or bounds[0] is None:
+        return spark.createDataFrame([], schema_empty)
+    mid = (int(bounds[0]) + int(bounds[1])) // 2
+    pick = int(o.filter(F.col("o_orderkey") >= mid)
+               .agg(F.min("o_orderkey")).first()[0])
+    sel_stats, total = acid_lite.prune_files(
+        dest, "o_orderkey", pick, pick)
+    sel_bloom, _t = acid_lite.prune_files_bloom(
+        None, dest, "o_orderkey", pick)
+    n_full = acid_lite.read(spark, dest).filter(
+        F.col("o_orderkey") == pick).count()
+    got = acid_lite.read_bloom_pruned(spark, dest, "o_orderkey", pick)
+    stats_blind = len(sel_stats) == total and total >= 2
+    bloom_pruned = (0 < len(sel_bloom) < total
+                    and got.count() == n_full == 1)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return got.select(
+        "o_orderkey", "o_custkey", cents.alias("cents"),
+        F.lit(bool(stats_blind)).alias("stats_blind_ok"),
+        F.lit(bool(bloom_pruned)).alias("bloom_pruned_ok"),
+    )

@@ -556,7 +556,8 @@ def _commit(path: str, version: int, files: list[str],
             mapping: dict | None = None,
             dropped_physical: list[str] | None = None,
             constraints: dict | None = None,
-            generated: dict | None = None) -> None:
+            generated: dict | None = None,
+            bloom_index: dict | None = None) -> None:
     """Atomically publish manifest ``version`` (O_EXCL = one winner).
     ``schema`` (a DDL string) makes zero-file versions readable — an
     empty table is a legal snapshot, not an error.
@@ -593,6 +594,14 @@ def _commit(path: str, version: int, files: list[str],
             constraints = pm.get("constraints")
         if generated is None:
             generated = pm.get("generated")
+        if bloom_index is None:
+            # carry sidecar maps, DROPPING entries for removed files
+            bi = pm.get("bloom_index") or {}
+            fset = set(files)
+            bloom_index = {
+                c: {f: sc for f, sc in fm.items() if f in fset}
+                for c, fm in bi.items()
+            } or None
         parent_stats = pm.get("stats") or {}
         parent_txns = pm.get("txns") or {}
         parent_partitions = pm.get("partitions") or {}
@@ -633,6 +642,8 @@ def _commit(path: str, version: int, files: list[str],
         payload["constraints"] = constraints
     if generated:
         payload["generated"] = generated
+    if bloom_index:
+        payload["bloom_index"] = bloom_index
     if parent_txns:
         # carry the txn-dedup map through NON-txn commits too, so the
         # latest manifest stays authoritative across interleaved
@@ -2872,3 +2883,195 @@ def minmax_columns(spark: SparkSession, path: str, columns: list[str],
         {col: (row[f"__lo_{col}"], row[f"__hi_{col}"]) for col in columns},
         False,
     )
+
+
+# --------------------------------------------------------------------
+# Per-file BLOOM FILTER INDEX (Delta bloom-filter-index semantics)
+# --------------------------------------------------------------------
+#
+# Min/max stats cannot skip files for an equality lookup on a
+# high-cardinality column that is NOT clustered: every file's [lo, hi]
+# spans the whole domain.  A per-file Bloom filter answers "is this
+# value definitely absent from this file?" regardless of layout —
+# false positives only cost a read, never correctness.  Sidecars are
+# immutable like the data files; the manifest carries {column:
+# {file: sidecar}} and the index composes with stats pruning (bloom
+# runs on the stats survivors).  Files written after the index was
+# built simply have no sidecar and are always read (sound).
+
+
+def _bloom_params(n_rows: int, fpp: float) -> tuple[int, int]:
+    """Standard sizing: m = -n·ln(fpp)/ln²2 bits, k = m/n·ln2."""
+    import math
+
+    n = max(1, int(n_rows))
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_key(v) -> bytes:
+    """Canonical hash input: ints and strings only (float equality
+    lookups are ill-posed; a bloom on them would be a footgun)."""
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        raise ValueError(f"bloom index supports int/string, got {type(v)}")
+    return (f"i:{v}" if isinstance(v, int) else f"s:{v}").encode()
+
+
+def _bloom_hashes(v, m: int, k: int) -> list[int]:
+    import hashlib
+
+    d = hashlib.md5(_bloom_key(v)).digest()
+    h1 = int.from_bytes(d[:8], "big")
+    h2 = int.from_bytes(d[8:], "big") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def build_bloom_index(spark: SparkSession, path: str, column: str,
+                      fpp: float = 0.01, retries: int = 3) -> int:
+    """CREATE BLOOMFILTER INDEX on ``column``: one column-pruned
+    distributed pass over the live files that lack a sidecar, folding
+    per-Arrow-batch partial bitmaps keyed by file; the driver ORs the
+    partials (O(files·bloom_bytes), the same envelope as the manifest)
+    and commits ``blooms/`` sidecars plus the {file: sidecar} map as a
+    METADATA-ONLY version.  Per-file sizing comes from the manifest's
+    footer row counts, so fpp holds per file without a pre-count."""
+    import base64
+
+    v0 = latest_version(path)
+    if v0 == 0:
+        raise ValueError(f"table does not exist: {path}")
+    m0 = _read_manifest(path, v0)
+    if column != _physical(m0, column) and column not in \
+            _schema_types(m0["schema"]):
+        raise ValueError(f"unknown column {column!r}")
+    existing = ((m0.get("bloom_index") or {}).get(column) or {})
+    todo = [f for f in m0["files"] if f not in existing]
+    stats = m0.get("stats") or {}
+    if todo:
+        import numpy as np
+        import pandas as pd
+
+        sizing = {
+            f: _bloom_params(
+                int((stats.get(f) or {}).get("::rows", 10000) or 10000),
+                fpp)
+            for f in todo
+        }
+        rel_expr, _pre = _rel_path_expr(path)
+        df = (_load_files(spark, path, m0, todo)
+              .select(F.col(column).alias("__v"), rel_expr))
+        bc = spark.sparkContext.broadcast(sizing)
+
+        def fold(it):
+            partial: dict[str, "np.ndarray"] = {}
+            sz = bc.value
+            for pdf in it:
+                for v, rel in zip(pdf["__v"], pdf["__rel"]):
+                    if v is None or rel not in sz:
+                        continue
+                    m_bits, k = sz[rel]
+                    bits = partial.get(rel)
+                    if bits is None:
+                        bits = partial.setdefault(
+                            rel, np.zeros((m_bits + 7) // 8, np.uint8))
+                    for h in _bloom_hashes(
+                            int(v) if not isinstance(v, str) else v,
+                            m_bits, k):
+                        bits[h >> 3] |= 1 << (h & 7)
+            yield pd.DataFrame({
+                "rel": list(partial),
+                "bits": [b.tobytes() for b in partial.values()],
+            })
+
+        parts = df.mapInPandas(fold, "rel string, bits binary")
+        merged: dict[str, bytearray] = {}
+        for r in parts.collect():  # O(files x partitions-touching-file)
+            cur = merged.get(r.rel)
+            if cur is None:
+                merged[r.rel] = bytearray(r.bits)
+            else:
+                for i, byte in enumerate(r.bits):
+                    cur[i] |= byte
+        bdir = os.path.join(path, "blooms")
+        os.makedirs(bdir, exist_ok=True)
+        new_map = dict(existing)
+        for rel, bits in merged.items():
+            m_bits, k = sizing[rel]
+            name = f"blooms/{uuid.uuid4().hex[:16]}.json"
+            with open(os.path.join(path, name), "w") as fh:
+                fh.write(json.dumps({
+                    "column": column, "m": m_bits, "k": k,
+                    "bits": base64.b64encode(bytes(bits)).decode(),
+                }))
+            new_map[rel] = name
+        for rel in todo:
+            if rel not in merged:  # file with only NULLs / no rows
+                m_bits, k = sizing[rel]
+                name = f"blooms/{uuid.uuid4().hex[:16]}.json"
+                with open(os.path.join(path, name), "w") as fh:
+                    fh.write(json.dumps({
+                        "column": column, "m": m_bits, "k": k,
+                        "bits": base64.b64encode(
+                            bytes((m_bits + 7) // 8)).decode(),
+                    }))
+                new_map[rel] = name
+    else:
+        new_map = dict(existing)
+    for _ in range(retries + 1):
+        parent = latest_version(path)
+        pm = _read_manifest(path, parent)
+        idx = dict(pm.get("bloom_index") or {})
+        idx[column] = {f: s for f, s in new_map.items()
+                       if f in set(pm["files"])}
+        try:
+            _commit(path, parent + 1, pm["files"], parent,
+                    "bloom_index", bloom_index=idx)
+            return parent + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"bloom_index at {path} lost {retries + 1} races")
+
+
+def prune_files_bloom(spark_or_none, path: str, column: str, value,
+                      version: int | None = None) -> tuple[list[str], int]:
+    """Equality-lookup file skipping through the bloom index, composed
+    WITH stats pruning: a file survives only if its [min, max] admits
+    the value AND its bloom (if indexed) does not prove absence.
+    Files without a sidecar are kept (sound).  Pure manifest+sidecar
+    math: O(survivors) sidecar reads, no data file opened."""
+    v = latest_version(path) if version is None else version
+    m = _read_manifest(path, v)
+    base, total = prune_files(path, column, value, value, version=v)
+    idx = ((m.get("bloom_index") or {}).get(column) or {})
+    out = []
+    for f in base:
+        side = idx.get(f)
+        if side is None:
+            out.append(f)
+            continue
+        with open(os.path.join(path, side)) as fh:
+            sc = json.load(fh)
+        import base64
+
+        bits = base64.b64decode(sc["bits"])
+        hit = all(
+            bits[h >> 3] & (1 << (h & 7))
+            for h in _bloom_hashes(value, sc["m"], sc["k"])
+        )
+        if hit:
+            out.append(f)
+    return out, total
+
+
+def read_bloom_pruned(spark: SparkSession, path: str, column: str,
+                      value, version: int | None = None) -> DataFrame:
+    """Snapshot equality read through stats+bloom skipping plus the
+    exact residual filter — semantically identical to
+    ``read().filter(col == value)``."""
+    v = latest_version(path) if version is None else version
+    selected, _total = prune_files_bloom(None, path, column, value,
+                                         version=v)
+    m = _read_manifest(path, v)
+    return _load_files(spark, path, m, selected).filter(
+        F.col(column) == F.lit(value))

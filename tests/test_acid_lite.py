@@ -1689,3 +1689,40 @@ def test_generated_columns_materialize_validate_prune(spark, tdir):
     with pytest.raises(acid_lite.ConstraintViolation):
         acid_lite.append(spark, clone, spark.createDataFrame(
             [(30, 99.0, 0)], "k bigint, p double, b bigint"))
+
+
+def test_bloom_index_lookup_and_soundness(spark, tdir):
+    """Bloom sidecars skip files stats cannot (hash-scattered high-
+    cardinality column), never lose a row (no false negatives across
+    every key), keep un-indexed late files readable, and drop their
+    manifest entries when the file is rewritten away."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, i * 37 % 1000) for i in range(1, 201)], "k bigint, c bigint")
+    acid_lite.create_table(spark, tdir, df.repartition(5, "c"))
+    acid_lite.build_bloom_index(spark, tdir, "k", fpp=0.01)
+    # stats are blind on k (hash layout), bloom is not
+    sel_stats, total = acid_lite.prune_files(tdir, "k", 100, 100)
+    sel_bloom, _ = acid_lite.prune_files_bloom(None, tdir, "k", 100)
+    assert len(sel_stats) == total >= 2
+    assert 0 < len(sel_bloom) < total
+    # NO false negative for any present key (sample every 17th)
+    for key in range(1, 201, 17):
+        got = acid_lite.read_bloom_pruned(spark, tdir, "k", key)
+        assert got.count() == 1, key
+    # absent key: typically zero files survive (fpp=1%)
+    sel_absent, _ = acid_lite.prune_files_bloom(None, tdir, "k", 10**9)
+    assert len(sel_absent) <= 1
+    # un-indexed appended file is always read (sound)
+    acid_lite.append(spark, tdir, spark.createDataFrame(
+        [(500, 0)], "k bigint, c bigint"))
+    assert acid_lite.read_bloom_pruned(spark, tdir, "k", 500).count() == 1
+    # rewrite drops the dead file's sidecar entry from the manifest
+    acid_lite.delete_where(spark, tdir, "k", None, 0)  # no-op range
+    m = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    fset = set(m["files"])
+    assert all(f in fset for f in (m.get("bloom_index") or {}).get("k", {}))
+    # int/string only
+    with pytest.raises(ValueError):
+        acid_lite._bloom_key(1.5)
