@@ -984,3 +984,224 @@ def calibration_bins_brier(spark, sf_dir):
             .alias("bin_brier"),
         )
     )
+
+
+@query(
+    "sample_weighted_priority",
+    "sampling",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS w_cents,
+               (CAST((o_orderkey * 1103515245 + 12345) % 2147483648
+                     AS DOUBLE) + 1) / 2147483649.0 AS u
+        FROM orders
+    )
+    SELECT o_orderkey, w_cents
+    FROM t
+    ORDER BY ln(u) / (CAST(w_cents AS DOUBLE) / 100.0) DESC,
+             o_orderkey
+    LIMIT 20
+    """,
+)
+def sample_weighted_priority(spark, sf_dir):
+    """WEIGHTED RANDOM SAMPLING without replacement, the
+    Efraimidis–Spirakis priority-sample (A-ES): every row draws a
+    uniform u and the k rows with the largest ``u^(1/w)`` form an
+    exact weighted sample — the one-pass, merge-friendly algorithm a
+    100 TB training-data pipeline uses for importance-weighted corpus
+    selection (priorities compute map-side; top-k is a
+    per-partition heap + driver merge, never a shuffle of the
+    corpus; here it is ORDER BY/LIMIT, which Spark plans as exactly
+    that TakeOrdered).
+
+    Determinism seam: u comes from an explicit LCG on the row key
+    ((k·1103515245 + 12345) mod 2^31, +1 over 2^31+1 so ln(0) is
+    unreachable) — plain int64 arithmetic, bit-identical on both
+    engines — and the priority is compared as the monotone transform
+    ``ln(u)/w`` (one libm call; adjacent priorities among 10^4 draws
+    differ by ~1e-8 while cross-engine ln drift is ~1e-16, eight
+    orders of margin).  Weight = the order's price.  The hashed rows
+    are the sample itself: the POINT of a seeded sampler is that the
+    sample is reproducible."""
+    o = table(spark, sf_dir, "orders")
+    w_cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    u = ((F.col("o_orderkey") * F.lit(1103515245) + F.lit(12345))
+         % F.lit(2147483648)).cast("double")
+    u = (u + 1) / F.lit(2147483649.0)
+    t = o.select("o_orderkey", w_cents.alias("w_cents"), u.alias("u"))
+    pri = F.log(F.col("u")) / (F.col("w_cents").cast("double") / 100.0)
+    return (
+        t.orderBy(pri.desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "w_cents")
+        .limit(20)
+    )
+
+
+@query(
+    "sample_stratified_proportional",
+    "sampling",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST((o_orderkey * 1103515245 + 12345) % 2147483648
+                    AS DOUBLE) / 2147483648.0 AS u
+        FROM orders
+    ),
+    sized AS (
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_g,
+               (SELECT count(*) FROM t) AS n
+        FROM t GROUP BY o_orderstatus
+    ),
+    alloc AS (
+        SELECT o_orderstatus, n_g,
+               GREATEST(1, CAST(round(60.0 * n_g / n) AS BIGINT)) AS k_g
+        FROM sized
+    ),
+    ranked AS (
+        SELECT t.o_orderkey, t.o_orderstatus, a.k_g, a.n_g,
+               row_number() OVER (PARTITION BY t.o_orderstatus
+                                  ORDER BY t.u, t.o_orderkey) AS rn
+        FROM t JOIN alloc a USING (o_orderstatus)
+    )
+    SELECT o_orderkey, o_orderstatus, n_g, k_g
+    FROM ranked WHERE rn <= k_g
+    """,
+)
+def sample_stratified_proportional(spark, sf_dir):
+    """STRATIFIED SAMPLING with proportional allocation: each order
+    status (stratum) contributes ``max(1, round(60·n_g/n))`` rows,
+    chosen as the stratum's smallest deterministic-LCG uniforms —
+    u is exact int64 arithmetic over 2^31 (a dyadic rational: the
+    double is EXACT, so both engines rank identically with NO
+    floating-point seam at all, unlike the priority sampler's ln).
+    One pass for stratum sizes (dictionary-tier), one window for the
+    per-stratum rank — at 100 TB the window shuffles by stratum key
+    and the allocation table broadcasts.  Hashed rows = the sample
+    plus its allocation receipt (n_g, k_g), so a mis-allocated
+    stratum or an off-by-one rank fails the hash."""
+    o = table(spark, sf_dir, "orders")
+    u = ((F.col("o_orderkey") * F.lit(1103515245) + F.lit(12345))
+         % F.lit(2147483648)).cast("double") / F.lit(2147483648.0)
+    t = o.select("o_orderkey", "o_orderstatus", u.alias("u"))
+    sized = t.groupBy("o_orderstatus").agg(F.count("*").alias("n_g"))
+    total = t.count()
+    if total == 0:
+        return spark.createDataFrame(
+            [], "o_orderkey bigint, o_orderstatus string, "
+                "n_g bigint, k_g bigint")
+    alloc = sized.select(
+        "o_orderstatus", "n_g",
+        F.greatest(F.lit(1), F.round(60.0 * F.col("n_g") / total, 0)
+                   .cast("bigint")).alias("k_g"))
+    from pyspark.sql.window import Window as W
+
+    ranked = (
+        t.join(F.broadcast(alloc), "o_orderstatus")
+        .withColumn("rn", F.row_number().over(
+            W.partitionBy("o_orderstatus")
+            .orderBy(F.col("u"), F.col("o_orderkey"))))
+    )
+    return (ranked.filter(F.col("rn") <= F.col("k_g"))
+            .select("o_orderkey", "o_orderstatus", "n_g", "k_g"))
+
+
+@query(
+    "xcorr_revenue_orders_lagk",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_orderdate
+    ), idx AS (
+        SELECT cents, cnt,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        FROM daily
+    ), lagk AS (
+        SELECT l.lag AS lag,
+               CAST(count(*) AS BIGINT) AS np,
+               CAST(sum(CAST(a.cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sx,
+               CAST(sum(CAST(b.cnt AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sy,
+               CAST(sum(CAST(a.cents AS DECIMAL(38,0))
+                        * CAST(b.cnt AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sxy,
+               CAST(sum(CAST(a.cents AS DECIMAL(38,0))
+                        * CAST(a.cents AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sxx,
+               CAST(sum(CAST(b.cnt AS DECIMAL(38,0))
+                        * CAST(b.cnt AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS syy
+        FROM (SELECT unnest(generate_series(0, 7)) AS lag) l
+        JOIN idx a ON TRUE
+        JOIN idx b ON b.i = a.i + l.lag
+        GROUP BY l.lag
+    )
+    SELECT lag, np,
+           round(CAST(np * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(np * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(np * syy - sy * sy AS DOUBLE))), 6)
+               AS xcorr
+    FROM lagk
+    WHERE np >= 2 AND np * sxx > sx * sx AND np * syy > sy * sy
+    ORDER BY lag
+    """,
+)
+def xcorr_revenue_orders_lagk(spark, sf_dir):
+    """CROSS-CORRELATION FUNCTION between two daily series — revenue
+    (cents) and order count — at lags 0..7: does today's revenue
+    anticipate order VOLUME l days later?  The cross-series sibling
+    of the graded ACF, and the screening tool for lead-lag structure
+    before any causal claim (Granger-style analysis starts here).
+
+    Mechanics per the house seams: the day dictionary is the ONLY
+    joined frame (dictionary-tier at any SF), the 8-row lag grid
+    broadcasts onto it, all five moment sums ride DECIMAL(38,0)
+    exact integer algebra (cents² x day counts), and each lag's
+    Pearson r is ONE double expression over those exact integers,
+    token-identical in the oracle, round 6.  Degenerate overlaps
+    drop on both engines."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"),
+             F.count("*").alias("cnt"))
+    )
+    from pyspark.sql.window import Window as W
+
+    idx = daily.select(
+        "cents", "cnt",
+        F.row_number().over(W.orderBy("d")).cast("bigint").alias("i"))
+    lags = spark.range(0, 8).select(F.col("id").alias("lag"))
+    a = idx.select(F.col("cents").alias("x"), F.col("i").alias("ia"))
+    b = idx.select(F.col("cnt").alias("y"), F.col("i").alias("ib"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    joined = (
+        F.broadcast(lags).crossJoin(a)
+        .join(b, F.col("ib") == F.col("ia") + F.col("lag"))
+    )
+    sums = joined.groupBy("lag").agg(
+        F.count("*").alias("np"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * dec("y")).alias("sxy"),
+        F.sum(dec("x") * dec("x")).alias("sxx"),
+        F.sum(dec("y") * dec("y")).alias("syy"),
+    )
+    np_ = F.col("np").cast("decimal(38,0)")
+    num = (np_ * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = np_ * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = np_ * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        sums.filter((F.col("np") >= 2) & (vx > 0) & (vy > 0))
+        .select("lag", "np",
+                F.round(num / (F.sqrt(vx.cast("double"))
+                               * F.sqrt(vy.cast("double"))), 6)
+                .alias("xcorr"))
+        .orderBy("lag")
+    )

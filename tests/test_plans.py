@@ -209,6 +209,7 @@ BNLJ_ALLOWED = {
     "doc_pagerank_centrality",   # 1-row mass-invariant scalar crossed onto top-20
     "kaplan_meier_transit",      # triangular join on the ~100-row duration dict
     "acf_lag_k_daily_revenue",   # 7-row lag grid broadcast onto the day dict
+    "xcorr_revenue_orders_lagk",  # 8-row lag grid broadcast onto the day dict
     "bh_fdr_discoveries",        # 1-row m / kstar scalars crossed onto 25 brands
     "mann_whitney_u_doc_lengths",  # 1-row tie-term scalar crossed onto 1-row sums
     "approx_quantile_error_audit",  # two 1-row (approx, exact) frames crossed
