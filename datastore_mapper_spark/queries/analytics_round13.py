@@ -1205,3 +1205,90 @@ def xcorr_revenue_orders_lagk(spark, sf_dir):
                 .alias("xcorr"))
         .orderBy("lag")
     )
+
+
+@query(
+    "bootstrap_ci_daily_median",
+    "statistics",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderdate
+    ), idx AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        FROM daily
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+    draws AS (
+        SELECT CAST(g // n.n AS BIGINT) AS b,
+               1 + ((g * 1103515245 + 12345) % 2147483648) % n.n AS pick
+        FROM n, (SELECT unnest(generate_series(
+                     0, (SELECT 200 * n - 1 FROM n))) AS g)
+        WHERE n.n > 0
+    ),
+    medians AS (
+        SELECT d2.b, quantile_cont(i2.cents, 0.5) AS med
+        FROM draws d2 JOIN idx i2 ON i2.i = d2.pick
+        GROUP BY d2.b
+    )
+    SELECT (SELECT n FROM n) AS n_days,
+           round((SELECT quantile_cont(cents, 0.5) FROM idx), 4)
+               AS point_median,
+           round(quantile_cont(med, 0.025), 4) AS ci_lo,
+           round(quantile_cont(med, 0.975), 4) AS ci_hi
+    FROM medians
+    HAVING count(*) = 200
+    """,
+)
+def bootstrap_ci_daily_median(spark, sf_dir):
+    """BOOTSTRAP CONFIDENCE INTERVAL for the median daily revenue —
+    200 deterministic resamples of the day dictionary (draw (b, j)
+    picks day ``LCG(b·n + j) mod n``: exact int64 arithmetic, so both
+    engines draw the IDENTICAL resamples — a seeded bootstrap is the
+    only reproducible bootstrap), each resample's EXACT interpolated
+    median, then the 2.5/97.5 percentiles of the 200 medians.
+
+    Scale shape: the resample grid is B×n rows over the
+    DICTIONARY-TIER day frame (≈2400 days at sf0.1 → 480k grid rows,
+    one broadcast-joined pass, one groupBy(b)); the corpus-sized work
+    remains the single daily aggregation.  This is the house answer
+    to 'how uncertain is this statistic' — no distributional
+    assumption, exact quantile algebra (Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the (n−1)p interpolation law),
+    round 4."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    idx = daily.select(
+        "cents",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"))
+    n = idx.count()
+    schema = ("n_days bigint, point_median double, ci_lo double, "
+              "ci_hi double")
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    B = 200
+    g = F.col("id")
+    draws = spark.range(0, B * n).select(
+        (g / n).cast("bigint").alias("b"),
+        (1 + ((g * 1103515245 + 12345) % 2147483648) % n).alias("pick"),
+    )
+    medians = (
+        draws.join(F.broadcast(idx), F.col("i") == F.col("pick"))
+        .groupBy("b")
+        .agg(F.expr("percentile(cents, 0.5)").alias("med"))
+    )
+    point = idx.agg(F.expr("percentile(cents, 0.5)")).first()[0]
+    ci = medians.agg(
+        F.count("*").alias("nb"),
+        F.expr("percentile(med, 0.025)").alias("lo"),
+        F.expr("percentile(med, 0.975)").alias("hi")).first()
+    if int(ci.nb) != B:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        [(n, round(float(point), 4), round(float(ci.lo), 4),
+          round(float(ci.hi), 4))], schema)

@@ -2561,3 +2561,95 @@ def pca_covariance_eigen(spark, sf_dir):
              bool(orthonormal_ok), bool(monotone_ok), bool(psd_ok))
             for i in range(dim)]
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "lm_dirichlet_retrieval_topk",
+    "LLM-pipeline",
+    oracle="""
+    WITH dls AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents
+    ), coll AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS c_len FROM dls
+    ), cf AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cf
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok IN ('vector', 'merge', 'stream')
+        GROUP BY 1
+    ), tf AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents)
+        WHERE tok IN ('vector', 'merge', 'stream')
+        GROUP BY 1, 2
+    ), wide AS (
+        SELECT d.doc_id, d.dl,
+               coalesce(max(CASE WHEN t.tok = 'vector' THEN t.tf END), 0)
+                   AS tf_v,
+               coalesce(max(CASE WHEN t.tok = 'merge' THEN t.tf END), 0)
+                   AS tf_m,
+               coalesce(max(CASE WHEN t.tok = 'stream' THEN t.tf END), 0)
+                   AS tf_s
+        FROM dls d LEFT JOIN tf t USING (doc_id)
+        GROUP BY d.doc_id, d.dl
+    ), cfw AS (
+        SELECT coalesce(max(CASE WHEN tok = 'vector' THEN cf END), 0)
+                   AS cf_v,
+               coalesce(max(CASE WHEN tok = 'merge' THEN cf END), 0)
+                   AS cf_m,
+               coalesce(max(CASE WHEN tok = 'stream' THEN cf END), 0)
+                   AS cf_s
+        FROM cf
+    )
+    SELECT doc_id,
+           round(ln((tf_v + 2000.0 * cf_v / c_len) / (dl + 2000.0))
+                 + ln((tf_m + 2000.0 * cf_m / c_len) / (dl + 2000.0))
+                 + ln((tf_s + 2000.0 * cf_s / c_len) / (dl + 2000.0)), 4)
+               AS loglik
+    FROM wide, coll, cfw
+    WHERE c_len > 0 AND cf_v > 0 AND cf_m > 0 AND cf_s > 0
+    ORDER BY loglik DESC, doc_id
+    LIMIT 20
+    """,
+)
+def lm_dirichlet_retrieval_topk(spark, sf_dir):
+    """QUERY-LIKELIHOOD retrieval with DIRICHLET smoothing (μ=2000) —
+    the language-modeling ranker next to the graded BM25: score(d) =
+    Σ_t ln((tf + μ·cf_t/|C|) / (dl + μ)).  Unlike BM25 every document
+    scores against every query term (absent terms fall back to the
+    collection model — that fallback IS the smoothing), so the wide
+    frame is a LEFT join of the doc-length dictionary against the
+    term-pruned tf rows; the collection stats (1 row) and the 3-term
+    cf pivot (1 row) broadcast.  Same scale shape as BM25 (shuffle
+    carries O(docs × query_terms), top-k is TakeOrdered), same
+    determinism seams (pivot-fixed summand order, round 4, doc_id
+    ties).  Degenerate corpora (a query term absent everywhere) drop
+    the whole result on both engines rather than rank on -inf."""
+    d = table(spark, sf_dir, "documents")
+    terms = ["vector", "merge", "stream"]
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dls = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("dl"))
+    pruned = toks.filter(F.col("tok").isin(terms))
+    tf = pruned.groupBy("doc_id").pivot("tok", terms).count().na.fill(0)
+    cf = pruned.groupBy("tok").agg(F.count("*").alias("cf"))
+    cf_map = {r.tok: int(r.cf) for r in cf.collect()}  # <=3 rows
+    c_len = dls.agg(F.sum("dl")).first()[0]
+    if not c_len or any(cf_map.get(t, 0) == 0 for t in terms):
+        return spark.createDataFrame([], "doc_id long, loglik double")
+    wide = dls.join(tf, "doc_id", "left").na.fill(0)
+    mu = 2000.0
+    summand = None
+    for t in terms:
+        c = F.log((F.col(t).cast("double")
+                   + mu * cf_map[t] / float(c_len))
+                  / (F.col("dl").cast("double") + mu))
+        summand = c if summand is None else summand + c
+    return (
+        wide.select("doc_id", F.round(summand, 4).alias("loglik"))
+        .orderBy(F.desc("loglik"), F.asc("doc_id"))
+        .limit(20)
+    )
