@@ -2023,3 +2023,146 @@ def acid_bloom_index_lookup(spark, sf_dir):
         F.lit(bool(stats_blind)).alias("stats_blind_ok"),
         F.lit(bool(bloom_pruned)).alias("bloom_pruned_ok"),
     )
+
+
+@query(
+    "acid_ivm_join_view",
+    "table-format",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 10 = 7
+                    THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS p
+        FROM orders
+        WHERE o_orderkey % 10 IN (0, 1, 2, 3, 4, 5, 7, 8)
+    ), b AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN 'UPDATED'
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    )
+    SELECT seg AS c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS deltas_bounded_ok
+    FROM a JOIN b ON a.o_custkey = b.c_custkey
+    GROUP BY seg
+    """,
+)
+def acid_ivm_join_view(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE of a JOIN view, driven by the
+    Change Data Feed (round 13 — the delta-join algebra
+    ΔV = ΔA⋈B ∪ A⋈ΔB on top of the graded CDF machinery): the
+    materialized view V = orders ⋈ customer lives as its own ACID
+    table; a three-kind CDC batch hits the fact side (delete %10=6,
+    update %10=7, insert %10=8) and a dimension update hits the
+    customer side (%5=0 → segment 'UPDATED'); V is then maintained
+    WITHOUT recomputing the join — fact deltas come from
+    ``change_data_feed`` and upsert/delete V by its key; dimension
+    deltas semi-join the CURRENT fact side to find affected view rows
+    and upsert those.  The hashed per-segment aggregate must equal
+    the full recompute, which the oracle states directly from the
+    change laws.
+
+    ``deltas_bounded_ok`` is the incrementality receipt: each CDF's
+    change-type counts equal the law's delta sizes EXACTLY (deletes =
+    seeded %10=6 rows, post-updates = %10=7 rows, inserts = %10=8
+    rows; dimension post-updates = %5=0 customers) — the maintenance
+    consumed precisely the deltas, nothing corpus-sized.  At 100 TB
+    this is why CDF exists: refreshing a 10-table mart costs
+    O(changed rows ⋈ pruned other side), not O(view)."""
+    destA = _table_dir("acid_ivm_a", sf_dir)
+    destB = _table_dir("acid_ivm_b", sf_dir)
+    destV = _table_dir("acid_ivm_v", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    cu = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    k = F.col("o_orderkey")
+    a0 = o.filter(k % 10 < 8)
+    acid_lite.create_table(spark, destA, a0.coalesce(2))
+    acid_lite.create_table(spark, destB, cu.coalesce(2))
+    v0 = (a0.join(cu, a0.o_custkey == cu.c_custkey)
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+                  "c_mktsegment"))
+    acid_lite.create_table(spark, destV, v0.coalesce(2))
+    a_v0 = acid_lite.latest_version(destA)
+    b_v0 = acid_lite.latest_version(destB)
+    # --- source-side commits (the changes V must absorb) ---
+    cdc_a = (
+        o.filter((k % 10).isin(6, 7, 8))
+        .select(
+            "o_orderkey", "o_custkey",
+            F.when(k % 10 == 7, F.col("o_totalprice") + 1000.0)
+            .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            (k % 10 == 6).alias("_deleted"),
+        )
+    )
+    acid_lite.merge_upsert(spark, destA, cdc_a, key="o_orderkey",
+                           delete_col="_deleted")
+    cdc_b = (cu.filter(F.col("c_custkey") % 5 == 0)
+             .select("c_custkey", F.lit("UPDATED").alias("c_mktsegment")))
+    acid_lite.merge_upsert(spark, destB, cdc_b, key="c_custkey")
+    # --- IVM step 1: fact deltas -> V upserts/deletes by view key ---
+    dA = acid_lite.change_data_feed(spark, destA, "o_orderkey", a_v0)
+    dA = dA.localCheckpoint()
+    ups_a = dA.filter(
+        F.col("_change_type").isin("insert", "update_postimage"))
+    del_a = dA.filter(F.col("_change_type") == "delete")
+    b_now = acid_lite.read(spark, destB)
+    delta_v1 = (
+        ups_a.join(b_now, ups_a.o_custkey == b_now.c_custkey)
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                "c_mktsegment", F.lit(False).alias("_deleted"))
+        .unionByName(
+            del_a.select(
+                "o_orderkey", "o_custkey", "o_totalprice",
+                F.lit("_").alias("c_mktsegment"),
+                F.lit(True).alias("_deleted")))
+    )
+    if delta_v1.limit(1).count():
+        acid_lite.merge_upsert(spark, destV, delta_v1, key="o_orderkey",
+                               delete_col="_deleted")
+    # --- IVM step 2: dim deltas -> affected CURRENT fact rows ---
+    dB = acid_lite.change_data_feed(spark, destB, "c_custkey", b_v0)
+    dB = dB.localCheckpoint()
+    b_post = dB.filter(
+        F.col("_change_type").isin("insert", "update_postimage"))
+    a_now = acid_lite.read(spark, destA)
+    delta_v2 = (
+        a_now.join(F.broadcast(b_post.select("c_custkey", "c_mktsegment")),
+                   a_now.o_custkey == F.col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment")
+    )
+    if delta_v2.limit(1).count():
+        acid_lite.merge_upsert(spark, destV, delta_v2, key="o_orderkey")
+    # --- incrementality receipt: CDF sizes == law sizes, exactly ---
+    law_del = a0.filter(k % 10 == 6).count()
+    law_upd = a0.filter(k % 10 == 7).count()
+    law_ins = o.filter(k % 10 == 8).count()
+    law_dim = cu.filter((F.col("c_custkey") % 5 == 0)
+                        & (F.col("c_mktsegment") != "UPDATED")).count()
+    got = {r._change_type: r.n for r in
+           dA.groupBy("_change_type").agg(F.count("*").alias("n"))
+           .collect()}
+    got_b = {r._change_type: r.n for r in
+             dB.groupBy("_change_type").agg(F.count("*").alias("n"))
+             .collect()}
+    bounded = (
+        got.get("delete", 0) == law_del
+        and got.get("update_postimage", 0) == law_upd
+        and got.get("insert", 0) == law_ins
+        and got_b.get("update_postimage", 0) == law_dim
+        and got_b.get("insert", 0) == 0
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, destV)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(cents).alias("sum_cents"))
+        .select("c_mktsegment", "n_rows", "sum_cents",
+                F.lit(bool(bounded)).alias("deltas_bounded_ok"))
+    )
