@@ -3131,3 +3131,407 @@ def extract_qoi_stats(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(batches, QOI_STATS_SCHEMA)
+
+
+# --- FLAC (fixed-predictor subset) lossless audio (round 13) ----------
+#
+# Real FLAC per the public format spec (xiph.org/flac/format.html):
+# "fLaC" marker + STREAMINFO metadata block (with the true MD5 of the
+# unencoded samples), then frames of: 14-bit sync header + CRC-8,
+# one mono subframe (CONSTANT / VERBATIM / FIXED order 0-4 — the
+# polynomial predictors whose residual is the order-th difference),
+# Rice-coded residual partitions, CRC-16 frame footer.  This is the
+# PREDICTIVE + PARAMETRIC-ENTROPY class of codec (linear prediction,
+# Golomb-Rice), distinct from the suite's dictionary (LZW), DEFLATE,
+# transform (JPEG DCT) and companding (mu-law/ADPCM) codecs.
+# Subset bounds: mono, 16-bit, one block per frame.
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        if bits:
+            self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+            self.nbits += bits
+            while self.nbits >= 8:
+                self.nbits -= 8
+                self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zero bits then a one
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _BitReader:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            byte = self.data[self.pos >> 3]
+            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+_FIXED_COEFFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+                 4: [4, -6, 4, -1]}
+
+
+def _fixed_residual(sig, order: int):
+    out = sig.astype(np.int64)
+    for _ in range(order):
+        out = np.diff(out)
+    return out
+
+
+def encode_flac(sig: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode mono int16 PCM as a REAL subset-FLAC stream: STREAMINFO
+    with the true audio MD5, one frame per 4096-sample block, the
+    best FIXED predictor (order 0-4 by absolute-residual mass), and a
+    single-partition Rice residual with the cost-minimizing 4-bit
+    parameter.  Output parses in any conforming FLAC decoder."""
+    import hashlib
+
+    sig = sig.astype(np.int16)
+    n = len(sig)
+    md5 = hashlib.md5(sig.astype("<i2").tobytes()).digest()
+    blocks = [sig[i:i + 4096] for i in range(0, n, 4096)] or \
+        [sig[0:0]]
+    if n == 0:
+        blocks = []
+    max_bs = max((len(b) for b in blocks), default=0)
+    min_bs = min((len(b) for b in blocks), default=0)
+    head = _BitWriter()
+    head.write(0x664C6143, 32)        # "fLaC"
+    head.write(1, 1)                  # last metadata block
+    head.write(0, 7)                  # STREAMINFO
+    head.write(34, 24)
+    head.write(max(min_bs, 16), 16)   # min block size (spec floor 16)
+    head.write(max(max_bs, 16), 16)
+    head.write(0, 24)                 # min frame size unknown
+    head.write(0, 24)
+    head.write(sample_rate, 20)
+    head.write(0, 3)                  # channels - 1 (mono)
+    head.write(15, 5)                 # bits per sample - 1
+    head.write(n, 36)
+    for byte in md5:
+        head.write(byte, 8)
+    out = bytearray(head.bytes())
+    for fno, block in enumerate(blocks):
+        bs = len(block)
+        fw = _BitWriter()
+        fw.write(0b11111111111110, 14)
+        fw.write(0, 1)                # reserved
+        fw.write(0, 1)                # fixed blocksize stream
+        fw.write(0b0111, 4)           # blocksize-1 in 16 bits follows
+        fw.write(0b0000, 4)           # sample rate from STREAMINFO
+        fw.write(0b0000, 4)           # mono
+        fw.write(0b100, 3)            # 16 bits per sample
+        fw.write(0, 1)                # reserved
+        # UTF-8 coded frame number (subset: < 2^31)
+        if fno < 0x80:
+            fw.write(fno, 8)
+        elif fno < 0x800:
+            fw.write(0xC0 | (fno >> 6), 8)
+            fw.write(0x80 | (fno & 0x3F), 8)
+        else:
+            fw.write(0xE0 | (fno >> 12), 8)
+            fw.write(0x80 | ((fno >> 6) & 0x3F), 8)
+            fw.write(0x80 | (fno & 0x3F), 8)
+        fw.write(bs - 1, 16)
+        hdr = fw.bytes()
+        fw = _BitWriter()
+        for byte in hdr:
+            fw.write(byte, 8)
+        fw.write(_crc8(hdr), 8)
+        # --- subframe: best fixed order ---
+        kmax = min(4, bs - 1) if bs else 0
+        order = 0
+        best = None
+        for o in range(0, kmax + 1):
+            mass = int(np.abs(_fixed_residual(block, o)).sum()) \
+                if bs else 0
+            if best is None or mass < best:
+                best, order = mass, o
+        fw.write(0, 1)                # zero padding
+        fw.write(0b001000 | order, 6)  # FIXED, order
+        fw.write(0, 1)                # no wasted bits
+        for s in block[:order]:
+            fw.write(int(s) & 0xFFFF, 16)
+        res = _fixed_residual(block, order)
+        fw.write(0b00, 2)             # 4-bit rice parameters
+        fw.write(0, 4)                # partition order 0
+        zig = np.where(res < 0, -2 * res - 1, 2 * res).astype(np.int64)
+        best_k, best_cost = 0, None
+        for k in range(15):
+            cost = int((zig >> k).sum()) + len(zig) * (k + 1)
+            if best_cost is None or cost < best_cost:
+                best_cost, best_k = cost, k
+        fw.write(best_k, 4)
+        for u in zig:
+            fw.write_unary(int(u) >> best_k)
+            fw.write(int(u), best_k)
+        fw.align()
+        body = fw.bytes()
+        out += body
+        out += _crc16(body).to_bytes(2, "big")
+    return bytes(out)
+
+
+def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode of a subset-FLAC stream -> (int16 samples, rate):
+    STREAMINFO walk, per-frame sync + CRC-8 check, fixed-predictor
+    reconstruction from Rice residuals, CRC-16 footer check, final
+    MD5 check against STREAMINFO — every integrity layer the format
+    defines is verified, a bit slip anywhere raises."""
+    import hashlib
+
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    sr = n_total = None
+    md5_expect = b""
+    while True:
+        last = blob[pos] >> 7
+        btype = blob[pos] & 0x7F
+        blen = int.from_bytes(blob[pos + 1:pos + 4], "big")
+        body = blob[pos + 4:pos + 4 + blen]
+        if btype == 0:
+            br = _BitReader(body)
+            br.read(16); br.read(16); br.read(24); br.read(24)
+            sr = br.read(20)
+            ch = br.read(3) + 1
+            bps = br.read(5) + 1
+            n_total = br.read(36)
+            md5_expect = body[18:34]
+            if ch != 1 or bps != 16:
+                raise NotImplementedError("subset decoder: mono/16-bit")
+        pos += 4 + blen
+        if last:
+            break
+    out = np.empty(n_total, dtype=np.int16)
+    filled = 0
+    while filled < n_total:
+        frame_start = pos
+        br = _BitReader(blob, pos * 8)
+        if br.read(14) != 0b11111111111110:
+            raise ValueError("lost frame sync")
+        br.read(1); br.read(1)
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        if br.read(4) != 0:
+            raise NotImplementedError("subset decoder: mono")
+        if br.read(3) != 0b100:
+            raise NotImplementedError("subset decoder: 16-bit")
+        br.read(1)
+        lead = br.read(8)  # UTF-8 frame number (value unused)
+        for _ in range(7, 0, -1):
+            if lead < 0x80:
+                break
+            if lead >> (8 - 2) == 0b110 or lead >> (8 - 3) == 0b1110 \
+                    or lead >= 0xC0:
+                pass
+        # consume UTF-8 continuation bytes
+        n_cont = 0
+        if lead >= 0xF0:
+            n_cont = 3
+        elif lead >= 0xE0:
+            n_cont = 2
+        elif lead >= 0xC0:
+            n_cont = 1
+        for _ in range(n_cont):
+            br.read(8)
+        if bs_code == 0b0110:
+            bs = br.read(8) + 1
+        elif bs_code == 0b0111:
+            bs = br.read(16) + 1
+        elif bs_code == 0b0001:
+            bs = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            bs = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            bs = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved blocksize code")
+        if sr_code not in (0b0000,):
+            raise NotImplementedError("subset decoder: rate from "
+                                      "STREAMINFO")
+        hdr_len = (br.pos // 8) - frame_start
+        crc8 = br.read(8)
+        if _crc8(blob[frame_start:frame_start + hdr_len]) != crc8:
+            raise ValueError("frame header CRC-8 mismatch")
+        # subframe
+        if br.read(1) != 0:
+            raise ValueError("subframe padding bit set")
+        stype = br.read(6)
+        if br.read(1) != 0:
+            raise NotImplementedError("wasted bits")
+        if not (0b001000 <= stype <= 0b001100):
+            raise NotImplementedError(f"subframe type {stype:06b} "
+                                      "(subset decoder: FIXED)")
+        order = stype & 0x07
+        warm = [br.read(16) for _ in range(order)]
+        warm = [w - 0x10000 if w >= 0x8000 else w for w in warm]
+        method = br.read(2)
+        if method not in (0, 1):
+            raise ValueError("reserved residual method")
+        pbits = 4 if method == 0 else 5
+        po = br.read(4)
+        nres = bs - order
+        res = []
+        for p in range(1 << po):
+            k = br.read(pbits)
+            if k == (1 << pbits) - 1:
+                raw = br.read(5)
+                cnt = (bs >> po) - (order if p == 0 else 0)
+                for _ in range(cnt):
+                    v = br.read(raw)
+                    if raw and v >= 1 << (raw - 1):
+                        v -= 1 << raw
+                    res.append(v)
+                continue
+            cnt = (bs >> po) - (order if p == 0 else 0)
+            for _ in range(cnt):
+                q = br.read_unary()
+                u = (q << k) | br.read(k)
+                res.append((u >> 1) ^ -(u & 1))
+        if len(res) != nres:
+            raise ValueError("residual count mismatch")
+        samples = list(warm)
+        coef = _FIXED_COEFFS[order]
+        for r in res:
+            pred = sum(c * samples[-i - 1]
+                       for i, c in enumerate(coef))
+            samples.append(pred + r)
+        # align + CRC-16 over the whole frame
+        if br.pos % 8:
+            br.read(8 - br.pos % 8)
+        fend = br.pos // 8
+        crc16 = int.from_bytes(blob[fend:fend + 2], "big")
+        if _crc16(blob[frame_start:fend]) != crc16:
+            raise ValueError("frame CRC-16 mismatch")
+        pos = fend + 2
+        out[filled:filled + bs] = np.asarray(samples, dtype=np.int64) \
+            .astype(np.int16)
+        filled += bs
+    if hashlib.md5(out.astype("<i2").tobytes()).digest() != md5_expect:
+        raise ValueError("decoded-audio MD5 mismatch")
+    return out, sr
+
+
+FLAC_STATS_SCHEMA = (
+    "doc_id long, n_samples int, sample_rate int, "
+    "compressed_ok boolean, mean_amp double"
+)
+
+
+def render_flac_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL subset-FLAC per document, deterministically from
+    ``doc_id``: ``n = 500 + (id % 4) * 250`` samples (always ≡ 0 mod
+    5) of the ramp-plus-wobble law ``x_t = a + s·t + ((t·7919) % 5)
+    − 2`` with ``a = (id % 50) * 20``, slope ``s = id % 3``, rate
+    ``8000 · ((id % 2) + 1)``.  The ramp makes FIXED order 1-2 the
+    winning predictor, the period-5 integer wobble keeps the Rice
+    stream non-degenerate, and the wobble's mean is EXACTLY 2 over
+    any multiple-of-5 length — so the signal mean stays in closed
+    form for the SQL oracle.  ASSUMES doc_id >= 0."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n = 500 + (i % 4) * 250
+                a = (i % 50) * 20
+                s = i % 3
+                t = np.arange(n, dtype=np.int64)
+                sig = (a + s * t + (t * 7919) % 5 - 2).astype(np.int16)
+                blobs.append(encode_flac(sig, 8000 * ((i % 2) + 1)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+def extract_flac_stats(media_df: DataFrame) -> DataFrame:
+    """REAL-decode stats over a binary FLAC column — every decode
+    verifies the format's THREE integrity layers (header CRC-8,
+    frame CRC-16, stream MD5) before any stat is emitted; sums in
+    int64, ONE division; ``compressed_ok`` receipts that prediction +
+    Rice actually shrank the block (blob < half the raw PCM bytes)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "n_samples", "sample_rate",
+                                   "compressed_ok", "mean_amp")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(blob)
+                sig, rate = decode_flac(raw)
+                n = len(sig)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(rate)
+                out["compressed_ok"].append(bool(len(raw) < n))
+                out["mean_amp"].append(
+                    int(sig.astype(np.int64).sum()) / n if n else 0.0)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "n_samples": pd.Series(out["n_samples"], dtype="int32"),
+                "sample_rate": pd.Series(out["sample_rate"],
+                                         dtype="int32"),
+                "compressed_ok": pd.Series(out["compressed_ok"],
+                                           dtype="bool"),
+                "mean_amp": pd.Series(out["mean_amp"], dtype="float64"),
+            })
+
+    return media_df.mapInPandas(batches, FLAC_STATS_SCHEMA)

@@ -2653,3 +2653,51 @@ def lm_dirichlet_retrieval_topk(spark, sf_dir):
         .orderBy(F.desc("loglik"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "multimodal_flac_decode_stats",
+    "LLM-pipeline",
+    oracle="""
+    WITH law AS (
+        SELECT doc_id,
+               500 + (doc_id % 4) * 250 AS n,
+               (doc_id % 50) * 20 AS a,
+               doc_id % 3 AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS INT) AS n_samples,
+           CAST(8000 * ((doc_id % 2) + 1) AS INT) AS sample_rate,
+           TRUE AS compressed_ok,
+           -- exact integer numerator, one correctly-rounded division:
+           -- the period-5 wobble contributes mean exactly 2 (n ≡ 0
+           -- mod 5), cancelling its -2 bias
+           CAST(a * n + s * n * (n - 1) // 2 AS DOUBLE) / n AS mean_amp
+    FROM law
+    """,
+)
+def multimodal_flac_decode_stats(spark, sf_dir):
+    """REAL FLAC decode, end-to-end (round 13 — the PREDICTIVE +
+    PARAMETRIC-ENTROPY codec class, new next to the suite's LZW /
+    DEFLATE / DCT / companding rows): render a genuine subset-FLAC
+    stream per document — "fLaC" marker, STREAMINFO carrying the true
+    audio MD5, sync-coded frame headers with CRC-8, the best FIXED
+    polynomial predictor (order 0-4), Golomb-Rice residuals, CRC-16
+    frame footers — then decode the BYTES back
+    (operators/multimodal.decode_flac), which verifies ALL THREE
+    integrity layers the format defines before emitting dimensions,
+    a compression receipt (prediction+Rice beat half the raw PCM
+    size: the ramp law makes order 1-2 residuals tiny) and the exact
+    signal mean.  A predictor-coefficient slip, Rice zigzag error,
+    CRC polynomial typo, or UTF-8 frame-number misparse kills the
+    decode or shifts the mean and hash-fails.  Arbitrary signals
+    (noise, sines, constants, empty, 1-sample) are pinned by the
+    round-trip fuzz in pytest."""
+    from ..operators.multimodal import (
+        extract_flac_stats,
+        render_flac_media,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return extract_flac_stats(render_flac_media(d))

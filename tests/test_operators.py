@@ -2270,3 +2270,42 @@ def test_fisher_exact_tea_tasting():
              if p <= p0 * (1 + 1e-7))
     assert abs(p2 - 34 / 70) < 1e-12
     assert abs(sum(pmf(k) for k in range(lo, hi + 1)) - 1.0) < 1e-12
+
+
+def test_flac_round_trip_fuzz():
+    """FLAC subset codec: encode->decode is the identity over ramps
+    (fixed-predictor friendly), white noise (worst case), constants,
+    sines, empty and 1-sample signals; multi-frame streams (>4096
+    samples) exercise the frame walk; any bit corruption trips one of
+    the three integrity layers (CRC-8 / CRC-16 / MD5)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(11)
+    cases = [
+        (np.arange(5000, dtype=np.int16) % 3000),       # 2 frames
+        rng.randint(-32768, 32767, 700).astype(np.int16),
+        np.full(4096, -123, np.int16),
+        (1000 * np.sin(np.arange(9000) / 20)).astype(np.int16),
+        np.array([], dtype=np.int16),
+        np.array([5], dtype=np.int16),
+    ]
+    for sig in cases:
+        blob = encode_flac(sig, 16000)
+        out, sr = decode_flac(blob)
+        assert sr == 16000 and len(out) == len(sig)
+        assert (out == sig).all()
+    # the ramp compresses hard; noise must still round-trip
+    ramp_blob = encode_flac(cases[0], 8000)
+    assert len(ramp_blob) < len(cases[0])  # < half the raw PCM bytes
+    corrupted = bytearray(ramp_blob)
+    corrupted[60] ^= 0x40
+    with _pytest.raises(ValueError):
+        decode_flac(bytes(corrupted))
+    with _pytest.raises(ValueError):
+        decode_flac(b"not flac at all")
