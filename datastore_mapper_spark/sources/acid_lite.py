@@ -557,7 +557,8 @@ def _commit(path: str, version: int, files: list[str],
             dropped_physical: list[str] | None = None,
             constraints: dict | None = None,
             generated: dict | None = None,
-            bloom_index: dict | None = None) -> None:
+            bloom_index: dict | None = None,
+            sort_order: list | None = None) -> None:
     """Atomically publish manifest ``version`` (O_EXCL = one winner).
     ``schema`` (a DDL string) makes zero-file versions readable — an
     empty table is a legal snapshot, not an error.
@@ -594,6 +595,8 @@ def _commit(path: str, version: int, files: list[str],
             constraints = pm.get("constraints")
         if generated is None:
             generated = pm.get("generated")
+        if sort_order is None:
+            sort_order = pm.get("sort_order")
         if bloom_index is None:
             # carry sidecar maps, DROPPING entries for removed files
             bi = pm.get("bloom_index") or {}
@@ -642,6 +645,8 @@ def _commit(path: str, version: int, files: list[str],
         payload["constraints"] = constraints
     if generated:
         payload["generated"] = generated
+    if sort_order:
+        payload["sort_order"] = sort_order
     if bloom_index:
         payload["bloom_index"] = bloom_index
     if parent_txns:
@@ -3075,3 +3080,63 @@ def read_bloom_pruned(spark: SparkSession, path: str, column: str,
     m = _read_manifest(path, v)
     return _load_files(spark, path, m, selected).filter(
         F.col(column) == F.lit(value))
+
+
+# --------------------------------------------------------------------
+# Sort order (Iceberg SORT ORDER / Delta OPTIMIZE ... ZORDER's 1-D kin)
+# --------------------------------------------------------------------
+
+def set_sort_order(path: str, columns: list[str], retries: int = 3) -> int:
+    """ALTER TABLE ... WRITE ORDERED BY (Iceberg sort-order spec):
+    declare the table's clustering columns as a METADATA-ONLY commit.
+    The declaration is advisory until :func:`optimize_sorted`
+    materializes it — exactly Iceberg's contract, where the sort
+    order applies to FUTURE rewrites, not retroactively."""
+    v0 = latest_version(path)
+    if v0 == 0:
+        raise ValueError(f"table does not exist: {path}")
+    m0 = _read_manifest(path, v0)
+    known = set(_schema_types(m0["schema"]))
+    missing = [c for c in columns if c not in known]
+    if missing:
+        raise ValueError(f"unknown sort columns: {missing}")
+    for _ in range(retries + 1):
+        parent = latest_version(path)
+        pm = _read_manifest(path, parent)
+        try:
+            _commit(path, parent + 1, pm["files"], parent,
+                    "set_sort_order", sort_order=list(columns))
+            return parent + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"set_sort_order at {path} lost races")
+
+
+def optimize_sorted(spark: SparkSession, path: str,
+                    n_files: int | None = None) -> int:
+    """OPTIMIZE under the declared sort order: rewrite the snapshot
+    range-partitioned + sorted on the sort columns, so each output
+    file owns a DISJOINT range and the manifest's [min, max] stats
+    prune a range query to ~1 file — the 1-D clustering rewrite next
+    to the graded Z-order (which trades per-dimension tightness for
+    multi-dimension balance).  Distributed work: one
+    ``repartitionByRange`` (sampled range boundaries, the Spark
+    global-sort machinery) + per-partition sort; the commit replaces
+    every file atomically, purging any deletion vectors like
+    ``optimize``."""
+    parent = latest_version(path)
+    if parent == 0:
+        raise ValueError(f"table does not exist: {path}")
+    m = _read_manifest(path, parent)
+    order = m.get("sort_order")
+    if not order:
+        raise ValueError("no sort order declared — set_sort_order first")
+    df = read(spark, path, parent)
+    n = n_files or max(1, len(m["files"]))
+    out = df.repartitionByRange(n, *order).sortWithinPartitions(*order)
+    new_files, parts = _write_files_any(
+        out, path, m.get("partition_by"), mapping=m.get("mapping"))
+    return _rebase_commit(path, list(m["files"]), new_files,
+                          "optimize_sort", purge_dvs=True,
+                          expect_dvs=m.get("dvs") or [],
+                          new_partitions=parts)

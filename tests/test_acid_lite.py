@@ -1726,3 +1726,30 @@ def test_bloom_index_lookup_and_soundness(spark, tdir):
     # int/string only
     with pytest.raises(ValueError):
         acid_lite._bloom_key(1.5)
+
+
+def test_sort_order_declared_then_materialized(spark, tdir):
+    """set_sort_order is metadata-only and advisory; optimize_sorted
+    materializes disjoint per-file ranges (range query prunes), stays
+    row-identical, and time travel to the scattered layout works."""
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100)) for i in range(200)],
+        "k bigint, p double")
+    acid_lite.create_table(spark, tdir, df.repartition(4, "k"))
+    with pytest.raises(ValueError):
+        acid_lite.optimize_sorted(spark, tdir)  # no order declared
+    with pytest.raises(ValueError):
+        acid_lite.set_sort_order(tdir, ["nope"])
+    v = acid_lite.set_sort_order(tdir, ["p"])
+    m = acid_lite._read_manifest(tdir, v)
+    assert m["sort_order"] == ["p"] and \
+        m["files"] == acid_lite._read_manifest(tdir, v - 1)["files"]
+    sel0, tot0 = acid_lite.prune_files(tdir, "p", 50.0, None)
+    assert len(sel0) == tot0  # scattered: stats blind
+    acid_lite.optimize_sorted(spark, tdir)
+    sel1, tot1 = acid_lite.prune_files(tdir, "p", 50.0, None)
+    assert len(sel1) < tot1
+    got = acid_lite.read_pruned(spark, tdir, "p", 50.0, None).count()
+    assert got == acid_lite.read(spark, tdir).filter("p >= 50.0").count()
+    assert acid_lite.read(spark, tdir).count() == 200
+    assert acid_lite.read(spark, tdir, version=1).count() == 200
