@@ -558,7 +558,8 @@ def _commit(path: str, version: int, files: list[str],
             constraints: dict | None = None,
             generated: dict | None = None,
             bloom_index: dict | None = None,
-            sort_order: list | None = None) -> None:
+            sort_order: list | None = None,
+            ndv_sketch: dict | None = None) -> None:
     """Atomically publish manifest ``version`` (O_EXCL = one winner).
     ``schema`` (a DDL string) makes zero-file versions readable — an
     empty table is a legal snapshot, not an error.
@@ -597,6 +598,13 @@ def _commit(path: str, version: int, files: list[str],
             generated = pm.get("generated")
         if sort_order is None:
             sort_order = pm.get("sort_order")
+        if ndv_sketch is None:
+            ni = pm.get("ndv_sketch") or {}
+            fset2 = set(files)
+            ndv_sketch = {
+                c: {f: sc for f, sc in fm.items() if f in fset2}
+                for c, fm in ni.items()
+            } or None
         if bloom_index is None:
             # carry sidecar maps, DROPPING entries for removed files
             bi = pm.get("bloom_index") or {}
@@ -647,6 +655,8 @@ def _commit(path: str, version: int, files: list[str],
         payload["generated"] = generated
     if sort_order:
         payload["sort_order"] = sort_order
+    if ndv_sketch:
+        payload["ndv_sketch"] = ndv_sketch
     if bloom_index:
         payload["bloom_index"] = bloom_index
     if parent_txns:
@@ -3140,3 +3150,94 @@ def optimize_sorted(spark: SparkSession, path: str,
                           "optimize_sort", purge_dvs=True,
                           expect_dvs=m.get("dvs") or [],
                           new_partitions=parts)
+
+
+# --------------------------------------------------------------------
+# Per-file NDV sketches (Iceberg puffin-style statistics sidecars)
+# --------------------------------------------------------------------
+
+def write_ndv_sketches(spark: SparkSession, path: str, column: str,
+                       lg_k: int = 12, retries: int = 3) -> int:
+    """ANALYZE-equivalent: attach a mergeable HLL sketch of
+    ``column`` to every live data file lacking one — the Iceberg
+    puffin-sidecar design (theta/HLL sketches next to the data,
+    referenced from table metadata).  One column-pruned pass grouped
+    by source file (``hll_sketch_agg``, the JVM datasketches
+    aggregate) yields file-count-sized rows of ~KB binaries; they
+    land as immutable ``ndv/`` sidecars plus a {file: sidecar} map in
+    a METADATA-ONLY commit.  Re-running after appends sketches ONLY
+    the new files — the incremental-ANALYZE property that keeps
+    stats maintenance O(new data) at 100 TB."""
+    v0 = latest_version(path)
+    if v0 == 0:
+        raise ValueError(f"table does not exist: {path}")
+    m0 = _read_manifest(path, v0)
+    existing = ((m0.get("ndv_sketch") or {}).get(column) or {})
+    todo = [f for f in m0["files"] if f not in existing]
+    new_map = dict(existing)
+    if todo:
+        rel_expr, _pre = _rel_path_expr(path)
+        per_file = (
+            _load_files(spark, path, m0, todo)
+            .select(F.col(column).alias("__v"), rel_expr)
+            .groupBy("__rel")
+            .agg(F.hll_sketch_agg("__v", F.lit(lg_k)).alias("__sk"))
+            .collect()  # one row per file, each a ~KB sketch
+        )
+        sdir = os.path.join(path, "ndv")
+        os.makedirs(sdir, exist_ok=True)
+        done = set()
+        for r in per_file:
+            name = f"ndv/{uuid.uuid4().hex[:16]}.bin"
+            with open(os.path.join(path, name), "wb") as fh:
+                fh.write(bytes(r["__sk"]))
+            new_map[r["__rel"]] = name
+            done.add(r["__rel"])
+        for f in todo:
+            if f not in done:
+                new_map[f] = ""  # all-NULL / empty file: NDV 0
+    for _ in range(retries + 1):
+        parent = latest_version(path)
+        pm = _read_manifest(path, parent)
+        idx = dict(pm.get("ndv_sketch") or {})
+        idx[column] = {f: s for f, s in new_map.items()
+                       if f in set(pm["files"])}
+        try:
+            _commit(path, parent + 1, pm["files"], parent,
+                    "analyze_ndv", ndv_sketch=idx)
+            return parent + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"write_ndv_sketches at {path} lost races")
+
+
+def table_ndv(spark: SparkSession, path: str, column: str,
+              version: int | None = None) -> tuple[int, bool]:
+    """Table-level NDV from the per-file sketches: union the sidecars
+    (HLL union is exact over sketches — the merge never loses more
+    than the sketch error) and estimate.  Returns ``(ndv, covered)``
+    where ``covered`` is False if any live file lacks a sketch (the
+    estimate is then a lower bound).  Cost: O(files) sidecar reads +
+    one tiny union — no data file is opened; this is the number a
+    join planner reads to pick broadcast vs shuffle."""
+    v = latest_version(path) if version is None else version
+    m = _read_manifest(path, v)
+    idx = ((m.get("ndv_sketch") or {}).get(column) or {})
+    blobs = []
+    covered = True
+    for f in m["files"]:
+        side = idx.get(f)
+        if side is None:
+            covered = False
+            continue
+        if side == "":
+            continue  # sketched as empty
+        with open(os.path.join(path, side), "rb") as fh:
+            blobs.append((bytearray(fh.read()),))
+    if not blobs:
+        return 0, covered
+    df = spark.createDataFrame(blobs, "sk binary")
+    est = df.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv")
+    ).first()
+    return int(est.ndv), covered

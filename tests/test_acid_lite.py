@@ -1753,3 +1753,33 @@ def test_sort_order_declared_then_materialized(spark, tdir):
     assert got == acid_lite.read(spark, tdir).filter("p >= 50.0").count()
     assert acid_lite.read(spark, tdir).count() == 200
     assert acid_lite.read(spark, tdir, version=1).count() == 200
+
+
+def test_ndv_sketches_incremental_and_covered(spark, tdir):
+    """NDV sidecars: 5%-accurate table estimate from per-file HLL
+    unions, incremental re-analyze (old sidecars untouched), honest
+    covered=False between an append and its re-analyze, and dead-file
+    entries dropped on rewrite."""
+    df = spark.createDataFrame(
+        [(i, i % 97) for i in range(400)], "k bigint, c bigint")
+    acid_lite.create_table(spark, tdir, df.repartition(3))
+    v1 = acid_lite.write_ndv_sketches(spark, tdir, "c")
+    m1 = acid_lite._read_manifest(tdir, v1)
+    map1 = dict(m1["ndv_sketch"]["c"])
+    est, cov = acid_lite.table_ndv(spark, tdir, "c")
+    assert cov and abs(est - 97) <= 5
+    acid_lite.append(spark, tdir, spark.createDataFrame(
+        [(1000, 200)], "k bigint, c bigint"))
+    _e, cov_mid = acid_lite.table_ndv(spark, tdir, "c")
+    assert not cov_mid
+    v2 = acid_lite.write_ndv_sketches(spark, tdir, "c")
+    map2 = acid_lite._read_manifest(tdir, v2)["ndv_sketch"]["c"]
+    assert all(map2.get(f) == s for f, s in map1.items())
+    est2, cov2 = acid_lite.table_ndv(spark, tdir, "c")
+    assert cov2 and abs(est2 - 98) <= 5
+    # CoW rewrite drops dead entries
+    acid_lite.merge_upsert(spark, tdir, spark.createDataFrame(
+        [(0, 500)], "k bigint, c bigint"), key="k")
+    m3 = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    fset = set(m3["files"])
+    assert all(f in fset for f in m3["ndv_sketch"]["c"])
