@@ -583,11 +583,20 @@ def percentiles_exact_scalable(spark, sf_dir):
 @query(
     "approx_quantile_error_audit",
     "approx agg/audit",
-    oracle=None,
-    description="approx_percentile (GK sketch, 1% target) vs the exact "
-    "percentile, with absolute+relative error per quantile — rows-only "
-    "(no SQL oracle can replay Spark's sketch); pytest asserts the "
-    "error stays inside the accuracy contract.",
+    oracle="""
+    SELECT CAST(0.25 AS DOUBLE) AS quantile,
+           round(quantile_cont(o_totalprice, 0.25), 2) AS exact_value,
+           TRUE AS rel_error_ok FROM orders HAVING count(*) > 0
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE), round(quantile_cont(o_totalprice, 0.5), 2), TRUE
+    FROM orders HAVING count(*) > 0
+    UNION ALL
+    SELECT CAST(0.75 AS DOUBLE), round(quantile_cont(o_totalprice, 0.75), 2), TRUE
+    FROM orders HAVING count(*) > 0
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE), round(quantile_cont(o_totalprice, 0.9), 2), TRUE
+    FROM orders HAVING count(*) > 0
+    """,
 )
 def approx_quantile_error_audit(spark, sf_dir):
     """Accuracy audit for the sketch quantiles a 100 TB deploy uses in
@@ -615,17 +624,18 @@ def approx_quantile_error_audit(spark, sf_dir):
         ).alias("z")
     ).select(
         F.col("z.q").alias("quantile"),
-        F.round("z.ap", 2).alias("approx_value"),
+        F.col("z.ap").alias("ap"),
         F.round("z.ex", 2).alias("exact_value"),
+        F.col("z.ex").alias("ex_raw"),
     )
+    # PROMOTED round 13 from rows-only (r12 VERDICT task 8, the
+    # hll_error_audit pattern): the sketch ESTIMATE stays out of the
+    # hashed output — DuckDB cannot replay the GK sketch — and the
+    # accuracy contract lands as a graded boolean instead.
     return both.select(
-        "quantile", "approx_value", "exact_value",
-        F.round(F.abs(F.col("approx_value") - F.col("exact_value")), 2)
-        .alias("abs_error"),
-        F.round(
-            F.abs(F.col("approx_value") - F.col("exact_value"))
-            / F.col("exact_value"), 6
-        ).alias("rel_error"),
+        "quantile", "exact_value",
+        (F.abs(F.col("ap") - F.col("ex_raw"))
+         <= 0.01 * F.abs(F.col("ex_raw"))).alias("rel_error_ok"),
     )
 
 
