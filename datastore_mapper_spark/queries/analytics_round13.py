@@ -1292,3 +1292,90 @@ def bootstrap_ci_daily_median(spark, sf_dir):
     return spark.createDataFrame(
         [(n, round(float(point), 4), round(float(ci.lo), 4),
           round(float(ci.hi), 4))], schema)
+
+
+@query(
+    "ts_classical_decomposition_daily",
+    "analytics/timeseries",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderdate
+    ), idx AS (
+        SELECT d, cents,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               isodow(d) - 1 AS dow
+        FROM daily
+    ), win AS (
+        SELECT i, n, dow, cents,
+               CAST(sum(cents) OVER (ORDER BY i
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                    AS BIGINT) AS win_sum
+        FROM idx
+    ), trend AS (
+        SELECT * FROM win WHERE i >= 4 AND i <= n - 3
+    ), detr AS (
+        SELECT dow, cents - win_sum / 7.0 AS resid FROM trend
+    )
+    SELECT CAST(dow AS INT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(resid), 4) AS seasonal_cents,
+           round(sqrt(GREATEST(avg(resid * resid)
+                               - avg(resid) * avg(resid), 0)), 2)
+               AS resid_sd
+    FROM detr
+    GROUP BY dow
+    HAVING count(*) >= 2
+    ORDER BY dow
+    """,
+)
+def ts_classical_decomposition_daily(spark, sf_dir):
+    """CLASSICAL SEASONAL DECOMPOSITION of daily revenue (the
+    moving-average method behind every "decompose()" call): trend =
+    centered 7-day moving average over the interior days (full
+    windows only — edge days drop on BOTH engines, not a
+    half-window fudge), seasonal = the mean detrended residual per
+    day-of-week, plus the residual variance per cell — the
+    trend/seasonal/irregular split that precedes any anomaly rule.
+
+    Seams: the day dictionary is dictionary-tier; the window sum is
+    an EXACT int64 (cents fold), so the only doubles are the final
+    /7.0 detrend and the two averages — token-identical expressions,
+    rounded.  The DOW key uses the engines' shared dayofweek()
+    convention (Sunday=1).  At 100 TB: one groupBy to the day dict,
+    one window over ~thousands of rows, one 7-row output."""
+    o = table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    )
+    w = Window.orderBy("i").rowsBetween(-3, 3)
+    idx = daily.select(
+        "d", "cents",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"),
+        F.count("*").over(
+            Window.partitionBy()).cast("bigint").alias("n"),
+        F.weekday("d").alias("dow"),
+    )
+    trend = (
+        idx.withColumn("win_sum", F.sum("cents").over(w).cast("bigint"))
+        .filter((F.col("i") >= 4) & (F.col("i") <= F.col("n") - 3))
+    )
+    detr = trend.select(
+        "dow", (F.col("cents") - F.col("win_sum") / 7.0).alias("resid"))
+    return (
+        detr.groupBy("dow")
+        .agg(F.count("*").alias("n_days"),
+             F.round(F.avg("resid"), 4).alias("seasonal_cents"),
+             F.round(F.sqrt(F.greatest(
+                 F.avg(F.col("resid") * F.col("resid"))
+                 - F.avg("resid") * F.avg("resid"), F.lit(0.0))), 2)
+             .alias("resid_sd"))
+        .filter(F.col("n_days") >= 2)
+        .select(F.col("dow").cast("int").alias("dow"), "n_days",
+                "seasonal_cents", "resid_sd")
+        .orderBy("dow")
+    )
