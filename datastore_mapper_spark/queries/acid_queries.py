@@ -2285,16 +2285,19 @@ def acid_ndv_sketch_estimate(spark, sf_dir):
                  .get("ndv_sketch") or {}).get("o_custkey") or {})
     acid_lite.append(spark, dest, o.filter(k % 2 == 1).coalesce(2))
     _mid_est, mid_cov = acid_lite.table_ndv(spark, dest, "o_custkey")
+    m_mid = acid_lite._read_manifest(dest, acid_lite.latest_version(dest))
+    n_unsketched_mid = sum(1 for f in m_mid["files"] if f not in map1)
     v2 = acid_lite.write_ndv_sketches(spark, dest, "o_custkey")
     map2 = ((acid_lite._read_manifest(dest, v2)
              .get("ndv_sketch") or {}).get("o_custkey") or {})
     est, cov = acid_lite.table_ndv(spark, dest, "o_custkey")
     exact = acid_lite.read(spark, dest).select("o_custkey") \
         .distinct().count()
-    n_new = o.filter(k % 2 == 1).limit(1).count()
     bound_ok = (abs(est / exact - 1.0) <= 0.05) if exact else est == 0
     incremental_ok = all(map2.get(f) == s for f, s in map1.items())
-    coverage_ok = cov and ((not mid_cov) if n_new else mid_cov)
+    # covered must be honest at the FILE level: an appended file —
+    # even an empty one — is unsketched until re-analyze
+    coverage_ok = cov and (mid_cov == (n_unsketched_mid == 0))
     return spark.createDataFrame(
         [(exact, bool(bound_ok), bool(incremental_ok),
           bool(coverage_ok))],
