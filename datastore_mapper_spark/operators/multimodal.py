@@ -3147,7 +3147,7 @@ def extract_qoi_stats(media_df: DataFrame) -> DataFrame:
 # Subset bounds: mono, 16-bit, one block per frame.
 
 
-class _BitWriter:
+class _FlacBitWriter:
     __slots__ = ("buf", "acc", "nbits")
 
     def __init__(self):
@@ -3179,7 +3179,7 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-class _BitReader:
+class _FlacBitReader:
     __slots__ = ("data", "pos")
 
     def __init__(self, data: bytes, pos_bits: int = 0):
@@ -3249,7 +3249,7 @@ def encode_flac(sig: np.ndarray, sample_rate: int = 8000) -> bytes:
         blocks = []
     max_bs = max((len(b) for b in blocks), default=0)
     min_bs = min((len(b) for b in blocks), default=0)
-    head = _BitWriter()
+    head = _FlacBitWriter()
     head.write(0x664C6143, 32)        # "fLaC"
     head.write(1, 1)                  # last metadata block
     head.write(0, 7)                  # STREAMINFO
@@ -3267,7 +3267,7 @@ def encode_flac(sig: np.ndarray, sample_rate: int = 8000) -> bytes:
     out = bytearray(head.bytes())
     for fno, block in enumerate(blocks):
         bs = len(block)
-        fw = _BitWriter()
+        fw = _FlacBitWriter()
         fw.write(0b11111111111110, 14)
         fw.write(0, 1)                # reserved
         fw.write(0, 1)                # fixed blocksize stream
@@ -3288,7 +3288,7 @@ def encode_flac(sig: np.ndarray, sample_rate: int = 8000) -> bytes:
             fw.write(0x80 | (fno & 0x3F), 8)
         fw.write(bs - 1, 16)
         hdr = fw.bytes()
-        fw = _BitWriter()
+        fw = _FlacBitWriter()
         for byte in hdr:
             fw.write(byte, 8)
         fw.write(_crc8(hdr), 8)
@@ -3345,7 +3345,7 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
         blen = int.from_bytes(blob[pos + 1:pos + 4], "big")
         body = blob[pos + 4:pos + 4 + blen]
         if btype == 0:
-            br = _BitReader(body)
+            br = _FlacBitReader(body)
             br.read(16); br.read(16); br.read(24); br.read(24)
             sr = br.read(20)
             ch = br.read(3) + 1
@@ -3361,7 +3361,7 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
     filled = 0
     while filled < n_total:
         frame_start = pos
-        br = _BitReader(blob, pos * 8)
+        br = _FlacBitReader(blob, pos * 8)
         if br.read(14) != 0b11111111111110:
             raise ValueError("lost frame sync")
         br.read(1); br.read(1)
