@@ -3475,7 +3475,7 @@ FLAC_STATS_SCHEMA = (
 
 def render_flac_media(doc_df: DataFrame) -> DataFrame:
     """Render a REAL subset-FLAC per document, deterministically from
-    ``doc_id``: ``n = 500 + (id % 4) * 250`` samples (always ≡ 0 mod
+    ``doc_id``: ``n = 200 + (id % 4) * 100`` samples (always ≡ 0 mod
     5) of the ramp-plus-wobble law ``x_t = a + s·t + ((t·7919) % 5)
     − 2`` with ``a = (id % 50) * 20``, slope ``s = id % 3``, rate
     ``8000 · ((id % 2) + 1)``.  The ramp makes FIXED order 1-2 the
@@ -3489,7 +3489,7 @@ def render_flac_media(doc_df: DataFrame) -> DataFrame:
             blobs = []
             for doc_id in pdf["doc_id"]:
                 i = int(doc_id)
-                n = 500 + (i % 4) * 250
+                n = 200 + (i % 4) * 100
                 a = (i % 50) * 20
                 s = i % 3
                 t = np.arange(n, dtype=np.int64)

@@ -2661,7 +2661,7 @@ def lm_dirichlet_retrieval_topk(spark, sf_dir):
     oracle="""
     WITH law AS (
         SELECT doc_id,
-               500 + (doc_id % 4) * 250 AS n,
+               200 + (doc_id % 4) * 100 AS n,
                (doc_id % 50) * 20 AS a,
                doc_id % 3 AS s
         FROM documents

@@ -753,3 +753,69 @@ def test_bpe_merge_symbols_properties(word, a, b):
     # (a, b) pair remains
     for x, y in zip(merged, merged[1:]):
         assert not (x == a and y == b)
+
+
+# --- round 13: codec round-trip properties (hypothesis-shrunk) --------
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    h=st.integers(1, 12), w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+    kind=st.sampled_from(["random", "palette", "runs"]),
+)
+def test_qoi_round_trip_property(h, w, seed, kind):
+    """∀ images: decode(encode(px)) == px — hypothesis drives the
+    shapes and content classes and SHRINKS any failure to a minimal
+    image (the fixed-seed fuzz in test_operators pins known corpora;
+    this pins the law itself)."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_qoi,
+        encode_qoi,
+    )
+
+    rng = np.random.RandomState(seed)
+    if kind == "random":
+        px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    elif kind == "palette":
+        pal = rng.randint(0, 256, (3, 3)).astype(np.uint8)
+        px = pal[rng.randint(0, 3, (h, w))]
+    else:
+        px = np.repeat(rng.randint(0, 256, (h, 1, 3)), w, axis=1) \
+            .astype(np.uint8)
+    assert (decode_qoi(encode_qoi(px)) == px).all()
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    n=st.integers(0, 600),
+    seed=st.integers(0, 2**31 - 1),
+    kind=st.sampled_from(["noise", "ramp", "const", "steps"]),
+)
+def test_flac_round_trip_property(n, seed, kind):
+    """∀ mono int16 signals: decode(encode(sig)) == sig with all three
+    integrity layers verified — covers every fixed-predictor order,
+    Rice parameter and the empty/1-sample edges via shrinking."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    rng = np.random.RandomState(seed)
+    if kind == "noise":
+        sig = rng.randint(-32768, 32767, n).astype(np.int16)
+    elif kind == "ramp":
+        sig = (rng.randint(-5000, 5000)
+               + rng.randint(-20, 20) * np.arange(n)).astype(np.int16)
+    elif kind == "const":
+        sig = np.full(n, rng.randint(-32768, 32767), np.int16)
+    else:
+        sig = np.repeat(rng.randint(-1000, 1000, max(1, n // 50 + 1)),
+                        50)[:n].astype(np.int16)
+    out, sr = decode_flac(encode_flac(sig, 8000))
+    assert sr == 8000 and len(out) == n and (out == sig).all()
