@@ -2665,6 +2665,7 @@ def lm_dirichlet_retrieval_topk(spark, sf_dir):
                (doc_id % 50) * 20 AS a,
                doc_id % 3 AS s
         FROM documents
+        WHERE doc_id % 3 = 0
     )
     SELECT doc_id,
            CAST(n AS INT) AS n_samples,
@@ -2699,5 +2700,8 @@ def multimodal_flac_decode_stats(spark, sf_dir):
         render_flac_media,
     )
 
-    d = table(spark, sf_dir, "documents")
+    # every 3rd document: the codec is pure-Python bit I/O (~2.5 ms
+    # per blob), and the row grades CORRECTNESS, not throughput — the
+    # subset keeps its sweep cost proportionate to the other codec rows
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     return extract_flac_stats(render_flac_media(d))

@@ -926,8 +926,10 @@ def test_approx_quantile_audit_within_contract(spark, sf_dir):
         .fn(spark, sf_dir).collect()
     )
     assert len(rows) == 4
+    # the r13 promotion folded the error into a graded boolean (the
+    # sketch estimate left the hashed output); the contract is the same
     for r in rows:
-        assert r.rel_error < 0.01, (r.quantile, r.rel_error)
+        assert r.rel_error_ok, r.quantile
 
 
 def test_hll_audit_within_contract(spark, sf_dir):
