@@ -2304,3 +2304,95 @@ def acid_ndv_sketch_estimate(spark, sf_dir):
         schema=("exact_ndv bigint, bound_ok boolean, "
                 "incremental_ok boolean, coverage_flags_ok boolean"),
     )
+
+
+@query(
+    "acid_liquid_recluster",
+    "table-format",
+    oracle="""
+    WITH b AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS incremental_ok,
+           TRUE AS clustered_ok
+    FROM orders, b
+    WHERE o_totalprice <= b.lo + (b.hi - b.lo) / 4
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_liquid_recluster(spark, sf_dir):
+    """INCREMENTAL RECLUSTERING (round 13 — the liquid-clustering
+    cost model, ``acid_lite.optimize_sorted_incremental``): a
+    price-clustered table (sort order materialized, per-file ranges
+    disjoint) takes an unsorted append whose prices span ONLY the
+    bottom quartile (a key-sampled slice — churn that overlaps the
+    low files and no others), and the incremental rewrite repairs
+    clustering by touching ONLY that overlap cluster.
+
+    ``incremental_ok`` grades the cost model: strictly fewer files
+    rewritten than the table holds AND at least one pre-churn
+    clustered file survives in the new manifest BY REFERENCE (same
+    path — zero bytes moved for the steady-state majority).
+    ``clustered_ok`` grades the result: the post-recluster ranges
+    are pairwise disjoint by manifest stats AND the graded
+    bottom-quartile range query both prunes files and row-matches
+    the full filter.  The hashed rows are that range query's
+    per-status aggregate.  At 100 TB this is the difference between
+    'nightly OPTIMIZE rewrites the table' and 'recluster cost tracks
+    ingest': O(churn), never O(table)."""
+    dest = _table_dir("acid_liquid", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    b = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    schema_empty = ("o_orderstatus string, n_orders bigint, "
+                    "sum_cents bigint, incremental_ok boolean, "
+                    "clustered_ok boolean")
+    if b is None or b[0] is None:
+        return spark.createDataFrame([], schema_empty)
+    lo, hi = float(b[0]), float(b[1])
+    quart = lo + (hi - lo) / 4
+    k = F.col("o_orderkey")
+    in_churn = (k % 7 == 0) & (F.col("o_totalprice") <= quart)
+    main = o.filter(~in_churn)
+    churn = o.filter(in_churn)
+    acid_lite.create_table(spark, dest, main.repartition(4, "o_orderkey"))
+    acid_lite.set_sort_order(dest, ["o_totalprice"])
+    acid_lite.optimize_sorted(spark, dest, n_files=6)
+    m_pre = acid_lite._read_manifest(dest, acid_lite.latest_version(dest))
+    acid_lite.append(spark, dest, churn.coalesce(1))
+    v, n_rw, n_tot = acid_lite.optimize_sorted_incremental(spark, dest)
+    m_post = acid_lite._read_manifest(dest, v)
+    survivors = set(m_pre["files"]) & set(m_post["files"])
+    incremental = (0 < n_rw < n_tot and len(survivors) >= 1) \
+        if churn.limit(1).count() else True
+    # post-state: pairwise-disjoint ranges by manifest stats
+    stats = m_post.get("stats") or {}
+    spans = sorted(
+        tuple(stats[f]["o_totalprice"])
+        for f in m_post["files"]
+        if f in stats and "o_totalprice" in stats[f]
+        and int(stats[f].get("::rows", 1) or 0) > 0
+    )
+    disjoint = all(spans[i][1] < spans[i + 1][0]
+                   for i in range(len(spans) - 1))
+    sel, total = acid_lite.prune_files(dest, "o_totalprice", None, quart)
+    n_pruned = acid_lite.read_pruned(
+        spark, dest, "o_totalprice", None, quart).count()
+    full = acid_lite.read(spark, dest).filter(
+        F.col("o_totalprice") <= quart)
+    clustered = (disjoint and len(sel) < total
+                 and n_pruned == full.count())
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        full.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                F.lit(bool(incremental)).alias("incremental_ok"),
+                F.lit(bool(clustered)).alias("clustered_ok"))
+    )

@@ -3241,3 +3241,68 @@ def table_ndv(spark: SparkSession, path: str, column: str,
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("ndv")
     ).first()
     return int(est.ndv), covered
+
+
+def optimize_sorted_incremental(spark: SparkSession, path: str
+                                ) -> tuple[int, int, int]:
+    """INCREMENTAL reclustering under the declared sort order — the
+    Delta liquid-clustering cost model: instead of rewriting the
+    table, find the OVERLAP CLUSTERS of per-file [min, max] ranges on
+    the leading sort column (one sorted interval sweep over the
+    manifest stats — pure driver math, file-count-sized) and rewrite
+    only clusters of ≥2 files, range-partitioned among themselves.
+    Files already disjoint — the steady-state majority — carry by
+    reference untouched, so recluster cost is O(churn since the last
+    rewrite), never O(table).  Files without stats on the sort column
+    join the rewrite set (sound).  Returns ``(version, n_rewritten,
+    n_total)``; a fully-clustered table returns ``(parent, 0, n)``
+    with no empty commit."""
+    parent = latest_version(path)
+    if parent == 0:
+        raise ValueError(f"table does not exist: {path}")
+    m = _read_manifest(path, parent)
+    order = m.get("sort_order")
+    if not order:
+        raise ValueError("no sort order declared — set_sort_order first")
+    if _has_dvs(m):
+        raise ValueError(
+            "table carries deletion vectors — run optimize() to purge "
+            "them before reclustering (the rewrite reads files "
+            "directly and would resurrect deleted rows)")
+    col = _physical(m, order[0])
+    stats = m.get("stats") or {}
+    ranged, unranged = [], []
+    for f in m["files"]:
+        s = (stats.get(f) or {}).get(col)
+        if int((stats.get(f) or {}).get("::rows", 1) or 0) == 0:
+            continue  # empty file: clusters with nothing
+        if s is None or not isinstance(s[0], (int, float)) \
+                or isinstance(s[0], bool):
+            unranged.append(f)
+        else:
+            ranged.append((s[0], s[1], f))
+    ranged.sort(key=lambda t: (t[0], t[1], t[2]))
+    clusters: list[list[str]] = []
+    cur: list[str] = []
+    cur_hi = None
+    for lo, hi, f in ranged:
+        if cur and lo <= cur_hi:
+            cur.append(f)
+            cur_hi = max(cur_hi, hi)
+        else:
+            if cur:
+                clusters.append(cur)
+            cur, cur_hi = [f], hi
+    if cur:
+        clusters.append(cur)
+    rewrite = [f for c in clusters if len(c) >= 2 for f in c] + unranged
+    if len(rewrite) < 2:
+        return parent, 0, len(m["files"])
+    df = _load_files(spark, path, m, sorted(rewrite))
+    out = df.repartitionByRange(len(rewrite), *order) \
+        .sortWithinPartitions(*order)
+    new_files, parts = _write_files_any(
+        out, path, m.get("partition_by"), mapping=m.get("mapping"))
+    v = _rebase_commit(path, sorted(rewrite), new_files,
+                       "recluster", expect_dvs=[], new_partitions=parts)
+    return v, len(rewrite), len(m["files"])

@@ -1783,3 +1783,34 @@ def test_ndv_sketches_incremental_and_covered(spark, tdir):
     m3 = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
     fset = set(m3["files"])
     assert all(f in fset for f in m3["ndv_sketch"]["c"])
+
+
+def test_incremental_recluster_touches_only_overlaps(spark, tdir):
+    """Liquid-clustering cost model: after a narrow-range append to a
+    clustered table, the incremental rewrite touches only the overlap
+    cluster — disjoint files carry by reference — and a no-op call on
+    the already-clustered result commits nothing."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(300)], "k bigint, p double")
+    acid_lite.create_table(spark, tdir, df.repartition(3, "k"))
+    acid_lite.set_sort_order(tdir, ["p"])
+    acid_lite.optimize_sorted(spark, tdir, n_files=5)
+    m_pre = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    # churn overlapping only the low end
+    acid_lite.append(spark, tdir, spark.createDataFrame(
+        [(1000 + i, float(i) + 0.5) for i in range(40)],
+        "k bigint, p double").coalesce(1))
+    v, n_rw, n_tot = acid_lite.optimize_sorted_incremental(spark, tdir)
+    assert 0 < n_rw < n_tot
+    m_post = acid_lite._read_manifest(tdir, v)
+    assert set(m_pre["files"]) & set(m_post["files"])  # survivors
+    assert acid_lite.read(spark, tdir).count() == 340
+    # ranges now pairwise disjoint
+    st = m_post["stats"]
+    spans = sorted(tuple(st[f]["p"]) for f in m_post["files"]
+                   if "p" in st.get(f, {}))
+    assert all(spans[i][1] < spans[i + 1][0]
+               for i in range(len(spans) - 1))
+    # idempotent: second call is a no-op at the same version
+    v2, n_rw2, _ = acid_lite.optimize_sorted_incremental(spark, tdir)
+    assert n_rw2 == 0 and v2 == v
