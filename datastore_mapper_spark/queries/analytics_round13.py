@@ -1418,6 +1418,7 @@ def ts_classical_decomposition_daily(spark, sf_dir):
            n_covered,
            TRUE AS coverage_ok
     FROM cov
+    WHERE (SELECT n_cal FROM m) > 0
     """,
 )
 def conformal_interval_coverage(spark, sf_dir):
