@@ -292,3 +292,33 @@ def stream_ledger_balance_demo(spark, sf_dir):
     from ..streaming.stateful import streaming_ledger_balance
 
     return streaming_ledger_balance(spark, sf_dir)
+
+
+@query(
+    "stream_stream_left_outer_join",
+    "streaming",
+    oracle="""
+    SELECT v.user_id,
+           CAST(count(p.pt) AS BIGINT) AS n_matched_pairs,
+           CAST(sum(CASE WHEN p.pt IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched_views
+    FROM (SELECT user_id, ts::TIMESTAMP AS vt FROM events
+          WHERE event_type = 'view') v
+    LEFT JOIN (SELECT user_id, ts::TIMESTAMP AS pt FROM events
+               WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.pt > v.vt AND p.pt <= v.vt + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+    description="LEFT OUTER stream-stream join (round 13): matched "
+    "view->purchase pairs emit at match time, unmatched views emit "
+    "null-padded via watermark state EVICTION — two sentinel batches "
+    "advance both sides' watermarks past every real row's horizon so "
+    "the finite replay flushes deterministically; the aggregate must "
+    "hash-match the batch left join exactly (a stranded-in-state view "
+    "or a double-emitted pair shifts a count).",
+)
+def stream_stream_left_outer_join(spark, sf_dir):
+    from ..streaming.demos import streaming_stream_stream_left_outer
+
+    return streaming_stream_stream_left_outer(spark, sf_dir)

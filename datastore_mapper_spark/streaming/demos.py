@@ -480,3 +480,118 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_cents").cast("bigint").alias("sum_cents"),
         )
     )
+
+
+def _staged_outer_join_dir(sf_dir: str) -> str:
+    """Stage events as FOUR chronological micro-batch files: the two
+    median-split halves, then two SENTINEL batches (one 'view' + one
+    'purchase' row each, ``user_id = -1``, at max_ts + 2 and + 3
+    days).  The sentinels exist to advance BOTH sides' watermarks
+    past every real row's eviction horizon: a left-OUTER stream-stream
+    join emits its null-padded rows only when a LATER batch's state
+    eviction runs under a watermark beyond ``view_ts + window``, and a
+    finite replay that simply ends would strand every tail view in
+    state forever — the classic outer-join-streaming footgun, made
+    deterministic here instead of waited out."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
+    d = os.path.join(_SCRATCH, f"stream_src_oj_{tag}")
+    files = [os.path.join(d, f"batch{i}.parquet") for i in (1, 2, 3, 4)]
+    if not all(os.path.exists(f) for f in files):
+        os.makedirs(d, exist_ok=True)
+        t = pq.read_table(path)
+        ts = pc.cast(t.column("ts"), "int64")
+        med = pc.quantile(ts, q=0.5, interpolation="lower").to_pylist()[0]
+        if med is None:  # empty source: four empty schema-bearing files
+            for f in files:
+                pq.write_table(t, f)
+        else:
+            mask = pc.less_equal(ts, int(med))
+            pq.write_table(t.filter(mask), files[0])
+            pq.write_table(t.filter(pc.invert(mask)), files[1])
+            mx = pc.max(ts).as_py()
+            day_ns = 86_400_000_000_000
+            names = t.column_names
+            ts_type = t.schema.field("ts").type
+            for f, ts_off in ((files[2], mx + 2 * day_ns),
+                              (files[3], mx + 3 * day_ns)):
+                cols = []
+                for name in names:
+                    if name == "ts":
+                        arr = pa.array([ts_off, ts_off],
+                                       type=pa.int64()).cast(ts_type)
+                    elif name == "user_id":
+                        arr = pa.array(
+                            [-1, -1],
+                            type=t.schema.field("user_id").type)
+                    elif name == "event_type":
+                        arr = pa.array(["view", "purchase"])
+                    else:
+                        arr = pa.nulls(2, t.schema.field(name).type)
+                    cols.append(arr)
+                pq.write_table(pa.table(cols, names=names), f)
+        now = os.path.getmtime(files[3])
+        for i, f in enumerate(files[:3]):
+            os.utime(f, (now - 60 * (3 - i), now - 60 * (3 - i)))
+    return d
+
+
+def streaming_stream_stream_left_outer(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the operator whose hard part is
+    not the match but the NON-match: a view with no purchase in the
+    following hour must emit exactly once, null-padded, and only
+    state EVICTION can prove the non-match (the purchase might still
+    arrive until the watermark passes view_ts + 1 h).  Matched pairs
+    emit at match time; unmatched views emit when a later batch's
+    eviction runs past their horizon — the sentinel batches in
+    :func:`_staged_outer_join_dir` make that deterministic for a
+    finite replay.  Per-batch partials keep row-level output off the
+    driver, as with the inner-join demo."""
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    events = with_ts_us(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_outer_join_dir(sf_dir))
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("ts_us").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("ts_us").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    pairs = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    partials = _append_via_batch_partials(
+        spark,
+        pairs,
+        lambda b: (
+            b.filter(F.col("v_user") >= 0)  # drop watermark sentinels
+            .groupBy("v_user")
+            .agg(F.count("purchase_ts").alias("m"),
+                 F.sum(F.when(F.col("purchase_ts").isNull(), 1)
+                       .otherwise(0)).alias("u"))
+        ),
+    )
+    return partials.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.sum("m").alias("n_matched_pairs"),
+        F.sum("u").alias("n_unmatched_views"),
+    )
