@@ -574,3 +574,38 @@ def test_acid_stream_source_reads_evolved_schema(spark, tmp_path):
         q.stop()
     got = {(r.k, r.v, r.score) for r in spark.table(name).collect()}
     assert got == {(1, "a", None), (2, "b", 5.0)}
+
+
+def test_outer_join_staging_sentinels(spark, sf_dir):
+    """The 4-batch staging for the left-outer join: two chronological
+    halves plus two sentinel batches (view+purchase, user -1) strictly
+    beyond every real row — the watermark-advance rows that make the
+    outer join's eviction deterministic for a finite replay."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from datastore_mapper_spark.streaming.demos import (
+        _staged_outer_join_dir,
+    )
+
+    d = _staged_outer_join_dir(sf_dir)
+    tabs = [pq.read_table(os.path.join(d, f"batch{i}.parquet"))
+            for i in (1, 2, 3, 4)]
+    real = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    assert tabs[0].num_rows + tabs[1].num_rows == real.num_rows
+    if real.num_rows:
+        mx = pc.max(pc.cast(real.column("ts"), "int64")).as_py()
+        for t in tabs[2:]:
+            assert t.num_rows == 2
+            assert set(t.column("event_type").to_pylist()) \
+                == {"view", "purchase"}
+            assert set(t.column("user_id").to_pylist()) == {-1}
+            assert min(pc.cast(t.column("ts"), "int64").to_pylist()) > mx
+        # batch2 rows all strictly later than batch1's max (no
+        # behind-the-watermark arrivals)
+        if tabs[0].num_rows and tabs[1].num_rows:
+            m1 = pc.max(pc.cast(tabs[0].column("ts"), "int64")).as_py()
+            m2 = min(pc.cast(tabs[1].column("ts"), "int64").to_pylist())
+            assert m2 > m1
