@@ -1814,3 +1814,53 @@ def test_incremental_recluster_touches_only_overlaps(spark, tdir):
     # idempotent: second call is a no-op at the same version
     v2, n_rw2, _ = acid_lite.optimize_sorted_incremental(spark, tdir)
     assert n_rw2 == 0 and v2 == v
+
+
+def test_wap_publish_vs_publish_race(spark, tdir, tmp_path):
+    """Two audit branches staged from the same base: disjoint edits
+    both publish (the second rebases over the first); branches that
+    edited the SAME file conflict deterministically."""
+    s1 = str(tmp_path / "s1")
+    s2 = str(tmp_path / "s2")
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    acid_lite.shallow_clone(tdir, s1)
+    acid_lite.shallow_clone(tdir, s2)
+    # disjoint: both only APPEND -> both land
+    acid_lite.append(spark, s1, _df(spark, [(10, "x")]))
+    acid_lite.append(spark, s2, _df(spark, [(20, "y")]))
+    acid_lite.publish(spark, s1, tdir)
+    acid_lite.publish(spark, s2, tdir)
+    got = {r.k for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {1, 2, 10, 20}
+    # overlapping: both branches CoW-edit the same base file
+    s3 = str(tmp_path / "s3")
+    s4 = str(tmp_path / "s4")
+    acid_lite.shallow_clone(tdir, s3)
+    acid_lite.shallow_clone(tdir, s4)
+    acid_lite.delete_where(spark, s3, "k", 1, 1)
+    acid_lite.delete_where(spark, s4, "k", 2, 2)
+    acid_lite.publish(spark, s3, tdir)
+    with pytest.raises(acid_lite.ConcurrentModification):
+        acid_lite.publish(spark, s4, tdir)
+
+
+def test_restore_composes_with_later_writes(spark, tdir):
+    """A restore is a normal commit: appends/merges after it stack on
+    the restored state, constraints keep enforcing, and CDF across
+    the restore classifies the rollback as inserts+deletes."""
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a"), (2, "b")]))
+    acid_lite.merge_upsert(
+        spark, tdir, _df(spark, [(2, "B"), (3, "c")]), key="k")
+    v_pre = acid_lite.latest_version(tdir)
+    acid_lite.add_check_constraint(spark, tdir, "k_pos", "k > 0")
+    rv = acid_lite.restore_table(tdir, version=1)
+    acid_lite.append(spark, tdir, _df(spark, [(4, "d")]))
+    with pytest.raises(acid_lite.ConstraintViolation):
+        acid_lite.append(spark, tdir, _df(spark, [(-5, "x")]))
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} \
+        == {1, 2, 4}
+    cdf = acid_lite.change_data_feed(spark, tdir, "k", v_pre, rv)
+    kinds = {(r.k, r._change_type) for r in cdf.collect()}
+    assert (3, "delete") in kinds           # rollback removed the merge insert
+    assert any(k == 2 for k, c in kinds if "update" in c)  # B -> b
