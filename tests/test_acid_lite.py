@@ -1864,3 +1864,60 @@ def test_restore_composes_with_later_writes(spark, tdir):
     kinds = {(r.k, r._change_type) for r in cdf.collect()}
     assert (3, "delete") in kinds           # rollback removed the merge insert
     assert any(k == 2 for k, c in kinds if "update" in c)  # B -> b
+
+
+def test_wap_route_equivalence(spark, tdir, tmp_path):
+    """ROUTE TWIN: the same logical edits applied (a) directly to a
+    table and (b) staged on a clone then published must yield
+    identical contents — WAP is a transport, not a transformation."""
+    direct = tdir
+    main = str(tmp_path / "main")
+    stage = str(tmp_path / "stage")
+    seed = _df(spark, [(i, f"v{i}") for i in range(1, 21)]).coalesce(2)
+    batch = _df(spark, [(i, f"n{i}") for i in range(21, 31)])
+    acid_lite.create_table(spark, direct, seed)
+    acid_lite.create_table(spark, main, seed)
+    # route (a): direct
+    acid_lite.append(spark, direct, batch)
+    acid_lite.delete_where(spark, direct, "k", 3, 5)
+    # route (b): stage on a clone, audit window, publish
+    acid_lite.shallow_clone(main, stage)
+    acid_lite.append(spark, stage, batch)
+    acid_lite.delete_where(spark, stage, "k", 3, 5)
+    acid_lite.publish(spark, stage, main)
+    a = {(r.k, r.v) for r in acid_lite.read(spark, direct).collect()}
+    b = {(r.k, r.v) for r in acid_lite.read(spark, main).collect()}
+    assert a == b and len(a) == 27
+
+
+def test_recluster_route_equivalence(spark, tdir, tmp_path):
+    """ROUTE TWIN: incremental reclustering and the full clustered
+    rewrite produce the same CONTENTS and the same disjoint-range
+    invariant — only the touched-file count differs."""
+    full = tdir
+    inc = str(tmp_path / "inc")
+    df = spark.createDataFrame(
+        [(i, float((i * 53) % 500)) for i in range(400)],
+        "k bigint, p double")
+    churn = spark.createDataFrame(
+        [(1000 + i, float(i % 40)) for i in range(30)],
+        "k bigint, p double")
+    for t in (full, inc):
+        acid_lite.create_table(spark, t, df.repartition(3, "k"))
+        acid_lite.set_sort_order(t, ["p"])
+        acid_lite.optimize_sorted(spark, t, n_files=5)
+        acid_lite.append(spark, t, churn.coalesce(1))
+    acid_lite.optimize_sorted(spark, full, n_files=6)
+    _v, n_rw, n_tot = acid_lite.optimize_sorted_incremental(spark, inc)
+    assert n_rw < n_tot
+    a = {(r.k, r.p) for r in acid_lite.read(spark, full).collect()}
+    b = {(r.k, r.p) for r in acid_lite.read(spark, inc).collect()}
+    assert a == b and len(a) == 430
+    for t in (full, inc):
+        m = acid_lite._read_manifest(t, acid_lite.latest_version(t))
+        st = m["stats"]
+        spans = sorted(tuple(st[f]["p"]) for f in m["files"]
+                       if "p" in st.get(f, {})
+                       and int(st[f].get("::rows", 1) or 0) > 0)
+        assert all(spans[i][1] < spans[i + 1][0]
+                   for i in range(len(spans) - 1)), t
