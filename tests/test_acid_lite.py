@@ -1921,3 +1921,27 @@ def test_recluster_route_equivalence(spark, tdir, tmp_path):
                        and int(st[f].get("::rows", 1) or 0) > 0)
         assert all(spans[i][1] < spans[i + 1][0]
                    for i in range(len(spans) - 1)), t
+
+
+def test_wap_publish_partitioned_table(spark, tdir, tmp_path):
+    """WAP composes with hive-layout partitioning: staged files keep
+    their partition VALUES through the rename into main's tree, so
+    partition pruning on the published table still excludes files."""
+    st = str(tmp_path / "staging")
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "B", 2.0)], "k bigint, p string, v double")
+    acid_lite.create_table(spark, tdir, df.coalesce(1),
+                           partition_by=["p"])
+    acid_lite.shallow_clone(tdir, st)
+    acid_lite.append(spark, st, spark.createDataFrame(
+        [(3, "A", 3.0), (4, "C", 4.0)], "k bigint, p string, v double"))
+    v = acid_lite.publish(spark, st, tdir)
+    m = acid_lite._read_manifest(tdir, v)
+    parts = m.get("partitions") or {}
+    # every live file carries its partition value, including the moved ones
+    assert all(f in parts for f in m["files"]), m["files"]
+    got = {(r.k, r.p) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "A"), (2, "B"), (3, "A"), (4, "C")}
+    sel, total = acid_lite.prune_files(tdir, "p", "C", "C")
+    assert 0 < len(sel) < total
+    assert acid_lite.read_pruned(spark, tdir, "p", "C", "C").count() == 1
