@@ -2367,9 +2367,21 @@ def remove_orphan_files(path: str, grace_seconds: float = 3600.0) -> dict:
             m = _read_manifest(path, int(fname[1:-5]))
             referenced.update(m["files"])
             referenced.update(m.get("dvs") or [])
+            # index sidecars referenced by any retained version stay
+            for fm in (m.get("bloom_index") or {}).values():
+                referenced.update(sc for sc in fm.values() if sc)
+            for fm in (m.get("ndv_sketch") or {}).values():
+                referenced.update(sc for sc in fm.values() if sc)
     cutoff = time.time() - grace_seconds
     n_files = n_bytes = 0
-    for sub in ("data", "dv"):
+    # wap-* dirs hold files MOVED from a staging clone by publish();
+    # a publish that lost its conflict race strands them here — they
+    # are ordinary orphans and sweep like data/ (the docstring promise
+    # in publish())
+    wap_dirs = [d for d in os.listdir(path)
+                if d.startswith("wap-")
+                and os.path.isdir(os.path.join(path, d))]
+    for sub in ("data", "dv", "blooms", "ndv", *wap_dirs):
         root = os.path.join(path, sub)
         if not os.path.isdir(root):
             continue

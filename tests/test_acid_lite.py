@@ -1945,3 +1945,52 @@ def test_wap_publish_partitioned_table(spark, tdir, tmp_path):
     sel, total = acid_lite.prune_files(tdir, "p", "C", "C")
     assert 0 < len(sel) < total
     assert acid_lite.read_pruned(spark, tdir, "p", "C", "C").count() == 1
+
+
+def test_orphan_sweep_covers_wap_and_spares_sidecars(spark, tdir,
+                                                     tmp_path,
+                                                     monkeypatch):
+    """remove_orphan_files must sweep files a LOST publish stranded in
+    wap-* dirs, while never touching index sidecars any retained
+    manifest references."""
+    import os as _os
+    import time as _time
+
+    st = str(tmp_path / "staging")
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    acid_lite.build_bloom_index(spark, tdir, "k")
+    # stage an edit of the base file, then make main rewrite it too ->
+    # the publish loses AFTER moving its files into main's tree
+    acid_lite.shallow_clone(tdir, st)
+    acid_lite.delete_where(spark, st, "k", 2, 2)
+    acid_lite.merge_upsert(spark, tdir, _df(spark, [(1, "A")]), key="k")
+    with pytest.raises(acid_lite.ConcurrentModification):
+        acid_lite.publish(spark, st, tdir)
+    wap_files = [
+        _os.path.join(dp, f)
+        for d in _os.listdir(tdir) if d.startswith("wap-")
+        for dp, _dd, fns in _os.walk(_os.path.join(tdir, d))
+        for f in fns
+    ]
+    assert wap_files  # the lost publish stranded moved files
+    old = _time.time() - 7200
+    for f in wap_files:
+        _os.utime(f, (old, old))
+    # the merge rewrote the indexed file, so the LATEST manifest holds
+    # no sidecar entries — but the bloom commit's manifest is still
+    # retained, and "referenced by ANY retained version" must protect
+    # its sidecars (time travel to that version keeps its index)
+    sidecars = [
+        _os.path.join(tdir, sc) for sc in
+        (acid_lite._read_manifest(tdir, 2)
+         .get("bloom_index") or {}).get("k", {}).values()
+    ]
+    assert sidecars
+    for sc in sidecars:
+        _os.utime(sc, (old, old))  # old but REFERENCED: must survive
+    out = acid_lite.remove_orphan_files(tdir, grace_seconds=3600)
+    assert out["files_removed"] >= len(wap_files)
+    assert all(not _os.path.exists(f) for f in wap_files)
+    assert all(_os.path.exists(sc) for sc in sidecars)
+    assert acid_lite.read(spark, tdir).count() == 2
