@@ -1994,3 +1994,32 @@ def test_orphan_sweep_covers_wap_and_spares_sidecars(spark, tdir,
     assert all(not _os.path.exists(f) for f in wap_files)
     assert all(_os.path.exists(sc) for sc in sidecars)
     assert acid_lite.read(spark, tdir).count() == 2
+
+
+def test_expire_then_orphan_sweep_reclaims_sidecars(spark, tdir):
+    """Composition: expire_snapshots never touches index sidecars
+    (only data/DV files), but once the referencing manifests expire,
+    remove_orphan_files reclaims the now-unreferenced sidecars —
+    the space-leak path closed by the wap-sweep fix."""
+    import os as _os
+    import time as _time
+
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    acid_lite.build_bloom_index(spark, tdir, "k")
+    sidecars = [
+        _os.path.join(tdir, sc) for sc in
+        acid_lite._read_manifest(tdir, 2)["bloom_index"]["k"].values()
+    ]
+    assert sidecars
+    # the index entries die with a CoW rewrite, then history expires
+    acid_lite.merge_upsert(spark, tdir, _df(spark, [(1, "A")]), key="k")
+    v = acid_lite.latest_version(tdir)
+    acid_lite.expire_snapshots(tdir, keep_from=v)
+    assert all(_os.path.exists(sc) for sc in sidecars)  # expire: untouched
+    old = _time.time() - 7200
+    for sc in sidecars:
+        _os.utime(sc, (old, old))
+    acid_lite.remove_orphan_files(tdir, grace_seconds=3600)
+    assert all(not _os.path.exists(sc) for sc in sidecars)
+    assert acid_lite.read(spark, tdir).count() == 2
