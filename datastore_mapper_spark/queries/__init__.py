@@ -38,20 +38,21 @@ from ..registry import reorder_front
 # queries (round-2 VERDICT, "Driver-grading mechanics"), so 50
 # oracle-checked rows are pinned to the front.
 #
-# ROUND-13 ROTATION (round-12 VERDICT task 1): rows 1-30 (the §2.B
-# core) stay pinned.  CORRECTNESS_r12 was 50/50 (fifth straight), so
-# rows 31-50 rotate.  Rows 31-48 swap the round-12 flagship
-# subsystems forward for first external attestation: the table-format
-# wave (partitioned tables + dynamic-partition overwrite, three-way
-# MERGE with per-file mechanism routing, hidden bucket-transform
-# pruning, the ACID table as a native streaming SOURCE), the codec
-# pair (animated GIF89a, progressive JPEG SOF2), the promoted
-# doc_pagerank_centrality (invariant-verify oracle), the 7-query
-# classical-stats wave, and the tdigest / markov / entropy / zipf
-# queue heads.  Rows 49-50 take the next 2 heads of the REGISTRY
-# rotation queue.  All 20 pass the local oracle gate + pandas_probe
-# at sf0.01 before rotating in; the 20 r12-green rows rotate behind
-# the window where tests/test_contract_oracle.py +
+# ROUND-14 ROTATION (round-13 VERDICT task 1): rows 1-30 (the §2.B
+# core) stay pinned.  CORRECTNESS_r13 was 50/50 (sixth straight), so
+# rows 31-50 rotate.  The 20 slots take the round-13 flagship
+# subsystems for first driver contact: the 9-row ACID GOVERNANCE
+# RING (CHECK constraints, GENERATED ALWAYS AS columns, RESTORE,
+# write-audit-publish, inspection tables, metadata-only MIN/MAX,
+# per-file Bloom indexes, CDF-driven incremental JOIN-view
+# maintenance, the bronze->silver ACID<->ACID streaming hop), the
+# 1-bit binary-quantization ANN rung, the QOI codec row, the
+# distributed-Gram PCA row, and the 8-query stats/sampling wave
+# (Fisher exact, 6-pair Pearson matrix, calibration+Brier, lag CCF,
+# weighted+stratified seeded sampling, bootstrap CI, Dirichlet
+# query-likelihood retrieval).  All 20 pass the local oracle gate +
+# pandas_probe at sf0.01 before rotating in; the 20 r13-green rows
+# rotate behind the window where tests/test_contract_oracle.py +
 # scripts/check_contract.py still grade them every run.
 _CONTRACT_ORDER = [
     # §2.B rows 1-13: scans + aggregation
@@ -67,15 +68,23 @@ _CONTRACT_ORDER = [
     "window_rank_topn_per_group", "window_row_number_dedup",
     "window_lag_lead_delta", "window_running_sum", "window_moving_avg",
     "window_ntile_first_last", "sort_multi_key_nulls", "topk_global",
-    # rows 31-48, rotated IN round 13 (r12 verdict task 1): the
-    # round-12 flagship subsystems, swapped forward for first driver
-    # contact — the table-format wave (hive-layout partitioned tables
-    # + dynamic-partition overwrite, three-way MERGE with per-file
-    # CoW/stats-drop/DV routing, hidden bucket-transform pruning, the
-    # ACID table as a native Structured Streaming source), the codec
-    # pair (animated GIF89a multi-frame, progressive JPEG SOF2), the
-    # promoted doc_pagerank_centrality, the 7-query classical-stats
-    # wave, and the tdigest / markov / entropy / zipf queue heads
+    # rows 31-50, rotated IN round 14 (r13 verdict task 1): the
+    # round-13 flagship subsystems, swapped forward for first driver
+    # contact — the 9-row ACID governance ring, the 1-bit
+    # binary-quantization ANN rung, the QOI codec row, the
+    # distributed-Gram PCA row, and the 8-query stats/sampling wave
+    "acid_check_constraints", "acid_generated_columns",
+    "acid_restore_version", "acid_wap_publish",
+    "acid_metadata_tables", "acid_minmax_metadata_pushdown",
+    "acid_bloom_index_lookup", "acid_ivm_join_view",
+    "stream_acid_to_acid_pipeline",
+    "bq_knn_recall_verified", "multimodal_qoi_decode_stats",
+    "pca_covariance_eigen",
+    "fisher_exact_segment_balance", "corr_matrix_lineitem",
+    "calibration_bins_brier", "xcorr_revenue_orders_lagk",
+    "sample_weighted_priority", "sample_stratified_proportional",
+    "bootstrap_ci_daily_median", "lm_dirichlet_retrieval_topk",
+    # rotated out in round 14 (all r13-driver-green; local gate covers)
     "acid_partitioned_scan", "acid_merge_three_way",
     "acid_bucket_pruned_lookup", "stream_acid_source_demo",
     "multimodal_gif_anim_stats", "multimodal_jpeg_progressive_stats",
@@ -86,8 +95,6 @@ _CONTRACT_ORDER = [
     "kaplan_meier_transit",
     "tdigest_quantiles_verified", "markov_event_transitions",
     "shannon_entropy_tokens_by_lang", "zipf_slope_top_terms",
-    # rows 49-50: next 2 heads of the REGISTRY rotation queue (the
-    # round-8 session-2 advanced-analytics family)
     "hierarchy_share_rollup", "sink_schema_evolution_mergeread",
     # rotated out in round 13 (all r12-driver-green; local gate covers)
     "acid_compact_optimize", "acid_stats_pruned_scan",
