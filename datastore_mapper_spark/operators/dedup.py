@@ -572,3 +572,79 @@ def capped_jaccard_pairs(doc_toks: DataFrame, df_cap: int) -> DataFrame:
             F.size("tb").alias("sz2"),
         )
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (Lee et al.'s suffix-array step
+    restated relationally, round-13 VERDICT task 6): rewrite every
+    document with each duplicated ``n``-token span removed except the
+    span's FIRST occurrence in (doc_id, position) order.  Every
+    positional n-gram occurrence is ranked within its gram by
+    (doc_id, position); non-first occurrences mark their n token
+    positions deleted; the rewritten text is the surviving tokens
+    rejoined in order.  Overlapping duplicated spans union their
+    deleted ranges; intra-document repeats collapse to the first
+    position.  Returns (id, n_tokens_before, n_tokens_after,
+    text_clean).
+
+    Scale posture: one window rank shuffled on the gram key (at
+    100 TB the gram carries as xxhash64; boilerplate skew takes the
+    near-dup family's df-cap/salting levers), one doc_id-partitioned
+    anti-join, one order-preserving re-agg bounded by document
+    length.  No all-pairs stage, no driver materialization."""
+    from pyspark.sql import Window
+
+    t = F.split(text_col, " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), t.alias("t"))
+    tok = base.select(
+        "doc_id", F.posexplode("t").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (n - 1)),
+        lambda i: F.array_join(F.slice("t", i, n), " "),
+    )
+    sh = (
+        base.filter(F.size("t") >= n)
+        .select("doc_id", F.posexplode(grams).alias("i0", "g"))
+        .select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+    )
+    w = Window.partitionBy("g").orderBy("doc_id", "i")
+    deleted = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1)))
+            .alias("p"),
+        )
+        .distinct()
+    )
+    kept = tok.join(deleted, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens_after"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ), " ",
+        ).alias("text_clean"),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(F.split(text_col, " ")).cast("long")
+            .alias("n_tokens_before"),
+        )
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens_before",
+            F.coalesce(F.col("n_tokens_after"), F.lit(0)).cast("long")
+            .alias("n_tokens_after"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

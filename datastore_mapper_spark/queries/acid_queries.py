@@ -2396,3 +2396,205 @@ def acid_liquid_recluster(spark, sf_dir):
                 F.lit(bool(incremental)).alias("incremental_ok"),
                 F.lit(bool(clustered)).alias("clustered_ok"))
     )
+
+
+@query(
+    "acid_branch_publish",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS branch_isolated_ok,
+           TRUE AS publish_squash_ok
+    FROM orders
+    WHERE o_orderkey % 9 <> 1
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_branch_publish(spark, sf_dir):
+    """NAMED BRANCHES (round 14 — generalizing WAP's one-shot clone
+    into Iceberg branch refs, ``acid_lite.create_branch`` /
+    ``publish_branch``): main holds the ``%3==0`` third of orders;
+    branch ``etl`` takes MULTIPLE independent commits — an append of
+    the ``%3==1`` third POISONED (``%9==1`` keys carry negated
+    prices), then a CoW DELETE fixing them (the multi-cycle
+    write/audit loop WAP's single staging can't express); branch
+    ``hotfix`` appends the disjoint ``%3==2`` third.  Publishing
+    ``etl`` then ``hotfix`` lands each branch's NET effect as one
+    squash commit, the second REBASING over the first — the
+    publish-vs-publish receipt inside the graded row.  Final table =
+    everything except the poisoned keys (``o_orderkey % 9 <> 1``).
+
+    ``branch_isolated_ok`` grades isolation + branch mechanics: while
+    both branches carried unpublished commits, main was still at v1
+    with its exact pre-fork (count, cents) aggregate; both branches
+    were listed; branch time travel to the fork point returned main's
+    v1 row count; and the etl branch's poison was visible ONLY on the
+    branch.  ``publish_squash_ok`` grades the publish mechanics: each
+    publish advanced main by EXACTLY one version (two branch commits
+    squash to one), both commits are wap_publish rebase commits, no
+    absolute refs leaked into main's manifest, and the default
+    publish consumed both branches.  At 100 TB a branch is the
+    long-lived form of WAP: days of staged commits, audited in place,
+    landing as one atomic, conflict-checked fast-forward — driver
+    cost is manifest math + same-fs renames, never table bytes."""
+    dest = _table_dir("acid_branchmain", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    acid_lite.create_table(spark, dest, o.filter(k % 3 == 0).coalesce(2))
+    pre = acid_lite.read(spark, dest).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("s")
+    ).first()
+    etl = acid_lite.create_branch(dest, "etl")
+    acid_lite.create_branch(dest, "hotfix")
+    poisoned = (
+        o.filter(k % 3 == 1)
+        .withColumn("o_totalprice",
+                    F.when(k % 9 == 1, -F.col("o_totalprice"))
+                    .otherwise(F.col("o_totalprice")))
+    )
+    acid_lite.append(spark, etl, poisoned.coalesce(2))          # etl commit 1
+    n_bad = acid_lite.read_branch(spark, dest, "etl").filter(
+        F.col("o_totalprice") <= 0).count()
+    if n_bad:
+        acid_lite.delete_where(                                  # etl commit 2
+            spark, etl, "o_totalprice", None, 0.0)
+    acid_lite.append(spark, acid_lite.branch_path(dest, "hotfix"),
+                     o.filter(k % 3 == 2).coalesce(2))
+    expect_bad = poisoned.filter(F.col("o_totalprice") <= 0).count()
+    mid = acid_lite.read(spark, dest).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("s")
+    ).first()
+    fork_n = acid_lite.read_branch(spark, dest, "etl", version=1).count()
+    isolated = (
+        acid_lite.latest_version(dest) == 1
+        and (mid.n, mid.s) == (pre.n, pre.s)
+        and sorted(acid_lite.list_branches(dest)) == ["etl", "hotfix"]
+        and fork_n == pre.n
+        and (n_bad == expect_bad > 0 or pre.n == 0)
+    )
+    v1 = acid_lite.publish_branch(spark, dest, "etl")
+    v2 = acid_lite.publish_branch(spark, dest, "hotfix")
+    mp = acid_lite._read_manifest(dest, v2)
+    hist_ops = {h["version"]: h["op"]
+                for h in acid_lite.describe_history(dest)}
+    squash = (
+        v1 == 2 and v2 == 3
+        and hist_ops.get(v1) == "wap_publish"
+        and hist_ops.get(v2) == "wap_publish"
+        and not any(os.path.isabs(f) for f in mp["files"])
+        and acid_lite.list_branches(dest) == []
+    )
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, dest)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                F.lit(bool(isolated)).alias("branch_isolated_ok"),
+                F.lit(bool(squash)).alias("publish_squash_ok"))
+    )
+
+
+@query(
+    "acid_merge_schema_evolution",
+    "table-format",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 4 = 2
+                THEN o_totalprice + 500.0 ELSE o_totalprice
+           END AS o_totalprice,
+           CASE WHEN o_orderkey % 4 = 2 THEN 'U' ELSE o_orderstatus
+           END AS o_orderstatus,
+           CASE WHEN o_orderkey % 4 >= 2
+                THEN CAST(o_orderkey % 97 AS DOUBLE) END AS priority_score,
+           TRUE AS evolved_in_one_commit_ok,
+           TRUE AS cdf_widened_ok
+    FROM orders
+    WHERE o_orderkey % 8 <> 6
+    """,
+)
+def acid_merge_schema_evolution(spark, sf_dir):
+    """MERGE-TIME SCHEMA EVOLUTION (round 14 — Delta's
+    ``withSchemaEvolution()``, round-13 VERDICT task 5): the target
+    holds the ``%4 IN (0,1,2)`` three-quarters of orders WITHOUT the
+    ``priority_score`` column; one ``merge_three_way(...,
+    evolve_schema=True)`` commit then applies a source carrying the
+    NEW column — WHEN MATCHED UPDATE on the ``%4==2`` quarter
+    (+500.00, status 'U', score attached), WHEN MATCHED DELETE on its
+    ``%8==6`` half-quarter, WHEN NOT MATCHED INSERT of the ``%4==3``
+    quarter — and the table widens additively in the SAME commit:
+    untouched rows read NULL for the new column, updated + inserted
+    rows carry ``CAST(o_orderkey % 97 AS DOUBLE)`` (an exact small
+    integer, no FP seam).
+
+    ``evolved_in_one_commit_ok`` grades the one-commit contract: the
+    merge advanced the version by EXACTLY one, that manifest's schema
+    gained ``priority_score double`` while every prior version kept
+    the old schema, and the op is the ordinary ``merge3`` (evolution
+    is a property of the commit, not a separate ALTER).
+    ``cdf_widened_ok`` grades the change-feed composition: CDF across
+    the merge reports every update with a NULL-backfilled pre-image
+    score and a non-NULL post-image score, plus exactly the expected
+    insert/delete cardinalities.  At 100 TB this is the CDC idiom
+    where an upstream adds a field mid-stream: the pipeline widens
+    the silver table transactionally instead of pausing for a
+    coordinated ALTER + backfill."""
+    dest = _table_dir("acid_merge_evo", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    acid_lite.create_table(
+        spark, dest, o.filter(k % 4 < 3).coalesce(2))
+    v_pre = acid_lite.latest_version(dest)
+    src = o.filter((k % 4).isin(2, 3)).select(
+        "o_orderkey", "o_custkey",
+        F.when(k % 4 == 2, F.col("o_totalprice") + 500.0)
+        .otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(k % 4 == 2, F.lit("U"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        (k % 97).cast("double").alias("priority_score"),
+        (k % 8 == 6).alias("_deleted"),
+    )
+    v = acid_lite.merge_three_way(
+        spark, dest, src, key="o_orderkey", delete_col="_deleted",
+        evolve_schema=True)
+    mv = acid_lite._read_manifest(dest, v)
+    m_pre = acid_lite._read_manifest(dest, v_pre)
+    one_commit = (
+        v == v_pre + 1
+        and "priority_score double" in mv["schema"]
+        and "priority_score" not in m_pre["schema"]
+        and mv.get("op") == "merge3"
+    )
+    cdf = acid_lite.change_data_feed(
+        spark, dest, "o_orderkey", v_pre, v).localCheckpoint()
+    counts = {r._change_type: (r.n, r.pre_null, r.post_null)
+              for r in cdf.groupBy("_change_type").agg(
+                  F.count("*").alias("n"),
+                  F.sum(F.col("priority_score").isNull().cast("bigint"))
+                  .alias("pre_null"),
+                  F.sum(F.col("priority_score").isNotNull().cast("bigint"))
+                  .alias("post_null")).collect()}
+    n_upd = o.filter((k % 4 == 2) & (k % 8 != 6)).count()
+    n_del = o.filter(k % 8 == 6).count()
+    n_ins = o.filter(k % 4 == 3).count()
+    pre_row = counts.get("update_preimage", (0, 0, 0))
+    post_row = counts.get("update_postimage", (0, 0, 0))
+    cdf_ok = (
+        pre_row[0] == n_upd and pre_row[1] == n_upd     # pre-images NULL
+        and post_row[0] == n_upd and post_row[2] == n_upd  # post non-NULL
+        and counts.get("delete", (0, 0, 0))[0] == n_del
+        and counts.get("insert", (0, 0, 0))[0] == n_ins
+    ) or (n_upd + n_del + n_ins == 0)
+    return acid_lite.read(spark, dest, v).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "priority_score",
+        F.lit(bool(one_commit)).alias("evolved_in_one_commit_ok"),
+        F.lit(bool(cdf_ok)).alias("cdf_widened_ok"))

@@ -206,25 +206,51 @@ def _encode_len_udf(merges: list[tuple[str, str]]):
 @query(
     "bpe_encode_token_count",
     "LLM-pipeline/tokenizer",
-    oracle=None,
-    description="Encode the corpus with the 10 trained BPE merges and "
-    "report per-language whitespace-token vs BPE-token totals and the "
-    "compression ratio — rows-only (iterative trainer upstream); pytest "
-    "differential-tests encoded lengths against the pure-Python encoder.",
+    oracle="""
+    WITH w AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS whitespace_tokens,
+           CAST(sum(len(w)) AS BIGINT) AS char_symbols,
+           TRUE AS encode_bounds_ok,
+           TRUE AS merges_applied_ok
+    FROM w
+    WHERE len(w) >= 1
+    GROUP BY lang
+    """,
 )
 def bpe_encode_token_count(spark, sf_dir):
     """The tokenizer loop closed: train merges (``bpe_train``), then
-    ENCODE the corpus with them and measure what the vocabulary buys —
-    per-language totals of whitespace tokens, character symbols, and
-    BPE tokens, plus the chars-per-BPE-token compression ratio (the
-    number a tokenizer team actually tracks).
+    ENCODE the corpus with them — PROMOTED round 14 from rows-only to
+    oracle-checked conservation-law verify (r13 VERDICT task 7): the
+    HASHED values are the per-language whitespace-token and
+    character-symbol totals (DuckDB restates both exactly from raw
+    text); the BPE-dependent numbers ride two graded booleans instead
+    of entering the hash, because the iterative trainer has no SQL
+    twin.
+
+    ``encode_bounds_ok`` — every vocabulary word encodes to between 1
+    token and its character count (1 <= enc_len <= len(w), checked
+    per word, plus the corpus-level consequence whitespace_tokens <=
+    bpe_tokens <= char_symbols).  ``merges_applied_ok`` — the
+    merges-applied accounting: encoding with ZERO merges returns
+    exactly len(w) for every word (each merge application removes
+    exactly one symbol, so char_symbols - bpe_tokens IS the number of
+    applications), and the merge ladder is monotone per word
+    (enc_len under 10 merges <= under the first 5 <= under 0 — a
+    prefix merge list leaves both encoders in the identical state
+    before the extra rules, which only shorten).  The pure-Python
+    encoder differential stays in pytest.
 
     Scale shape: encoding is computed ONCE PER DISTINCT (lang, word)
     — the per-language word-frequency table — and weighted by
-    occurrence count, so the pandas UDF touches |vocab| rows, not
-    corpus tokens; everything after is JVM aggregation.  At 100 TB
-    the trained merge list is a broadcast-sized artifact and encode
-    stays vocab-bounded per partition."""
+    occurrence count, so the pandas UDF touches |vocab| rows (3x for
+    the ladder), not corpus tokens; everything after is JVM
+    aggregation.  At 100 TB the trained merge list is a
+    broadcast-sized artifact and encode stays vocab-bounded per
+    partition."""
     merges_df = bpe_train(spark, sf_dir, n_merges=10)
     merges = [
         (r.left, r.right)
@@ -237,16 +263,24 @@ def bpe_encode_token_count(spark, sf_dir):
         .groupBy("lang", "w")
         .agg(F.count("*").alias("f"))
     )
-    enc = wf.withColumn("enc_len", _encode_len_udf(merges)("w"))
+    enc = wf.withColumn("enc_len", _encode_len_udf(merges)("w")) \
+        .withColumn("enc_len5", _encode_len_udf(merges[:5])("w")) \
+        .withColumn("enc_len0", _encode_len_udf([])("w")) \
+        .localCheckpoint()  # vocab-sized; reused by laws + aggregate
+    n_bounds_bad = enc.filter(
+        (F.col("enc_len") < 1) | (F.col("enc_len") > F.length("w"))
+    ).count()
+    n_law_bad = enc.filter(
+        (F.col("enc_len0") != F.length("w"))
+        | (F.col("enc_len") > F.col("enc_len5"))
+        | (F.col("enc_len5") > F.col("enc_len0"))
+    ).count()
     return enc.groupBy("lang").agg(
         F.sum("f").cast("bigint").alias("whitespace_tokens"),
         F.sum(F.col("f") * F.length("w")).cast("bigint")
         .alias("char_symbols"),
-        F.sum(F.col("f") * F.col("enc_len")).cast("bigint")
-        .alias("bpe_tokens"),
-        F.round(
-            F.sum(F.col("f") * F.length("w")).cast("double")
-            / F.sum(F.col("f") * F.col("enc_len")).cast("double"),
-            4,
-        ).alias("chars_per_bpe_token"),
+    ).select(
+        "lang", "whitespace_tokens", "char_symbols",
+        F.lit(bool(n_bounds_bad == 0)).alias("encode_bounds_ok"),
+        F.lit(bool(n_law_bad == 0)).alias("merges_applied_ok"),
     )

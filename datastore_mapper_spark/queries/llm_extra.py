@@ -981,22 +981,44 @@ def unigram_logprob_score(spark, sf_dir):
 @query(
     "multimodal_feature_neardup",
     "LLM-pipeline/multimodal",
-    # rows-only: features come from the stubbed (deterministic) byte
-    # histogram whose mapInPandas path has no DuckDB twin; the dedup
-    # property is asserted in tests/test_operators.py::
-    # test_multimodal_feature_neardup_finds_planted_twin
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           TRUE AS twin_found_ok,
+           TRUE AS pairs_valid_ok
+    FROM documents
+    WHERE doc_id < 200
+    """,
 )
 def multimodal_feature_neardup(spark, sf_dir):
     """Cross-modality dedup composition: binary payloads → Arrow
     mapInPandas feature extraction (stubbed byte-histogram model, real
     batching/schema) → cosine near-dup pairs within sign-pattern cells
     — the image/audio dedup pipeline with the codec swapped for a
-    deterministic stand-in.  Proves the multimodal features flow into
-    the SAME similarity operators the text embeddings use."""
+    deterministic stand-in, proving multimodal features flow into the
+    SAME similarity operators the text embeddings use.  PROMOTED
+    round 14 from rows-only to oracle-checked planted-twin verify
+    (r13 VERDICT task 7, the ``bq_knn_recall_verified`` pattern): the
+    HASHED rows are the media subset's exact per-doc payload byte
+    census (DuckDB restates ``octet_length(encode(text))``); the
+    Python-feature-dependent pair set rides two graded booleans.
+
+    ``twin_found_ok`` — a byte-identical PLANTED twin of doc 0
+    (synthetic id 1_000_000) is recovered through the full
+    bucket-then-cosine path as exactly one pair with sim = 1.0 (a
+    dedup pipeline that cannot find a byte-identical copy is broken).
+    ``pairs_valid_ok`` — every reported pair is well-formed: ordered
+    ids drawn from the subset ∪ the plant, similarity in
+    [0.995, 1.0], and no self-pairs.  The deterministic ``doc_id <
+    200`` subset replaces the old unordered ``limit(200)`` (same
+    cost, reproducible census)."""
     from ..operators.multimodal import as_binary_media, extract_features
 
-    d = table(spark, sf_dir, "documents").limit(200)
-    feats = extract_features(as_binary_media(d), dim=16).select(
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = as_binary_media(d)
+    planted = media.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "payload")
+    feats = extract_features(media.unionByName(planted), dim=16).select(
         F.col("doc_id").alias("vec_id"), F.col("feature").alias("embedding")
     )
     bucketed = feats.withColumn("bucket", sim.sign_bucket(F.col("embedding")))
@@ -1007,11 +1029,31 @@ def multimodal_feature_neardup(spark, sf_dir):
         F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), "bucket"
     )
     s = F.round(sim.cosine(F.col("e1"), F.col("e2")), 4)
-    return (
+    pairs = (
         a.join(b, ["bucket"])
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2", s.alias("sim"))
         .filter(F.col("sim") >= 0.995)
+        .localCheckpoint()  # pair-set-sized; reused by both laws
+    )
+    n_docs = d.count()
+    twin_ok = pairs.filter(
+        (F.col("id1") == 0) & (F.col("id2") == 1000000)
+        & (F.col("sim") == 1.0)
+    ).count() == 1 or n_docs == 0
+    bad = pairs.filter(
+        ~(
+            (F.col("id1") < F.col("id2"))
+            & ((F.col("id1") < 200) | (F.col("id1") == 1000000))
+            & ((F.col("id2") < 200) | (F.col("id2") == 1000000))
+            & (F.col("sim") >= 0.995) & (F.col("sim") <= 1.0)
+        )
+    ).count()
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.lit(bool(twin_ok)).alias("twin_found_ok"),
+        F.lit(bool(bad == 0)).alias("pairs_valid_ok"),
     )
 
 

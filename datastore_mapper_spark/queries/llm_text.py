@@ -143,7 +143,8 @@ def clean_scratch(grace_seconds: int = _SCRATCH_GRACE_SECONDS) -> list[str]:
             removed.append(d)
             continue
         if d.startswith(("near_dup_edges_", "near_dup_tricredits_",
-                         "near_dup_doccensus_", "near_dup_cclabels_")):
+                         "near_dup_doccensus_", "near_dup_cclabels_",
+                         "near_dup_kcore2twin_")):
             # group by everything before the trailing content tag; the
             # tag is the last _-separated component
             prefix = d.rsplit("_", 1)[0]
@@ -1085,6 +1086,76 @@ def ngram_span_dup_coverage(spark, sf_dir):
 
 
 @query(
+    "dedup_remove_duplicate_spans",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tok AS (
+        SELECT doc_id, u.i AS p, t[u.i] AS tok
+        FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+    ), sh AS (
+        SELECT doc_id, u.i AS i, array_to_string(t[u.i:u.i+4], ' ') AS g
+        FROM toks, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5
+    ), occ AS (
+        SELECT doc_id, i,
+               row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn
+        FROM sh
+    ), del AS (
+        SELECT DISTINCT o.doc_id, o.i + d.x AS p
+        FROM occ o, UNNEST(generate_series(0, 4)) AS d(x)
+        WHERE o.rn > 1
+    ), kept AS (
+        SELECT tk.doc_id, tk.p, tk.tok
+        FROM tok tk
+        LEFT JOIN del ON tk.doc_id = del.doc_id AND tk.p = del.p
+        WHERE del.p IS NULL
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT)
+               AS n_tokens_before,
+           CAST(count(k.p) AS BIGINT) AS n_tokens_after,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '')
+               AS text_clean
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.doc_id, d.text
+    """,
+)
+def dedup_remove_duplicate_spans(spark, sf_dir):
+    """Exact-substring dedup REMOVAL (round-13 VERDICT task 6 — the
+    ship step after :func:`ngram_span_dup_coverage`'s detection, Lee
+    et al.'s suffix-array pass restated relationally): the corpus is
+    REWRITTEN with every duplicated >=5-token span removed except its
+    FIRST occurrence in (doc_id, position) order.  Every positional
+    5-gram occurrence is ranked within its gram by (doc_id, i); a
+    rank->1 occurrence marks its 5 token positions for deletion; the
+    rewritten text is the surviving tokens rejoined in order — so a
+    span repeated across documents survives exactly once (in the
+    lowest-keyed document), intra-document repeats collapse to the
+    first position, and overlapping duplicated spans union their
+    deleted ranges.  Output carries before/after token counts and
+    the full rewritten text, hash-compared against DuckDB restating
+    the same removal.
+
+    Plan shape, all JVM built-ins: positional shingles via
+    ``posexplode(transform(sequence(...)))``, ONE window rank
+    partitioned by gram (the corpus-wide "who is first" decision),
+    one explode of deleted ranges, one anti-join against the token
+    table, one order-preserving re-agg
+    (``array_join(transform(array_sort(collect_list(struct(p,tok)))))``).
+    At 100 TB: grams carry as xxhash64 keys (strings kept here for
+    oracle parity), the gram window is a shuffle on the gram key with
+    boilerplate skew handled by the same df-cap/salting levers as the
+    near-dup family, and the token anti-join co-partitions on doc_id
+    — no all-pairs stage anywhere."""
+    from ..operators.dedup import remove_duplicate_spans
+
+    d = table(spark, sf_dir, "documents")
+    return remove_duplicate_spans(d, n=5)
+
+
+@query(
     "dedup_incremental_ingest",
     "LLM-pipeline",
     oracle="""
@@ -1245,13 +1316,23 @@ def graph_kcore_membership(spark, sf_dir):
     agreement proves maximality (the k-core is unique, and two
     independent peels agreeing on it is the strongest check available
     without a SQL formulation).  The distributed peel reads the
-    materialized pair-graph snapshot, never the raw pair join."""
+    materialized pair-graph snapshot, never the raw pair join.
+
+    The TWIN's output is itself content-addressed (round-13 VERDICT
+    task 3, the census/labels pattern): the single-task numpy peel is
+    a pure function of the immutable edge snapshot, so its
+    (node, degree) set is built once per corpus tag and replayed from
+    ``_scratch/near_dup_kcore2twin_<tag>`` after that — the verify
+    cost stops re-paying the O(graph) single-task pass per run while
+    the DISTRIBUTED peel under test still executes every time."""
     from ..operators.graph import kcore, kcore_single_task
 
     edges = near_dup_edges(spark, sf_dir)
     core = kcore(edges, k=2).localCheckpoint()
-    twin = {(r.node, r.degree) for r in
-            kcore_single_task(edges, k=2).collect()}
+    twin_df = _read_or_build_snapshot(
+        spark, f"near_dup_kcore2twin_{_corpus_snapshot_tag(sf_dir)}",
+        lambda: kcore_single_task(edges, k=2))
+    twin = {(r.node, r.degree) for r in twin_df.collect()}
     got = {(r.node, r.degree) for r in core.collect()}
     twin_ok = got == twin
     # independent min-degree recompute: full edge list restricted to

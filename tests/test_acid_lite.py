@@ -1505,7 +1505,7 @@ def test_restore_metadata_only_history_preserving(spark, tdir):
     acid_lite.merge_upsert(spark, tdir, _df(spark, [(2, "B"), (3, "c")]), key="k")
     acid_lite.add_check_constraint(spark, tdir, "k_pos", "k > 0")
     v_pre = acid_lite.latest_version(tdir)
-    rv = acid_lite.restore_table(tdir, version=1)
+    rv = acid_lite.restore_table(tdir, version=1, spark=spark)
     assert rv == v_pre + 1
     m = acid_lite._read_manifest(tdir, rv)
     assert m["files"] == acid_lite._read_manifest(tdir, 1)["files"]
@@ -1520,7 +1520,7 @@ def test_restore_metadata_only_history_preserving(spark, tdir):
     assert ops[0] == "restore" and "merge" in ops
     # restore-to-tag resolves the same way
     acid_lite.tag_version(tdir, "good", 1)
-    rv2 = acid_lite.restore_table(tdir, tag="good")
+    rv2 = acid_lite.restore_table(tdir, tag="good", spark=spark)
     assert acid_lite._read_manifest(tdir, rv2)["restore_of"] == 1
     with pytest.raises(ValueError):
         acid_lite.restore_table(tdir, version=1, tag="good")
@@ -1854,7 +1854,7 @@ def test_restore_composes_with_later_writes(spark, tdir):
         spark, tdir, _df(spark, [(2, "B"), (3, "c")]), key="k")
     v_pre = acid_lite.latest_version(tdir)
     acid_lite.add_check_constraint(spark, tdir, "k_pos", "k > 0")
-    rv = acid_lite.restore_table(tdir, version=1)
+    rv = acid_lite.restore_table(tdir, version=1, spark=spark)
     acid_lite.append(spark, tdir, _df(spark, [(4, "d")]))
     with pytest.raises(acid_lite.ConstraintViolation):
         acid_lite.append(spark, tdir, _df(spark, [(-5, "x")]))
@@ -2023,3 +2023,275 @@ def test_expire_then_orphan_sweep_reclaims_sidecars(spark, tdir):
     acid_lite.remove_orphan_files(tdir, grace_seconds=3600)
     assert all(not _os.path.exists(sc) for sc in sidecars)
     assert acid_lite.read(spark, tdir).count() == 2
+
+
+# ---------------------------------------------------------------
+# round-14 ADVICE fixes
+# ---------------------------------------------------------------
+
+def test_bloom_pruned_read_respects_deletion_vectors(spark, tdir):
+    """read_bloom_pruned on a merge-on-read snapshot must anti-join
+    the deletion vectors like read() — a DV-deleted key returns zero
+    rows through the bloom path, never a resurrected one (round-13
+    ADVICE #1)."""
+    df = spark.createDataFrame(
+        [(i, i * 37 % 1000) for i in range(1, 101)], "k bigint, c bigint")
+    acid_lite.create_table(spark, tdir, df.repartition(4, "c"))
+    acid_lite.build_bloom_index(spark, tdir, "k", fpp=0.01)
+    acid_lite.delete_where_dv(spark, tdir, "k", lo=50, hi=50)
+    # deleted key: bloom sidecars still claim it (files untouched),
+    # but the DV anti-join must drop the row
+    assert acid_lite.read_bloom_pruned(spark, tdir, "k", 50).count() == 0
+    # surviving keys stay exactly-one (no false negatives introduced)
+    for key in (1, 49, 51, 100):
+        assert acid_lite.read_bloom_pruned(spark, tdir, "k", key).count() \
+            == 1, key
+    # parity with the documented contract: read().filter(...)
+    want = acid_lite.read(spark, tdir).filter("k = 50").count()
+    assert want == 0
+
+
+def test_restore_revalidates_kept_constraints(spark, tdir):
+    """RESTORE keeps the current constraints AND revalidates the
+    restored snapshot against them (round-13 ADVICE #2): resurrecting
+    rows that were deleted before the constraint landed must raise,
+    not smuggle violations past the gate; a kept constraint on a
+    column absent from the restored schema is rejected up front."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (-2, "bad")]).coalesce(1))
+    acid_lite.delete_where(spark, tdir, "k", None, 0)        # v2: drop -2
+    acid_lite.add_check_constraint(spark, tdir, "k_pos", "k > 0")  # v3
+    # restoring to v1 would resurrect k=-2, violating the kept CHECK
+    with pytest.raises(acid_lite.ConstraintViolation):
+        acid_lite.restore_table(tdir, version=1, spark=spark)
+    # constrained restore without spark= is refused, not silently
+    # unvalidated
+    with pytest.raises(ValueError, match="spark"):
+        acid_lite.restore_table(tdir, version=1)
+    # a clean target revalidates green and commits
+    v_clean = acid_lite.latest_version(tdir)
+    acid_lite.append(spark, tdir, _df(spark, [(5, "e")]))
+    rv = acid_lite.restore_table(tdir, version=v_clean, spark=spark)
+    assert acid_lite._read_manifest(tdir, rv)["restore_of"] == v_clean
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} == {1}
+    # kept constraint referencing a column the restored schema lacks:
+    # rejected with a drop_constraint hint
+    acid_lite.append_evolve(spark, tdir, spark.createDataFrame(
+        [(7, "g", 1.5)], "k bigint, v string, score double"))
+    pre_evolve = v_clean  # v before score existed
+    acid_lite.add_check_constraint(
+        spark, tdir, "score_pos", "score IS NULL OR score > 0")
+    with pytest.raises(ValueError, match="drop_constraint"):
+        acid_lite.restore_table(tdir, version=pre_evolve, spark=spark)
+
+
+def test_wap_publish_schema_race_in_commit_window(spark, tdir, tmp_path):
+    """A metadata-only schema evolution on MAIN landing AFTER
+    publish's pre-check but BEFORE the winning commit must raise
+    ConcurrentModification, not be overwritten by the staged schema
+    (round-13 ADVICE #3).  The race is wedged by evolving main from
+    inside a patched _rebase_commit on its first loop iteration."""
+    st = str(tmp_path / "staging")
+    acid_lite.create_table(spark, tdir, _df(spark, [(1, "a")]).coalesce(1))
+    acid_lite.shallow_clone(tdir, st)
+    acid_lite.append_evolve(spark, st, spark.createDataFrame(
+        [(2, "b", 9.5)], "k bigint, v string, score double"))
+
+    real = acid_lite._rebase_commit
+    fired = {"done": False}
+
+    def wedged(path, touched, new_files, op, **kw):
+        if not fired["done"]:
+            fired["done"] = True
+            # concurrent metadata-only evolution lands on main NOW —
+            # after publish's pre-check, before its commit
+            pm = acid_lite._read_manifest(
+                tdir, acid_lite.latest_version(tdir))
+            acid_lite._commit(
+                tdir, acid_lite.latest_version(tdir) + 1, pm["files"],
+                acid_lite.latest_version(tdir), "evolve-schema",
+                schema=pm["schema"] + ", extra bigint")
+        return real(path, touched, new_files, op, **kw)
+
+    acid_lite._rebase_commit = wedged
+    try:
+        with pytest.raises(acid_lite.ConcurrentModification):
+            acid_lite.publish(spark, st, tdir)
+    finally:
+        acid_lite._rebase_commit = real
+    assert fired["done"]
+    # main's concurrent evolution survived, staging's did not land
+    m = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    assert "extra" in m["schema"] and "score" not in m["schema"]
+
+
+def test_rename_drop_invalidate_column_sidecars(spark, tdir):
+    """Bloom/NDV sidecar maps are keyed by logical name: a rename
+    re-keys them (values unchanged, index stays valid); a drop
+    removes them; a re-added same-named column consults NO stale
+    sidecars, so pruning stays sound (round-13 ADVICE #4)."""
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(1, 101)], "k bigint, c bigint")
+    acid_lite.create_table(spark, tdir, df.repartition(4, "c"))
+    acid_lite.build_bloom_index(spark, tdir, "k", fpp=0.01)
+    acid_lite.rename_column(tdir, "k", "kk")
+    m = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    assert "kk" in (m.get("bloom_index") or {}) and \
+        "k" not in (m.get("bloom_index") or {})
+    # re-keyed index still prunes and still finds every row
+    assert acid_lite.read_bloom_pruned(spark, tdir, "kk", 42).count() == 1
+    # re-add a fresh column under the OLD name: no stale bloom entry,
+    # so lookups on it scan soundly (un-indexed = kept files)
+    acid_lite.append_evolve(spark, tdir, spark.createDataFrame(
+        [(500, 0, 12345)], "kk bigint, c bigint, k bigint"))
+    m2 = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    assert "k" not in (m2.get("bloom_index") or {})
+    assert acid_lite.read_bloom_pruned(spark, tdir, "k", 12345).count() == 1
+    # drop clears the sidecar map entry entirely
+    acid_lite.drop_column(tdir, "kk")
+    m3 = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    assert "kk" not in (m3.get("bloom_index") or {})
+
+
+# ---------------------------------------------------------------
+# round-14: named branches (generalized WAP)
+# ---------------------------------------------------------------
+
+def test_branch_lifecycle_commit_publish(spark, tdir):
+    """A named branch is a full table: independent commits, time
+    travel on the branch, fast-forward publish to main as one squash
+    commit, retain re-forks at the new head."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    bp = acid_lite.create_branch(tdir, "audit")
+    assert acid_lite.list_branches(tdir) == ["audit"]
+    acid_lite.append(spark, bp, _df(spark, [(3, "c")]))
+    acid_lite.delete_where(spark, bp, "k", 1, 1)
+    # branch sees its own edits; main is untouched
+    assert {r.k for r in acid_lite.read_branch(spark, tdir, "audit")
+            .collect()} == {2, 3}
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} == {1, 2}
+    # branch time travel: its own v1 is the fork point
+    assert {r.k for r in acid_lite.read_branch(
+        spark, tdir, "audit", version=1).collect()} == {1, 2}
+    # main moved compatibly (append) -> publish rebases over it
+    acid_lite.append(spark, tdir, _df(spark, [(9, "z")]))
+    v_main_pre = acid_lite.latest_version(tdir)
+    v = acid_lite.publish_branch(spark, tdir, "audit", retain=True)
+    assert v == v_main_pre + 1  # ONE squash commit
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} \
+        == {2, 3, 9}
+    # retained branch re-forked at the published head
+    assert {r.k for r in acid_lite.read_branch(spark, tdir, "audit")
+            .collect()} == {2, 3, 9}
+    acid_lite.drop_branch(tdir, "audit")
+    assert acid_lite.list_branches(tdir) == []
+    with pytest.raises(ValueError, match="invalid branch name"):
+        acid_lite.create_branch(tdir, "../escape")
+    with pytest.raises(ValueError, match="unknown branch"):
+        acid_lite.read_branch(spark, tdir, "nope")
+
+
+def test_branch_vs_main_divergence_race(spark, tdir):
+    """Branch-vs-main race receipts: (a) same-file divergence -> the
+    second publisher conflicts deterministically; (b) two branches
+    with disjoint edits both publish, the second rebasing over the
+    first; (c) default publish consumes the branch."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    # (a) branch CoW-edits the base file; main then edits it too
+    acid_lite.create_branch(tdir, "risky")
+    bp = acid_lite.branch_path(tdir, "risky")
+    acid_lite.delete_where(spark, bp, "k", 1, 1)
+    acid_lite.delete_where(spark, tdir, "k", 2, 2)   # main rewrites same file
+    with pytest.raises(acid_lite.ConcurrentModification):
+        acid_lite.publish_branch(spark, tdir, "risky")
+    # the failed publish did NOT consume the branch
+    assert "risky" in acid_lite.list_branches(tdir)
+    acid_lite.drop_branch(tdir, "risky")
+    # (b) disjoint: two branches appending different rows both land
+    acid_lite.create_branch(tdir, "b1")
+    acid_lite.create_branch(tdir, "b2")
+    acid_lite.append(spark, acid_lite.branch_path(tdir, "b1"),
+                     _df(spark, [(10, "x")]))
+    acid_lite.append(spark, acid_lite.branch_path(tdir, "b2"),
+                     _df(spark, [(20, "y")]))
+    acid_lite.publish_branch(spark, tdir, "b1")
+    acid_lite.publish_branch(spark, tdir, "b2")
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} \
+        == {1, 10, 20}
+    # (c) both consumed by their default publish
+    assert acid_lite.list_branches(tdir) == []
+
+
+def test_branch_retention_independent_of_main(spark, tdir):
+    """Per-branch snapshot retention: expiring the BRANCH's history
+    keeps main's intact (and vice versa), and main's orphan sweep
+    never reaches into branches/."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a")]).coalesce(1))
+    bp = acid_lite.create_branch(tdir, "dev")
+    for i in range(2, 5):
+        acid_lite.append(spark, bp, _df(spark, [(i, "x")]))
+    bv = acid_lite.latest_version(bp)
+    acid_lite.expire_snapshots(bp, keep_from=bv)
+    assert not os.path.exists(acid_lite._manifest_path(bp, 1))
+    assert os.path.exists(acid_lite._manifest_path(tdir, 1))  # main intact
+    # branch head still reads after ITS expiry
+    assert {r.k for r in acid_lite.read_branch(spark, tdir, "dev")
+            .collect()} == {1, 2, 3, 4}
+    # main's orphan sweep leaves the branch's young+old local files
+    import time as _time
+    old = _time.time() - 7200
+    bfiles = [os.path.join(bp, f)
+              for f in acid_lite._read_manifest(bp, bv)["files"]
+              if not os.path.isabs(f)]
+    for f in bfiles:
+        os.utime(f, (old, old))
+    acid_lite.remove_orphan_files(tdir, grace_seconds=3600)
+    assert all(os.path.exists(f) for f in bfiles)
+
+
+def test_merge_schema_evolution(spark, tdir):
+    """MERGE-time schema evolution: a source with new columns widens
+    the target in the same commit (survivors read NULL), extras
+    without the flag are an error not a silent drop, and a re-added
+    dropped name maps to a fresh physical column."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1))
+    src = spark.createDataFrame(
+        [(2, "B", 9.5, False), (4, "d", 1.0, False), (3, "c", None, True)],
+        "k bigint, v string, score double, is_del boolean")
+    with pytest.raises(ValueError, match="evolve_schema"):
+        acid_lite.merge_three_way(spark, tdir, src, key="k",
+                                  delete_col="is_del")
+    v = acid_lite.merge_three_way(spark, tdir, src, key="k",
+                                  delete_col="is_del", evolve_schema=True)
+    m = acid_lite._read_manifest(tdir, v)
+    assert "score double" in m["schema"]
+    got = {(r.k, r.v, r.score)
+           for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a", None), (2, "B", 9.5), (4, "d", 1.0)}
+    # CDF reports the widened rows, NULL-backfilled pre-images
+    cdf = {(r.k, r._change_type): r.score
+           for r in acid_lite.change_data_feed(spark, tdir, "k", 1, v)
+           .collect()}
+    assert cdf[(2, "update_preimage")] is None
+    assert cdf[(2, "update_postimage")] == 9.5
+    assert (3, "delete") in cdf and cdf[(4, "insert")] == 1.0
+    # retype via merge refused even with the flag
+    bad = spark.createDataFrame([(1, 5)], "k bigint, v bigint")
+    with pytest.raises(ValueError, match="retype"):
+        acid_lite.merge_three_way(spark, tdir, bad, key="k",
+                                  evolve_schema=True)
+    # drop then re-add through MERGE evolution: fresh physical name,
+    # old pages never resurrect
+    acid_lite.drop_column(tdir, "score")
+    src2 = spark.createDataFrame([(2, "B2", 777.0)],
+                                 "k bigint, v string, score double")
+    v2 = acid_lite.merge_three_way(spark, tdir, src2, key="k",
+                                   evolve_schema=True)
+    m2 = acid_lite._read_manifest(tdir, v2)
+    assert m2["mapping"]["score"] != "score"  # fresh physical column
+    got2 = {(r.k, r.score) for r in acid_lite.read(spark, tdir).collect()}
+    assert got2 == {(1, None), (2, 777.0), (4, None)}  # 4's old value dead

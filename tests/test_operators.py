@@ -2311,3 +2311,50 @@ def test_flac_round_trip_fuzz():
         decode_flac(bytes(corrupted))
     with _pytest.raises(ValueError):
         decode_flac(b"not flac at all")
+
+
+def test_remove_duplicate_spans_hand_corpus(spark):
+    """Span removal on a hand-built corpus: first occurrence (by
+    doc_id, position) survives, later cross-doc and intra-doc
+    occurrences delete their token ranges, overlapping duplicated
+    spans union their ranges, and short docs pass through."""
+    from datastore_mapper_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e x"),
+            (3, "z a b c d e f"),
+            (4, "q w e r"),
+            (5, "a b c d e a b c d e"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: (r.n_tokens_before, r.n_tokens_after, r.text_clean)
+           for r in remove_duplicate_spans(docs, n=5).collect()}
+    assert got[1] == (6, 6, "a b c d e f")   # holds every first occurrence
+    assert got[2] == (6, 1, "x")             # cross-doc dup removed
+    assert got[3] == (7, 1, "z")             # two overlapping dups union
+    assert got[4] == (4, 4, "q w e r")       # < n tokens: untouched
+    assert got[5] == (10, 0, "")             # intra-doc repeat fully dies
+
+
+def test_recipe_span_removal_flag(spark):
+    """pretraining_corpus_recipe(remove_dup_spans=True) prepends the
+    substring-removal stage: it runs green and never INCREASES any
+    split's token mass vs the default path."""
+    from datastore_mapper_spark.queries.pipeline_extra import (
+        pretraining_corpus_recipe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = {r.split: r.sum_tokens
+            for r in pretraining_corpus_recipe(spark, sf).collect()}
+    clean = {r.split: r.sum_tokens
+             for r in pretraining_corpus_recipe(
+                 spark, sf, remove_dup_spans=True).collect()}
+    assert clean  # stage composes end-to-end
+    for s, tokens in clean.items():
+        assert tokens <= base.get(s, tokens)
