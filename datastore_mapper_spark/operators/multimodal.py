@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -525,14 +526,25 @@ def decode_png_rgb8(blob: bytes) -> tuple[int, int, np.ndarray]:
             f"interlace={interlace})"
         )
     raw = zlib.decompress(b"".join(idat))
+    out, _end = _png_unfilter(raw, 0, w, h)
+    return w, h, out.reshape(h, w, 3)
+
+
+def _png_unfilter(raw: bytes, offset: int, w: int, h: int
+                  ) -> tuple["np.ndarray", int]:
+    """Unfilter ``h`` scanlines of ``w`` RGB pixels starting at
+    ``offset`` in the inflated stream (all five PNG filter types) ->
+    ``((h, w*3) uint8, next_offset)``.  Shared by the sequential
+    decode path and the per-pass Adam7 path — per spec a pass's first
+    scanline filters against zeros, exactly like row 0 of a
+    non-interlaced image, so the same kernel serves both."""
     stride = w * 3
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        ftype = raw[y * (stride + 1)]
+        ftype = raw[offset]
         line = np.frombuffer(
-            raw, dtype=np.uint8,
-            count=stride, offset=y * (stride + 1) + 1,
+            raw, dtype=np.uint8, count=stride, offset=offset + 1,
         ).astype(np.int32)
         if ftype == 0:  # None
             cur = line
@@ -559,7 +571,121 @@ def decode_png_rgb8(blob: bytes) -> tuple[int, int, np.ndarray]:
             raise ValueError(f"PNG filter {ftype} invalid")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    return w, h, out.reshape(h, w, 3)
+        offset += stride + 1
+    return out, offset
+
+
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass, and the block each
+#: decoded sample FILLS in the progressive preview (block_w, block_h).
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+_ADAM7_BLOCK = [(8, 8), (4, 8), (4, 4), (2, 4), (2, 2), (1, 2), (1, 1)]
+
+
+def encode_png_rgb8_adam7(pixels: np.ndarray,
+                          filter_type: int = 0) -> bytes:
+    """Encode an ``(h, w, 3)`` uint8 RGB array as an 8-bit truecolor
+    ADAM7-INTERLACED PNG (IHDR interlace=1): the image is serialized
+    as SEVEN sub-images on the Adam7 grid, each pass filtered
+    independently (``filter_type`` 0=None or 2=Up, where a pass's
+    first scanline deltas against zeros per spec), all passes
+    concatenated into ONE zlib stream.  Empty passes (a dimension of
+    the pass grid exceeding the image) emit nothing, per spec."""
+    import struct as _s
+    import zlib
+
+    h, w, _ = pixels.shape
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = pixels[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        if filter_type == 0:
+            parts.extend(b"\x00" + sub[r].tobytes() for r in range(ph))
+        elif filter_type == 2:
+            prev = np.zeros((pw, 3), dtype=np.uint8)
+            for r in range(ph):
+                parts.append(b"\x02" + ((sub[r] - prev) & 0xFF)
+                             .astype(np.uint8).tobytes())
+                prev = sub[r]
+        else:
+            raise NotImplementedError(f"filter {filter_type} not emitted")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (_s.pack(">I", len(body)) + tag + body
+                + _s.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    return (_PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(parts), 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_png_adam7_passes(blob: bytes) -> tuple[
+        int, int, "np.ndarray", list]:
+    """REAL decode of an Adam7-interlaced PNG -> ``(w, h, final
+    (h, w, 3) RGB, previews)`` where ``previews[k]`` is the
+    progressive DISPLAY state after passes 0..k (each decoded sample
+    block-filled over its Adam7 coverage rectangle — what a browser
+    paints mid-download).  Chunk walk + CRC + inflate + per-pass
+    five-filter unfiltering; the pass geometry, scatter, and preview
+    fill are all derived from the spec grid in ``_ADAM7``."""
+    import struct as _s
+    import zlib
+
+    if blob[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG blob")
+    pos, idat, meta = 8, [], None
+    while pos < len(blob):
+        (ln,) = _s.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + ln]
+        (crc,) = _s.unpack_from(">I", blob, pos + 8 + ln)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            meta = _s.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = meta
+    if (bit_depth, color_type, interlace) != (8, 2, 1):
+        raise NotImplementedError(
+            "decode_png_adam7_passes handles 8-bit truecolor "
+            f"interlaced PNG only (depth={bit_depth}, "
+            f"color={color_type}, interlace={interlace})")
+    raw = zlib.decompress(b"".join(idat))
+    final = np.zeros((h, w, 3), dtype=np.uint8)
+    preview = np.zeros((h, w, 3), dtype=np.uint8)
+    previews = []
+    offset = 0
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            previews.append(preview.copy())
+            continue
+        lines, offset = _png_unfilter(raw, offset, pw, ph)
+        sub = lines.reshape(ph, pw, 3)
+        final[y0::dy, x0::dx] = sub
+        bw, bh = _ADAM7_BLOCK[p]
+        for i in range(ph):
+            ys = y0 + i * dy
+            for j in range(pw):
+                xs = x0 + j * dx
+                preview[ys:min(ys + bh, h), xs:min(xs + bw, w)] = sub[i, j]
+        previews.append(preview.copy())
+    if offset != len(raw):
+        raise ValueError("trailing bytes after the last Adam7 pass")
+    return w, h, final, previews
 
 
 def decode_image(blob: bytes) -> tuple[int, int, np.ndarray]:
@@ -3535,3 +3661,101 @@ def extract_flac_stats(media_df: DataFrame) -> DataFrame:
             })
 
     return media_df.mapInPandas(batches, FLAC_STATS_SCHEMA)
+
+
+def render_png_adam7_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL Adam7-INTERLACED PNG per document with the SAME
+    deterministic pixel law as :func:`render_png_media` (so the same
+    closed-form oracle predicts the decoded means); even ids filter
+    None, odd ids filter Up within each pass."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id % 9) + 2
+                h = int(doc_id % 6) + 2
+                base = int(doc_id % 150)
+                x = np.arange(w, dtype=np.int32)
+                y = np.arange(h, dtype=np.int32)
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = base + 3 * x[None, :] + 5 * y[:, None]
+                px[:, :, 1] = base + 2 * x[None, :]
+                px[:, :, 2] = base + y[:, None]
+                blobs.append(encode_png_rgb8_adam7(
+                    px, filter_type=2 if doc_id % 2 else 0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+INTERLACED_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_r", DoubleType()),
+    StructField("mean_g", DoubleType()),
+    StructField("mean_b", DoubleType()),
+    StructField("interlaced_ok", BooleanType()),
+    StructField("progressive_ok", BooleanType()),
+])
+
+
+def extract_png_interlaced_stats(media_df: DataFrame) -> DataFrame:
+    """Adam7 decode stats + per-doc interlace invariants inside
+    Arrow-batched ``mapInPandas``: exact channel means of the FINAL
+    reconstruction (int64 sums / exact pixel count — oracle-able),
+    ``interlaced_ok`` (IHDR says interlace=1 AND the seven pass grids
+    tile the image exactly once — a scatter-count array reads 1
+    everywhere), ``progressive_ok`` (the block-filled preview's L1
+    error vs the final is ZERO after pass 7 and non-increasing across
+    the 1 -> 4 -> 7 milestones — the property that makes interlacing
+    worth its filter overhead on a slow link)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "mean_r", "mean_g",
+                "mean_b", "interlaced_ok", "progressive_ok")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(blob)
+                w, h, final, previews = decode_png_adam7_passes(blob)
+                sums = final.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n = w * h
+                cover = np.zeros((h, w), dtype=np.int32)
+                for x0, y0, dx, dy in _ADAM7:
+                    cover[y0::dy, x0::dx] += 1
+                # IHDR interlace byte = last byte of the 13-byte IHDR
+                # body that starts at offset 16
+                inter_ok = (blob[16 + 12] == 1
+                            and bool((cover == 1).all()))
+                f64 = final.astype(np.int64)
+                errs = [np.abs(p.astype(np.int64) - f64).mean()
+                        for p in previews]
+                prog_ok = (errs[6] == 0.0
+                           and errs[0] >= errs[3] >= errs[6])
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(int(sums[0]) / n)
+                out["mean_g"].append(int(sums[1]) / n)
+                out["mean_b"].append(int(sums[2]) / n)
+                out["interlaced_ok"].append(bool(inter_ok))
+                out["progressive_ok"].append(bool(prog_ok))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                "interlaced_ok": pd.Series(
+                    out["interlaced_ok"], dtype="bool"),
+                "progressive_ok": pd.Series(
+                    out["progressive_ok"], dtype="bool"),
+            })
+
+    return media_df.mapInPandas(batches, INTERLACED_STATS_SCHEMA)

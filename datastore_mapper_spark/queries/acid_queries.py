@@ -2598,3 +2598,87 @@ def acid_merge_schema_evolution(spark, sf_dir):
         "priority_score",
         F.lit(bool(one_commit)).alias("evolved_in_one_commit_ok"),
         F.lit(bool(cdf_ok)).alias("cdf_widened_ok"))
+
+
+@query(
+    "acid_update_mor",
+    "table-format",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 < 2
+    ), mx AS (SELECT max(o_orderkey) AS m FROM t)
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey > (SELECT m // 4 FROM mx)
+                     AND o_orderkey <= (SELECT m // 2 FROM mx)
+                THEN o_totalprice + 250.0 ELSE o_totalprice
+           END AS o_totalprice,
+           CASE WHEN o_orderkey > (SELECT m // 4 FROM mx)
+                     AND o_orderkey <= (SELECT m // 2 FROM mx)
+                THEN 'U' ELSE o_orderstatus
+           END AS o_orderstatus,
+           TRUE AS mor_one_commit_ok,
+           TRUE AS no_resurrect_ok
+    FROM t
+    WHERE o_orderkey > (SELECT m // 3 FROM mx)
+    """,
+)
+def acid_update_mor(spark, sf_dir):
+    """Merge-on-read UPDATE (round 14 — the Iceberg-v2 row-level
+    UPDATE, ``acid_lite.update_where_mor``): the target holds the
+    ``%3 < 2`` two-thirds of orders; a DV DELETE first kills keys
+    <= max/3; then ONE update commit rewrites keys in (max/4, max/2]
+    (+250.00, status 'U') by deletion-vector + appended images — the
+    two ranges OVERLAP on (max/4, max/3], so the update must skip the
+    already-dead rows through the prior-DV anti-join instead of
+    resurrecting them as updated images.  The hashed rows are the
+    final table, restated by the oracle as plain CASE/WHERE algebra.
+
+    ``mor_one_commit_ok`` grades the mechanics: the update advanced
+    the version by EXACTLY one, its op is ``update-mor``, every
+    pre-update data file is carried VERBATIM (write cost ∝ updated
+    rows, zero rewrites), new image files were appended, and dv_rows
+    grew by exactly the updated-row count.  ``no_resurrect_ok``
+    grades the composition law: the post-update snapshot holds zero
+    rows in the deleted range, and the update touched exactly the
+    live slice (max/3, max/2].  At 100 TB this is the row-correction
+    idiom: a compliance fix to a few thousand rows lands in seconds
+    as sidecar + small append, and OPTIMIZE amortizes the read tax
+    later."""
+    dest = _table_dir("acid_updmor", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    t = o.filter(k % 3 < 2)
+    acid_lite.create_table(spark, dest, t.coalesce(3))
+    mx = t.agg(F.max("o_orderkey")).first()[0] or 0
+    d_hi, u_lo, u_hi = mx // 3, mx // 4, mx // 2
+    if mx:
+        acid_lite.delete_where_dv(spark, dest, "o_orderkey", None, d_hi)
+    v_pre = acid_lite.latest_version(dest)
+    m_pre = acid_lite._read_manifest(dest, v_pre)
+    v = acid_lite.update_where_mor(
+        spark, dest, {"o_totalprice": "o_totalprice + 250.0",
+                      "o_orderstatus": "'U'"},
+        "o_orderkey", u_lo + 1, u_hi) if mx else v_pre
+    mv = acid_lite._read_manifest(dest, v)
+    n_live_upd = t.filter((k > d_hi) & (k > u_lo) & (k <= u_hi)).count()
+    one_commit = (
+        v == v_pre + 1
+        and mv.get("op") == "update-mor"
+        and set(m_pre["files"]) <= set(mv["files"])
+        and len(mv["files"]) > len(m_pre["files"])
+        and (mv.get("dv_rows") or 0) - (m_pre.get("dv_rows") or 0)
+        == n_live_upd
+    ) or mx == 0
+    final = acid_lite.read(spark, dest, v).localCheckpoint()
+    no_resurrect = (
+        final.filter(k <= d_hi).count() == 0
+        and final.filter(F.col("o_orderstatus") == "U").count()
+        == n_live_upd
+        or mx == 0
+    )
+    return final.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        F.lit(bool(one_commit)).alias("mor_one_commit_ok"),
+        F.lit(bool(no_resurrect)).alias("no_resurrect_ok"))

@@ -1,0 +1,449 @@
+"""Round-14 analytics wave: rank-agreement statistics (Spearman
+footrule, Kendall's W), information-theoretic corpus drift
+(Jensen-Shannon divergence), the Ljung-Box portmanteau test over the
+round-13 ACF machinery, and extreme-value analysis (method-of-moments
+Gumbel fit on weekly block maxima).
+
+Shared seams (SURVEY §7.3): money rides integer cents; sums and
+cross-products of cents ride DECIMAL(38,0); ranks come from
+row_number with a full deterministic ORDER BY (metric, then key) so
+ties break identically on both engines; week buckets derive from
+epoch-day // 7 (never week-of-year, which disagrees across engines);
+each statistic is ONE double expression over exact integers,
+token-identical in the oracle, rounded to 4-6 decimals; group-size
+guards keep the empty-input twin at zero rows on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..registry import query
+
+
+def _cents(col):
+    return F.floor(F.col(col) * 100).cast("bigint")
+
+
+@query(
+    "footrule_nation_rank_distance",
+    "analytics/stats",
+    oracle="""
+    WITH per AS (
+        SELECT n.n_name,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ), ranked AS (
+        SELECT n_name,
+               CAST(row_number() OVER (ORDER BY rev_cents DESC, n_name)
+                    AS BIGINT) AS rank_rev,
+               CAST(row_number() OVER (ORDER BY n_orders DESC, n_name)
+                    AS BIGINT) AS rank_cnt
+        FROM per
+    )
+    SELECT n_name, rank_rev, rank_cnt,
+           CAST(abs(rank_rev - rank_cnt) AS BIGINT) AS footrule_term,
+           CAST((SELECT sum(abs(rank_rev - rank_cnt)) FROM ranked)
+                AS BIGINT) AS footrule_total
+    FROM ranked
+    """,
+)
+def footrule_nation_rank_distance(spark, sf_dir):
+    """Spearman's FOOTRULE distance between two nation rankings — by
+    total revenue vs by order count: Σ|r1(i) - r2(i)|, the L1
+    rank-displacement metric (Diaconis & Graham's companion to the
+    rho/tau family; the number a ranking-stability monitor alarms
+    on).  Ranks are row_number over (metric DESC, name) so ties break
+    identically on both engines; per-nation displacement terms hash
+    alongside the global total.  Scale: one fact-table aggregate to
+    25 nation rows, then window math on the dictionary tier."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_cents("o_totalprice")).alias("rev_cents"),
+             F.count("*").alias("n_orders"))
+    )
+    ranked = per.select(
+        "n_name",
+        F.row_number().over(
+            Window.orderBy(F.desc("rev_cents"), F.asc("n_name"))
+        ).cast("bigint").alias("rank_rev"),
+        F.row_number().over(
+            Window.orderBy(F.desc("n_orders"), F.asc("n_name"))
+        ).cast("bigint").alias("rank_cnt"),
+    )
+    term = F.abs(F.col("rank_rev") - F.col("rank_cnt"))
+    total = ranked.agg(
+        F.sum(F.abs(F.col("rank_rev") - F.col("rank_cnt")))
+        .cast("bigint").alias("footrule_total"))
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "n_name", "rank_rev", "rank_cnt",
+        term.cast("bigint").alias("footrule_term"),
+        "footrule_total",
+    )
+
+
+@query(
+    "kendall_w_nation_metrics",
+    "analytics/stats",
+    oracle="""
+    WITH per AS (
+        SELECT n.n_name,
+               CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_cust
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ), ranked AS (
+        SELECT n_name,
+               CAST(row_number() OVER (ORDER BY rev_cents DESC, n_name)
+                    AS BIGINT)
+               + CAST(row_number() OVER (ORDER BY n_orders DESC, n_name)
+                      AS BIGINT)
+               + CAST(row_number() OVER (ORDER BY n_cust DESC, n_name)
+                      AS BIGINT) AS rank_sum
+        FROM per
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(rank_sum * rank_sum) AS BIGINT) AS s2,
+               CAST(sum(rank_sum) AS BIGINT) AS s1
+        FROM ranked
+    )
+    SELECT n AS n_subjects, CAST(3 AS INT) AS n_rankings,
+           round(CAST(12 * (s2 - s1 * s1 / n) AS DOUBLE)
+                 / (9.0 * (n * n * n - n)), 6) AS kendall_w
+    FROM agg
+    WHERE n >= 2
+    """,
+)
+def kendall_w_nation_metrics(spark, sf_dir):
+    """Kendall's coefficient of concordance W across m=3 judge
+    rankings of the nations — by revenue, by order count, by distinct
+    customers: W = 12·S / (m²(n³-n)) with S the variance of the
+    per-nation rank sums around their mean m(n+1)/2.  All rank sums
+    and S stay exact integers (S·n = 12(n·Σ R² - (Σ R)²) algebra —
+    here the mean term folds in as s1²/n, exact because s1 = n·m(n+1)/2
+    is divisible by n); W is one double division rounded to 6 dp.
+    W→1 means the three business metrics agree on the nation
+    ordering; W→0 means they rank independently — the multi-metric
+    version of the footrule row."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    per = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_cents("o_totalprice")).alias("rev_cents"),
+             F.count("*").alias("n_orders"),
+             F.countDistinct("o_custkey").alias("n_cust"))
+    )
+    ranked = per.select(
+        (F.row_number().over(
+            Window.orderBy(F.desc("rev_cents"), F.asc("n_name")))
+         .cast("bigint")
+         + F.row_number().over(
+             Window.orderBy(F.desc("n_orders"), F.asc("n_name")))
+         .cast("bigint")
+         + F.row_number().over(
+             Window.orderBy(F.desc("n_cust"), F.asc("n_name")))
+         .cast("bigint")).alias("rank_sum")
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("rank_sum") * F.col("rank_sum")).alias("s2"),
+        F.sum("rank_sum").alias("s1"),
+    )
+    return agg.filter(F.col("n") >= 2).select(
+        F.col("n").alias("n_subjects"),
+        F.lit(3).cast("int").alias("n_rankings"),
+        F.expr("round(CAST(12 * (s2 - s1 * s1 / n) AS DOUBLE) "
+               "/ (9.0 * (n * n * n - n)), 6)").alias("kendall_w"),
+    )
+
+
+@query(
+    "jensen_shannon_source_drift",
+    "analytics/text",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), pair AS (
+        SELECT s1.s AS src_a, s2.s AS src_b
+        FROM (SELECT DISTINCT source AS s FROM tok) s1
+        JOIN (SELECT DISTINCT source AS s FROM tok) s2
+          ON s1.s < s2.s
+    ), cnt AS (
+        SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, w
+    ), tot AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cnt
+        GROUP BY source
+    ), vocab AS (
+        SELECT p.src_a, p.src_b, x.w
+        FROM pair p
+        JOIN cnt x ON x.source IN (p.src_a, p.src_b)
+        GROUP BY ALL
+    ), terms AS (
+        SELECT v.src_a, v.src_b, v.w,
+               coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb,
+               ta.t AS ta, tb.t AS tb
+        FROM vocab v
+        LEFT JOIN cnt a ON a.source = v.src_a AND a.w = v.w
+        LEFT JOIN cnt b ON b.source = v.src_b AND b.w = v.w
+        JOIN tot ta ON ta.source = v.src_a
+        JOIN tot tb ON tb.source = v.src_b
+    )
+    SELECT src_a, src_b,
+           round(sum(
+             CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / ta)
+                  * log2((CAST(ca AS DOUBLE) / ta)
+                         / (0.5 * CAST(ca AS DOUBLE) / ta
+                            + 0.5 * CAST(cb AS DOUBLE) / tb))
+                  ELSE 0 END
+             + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / tb)
+                  * log2((CAST(cb AS DOUBLE) / tb)
+                         / (0.5 * CAST(ca AS DOUBLE) / ta
+                            + 0.5 * CAST(cb AS DOUBLE) / tb))
+                  ELSE 0 END), 4) AS js_divergence_bits
+    FROM terms
+    GROUP BY src_a, src_b
+    """,
+)
+def jensen_shannon_source_drift(spark, sf_dir):
+    """Jensen-Shannon divergence (bits) between every PAIR of
+    sources' unigram token distributions — the symmetric, bounded
+    [0, 1] drift metric a corpus monitor tracks between crawls (KL's
+    infinities on exclusive vocabulary are exactly what JS's mixture
+    midpoint fixes, so the union-vocab full-outer join needs no
+    smoothing).  Per-term contributions are doubles (log2 of
+    rationals), so the pair total rounds to 4 dp — the same
+    tolerance class as the graded entropy row; counts and totals
+    underneath are exact integers.  Scale: token counts are one
+    shuffle on (source, word); the pair join is dictionary-tier
+    (sources × vocab), never corpus-sized."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
+    cnt = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    srcs = tot.select(F.col("source").alias("s"))
+    pair = (
+        srcs.alias("s1")
+        .join(srcs.alias("s2"), F.col("s1.s") < F.col("s2.s"))
+        .select(F.col("s1.s").alias("src_a"), F.col("s2.s").alias("src_b"))
+    )
+    a = cnt.select(F.col("source").alias("src_a"), "w",
+                   F.col("c").alias("ca"))
+    b = cnt.select(F.col("source").alias("src_b"), "w",
+                   F.col("c").alias("cb"))
+    # union vocab per pair: every (pair, word) seen on either side
+    keys = (
+        a.select("src_a", "w").join(F.broadcast(pair), "src_a")
+        .select("src_a", "src_b", "w")
+        .union(
+            b.select("src_b", "w").join(F.broadcast(pair), "src_b")
+            .select("src_a", "src_b", "w"))
+        .distinct()
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("t").alias("ta"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("t").alias("tb"))
+    terms = (
+        keys.join(a, ["src_a", "w"], "left")
+        .join(b, ["src_b", "w"], "left")
+        .join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .na.fill({"ca": 0, "cb": 0})
+    )
+    pa = F.col("ca").cast("double") / F.col("ta")
+    pb = F.col("cb").cast("double") / F.col("tb")
+    m = 0.5 * pa + 0.5 * pb
+    contrib = (
+        F.when(F.col("ca") > 0, 0.5 * pa * F.log2(pa / m)).otherwise(0.0)
+        + F.when(F.col("cb") > 0, 0.5 * pb * F.log2(pb / m)).otherwise(0.0)
+    )
+    return terms.groupBy("src_a", "src_b").agg(
+        F.round(F.sum(contrib), 4).alias("js_divergence_bits"))
+
+
+@query(
+    "ljung_box_daily_revenue",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderdate
+    ), idx AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        FROM daily
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        FROM idx
+    ), lagk AS (
+        SELECT l.lag AS lag,
+               CAST(sum(CAST(a.cents AS DECIMAL(38,0))
+                        * CAST(b.cents AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(a.cents AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(b.cents AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(count(*) AS BIGINT) AS np
+        FROM (SELECT unnest(generate_series(1, 7)) AS lag) l
+        JOIN idx a ON TRUE
+        JOIN idx b ON b.i = a.i + l.lag
+        GROUP BY l.lag
+    )
+    SELECT (SELECT n FROM tot) AS n_days,
+           CAST(7 AS INT) AS max_lag,
+           round((SELECT n FROM tot) * ((SELECT n FROM tot) + 2.0)
+                 * sum(
+                     pow((sxy - sx * sy / np)
+                         / ((SELECT s2 FROM tot)
+                            - (SELECT s1 FROM tot)
+                              * (SELECT s1 FROM tot) / (SELECT n FROM tot))
+                         * (SELECT n FROM tot) / np, 2)
+                     / ((SELECT n FROM tot) - lag)), 4) AS q_stat
+    FROM lagk
+    WHERE (SELECT n FROM tot) >= 9 AND np >= 2
+    HAVING count(*) > 0
+    """,
+)
+def ljung_box_daily_revenue(spark, sf_dir):
+    """The Ljung-Box portmanteau test over the daily-revenue series:
+    Q = n(n+2) Σ_{k=1..7} ρ_k²/(n-k), aggregating the seven graded
+    autocorrelations (``acf_lag_k_daily_revenue``'s exact
+    DECIMAL(38,0) machinery, reused term-for-term) into the single
+    is-this-white-noise statistic — under H0, Q ~ χ²(7).  Every ρ_k
+    is the identical one-double expression as the ACF row; Q adds one
+    more token-identical reduction rounded to 4 dp.  The n >= 9 guard
+    keeps every (n - k) divisor positive and the empty twin at zero
+    rows."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(_cents("o_totalprice")).alias("cents"))
+    idx = daily.select(
+        "cents",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = idx.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("cents")).cast("double").alias("s1"),
+        F.sum(dec("cents") * dec("cents")).cast("double").alias("s2"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    lagk = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("a.cents").cast("decimal(38,0)")
+                  * F.col("b.cents").cast("decimal(38,0)"))
+            .cast("double").alias("sxy"),
+            F.sum(F.col("a.cents").cast("decimal(38,0)"))
+            .cast("double").alias("sx"),
+            F.sum(F.col("b.cents").cast("decimal(38,0)"))
+            .cast("double").alias("sy"),
+            F.count("*").alias("np"),
+        )
+    )
+    return (
+        lagk.crossJoin(F.broadcast(tot))
+        .filter((F.col("n") >= 9) & (F.col("np") >= 2))
+        .groupBy("n")
+        .agg(F.round(
+            F.first("n") * (F.first("n") + F.lit(2.0))
+            * F.sum(
+                F.pow(
+                    (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("np"))
+                    / (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                    * F.col("n") / F.col("np"), F.lit(2))
+                / (F.col("n") - F.col("lag"))), 4).alias("q_stat"))
+        .select(F.col("n").alias("n_days"),
+                F.lit(7).cast("int").alias("max_lag"), "q_stat")
+    )
+
+
+@query(
+    "gumbel_weekly_max_fit",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS ed,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), weekly AS (
+        SELECT ed // 7 AS wk, CAST(max(cents) AS BIGINT) AS mx
+        FROM daily GROUP BY 1
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(mx AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(mx AS DECIMAL(38,0))
+                        * CAST(mx AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        FROM weekly
+    )
+    SELECT n AS n_weeks,
+           round(sqrt((s2 - s1 * s1 / n) / (n - 1))
+                 * sqrt(6.0) / pi(), 4) AS beta_cents,
+           round(s1 / n - 0.5772156649015329
+                 * (sqrt((s2 - s1 * s1 / n) / (n - 1))
+                    * sqrt(6.0) / pi()), 4) AS mu_cents
+    FROM agg
+    WHERE n >= 3
+    """,
+)
+def gumbel_weekly_max_fit(spark, sf_dir):
+    """Extreme-value analysis via BLOCK MAXIMA: the weekly maxima of
+    daily revenue are Gumbel-distributed under Fisher-Tippett (domain
+    of attraction of light-tailed daily sums), and the
+    method-of-moments fit is closed-form — scale β = s·√6/π, location
+    μ = x̄ - γβ (Euler-Mascheroni γ) — which is what makes it
+    oracle-able without an iterative MLE.  Weeks derive from
+    epoch-day // 7 (never week-of-year, which disagrees across
+    engines); the maxima's first two moments ride DECIMAL(38,0); β
+    and μ are each one double expression rounded to 4 dp.  This is
+    the capacity-planning number: P(next week's peak > x) =
+    1 - exp(-exp(-(x-μ)/β))."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("ed")
+    ).agg(F.sum(_cents("o_totalprice")).alias("cents"))
+    weekly = daily.groupBy(
+        F.floor(F.col("ed") / 7).alias("wk")
+    ).agg(F.max("cents").alias("mx"))
+    dec = F.col("mx").cast("decimal(38,0)")
+    agg = weekly.agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+    )
+    return agg.filter(F.col("n") >= 3).select(
+        F.col("n").alias("n_weeks"),
+        F.expr("round(sqrt((s2 - s1 * s1 / n) / (n - 1)) "
+               "* sqrt(6.0) / pi(), 4)").alias("beta_cents"),
+        F.expr("round(s1 / n - 0.5772156649015329 "
+               "* (sqrt((s2 - s1 * s1 / n) / (n - 1)) "
+               "* sqrt(6.0) / pi()), 4)").alias("mu_cents"),
+    )

@@ -2747,3 +2747,54 @@ def multimodal_flac_decode_stats(spark, sf_dir):
     # subset keeps its sweep cost proportionate to the other codec rows
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     return extract_flac_stats(render_flac_media(d))
+
+
+@query(
+    "multimodal_png_interlaced_stats",
+    "LLM-pipeline",
+    oracle="""
+    WITH law AS (
+        SELECT doc_id,
+               (doc_id % 9) + 2 AS w,
+               (doc_id % 6) + 2 AS h,
+               doc_id % 150 AS base
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(w * h * base + 3 * h * ((w * (w - 1)) // 2)
+                + 5 * w * ((h * (h - 1)) // 2) AS DOUBLE) / (w * h)
+               AS mean_r,
+           CAST(base + (w - 1) AS DOUBLE) AS mean_g,
+           CAST(w * h * base + w * ((h * (h - 1)) // 2) AS DOUBLE)
+               / (w * h) AS mean_b,
+           TRUE AS interlaced_ok,
+           TRUE AS progressive_ok
+    FROM law
+    """,
+)
+def multimodal_png_interlaced_stats(spark, sf_dir):
+    """ADAM7-INTERLACED PNG decode, end-to-end (round 14 — the
+    progressive-transmission class for PNG, next to the progressive
+    JPEG row): render a genuine interlace=1 PNG per document (seven
+    Adam7 sub-images, each pass filtered independently — even ids
+    None, odd ids Up — concatenated into one DEFLATE stream), then
+    decode the BYTES back (``decode_png_adam7_passes``: chunk walk +
+    CRC, inflate, per-pass five-filter unfiltering, spec-grid
+    scatter) inside Arrow-batched mapInPandas.  The hashed rows are
+    the decoded channel means, predicted in closed form by the SAME
+    pixel-law oracle as the sequential PNG row — so the two rows
+    together pin that interlacing reorders BYTES, never pixels.
+    ``interlaced_ok`` grades the container (IHDR interlace=1; the
+    seven pass grids tile each image exactly once); ``progressive_ok``
+    grades the point of Adam7 (block-filled preview error is zero
+    after pass 7 and non-increasing across the 1 -> 4 -> 7
+    milestones).  At 100 TB the shape is the standard codec posture:
+    blobs decode executor-side, one Arrow batch at a time, and never
+    shuffle."""
+    from ..operators.multimodal import (
+        extract_png_interlaced_stats, render_png_adam7_media)
+
+    d = table(spark, sf_dir, "documents")
+    return extract_png_interlaced_stats(render_png_adam7_media(d))

@@ -322,3 +322,37 @@ def stream_stream_left_outer_join(spark, sf_dir):
     from ..streaming.demos import streaming_stream_stream_left_outer
 
     return streaming_stream_stream_left_outer(spark, sf_dir)
+
+
+@query(
+    "stream_stream_full_outer_join",
+    "streaming",
+    oracle="""
+    SELECT coalesce(v.user_id, p.user_id) AS user_id,
+           CAST(sum(CASE WHEN v.vt IS NOT NULL AND p.pt IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_matched_pairs,
+           CAST(sum(CASE WHEN v.vt IS NOT NULL AND p.pt IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unmatched_views,
+           CAST(sum(CASE WHEN v.vt IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched_purchases
+    FROM (SELECT user_id, ts::TIMESTAMP AS vt FROM events
+          WHERE event_type = 'view') v
+    FULL JOIN (SELECT user_id, ts::TIMESTAMP AS pt FROM events
+               WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND p.pt > v.vt AND p.pt <= v.vt + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+    description="FULL OUTER stream-stream join (round 14, completing "
+    "the family after inner + left outer): both sides' null-padded "
+    "non-matches are watermark EVICTION decisions, flushed "
+    "deterministically by the sentinel batches; the aggregate must "
+    "hash-match the batch full join exactly (a stranded view, a "
+    "stranded purchase, or a double emit each shifts a count).",
+)
+def stream_stream_full_outer_join(spark, sf_dir):
+    from ..streaming.demos import streaming_stream_stream_full_outer
+
+    return streaming_stream_stream_full_outer(spark, sf_dir)

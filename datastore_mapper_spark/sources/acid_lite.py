@@ -1786,6 +1786,104 @@ def delete_where_dv(
     return parent + 1
 
 
+def update_where_mor(
+    spark: SparkSession,
+    path: str,
+    set_exprs: dict,
+    column: str,
+    lo=None,
+    hi=None,
+) -> int:
+    """Merge-on-read UPDATE (round 14 — the Iceberg-v2 row-level
+    UPDATE mechanism, also Delta's DV-backed UPDATE): rows matching
+    ``lo <= column <= hi`` take a DELETION VECTOR for their OLD
+    images and their NEW images (``set_exprs``: {column: SQL
+    expression}, evaluated over the matched row) land as appended
+    files — both in ONE atomic commit, every parent data file carried
+    verbatim.  Write cost is proportional to the UPDATED rows, never
+    the touched files — the property that makes a 100-row correction
+    against a 100 TB table a seconds-long commit, with ``optimize()``
+    purging the vectors later (the same read/write-amplification
+    trade as :func:`delete_where_dv`).
+
+    Composition rules: positions already dead under EXISTING vectors
+    are excluded (an update can never resurrect a deleted row);
+    generated columns are RECOMPUTED from the updated images (a SET
+    touching a generation source cannot leave the derived value
+    stale); CHECK constraints validate the new images before any
+    file is written; on a partitioned table an update that moves a
+    row's partition value relocates the new image to its new
+    hive dir (the old image dies by position, wherever it was).
+    Positional CDF reports a MoR update as delete+insert — the DV
+    delta plus the new files — exactly how position-delete formats
+    surface it without persisted row lineage."""
+    parent = latest_version(path)
+    if parent == 0:
+        raise ValueError(f"table does not exist: {path}")
+    m = _read_manifest(path, parent)
+    types = _schema_types(m["schema"])
+    unknown = [c for c in set_exprs if c not in types]
+    if unknown:
+        raise ValueError(f"SET on unknown column(s): {unknown}")
+    gen = m.get("generated") or {}
+    bad_gen = [c for c in set_exprs if c in gen]
+    if bad_gen:
+        raise ValueError(
+            f"cannot SET generated column(s) {bad_gen} — they are "
+            "recomputed from their expressions")
+    candidates, _total = prune_files(path, column, lo, hi, version=parent)
+    if not candidates:
+        return parent  # nothing can match: no commit needed
+    rel, prefix = _rel_path_expr(path)
+    scan = _load_files(
+        spark, path, m, candidates,
+        extra=[rel, F.col("_metadata.row_index").alias("__ri"),
+               F.col("_metadata.file_path").alias("__fp")],
+    )
+    c = F.col(column)
+    cond = c.isNotNull()
+    if lo is not None:
+        cond = cond & (c >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (c <= F.lit(hi))
+    hits = scan.filter(cond)
+    bad = hits.filter(~F.col("__fp").startswith(prefix)).limit(1).count()
+    if bad:
+        raise RuntimeError(
+            "scan file URI does not start with the table-root prefix — "
+            "deletion-vector keying would be unsound"
+        )
+    old_dvs = m.get("dvs") or []
+    if old_dvs:
+        prior = spark.read.parquet(
+            *[os.path.join(path, d) for d in old_dvs]).select(
+            F.col("rel").alias("__rel"), F.col("row_index").alias("__ri"))
+        hits = hits.join(prior, ["__rel", "__ri"], "left_anti")
+    # one materialization feeds BOTH the position sidecar and the new
+    # images — a nondeterministic upstream could otherwise desync them
+    hits = hits.localCheckpoint()
+    n_upd = hits.count()
+    if n_upd == 0:
+        return parent
+    positions = hits.select(F.col("__rel").alias("rel"),
+                            F.col("__ri").alias("row_index"))
+    upd = hits
+    for col_name, expr_sql in set_exprs.items():
+        upd = upd.withColumn(col_name, F.expr(expr_sql))
+    upd = upd.select(*list(types))
+    if gen:
+        upd = upd.drop(*[g for g in gen if g in upd.columns])
+    upd = _prepare_batch(upd, m, "update")
+    new_files, new_parts = _write_files_any(
+        upd, path, m.get("partition_by"), mapping=m.get("mapping"))
+    new_dvs = _write_dv_sidecar(positions, path)
+    _commit(path, parent + 1, m["files"] + new_files, parent,
+            "update-mor", dvs=old_dvs + new_dvs,
+            dv_rows=(m.get("dv_rows") or 0) + n_upd,
+            partitions=new_parts)
+    return parent + 1
+
+
 def replace_partitions(spark: SparkSession, path: str,
                        df: DataFrame) -> int:
     """Dynamic-partition overwrite (Spark's

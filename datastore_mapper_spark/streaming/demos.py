@@ -595,3 +595,71 @@ def streaming_stream_stream_left_outer(spark: SparkSession,
         F.sum("m").alias("n_matched_pairs"),
         F.sum("u").alias("n_unmatched_views"),
     )
+
+
+def streaming_stream_stream_full_outer(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream join (round 14, completing the
+    streaming join family after r12's inner and r13's left outer):
+    BOTH sides' non-matches are state-eviction decisions — a view
+    with no purchase in its following hour AND a purchase with no
+    view in its preceding hour each emit exactly once, null-padded,
+    only when the watermark proves the partner can no longer arrive.
+    The sentinel batches advance both watermarks past every real
+    row's horizon, so the finite replay flushes deterministically
+    (the same :func:`_staged_outer_join_dir` staging).  Matched pairs
+    emit at match time; the per-batch partial aggregate keys on
+    ``coalesce(view_user, purchase_user)`` because an
+    unmatched-purchase row carries NULL on the view side."""
+    configure(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    events = with_ts_us(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_outer_join_dir(sf_dir))
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"),
+                F.col("ts_us").alias("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"),
+                F.col("ts_us").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    pairs = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    )
+    uid = F.coalesce(F.col("v_user"), F.col("p_user"))
+    partials = _append_via_batch_partials(
+        spark,
+        pairs,
+        lambda b: (
+            b.filter(uid >= 0)  # drop watermark sentinels
+            .groupBy(uid.alias("uid"))
+            .agg(
+                F.sum(F.when(F.col("view_ts").isNotNull()
+                             & F.col("purchase_ts").isNotNull(), 1)
+                      .otherwise(0)).alias("m"),
+                F.sum(F.when(F.col("view_ts").isNotNull()
+                             & F.col("purchase_ts").isNull(), 1)
+                      .otherwise(0)).alias("u"),
+                F.sum(F.when(F.col("view_ts").isNull(), 1)
+                      .otherwise(0)).alias("w"),
+            )
+        ),
+    )
+    return partials.groupBy(F.col("uid").alias("user_id")).agg(
+        F.sum("m").alias("n_matched_pairs"),
+        F.sum("u").alias("n_unmatched_views"),
+        F.sum("w").alias("n_unmatched_purchases"),
+    )

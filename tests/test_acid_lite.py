@@ -2295,3 +2295,68 @@ def test_merge_schema_evolution(spark, tdir):
     assert m2["mapping"]["score"] != "score"  # fresh physical column
     got2 = {(r.k, r.score) for r in acid_lite.read(spark, tdir).collect()}
     assert got2 == {(1, None), (2, 777.0), (4, None)}  # 4's old value dead
+
+
+def test_update_where_mor_mechanics(spark, tdir):
+    """MoR UPDATE: one commit, DV for old images + appended new
+    images, parent files carried verbatim; prior-DV rows never
+    update; generated columns recompute; constraints gate the new
+    images; OPTIMIZE purges the stack."""
+    df = spark.createDataFrame(
+        [(i, float(i), "N") for i in range(1, 11)],
+        "k bigint, p double, s string")
+    acid_lite.create_table(spark, tdir, df.repartition(3))
+    base_files = set(acid_lite._read_manifest(tdir, 1)["files"])
+    acid_lite.delete_where_dv(spark, tdir, "k", 3, 4)           # v2
+    v = acid_lite.update_where_mor(
+        spark, tdir, {"p": "p + 100.0", "s": "'U'"}, "k", 4, 7)  # v3
+    m = acid_lite._read_manifest(tdir, v)
+    assert m["op"] == "update-mor" and v == 3
+    assert base_files <= set(m["files"])          # zero rewrites
+    assert m["dv_rows"] == 2 + 3                  # 3,4 dead; 5,6,7 updated
+    got = {(r.k, r.p, r.s) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, 1.0, "N"), (2, 2.0, "N"), (5, 105.0, "U"),
+                   (6, 106.0, "U"), (7, 107.0, "U"), (8, 8.0, "N"),
+                   (9, 9.0, "N"), (10, 10.0, "N")}
+    # time travel: pre-update snapshot still shows old images
+    pre = {(r.k, r.p) for r in acid_lite.read(spark, tdir, 2).collect()}
+    assert (5, 5.0) in pre and (3, 3.0) not in pre
+    # constraints gate the NEW images
+    acid_lite.add_check_constraint(spark, tdir, "p_cap", "p < 1000")
+    with pytest.raises(acid_lite.ConstraintViolation):
+        acid_lite.update_where_mor(
+            spark, tdir, {"p": "p + 10000.0"}, "k", 1, 1)
+    # SET on unknown / generated columns refused
+    with pytest.raises(ValueError, match="unknown"):
+        acid_lite.update_where_mor(spark, tdir, {"zz": "1"}, "k", 1, 1)
+    # OPTIMIZE purges the vectors, values survive
+    acid_lite.optimize(spark, tdir)
+    mo = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    assert not mo.get("dvs")
+    assert {(r.k, r.p, r.s)
+            for r in acid_lite.read(spark, tdir).collect()} == got
+
+
+def test_update_where_mor_generated_and_partitioned(spark, tdir):
+    """Generated columns recompute on update; on a hive-partitioned
+    table an update that MOVES the partition value relocates the new
+    image (old dies by position)."""
+    df = spark.createDataFrame(
+        [(1, 2, "a"), (2, 4, "a"), (3, 6, "b")],
+        "k bigint, v bigint, part string")
+    acid_lite.create_table(spark, tdir, df, partition_by=["part"],
+                           generated={"dbl": "v * 2"})
+    acid_lite.append(spark, tdir, spark.createDataFrame(
+        [(4, 8, "b")], "k bigint, v bigint, part string"))
+    with pytest.raises(ValueError, match="generated"):
+        acid_lite.update_where_mor(spark, tdir, {"dbl": "1"}, "k", 1, 1)
+    # SET v -> generated dbl recomputes; SET part -> row relocates
+    v = acid_lite.update_where_mor(
+        spark, tdir, {"v": "v + 1", "part": "'c'"}, "k", 2, 3)
+    got = {(r.k, r.v, r.part, r.dbl)
+           for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, 2, "a", 4), (2, 5, "c", 10), (3, 7, "c", 14),
+                   (4, 8, "b", 16)}
+    # partition pruning still sees the moved rows under 'c'
+    sel, _tot = acid_lite.prune_files(tdir, "part", "c", "c", version=v)
+    assert sel and all("part=c" in f for f in sel)

@@ -2358,3 +2358,48 @@ def test_recipe_span_removal_flag(spark):
     assert clean  # stage composes end-to-end
     for s, tokens in clean.items():
         assert tokens <= base.get(s, tokens)
+
+
+def test_png_adam7_roundtrip_and_previews():
+    """Adam7: exact round trip under both pass filters, spec tiling,
+    monotone progressive preview, and loud failure on corruption."""
+    import numpy as np
+    import pytest as _pytest
+
+    from datastore_mapper_spark.operators.multimodal import (
+        _ADAM7,
+        decode_png_adam7_passes,
+        decode_png_rgb8,
+        encode_png_rgb8,
+        encode_png_rgb8_adam7,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h, ft in ((2, 2, 0), (9, 7, 0), (10, 5, 2), (3, 8, 2),
+                     (16, 16, 0), (1, 1, 0)):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = encode_png_rgb8_adam7(px, filter_type=ft)
+        W, H, final, previews = decode_png_adam7_passes(blob)
+        assert (W, H) == (w, h)
+        assert np.array_equal(final, px)
+        assert len(previews) == 7
+        assert np.array_equal(previews[-1], px)  # pass 7 = exact
+        # the seven grids tile the image exactly once
+        cover = np.zeros((h, w), dtype=np.int32)
+        for x0, y0, dx, dy in _ADAM7:
+            cover[y0::dy, x0::dx] += 1
+        assert (cover == 1).all()
+    # interlaced vs sequential: same pixels, different byte stream
+    px = rng.integers(0, 256, size=(6, 11, 3), dtype=np.uint8)
+    seq = encode_png_rgb8(px)
+    inter = encode_png_rgb8_adam7(px)
+    assert seq != inter
+    assert np.array_equal(decode_png_rgb8(seq)[2],
+                          decode_png_adam7_passes(inter)[2])
+    # the passes decoder refuses a sequential blob, and vice-versa CRC
+    with _pytest.raises(NotImplementedError):
+        decode_png_adam7_passes(seq)
+    corrupt = bytearray(inter)
+    corrupt[40] ^= 0x01  # inside IDAT body -> CRC mismatch
+    with _pytest.raises(ValueError):
+        decode_png_adam7_passes(bytes(corrupt))
