@@ -3759,3 +3759,292 @@ def extract_png_interlaced_stats(media_df: DataFrame) -> DataFrame:
             })
 
     return media_df.mapInPandas(batches, INTERLACED_STATS_SCHEMA)
+
+
+# --- TIFF baseline + PackBits (round 14): the tag-directory container
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits (Apple/TIFF RLE): greedy runs of >= 3 become
+    (257-n, byte) pairs; everything else rides literal packets of up
+    to 128 bytes.  Deterministic, so tests can pin byte output."""
+    out = bytearray()
+    i, n = 0, len(data)
+    lit_start = 0
+
+    def flush_literals(end):
+        s = lit_start
+        while s < end:
+            chunk = data[s:min(s + 128, end)]
+            out.append(len(chunk) - 1)
+            out.extend(chunk)
+            s += len(chunk)
+
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 3:
+            flush_literals(i)
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            lit_start = i
+        else:
+            i += run
+    flush_literals(n)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """PackBits inverse; raises on truncation or length mismatch."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expect:
+        c = data[i]
+        i += 1
+        if c < 128:          # literal of c+1 bytes
+            if i + c + 1 > n:
+                raise ValueError("PackBits literal truncated")
+            out.extend(data[i : i + c + 1])
+            i += c + 1
+        elif c > 128:        # run of 257-c copies
+            if i >= n:
+                raise ValueError("PackBits run truncated")
+            out.extend(bytes([data[i]]) * (257 - c))
+            i += 1
+        # c == 128: no-op, per spec
+    if len(out) != expect:
+        raise ValueError(
+            f"PackBits strip decoded {len(out)} bytes, expected {expect}")
+    return bytes(out)
+
+
+_TIFF_ROWS_PER_STRIP = 2
+
+
+def encode_tiff_packbits(px: np.ndarray) -> bytes:
+    """Encode ``(h, w, 3)`` uint8 RGB as a little-endian baseline TIFF
+    with PACKBITS-compressed strips (RowsPerStrip=2, so any h > 2
+    exercises multi-strip reassembly): 8-byte header, strip data,
+    then the IFD with the nine baseline tags — dimension pair,
+    BitsPerSample [8,8,8] (> 4 bytes, so it rides the value-offset
+    mechanism like the strip arrays), Compression 32773,
+    Photometric RGB, SamplesPerPixel 3, and the StripOffsets /
+    StripByteCounts arrays.  The IFD-at-end layout is the common
+    writer shape (offsets are explicit, nothing requires IFD-first)."""
+    import struct as _s
+
+    h, w, _ = px.shape
+    rps = _TIFF_ROWS_PER_STRIP
+    strips = []
+    for y0 in range(0, h, rps):
+        strips.append(_packbits_encode(px[y0:y0 + rps].tobytes()))
+    n_strips = len(strips)
+    # layout: header(8) | strip data | IFD | out-of-line values
+    strip_offsets, pos = [], 8
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    ifd_off = pos
+    entries = []  # (tag, type, count, packed-value-or-None, extra)
+
+    def short(v):
+        return _s.pack("<HH", v, 0)
+
+    def long_(v):
+        return _s.pack("<I", v)
+
+    n_entries = 9
+    extra_off = ifd_off + 2 + 12 * n_entries + 4
+    extra = bytearray()
+
+    def out_of_line(payload: bytes) -> bytes:
+        nonlocal extra
+        off = extra_off + len(extra)
+        extra.extend(payload)
+        return long_(off)
+
+    bits = _s.pack("<HHH", 8, 8, 8)
+    so_payload = b"".join(long_(o) for o in strip_offsets)
+    sc_payload = b"".join(long_(len(s)) for s in strips)
+    entries.append((256, 3, 1, short(w)))
+    entries.append((257, 3, 1, short(h)))
+    entries.append((258, 3, 3, out_of_line(bits)))
+    entries.append((259, 3, 1, short(32773)))        # PackBits
+    entries.append((262, 3, 1, short(2)))            # RGB
+    entries.append((273, 4, n_strips,
+                    long_(strip_offsets[0]) if n_strips == 1
+                    else out_of_line(so_payload)))
+    entries.append((277, 3, 1, short(3)))
+    entries.append((278, 3, 1, short(rps)))
+    entries.append((279, 4, n_strips,
+                    long_(len(strips[0])) if n_strips == 1
+                    else out_of_line(sc_payload)))
+    ifd = _s.pack("<H", n_entries)
+    for tag, typ, cnt, val in entries:
+        ifd += _s.pack("<HHI", tag, typ, cnt) + val
+    ifd += long_(0)  # no next IFD
+    return (_s.pack("<2sHI", b"II", 42, ifd_off)
+            + b"".join(strips) + ifd + bytes(extra))
+
+
+def decode_tiff_packbits(blob: bytes) -> tuple[int, int, np.ndarray, dict]:
+    """REAL decode of a little-endian baseline PackBits TIFF ->
+    ``(w, h, (h, w, 3) RGB uint8, info)``: header + IFD walk with
+    inline-vs-offset value resolution, tag validation (RGB, 3x8
+    bits, PackBits), per-strip RLE decode with exact length
+    accounting, multi-strip reassembly.  ``info`` carries
+    ``n_strips`` and ``compressed_bytes`` so callers can grade strip
+    accounting and compression effectiveness.  Big-endian ('MM'),
+    tiled, and non-PackBits variants raise loudly."""
+    import struct as _s
+
+    if blob[:2] == b"MM":
+        raise NotImplementedError("big-endian TIFF not decoded here")
+    if blob[:2] != b"II" or _s.unpack_from("<H", blob, 2)[0] != 42:
+        raise ValueError("not a TIFF blob")
+    tags: dict[int, list[int]] = {}
+    try:
+        (ifd_off,) = _s.unpack_from("<I", blob, 4)
+        (n_entries,) = _s.unpack_from("<H", blob, ifd_off)
+        type_size = {1: 1, 3: 2, 4: 4}
+        for i in range(n_entries):
+            tag, typ, cnt = _s.unpack_from(
+                "<HHI", blob, ifd_off + 2 + 12 * i)
+            voff = ifd_off + 2 + 12 * i + 8
+            sz = type_size.get(typ)
+            if sz is None:
+                continue  # unknown type: skip, per reader convention
+            if sz * cnt > 4:
+                (voff,) = _s.unpack_from("<I", blob, voff)
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(_s.unpack_from(f"<{cnt}{fmt}", blob, voff))
+    except _s.error as exc:
+        raise ValueError("truncated TIFF") from exc
+    try:
+        w, h = tags[256][0], tags[257][0]
+        comp = tags[259][0]
+        photo = tags[262][0]
+        spp = tags[277][0]
+        bits = tags[258]
+        rps = tags[278][0]
+        offsets = tags[273]
+        counts = tags[279]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing baseline tag {exc}") from exc
+    if comp != 32773:
+        raise NotImplementedError(f"TIFF compression {comp} not decoded")
+    if (photo, spp, bits) != (2, 3, [8, 8, 8]):
+        raise NotImplementedError(
+            f"only 8-bit RGB decodes (photo={photo}, spp={spp}, "
+            f"bits={bits})")
+    if len(offsets) != len(counts):
+        raise ValueError("StripOffsets/StripByteCounts length mismatch")
+    rows = []
+    remaining = h
+    for off, cnt in zip(offsets, counts):
+        strip_rows = min(rps, remaining)
+        raw = _packbits_decode(blob[off:off + cnt], strip_rows * w * 3)
+        rows.append(np.frombuffer(raw, dtype=np.uint8)
+                    .reshape(strip_rows, w, 3))
+        remaining -= strip_rows
+    if remaining != 0:
+        raise ValueError("TIFF strips do not cover the image height")
+    info = {"n_strips": len(offsets),
+            "compressed_bytes": int(sum(counts))}
+    return w, h, np.concatenate(rows, axis=0), info
+
+
+def render_tiff_media(doc_df: DataFrame) -> DataFrame:
+    """Render a REAL PackBits TIFF per document with a RUN-FRIENDLY
+    pixel law: width ``(id % 10) + 3``, height ``(id % 6) + 2``, base
+    ``id % 180``; EVEN rows are the constant gray ``base + 2y`` in
+    all three channels (byte-level runs -> run packets), ODD rows are
+    the gradient ``R = base + 3x, G = base + 2x, B = base + y``
+    (literal packets) — so every strip exercises both packet kinds
+    and the corpus-wide compressed size provably beats raw.  Max
+    sample 212 < 256: no wrap, closed-form means."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id % 10) + 3
+                h = int(doc_id % 6) + 2
+                base = int(doc_id % 180)
+                x = np.arange(w, dtype=np.int32)
+                y = np.arange(h, dtype=np.int32)
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = base + 3 * x[None, :]
+                px[:, :, 1] = base + 2 * x[None, :]
+                px[:, :, 2] = base + y[:, None]
+                even = (y % 2 == 0)
+                gray = (base + 2 * y[even, None]).astype(np.uint8)
+                for c in range(3):
+                    px[even, :, c] = gray
+                blobs.append(encode_tiff_packbits(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return doc_df.select("doc_id").mapInPandas(batches, schema)
+
+
+TIFF_STATS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mean_r", DoubleType()),
+    StructField("mean_g", DoubleType()),
+    StructField("mean_b", DoubleType()),
+    StructField("container_ok", BooleanType()),
+    StructField("rle_effective_ok", BooleanType()),
+])
+
+
+def extract_tiff_stats(media_df: DataFrame) -> DataFrame:
+    """TIFF decode stats + container invariants in Arrow-batched
+    ``mapInPandas``: exact channel means (int64 sums / exact pixel
+    count), ``container_ok`` (strip count equals ceil(h /
+    RowsPerStrip) — the IFD's strip arrays accounted for every row
+    exactly once), ``rle_effective_ok`` (PackBits strip bytes total
+    strictly under the raw 3wh — the run-friendly law must actually
+    compress)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "mean_r", "mean_g",
+                "mean_b", "container_ok", "rle_effective_ok")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb, info = decode_tiff_packbits(bytes(blob))
+                sums = rgb.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n = w * h
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(int(sums[0]) / n)
+                out["mean_g"].append(int(sums[1]) / n)
+                out["mean_b"].append(int(sums[2]) / n)
+                out["container_ok"].append(
+                    info["n_strips"]
+                    == (h + _TIFF_ROWS_PER_STRIP - 1)
+                    // _TIFF_ROWS_PER_STRIP)
+                out["rle_effective_ok"].append(
+                    info["compressed_bytes"] < 3 * w * h)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "mean_r": pd.Series(out["mean_r"], dtype="float64"),
+                "mean_g": pd.Series(out["mean_g"], dtype="float64"),
+                "mean_b": pd.Series(out["mean_b"], dtype="float64"),
+                "container_ok": pd.Series(
+                    out["container_ok"], dtype="bool"),
+                "rle_effective_ok": pd.Series(
+                    out["rle_effective_ok"], dtype="bool"),
+            })
+
+    return media_df.mapInPandas(batches, TIFF_STATS_SCHEMA)

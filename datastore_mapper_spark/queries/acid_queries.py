@@ -2682,3 +2682,73 @@ def acid_update_mor(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
         F.lit(bool(one_commit)).alias("mor_one_commit_ok"),
         F.lit(bool(no_resurrect)).alias("no_resurrect_ok"))
+
+
+@query(
+    "acid_optimize_where",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS scoped_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_optimize_where(spark, sf_dir):
+    """PARTITION-SCOPED OPTIMIZE (round 14 — Delta's ``OPTIMIZE ...
+    WHERE``, ``acid_lite.optimize_where``): orders lands
+    status-partitioned as FOUR fragmented appends (every partition
+    holds >= 4 small files — the streaming-sink fragmentation
+    pattern), then one scoped commit compacts ONLY the 'F'
+    partition.  The hashed rows are the per-status aggregate —
+    row-identical across the compaction by construction, so a lost
+    or doubled row anywhere hash-fails.
+
+    ``scoped_ok`` grades the maintenance contract: the commit
+    replaced the 'F' files with strictly fewer fresh ones while
+    every file of every OTHER partition carried VERBATIM (the
+    compaction bill is bounded by the hot partition, never the
+    table), the op is ``optimize-where``, the version advanced by
+    exactly one, and partition pruning on the compacted layout still
+    selects exactly the 'F' files.  At 100 TB this is nightly
+    maintenance on today's partition of a years-deep table: touched
+    bytes ∝ one day, manifest math for the rest."""
+    dest = _table_dir("acid_optwhere", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    acid_lite.create_table(spark, dest, o.filter(k % 4 == 0).coalesce(1),
+                           partition_by=["o_orderstatus"])
+    for r in (1, 2, 3):
+        acid_lite.append(spark, dest,
+                         o.filter(k % 4 == r).coalesce(1))
+    v0 = acid_lite.latest_version(dest)
+    m0 = acid_lite._read_manifest(dest, v0)
+    f_files0 = [f for f in m0["files"] if "o_orderstatus=F" in f]
+    others0 = [f for f in m0["files"] if "o_orderstatus=F" not in f]
+    v = acid_lite.optimize_where(spark, dest, {"o_orderstatus": "F"})
+    m1 = acid_lite._read_manifest(dest, v)
+    f_files1 = [f for f in m1["files"] if "o_orderstatus=F" in f]
+    others1 = [f for f in m1["files"] if "o_orderstatus=F" not in f]
+    sel, _tot = acid_lite.prune_files(
+        dest, "o_orderstatus", "F", "F", version=v)
+    scoped = (
+        v == v0 + 1
+        and m1.get("op") == "optimize-where"
+        and len(f_files1) < len(f_files0)
+        and not set(f_files1) & set(f_files0)
+        and sorted(others1) == sorted(others0)
+        and sorted(sel) == sorted(f_files1)
+    ) or len(f_files0) <= 1
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, dest, v)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                F.lit(bool(scoped)).alias("scoped_ok"))
+    )

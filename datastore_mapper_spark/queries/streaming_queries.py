@@ -356,3 +356,49 @@ def stream_stream_full_outer_join(spark, sf_dir):
     from ..streaming.demos import streaming_stream_stream_full_outer
 
     return streaming_stream_stream_full_outer(spark, sf_dir)
+
+
+@query(
+    "stream_sessionize_stateful",
+    "streaming",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id,
+               epoch_us(ts::TIMESTAMP) AS us,
+               lag(epoch_us(ts::TIMESTAMP)) OVER
+                 (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+                 AS prev_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ), sessions AS (
+        SELECT user_id, us,
+               CAST(sum(is_new) OVER
+                 (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT)
+                 AS session_id
+        FROM flagged
+    ), per AS (
+        SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n
+        FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(max(n) AS BIGINT) AS max_session_events
+    FROM per GROUP BY user_id
+    """,
+    description="STATEFUL sessionization with EVENT-TIME TIMEOUT "
+    "(round 14 — the applyInPandasWithState timeout surface): "
+    "30-min-gap sessions close via watermark-driven state timeouts, "
+    "flushed deterministically by the sentinel batches; per-user "
+    "session aggregates must hash-match the batch lag->cumsum "
+    "sessionization exactly (a stranded open session, a double emit, "
+    "or a timeout firing early each shifts a count).",
+)
+def stream_sessionize_stateful(spark, sf_dir):
+    from ..streaming.stateful import streaming_sessionize_stateful
+
+    return streaming_sessionize_stateful(spark, sf_dir)

@@ -1003,6 +1003,73 @@ def optimize(
                           new_partitions=new_parts)
 
 
+def optimize_where(
+    spark: SparkSession,
+    path: str,
+    partition_values: dict,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """PARTITION-SCOPED compaction — Delta's ``OPTIMIZE tbl WHERE
+    part = v`` (round 14): rewrite ONLY the small files of the named
+    partition tuple(s); every other partition's files carry by
+    reference, untouched.  This is the shape maintenance actually
+    runs at 100 TB — a streaming sink fragments TODAY's partition,
+    so compaction cost must be bounded by the hot partition, never
+    the table.  ``partition_values`` matches identity-partition
+    values exactly ({"day": "2026-08-16"}); a key that is not a
+    partition column raises.  Tables carrying deletion vectors are
+    refused (a scoped rewrite cannot soundly purge vectors keyed to
+    files outside its scope — run full :func:`optimize`, which
+    purges them all, exactly the Delta restriction class).
+    Concurrency is the standard logical rebase: a concurrent append
+    or an edit of a DIFFERENT partition composes; a concurrent
+    rewrite of a scoped file conflicts."""
+    import math
+
+    parent = latest_version(path)
+    if parent == 0:
+        raise ValueError(f"table does not exist: {path}")
+    manifest = _read_manifest(path, parent)
+    pby = manifest.get("partition_by")
+    if not pby:
+        raise ValueError(
+            "optimize_where needs an identity-partitioned table "
+            "(partition_by) — use optimize() for unpartitioned ones")
+    bad_keys = [k for k in partition_values if k not in pby]
+    if bad_keys:
+        raise ValueError(
+            f"{bad_keys} are not partition columns of {pby}")
+    if _has_dvs(manifest):
+        raise ValueError(
+            "table carries deletion vectors — run full optimize() "
+            "first (a scoped rewrite cannot purge out-of-scope "
+            "vectors soundly)")
+    parts_map = manifest.get("partitions") or {}
+
+    def _match(f: str) -> bool:
+        pv = parts_map.get(f) or {}
+        return all(str(pv.get(k)) == str(v)
+                   for k, v in partition_values.items())
+
+    scoped = [f for f in manifest["files"] if _match(f)]
+    total = 0
+    for f in scoped:
+        try:
+            total += os.path.getsize(
+                f if os.path.isabs(f) else os.path.join(path, f))
+        except OSError:
+            pass
+    n_target = max(1, math.ceil(total / target_file_bytes))
+    if len(scoped) <= n_target:
+        return parent  # partition already compact — no empty commit
+    df = _load_files(spark, path, manifest, scoped)
+    new_files, new_parts = _write_files_any(
+        df.coalesce(n_target), path, pby,
+        mapping=manifest.get("mapping"))
+    return _rebase_commit(path, scoped, new_files, "optimize-where",
+                          expect_dvs=[], new_partitions=new_parts)
+
+
 def _physical(m: dict, column: str) -> str:
     """A logical column's immutable PHYSICAL name (column mapping):
     footer-derived stats are keyed by the name in the parquet pages,

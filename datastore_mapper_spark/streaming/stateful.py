@@ -263,3 +263,137 @@ def streaming_ledger_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_r") == 1)
         .select("user_id", "rn", "balance")
     )
+
+
+# --- event-time-timeout sessionization (round 14) ---------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+_SESSION_GAP_MS = 30 * 60 * 1_000
+
+SESSION_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start_us", LongType()),
+    StructField("n_events", LongType()),
+])
+
+SESSION_STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("end_us", LongType()),
+    StructField("n", LongType()),
+])
+
+
+def _update_sessions(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """30-minute-gap sessionizer with EVENT-TIME TIMEOUT: sessions
+    closed by a later in-batch event emit immediately; the trailing
+    open session emits when the WATERMARK passes its end + gap —
+    either via the state timeout callback (``hasTimedOut``) or
+    eagerly when the current watermark already proves no extension
+    can arrive.  State per user is one (start, end, n) triple —
+    bounded, and evicted the moment the session provably closed
+    (the semantics Spark's built-in ``session_window`` applies,
+    reimplemented on the raw state API so the timeout surface is
+    exercised)."""
+    out: list[tuple[int, int, int]] = []
+    uid = key[0]
+    if state.hasTimedOut:
+        if state.exists:
+            st, en, n = state.get
+            out.append((uid, st, n))
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [uid] * len(out),
+             "session_start_us": [o[1] for o in out],
+             "n_events": [o[2] for o in out]})
+        return
+    rows = [pdf[["us", "event_id"]] for pdf in pdfs if len(pdf)]
+    cur = list(state.get) if state.exists else None
+    if rows:
+        batch = pd.concat(rows).sort_values(["us", "event_id"])
+        for us in batch["us"].to_numpy():
+            us = int(us)
+            if cur is None:
+                cur = [us, us, 1]
+            elif us - cur[1] > _SESSION_GAP_US:
+                out.append((uid, cur[0], cur[2]))
+                cur = [us, us, 1]
+            else:
+                cur[1] = us
+                cur[2] += 1
+    if cur is not None:
+        wm_ms = state.getCurrentWatermarkMs()
+        close_at_ms = cur[1] // 1000 + _SESSION_GAP_MS + 1
+        if wm_ms and close_at_ms <= wm_ms:
+            out.append((uid, cur[0], cur[2]))  # already provably closed
+            state.remove()
+        else:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(close_at_ms)
+    yield pd.DataFrame(
+        {"user_id": [o[0] for o in out],
+         "session_start_us": [o[1] for o in out],
+         "n_events": [o[2] for o in out]})
+
+
+def streaming_sessionize_stateful(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Replay events through the event-time-timeout sessionizer and
+    return per-user session aggregates.  The four-batch staging
+    (two chronological halves + two far-future watermark sentinels,
+    shared with the outer-join rows) makes every timeout fire inside
+    the finite replay: sentinel batch 1 advances the watermark past
+    every real session's close horizon, sentinel batch 2's trigger
+    delivers the timeouts.  Output rows are session-count-bounded
+    (append mode), so the memory sink holds sessions, never events."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import with_ts_us
+    from ..session import configure
+    from .demos import _run_to_memory, _staged_outer_join_dir
+
+    configure(spark)
+    path = _os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    events = with_ts_us(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_staged_outer_join_dir(sf_dir))
+    )
+    # The sentinel rows (user_id = -1) MUST reach the watermark
+    # operator: a pre-groupBy filter gets PUSHED BELOW the
+    # EventTimeWatermark node by the optimizer, the sentinels never
+    # feed max-event-time, the watermark stalls at the last real
+    # row - delay, and every trailing session whose close horizon
+    # lies beyond it is silently stranded in state (observed: exactly
+    # the global-max-timestamp user's final session went missing).
+    # So the sentinels flow through the stateful operator as their
+    # own key and are dropped from the OUTPUT instead.
+    keyed = (
+        events.withWatermark("ts_us", "1 minute")
+        # ts_us stays in the frame: event-time timeout requires the
+        # watermarked column to survive into the stateful operator
+        .select("user_id", "ts_us",
+                F.unix_micros(F.col("ts_us")).alias("us"), "event_id")
+    )
+    sessions = keyed.groupBy("user_id").applyInPandasWithState(
+        _update_sessions,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    ).filter(F.col("user_id") >= 0)
+    name = _run_to_memory(sessions, "append")
+    sink = spark.table(name)
+    from pyspark.sql import functions as F2
+
+    return sink.groupBy("user_id").agg(
+        F2.count("*").alias("n_sessions"),
+        F2.sum("n_events").cast("bigint").alias("n_events"),
+        F2.max("n_events").cast("bigint").alias("max_session_events"),
+    )

@@ -2360,3 +2360,40 @@ def test_update_where_mor_generated_and_partitioned(spark, tdir):
     # partition pruning still sees the moved rows under 'c'
     sel, _tot = acid_lite.prune_files(tdir, "part", "c", "c", version=v)
     assert sel and all("part=c" in f for f in sel)
+
+
+def test_optimize_where_partition_scoped(spark, tdir):
+    """OPTIMIZE WHERE compacts ONLY the named partition's files;
+    other partitions carry verbatim; non-partition keys and
+    DV-carrying tables are refused; content is row-identical."""
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(1, 9)],
+        "k bigint, part string")
+    acid_lite.create_table(spark, tdir, df.coalesce(1),
+                           partition_by=["part"])
+    for i in (10, 20, 30):  # fragment BOTH partitions across appends
+        acid_lite.append(spark, tdir, spark.createDataFrame(
+            [(i, "a"), (i + 1, "b")], "k bigint, part string")
+            .coalesce(1))
+    m0 = acid_lite._read_manifest(tdir, acid_lite.latest_version(tdir))
+    a0 = [f for f in m0["files"] if "part=a" in f]
+    b0 = [f for f in m0["files"] if "part=b" in f]
+    assert len(a0) >= 3 and len(b0) >= 3
+    pre = {(r.k, r.part) for r in acid_lite.read(spark, tdir).collect()}
+    v = acid_lite.optimize_where(spark, tdir, {"part": "a"})
+    m1 = acid_lite._read_manifest(tdir, v)
+    a1 = [f for f in m1["files"] if "part=a" in f]
+    b1 = [f for f in m1["files"] if "part=b" in f]
+    assert m1["op"] == "optimize-where"
+    assert len(a1) == 1 and not set(a1) & set(a0)   # compacted fresh
+    assert sorted(b1) == sorted(b0)                 # carried verbatim
+    assert {(r.k, r.part)
+            for r in acid_lite.read(spark, tdir).collect()} == pre
+    # partition pruning still works on the compacted layout
+    sel, tot = acid_lite.prune_files(tdir, "part", "a", "a", version=v)
+    assert sel == a1 and tot == len(m1["files"])
+    with pytest.raises(ValueError, match="not partition columns"):
+        acid_lite.optimize_where(spark, tdir, {"k": 1})
+    acid_lite.delete_where_dv(spark, tdir, "k", 1, 1)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        acid_lite.optimize_where(spark, tdir, {"part": "a"})

@@ -2403,3 +2403,41 @@ def test_png_adam7_roundtrip_and_previews():
     corrupt[40] ^= 0x01  # inside IDAT body -> CRC mismatch
     with _pytest.raises(ValueError):
         decode_png_adam7_passes(bytes(corrupt))
+
+
+def test_tiff_packbits_container_paths():
+    """TIFF/PackBits: random-image round trip, multi-strip coverage,
+    and loud failures on big-endian, bad magic, truncated strips, and
+    foreign compression tags."""
+    import struct
+    import numpy as np
+    import pytest as _pytest
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_tiff_packbits,
+        encode_tiff_packbits,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    blob = encode_tiff_packbits(px)
+    w, h, rgb, info = decode_tiff_packbits(blob)
+    assert (w, h) == (5, 7) and np.array_equal(rgb, px)
+    assert info["n_strips"] == 4  # ceil(7/2): last strip is short
+    with _pytest.raises(NotImplementedError):
+        decode_tiff_packbits(b"MM\x00\x2a" + blob[4:])
+    with _pytest.raises(ValueError):
+        decode_tiff_packbits(b"XX" + blob[2:])
+    # flip the compression tag (259) to LZW (5): refused loudly
+    (ifd_off,) = struct.unpack_from("<I", blob, 4)
+    (n_entries,) = struct.unpack_from("<H", blob, ifd_off)
+    mod = bytearray(blob)
+    for i in range(n_entries):
+        tag, = struct.unpack_from("<H", mod, ifd_off + 2 + 12 * i)
+        if tag == 259:
+            struct.pack_into("<H", mod, ifd_off + 2 + 12 * i + 8, 5)
+    with _pytest.raises(NotImplementedError):
+        decode_tiff_packbits(bytes(mod))
+    # truncate the last strip's bytes: exact-length accounting trips
+    with _pytest.raises(ValueError):
+        decode_tiff_packbits(blob[:20])
