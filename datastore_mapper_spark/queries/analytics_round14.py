@@ -447,3 +447,173 @@ def gumbel_weekly_max_fit(spark, sf_dir):
                "* (sqrt((s2 - s1 * s1 / n) / (n - 1)) "
                "* sqrt(6.0) / pi()), 4)").alias("mu_cents"),
     )
+
+
+@query(
+    "pmi_bigram_collocations",
+    "analytics/text",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), bi AS (
+        SELECT t[u.i] AS w1, t[u.i + 1] AS w2
+        FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 2
+    ), bc AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        FROM bi GROUP BY w1, w2
+    ), uni AS (
+        SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM (
+            SELECT w1 AS w, c FROM bc
+            UNION ALL SELECT w2, c FROM bc
+        ) GROUP BY w
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM bc
+    ), scored AS (
+        SELECT b.w1, b.w2, b.c,
+               round(log2(CAST(b.c AS DOUBLE) * (SELECT n FROM tot)
+                          / (CAST(u1.cw AS DOUBLE) * u2.cw)), 4) AS pmi
+        FROM bc b
+        JOIN uni u1 ON u1.w = b.w1
+        JOIN uni u2 ON u2.w = b.w2
+        WHERE b.c >= 5
+    )
+    SELECT w1, w2, c, pmi
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 50
+    """,
+)
+def pmi_bigram_collocations(spark, sf_dir):
+    """Top-50 bigram COLLOCATIONS by pointwise mutual information —
+    PMI(w1,w2) = log2(c(w1,w2)·N / (c(w1)·c(w2))) with unigram mass
+    measured over bigram-slot participation (left + right), the
+    Church & Hanks association measure a phrase-mining pass ranks
+    candidate multiword expressions with.  The c >= 5 support floor
+    is the standard guard against PMI's rare-pair bias (a hapax pair
+    otherwise maxes the score).  Counts are exact integers; PMI is
+    one log2 of a rational, rounded to 4 dp; the top-50 ties break
+    on the bigram itself.  Scale shape: one shuffle on the bigram
+    key, one on the unigram key — dictionary-tier joins after the
+    first aggregate, the same envelope as the TF-IDF family."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    base = d.select(t.alias("t")).filter(F.size("t") >= 2)
+    bi = base.select(
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at("t", i).alias("w1"),
+                F.element_at("t", i + 1).alias("w2")),
+        )).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    uni = (
+        bc.select(F.col("w1").alias("w"), "c")
+        .unionAll(bc.select(F.col("w2").alias("w"), "c"))
+        .groupBy("w").agg(F.sum("c").alias("cw"))
+    )
+    tot = bc.agg(F.sum("c").alias("n"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cw").alias("cw1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cw").alias("cw2"))
+    return (
+        bc.filter(F.col("c") >= 5)
+        .join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c",
+            F.round(F.log2(F.col("c").cast("double") * F.col("n")
+                           / (F.col("cw1").cast("double")
+                              * F.col("cw2"))), 4).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(50)
+    )
+
+
+@query(
+    "theil_u_event_type_by_segment",
+    "analytics/stats",
+    oracle="""
+    WITH joint AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+               CAST(count(*) AS BIGINT) AS c
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM joint
+    ), margx AS (
+        SELECT seg, CAST(sum(c) AS BIGINT) AS cx FROM joint GROUP BY seg
+    ), margy AS (
+        SELECT pri, CAST(sum(c) AS BIGINT) AS cy FROM joint GROUP BY pri
+    ), hy AS (
+        SELECT sum(-(CAST(cy AS DOUBLE) / (SELECT n FROM tot))
+                   * log2(CAST(cy AS DOUBLE) / (SELECT n FROM tot)))
+               AS h FROM margy
+    ), hyx AS (
+        SELECT sum(-(CAST(j.c AS DOUBLE) / (SELECT n FROM tot))
+                   * log2(CAST(j.c AS DOUBLE) / m.cx)) AS h
+        FROM joint j JOIN margx m ON j.seg = m.seg
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM margx) AS n_segments,
+           (SELECT CAST(count(*) AS BIGINT) FROM margy) AS n_priorities,
+           round((SELECT h FROM hy), 4) AS h_priority_bits,
+           round(((SELECT h FROM hy) - (SELECT h FROM hyx))
+                 / (SELECT h FROM hy), 4) AS theil_u
+    FROM tot
+    WHERE n > 0 AND (SELECT h FROM hy) > 0
+    """,
+)
+def theil_u_event_type_by_segment(spark, sf_dir):
+    """Theil's uncertainty coefficient U(priority | segment) — the
+    ASYMMETRIC categorical-association measure (what fraction of
+    order-priority entropy does knowing the market segment remove):
+    U = (H(Y) - H(Y|X)) / H(Y), the normalized mutual information
+    that, unlike Cramér's V (graded round 13), distinguishes
+    direction.  All cell/margin counts are exact integers; each
+    entropy is a sum of p·log2 terms rounded only at the final
+    statistic (4 dp, the entropy-family tolerance); the H(Y) > 0
+    guard keeps the degenerate single-priority corpus (and the empty
+    twin) at zero rows on both engines.  Scale: one fact-table
+    aggregate to a segments x priorities contingency grid, then
+    dictionary-tier math."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    joint = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"),
+                 F.col("o_orderpriority").alias("pri"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()  # contingency-grid-sized; reused 4x
+    )
+    n = joint.agg(F.sum("c").alias("n"))
+    margx = joint.groupBy("seg").agg(F.sum("c").alias("cx"))
+    margy = joint.groupBy("pri").agg(F.sum("c").alias("cy"))
+    hy = (
+        margy.crossJoin(F.broadcast(n))
+        .agg(F.sum(-(F.col("cy").cast("double") / F.col("n"))
+                   * F.log2(F.col("cy").cast("double") / F.col("n")))
+             .alias("h"))
+    )
+    hyx = (
+        joint.join(margx, "seg")
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum(-(F.col("c").cast("double") / F.col("n"))
+                   * F.log2(F.col("c").cast("double") / F.col("cx")))
+             .alias("h"))
+    )
+    nx = margx.agg(F.count("*").alias("n_segments"))
+    ny = margy.agg(F.count("*").alias("n_priorities"))
+    return (
+        n.filter(F.col("n") > 0)
+        .crossJoin(F.broadcast(nx)).crossJoin(F.broadcast(ny))
+        .crossJoin(F.broadcast(hy.select(F.col("h").alias("hy"))))
+        .crossJoin(F.broadcast(hyx.select(F.col("h").alias("hyx"))))
+        .filter(F.col("hy") > 0)
+        .select(
+            "n_segments", "n_priorities",
+            F.round(F.col("hy"), 4).alias("h_priority_bits"),
+            F.round((F.col("hy") - F.col("hyx")) / F.col("hy"), 4)
+            .alias("theil_u"),
+        )
+    )
