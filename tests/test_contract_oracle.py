@@ -73,14 +73,14 @@ def test_contract_rows_registered_first():
 
     names = list(SPECS)
     assert names[: len(_CONTRACT_ORDER)] == _CONTRACT_ORDER
-    # round-13 rotation (REGISTRY.md "Driver-grading rotation"): rows
-    # 1-30 pinned §2.B core, rows 31-48 the r12 flagship swap-forwards
-    # (r12 VERDICT task 1), rows 49-50 the next queue heads
-    assert names[30] == "acid_partitioned_scan"
-    assert names[33] == "stream_acid_source_demo"
-    assert names[44] == "tdigest_quantiles_verified"
-    assert names[49] == "sink_schema_evolution_mergeread"
-    # every row of the round-13 graded window is oracle-checked
+    # round-14 rotation (REGISTRY.md "Driver-grading rotation"): rows
+    # 1-30 pinned §2.B core, rows 31-50 the r13 flagship swap-forwards
+    # (r13 VERDICT task 1): governance ring, BQ/QOI/PCA, stats wave
+    assert names[30] == "acid_check_constraints"
+    assert names[38] == "stream_acid_to_acid_pipeline"
+    assert names[41] == "pca_covariance_eigen"
+    assert names[49] == "lm_dirichlet_retrieval_topk"
+    # every row of the round-14 graded window is oracle-checked
     for n in _CONTRACT_ORDER[:50]:
         assert SPECS[n].oracle is not None, n
 

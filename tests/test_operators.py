@@ -980,11 +980,33 @@ def test_bpe_encode_matches_pure_python(spark, sf_dir):
 
     rows = all_queries()["bpe_encode_token_count"].fn(spark, sf_dir).collect()
     got_ws = {r.lang: r.whitespace_tokens for r in rows}
-    got_bpe = {r.lang: r.bpe_tokens for r in rows}
     assert got_ws == dict(ws)
-    assert got_bpe == dict(bpe)
-    for r in rows:
-        assert r.bpe_tokens <= r.char_symbols  # merging never grows
+    cs = Counter()
+    for r in docs:
+        for w in r.text.split(" "):
+            if w:
+                cs[r.lang] += len(w)
+    assert {r.lang: r.char_symbols for r in rows} == dict(cs)
+    # the round-14 promotion moved BPE totals out of the hashed output
+    # into graded booleans; the pure-Python differential now targets
+    # the Spark encode path directly
+    assert all(r.encode_bounds_ok and r.merges_applied_ok for r in rows)
+    from datastore_mapper_spark.queries.bpe_queries import _encode_len_udf
+
+    wf = (
+        _table(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("f"))
+    )
+    enc = wf.withColumn("enc_len", _encode_len_udf(merges)("w"))
+    spark_bpe = {
+        r.lang: r.s
+        for r in enc.groupBy("lang")
+        .agg(F.sum(F.col("f") * F.col("enc_len")).alias("s")).collect()
+    }
+    assert spark_bpe == dict(bpe)
 
 
 def test_snapshot_content_addressing_rebuilds_on_fixture_change(

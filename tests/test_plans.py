@@ -241,6 +241,12 @@ BNLJ_ALLOWED = {
     "cramers_v_priority_status",  # 1-row n scalar crossed into 15 cells
     "durbin_watson_daily_revenue",  # 1-row (n, S) scalar crossed onto day dict
     "runs_test_daily_revenue",   # 1-row median scalar crossed onto day dict
+    # round 14
+    "footrule_nation_rank_distance",  # 1-row footrule-total scalar crossed onto 25 nations
+    "jensen_shannon_source_drift",  # triangular join on the ~20-row source dict (pair grid)
+    "ljung_box_daily_revenue",   # 7-row lag grid + 1-row moments scalar (the ACF shape)
+    "pmi_bigram_collocations",   # 1-row bigram-total scalar crossed onto the top-50
+    "theil_u_event_type_by_segment",  # four 1-row entropy/count scalars crossed
 }
 
 
