@@ -617,3 +617,99 @@ def theil_u_event_type_by_segment(spark, sf_dir):
             .alias("theil_u"),
         )
     )
+
+
+@query(
+    "kruskal_wallis_priority_value",
+    "analytics/stats",
+    oracle="""
+    WITH x AS (
+        SELECT o_orderpriority AS g,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders
+    ), ranked AS (
+        SELECT g,
+               2 * rank() OVER (ORDER BY v)
+               + CAST(count(*) OVER (PARTITION BY v) AS BIGINT) - 1
+               AS r2
+        FROM x
+    ), grp AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS nj,
+               CAST(sum(CAST(r2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+        FROM ranked GROUP BY g
+    ), ties AS (
+        SELECT CAST(sum(CAST(t AS DECIMAL(38,0))
+                        * CAST(t AS DECIMAL(38,0)) * t - t)
+                    AS DOUBLE) AS tsum
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM x GROUP BY v)
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(nj) AS BIGINT) AS n,
+               CAST(sum(CAST(s2 * s2 AS DECIMAL(38,6)) / (4 * nj))
+                    AS DOUBLE) AS srr
+        FROM grp
+    )
+    SELECT k AS n_groups, n AS n_total,
+           round((12.0 * srr / (CAST(n AS DOUBLE) * (n + 1))
+                  - 3.0 * (n + 1))
+                 / (1.0 - (SELECT tsum FROM ties)
+                        / (CAST(n AS DOUBLE) * n * n - n)), 4)
+               AS h_stat
+    FROM agg
+    WHERE k >= 2 AND n >= 3
+      AND (SELECT tsum FROM ties)
+          < CAST(n AS DOUBLE) * n * n - n
+    """,
+)
+def kruskal_wallis_priority_value(spark, sf_dir):
+    """Kruskal-Wallis H across the five order priorities on order
+    value — the rank-based one-way ANOVA completing the graded
+    family (Mann-Whitney handles 2 groups, round 13's ANOVA is the
+    parametric twin): H = 12/(N(N+1))·Σ R_j²/n_j − 3(N+1), divided
+    by the tie correction 1 − Σ(t³−t)/(N³−N).  Midranks with ties
+    stay EXACT by the doubling trick (2·midrank = 2·rank + tiesize −
+    1, an integer; the .5 halves fold out as /4 in R_j²/n_j), rank
+    sums and the tie cubic ride DECIMAL(38,0), and H is one double
+    expression rounded to 4 dp.  Guards: >= 2 groups, N >= 3, and a
+    non-degenerate tie correction (all-identical values would zero
+    the denominator).  Scale: one global rank (the two-pass ranged
+    rank at 100 TB, SCALE.md 'exact order statistics'), then
+    dictionary-tier group math."""
+    o = table(spark, sf_dir, "orders")
+    x = o.select(F.col("o_orderpriority").alias("g"),
+                 _cents("o_totalprice").alias("v"))
+    r2 = (
+        2 * F.rank().over(Window.orderBy("v"))
+        + F.count("*").over(Window.partitionBy("v")).cast("bigint") - 1
+    )
+    ranked = x.select("g", r2.alias("r2"))
+    grp = ranked.groupBy("g").agg(
+        F.count("*").alias("nj"),
+        F.sum(F.col("r2").cast("decimal(38,0)")).alias("s2"),
+    )
+    ties = (
+        x.groupBy("v").agg(F.count("*").alias("t"))
+        .agg(F.sum(F.col("t").cast("decimal(38,0)")
+                   * F.col("t").cast("decimal(38,0)") * F.col("t")
+                   - F.col("t")).cast("double").alias("tsum"))
+    )
+    agg = grp.agg(
+        F.count("*").alias("k"),
+        F.sum("nj").alias("n"),
+        F.sum((F.col("s2") * F.col("s2")).cast("decimal(38,6)")
+              / (4 * F.col("nj"))).cast("double").alias("srr"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(ties))
+        .filter((F.col("k") >= 2) & (F.col("n") >= 3)
+                & (F.col("tsum")
+                   < F.col("n").cast("double") * F.col("n") * F.col("n")
+                   - F.col("n")))
+        .select(
+            F.col("k").alias("n_groups"), F.col("n").alias("n_total"),
+            F.expr("round((12.0 * srr / (CAST(n AS DOUBLE) * (n + 1)) "
+                   "- 3.0 * (n + 1)) "
+                   "/ (1.0 - tsum / (CAST(n AS DOUBLE) * n * n - n)), 4)"
+                   ).alias("h_stat"),
+        )
+    )

@@ -247,6 +247,7 @@ BNLJ_ALLOWED = {
     "ljung_box_daily_revenue",   # 7-row lag grid + 1-row moments scalar (the ACF shape)
     "pmi_bigram_collocations",   # 1-row bigram-total scalar crossed onto the top-50
     "theil_u_event_type_by_segment",  # four 1-row entropy/count scalars crossed
+    "kruskal_wallis_priority_value",  # 1-row tie-cubic scalar crossed
 }
 
 
