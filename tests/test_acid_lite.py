@@ -2397,3 +2397,31 @@ def test_optimize_where_partition_scoped(spark, tdir):
     acid_lite.delete_where_dv(spark, tdir, "k", 1, 1)
     with pytest.raises(ValueError, match="deletion vectors"):
         acid_lite.optimize_where(spark, tdir, {"part": "a"})
+
+
+def test_branch_inherits_constraints_publish_keeps_mains(spark, tdir):
+    """Composition: a branch CLONE carries the table's CHECK
+    constraints (staged writes are validated branch-side, before any
+    publish); constraint changes are per-table — publish lands FILE
+    deltas and main keeps its own current guard set."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a")]).coalesce(1))
+    acid_lite.add_check_constraint(spark, tdir, "k_pos", "k > 0")
+    acid_lite.create_branch(tdir, "dev")
+    bp = acid_lite.branch_path(tdir, "dev")
+    # the branch enforces the inherited guard on ITS writes
+    with pytest.raises(acid_lite.ConstraintViolation):
+        acid_lite.append(spark, bp, _df(spark, [(-7, "bad")]))
+    acid_lite.append(spark, bp, _df(spark, [(2, "b")]))
+    # main later drops the guard; the branch's copy is independent
+    acid_lite.drop_constraint(tdir, "k_pos")
+    with pytest.raises(acid_lite.ConstraintViolation):
+        acid_lite.append(spark, bp, _df(spark, [(-8, "bad")]))
+    # publish lands the branch's rows; main's (empty) guard set wins
+    v = acid_lite.publish_branch(spark, tdir, "dev")
+    m = acid_lite._read_manifest(tdir, v)
+    assert not m.get("constraints")
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} == {1, 2}
+    acid_lite.append(spark, tdir, _df(spark, [(-9, "now legal")]))
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} \
+        == {1, 2, -9}
