@@ -713,3 +713,89 @@ def kruskal_wallis_priority_value(spark, sf_dir):
                    ).alias("h_stat"),
         )
     )
+
+
+@query(
+    "page_hinkley_revenue_drift",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderdate
+    ), cum AS (
+        SELECT d,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+               CAST(sum(cents) OVER (ORDER BY d) AS BIGINT) AS s
+        FROM daily
+    ), m AS (
+        SELECT d, t,
+               s - CAST(sum(s // t) OVER (ORDER BY d) AS BIGINT) AS mt
+        FROM cum
+    ), dev AS (
+        SELECT d, t,
+               mt - min(mt) OVER (ORDER BY d) AS rise
+        FROM m
+    )
+    SELECT (SELECT CAST(max(t) AS BIGINT) FROM dev) AS n_days,
+           (SELECT CAST(max(rise) AS BIGINT) FROM dev) AS ph_max_cents,
+           (SELECT min(d) FROM dev
+            WHERE rise = (SELECT max(rise) FROM dev)) AS alarm_day
+    FROM dev
+    WHERE t = 1 AND (SELECT max(t) FROM dev) >= 3
+    """,
+)
+def page_hinkley_revenue_drift(spark, sf_dir):
+    """Page-Hinkley mean-shift detection over the daily-revenue
+    series (the sequential drift test a data-quality monitor runs on
+    a metric stream): m_t = Sum_{i<=t}(x_i - mean_i) with mean_i the
+    RUNNING mean, and the alarm statistic is the largest rise of m_t
+    above its running minimum - max_t (m_t - min_{i<=t} m_i), with
+    the earliest day attaining it as the alarm point.  Unlike the
+    graded CUSUM row (global-mean reference, decided once), PH is
+    sequential: each deviation is measured against only the history
+    seen so far, which is what makes it deployable on a live stream.
+
+    Determinism is EXACT-INTEGER, not ordered-FP: the first attempt
+    accumulated Sum S_i/i as doubles and diverged from DuckDB in the
+    4th decimal at 2399 days (window aggregation is NOT bitwise
+    order-stable across engines - a seam now on record), so the
+    running mean is discretized to the FLOOR CENT (S_i div i,
+    integer division on both engines, <= 1 cent per-term deviation by
+    construction) and every quantity through the argmax is a BIGINT;
+    the output is integer cents with no rounding anywhere.  Scale:
+    day-dictionary-tier after one fact aggregate."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(_cents("o_totalprice")).alias("cents"))
+    wd = Window.orderBy("d")
+    cum = daily.select(
+        "d",
+        F.row_number().over(wd).cast("bigint").alias("t"),
+        F.sum("cents").over(wd).cast("bigint").alias("s"),
+    )
+    m = cum.select(
+        "d", "t",
+        (F.col("s") - F.sum(F.expr("s DIV t")).over(wd).cast("bigint"))
+        .alias("mt"),
+    )
+    dev = m.select(
+        "d", "t",
+        (F.col("mt") - F.min("mt").over(wd)).alias("rise"),
+    )
+    agg = dev.agg(
+        F.max("t").alias("n_days"),
+        F.max("rise").cast("bigint").alias("ph_max_cents"),
+    )
+    alarm = (
+        dev.crossJoin(F.broadcast(
+            dev.agg(F.max("rise").alias("mx"))))
+        .filter(F.col("rise") == F.col("mx"))
+        .agg(F.min("d").alias("alarm_day"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(alarm))
+        .filter(F.col("n_days") >= 3)
+        .select("n_days", "ph_max_cents", "alarm_day")
+    )

@@ -248,6 +248,7 @@ BNLJ_ALLOWED = {
     "pmi_bigram_collocations",   # 1-row bigram-total scalar crossed onto the top-50
     "theil_u_event_type_by_segment",  # four 1-row entropy/count scalars crossed
     "kruskal_wallis_priority_value",  # 1-row tie-cubic scalar crossed
+    "page_hinkley_revenue_drift",  # 1-row max-rise + alarm-day scalars crossed
 }
 
 
