@@ -799,3 +799,76 @@ def page_hinkley_revenue_drift(spark, sf_dir):
         .filter(F.col("n_days") >= 3)
         .select("n_days", "ph_max_cents", "alarm_day")
     )
+
+
+@query(
+    "g_test_segment_priority",
+    "analytics/stats",
+    oracle="""
+    WITH joint AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+               CAST(count(*) AS BIGINT) AS obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), margx AS (
+        SELECT seg, CAST(sum(obs) AS BIGINT) AS cx FROM joint GROUP BY seg
+    ), margy AS (
+        SELECT pri, CAST(sum(obs) AS BIGINT) AS cy FROM joint GROUP BY pri
+    ), tot AS (
+        SELECT CAST(sum(obs) AS BIGINT) AS n FROM joint
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM margx) AS n_segments,
+           (SELECT CAST(count(*) AS BIGINT) FROM margy) AS n_priorities,
+           CAST(((SELECT count(*) FROM margx) - 1)
+                * ((SELECT count(*) FROM margy) - 1) AS BIGINT) AS dof,
+           round(2 * sum(obs * ln(CAST(obs AS DOUBLE) * (SELECT n FROM tot)
+                                  / (CAST(mx.cx AS DOUBLE) * my.cy))), 4)
+               AS g_stat
+    FROM joint j
+    JOIN margx mx ON j.seg = mx.seg
+    JOIN margy my ON j.pri = my.pri
+    HAVING count(*) > 0 AND (SELECT n FROM tot) > 0
+    """,
+)
+def g_test_segment_priority(spark, sf_dir):
+    """The G-test of independence (log-likelihood ratio) on the
+    market-segment x order-priority contingency grid: G = 2 Σ
+    O·ln(O·N / (row·col)) — the information-theoretic counterpart of
+    the graded chi-square row (G = 2N·ln2·MI, additive across
+    partitions of the table, which is why log-linear modeling
+    prefers it; both are χ²(dof) under H0).  Observed cells and
+    margins are exact integers; zero cells contribute nothing
+    (absent rows, the O·ln O → 0 limit); G is one rounded double
+    over ~25 cells.  Scale: one fact-join aggregate to the
+    dictionary-tier grid, then cell math."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    joint = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"),
+                 F.col("o_orderpriority").alias("pri"))
+        .agg(F.count("*").alias("obs"))
+        .localCheckpoint()  # grid-sized; feeds margins + cells
+    )
+    margx = joint.groupBy("seg").agg(F.sum("obs").alias("cx"))
+    margy = joint.groupBy("pri").agg(F.sum("obs").alias("cy"))
+    tot = joint.agg(F.sum("obs").alias("n"))
+    nx = margx.agg(F.count("*").alias("n_segments"))
+    ny = margy.agg(F.count("*").alias("n_priorities"))
+    return (
+        joint.join(margx, "seg").join(margy, "pri")
+        .crossJoin(F.broadcast(tot))
+        .agg(F.round(2 * F.sum(
+            F.col("obs") * F.log(F.col("obs").cast("double") * F.col("n")
+                                 / (F.col("cx").cast("double")
+                                    * F.col("cy")))), 4).alias("g_stat"),
+             F.count("*").alias("__cells"))
+        .filter(F.col("__cells") > 0)
+        .crossJoin(F.broadcast(nx)).crossJoin(F.broadcast(ny))
+        .select(
+            "n_segments", "n_priorities",
+            ((F.col("n_segments") - 1) * (F.col("n_priorities") - 1))
+            .cast("bigint").alias("dof"),
+            "g_stat",
+        )
+    )

@@ -249,6 +249,7 @@ BNLJ_ALLOWED = {
     "theil_u_event_type_by_segment",  # four 1-row entropy/count scalars crossed
     "kruskal_wallis_priority_value",  # 1-row tie-cubic scalar crossed
     "page_hinkley_revenue_drift",  # 1-row max-rise + alarm-day scalars crossed
+    "g_test_segment_priority",   # 1-row N / margin-count scalars crossed
 }
 
 
