@@ -872,3 +872,88 @@ def g_test_segment_priority(spark, sf_dir):
             "g_stat",
         )
     )
+
+
+@query(
+    "cochran_q_urgent_by_year",
+    "analytics/stats",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(max(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997, 1998)
+        GROUP BY 1, 2
+    ), blocks AS (
+        SELECT o_custkey FROM per GROUP BY 1 HAVING count(*) = 3
+    ), x AS (
+        SELECT p.o_custkey, p.y, p.s
+        FROM per p JOIN blocks b ON p.o_custkey = b.o_custkey
+    ), rowt AS (
+        SELECT o_custkey, CAST(sum(s) AS BIGINT) AS r FROM x GROUP BY 1
+    ), colt AS (
+        SELECT y, CAST(sum(s) AS BIGINT) AS cj FROM x GROUP BY 1
+    ), agg AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM blocks) AS b,
+               (SELECT CAST(sum(cj) AS BIGINT) FROM colt) AS g,
+               (SELECT CAST(sum(cj * cj) AS BIGINT) FROM colt) AS c2,
+               (SELECT CAST(sum(r) AS BIGINT) FROM rowt) AS rs,
+               (SELECT CAST(sum(r * r) AS BIGINT) FROM rowt) AS r2
+    )
+    SELECT b AS n_blocks, CAST(3 AS BIGINT) AS k_treatments,
+           round(CAST(2 * (3 * c2 - g * g) AS DOUBLE)
+                 / (3 * rs - r2), 4) AS q_stat
+    FROM agg
+    WHERE b >= 1 AND 3 * rs - r2 > 0
+    """,
+)
+def cochran_q_urgent_by_year(spark, sf_dir):
+    """Cochran's Q — the k-treatment repeated-measures test for
+    BINARY outcomes (the McNemar generalization; round 13 graded the
+    2-treatment case): did the propensity to place an URGENT order
+    change across 1996/1997/1998 for the customers active in ALL
+    three years (complete blocks, the design requirement)?
+    Q = (k-1)·[k·ΣC_j² − G²] / (k·ΣR_i − ΣR_i²) ~ χ²(k-1) under
+    H0(no year effect).  Every total is an exact integer (binary
+    responses summed per block row / year column); Q is ONE double
+    division rounded to 4 dp; guards keep the degenerate cases
+    (zero complete blocks; all-equal row totals zeroing the
+    denominator) and the empty twin at zero rows on both engines.
+    Scale: one fact aggregate to (customer, year) bits, a HAVING
+    gate for the blocks, then block/column totals — dictionary-tier
+    after the first shuffle."""
+    o = table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("bigint")
+    per = (
+        o.filter(yr.isin(1996, 1997, 1998))
+        .groupBy(F.col("o_custkey"), yr.alias("y"))
+        .agg(F.max(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                   .otherwise(0)).cast("bigint").alias("s"))
+    )
+    blocks = per.groupBy("o_custkey").agg(
+        F.count("*").alias("ny")).filter(F.col("ny") == 3) \
+        .select("o_custkey")
+    x = per.join(blocks, "o_custkey").localCheckpoint()
+    rowt = x.groupBy("o_custkey").agg(F.sum("s").alias("r"))
+    colt = x.groupBy("y").agg(F.sum("s").alias("cj"))
+    agg = (
+        blocks.agg(F.count("*").alias("b"))
+        .crossJoin(F.broadcast(colt.agg(
+            F.sum("cj").alias("g"),
+            F.sum(F.col("cj") * F.col("cj")).alias("c2"))))
+        .crossJoin(F.broadcast(rowt.agg(
+            F.sum("r").alias("rs"),
+            F.sum(F.col("r") * F.col("r")).alias("r2"))))
+    )
+    return (
+        agg.filter((F.col("b") >= 1)
+                   & (3 * F.col("rs") - F.col("r2") > 0))
+        .select(
+            F.col("b").alias("n_blocks"),
+            F.lit(3).cast("bigint").alias("k_treatments"),
+            F.expr("round(CAST(2 * (3 * c2 - g * g) AS DOUBLE) "
+                   "/ (3 * rs - r2), 4)").alias("q_stat"),
+        )
+    )

@@ -250,6 +250,7 @@ BNLJ_ALLOWED = {
     "kruskal_wallis_priority_value",  # 1-row tie-cubic scalar crossed
     "page_hinkley_revenue_drift",  # 1-row max-rise + alarm-day scalars crossed
     "g_test_segment_priority",   # 1-row N / margin-count scalars crossed
+    "cochran_q_urgent_by_year",  # 1-row block/column total scalars crossed
 }
 
 
