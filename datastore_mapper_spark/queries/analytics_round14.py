@@ -957,3 +957,152 @@ def cochran_q_urgent_by_year(spark, sf_dir):
                    "/ (3 * rs - r2), 4)").alias("q_stat"),
         )
     )
+
+
+@query(
+    "hurst_exponent_daily_revenue",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY o_orderdate
+    ), idx AS (
+        SELECT x, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+        FROM daily
+    ), sized AS (
+        SELECT s.n, i.t, i.x, (i.t - 1) // s.n AS blk
+        FROM (SELECT unnest([8, 16, 32, 64]) AS n) s
+        JOIN idx i ON i.t <= ((SELECT max(t) FROM idx) // s.n) * s.n
+    ), pre AS (
+        SELECT n, blk, x,
+               CAST(sum(x) OVER (PARTITION BY n, blk ORDER BY t)
+                    AS BIGINT) AS p,
+               CAST(row_number() OVER (PARTITION BY n, blk ORDER BY t)
+                    AS BIGINT) AS j
+        FROM sized
+    ), bsum AS (
+        SELECT a.n, a.blk, a.s1, b.s2
+        FROM (SELECT n, blk, CAST(p AS DECIMAL(38,0)) AS s1
+              FROM pre WHERE j = n) a
+        JOIN (SELECT n, blk,
+                     CAST(sum(CAST(x AS DECIMAL(38,0))
+                              * CAST(x AS DECIMAL(38,0)))
+                          AS DECIMAL(38,0)) AS s2
+              FROM sized GROUP BY n, blk) b
+          ON a.n = b.n AND a.blk = b.blk
+    ), dev AS (
+        SELECT p.n, p.blk,
+               greatest(CAST(max(p.n * p.p - p.j * b.s1) AS DECIMAL(38,0)),
+                        CAST(0 AS DECIMAL(38,0)))
+               - least(CAST(min(p.n * p.p - p.j * b.s1) AS DECIMAL(38,0)),
+                       CAST(0 AS DECIMAL(38,0))) AS rn,
+               p.n * b.s2 - b.s1 * b.s1 AS rad
+        FROM pre p JOIN bsum b ON p.n = b.n AND p.blk = b.blk
+        GROUP BY p.n, p.blk, b.s1, b.s2
+    ), pts AS (
+        SELECT n,
+               log2(CAST(n AS DOUBLE)) AS lx,
+               avg(log2(CAST(rn AS DOUBLE))
+                   - 0.5 * log2(CAST(rad AS DOUBLE))) AS ly
+        FROM dev
+        WHERE rn > 0 AND rad > 0
+        GROUP BY n
+        HAVING count(*) >= 2
+    )
+    SELECT (SELECT CAST(max(t) AS BIGINT) FROM idx) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_sizes,
+           round((sum(lx * ly) - sum(lx) * sum(ly) / count(*))
+                 / (sum(lx * lx) - sum(lx) * sum(lx) / count(*)), 4)
+               AS hurst
+    FROM pts
+    HAVING count(*) >= 2
+    """,
+)
+def hurst_exponent_daily_revenue(spark, sf_dir):
+    """Hurst exponent of the daily-revenue series by RESCALED-RANGE
+    analysis (Hurst/Mandelbrot long-memory diagnostic: H ≈ 0.5 for a
+    memoryless series, > 0.5 persistent, < 0.5 mean-reverting): the
+    series splits into complete blocks of n ∈ {8, 16, 32, 64} days;
+    per block, the range R of cumulative mean-deviations (0-anchored)
+    over the stddev S; H is the OLS slope of mean log2(R/S) on
+    log2 n.  The FP-seam discipline: R·n = max_j(n·P_j − j·S1) −
+    min_j(...) and the stddev radicand n·Σx² − S1² are EXACT
+    DECIMAL(38,0) integers per block (the mean's denominator cleared
+    by n, the CUSUM trick), so the only doubles are per-block log2s,
+    block means, and the final 4-dp-rounded slope; degenerate
+    (constant) blocks drop by the same rn > 0 AND rad > 0 filter on
+    both engines, and sizes need >= 2 surviving blocks.  Scale: the
+    series is day-dictionary-tier; the 4 sizes fan out as a
+    broadcast grid — the whole analysis runs on |days| x 4 rows."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(_cents("o_totalprice")).alias("x"))
+    idx = daily.select(
+        "x", F.row_number().over(Window.orderBy("d")).cast("bigint")
+        .alias("t")).localCheckpoint()
+    nmax = idx.agg(F.max("t").alias("mx"))
+    sizes = spark.createDataFrame([(8,), (16,), (32,), (64,)], "n bigint")
+    sized = (
+        F.broadcast(sizes)
+        .crossJoin(F.broadcast(nmax))
+        .join(idx, F.col("t")
+              <= (F.col("mx") / F.col("n")).cast("bigint") * F.col("n"))
+        .select("n", "t", "x",
+                ((F.col("t") - 1) / F.col("n")).cast("bigint").alias("blk"))
+    )
+    wb = Window.partitionBy("n", "blk").orderBy("t")
+    pre = sized.select(
+        "n", "blk", "x",
+        F.sum("x").over(wb).cast("bigint").alias("p"),
+        F.row_number().over(wb).cast("bigint").alias("j"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    bsum = (
+        pre.filter(F.col("j") == F.col("n"))
+        .select("n", "blk", dec("p").alias("s1"))
+        .join(
+            sized.groupBy("n", "blk")
+            .agg(F.sum(dec("x") * dec("x")).alias("s2")),
+            ["n", "blk"])
+    )
+    nd = pre.join(bsum, ["n", "blk"]).select(
+        "n", "blk", "s1", "s2",
+        (dec("p") * F.col("n") - dec("j") * F.col("s1")).alias("ndj"),
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    dev = nd.groupBy("n", "blk", "s1", "s2").agg(
+        (F.greatest(F.max("ndj"), zero)
+         - F.least(F.min("ndj"), zero)).alias("rn"),
+    ).select(
+        "n", "blk", "rn",
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        .alias("rad"),
+    )
+    pts = (
+        dev.filter((F.col("rn") > 0) & (F.col("rad") > 0))
+        .groupBy("n")
+        .agg(F.avg(F.log2(F.col("rn").cast("double"))
+                   - 0.5 * F.log2(F.col("rad").cast("double")))
+             .alias("ly"),
+             F.count("*").alias("nb"))
+        .filter(F.col("nb") >= 2)
+        .select(F.log2(F.col("n").cast("double")).alias("lx"), "ly")
+    )
+    return (
+        pts.agg(
+            F.count("*").alias("k"),
+            F.sum("lx").alias("sx"), F.sum("ly").alias("sy"),
+            F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+            F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        )
+        .crossJoin(F.broadcast(nmax))
+        .filter(F.col("k") >= 2)
+        .select(
+            F.col("mx").alias("n_days"),
+            F.col("k").alias("n_sizes"),
+            F.expr("round((sxy - sx * sy / k) / (sxx - sx * sx / k), 4)")
+            .alias("hurst"),
+        )
+    )

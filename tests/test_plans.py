@@ -251,6 +251,7 @@ BNLJ_ALLOWED = {
     "page_hinkley_revenue_drift",  # 1-row max-rise + alarm-day scalars crossed
     "g_test_segment_priority",   # 1-row N / margin-count scalars crossed
     "cochran_q_urgent_by_year",  # 1-row block/column total scalars crossed
+    "hurst_exponent_daily_revenue",  # 4-row size grid + 1-row N scalar crossed
 }
 
 
