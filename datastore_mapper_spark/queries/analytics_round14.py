@@ -1106,3 +1106,114 @@ def hurst_exponent_daily_revenue(spark, sf_dir):
             .alias("hurst"),
         )
     )
+
+
+@query(
+    "jonckheere_terpstra_priority_trend",
+    "analytics/stats",
+    oracle="""
+    WITH x AS (
+        SELECT o_orderpriority AS g,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders
+    ), cnt AS (
+        SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY g, v
+    ), grid AS (
+        SELECT gg.g, vv.v, coalesce(c.c, 0) AS c
+        FROM (SELECT DISTINCT g FROM cnt) gg
+        CROSS JOIN (SELECT DISTINCT v FROM cnt) vv
+        LEFT JOIN cnt c ON c.g = gg.g AND c.v = vv.v
+    ), pre AS (
+        SELECT g, v, c,
+               CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS BIGINT) AS below
+        FROM grid
+    ), pairs AS (
+        SELECT a.g AS g1, b.g AS g2
+        FROM (SELECT DISTINCT g FROM cnt) a
+        JOIN (SELECT DISTINCT g FROM cnt) b ON a.g < b.g
+    ), terms AS (
+        SELECT p.g1, p.g2,
+               CAST(sum(2 * q2.c * coalesce(q1.below, 0)
+                        + q1.c * q2.c) AS BIGINT) AS u2
+        FROM pairs p
+        JOIN pre q1 ON q1.g = p.g1
+        JOIN pre q2 ON q2.g = p.g2 AND q2.v = q1.v
+        GROUP BY p.g1, p.g2
+    ), gsz AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS ng FROM x GROUP BY g
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM gsz) AS n_groups,
+           (SELECT CAST(sum(ng) AS BIGINT) FROM gsz) AS n_total,
+           CAST((SELECT sum(a.ng * b.ng) FROM gsz a
+                 JOIN gsz b ON a.g < b.g) AS BIGINT) AS n_pairs,
+           CAST(sum(u2) AS DOUBLE) / 2 AS j_stat
+    FROM terms
+    HAVING count(*) > 0
+    """,
+)
+def jonckheere_terpstra_priority_trend(spark, sf_dir):
+    """Jonckheere-Terpstra ordered-alternative trend test: does order
+    value trend MONOTONICALLY across the ordered priorities
+    1-URGENT < ... < 5-LOW?  J = Σ_{g1<g2} U(g1,g2) with U the
+    Mann-Whitney count (ties at 1/2) — more powerful than
+    Kruskal-Wallis when the alternative is ordered, which is exactly
+    the priority-ladder hypothesis.  The doubling trick keeps
+    everything integral: 2U = Σ_v [2·c2(v)·C1(<v) + c1(v)·c2(v)]
+    over the zero-filled (group x value) grid with per-group prefix
+    counts, so J emerges as an exact .0/.5 double with NO rounding;
+    n_pairs = Σ n1·n2 is the exact denominator a consumer normalizes
+    by (J/n_pairs → 0.5 under H0).  Scale: the value dictionary is
+    the only corpus-sized aggregate; the grid is |values| x 5 and
+    the pair join is dictionary-tier."""
+    o = table(spark, sf_dir, "orders")
+    x = o.select(F.col("o_orderpriority").alias("g"),
+                 _cents("o_totalprice").alias("v"))
+    cnt = x.groupBy("g", "v").agg(F.count("*").alias("c")) \
+        .localCheckpoint()
+    groups = cnt.select("g").distinct()
+    vals = cnt.select("v").distinct()
+    grid = (
+        groups.crossJoin(vals)
+        .join(cnt, ["g", "v"], "left")
+        .na.fill({"c": 0})
+    )
+    wg = (Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    pre = grid.select(
+        "g", "v", "c",
+        F.coalesce(F.sum("c").over(wg), F.lit(0)).cast("bigint")
+        .alias("below"),
+    )
+    pairs = (
+        groups.alias("a")
+        .join(groups.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(F.col("a.g").alias("g1"), F.col("b.g").alias("g2"))
+    )
+    q1 = pre.select(F.col("g").alias("g1"), "v",
+                    F.col("c").alias("c1"), F.col("below").alias("b1"))
+    q2 = pre.select(F.col("g").alias("g2"), "v",
+                    F.col("c").alias("c2"))
+    terms = (
+        F.broadcast(pairs).join(q1, "g1").join(q2, ["g2", "v"])
+        .groupBy("g1", "g2")
+        .agg(F.sum(2 * F.col("c2") * F.col("b1")
+                   + F.col("c1") * F.col("c2")).alias("u2"))
+    )
+    gsz = x.groupBy("g").agg(F.count("*").alias("ng")).localCheckpoint()
+    np_ = (
+        gsz.alias("a").join(gsz.alias("b"), F.col("a.g") < F.col("b.g"))
+        .agg(F.sum(F.col("a.ng") * F.col("b.ng")).cast("bigint")
+             .alias("n_pairs"))
+    )
+    meta = gsz.agg(F.count("*").alias("n_groups"),
+                   F.sum("ng").cast("bigint").alias("n_total"))
+    return (
+        terms.agg(F.sum("u2").alias("j2"), F.count("*").alias("npair"))
+        .filter(F.col("npair") > 0)
+        .crossJoin(F.broadcast(meta))
+        .crossJoin(F.broadcast(np_))
+        .select("n_groups", "n_total", "n_pairs",
+                (F.col("j2").cast("double") / 2).alias("j_stat"))
+    )

@@ -252,6 +252,7 @@ BNLJ_ALLOWED = {
     "g_test_segment_priority",   # 1-row N / margin-count scalars crossed
     "cochran_q_urgent_by_year",  # 1-row block/column total scalars crossed
     "hurst_exponent_daily_revenue",  # 4-row size grid + 1-row N scalar crossed
+    "jonckheere_terpstra_priority_trend",  # 5-group grids + 1-row meta scalars
 }
 
 
