@@ -1217,3 +1217,55 @@ def jonckheere_terpstra_priority_trend(spark, sf_dir):
         .select("n_groups", "n_total", "n_pairs",
                 (F.col("j2").cast("double") / 2).alias("j_stat"))
     )
+
+
+@query(
+    "yule_k_vocabulary_richness",
+    "analytics/text",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ), freq AS (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+        FROM tok GROUP BY lang, w
+    ), agg AS (
+        SELECT lang,
+               CAST(sum(f) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS v,
+               CAST(sum(f * f) AS BIGINT) AS m2
+        FROM freq GROUP BY lang
+    )
+    SELECT lang, n AS n_tokens, v AS vocab_size,
+           round(10000.0 * (m2 - n) / (CAST(n AS DOUBLE) * n), 4)
+               AS yule_k
+    FROM agg
+    WHERE n >= 2
+    """,
+)
+def yule_k_vocabulary_richness(spark, sf_dir):
+    """Yule's characteristic K per language — the classic
+    length-invariant vocabulary-richness statistic (K = 10⁴·(Σf² −
+    N)/N², derived from the word-frequency spectrum's second moment;
+    higher K = more repetitive vocabulary), the stylometric number a
+    corpus-quality dashboard tracks alongside the graded type-token
+    and entropy rows.  N, V, and Σf² are exact integers from one
+    (lang, word) aggregate; K is one rounded double.  Scale: the
+    frequency table is the only corpus-sized shuffle; everything
+    after is |langs| rows."""
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w").agg(F.count("*").alias("f"))
+    )
+    agg = freq.groupBy("lang").agg(
+        F.sum("f").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("v"),
+        F.sum(F.col("f") * F.col("f")).cast("bigint").alias("m2"),
+    )
+    return agg.filter(F.col("n") >= 2).select(
+        "lang", F.col("n").alias("n_tokens"),
+        F.col("v").alias("vocab_size"),
+        F.expr("round(10000.0 * (m2 - n) / (CAST(n AS DOUBLE) * n), 4)")
+        .alias("yule_k"),
+    )
