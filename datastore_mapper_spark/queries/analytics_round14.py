@@ -1269,3 +1269,83 @@ def yule_k_vocabulary_richness(spark, sf_dir):
         F.expr("round(10000.0 * (m2 - n) / (CAST(n AS DOUBLE) * n), 4)")
         .alias("yule_k"),
     )
+
+
+@query(
+    "palma_ratio_customer_revenue",
+    "analytics/inequality",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM per
+    ), ranked AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY cents DESC, o_custkey)
+                    AS BIGINT) AS r
+        FROM per
+    )
+    SELECT (SELECT n FROM nn) AS n_customers,
+           CAST(sum(CASE WHEN r <= (SELECT n FROM nn) // 10
+                         THEN cents ELSE 0 END) AS BIGINT) AS top10_cents,
+           CAST(sum(CASE WHEN r > (SELECT n FROM nn)
+                             - (2 * (SELECT n FROM nn)) // 5
+                         THEN cents ELSE 0 END) AS BIGINT)
+               AS bottom40_cents,
+           round(CAST(sum(CASE WHEN r <= (SELECT n FROM nn) // 10
+                               THEN cents ELSE 0 END) AS DOUBLE)
+                 / sum(CASE WHEN r > (SELECT n FROM nn)
+                                - (2 * (SELECT n FROM nn)) // 5
+                            THEN cents ELSE 0 END), 4) AS palma_ratio
+    FROM ranked
+    HAVING (SELECT n FROM nn) // 10 >= 1
+       AND sum(CASE WHEN r > (SELECT n FROM nn)
+                        - (2 * (SELECT n FROM nn)) // 5
+                    THEN cents ELSE 0 END) > 0
+    """,
+)
+def palma_ratio_customer_revenue(spark, sf_dir):
+    """The Palma ratio of customer revenue concentration — top-10%
+    share over bottom-40% share, the inequality measure that
+    replaced Gini in development economics because it isolates the
+    tails Gini's middle-weighting blurs (and the complement to the
+    graded Gini/HHI rows).  Customers rank by exact revenue cents
+    with the unique key as tie-break; the decile/quintile cut points
+    are INTEGER counts (n//10, 2n//5 — no interpolation, the
+    headcount convention), so both shares are exact integer cents
+    and the ratio is one rounded division.  Guards require a
+    non-empty top decile and positive bottom-40 mass.  Scale: one
+    fact aggregate to |customers|, one global rank (two-pass ranged
+    rank at 100 TB), then conditional sums."""
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("cents"))
+    n = per.agg(F.count("*").alias("n"))
+    ranked = (
+        per.select(
+            "cents",
+            F.row_number().over(
+                Window.orderBy(F.desc("cents"), F.asc("o_custkey")))
+            .cast("bigint").alias("r"))
+        .crossJoin(F.broadcast(n))
+    )
+    top = F.sum(F.when(F.col("r") <= F.expr("n DIV 10"),
+                       F.col("cents")).otherwise(0))
+    bot = F.sum(F.when(F.col("r") > F.col("n") - F.expr("(2 * n) DIV 5"),
+                       F.col("cents")).otherwise(0))
+    return (
+        ranked.groupBy("n")
+        .agg(top.cast("bigint").alias("top10_cents"),
+             bot.cast("bigint").alias("bottom40_cents"))
+        .filter((F.expr("n DIV 10") >= 1)
+                & (F.col("bottom40_cents") > 0))
+        .select(
+            F.col("n").alias("n_customers"), "top10_cents",
+            "bottom40_cents",
+            F.round(F.col("top10_cents").cast("double")
+                    / F.col("bottom40_cents"), 4).alias("palma_ratio"),
+        )
+    )

@@ -253,6 +253,7 @@ BNLJ_ALLOWED = {
     "cochran_q_urgent_by_year",  # 1-row block/column total scalars crossed
     "hurst_exponent_daily_revenue",  # 4-row size grid + 1-row N scalar crossed
     "jonckheere_terpstra_priority_trend",  # 5-group grids + 1-row meta scalars
+    "palma_ratio_customer_revenue",  # 1-row customer-count scalar crossed
 }
 
 
