@@ -1349,3 +1349,142 @@ def palma_ratio_customer_revenue(spark, sf_dir):
                     / F.col("bottom40_cents"), 4).alias("palma_ratio"),
         )
     )
+
+
+@query(
+    "fano_factor_daily_orders",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d, CAST(count(*) AS BIGINT) AS c
+        FROM orders GROUP BY o_orderdate
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM daily
+    )
+    SELECT n AS n_days, s1 AS n_orders,
+           round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                 / (n - 1) / (CAST(s1 AS DOUBLE) / n), 4) AS fano_factor
+    FROM agg
+    WHERE n >= 2 AND s1 > 0
+    """,
+)
+def fano_factor_daily_orders(spark, sf_dir):
+    """Fano factor (index of dispersion) of the daily order-arrival
+    counts: sample variance over mean — the Poisson-ness diagnostic
+    (F ≈ 1 for a memoryless arrival process, > 1 overdispersed /
+    bursty, < 1 regularized), the first number a capacity model
+    checks before assuming Poisson arrivals.  Count moments are
+    exact integers; F is one double expression rounded to 4 dp with
+    n >= 2 and positive-mass guards.  Scale: one fact aggregate to
+    the day dictionary."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count("*").alias("c"))
+    agg = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    return agg.filter((F.col("n") >= 2) & (F.col("s1") > 0)).select(
+        F.col("n").alias("n_days"), F.col("s1").alias("n_orders"),
+        F.expr("round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) "
+               "/ (n - 1) / (CAST(s1 AS DOUBLE) / n), 4)")
+        .alias("fano_factor"),
+    )
+
+
+@query(
+    "somers_d_priority_value_quartile",
+    "analytics/stats",
+    oracle="""
+    WITH per AS (
+        SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS xo,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM per
+    ), ranked AS (
+        SELECT xo,
+               CAST(row_number() OVER (ORDER BY cents, o_orderkey)
+                    AS BIGINT) AS r
+        FROM per
+    ), cells AS (
+        SELECT xo,
+               least(((r - 1) * 4) // (SELECT n FROM nn) + 1, 4) AS yo,
+               CAST(count(*) AS BIGINT) AS c
+        FROM ranked GROUP BY 1, 2
+    ), pairs AS (
+        SELECT CAST(sum(CASE WHEN b.xo > a.xo AND b.yo > a.yo
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS conc,
+               CAST(sum(CASE WHEN b.xo > a.xo AND b.yo < a.yo
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS disc,
+               CAST(sum(CASE WHEN b.xo > a.xo AND b.yo = a.yo
+                             THEN a.c * b.c ELSE 0 END) AS BIGINT) AS ty
+        FROM cells a JOIN cells b ON TRUE
+    )
+    SELECT (SELECT n FROM nn) AS n_orders, conc, disc,
+           round(CAST(conc - disc AS DOUBLE) / (conc + disc + ty), 4)
+               AS somers_d
+    FROM pairs
+    WHERE conc + disc + ty > 0
+    """,
+)
+def somers_d_priority_value_quartile(spark, sf_dir):
+    """Somers' D of value quartile ON order priority — the ASYMMETRIC
+    ordinal-association coefficient (Kendall's tau-family numerator
+    normalized by pairs untied on the PREDICTOR): does moving down
+    the priority ladder 1-URGENT → 5-LOW shift order value across
+    its quartiles?  X = the priority's leading digit (the encoding
+    makes the order explicit); Y = the value quartile by exact
+    integer rank cut points (r·4/n headcount buckets, no
+    interpolation, unique-key tie-break).  C, D, and the Y-ties are
+    exact integer products over the 5x4 contingency cells (a
+    dictionary-tier self-join of 20 rows); D_{Y|X} is one rounded
+    division.  Scale: one global rank (two-pass ranged at 100 TB),
+    one grid aggregate, then cell math."""
+    o = table(spark, sf_dir, "orders")
+    per = o.select(
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("xo"),
+        _cents("o_totalprice").alias("cents"), "o_orderkey")
+    nn = per.agg(F.count("*").alias("n"))
+    ranked = per.select(
+        "xo",
+        F.row_number().over(Window.orderBy("cents", "o_orderkey"))
+        .cast("bigint").alias("r"))
+    cells = (
+        ranked.crossJoin(F.broadcast(nn))
+        .select("xo",
+                F.least(F.expr("((r - 1) * 4) DIV n") + 1,
+                        F.lit(4).cast("bigint")).alias("yo"))
+        .groupBy("xo", "yo").agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pairs = a.join(b, F.lit(True)).agg(
+        F.sum(F.when((F.col("b.xo") > F.col("a.xo"))
+                     & (F.col("b.yo") > F.col("a.yo")),
+                     F.col("a.c") * F.col("b.c")).otherwise(0))
+        .cast("bigint").alias("conc"),
+        F.sum(F.when((F.col("b.xo") > F.col("a.xo"))
+                     & (F.col("b.yo") < F.col("a.yo")),
+                     F.col("a.c") * F.col("b.c")).otherwise(0))
+        .cast("bigint").alias("disc"),
+        F.sum(F.when((F.col("b.xo") > F.col("a.xo"))
+                     & (F.col("b.yo") == F.col("a.yo")),
+                     F.col("a.c") * F.col("b.c")).otherwise(0))
+        .cast("bigint").alias("ty"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nn))
+        .filter(F.col("conc") + F.col("disc") + F.col("ty") > 0)
+        .select(
+            F.col("n").alias("n_orders"), "conc", "disc",
+            F.round((F.col("conc") - F.col("disc")).cast("double")
+                    / (F.col("conc") + F.col("disc") + F.col("ty")), 4)
+            .alias("somers_d"),
+        )
+    )

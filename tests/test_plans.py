@@ -254,6 +254,7 @@ BNLJ_ALLOWED = {
     "hurst_exponent_daily_revenue",  # 4-row size grid + 1-row N scalar crossed
     "jonckheere_terpstra_priority_trend",  # 5-group grids + 1-row meta scalars
     "palma_ratio_customer_revenue",  # 1-row customer-count scalar crossed
+    "somers_d_priority_value_quartile",  # 20-cell grid self-join + 1-row N
 }
 
 
