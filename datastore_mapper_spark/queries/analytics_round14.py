@@ -1488,3 +1488,151 @@ def somers_d_priority_value_quartile(spark, sf_dir):
             .alias("somers_d"),
         )
     )
+
+
+@query(
+    "jarque_bera_daily_revenue",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(floor(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                          / 100) AS BIGINT) AS x
+        FROM orders GROUP BY o_orderdate
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(x AS DECIMAL(38,0))
+                        * CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+               CAST(sum(CAST(x AS DECIMAL(38,0))
+                        * CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS s3,
+               CAST(sum(CAST(x AS DECIMAL(38,0))
+                        * CAST(x AS DECIMAL(38,0)) * x * x) AS DOUBLE) AS s4
+        FROM daily
+    )
+    SELECT n AS n_days,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+                 / pow(s2 / n - pow(s1 / n, 2), 1.5), 4) AS skewness,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * pow(s1 / n, 2) * (s2 / n) - 3 * pow(s1 / n, 4))
+                 / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 4)
+               AS excess_kurtosis,
+           round(n / 6.0 * (
+               pow((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+                   / pow(s2 / n - pow(s1 / n, 2), 1.5), 2)
+               + pow((s4 / n - 4 * (s1 / n) * (s3 / n)
+                      + 6 * pow(s1 / n, 2) * (s2 / n) - 3 * pow(s1 / n, 4))
+                     / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 2) / 4), 4)
+               AS jb_stat
+    FROM agg
+    WHERE n >= 4 AND s2 / n - pow(s1 / n, 2) > 0
+    """,
+)
+def jarque_bera_daily_revenue(spark, sf_dir):
+    """Jarque-Bera normality test on the daily-revenue series —
+    JB = n/6·(skew² + kurt²/4) ~ χ²(2) under normality, the
+    moment-based test a forecasting pipeline runs before trusting
+    Gaussian intervals.  The raw power sums S1..S4 are EXACT (daily
+    revenue floored to whole dollars so S4 stays inside
+    DECIMAL(38,0) — cents⁴ would overflow it); skewness and excess
+    kurtosis come from the standard central-moment expansions as
+    token-identical double expressions over those exact sums, each
+    rounded to 4 dp alongside JB itself.  Scale: day-dictionary-tier
+    after one fact aggregate."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.floor(F.sum(_cents("o_totalprice")) / 100).cast("bigint")
+        .alias("x"))
+    dec = F.col("x").cast("decimal(38,0)")
+    agg = daily.agg(
+        F.count("*").alias("n"),
+        F.sum(dec).cast("double").alias("s1"),
+        F.sum(dec * dec).cast("double").alias("s2"),
+        F.sum(dec * dec * F.col("x")).cast("double").alias("s3"),
+        F.sum(dec * dec * F.col("x") * F.col("x")).cast("double")
+        .alias("s4"),
+    )
+    skew = ("(s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3)) "
+            "/ pow(s2 / n - pow(s1 / n, 2), 1.5)")
+    kurt = ("(s4 / n - 4 * (s1 / n) * (s3 / n) "
+            "+ 6 * pow(s1 / n, 2) * (s2 / n) - 3 * pow(s1 / n, 4)) "
+            "/ pow(s2 / n - pow(s1 / n, 2), 2) - 3")
+    return (
+        agg.filter((F.col("n") >= 4)
+                   & (F.expr("s2 / n - pow(s1 / n, 2)") > 0))
+        .select(
+            F.col("n").alias("n_days"),
+            F.expr(f"round({skew}, 4)").alias("skewness"),
+            F.expr(f"round({kurt}, 4)").alias("excess_kurtosis"),
+            F.expr(f"round(n / 6.0 * (pow({skew}, 2) "
+                   f"+ pow({kurt}, 2) / 4), 4)").alias("jb_stat"),
+        )
+    )
+
+
+@query(
+    "markov_entropy_rate_events",
+    "analytics/sequence",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts::TIMESTAMP, event_id) AS nxt
+        FROM events
+    ), trans AS (
+        SELECT event_type AS a, nxt AS b, CAST(count(*) AS BIGINT) AS c
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), rowt AS (
+        SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM trans GROUP BY a
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM trans
+    )
+    SELECT (SELECT n FROM tot) AS n_transitions,
+           CAST(count(DISTINCT t.a) AS BIGINT) AS n_states,
+           round(sum(-(CAST(t.c AS DOUBLE) / (SELECT n FROM tot))
+                     * log2(CAST(t.c AS DOUBLE) / r.ra)), 4)
+               AS entropy_rate_bits
+    FROM trans t JOIN rowt r ON t.a = r.a
+    HAVING count(*) > 0
+    """,
+)
+def markov_entropy_rate_events(spark, sf_dir):
+    """Entropy RATE of the per-user event-type Markov chain —
+    H = Σ_a π(a) · H(next | a) = −Σ_{a,b} (c_ab/N)·log2(c_ab/c_a·)
+    with the stationary weights estimated by the empirical transition
+    mass (the plug-in entropy rate; the memory-aware sibling of the
+    graded unigram entropy and Markov-transition rows: H_rate <
+    H_unigram measures how much the previous event predicts the
+    next).  Transition and row counts are exact integers from ONE
+    lead() pass; the rate is a sum of p·log2 terms rounded to 4 dp
+    (the entropy-family tolerance).  Scale: one shuffle to order
+    each user's events, then state-pair-dictionary math."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"))
+    trans = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    rowt = trans.groupBy("a").agg(F.sum("c").alias("ra"))
+    tot = trans.agg(F.sum("c").alias("n"))
+    return (
+        trans.join(rowt, "a")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(-(F.col("c").cast("double") / F.col("n"))
+                          * F.log2(F.col("c").cast("double")
+                                   / F.col("ra"))), 4)
+            .alias("entropy_rate_bits"),
+            F.countDistinct("a").cast("bigint").alias("n_states"),
+            F.first("n").alias("n_transitions"),
+            F.count("*").alias("__cells"),
+        )
+        .filter(F.col("__cells") > 0)
+        .select("n_transitions", "n_states", "entropy_rate_bits")
+    )

@@ -255,6 +255,7 @@ BNLJ_ALLOWED = {
     "jonckheere_terpstra_priority_trend",  # 5-group grids + 1-row meta scalars
     "palma_ratio_customer_revenue",  # 1-row customer-count scalar crossed
     "somers_d_priority_value_quartile",  # 20-cell grid self-join + 1-row N
+    "markov_entropy_rate_events",  # 1-row transition-total scalar crossed
 }
 
 
