@@ -169,19 +169,99 @@ def bpe_train(spark, sf_dir, n_merges: int = 10) -> DataFrame:
 @query(
     "bpe_train_merges",
     "LLM-pipeline/tokenizer",
-    oracle=None,
-    description="First 10 BPE merges (rank, pair, corpus-weighted count) "
-    "trained over the word-frequency table — iterative; no single-query "
-    "SQL oracle exists, pytest pins it against an independent pure-Python "
-    "reference trainer (rows-only).",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), wf AS (
+        SELECT w, count(*) AS f FROM words WHERE len(w) >= 2 GROUP BY w
+    ), pairs AS (
+        SELECT substr(w, CAST(i AS INT), 1) AS a,
+               substr(w, CAST(i AS INT) + 1, 1) AS b,
+               f
+        FROM wf, unnest(range(1, len(w))) AS t(i)
+    ), pc AS (
+        SELECT a, b, CAST(sum(f) AS BIGINT) AS cnt
+        FROM pairs GROUP BY a, b
+    )
+    SELECT a AS first_left, b AS first_right, cnt AS first_count,
+           CAST(10 AS BIGINT) AS n_merges,
+           TRUE AS symbol_closure_ok,
+           TRUE AS twin_match_ok
+    FROM pc ORDER BY cnt DESC, a, b LIMIT 1
+    """,
 )
 def bpe_train_merges(spark, sf_dir):
-    """Ten BPE training iterations (see :func:`bpe_train`).  Rows-only
-    for the driver; ``tests/test_operators.py`` differential-tests the
-    full merge list against an independent pure-Python BPE reference
-    on the same fixture words at sf0.001 — a stronger check than the
-    rows-only label suggests."""
-    return bpe_train(spark, sf_dir, n_merges=10)
+    """Ten BPE training iterations — PROMOTED round 14 from rows-only
+    to oracle-checked invariant-verify (the k-core twin pattern): the
+    HASHED row is the rank-1 merge, which IS the SQL argmax adjacent
+    character pair over the initial word-frequency table (count DESC,
+    lexicographic tie-break — DuckDB restates it exactly); the
+    iterative tail rides two graded booleans, because no single-query
+    SQL can express the merge recursion.
+
+    ``symbol_closure_ok`` — the merge list is CLOSED: every merge's
+    left/right symbol is either a single character or the
+    concatenation of an EARLIER merge (rank order is a valid build
+    order; a corrupted rank ordering or a phantom symbol flips it).
+    ``twin_match_ok`` — an ALGORITHM-DIFFERENTIAL twin (pure-Python
+    Counter trainer over the collected vocab-tier word-frequency
+    table, zero code shared with the Spark trainer's per-iteration
+    aggregate + Arrow merge UDF) reproduces the IDENTICAL
+    (left, right, count) list under the same tie-break.  The collect
+    is vocab-bounded (the same envelope as the census twins), never
+    corpus-sized; the pytest differential stays as well."""
+    merges_df = bpe_train(spark, sf_dir, n_merges=10)
+    merges = [(r.left, r.right, int(r.pair_count))
+              for r in merges_df.orderBy("merge_rank").collect()]
+    schema = ("first_left string, first_right string, "
+              "first_count bigint, n_merges bigint, "
+              "symbol_closure_ok boolean, twin_match_ok boolean")
+    if not merges:
+        return spark.createDataFrame([], schema)
+    # closure law: each merge builds only from chars + earlier merges
+    valid = set()
+    closure_ok = True
+    for left, right, _c in merges:
+        for part in (left, right):
+            if len(part) > 1 and part not in valid:
+                closure_ok = False
+        valid.add(left + right)
+    # zero-shared-code python twin over the vocab-tier frequency table
+    from collections import Counter
+
+    wf_rows = [(r.w, int(r.f))
+               for r in word_frequencies(spark, sf_dir).collect()]
+    syms = [(list(w), f) for w, f in wf_rows]
+    twin = []
+    for _rank in range(10):
+        cnt: Counter = Counter()
+        for sq, f in syms:
+            for a, b in zip(sq, sq[1:]):
+                cnt[(a, b)] += f
+        if not cnt:
+            break
+        (ba, bb), bc = min(cnt.items(),
+                           key=lambda kv: (-kv[1], kv[0]))
+        twin.append((ba, bb, bc))
+        merged = ba + bb
+        nxt = []
+        for sq, f in syms:
+            out = []
+            i = 0
+            while i < len(sq):
+                if i + 1 < len(sq) and sq[i] == ba and sq[i + 1] == bb:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sq[i])
+                    i += 1
+            nxt.append((out, f))
+        syms = nxt
+    twin_ok = twin == merges
+    first = merges[0]
+    return spark.createDataFrame(
+        [(first[0], first[1], first[2], len(merges),
+          bool(closure_ok), bool(twin_ok))], schema)
 
 
 def _encode_len_udf(merges: list[tuple[str, str]]):
