@@ -1712,3 +1712,58 @@ def nelson_aalen_transit_hazard(spark, sf_dir):
         .select(F.col("t"), F.col("d"), F.col("n"),
                 "cum_hazard", "breslow_survival")
     )
+
+
+@query(
+    "theil_atkinson_revenue_inequality",
+    "analytics/inequality",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s,
+               sum(CAST(cents AS DOUBLE)
+                   * ln(CAST(cents AS DOUBLE))) AS sxlx,
+               sum(ln(CAST(cents AS DOUBLE))) AS slx
+        FROM per WHERE cents > 0
+    )
+    SELECT n AS n_customers,
+           round(sxlx / s - ln(s / n), 4) AS theil_t,
+           round(1 - exp(slx / n) / (s / n), 4) AS atkinson_1
+    FROM agg
+    WHERE n >= 2 AND s > 0
+    """,
+)
+def theil_atkinson_revenue_inequality(spark, sf_dir):
+    """Theil's T and the Atkinson index (ε=1) of customer revenue —
+    the two WELFARE-THEORETIC inequality measures completing the
+    graded family (Gini weights the middle, HHI the squares, Palma
+    the tails): T = Σ(x/X)·ln(x / (X/n)) folds to sxlx/X − ln(X/n)
+    over two log-moment sums, and A₁ = 1 − geomean/mean needs only
+    Σln x.  T is additively DECOMPOSABLE across subgroups (why
+    economists reach for it over Gini) and A₁ has an explicit
+    inequality-aversion interpretation.  Zero-revenue customers drop
+    on both engines (ln 0; the standard convention); the revenue
+    total rides DECIMAL(38,0); the log sums are O(1)-magnitude terms
+    far below the 4-dp round.  Scale: one fact aggregate to
+    |customers|, then three scalar reductions."""
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(_cents("o_totalprice")).alias("cents"))
+    agg = per.filter(F.col("cents") > 0).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+        .alias("s"),
+        F.sum(F.col("cents").cast("double")
+              * F.log(F.col("cents").cast("double"))).alias("sxlx"),
+        F.sum(F.log(F.col("cents").cast("double"))).alias("slx"),
+    )
+    return agg.filter((F.col("n") >= 2) & (F.col("s") > 0)).select(
+        F.col("n").alias("n_customers"),
+        F.expr("round(sxlx / s - ln(s / n), 4)").alias("theil_t"),
+        F.expr("round(1 - exp(slx / n) / (s / n), 4)").alias("atkinson_1"),
+    )
