@@ -1660,12 +1660,14 @@ def markov_entropy_rate_events(spark, sf_dir):
     ), ev AS (
         SELECT t, d, n FROM risk WHERE d > 0
     )
-    SELECT a.t, a.d, a.n,
-           round(sum(CAST(b.d AS DOUBLE) / b.n), 6) AS cum_hazard,
-           round(exp(-sum(CAST(b.d AS DOUBLE) / b.n)), 6)
-               AS breslow_survival
-    FROM ev a JOIN ev b ON b.t <= a.t
-    GROUP BY a.t, a.d, a.n
+    SELECT t, d, n,
+           round(sum(CAST(d AS DOUBLE) / n)
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW), 6) AS cum_hazard,
+           round(exp(-sum(CAST(d AS DOUBLE) / n)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) AS breslow_survival
+    FROM ev
     """,
 )
 def nelson_aalen_transit_hazard(spark, sf_dir):
@@ -1699,18 +1701,19 @@ def nelson_aalen_transit_hazard(spark, sf_dir):
         agg.select("t", "d",
                    F.sum("m").over(w).cast("bigint").alias("n"))
         .filter(F.col("d") > 0)
-        .localCheckpoint()  # event-dictionary-sized; used both sides
     )
-    a = ev.alias("a")
-    b = ev.select(F.col("t").alias("bt"),
-                  (F.col("d").cast("double") / F.col("n")).alias("h"))
-    return (
-        a.join(b, F.col("bt") <= F.col("a.t"))
-        .groupBy("a.t", "a.d", "a.n")
-        .agg(F.round(F.sum("h"), 6).alias("cum_hazard"),
-             F.round(F.exp(-F.sum("h")), 6).alias("breslow_survival"))
-        .select(F.col("t"), F.col("d"), F.col("n"),
-                "cum_hazard", "breslow_survival")
+    # ascending cumulative window, not a triangular self-join: the
+    # event dictionary is tiny but a theta join would plan a
+    # CartesianProduct; both engines accumulate the O(1)-magnitude
+    # hazard terms in ascending-t frame order, ~8 orders below the
+    # 6-dp round
+    wasc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0)
+    h = F.col("d").cast("double") / F.col("n")
+    return ev.select(
+        "t", "d", "n",
+        F.round(F.sum(h).over(wasc), 6).alias("cum_hazard"),
+        F.round(F.exp(-F.sum(h).over(wasc)), 6).alias("breslow_survival"),
     )
 
 
