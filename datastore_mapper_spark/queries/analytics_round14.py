@@ -1770,3 +1770,103 @@ def theil_atkinson_revenue_inequality(spark, sf_dir):
         F.expr("round(sxlx / s - ln(s / n), 4)").alias("theil_t"),
         F.expr("round(1 - exp(slx / n) / (s / n), 4)").alias("atkinson_1"),
     )
+
+
+@query(
+    "logrank_test_transit_by_linestatus",
+    "analytics/stats",
+    oracle="""
+    WITH obs AS (
+        SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate)
+                    AS BIGINT) AS t,
+               CAST(l.l_returnflag <> 'R' AS INT) AS ev,
+               CAST(l.l_linestatus = 'O' AS INT) AS g1
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), agg AS (
+        SELECT t,
+               CAST(sum(ev) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(ev * g1) AS BIGINT) AS d1,
+               CAST(sum(g1) AS BIGINT) AS m1
+        FROM obs GROUP BY t
+    ), risk AS (
+        SELECT t, d, d1,
+               CAST(sum(m) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n,
+               CAST(sum(m1) OVER (ORDER BY t DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n1
+        FROM agg
+    ), ev AS (
+        SELECT * FROM risk WHERE d > 0 AND n > 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_event_times,
+           CAST(sum(d1) AS BIGINT) AS observed_g1,
+           round(sum(CAST(d AS DOUBLE) * n1 / n), 4) AS expected_g1,
+           round(sum(CAST(d AS DOUBLE) * n1 / n * (n - n1) / n
+                     * (n - d) / (n - 1)), 4) AS variance_g1,
+           round(pow(sum(d1) - sum(CAST(d AS DOUBLE) * n1 / n), 2)
+                 / sum(CAST(d AS DOUBLE) * n1 / n * (n - n1) / n
+                       * (n - d) / (n - 1)), 4) AS logrank_chi2
+    FROM ev
+    HAVING count(*) > 0
+       AND sum(CAST(d AS DOUBLE) * n1 / n * (n - n1) / n
+               * (n - d) / (n - 1)) > 0
+    """,
+)
+def logrank_test_transit_by_linestatus(spark, sf_dir):
+    """The LOG-RANK test comparing transit-time survival between the
+    'O' and 'F' linestatus strata — completing the survival trio
+    (Kaplan-Meier curve, Nelson-Aalen hazard, and now the two-sample
+    TEST a clinical/reliability analysis runs on them): at each event
+    time the observed group-1 events compare against the
+    hypergeometric expectation d·n₁/n, with χ²(1) =
+    (O₁−E₁)²/V under H0.  d/n/d₁/n₁ are exact integers from the same
+    reverse-cumulative at-risk machinery as the graded KM row
+    (censoring via returnflag); E₁ and V are sums of
+    exact-rational doubles over the ~|durations| dictionary, rounded
+    at 4 dp (summation-order noise sits orders below).  Scale: one
+    fact aggregate to the duration dictionary, two integer window
+    sums, three scalar reductions."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    obs = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("t"),
+        (F.col("l_returnflag") != "R").cast("int").alias("ev"),
+        (F.col("l_linestatus") == "O").cast("int").alias("g1"),
+    )
+    agg = obs.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").alias("m"),
+        F.sum(F.col("ev") * F.col("g1")).cast("bigint").alias("d1"),
+        F.sum("g1").cast("bigint").alias("m1"),
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    risk = agg.select(
+        "t", "d", "d1",
+        F.sum("m").over(w).cast("bigint").alias("n"),
+        F.sum("m1").over(w).cast("bigint").alias("n1"),
+    )
+    ev = risk.filter((F.col("d") > 0) & (F.col("n") > 1))
+    e_term = F.col("d").cast("double") * F.col("n1") / F.col("n")
+    v_term = (F.col("d").cast("double") * F.col("n1") / F.col("n")
+              * (F.col("n") - F.col("n1")) / F.col("n")
+              * (F.col("n") - F.col("d")) / (F.col("n") - 1))
+    return (
+        ev.agg(
+            F.count("*").alias("n_event_times"),
+            F.sum("d1").cast("bigint").alias("observed_g1"),
+            F.sum(e_term).alias("e1"),
+            F.sum(v_term).alias("v1"),
+        )
+        .filter((F.col("n_event_times") > 0) & (F.col("v1") > 0))
+        .select(
+            "n_event_times", "observed_g1",
+            F.round(F.col("e1"), 4).alias("expected_g1"),
+            F.round(F.col("v1"), 4).alias("variance_g1"),
+            F.round(F.pow(F.col("observed_g1") - F.col("e1"), 2)
+                    / F.col("v1"), 4).alias("logrank_chi2"),
+        )
+    )
