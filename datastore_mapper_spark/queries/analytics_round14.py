@@ -1870,3 +1870,88 @@ def logrank_test_transit_by_linestatus(spark, sf_dir):
                     / F.col("v1"), 4).alias("logrank_chi2"),
         )
     )
+
+
+@query(
+    "cliffs_delta_segment_value",
+    "analytics/stats",
+    oracle="""
+    WITH x AS (
+        SELECT c.c_mktsegment AS g,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS v
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('BUILDING', 'HOUSEHOLD')
+    ), cnt AS (
+        SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY g, v
+    ), grid AS (
+        SELECT vv.v,
+               coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+        FROM (SELECT DISTINCT v FROM cnt) vv
+        LEFT JOIN cnt a ON a.v = vv.v AND a.g = 'BUILDING'
+        LEFT JOIN cnt b ON b.v = vv.v AND b.g = 'HOUSEHOLD'
+    ), pre AS (
+        SELECT v, ca, cb,
+               CAST(coalesce(sum(cb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS b_below
+        FROM grid
+    ), agg AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS n1,
+               CAST(sum(cb) AS BIGINT) AS n2,
+               CAST(sum(ca * b_below) AS BIGINT) AS gt,
+               CAST(sum(ca * cb) AS BIGINT) AS ties
+        FROM pre
+    )
+    SELECT n1 AS n_building, n2 AS n_household,
+           round(CAST(2 * gt + ties - n1 * n2 AS DOUBLE)
+                 / (n1 * n2), 4) AS cliffs_delta
+    FROM agg
+    WHERE n1 > 0 AND n2 > 0
+    """,
+)
+def cliffs_delta_segment_value(spark, sf_dir):
+    """Cliff's delta between the BUILDING and HOUSEHOLD segments'
+    order values — the nonparametric EFFECT SIZE (δ = P(X>Y) −
+    P(X<Y) ∈ [−1, 1]) that pairs with the graded significance tests
+    (Mann-Whitney says whether, δ says how much — the reporting
+    standard when distributions are skewed and Cohen's d misleads).
+    Exact integer identity: with GT = #{x>y} pairs and T = ties,
+    P(X>Y) − P(X<Y) = (2·GT + T − n₁n₂)/(n₁n₂), computed from the
+    value dictionary with a per-value below-prefix — no pair ever
+    materializes.  One rounded division.  Scale: one fact aggregate
+    to the value dictionary, one ordered prefix window."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    x = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "HOUSEHOLD"))
+        .select(F.col("c_mktsegment").alias("g"),
+                _cents("o_totalprice").alias("v"))
+    )
+    cnt = x.groupBy("g", "v").agg(F.count("*").alias("c"))
+    vv = cnt.select("v").distinct()
+    a = cnt.filter(F.col("g") == "BUILDING").select(
+        "v", F.col("c").alias("ca"))
+    b = cnt.filter(F.col("g") == "HOUSEHOLD").select(
+        "v", F.col("c").alias("cb"))
+    grid = (
+        vv.join(a, "v", "left").join(b, "v", "left")
+        .na.fill({"ca": 0, "cb": 0})
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    pre = grid.select(
+        "v", "ca", "cb",
+        F.coalesce(F.sum("cb").over(wv), F.lit(0)).cast("bigint")
+        .alias("b_below"),
+    )
+    agg = pre.agg(
+        F.sum("ca").cast("bigint").alias("n1"),
+        F.sum("cb").cast("bigint").alias("n2"),
+        F.sum(F.col("ca") * F.col("b_below")).cast("bigint").alias("gt"),
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("ties"),
+    )
+    return agg.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.col("n1").alias("n_building"), F.col("n2").alias("n_household"),
+        F.expr("round(CAST(2 * gt + ties - n1 * n2 AS DOUBLE) "
+               "/ (n1 * n2), 4)").alias("cliffs_delta"),
+    )
