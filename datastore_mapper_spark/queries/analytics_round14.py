@@ -1955,3 +1955,115 @@ def cliffs_delta_segment_value(spark, sf_dir):
         F.expr("round(CAST(2 * gt + ties - n1 * n2 AS DOUBLE) "
                "/ (n1 * n2), 4)").alias("cliffs_delta"),
     )
+
+
+@query(
+    "wilcoxon_signed_rank_yearly_max",
+    "analytics/stats",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(max(CASE WHEN year(o_orderdate) = 1996
+                        THEN floor(o_totalprice * 100) END) AS BIGINT)
+                   AS m1,
+               CAST(max(CASE WHEN year(o_orderdate) = 1997
+                        THEN floor(o_totalprice * 100) END) AS BIGINT)
+                   AS m2
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997)
+        GROUP BY o_custkey
+    ), diffs AS (
+        SELECT m2 - m1 AS dd FROM per
+        WHERE m1 IS NOT NULL AND m2 IS NOT NULL AND m2 <> m1
+    ), ranked AS (
+        SELECT dd,
+               2 * rank() OVER (ORDER BY abs(dd))
+               + CAST(count(*) OVER (PARTITION BY abs(dd)) AS BIGINT) - 1
+               AS r2
+        FROM diffs
+    ), tie AS (
+        SELECT CAST(sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS DOUBLE)
+               AS tsum
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM diffs
+              GROUP BY abs(dd))
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN dd > 0 THEN r2 ELSE 0 END) AS BIGINT)
+                   AS w2p
+        FROM ranked
+    )
+    SELECT n AS n_pairs,
+           CAST(w2p AS DOUBLE) / 2 AS w_plus,
+           CAST(n AS DOUBLE) * (n + 1) / 2 - CAST(w2p AS DOUBLE) / 2
+               AS w_minus,
+           round((CAST(w2p AS DOUBLE) / 2
+                  - CAST(n AS DOUBLE) * (n + 1) / 4)
+                 / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                        - (SELECT tsum FROM tie) / 48), 4) AS z_stat
+    FROM agg
+    WHERE n >= 2
+      AND CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+          > (SELECT tsum FROM tie) / 48
+    """,
+)
+def wilcoxon_signed_rank_yearly_max(spark, sf_dir):
+    """Wilcoxon signed-rank test — the PAIRED nonparametric member
+    completing the rank-test family (Mann-Whitney is the unpaired
+    two-sample, Kruskal-Wallis the k-sample): per customer active in
+    both 1996 and 1997, did the yearly MAXIMUM order value shift?
+    Zero differences drop (the standard convention); |d| midranks
+    stay exact by the doubling trick (2r = 2·rank + tiesize − 1);
+    W⁺/W⁻ emerge as exact half-integers with NO rounding, and the
+    tie-corrected normal approximation z = (W⁺ − n(n+1)/4)/σ rounds
+    at 4 dp (σ² = n(n+1)(2n+1)/24 − Σ(t³−t)/48, the cubic riding
+    DECIMAL).  Guards: n >= 2 and a positive variance.  Scale: one
+    fact aggregate to customer pairs, one global |d| rank (two-pass
+    ranged at 100 TB)."""
+    o = table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    per = (
+        o.filter(yr.isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(yr == 1996, _cents("o_totalprice"))).alias("m1"),
+            F.max(F.when(yr == 1997, _cents("o_totalprice"))).alias("m2"),
+        )
+    )
+    diffs = (
+        per.filter(F.col("m1").isNotNull() & F.col("m2").isNotNull()
+                   & (F.col("m1") != F.col("m2")))
+        .select((F.col("m2") - F.col("m1")).alias("dd"))
+        .localCheckpoint()  # pair-dictionary-sized; ranks + ties
+    )
+    r2 = (
+        2 * F.rank().over(Window.orderBy(F.abs("dd")))
+        + F.count("*").over(Window.partitionBy(F.abs("dd")))
+        .cast("bigint") - 1
+    )
+    agg = diffs.select("dd", r2.alias("r2")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("dd") > 0, F.col("r2")).otherwise(0))
+        .cast("bigint").alias("w2p"),
+    )
+    tie = (
+        diffs.groupBy(F.abs("dd")).agg(F.count("*").alias("t"))
+        .agg(F.sum(F.col("t").cast("decimal(38,0)") * F.col("t")
+                   * F.col("t") - F.col("t")).cast("double")
+             .alias("tsum"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(tie))
+        .filter((F.col("n") >= 2)
+                & (F.expr("CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24")
+                   > F.col("tsum") / 48))
+        .select(
+            F.col("n").alias("n_pairs"),
+            (F.col("w2p").cast("double") / 2).alias("w_plus"),
+            F.expr("CAST(n AS DOUBLE) * (n + 1) / 2 "
+                   "- CAST(w2p AS DOUBLE) / 2").alias("w_minus"),
+            F.expr("round((CAST(w2p AS DOUBLE) / 2 "
+                   "- CAST(n AS DOUBLE) * (n + 1) / 4) "
+                   "/ sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24 "
+                   "- tsum / 48), 4)").alias("z_stat"),
+        )
+    )

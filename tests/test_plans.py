@@ -256,6 +256,7 @@ BNLJ_ALLOWED = {
     "palma_ratio_customer_revenue",  # 1-row customer-count scalar crossed
     "somers_d_priority_value_quartile",  # 20-cell grid self-join + 1-row N
     "markov_entropy_rate_events",  # 1-row transition-total scalar crossed
+    "wilcoxon_signed_rank_yearly_max",  # 1-row tie-cubic scalar crossed
 }
 
 
