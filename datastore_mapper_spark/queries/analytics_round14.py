@@ -2067,3 +2067,92 @@ def wilcoxon_signed_rank_yearly_max(spark, sf_dir):
                    "- tsum / 48), 4)").alias("z_stat"),
         )
     )
+
+
+@query(
+    "friedman_test_yearly_max_ranks",
+    "analytics/stats",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(max(floor(o_totalprice * 100)) AS BIGINT) AS mx
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997, 1998)
+        GROUP BY 1, 2
+    ), blocks AS (
+        SELECT o_custkey FROM per GROUP BY 1 HAVING count(*) = 3
+    ), x AS (
+        SELECT p.o_custkey, p.y, p.mx
+        FROM per p JOIN blocks b ON p.o_custkey = b.o_custkey
+    ), ranked AS (
+        SELECT o_custkey, y,
+               2 * rank() OVER (PARTITION BY o_custkey ORDER BY mx)
+               + CAST(count(*) OVER (PARTITION BY o_custkey, mx)
+                      AS BIGINT) - 1 AS q
+        FROM x
+    ), colq AS (
+        SELECT y, CAST(sum(q) AS BIGINT) AS qj FROM ranked GROUP BY y
+    ), agg AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM blocks) AS b,
+               (SELECT CAST(sum(qj * qj) AS BIGINT) FROM colq) AS sq2,
+               (SELECT CAST(sum(q * q) AS BIGINT) FROM ranked) AS a2
+    )
+    SELECT b AS n_blocks, CAST(3 AS BIGINT) AS k_treatments,
+           round(CAST(2 * (sq2 - b * b * 3 * 16) AS DOUBLE)
+                 / (b * (a2 - b * 3 * 16)), 4) AS friedman_chi2
+    FROM agg
+    WHERE b >= 1 AND a2 - b * 3 * 16 > 0
+    """,
+)
+def friedman_test_yearly_max_ranks(spark, sf_dir):
+    """The Friedman test — k-treatment repeated measures on RANKS,
+    pairing with the graded Cochran's Q (binary) and completing the
+    within-block family: for customers active in all of 1996-1998,
+    do the within-customer RANKINGS of yearly maximum order value
+    shift systematically across years?  Tie-corrected form χ² =
+    (k−1)[B − bk(k+1)²/4] / (A − bk(k+1)²/4) with A = Σ r², B =
+    ΣR_j²/b — under the doubling trick (q = 2·rank + tiesize − 1
+    within each 3-row block) every quantity is an exact integer and
+    the statistic folds to 2·(ΣQ_j² − 48b²) / (b·(Σq² − 48b)) for
+    k = 3, one rounded division.  Guards: >= 1 complete block and a
+    positive tie-corrected denominator (all-tied blocks would zero
+    it).  Scale: one fact aggregate to (customer, year), block
+    ranking windows partitioned per customer, dictionary-tier
+    totals."""
+    o = table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate").cast("bigint")
+    per = (
+        o.filter(yr.isin(1996, 1997, 1998))
+        .groupBy("o_custkey", yr.alias("y"))
+        .agg(F.max(_cents("o_totalprice")).alias("mx"))
+    )
+    blocks = per.groupBy("o_custkey").agg(
+        F.count("*").alias("ny")).filter(F.col("ny") == 3) \
+        .select("o_custkey")
+    x = per.join(blocks, "o_custkey")
+    q = (
+        2 * F.rank().over(
+            Window.partitionBy("o_custkey").orderBy("mx"))
+        + F.count("*").over(
+            Window.partitionBy("o_custkey", "mx")).cast("bigint") - 1
+    )
+    ranked = x.select("y", q.alias("q")).localCheckpoint()
+    colq = ranked.groupBy("y").agg(F.sum("q").cast("bigint").alias("qj"))
+    agg = (
+        blocks.agg(F.count("*").alias("b"))
+        .crossJoin(F.broadcast(colq.agg(
+            F.sum(F.col("qj") * F.col("qj")).cast("bigint").alias("sq2"))))
+        .crossJoin(F.broadcast(ranked.agg(
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("a2"))))
+    )
+    return (
+        agg.filter((F.col("b") >= 1)
+                   & (F.col("a2") - F.col("b") * 48 > 0))
+        .select(
+            F.col("b").alias("n_blocks"),
+            F.lit(3).cast("bigint").alias("k_treatments"),
+            F.expr("round(CAST(2 * (sq2 - b * b * 3 * 16) AS DOUBLE) "
+                   "/ (b * (a2 - b * 3 * 16)), 4)").alias("friedman_chi2"),
+        )
+    )

@@ -257,6 +257,7 @@ BNLJ_ALLOWED = {
     "somers_d_priority_value_quartile",  # 20-cell grid self-join + 1-row N
     "markov_entropy_rate_events",  # 1-row transition-total scalar crossed
     "wilcoxon_signed_rank_yearly_max",  # 1-row tie-cubic scalar crossed
+    "friedman_test_yearly_max_ranks",  # 1-row block/rank total scalars crossed
 }
 
 
