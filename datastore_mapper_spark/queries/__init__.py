@@ -39,20 +39,21 @@ from ..registry import reorder_front
 # queries (round-2 VERDICT, "Driver-grading mechanics"), so 50
 # oracle-checked rows are pinned to the front.
 #
-# ROUND-14 ROTATION (round-13 VERDICT task 1): rows 1-30 (the §2.B
-# core) stay pinned.  CORRECTNESS_r13 was 50/50 (sixth straight), so
-# rows 31-50 rotate.  The 20 slots take the round-13 flagship
-# subsystems for first driver contact: the 9-row ACID GOVERNANCE
-# RING (CHECK constraints, GENERATED ALWAYS AS columns, RESTORE,
-# write-audit-publish, inspection tables, metadata-only MIN/MAX,
-# per-file Bloom indexes, CDF-driven incremental JOIN-view
-# maintenance, the bronze->silver ACID<->ACID streaming hop), the
-# 1-bit binary-quantization ANN rung, the QOI codec row, the
-# distributed-Gram PCA row, and the 8-query stats/sampling wave
-# (Fisher exact, 6-pair Pearson matrix, calibration+Brier, lag CCF,
-# weighted+stratified seeded sampling, bootstrap CI, Dirichlet
-# query-likelihood retrieval).  All 20 pass the local oracle gate +
-# pandas_probe at sf0.01 before rotating in; the 20 r13-green rows
+# ROUND-15 ROTATION (round-14 VERDICT task 1): rows 1-30 (the §2.B
+# core) stay pinned.  CORRECTNESS_r14 was 50/50 (seventh straight),
+# so rows 31-50 rotate.  The 20 slots take the round-14 flagship
+# subsystems for first driver contact: the ACID depth wave (named
+# BRANCHES with squash publish, MERGE-time schema evolution,
+# merge-on-read UPDATE, partition-scoped OPTIMIZE WHERE), the
+# exact-substring span-removal dedup rewrite, the FULL OUTER
+# stream-stream join and the event-time-timeout stateful
+# sessionizer, the Adam7 interlaced-PNG and TIFF/PackBits codec
+# rows, the two round-14 promotions (feature-map near-dup, BPE
+# encode token accounting), and the round-14 analytics wave heads
+# (Spearman footrule, Kendall's W, Jensen-Shannon drift, Ljung-Box,
+# Gumbel block-maxima fit, PMI collocations, Kruskal-Wallis,
+# Page-Hinkley drift, G-test).  All 20 pass the local oracle gate +
+# pandas_probe at sf0.01 before rotating in; the 20 r14-green rows
 # rotate behind the window where tests/test_contract_oracle.py +
 # scripts/check_contract.py still grade them every run.
 _CONTRACT_ORDER = [
@@ -69,11 +70,25 @@ _CONTRACT_ORDER = [
     "window_rank_topn_per_group", "window_row_number_dedup",
     "window_lag_lead_delta", "window_running_sum", "window_moving_avg",
     "window_ntile_first_last", "sort_multi_key_nulls", "topk_global",
-    # rows 31-50, rotated IN round 14 (r13 verdict task 1): the
-    # round-13 flagship subsystems, swapped forward for first driver
-    # contact — the 9-row ACID governance ring, the 1-bit
-    # binary-quantization ANN rung, the QOI codec row, the
-    # distributed-Gram PCA row, and the 8-query stats/sampling wave
+    # rows 31-50, rotated IN round 15 (r14 verdict task 1): the
+    # round-14 flagship subsystems, swapped forward for first driver
+    # contact — the ACID depth wave (branches, MERGE schema
+    # evolution, MoR UPDATE, OPTIMIZE WHERE), span-removal dedup,
+    # the stream-stream FULL OUTER join + stateful sessionizer, the
+    # Adam7/TIFF codec rows, the two r14 promotions, and the
+    # round-14 analytics wave heads
+    "acid_branch_publish", "acid_merge_schema_evolution",
+    "acid_update_mor", "acid_optimize_where",
+    "dedup_remove_duplicate_spans",
+    "stream_stream_full_outer_join", "stream_sessionize_stateful",
+    "multimodal_png_interlaced_stats", "multimodal_tiff_packbits_stats",
+    "multimodal_feature_neardup", "bpe_encode_token_count",
+    "footrule_nation_rank_distance", "kendall_w_nation_metrics",
+    "jensen_shannon_source_drift", "ljung_box_daily_revenue",
+    "gumbel_weekly_max_fit", "pmi_bigram_collocations",
+    "kruskal_wallis_priority_value", "page_hinkley_revenue_drift",
+    "g_test_segment_priority",
+    # rotated out in round 15 (all r14-driver-green; local gate covers)
     "acid_check_constraints", "acid_generated_columns",
     "acid_restore_version", "acid_wap_publish",
     "acid_metadata_tables", "acid_minmax_metadata_pushdown",

@@ -2752,3 +2752,117 @@ def acid_optimize_where(spark, sf_dir):
         .select("o_orderstatus", "n_orders", "sum_cents",
                 F.lit(bool(scoped)).alias("scoped_ok"))
     )
+
+
+@query(
+    "stream_acid_cdf_source",
+    "streaming/table-format",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey % 10 AS bucket,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderkey % 10 <> 9
+    ), final AS (
+        SELECT bucket,
+               CASE WHEN bucket = 7 THEN cents + 100000
+                    ELSE cents END AS cents
+        FROM base
+        WHERE bucket <> 6
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           TRUE AS feed_exact_ok
+    FROM final
+    GROUP BY bucket
+    """,
+)
+def stream_acid_cdf_source(spark, sf_dir):
+    """CHANGE DATA FEED as a STREAMING SOURCE (round-14 VERDICT task
+    3 — Delta's ``readChangeFeed`` streaming mode, composed from the
+    versions-as-offsets source contract and positional CDF;
+    sources/acid_cdf_stream.py): four commits land on an ACID table —
+    CREATE (base inserts), APPEND (late inserts), ``delete_where_dv``
+    (a DV-only delete), ``update_where_mor`` (DV + appended images) —
+    and a ``readStream.format("acid_cdf")`` query drains them through
+    genuine per-version micro-batches (``versions_per_batch=1``), the
+    update surfacing as its delete+insert pair.  The sink's SIGNED
+    per-bucket fold (insert = +, delete = −) must hash-match plain
+    SQL stating the final table state from the change laws — a
+    dropped task, a double-replayed batch, a resurrected DV position,
+    or a missed update image each shifts a signed count.
+
+    ``feed_exact_ok`` is the positional-exactness receipt: for
+    merge-on-read commits no file is rewritten, so the feed carries
+    ZERO carried-row noise — insert rows == base + append + update
+    images and delete rows == DV-delete + update pre-images, exactly.
+
+    Scale posture: offsets are manifest versions; each micro-batch is
+    one executor task per touched file; the driver reads only the new
+    DV sidecars' ``rel`` column (range-deleted-rows-sized).  The
+    memory sink holds the CHANGE rows of this bounded demo; a real
+    consumer applies each micro-batch with foreachBatch/merge
+    (``stream_acid_to_acid_pipeline``'s idempotent-sink half)."""
+    import tempfile
+    import time
+
+    from ..sources.acid_cdf_stream import register
+
+    dest = _table_dir("acid_cdf_src", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 10).alias("bucket"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = o.filter(F.col("bucket") < 8)
+    late = o.filter(F.col("bucket") == 8)
+    acid_lite.create_table(spark, dest, base.coalesce(2))            # v1
+    acid_lite.append(spark, dest, late.coalesce(2))                  # v2
+    acid_lite.delete_where_dv(spark, dest, "bucket", 6, 6)           # v3
+    acid_lite.update_where_mor(
+        spark, dest, {"cents": "cents + 100000"}, "bucket", 7, 7)    # v4
+    n_base, n_late = base.count(), late.count()
+    n_del = base.filter(F.col("bucket") == 6).count()
+    n_upd = base.filter(F.col("bucket") == 7).count()
+    expected = n_base + n_late + n_del + 2 * n_upd
+    register(spark)
+    stream = (
+        spark.readStream.format("acid_cdf")
+        .option("path", dest)
+        .option("versions_per_batch", 1)
+        .load()
+    )
+    name = f"acid_cdf_sink_{os.getpid()}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= expected:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    by_type = {r._change_type: r.n for r in
+               sink.groupBy("_change_type")
+               .agg(F.count("*").alias("n")).collect()}
+    exact = (by_type.get("insert", 0) == n_base + n_late + n_upd
+             and by_type.get("delete", 0) == n_del + n_upd)
+    signed = F.when(F.col("_change_type") == "insert",
+                    F.lit(1)).otherwise(F.lit(-1))
+    return (
+        sink.groupBy("bucket")
+        .agg(F.sum(signed).cast("bigint").alias("n_rows"),
+             F.sum(signed * F.col("cents")).cast("bigint")
+             .alias("sum_cents"))
+        .filter(F.col("n_rows") > 0)
+        .select("bucket", "n_rows", "sum_cents",
+                F.lit(bool(exact)).alias("feed_exact_ok"))
+    )

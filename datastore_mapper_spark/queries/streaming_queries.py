@@ -371,7 +371,7 @@ def stream_stream_full_outer_join(spark, sf_dir):
         FROM events
     ), flagged AS (
         SELECT user_id, event_id, us,
-               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+               CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
                     THEN 1 ELSE 0 END AS is_new
         FROM ordered
     ), sessions AS (

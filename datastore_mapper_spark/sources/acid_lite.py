@@ -89,6 +89,11 @@ class ConstraintViolation(Exception):
     violates a CHECK constraint — nothing was committed."""
 
 
+#: "no expectation" sentinel for guards whose legal expected value
+#: includes None (a table with no column mapping).
+_UNSET = object()
+
+
 def _rebase_commit(path: str, touched: list[str], new_files: list[str],
                    op: str, retries: int = 3,
                    purge_dvs: bool = False,
@@ -98,7 +103,10 @@ def _rebase_commit(path: str, touched: list[str], new_files: list[str],
                    add_dv_rows: int = 0,
                    schema: str | None = None,
                    expect_schema: str | None = None,
-                   mapping: dict | None = None) -> int:
+                   mapping: dict | None = None,
+                   expect_mapping=_UNSET,
+                   expect_present: list[str] | None = None,
+                   dropped_physical: list[str] | None = None) -> int:
     """Commit a file-level edit (remove ``touched``, add ``new_files``)
     with LOGICAL conflict detection: losing the version race to a
     commit that left every touched file in place (e.g. a concurrent
@@ -122,7 +130,20 @@ def _rebase_commit(path: str, touched: list[str], new_files: list[str],
     the target — file-set comparison cannot see one, and rebasing
     past it would silently overwrite the concurrent evolution with
     the staged schema (round-13 ADVICE).  Checked per attempt, inside
-    the loop, so there is no check-then-commit window."""
+    the loop, so there is no check-then-commit window.
+
+    ``expect_mapping`` (sentinel-defaulted: ``None`` is a legal
+    expectation) is the logical->physical column mapping the caller
+    planned against — the same guard as ``expect_schema`` for a
+    caller that COMMITS a mapping of its own, so a concurrent
+    rename/drop re-keying the mapping is a conflict rather than a
+    silent overwrite (round-14 ADVICE).
+
+    ``expect_present`` lists files the caller's data work DEPENDS on
+    but does not remove — a MoR writer's DV keys positions inside
+    the files it scanned, so a concurrent rewrite that dropped one
+    of them would orphan the vector and resurrect rows.  Their
+    disappearance is a conflict; compatible appends still rebase."""
     removed = set(touched)
     for _ in range(retries + 1):
         cur = latest_version(path)
@@ -132,6 +153,20 @@ def _rebase_commit(path: str, touched: list[str], new_files: list[str],
                 f"schema changed under this {op} (a concurrent schema "
                 "evolution landed) — re-stage against the new snapshot"
             )
+        if expect_mapping is not _UNSET and \
+                (cm.get("mapping") or None) != (expect_mapping or None):
+            raise ConcurrentModification(
+                f"column mapping changed under this {op} (a concurrent "
+                "rename/drop landed) — re-stage against the new snapshot"
+            )
+        if expect_present:
+            gone = set(expect_present) - set(cm["files"])
+            if gone:
+                raise ConcurrentModification(
+                    f"{len(gone)} file(s) this {op} scanned were removed "
+                    f"by a concurrent commit (e.g. {sorted(gone)[:2]}) — "
+                    "re-run against the new snapshot"
+                )
         if expect_dvs is not None and \
                 sorted(cm.get("dvs") or []) != sorted(expect_dvs):
             raise ConcurrentModification(
@@ -152,7 +187,7 @@ def _rebase_commit(path: str, touched: list[str], new_files: list[str],
             _commit(path, cur + 1, sorted(kept) + sorted(new_files),
                     cur, op, dvs=dvs, dv_rows=add_dv_rows,
                     partitions=new_partitions, schema=schema,
-                    mapping=mapping)
+                    mapping=mapping, dropped_physical=dropped_physical)
             return cur + 1
         except CommitConflict:
             continue  # version race only: rebase again
@@ -1296,6 +1331,11 @@ def expire_snapshots(path: str, keep_from: int) -> dict:
             rm = _read_manifest(path, v)
             retained_files.update(rm["files"])
             retained_files.update(rm.get("dvs") or [])
+    # live BRANCHES reference fork-point files in THIS table's tree
+    # (absolutely, translated here to this table's relative refs) —
+    # expiring main past a fork point must not unlink them, or every
+    # read of the branch breaks (round-14 ADVICE)
+    retained_files.update(_branch_retained_rel(path))
     n_manifests = n_files = 0
     for v in sorted(all_versions):
         if v >= keep_from:
@@ -1847,10 +1887,15 @@ def delete_where_dv(
     if n_new == 0:
         return parent  # delete matched nothing new: no empty commit
     new_dvs = _write_dv_sidecar(positions, path)
-    _commit(path, parent + 1, m["files"], parent, "delete-dv",
-            dvs=old_dvs + new_dvs,
-            dv_rows=(m.get("dv_rows") or 0) + n_new)
-    return parent + 1
+    # standard optimistic-retry commit (round-14 ADVICE, applied to
+    # both MoR mutators): rebase over compatible appends; conflict on
+    # any DV change and on a concurrent rewrite dropping a scanned
+    # file (the sidecar keys positions inside them).
+    return _rebase_commit(
+        path, [], [], "delete-dv",
+        expect_dvs=sorted(old_dvs), expect_present=candidates,
+        add_dvs=old_dvs + new_dvs,
+        add_dv_rows=(m.get("dv_rows") or 0) + n_new)
 
 
 def update_where_mor(
@@ -1944,11 +1989,19 @@ def update_where_mor(
     new_files, new_parts = _write_files_any(
         upd, path, m.get("partition_by"), mapping=m.get("mapping"))
     new_dvs = _write_dv_sidecar(positions, path)
-    _commit(path, parent + 1, m["files"] + new_files, parent,
-            "update-mor", dvs=old_dvs + new_dvs,
-            dv_rows=(m.get("dv_rows") or 0) + n_upd,
-            partitions=new_parts)
-    return parent + 1
+    # standard optimistic-retry commit, like every other mutator
+    # (round-14 ADVICE): rebase over compatible appends; conflict on
+    # any DV change (expect_dvs — the images were computed net of
+    # old_dvs) and on a concurrent rewrite dropping a scanned file
+    # (expect_present — the sidecar keys positions inside them).
+    # dv_rows stays absolute: expect_dvs pins cm's DV set to m's, so
+    # cm's dv_rows equals m's at every successful attempt.
+    return _rebase_commit(
+        path, [], new_files, "update-mor",
+        expect_dvs=sorted(old_dvs), expect_present=candidates,
+        add_dvs=old_dvs + new_dvs,
+        add_dv_rows=(m.get("dv_rows") or 0) + n_upd,
+        new_partitions=new_parts)
 
 
 def replace_partitions(spark: SparkSession, path: str,
@@ -2638,6 +2691,10 @@ def remove_orphan_files(path: str, grace_seconds: float = 3600.0) -> dict:
                 referenced.update(sc for sc in fm.values() if sc)
             for fm in (m.get("ndv_sketch") or {}).values():
                 referenced.update(sc for sc in fm.values() if sc)
+    # live branches reference fork-point files in THIS table's tree —
+    # they are not orphans while any branch version can read them
+    # (round-14 ADVICE; same translation as expire_snapshots)
+    referenced.update(_branch_retained_rel(path))
     cutoff = time.time() - grace_seconds
     n_files = n_bytes = 0
     # wap-* dirs hold files MOVED from a staging clone by publish();
@@ -3168,7 +3225,22 @@ def publish(spark: SparkSession, staging_path: str, main_path: str,
         # point's at COMMIT time, not just at the pre-check above —
         # a metadata-only evolution landing in between is a conflict,
         # not a silent overwrite (round-13 ADVICE)
-        expect_schema=base_m["schema"] if schema is not None else None)
+        expect_schema=base_m["schema"] if schema is not None else None,
+        # a staged evolution carries its column MAPPING too — a
+        # rename staged on the branch, or a merge evolve_schema that
+        # assigned a fresh physical name for a re-added dropped
+        # column, must publish the mapping alongside the schema or
+        # the affected column silently reads NULL from the published
+        # files; guarded against concurrent re-keying the same way
+        # the schema is (round-14 ADVICE)
+        mapping=sm.get("mapping") if schema is not None else None,
+        expect_mapping=(base_m.get("mapping")
+                        if schema is not None else _UNSET),
+        # same rule for the dropped-physical ledger: a column DROPPED
+        # on the staging must keep its physical name retired on main,
+        # or a later re-add would resurrect the old pages' values
+        dropped_physical=(sm.get("dropped_physical")
+                          if schema is not None else None))
 
 
 # --------------------------------------------------------------------
@@ -3185,9 +3257,12 @@ def branch_path(path: str, name: str) -> str:
     the branch by passing this path — a branch IS a table whose v1
     references the fork point, which is what makes per-branch
     snapshot RETENTION free: ``expire_snapshots(branch_path(...))``
-    expires only the branch's own history, and the branch dir sits
-    outside the sweep roots (data/dv/blooms/ndv/wap-*), so main's
-    maintenance can never reach into it."""
+    expires only the branch's own history.  Main's maintenance never
+    deletes branch-LOCAL files (the branch dir sits outside the
+    sweep roots data/dv/blooms/ndv/wap-*), and it retains fork-point
+    files in MAIN's tree that any live branch still references
+    (:func:`_branch_retained_rel` feeds both sweepers) — expiring
+    main past a fork point keeps the branch readable."""
     if not _BRANCH_NAME_RE.match(name):
         raise ValueError(f"invalid branch name: {name!r}")
     return os.path.join(path, "branches", name)
@@ -3222,6 +3297,48 @@ def list_branches(path: str) -> list[str]:
         if _BRANCH_NAME_RE.match(d) and latest_version(
             os.path.join(bdir, d)) > 0
     )
+
+
+def _live_branch_refs_abs(path: str) -> set[str]:
+    """Every file reference (as an ABSOLUTE path) that any LIVE branch
+    of ``path`` still needs, across ALL of each branch's committed
+    versions (any of them is time-travel-readable): data files, DV
+    sidecars, and bloom/NDV index sidecars.  Recurses into
+    branches-of-branches.
+
+    A branch's manifests reference fork-point files ABSOLUTELY (they
+    live in main's tree) while main's own manifests reference the
+    same files RELATIVELY — so maintenance on main must translate
+    branch refs before set arithmetic, or expiring main past a fork
+    point would unlink files a live branch still reads (round-14
+    ADVICE)."""
+    refs: set[str] = set()
+    for name in list_branches(path):
+        bp = branch_path(path, name)
+        mdir = _manifest_dir(bp)
+        for fname in os.listdir(mdir):
+            if not (fname.startswith("v") and fname.endswith(".json")):
+                continue
+            m = _read_manifest(bp, int(fname[1:-5]))
+            raw = list(m["files"]) + list(m.get("dvs") or [])
+            for key in ("bloom_index", "ndv_sketch"):
+                for fm in (m.get(key) or {}).values():
+                    raw.extend(sc for sc in fm.values() if sc)
+            for f in raw:
+                refs.add(f if os.path.isabs(f) else os.path.join(bp, f))
+        refs |= _live_branch_refs_abs(bp)
+    return refs
+
+
+def _branch_retained_rel(path: str) -> set[str]:
+    """:func:`_live_branch_refs_abs` translated to ``path``-relative
+    refs (refs outside the table root keep their absolute form, which
+    the sweepers never unlink anyway)."""
+    out: set[str] = set()
+    for f in _live_branch_refs_abs(path):
+        rel = os.path.relpath(f, os.path.abspath(path))
+        out.add(f if rel.startswith("..") else rel)
+    return out
 
 
 def read_branch(spark: SparkSession, path: str, name: str,

@@ -318,7 +318,11 @@ def _update_sessions(
             us = int(us)
             if cur is None:
                 cur = [us, us, 1]
-            elif us - cur[1] > _SESSION_GAP_US:
+            elif us - cur[1] >= _SESSION_GAP_US:
+                # half-open [start, start+gap) extension window — an
+                # event EXACTLY gap after the previous one starts a
+                # NEW session, matching Spark's built-in
+                # session_window boundary semantics (round-14 ADVICE)
                 out.append((uid, cur[0], cur[2]))
                 cur = [us, us, 1]
             else:

@@ -2425,3 +2425,125 @@ def test_branch_inherits_constraints_publish_keeps_mains(spark, tdir):
     acid_lite.append(spark, tdir, _df(spark, [(-9, "now legal")]))
     assert {r.k for r in acid_lite.read(spark, tdir).collect()} \
         == {1, 2, -9}
+
+
+def test_expire_main_retains_live_branch_forkpoint_files(spark, tdir):
+    """Expiring MAIN past a branch's fork point must keep fork-point
+    files a live branch still references (round-14 ADVICE): branch
+    manifests hold them as ABSOLUTE refs into main's tree, main's
+    expired manifests as relative refs — both sweepers translate and
+    retain them; dropping the branch releases them."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a")]).coalesce(1))          # v1
+    acid_lite.append(spark, tdir, _df(spark, [(2, "b")]).coalesce(1))  # v2
+    acid_lite.create_branch(tdir, "dev")   # fork at v2: refs both files
+    # main moves on: CoW delete drops row 1's file from main's live set
+    acid_lite.delete_where(spark, tdir, "k", hi=1)                # v3
+    acid_lite.expire_snapshots(tdir, keep_from=3)
+    assert {r.k for r in acid_lite.read_branch(spark, tdir, "dev")
+            .collect()} == {1, 2}
+    # the orphan sweep retains them too (negative grace = sweep all)
+    acid_lite.remove_orphan_files(tdir, grace_seconds=-1.0)
+    assert {r.k for r in acid_lite.read_branch(spark, tdir, "dev")
+            .collect()} == {1, 2}
+    # dropping the branch releases the refs: a fresh sweep reclaims
+    acid_lite.drop_branch(tdir, "dev")
+    acid_lite.remove_orphan_files(tdir, grace_seconds=-1.0)
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} == {2}
+
+
+def test_publish_branch_carries_staged_mapping(spark, tdir):
+    """A rename staged on a branch publishes its column MAPPING with
+    the schema (round-14 ADVICE): physical pages keep the old name,
+    so dropping the mapping would read the renamed column as NULL
+    from every file."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    bp = acid_lite.create_branch(tdir, "ren")
+    acid_lite.rename_column(bp, "v", "label")
+    acid_lite.append(
+        spark, bp,
+        spark.createDataFrame([(3, "c")], "k bigint, label string"))
+    v = acid_lite.publish_branch(spark, tdir, "ren")
+    m = acid_lite._read_manifest(tdir, v)
+    assert m["mapping"]["label"] == "v"
+    got = {(r.k, r.label) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_publish_branch_carries_dropped_physical(spark, tdir):
+    """A drop_column staged on a branch keeps the physical name
+    RETIRED on main after publish: a later re-add on main maps to a
+    fresh physical column instead of resurrecting the old pages."""
+    acid_lite.create_table(
+        spark, tdir,
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                              "k bigint, v string, score double")
+        .coalesce(1))
+    bp = acid_lite.create_branch(tdir, "dropper")
+    acid_lite.drop_column(bp, "score")
+    v = acid_lite.publish_branch(spark, tdir, "dropper")
+    m = acid_lite._read_manifest(tdir, v)
+    assert "score" in (m.get("dropped_physical") or [])
+    assert "score" not in m["schema"]
+    # re-add on MAIN: fresh physical name, old values stay dead
+    v2 = acid_lite.append_evolve(
+        spark, tdir,
+        spark.createDataFrame([(3, "c", 99.0)],
+                              "k bigint, v string, score double"))
+    m2 = acid_lite._read_manifest(tdir, v2)
+    assert m2["mapping"]["score"] != "score"
+    got = {(r.k, r.score) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, None), (2, None), (3, 99.0)}
+
+
+def test_update_where_mor_rebases_over_concurrent_append(spark, tdir,
+                                                         monkeypatch):
+    """MoR UPDATE survives losing the version race to a COMPATIBLE
+    append (round-14 ADVICE: previously any concurrent commit
+    surfaced CommitConflict): the commit rebases and both effects
+    land."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b")]).coalesce(1))
+    orig = acid_lite._write_dv_sidecar
+    state = {"raced": False}
+
+    def racing_sidecar(positions, path):
+        dvs = orig(positions, path)
+        if not state["raced"]:
+            state["raced"] = True
+            acid_lite.append(spark, tdir,
+                             _df(spark, [(9, "z")]).coalesce(1))
+        return dvs
+
+    monkeypatch.setattr(acid_lite, "_write_dv_sidecar", racing_sidecar)
+    v = acid_lite.update_where_mor(spark, tdir, {"v": "'U'"}, "k", 1, 1)
+    assert acid_lite._read_manifest(tdir, v)["op"] == "update-mor"
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "U"), (2, "b"), (9, "z")}
+
+
+def test_update_where_mor_conflicts_on_concurrent_dv_change(spark, tdir,
+                                                            monkeypatch):
+    """A concurrent DV delete under a MoR UPDATE is a CONFLICT (the
+    update's images were computed net of the old DV set), surfaced as
+    ConcurrentModification — never a silent resurrect."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a"), (2, "b"), (3, "c")])
+        .coalesce(1))
+    orig = acid_lite._write_dv_sidecar
+    state = {"raced": False}
+
+    def racing_sidecar(positions, path):
+        dvs = orig(positions, path)
+        if not state["raced"]:
+            state["raced"] = True
+            acid_lite.delete_where_dv(spark, tdir, "k", lo=3, hi=3)
+        return dvs
+
+    monkeypatch.setattr(acid_lite, "_write_dv_sidecar", racing_sidecar)
+    with pytest.raises(acid_lite.ConcurrentModification, match="deletion"):
+        acid_lite.update_where_mor(spark, tdir, {"v": "'U'"}, "k", 1, 1)
+    # the winner (DV delete) is intact; the loser changed nothing
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, "a"), (2, "b")}

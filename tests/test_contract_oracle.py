@@ -73,14 +73,16 @@ def test_contract_rows_registered_first():
 
     names = list(SPECS)
     assert names[: len(_CONTRACT_ORDER)] == _CONTRACT_ORDER
-    # round-14 rotation (REGISTRY.md "Driver-grading rotation"): rows
-    # 1-30 pinned §2.B core, rows 31-50 the r13 flagship swap-forwards
-    # (r13 VERDICT task 1): governance ring, BQ/QOI/PCA, stats wave
-    assert names[30] == "acid_check_constraints"
-    assert names[38] == "stream_acid_to_acid_pipeline"
-    assert names[41] == "pca_covariance_eigen"
-    assert names[49] == "lm_dirichlet_retrieval_topk"
-    # every row of the round-14 graded window is oracle-checked
+    # round-15 rotation (REGISTRY.md "Driver-grading rotation"): rows
+    # 1-30 pinned §2.B core, rows 31-50 the r14 flagship swap-forwards
+    # (r14 VERDICT task 1): ACID depth wave, span-removal dedup,
+    # stream-stream FULL OUTER + stateful sessionizer, Adam7/TIFF
+    # codecs, the two promotions, and the analytics wave heads
+    assert names[30] == "acid_branch_publish"
+    assert names[34] == "dedup_remove_duplicate_spans"
+    assert names[40] == "bpe_encode_token_count"
+    assert names[49] == "g_test_segment_priority"
+    # every row of the round-15 graded window is oracle-checked
     for n in _CONTRACT_ORDER[:50]:
         assert SPECS[n].oracle is not None, n
 
