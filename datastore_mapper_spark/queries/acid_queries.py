@@ -2866,3 +2866,95 @@ def stream_acid_cdf_source(spark, sf_dir):
         .select("bucket", "n_rows", "sum_cents",
                 F.lit(bool(exact)).alias("feed_exact_ok"))
     )
+
+
+@query(
+    "acid_type_widening",
+    "table-format",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey % 3 AS b,
+               o_orderkey AS k,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderkey % 3 = 1 THEN o_totalprice
+                    ELSE CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+               END AS ratio
+        FROM orders
+    )
+    SELECT b,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS sum_keys,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(max(ratio) AS DOUBLE) AS max_ratio,
+           TRUE AS widened_ok,
+           TRUE AS no_rewrite_ok,
+           TRUE AS cdf_exact_ok
+    FROM src
+    GROUP BY b
+    """,
+)
+def acid_type_widening(spark, sf_dir):
+    """TYPE WIDENING in schema evolution (round-14 VERDICT task 4 —
+    Delta's type-widening table feature / Iceberg type promotion):
+    the table is created NARROW (int keys/cents, float ratio), a
+    wider batch (bigint/double) lands through ``append_evolve`` and
+    widens the schema int→bigint / float→double in the SAME commit —
+    zero files rewritten, old pages read through Spark 4's parquet
+    widening conversions (SPARK-40876), no CAST layer in the plan —
+    and a NARROW batch still appends afterwards.  The final per-bucket
+    aggregate over all three generations must hash-match plain SQL
+    that states each generation's value semantics (float-quantized
+    for the narrow buckets, full double for the wide one).
+
+    Receipts: ``widened_ok`` — the manifest schema is exactly the
+    widened DDL; ``no_rewrite_ok`` — the widening commit carries
+    every pre-widening file by reference (metadata-only evolution);
+    ``cdf_exact_ok`` — ``change_data_feed`` across the widening
+    reports exactly the wide batch as inserts, zero spurious
+    updates/deletes from carried narrow files (the TO-typed digest
+    contract).  At 100 TB this is the difference between ALTER COLUMN
+    TYPE as a metadata flip and a full-table rewrite."""
+    dest = _table_dir("acid_widen", sf_dir)
+    o = table(spark, sf_dir, "orders")
+    b = (F.col("o_orderkey") % 3)
+    src = o.select(
+        b.alias("b"), F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100).alias("cents"),
+        F.col("o_totalprice").alias("ratio"))
+    narrow = lambda df: df.select(
+        F.col("b").cast("int"), F.col("k").cast("int"),
+        F.col("cents").cast("int"), F.col("ratio").cast("float"))
+    acid_lite.create_table(
+        spark, dest, narrow(src.filter(F.col("b") == 0)).coalesce(2))  # v1
+    v1 = acid_lite.latest_version(dest)
+    m1 = acid_lite._read_manifest(dest, v1)
+    wide = src.filter(F.col("b") == 1).select(
+        F.col("b").cast("bigint"), F.col("k").cast("bigint"),
+        F.col("cents").cast("bigint"), F.col("ratio").cast("double"))
+    v2 = acid_lite.append_evolve(spark, dest, wide.coalesce(2))       # v2
+    m2 = acid_lite._read_manifest(dest, v2)
+    acid_lite.append_evolve(
+        spark, dest, narrow(src.filter(F.col("b") == 2)).coalesce(2))  # v3
+    widened = acid_lite._schema_types(m2["schema"]) == {
+        "b": "bigint", "k": "bigint", "cents": "bigint",
+        "ratio": "double"}
+    no_rewrite = set(m1["files"]) <= set(m2["files"])
+    cdf_counts = {
+        r._change_type: r.n for r in
+        acid_lite.change_data_feed(spark, dest, "k", v1, v2)
+        .groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+    n_wide = wide.count()
+    cdf_exact = (cdf_counts.get("insert", 0) == n_wide
+                 and set(cdf_counts) <= {"insert"})
+    return (
+        acid_lite.read(spark, dest)
+        .groupBy("b")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("k").cast("bigint").alias("sum_keys"),
+             F.sum("cents").cast("bigint").alias("sum_cents"),
+             F.max("ratio").cast("double").alias("max_ratio"))
+        .select("b", "n_rows", "sum_keys", "sum_cents", "max_ratio",
+                F.lit(bool(widened)).alias("widened_ok"),
+                F.lit(bool(no_rewrite)).alias("no_rewrite_ok"),
+                F.lit(bool(cdf_exact)).alias("cdf_exact_ok"))
+    )

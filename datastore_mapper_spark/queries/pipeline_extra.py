@@ -1260,7 +1260,8 @@ def dq_rule_violations(spark, sf_dir):
     "LLM-pipeline/recipe",
     oracle=None,  # assembled below (needs the stopword-hits SQL helper)
 )
-def pretraining_corpus_recipe(spark, sf_dir, remove_dup_spans=False):
+def pretraining_corpus_recipe(spark, sf_dir, remove_dup_spans=False,
+                              semantic_dedup=False):
     """The COMPOSED text pretraining-data recipe, graded as one unit
     (the text twin of ``multimodal_pipeline_canonical``):
     quality-priority near-dup canonical selection (each cluster of the
@@ -1290,7 +1291,19 @@ def pretraining_corpus_recipe(spark, sf_dir, remove_dup_spans=False):
     ``operators.dedup.remove_duplicate_spans`` before scoring, so
     token counts, quality scores, and packing all see the cleaned
     text — the Lee-et-al. order (substring dedup first, then
-    document-level dedup and filtering)."""
+    document-level dedup and filtering).
+
+    ``semantic_dedup=True`` (round-14 VERDICT task 5, likewise OFF in
+    the graded row) inserts the SEMANTIC tier after canonical
+    selection + quality filtering: documents whose embedding
+    (``doc_id = vec_id``, the shared id space) was pruned by
+    ``operators.dedup.semantic_dedup``'s within-cluster ε-ball rule
+    are dropped before the split — the SemDeDup stage a pretraining
+    recipe runs between fuzzy text dedup and mixture sampling.  The
+    stage's own correctness is graded by ``dedup_semantic_clusters``
+    (planted twins + census booleans); a pytest pins the composition
+    (flagged recipe counts == unflagged counts minus the
+    semantically-pruned kept docs)."""
     from pyspark.sql import Window
 
     from ..operators import text as tx
@@ -1329,6 +1342,17 @@ def pretraining_corpus_recipe(spark, sf_dir, remove_dup_spans=False):
         cc.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
     )
     kept = best.unionByName(singletons).filter(F.col("score") >= 0.35)
+    if semantic_dedup:
+        from ..operators.dedup import semantic_dedup as semdedup
+
+        emb = table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding")
+        pruned = (
+            semdedup(emb, k=8, tau=0.95)
+            .filter(F.col("dropped"))
+            .select(F.col("vec_id").alias("doc_id"))
+        )
+        kept = kept.join(pruned, "doc_id", "left_anti")
 
     bucket = (
         F.conv(F.substring(F.md5("source"), 1, 4), 16, 10).cast("bigint")

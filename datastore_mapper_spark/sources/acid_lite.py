@@ -1236,30 +1236,60 @@ def delete_where(
                           expect_dvs=[], new_partitions=new_parts)
 
 
+#: widening promotion lattices (round-14 VERDICT task 4 — the Delta
+#: 'type widening' table feature / Iceberg type promotion): an
+#: existing column may widen ALONG a lattice on append/merge; every
+#: other retype is still refused.  Old files keep their narrow
+#: physical type — Spark 4's parquet readers apply the widening
+#: conversion at scan time (SPARK-40876), so no data file is ever
+#: rewritten and no CAST layer is needed in the read plan.
+_WIDEN_INT = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_WIDEN_FLOAT = {"float": 0, "double": 1}
+
+
+def _wider(a: str, b: str) -> str | None:
+    """The wider of two types when one can widen into the other along
+    a promotion lattice; None when the pair is not promotable."""
+    if a == b:
+        return a
+    for lat in (_WIDEN_INT, _WIDEN_FLOAT):
+        if a in lat and b in lat:
+            return a if lat[a] >= lat[b] else b
+    return None
+
+
 def _merge_schema(old_ddl: str, df: DataFrame) -> str:
     """Schema evolution for appends: the union of the table's columns
-    (in order) and any NEW trailing columns the frame adds.  Dropping
-    or retyping a column is refused — that rewrites history, which an
+    (in order) and any NEW trailing columns the frame adds; an
+    existing column met with a WIDER lattice type (int chain, float→
+    double) widens in place — a metadata-only change, old files read
+    through parquet type promotion.  Dropping a column or any
+    non-lattice retype is refused — that rewrites history, which an
     append must never do."""
     from pyspark.sql.types import _parse_datatype_string
 
     old = _parse_datatype_string(old_ddl)
     old_names = {f.name: f.dataType.simpleString() for f in old.fields}
+    widened = dict(old_names)
     for f in df.schema.fields:
         have = old_names.get(f.name)
-        if have is not None and have != f.dataType.simpleString():
+        if have is None:
+            continue
+        w = _wider(have, f.dataType.simpleString())
+        if w is None:
             raise ValueError(
                 f"append cannot retype column '{f.name}': table has "
                 f"{have}, frame has {f.dataType.simpleString()}"
             )
+        widened[f.name] = w
     new_cols = [f for f in df.schema.fields if f.name not in old_names]
     missing = set(old_names) - {f.name for f in df.schema.fields}
     # frames may omit table columns (they read back as NULL) and may
     # add new ones (old files read back NULL for them)
-    merged = list(old.fields) + new_cols
     _ = missing  # informational: omitted columns are legal
     return ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in merged
+        [f"{f.name} {widened[f.name]}" for f in old.fields]
+        + [f"{f.name} {f.dataType.simpleString()}" for f in new_cols]
     )
 
 
@@ -1632,8 +1662,16 @@ def change_data_feed(
     # only when their value is non-null on the post side)
     shared = [c for c in pre.columns if c in set(post.columns) and c != key]
     new_cols = [c for c in post.columns if c not in set(pre.columns)]
-    digest = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\0"))
-                          for c in shared]) if shared else F.lit(0)
+    # digest under the TO snapshot's types: a column widened between
+    # the snapshots (type widening, round-14) reads float on the pre
+    # side and double on the post side — stringifying each side's own
+    # type would flag every carried row as an update ("0.1" vs
+    # "0.1000000014901161"), so both sides cast to the TO type first
+    post_t = _schema_types(mt["schema"])
+    digest = F.xxhash64(*[
+        F.coalesce(F.col(c).cast(post_t.get(c, "string")).cast("string"),
+                   F.lit("\0"))
+        for c in shared]) if shared else F.lit(0)
     p1 = pre.withColumn("_h", digest)
     new_nonnull = F.lit(False)
     for c in new_cols:
@@ -2325,9 +2363,18 @@ def merge_three_way(
             f"merge source carries column(s) {extra_cols} the target "
             "lacks — pass evolve_schema=True to widen the target, or "
             "drop them from the source")
+    # the retype/widen check runs UNCONDITIONALLY: a source column
+    # with a WIDER lattice type silently union-coerced into the
+    # rewrite would write wide pages under the narrow schema (a
+    # narrowing read); without the flag that evolution is an error,
+    # with it a one-commit widening (round-14 VERDICT task 4)
+    probe = (src.drop(delete_col) if delete_col is not None else src)
+    cand = _merge_schema(manifest["schema"], probe)  # retype/widen check
+    if cand != manifest["schema"] and not evolve_schema:
+        raise ValueError(
+            "merge source widens column type(s) of the target — pass "
+            "evolve_schema=True to widen, or cast the source down")
     if evolve_schema:
-        probe = (src.drop(delete_col) if delete_col is not None else src)
-        cand = _merge_schema(manifest["schema"], probe)  # retype check
         if cand != manifest["schema"]:
             merged_schema = cand
             # re-added name after drop_column: fresh physical column

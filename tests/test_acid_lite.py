@@ -2547,3 +2547,74 @@ def test_update_where_mor_conflicts_on_concurrent_dv_change(spark, tdir,
     # the winner (DV delete) is intact; the loser changed nothing
     got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_type_widening_append_evolve(spark, tdir):
+    """TYPE WIDENING on append (round-14 VERDICT task 4 — Delta's
+    type-widening feature): a wider-typed batch widens the manifest
+    schema int→bigint / float→double in the SAME commit, zero files
+    rewritten; old narrow files read through parquet type promotion;
+    a later narrow batch still appends; non-lattice retypes refuse;
+    CDF across the widening reports exactly the appended rows."""
+    acid_lite.create_table(
+        spark, tdir,
+        spark.createDataFrame([(1, 10, 1.5), (2, 20, 2.5)],
+                              "k int, c int, r float").coalesce(1))
+    v1_files = set(acid_lite._read_manifest(tdir, 1)["files"])
+    wide = spark.createDataFrame(
+        [(3 * 10**10, 5 * 10**9, 0.1)], "k bigint, c bigint, r double")
+    v = acid_lite.append_evolve(spark, tdir, wide)
+    m = acid_lite._read_manifest(tdir, v)
+    assert acid_lite._schema_types(m["schema"]) == {
+        "k": "bigint", "c": "bigint", "r": "double"}
+    assert v1_files <= set(m["files"])     # metadata-only widening
+    got = {(r.k, r.c, r.r) for r in acid_lite.read(spark, tdir).collect()}
+    assert (1, 10, 1.5) in got and (3 * 10**10, 5 * 10**9, 0.1) in got
+    # CDF across the widening: only the appended row, as insert
+    cdf = acid_lite.change_data_feed(spark, tdir, "k", 1, v)
+    assert [(r.k, r._change_type) for r in cdf.collect()] \
+        == [(3 * 10**10, "insert")]
+    # narrow batch into the widened table: still appends, reads fine
+    acid_lite.append_evolve(
+        spark, tdir,
+        spark.createDataFrame([(4, 40, 4.5)], "k int, c int, r float"))
+    assert acid_lite.read(spark, tdir).filter("k = 4").count() == 1
+    # stats pruning still sound across mixed-width files
+    sel, tot = acid_lite.prune_files(tdir, "k", 3 * 10**10, None)
+    assert len(sel) < tot
+    # non-lattice retype refused
+    with pytest.raises(ValueError, match="retype"):
+        acid_lite.append_evolve(
+            spark, tdir,
+            spark.createDataFrame([(5, "x", 1.0)],
+                                  "k int, c string, r float"))
+
+
+def test_type_widening_merge_three_way(spark, tdir):
+    """MERGE-time type widening: a wider-typed source widens the
+    target in the same rewrite commit under evolve_schema=True;
+    without the flag the widening is an ERROR (silently coercing the
+    rewrite would put wide pages under a narrow schema); survivor
+    rows keep their values through the union coercion."""
+    acid_lite.create_table(
+        spark, tdir,
+        spark.createDataFrame([(1, 10), (2, 20), (3, 30)],
+                              "k int, c int").coalesce(1))
+    src = spark.createDataFrame(
+        [(2, 6 * 10**9), (4 * 10**9, 7)], "k bigint, c bigint")
+    with pytest.raises(ValueError, match="widens"):
+        acid_lite.merge_three_way(spark, tdir, src, key="k")
+    v = acid_lite.merge_three_way(spark, tdir, src, key="k",
+                                  evolve_schema=True)
+    m = acid_lite._read_manifest(tdir, v)
+    assert acid_lite._schema_types(m["schema"]) == {
+        "k": "bigint", "c": "bigint"}
+    got = {(r.k, r.c) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, 10), (2, 6 * 10**9), (3, 30), (4 * 10**9, 7)}
+    # CDF across the widening merge: carried rows cancel through the
+    # TO-typed digest — only the real update + insert surface
+    types = {(r.k, r._change_type)
+             for r in acid_lite.change_data_feed(spark, tdir, "k", 1, v)
+             .collect()}
+    assert types == {(2, "update_preimage"), (2, "update_postimage"),
+                     (4 * 10**9, "insert")}

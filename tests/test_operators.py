@@ -2463,3 +2463,36 @@ def test_tiff_packbits_container_paths():
     # truncate the last strip's bytes: exact-length accounting trips
     with _pytest.raises(ValueError):
         decode_tiff_packbits(blob[:20])
+
+
+def test_recipe_semantic_dedup_flag(spark):
+    """pretraining_corpus_recipe(semantic_dedup=True) inserts the
+    SemDeDup stage: flagged counts equal the unflagged counts minus
+    exactly the semantically-pruned docs that survived the earlier
+    stages (doc_id = vec_id shared id space)."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.catalog import table
+    from datastore_mapper_spark.operators.dedup import semantic_dedup
+    from datastore_mapper_spark.queries.pipeline_extra import (
+        pretraining_corpus_recipe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = {r.split: (r.n_docs, r.sum_tokens)
+            for r in pretraining_corpus_recipe(spark, sf).collect()}
+    sem = {r.split: (r.n_docs, r.sum_tokens)
+           for r in pretraining_corpus_recipe(
+               spark, sf, semantic_dedup=True).collect()}
+    assert sem  # stage composes end-to-end
+    n_base = sum(v[0] for v in base.values())
+    n_sem = sum(v[0] for v in sem.values())
+    emb = table(spark, sf, "embeddings").select("vec_id", "embedding")
+    n_pruned = (semantic_dedup(emb, k=8, tau=0.95)
+                .filter(F.col("dropped")).count())
+    # every flagged-path doc is an unflagged-path doc; the deficit is
+    # bounded by the pruned-embedding count (pruned ids may also have
+    # died earlier in the quality/canonical stages)
+    assert 0 <= n_base - n_sem <= n_pruned
+    for s, (nd, tok) in sem.items():
+        assert nd <= base[s][0] and tok <= base[s][1]
