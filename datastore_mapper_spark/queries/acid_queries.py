@@ -2958,3 +2958,133 @@ def acid_type_widening(spark, sf_dir):
                 F.lit(bool(no_rewrite)).alias("no_rewrite_ok"),
                 F.lit(bool(cdf_exact)).alias("cdf_exact_ok"))
     )
+
+
+@query(
+    "stream_acid_ivm_refresh",
+    "streaming/table-format",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 10 = 7
+                    THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS p
+        FROM orders
+        WHERE o_orderkey % 10 IN (0, 1, 2, 3, 4, 5, 7, 8)
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS deltas_streamed_ok
+    FROM a JOIN customer ON a.o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_acid_ivm_refresh(spark, sf_dir):
+    """STREAMING incremental view maintenance (round-14 VERDICT task
+    3, second half — ``acid_ivm_join_view``'s refresh as a streaming
+    hop): the fact table's CHANGE DATA FEED streams through the
+    ``acid_cdf`` source (one micro-batch per commit), and a
+    ``foreachBatch`` consumer applies each delta batch to the
+    materialized JOIN view V = A ⋈ customer with one idempotent
+    MERGE — inserts join the dimension and upsert V, deletes retract
+    by key, an update's delete+insert pair collapses to its post-image
+    upsert.  Four MoR commits land on A (create, DV delete of
+    bucket 6, MoR update of bucket 7, append of bucket 8), so the
+    positional feed is EXACT — the stream IS the IVM delta algebra
+    ΔV = ΔA ⋈ B, in flight.
+
+    The hashed per-segment aggregate of the final V must equal the
+    plain SQL statement of the change laws; ``deltas_streamed_ok``
+    receipts that the stream moved exactly the law-sized deltas
+    (inserts = base + append + update images, deletes = DV + update
+    pre-images) — nothing corpus-sized ever re-joins.  At 100 TB this
+    is why CDF-as-a-source exists: the mart refresh rides the commit
+    stream instead of a scheduled full diff."""
+    import tempfile
+    import time
+
+    from ..sources.acid_cdf_stream import register
+
+    destA = _table_dir("acid_ivm_stream_a", sf_dir)
+    destV = _table_dir("acid_ivm_stream_v", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        (F.col("o_orderkey") % 10).alias("bucket"))
+    cu = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    acid_lite.create_table(
+        spark, destA, o.filter(F.col("bucket") < 8).coalesce(2))      # v1
+    acid_lite.delete_where_dv(spark, destA, "bucket", 6, 6)           # v2
+    acid_lite.update_where_mor(
+        spark, destA, {"o_totalprice": "o_totalprice + 1000.0"},
+        "bucket", 7, 7)                                               # v3
+    acid_lite.append(
+        spark, destA, o.filter(F.col("bucket") == 8).coalesce(2))     # v4
+    # V starts EMPTY: every view row arrives via the delta stream
+    acid_lite.create_table(
+        spark, destV,
+        o.limit(0).drop("bucket").join(cu.limit(0),
+                                       F.col("o_custkey")
+                                       == F.col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice",
+                "c_mktsegment"))
+    n_base = o.filter(F.col("bucket") < 8).count()
+    n_del = o.filter(F.col("bucket") == 6).count()
+    n_upd = o.filter(F.col("bucket") == 7).count()
+    n_app = o.filter(F.col("bucket") == 8).count()
+    expected_final = n_base - n_del + n_app
+    moved = {"insert": 0, "delete": 0}
+
+    def apply_batch(batch, _epoch):
+        ins = batch.filter(F.col("_change_type") == "insert")
+        dels = (batch.filter(F.col("_change_type") == "delete")
+                .join(ins.select("o_orderkey"), "o_orderkey",
+                      "left_anti"))
+        up = (
+            ins.join(cu, ins.o_custkey == cu.c_custkey)
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    "c_mktsegment", F.lit(False).alias("_deleted"))
+            .unionByName(
+                dels.select("o_orderkey", "o_custkey", "o_totalprice",
+                            F.lit("_").alias("c_mktsegment"),
+                            F.lit(True).alias("_deleted")))
+        ).localCheckpoint()
+        if up.limit(1).count():
+            acid_lite.merge_upsert(spark, destV, up, key="o_orderkey",
+                                   delete_col="_deleted")
+        for r in (batch.groupBy("_change_type")
+                  .agg(F.count("*").alias("n")).collect()):
+            moved[r._change_type] = moved.get(r._change_type, 0) + r.n
+
+    register(spark)
+    q = (
+        spark.readStream.format("acid_cdf")
+        .option("path", destA)
+        .option("versions_per_batch", 1)
+        .load()
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if acid_lite.read(spark, destV).count() >= expected_final \
+                    and moved["insert"] >= n_base + n_upd + n_app:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    streamed_ok = (moved.get("insert", 0) == n_base + n_upd + n_app
+                   and moved.get("delete", 0) == n_del + n_upd)
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, destV)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(cents).alias("sum_cents"))
+        .select("c_mktsegment", "n_rows", "sum_cents",
+                F.lit(bool(streamed_ok)).alias("deltas_streamed_ok"))
+    )

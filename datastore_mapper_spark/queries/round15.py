@@ -114,3 +114,124 @@ def dedup_semantic_clusters(spark, sf_dir):
             F.lit(bool(partition_exact)).alias("partition_exact_ok"),
         )
     )
+
+
+@query(
+    "sample_domain_mixture_budget",
+    "sampling",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST((doc_id * 1103515245 + 12345) % 2147483648
+                    AS DOUBLE) / 2147483648.0 AS u
+        FROM documents
+    ), dom AS (
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs_domain,
+               CAST(sum(n_tok) AS BIGINT) AS n_tok_domain,
+               CASE WHEN lang = 'en' THEN 1 ELSE 2 END AS w
+        FROM d GROUP BY lang, source
+    ), tot AS (
+        SELECT CAST(sum(n_tok_domain) AS BIGINT) AS t,
+               CAST(sum(w * n_tok_domain) AS BIGINT) AS wt
+        FROM dom
+    ), alloc AS (
+        SELECT lang, source, n_docs_domain, n_tok_domain,
+               LEAST((tot.t // 5) // 50,
+                     (tot.t // 5) * w * n_tok_domain // tot.wt)
+                   AS alloc_tokens
+        FROM dom, tot
+    ), cum AS (
+        SELECT lang, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY lang, source
+                                ORDER BY u, doc_id) AS c
+        FROM d
+    )
+    SELECT a.lang, a.source, a.n_docs_domain, a.n_tok_domain,
+           CAST(a.alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST(coalesce(sum(CASE WHEN c.c <= a.alloc_tokens
+                                  THEN 1 END), 0) AS BIGINT)
+               AS n_docs_sampled,
+           CAST(coalesce(sum(CASE WHEN c.c <= a.alloc_tokens
+                                  THEN c.n_tok END), 0) AS BIGINT)
+               AS tok_sampled
+    FROM alloc a JOIN cum c ON a.lang = c.lang AND a.source = c.source
+    GROUP BY a.lang, a.source, a.n_docs_domain, a.n_tok_domain,
+             a.alloc_tokens
+    """,
+)
+def sample_domain_mixture_budget(spark, sf_dir):
+    """TOKEN-BUDGET-WEIGHTED DOMAIN MIXTURE sampling (round-14 VERDICT
+    task 7 — the mixture layer a pretraining run puts over its corpus:
+    'sample 20% of total tokens, upweight non-English 2x, no domain
+    above 2% of the budget').  Three exact-integer stages:
+
+    * ACCOUNTING — per-(lang, source) domain doc/token masses, all
+      bigint (the exact token accounting the oracle restates);
+    * ALLOCATION — global budget B = total_tokens DIV 5; domain d
+      gets ``min(B DIV 50, B·w_d·tok_d DIV Σw·tok)`` where w is the
+      mixture weight (non-en upweighted 2x) — weighted-proportional
+      with a per-domain cap, pure bigint arithmetic (products bounded
+      by (Σtok)², within int64 to ~sf1000 — document before raising);
+    * SELECTION — within each domain, docs rank by the same
+      dyadic-rational LCG uniform as ``sample_stratified_proportional``
+      (u = (id·1103515245+12345) mod 2³¹ / 2³¹ — EXACT in a double,
+      zero FP seam) and fill the allocation greedily: a doc is kept
+      while the running inclusive token prefix stays ≤ alloc.
+
+    Hashed rows are the full per-domain ledger (masses, allocation,
+    sampled doc/token counts) — the oracle replays all three stages,
+    so a mis-weighted domain, a cap miss, an off-by-one prefix, or a
+    drifting uniform each shifts a ledger cell.  At 100 TB: one
+    dictionary-tier groupBy for the ledger, one broadcast of the
+    ~|domains| allocation table, one window partitioned by domain —
+    no global sort, no driver row data (the two driver scalars are
+    the budget totals)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        (((F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
+          % F.lit(2147483648)).cast("double")
+         / F.lit(2147483648.0)).alias("u"),
+    )
+    w = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(2))
+    dom = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs_domain"),
+        F.sum("n_tok").cast("bigint").alias("n_tok_domain"),
+    ).withColumn("w", w.cast("bigint"))
+    totals = dom.agg(
+        F.sum("n_tok_domain").cast("bigint").alias("t"),
+        F.sum(F.col("w") * F.col("n_tok_domain")).cast("bigint")
+        .alias("wt")).first()
+    out_schema = ("lang string, source string, n_docs_domain bigint, "
+                  "n_tok_domain bigint, alloc_tokens bigint, "
+                  "n_docs_sampled bigint, tok_sampled bigint")
+    if totals is None or totals.t is None or totals.t == 0:
+        return spark.createDataFrame([], out_schema)
+    budget, wt = int(totals.t) // 5, int(totals.wt)
+    alloc = dom.select(
+        "lang", "source", "n_docs_domain", "n_tok_domain",
+        F.least(
+            F.lit(budget // 50).cast("bigint"),
+            F.expr(f"CAST({budget} AS BIGINT) * w * n_tok_domain "
+                   f"DIV CAST({wt} AS BIGINT)"),
+        ).alias("alloc_tokens"))
+    from pyspark.sql.window import Window as W
+
+    cum = d.withColumn(
+        "c", F.sum("n_tok").over(
+            W.partitionBy("lang", "source")
+            .orderBy(F.col("u"), F.col("doc_id"))))
+    keep = F.col("c") <= F.col("alloc_tokens")
+    return (
+        cum.join(F.broadcast(alloc), ["lang", "source"])
+        .groupBy("lang", "source", "n_docs_domain", "n_tok_domain",
+                 "alloc_tokens")
+        .agg(
+            F.coalesce(F.sum(F.when(keep, F.lit(1))), F.lit(0))
+            .cast("bigint").alias("n_docs_sampled"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_tok"))), F.lit(0))
+            .cast("bigint").alias("tok_sampled"),
+        )
+    )
