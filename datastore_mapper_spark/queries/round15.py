@@ -235,3 +235,231 @@ def sample_domain_mixture_budget(spark, sf_dir):
             .cast("bigint").alias("tok_sampled"),
         )
     )
+
+
+@query(
+    "decontaminate_train_eval",
+    "LLM-pipeline",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               string_split(text, ' ') AS t,
+               CAST(('0x' || substring(md5(source), 1, 4))::INTEGER
+                    AS BIGINT) % 100 AS bucket
+        FROM documents
+    ), tr AS (
+        SELECT * FROM d WHERE bucket < 80
+    ), ev AS (
+        SELECT * FROM d WHERE bucket >= 90
+    ), evg AS (
+        SELECT DISTINCT array_to_string(t[i:i+4], ' ') AS g
+        FROM ev, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5
+    ), trg AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        FROM tr, UNNEST(generate_series(1, len(t) - 4)) AS u(i)
+        WHERE len(t) >= 5
+    ), bad AS (
+        SELECT DISTINCT trg.doc_id FROM trg JOIN evg USING (g)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_train,
+           CAST(coalesce(sum(CASE WHEN bad.doc_id IS NOT NULL
+                                  THEN 1 END), 0) AS BIGINT)
+               AS n_contaminated,
+           CAST(coalesce(sum(CASE WHEN bad.doc_id IS NOT NULL
+                                  THEN n_tok END), 0) AS BIGINT)
+               AS tok_dropped,
+           CAST(coalesce(sum(CASE WHEN bad.doc_id IS NULL
+                                  THEN n_tok END), 0) AS BIGINT)
+               AS tok_kept
+    FROM tr LEFT JOIN bad USING (doc_id)
+    GROUP BY lang
+    """,
+)
+def decontaminate_train_eval(spark, sf_dir):
+    """TRAIN/EVAL DECONTAMINATION (the GPT-3/PaLM appendix step: drop
+    any training document sharing an exact n-gram with the held-out
+    set): documents split leak-free by source-hash bucket (train <80,
+    eval >=90 — the same md5 rule as ``pretraining_corpus_recipe``'s
+    splitter), every positional 5-gram of the eval set becomes a
+    contamination key, and a train document dies if ANY of its
+    5-grams hits the key set.  Hashed rows are the per-language
+    decontamination ledger: train size, contaminated count, token
+    mass dropped vs kept — the numbers a corpus audit publishes.
+
+    Plan shape: shingling is JVM ``transform(sequence(...))``; the
+    contamination test is a DISTINCT-gram semi-join co-partitioned on
+    the gram key — never doc×doc.  At 100 TB the grams ride as
+    xxhash64 keys (string form kept so DuckDB reproduces exactly) and
+    the eval side is millions of grams vs the corpus's trillions, so
+    the join broadcasts or bucket-joins on the small side."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.split("text", " ").alias("t"),
+        (F.conv(F.substring(F.md5("source"), 1, 4), 16, 10)
+         .cast("bigint") % 100).alias("bucket"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 4),
+        lambda i: F.array_join(F.slice("t", i, 5), " "),
+    )
+    tr = d.filter(F.col("bucket") < 80)
+    ev = d.filter(F.col("bucket") >= 90)
+    evg = (ev.filter(F.size("t") >= 5)
+           .select(F.explode(grams).alias("g")).distinct())
+    trg = (tr.filter(F.size("t") >= 5)
+           .select("doc_id", F.explode(grams).alias("g")).distinct())
+    bad = (trg.join(evg, "g", "left_semi")
+           .select("doc_id").distinct()
+           .withColumn("_bad", F.lit(True)))
+    hit = F.col("_bad").isNotNull()
+    return (
+        tr.join(bad, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_train"),
+            F.coalesce(F.sum(F.when(hit, F.lit(1))), F.lit(0))
+            .cast("bigint").alias("n_contaminated"),
+            F.coalesce(F.sum(F.when(hit, F.col("n_tok"))), F.lit(0))
+            .cast("bigint").alias("tok_dropped"),
+            F.coalesce(F.sum(F.when(~hit, F.col("n_tok"))), F.lit(0))
+            .cast("bigint").alias("tok_kept"),
+        )
+    )
+
+
+@query(
+    "mixture_epochs_upsample",
+    "sampling",
+    oracle="""
+    WITH d AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), dom AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tok_d,
+               CASE WHEN lang = 'en' THEN 1 ELSE 3 END AS w
+        FROM d GROUP BY lang
+    ), tot AS (
+        SELECT CAST(sum(tok_d) AS BIGINT) AS t,
+               CAST(sum(w * tok_d) AS BIGINT) AS wt
+        FROM dom
+    )
+    SELECT lang, n_docs, tok_d,
+           CAST(2 * tot.t * w * tok_d // tot.wt AS BIGINT)
+               AS target_tokens,
+           CAST((2 * tot.t * w * tok_d // tot.wt + tok_d - 1) // tok_d
+                AS BIGINT) AS epochs,
+           CAST(((2 * tot.t * w * tok_d // tot.wt + tok_d - 1)
+                 // tok_d) * tok_d AS BIGINT) AS replicated_tokens
+    FROM dom, tot
+    """,
+)
+def mixture_epochs_upsample(spark, sf_dir):
+    """MIXTURE UPSAMPLING ledger — the other half of
+    ``sample_domain_mixture_budget``: when a domain's target token
+    share EXCEEDS its corpus mass, the pipeline replays it for
+    multiple EPOCHS (the Llama/GPT data-mixture tables: 'books x2.4
+    epochs').  Budget = 2x total tokens, non-en upweighted 3x; each
+    language's target is its weighted-proportional share and its
+    epoch count is the exact ceiling ``(target + tok_d − 1) DIV
+    tok_d``, all bigint (no FP ceil).  Hashed rows are the
+    replication plan a training run executes: per-language doc/token
+    mass, token target, epochs, and the replicated token mass
+    actually delivered.  Dictionary-tier throughout — one groupBy,
+    one broadcast scalar pair."""
+    d = table(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok"))
+    w = F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(3))
+    dom = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok_d"),
+    ).withColumn("w", w.cast("bigint"))
+    totals = dom.agg(
+        F.sum("tok_d").cast("bigint").alias("t"),
+        F.sum(F.col("w") * F.col("tok_d")).cast("bigint").alias("wt"),
+    ).first()
+    schema = ("lang string, n_docs bigint, tok_d bigint, "
+              "target_tokens bigint, epochs bigint, "
+              "replicated_tokens bigint")
+    if totals is None or totals.t is None or totals.t == 0:
+        return spark.createDataFrame([], schema)
+    t, wt = int(totals.t), int(totals.wt)
+    target = F.expr(f"CAST(2 AS BIGINT) * {t} * w * tok_d DIV {wt}")
+    return dom.select(
+        "lang", "n_docs", "tok_d",
+        target.alias("target_tokens"),
+        F.expr(f"(CAST(2 AS BIGINT) * {t} * w * tok_d DIV {wt} "
+               f"+ tok_d - 1) DIV tok_d").alias("epochs"),
+        F.expr(f"((CAST(2 AS BIGINT) * {t} * w * tok_d DIV {wt} "
+               f"+ tok_d - 1) DIV tok_d) * tok_d")
+        .alias("replicated_tokens"),
+    )
+
+
+@query(
+    "chunk_documents_fixed_stride",
+    "LLM-pipeline",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ), ch AS (
+        SELECT lang, n_tok, s.start,
+               LEAST(64, n_tok - s.start) AS chunk_len
+        FROM d, UNNEST(generate_series(0, n_tok - 1, 48)) AS s(start)
+        WHERE n_tok >= 1
+    )
+    SELECT lang,
+           CAST(count(DISTINCT n_tok * 1000003 + start) AS BIGINT)
+               AS n_chunk_shapes,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(chunk_len) AS BIGINT) AS sum_chunk_tokens,
+           CAST(sum(CASE WHEN chunk_len = 64 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_full_chunks
+    FROM ch GROUP BY lang
+    """,
+)
+def chunk_documents_fixed_stride(spark, sf_dir):
+    """CONTEXT-WINDOW CHUNKING with overlap (the pretraining/RAG
+    packing primitive: 64-token windows, stride 48, so consecutive
+    chunks share 16 tokens): every document explodes into its window
+    starts ``0, 48, 96, … < n_tok`` via a JVM ``sequence`` — no
+    Python, no self-join — and each chunk's length is
+    ``min(64, n_tok − start)``.  Hashed rows are the per-language
+    chunk ledger: chunk count, total chunk-token mass (> corpus mass
+    by exactly the overlap duplication), full-window count, and the
+    distinct (doc-length, start) shape count — together they pin the
+    window arithmetic exactly (an off-by-one stride, a dropped tail
+    chunk, or a fencepost in the overlap each shifts a cell).  At
+    100 TB this is one narrow projection + explode, shuffled only by
+    the final dictionary-tier groupBy."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"))
+    ch = (
+        d.filter(F.col("n_tok") >= 1)
+        .select(
+            "lang", "n_tok",
+            F.explode(
+                F.sequence(F.lit(0).cast("bigint"),
+                           F.col("n_tok") - 1,
+                           F.lit(48).cast("bigint"))).alias("start"))
+        .withColumn("chunk_len",
+                    F.least(F.lit(64).cast("bigint"),
+                            F.col("n_tok") - F.col("start")))
+    )
+    return ch.groupBy("lang").agg(
+        F.countDistinct(F.col("n_tok") * 1000003 + F.col("start"))
+        .cast("bigint").alias("n_chunk_shapes"),
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_len").cast("bigint").alias("sum_chunk_tokens"),
+        F.sum(F.when(F.col("chunk_len") == 64, 1).otherwise(0))
+        .cast("bigint").alias("n_full_chunks"),
+    )
