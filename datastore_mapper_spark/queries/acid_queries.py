@@ -2827,10 +2827,12 @@ def stream_acid_cdf_source(spark, sf_dir):
     n_upd = base.filter(F.col("bucket") == 7).count()
     expected = n_base + n_late + n_del + 2 * n_upd
     register(spark)
+    ckpt = tempfile.mkdtemp()
     stream = (
         spark.readStream.format("acid_cdf")
         .option("path", dest)
         .option("versions_per_batch", 1)
+        .option("pacing_dir", ckpt)   # pacing watermark rides the ckpt
         .load()
     )
     name = f"acid_cdf_sink_{os.getpid()}"
@@ -2838,7 +2840,7 @@ def stream_acid_cdf_source(spark, sf_dir):
         stream.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp())
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
@@ -3059,13 +3061,15 @@ def stream_acid_ivm_refresh(spark, sf_dir):
             moved[r._change_type] = moved.get(r._change_type, 0) + r.n
 
     register(spark)
+    ckpt = tempfile.mkdtemp()
     q = (
         spark.readStream.format("acid_cdf")
         .option("path", destA)
         .option("versions_per_batch", 1)
+        .option("pacing_dir", ckpt)   # pacing watermark rides the ckpt
         .load()
         .writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", tempfile.mkdtemp())
+        .option("checkpointLocation", ckpt)
         .start()
     )
     try:
@@ -3087,4 +3091,89 @@ def stream_acid_ivm_refresh(spark, sf_dir):
              F.sum(cents).alias("sum_cents"))
         .select("c_mktsegment", "n_rows", "sum_cents",
                 F.lit(bool(streamed_ok)).alias("deltas_streamed_ok"))
+    )
+
+
+@query(
+    "acid_tag_retention",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           TRUE AS tag_pinned_ok,
+           TRUE AS untagged_expired_ok,
+           TRUE AS drop_releases_ok
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_tag_retention(spark, sf_dir):
+    """SNAPSHOT TAGS with per-ref retention (Iceberg ``tags`` — the
+    immutable sibling of round-14's named branches, completing the
+    refs surface): v1 holds the ``o_orderkey % 4 = 0`` slice and is
+    tagged ``audit``; two more appends land; ``expire_snapshots``
+    past everything then drops the UNTAGGED history while the tagged
+    snapshot stays readable — the compliance pin that survives
+    routine VACUUM.  Hashed rows are the TAG READ's per-status
+    aggregate after expiry + orphan sweep, restated by the oracle
+    from the slice law (a swept file, an expired tagged manifest, or
+    a mis-pointed ref each shifts a count).
+
+    Receipts: ``tag_pinned_ok`` — expiry removed exactly the
+    untagged pre-keep manifests (v2), never v1;
+    ``untagged_expired_ok`` — time travel to the untagged v2 fails
+    after expiry; ``drop_releases_ok`` — on a shadow table, dropping
+    the tag makes the next expire reclaim the snapshot (the pin is
+    the tag, not the data).  Tag bookkeeping is one JSON ref file —
+    O(1) regardless of table size."""
+    dest = _table_dir("acid_tags", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey") % 4
+    acid_lite.create_table(spark, dest, o.filter(k == 0).coalesce(2))  # v1
+    acid_lite.create_tag(dest, "audit", version=1)
+    acid_lite.append(spark, dest, o.filter(k == 1).coalesce(2))        # v2
+    acid_lite.append(spark, dest, o.filter(k == 2).coalesce(2))        # v3
+    out = acid_lite.expire_snapshots(dest, keep_from=3)
+    acid_lite.remove_orphan_files(dest, grace_seconds=-1.0)
+    pinned = (out["manifests_removed"] == 1
+              and acid_lite.list_tags(dest) == {"audit": 1})
+    try:
+        acid_lite.read(spark, dest, 2).limit(1).count()
+        untagged_expired = False
+    except Exception:
+        untagged_expired = True
+    # drop-releases receipt on a SHADOW table (the graded read above
+    # must stay pinned): tag, expire (pinned), drop, expire (gone)
+    shadow = _table_dir("acid_tags_shadow", sf_dir)
+    acid_lite.create_table(
+        spark, shadow,
+        spark.createDataFrame([(1, "x")], "k bigint, v string"))
+    acid_lite.append(
+        spark, shadow,
+        spark.createDataFrame([(2, "y")], "k bigint, v string"))
+    acid_lite.create_tag(shadow, "pin", version=1)
+    acid_lite.expire_snapshots(shadow, keep_from=2)
+    ok1 = acid_lite.latest_version(shadow) == 2 and \
+        acid_lite.read_tag(spark, shadow, "pin").count() == 1
+    acid_lite.drop_tag(shadow, "pin")
+    acid_lite.expire_snapshots(shadow, keep_from=2)
+    try:
+        acid_lite.read(spark, shadow, 1).limit(1).count()
+        ok2 = False
+    except Exception:
+        ok2 = True
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read_tag(spark, dest, "audit")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                F.lit(bool(pinned)).alias("tag_pinned_ok"),
+                F.lit(bool(untagged_expired)).alias("untagged_expired_ok"),
+                F.lit(bool(ok1 and ok2)).alias("drop_releases_ok"))
     )

@@ -110,7 +110,37 @@ class AcidCdfStreamReader(DataSourceStreamReader):
             raise ValueError("acid_cdf source requires option 'path'")
         self.start_v = int(options.get("starting_version", 0))
         self.vpb = int(options.get("versions_per_batch", 0))
-        self._emitted: int | None = None
+        # pacing high-water.  The Python DataSource API has no
+        # admission-control hook, so ``versions_per_batch`` pacing
+        # must carry its own watermark: a paced latestOffset that
+        # RESTARTS from scratch would return an offset BELOW the
+        # engine's checkpointed commit, and the engine (which only
+        # compares offsets for equality) would re-plan the already-
+        # drained range under a NEW batch id — duplicating rows past
+        # the sink's batch-id dedup.  ``pacing_dir`` (point it at the
+        # checkpoint dir) makes the watermark survive restarts;
+        # without it, pacing is single-run (documented).
+        self._pace_file = None
+        pd_ = options.get("pacing_dir")
+        if pd_ and self.vpb > 0:
+            os.makedirs(pd_, exist_ok=True)
+            self._pace_file = os.path.join(pd_, "acid_cdf_pacing.json")
+        self._emitted: int | None = self._load_hw()
+
+    def _load_hw(self) -> int | None:
+        if self._pace_file and os.path.exists(self._pace_file):
+            import json
+
+            with open(self._pace_file) as f:
+                return int(json.load(f)["high_water"])
+        return None
+
+    def _save_hw(self, v: int) -> None:
+        if self._pace_file:
+            import json
+
+            with open(self._pace_file, "w") as f:
+                json.dump({"high_water": v}, f)
 
     def initialOffset(self) -> dict:
         return {"version": self.start_v}
@@ -123,6 +153,7 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         nxt = min(latest, base + self.vpb)
         if nxt > base:
             self._emitted = nxt
+            self._save_hw(nxt)
             return {"version": nxt}
         return {"version": base}
 

@@ -1356,8 +1356,12 @@ def expire_snapshots(path: str, keep_from: int) -> dict:
     for fname in os.listdir(mdir):
         if fname.startswith("v") and fname.endswith(".json"):
             all_versions.append(int(fname[1:-5]))
+    # TAGGED snapshots are retention-pinned until their tag drops
+    # (Iceberg per-ref retention): their manifests stay readable and
+    # their files stay out of the delete set
+    tagged = set(list_tags(path).values())
     for v in all_versions:
-        if v >= keep_from:
+        if v >= keep_from or v in tagged:
             rm = _read_manifest(path, v)
             retained_files.update(rm["files"])
             retained_files.update(rm.get("dvs") or [])
@@ -1368,7 +1372,7 @@ def expire_snapshots(path: str, keep_from: int) -> dict:
     retained_files.update(_branch_retained_rel(path))
     n_manifests = n_files = 0
     for v in sorted(all_versions):
-        if v >= keep_from:
+        if v >= keep_from or v in tagged:
             continue
         em = _read_manifest(path, v)
         for f in em["files"] + (em.get("dvs") or []):
@@ -3439,6 +3443,61 @@ def drop_branch(path: str, name: str) -> None:
     if latest_version(bp) == 0:
         raise ValueError(f"unknown branch '{name}' at {path}")
     shutil.rmtree(bp)
+
+
+def _tag_dir(path: str) -> str:
+    return os.path.join(path, "tags")
+
+
+def create_tag(path: str, name: str, version: int | None = None) -> int:
+    """CREATE TAG — an IMMUTABLE named ref to one snapshot (Iceberg's
+    ``tags``, the read-only sibling of :func:`create_branch`): a
+    release/audit label like ``v2024-q3`` that keeps reading the same
+    rows forever.  One JSON ref file, O_EXCL so racing creators have
+    exactly one winner; re-pointing requires drop + re-create, the
+    immutability contract.  A tagged snapshot is RETAINED by
+    :func:`expire_snapshots` until the tag drops (per-ref retention,
+    the Iceberg rule), so tagging is how a compliance snapshot
+    survives routine VACUUM.  Returns the tagged version."""
+    if not _BRANCH_NAME_RE.match(name):
+        raise ValueError(f"invalid tag name: {name!r}")
+    v = latest_version(path) if version is None else version
+    _read_manifest(path, v)  # must exist (raises otherwise)
+    os.makedirs(_tag_dir(path), exist_ok=True)
+    ref = os.path.join(_tag_dir(path), f"{name}.json")
+    with open(ref, "x") as f:   # O_EXCL: one winner, tags are immutable
+        json.dump({"version": v}, f)
+    return v
+
+
+def list_tags(path: str) -> dict[str, int]:
+    """{tag_name: version}, empty if the table has no tags."""
+    td = _tag_dir(path)
+    if not os.path.isdir(td):
+        return {}
+    out: dict[str, int] = {}
+    for fn in sorted(os.listdir(td)):
+        if fn.endswith(".json") and _BRANCH_NAME_RE.match(fn[:-5]):
+            with open(os.path.join(td, fn)) as f:
+                out[fn[:-5]] = int(json.load(f)["version"])
+    return out
+
+
+def read_tag(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """Snapshot read of a tag — ``SELECT ... VERSION AS OF tag``."""
+    tags = list_tags(path)
+    if name not in tags:
+        raise ValueError(f"unknown tag '{name}' at {path}")
+    return read(spark, path, version=tags[name])
+
+
+def drop_tag(path: str, name: str) -> None:
+    """DROP TAG: the snapshot loses its retention pin and expires
+    with normal :func:`expire_snapshots` policy afterwards."""
+    tags = list_tags(path)
+    if name not in tags:
+        raise ValueError(f"unknown tag '{name}' at {path}")
+    os.unlink(os.path.join(_tag_dir(path), f"{name}.json"))
 
 
 def minmax_columns(spark: SparkSession, path: str, columns: list[str],

@@ -2618,3 +2618,35 @@ def test_type_widening_merge_three_way(spark, tdir):
              .collect()}
     assert types == {(2, "update_preimage"), (2, "update_postimage"),
                      (4 * 10**9, "insert")}
+
+
+def test_tags_immutable_refs_and_retention(spark, tdir):
+    """Snapshot TAGS: immutable named refs (re-create refuses, drop +
+    re-create re-points); a tagged snapshot survives expire_snapshots
+    past it (per-ref retention) and its files survive the orphan
+    sweep; dropping the tag releases both."""
+    acid_lite.create_table(
+        spark, tdir, _df(spark, [(1, "a")]).coalesce(1))          # v1
+    acid_lite.append(spark, tdir, _df(spark, [(2, "b")]).coalesce(1))  # v2
+    acid_lite.append(spark, tdir, _df(spark, [(3, "c")]).coalesce(1))  # v3
+    assert acid_lite.create_tag(tdir, "audit", version=1) == 1
+    with pytest.raises(FileExistsError):
+        acid_lite.create_tag(tdir, "audit", version=2)  # immutable
+    assert acid_lite.list_tags(tdir) == {"audit": 1}
+    # main rewrites row 1 away, then expires everything before v4
+    acid_lite.delete_where(spark, tdir, "k", hi=1)                # v4
+    out = acid_lite.expire_snapshots(tdir, keep_from=4)
+    assert out["manifests_removed"] == 2  # v2, v3 — v1 is tag-pinned
+    assert {r.k for r in acid_lite.read_tag(spark, tdir, "audit")
+            .collect()} == {1}
+    with pytest.raises(FileNotFoundError):
+        acid_lite.read(spark, tdir, 2)  # untagged versions expired
+    acid_lite.remove_orphan_files(tdir, grace_seconds=-1.0)
+    assert {r.k for r in acid_lite.read_tag(spark, tdir, "audit")
+            .collect()} == {1}
+    # dropping the tag releases the pin: next expire reclaims v1
+    acid_lite.drop_tag(tdir, "audit")
+    acid_lite.expire_snapshots(tdir, keep_from=4)
+    with pytest.raises(FileNotFoundError):
+        acid_lite.read(spark, tdir, 1)
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} == {2, 3}
