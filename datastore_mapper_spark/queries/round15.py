@@ -463,3 +463,93 @@ def chunk_documents_fixed_stride(spark, sf_dir):
         F.sum(F.when(F.col("chunk_len") == 64, 1).otherwise(0))
         .cast("bigint").alias("n_full_chunks"),
     )
+
+
+@query(
+    "cramer_von_mises_doc_lengths",
+    "analytics/stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS grp,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        FROM documents
+    ), r AS (
+        SELECT grp,
+               CAST(row_number() OVER (ORDER BY v, doc_id) AS BIGINT)
+                   AS rk,
+               CAST(row_number() OVER (PARTITION BY grp
+                                       ORDER BY v, doc_id) AS BIGINT)
+                   AS i
+        FROM d
+    ), s AS (
+        SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n,
+               CAST(sum(grp) AS BIGINT) AS m,
+               CAST(coalesce(sum(CASE WHEN grp = 0
+                                      THEN (rk - i) * (rk - i) END), 0)
+                    AS BIGINT) AS ux,
+               CAST(coalesce(sum(CASE WHEN grp = 1
+                                      THEN (rk - i) * (rk - i) END), 0)
+                    AS BIGINT) AS uy
+        FROM r
+    )
+    SELECT n, m,
+           round((CAST(n AS DOUBLE) * ux + CAST(m AS DOUBLE) * uy)
+                 / (CAST(n AS DOUBLE) * CAST(m AS DOUBLE)
+                    * CAST(n + m AS DOUBLE))
+                 - (4.0 * CAST(n AS DOUBLE) * CAST(m AS DOUBLE) - 1.0)
+                   / (6.0 * CAST(n + m AS DOUBLE)), 6) AS t_cvm
+    FROM s WHERE n >= 1 AND m >= 1
+    """,
+)
+def cramer_von_mises_doc_lengths(spark, sf_dir):
+    """CRAMÉR-VON MISES two-sample test (Anderson's rank form) on
+    document token counts, English vs non-English: T = U/(nm·N) −
+    (4nm−1)/(6N) with U = n·Σ(r_i−i)² + m·Σ(s_j−j)² over combined
+    ranks r and within-sample indexes i.  Ranks tie-break on
+    (value, doc_id) — the tie-broken variant, deterministic and
+    IDENTICAL on both engines (midrank ties would be FP-free too but
+    engines disagree on rank averaging forms; documented choice).
+    U is exact bigint (bounded by N³ — int64-safe past 10⁶ docs per
+    evaluation slice); T is one double expression.  Two windows
+    (global rank + per-group index) and one aggregate — at 100 TB
+    the global rank runs through the two-pass ranged-rank operator
+    instead of one ORDER BY partition."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(0)).otherwise(F.lit(1))
+        .alias("grp"),
+        F.size(F.split("text", " ")).cast("bigint").alias("v"))
+    from pyspark.sql.window import Window as W
+
+    r = d.select(
+        "grp",
+        F.row_number().over(W.orderBy("v", "doc_id"))
+        .cast("bigint").alias("rk"),
+        F.row_number().over(W.partitionBy("grp").orderBy("v", "doc_id"))
+        .cast("bigint").alias("i"))
+    s = r.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n"),
+        F.sum("grp").cast("bigint").alias("m"),
+        F.coalesce(F.sum(F.when(
+            F.col("grp") == 0,
+            (F.col("rk") - F.col("i")) * (F.col("rk") - F.col("i")))),
+            F.lit(0)).cast("bigint").alias("ux"),
+        F.coalesce(F.sum(F.when(
+            F.col("grp") == 1,
+            (F.col("rk") - F.col("i")) * (F.col("rk") - F.col("i")))),
+            F.lit(0)).cast("bigint").alias("uy"),
+    )
+    nD, mD = F.col("n").cast("double"), F.col("m").cast("double")
+    return (
+        s.filter((F.col("n") >= 1) & (F.col("m") >= 1))
+        .select(
+            "n", "m",
+            F.round((nD * F.col("ux") + mD * F.col("uy"))
+                    / (nD * mD * (F.col("n") + F.col("m")).cast("double"))
+                    - (4.0 * nD * mD - 1.0)
+                    / (6.0 * (F.col("n") + F.col("m")).cast("double")),
+                    6).alias("t_cvm"))
+    )

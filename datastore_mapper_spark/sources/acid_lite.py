@@ -2220,6 +2220,42 @@ def rename_column(path: str, old: str, new: str, retries: int = 3) -> int:
                          f"{retries + 1} races")
 
 
+def widen_column_type(path: str, col: str, new_type: str,
+                      retries: int = 3) -> int:
+    """ALTER COLUMN TYPE — explicit WIDENING as a metadata-only
+    commit (the DDL face of the append/merge-time widening in
+    :func:`_merge_schema`): the manifest schema flips to the wider
+    lattice type (int chain, float→double), no file is touched, and
+    every generation reads through Spark 4's parquet widening
+    conversions.  Non-lattice changes and narrowings are refused —
+    narrowing would make every existing file a narrowing read."""
+    for _ in range(retries + 1):
+        parent = latest_version(path)
+        if parent == 0:
+            raise ValueError(f"table does not exist: {path}")
+        pm = _read_manifest(path, parent)
+        types = _schema_types(pm["schema"])
+        if col not in types:
+            raise ValueError(f"no such column: {col!r}")
+        if _wider(types[col], new_type) != new_type \
+                or types[col] == new_type:
+            raise ValueError(
+                f"cannot ALTER {col!r} {types[col]} -> {new_type}: only "
+                "lattice widenings (tinyint<smallint<int<bigint, "
+                "float<double) are metadata-only")
+        schema = ", ".join(
+            f"{n} {new_type if n == col else t}"
+            for n, t in types.items())
+        try:
+            _commit(path, parent + 1, pm["files"], parent,
+                    "widen-column", schema=schema)
+            return parent + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"widen_column_type at {path} lost "
+                         f"{retries + 1} races")
+
+
 def drop_column(path: str, col: str, retries: int = 3) -> int:
     """Drop a column WITHOUT rewriting any data file: a metadata-only
     commit removes the field from the logical schema — the physical

@@ -73,9 +73,11 @@ def _ddl_field_names(ddl: str) -> list[str]:
 class AcidFileSlice(InputPartition):
     """One immutable data file of the version range being read."""
 
-    def __init__(self, abs_path: str, ddl: str):
+    def __init__(self, abs_path: str, ddl: str,
+                 mapping: dict | None = None):
         self.abs_path = abs_path
         self.ddl = ddl
+        self.mapping = mapping or {}
 
 
 class AcidStreamReader(DataSourceStreamReader):
@@ -120,7 +122,8 @@ class AcidStreamReader(DataSourceStreamReader):
             )
         ddl = mt["schema"]
         return [
-            AcidFileSlice(os.path.join(self.path, f), ddl)
+            AcidFileSlice(os.path.join(self.path, f), ddl,
+                          mapping=mt.get("mapping"))
             for f in mt["files"] if f not in base
         ]
 
@@ -131,8 +134,13 @@ class AcidStreamReader(DataSourceStreamReader):
         tbl = pq.read_table(partition.abs_path)
         cols = []
         for n in names:
-            if n in tbl.column_names:
-                cols.append(tbl.column(n).to_pylist())
+            # column mapping (rename_column): pages keep the immutable
+            # PHYSICAL name; resolve logical -> physical like the
+            # batch reader does (round-15 — previously a renamed
+            # column streamed as NULL)
+            phys = partition.mapping.get(n, n)
+            if phys in tbl.column_names:
+                cols.append(tbl.column(phys).to_pylist())
             else:  # schema-evolution column absent from an old file
                 cols.append([None] * tbl.num_rows)
         return iter(zip(*cols)) if tbl.num_rows else iter(())

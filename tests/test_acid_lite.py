@@ -2650,3 +2650,29 @@ def test_tags_immutable_refs_and_retention(spark, tdir):
     with pytest.raises(FileNotFoundError):
         acid_lite.read(spark, tdir, 1)
     assert {r.k for r in acid_lite.read(spark, tdir).collect()} == {2, 3}
+
+
+def test_widen_column_type_explicit(spark, tdir):
+    """ALTER COLUMN TYPE: explicit metadata-only widening; narrowing
+    and non-lattice changes refuse; old files read promoted."""
+    acid_lite.create_table(
+        spark, tdir,
+        spark.createDataFrame([(1, 1.5)], "k int, r float").coalesce(1))
+    f1 = list(acid_lite._read_manifest(tdir, 1)["files"])
+    v = acid_lite.widen_column_type(tdir, "k", "bigint")
+    m = acid_lite._read_manifest(tdir, v)
+    assert acid_lite._schema_types(m["schema"])["k"] == "bigint"
+    assert m["files"] == f1  # metadata-only
+    acid_lite.widen_column_type(tdir, "r", "double")
+    got = {(r.k, r.r) for r in acid_lite.read(spark, tdir).collect()}
+    assert got == {(1, 1.5)}
+    acid_lite.append(
+        spark, tdir,
+        spark.createDataFrame([(5 * 10**10, 0.25)],
+                              "k bigint, r double"))
+    assert acid_lite.read(spark, tdir).count() == 2
+    for col, t in (("k", "int"), ("k", "string"), ("r", "float")):
+        with pytest.raises(ValueError, match="lattice"):
+            acid_lite.widen_column_type(tdir, col, t)
+    with pytest.raises(ValueError, match="no such column"):
+        acid_lite.widen_column_type(tdir, "zz", "bigint")

@@ -834,3 +834,30 @@ def test_acid_cdf_stream_checkpoint_resume(spark, tmp_path):
     assert got == [(1, "U", "insert"), (1, "a", "delete"),
                    (1, "a", "insert"), (2, "b", "delete"),
                    (2, "b", "insert"), (9, "z", "insert")]
+
+
+def test_acid_stream_source_reads_through_mapping(spark, tmp_path):
+    """The acid_table append source resolves renamed columns through
+    the manifest mapping (round-15: physical pages keep the old name;
+    the stream previously read the renamed column as NULL)."""
+    from datastore_mapper_spark.sources import acid_lite
+    from datastore_mapper_spark.sources.acid_stream import (
+        AcidStreamReader,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    acid_lite.create_table(
+        spark, tbl,
+        spark.createDataFrame([(1, "a")], "k bigint, v string")
+        .coalesce(1))
+    acid_lite.rename_column(tbl, "v", "label")
+    acid_lite.append(
+        spark, tbl,
+        spark.createDataFrame([(2, "b")], "k bigint, label string")
+        .coalesce(1))
+    r = AcidStreamReader({"path": tbl})
+    rows = []
+    for p in r.partitions({"version": 0},
+                          {"version": acid_lite.latest_version(tbl)}):
+        rows.extend(r.read(p))
+    assert sorted(rows) == [(1, "a"), (2, "b")]
