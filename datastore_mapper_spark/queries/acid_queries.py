@@ -3177,3 +3177,61 @@ def acid_tag_retention(spark, sf_dir):
                 F.lit(bool(untagged_expired)).alias("untagged_expired_ok"),
                 F.lit(bool(ok1 and ok2)).alias("drop_releases_ok"))
     )
+
+
+@query(
+    "acid_refs_metadata_table",
+    "table-format",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n0,
+               CAST(count(*) FILTER (WHERE o_orderkey % 2 = 0)
+                    AS BIGINT) AS n_even
+        FROM orders
+    )
+    SELECT ref_name, ref_type, version,
+           CASE WHEN ref_type = 'tag' THEN n_even ELSE n0 END AS n_rows
+    FROM (VALUES
+        ('dev',     'branch', CAST(2 AS BIGINT)),
+        ('main',    'head',   CAST(2 AS BIGINT)),
+        ('release', 'tag',    CAST(1 AS BIGINT))
+    ) refs(ref_name, ref_type, version), base
+    """,
+)
+def acid_refs_metadata_table(spark, sf_dir):
+    """REFS inspection table (Iceberg's ``refs`` metadata relation,
+    completing round-13's snapshots/files/history inspection family):
+    one row per named ref — main's head, every branch, every tag —
+    with its pinned version and that snapshot's row count answered
+    METADATA-ONLY through ``count_rows``'s manifest pushdown.  The
+    fixture builds a two-version table (evens, then odds), tags v1
+    ``release`` and forks branch ``dev`` at the head; the oracle
+    states the expected ledger from the slice laws.  A ref listing
+    is pure manifest/ref-file math — O(refs), no data read — which
+    is what makes it the dashboard query for a 100 TB table."""
+    dest = _table_dir("acid_refs", sf_dir)
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    acid_lite.create_table(
+        spark, dest, o.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
+    acid_lite.append(
+        spark, dest, o.filter(F.col("o_orderkey") % 2 == 1).coalesce(2))
+    acid_lite.create_tag(dest, "release", version=1)
+    acid_lite.create_branch(dest, "dev")
+    rows = []
+    head_v = acid_lite.latest_version(dest)
+    n_head, _meta = acid_lite.count_rows(spark, dest, version=head_v)
+    rows.append(("main", "head", head_v, int(n_head)))
+    for name in acid_lite.list_branches(dest):
+        bp = acid_lite.branch_path(dest, name)
+        bv = acid_lite.latest_version(bp)
+        nb, _m = acid_lite.count_rows(spark, bp, version=bv)
+        # a fresh branch's pinned version is its FORK POINT on main
+        fork = acid_lite._read_manifest(bp, 1).get("clone_of") or {}
+        rows.append((name, "branch",
+                     int(fork.get("version", bv)), int(nb)))
+    for name, v in acid_lite.list_tags(dest).items():
+        nt, _m = acid_lite.count_rows(spark, dest, version=v)
+        rows.append((name, "tag", int(v), int(nt)))
+    return spark.createDataFrame(
+        sorted(rows),
+        "ref_name string, ref_type string, version bigint, n_rows bigint")
