@@ -258,6 +258,8 @@ BNLJ_ALLOWED = {
     "markov_entropy_rate_events",  # 1-row transition-total scalar crossed
     "wilcoxon_signed_rank_yearly_max",  # 1-row tie-cubic scalar crossed
     "friedman_test_yearly_max_ranks",  # 1-row block/rank total scalars crossed
+    # round 15
+    "dedup_semantic_clusters",   # broadcast-k centroid assignment (k=8 rows)
 }
 
 
