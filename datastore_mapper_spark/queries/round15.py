@@ -553,3 +553,87 @@ def cramer_von_mises_doc_lengths(spark, sf_dir):
                     / (6.0 * (F.col("n") + F.col("m")).cast("double")),
                     6).alias("t_cvm"))
     )
+
+
+@query(
+    "heaps_law_vocab_growth",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), firsts AS (
+        SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok
+    ), per_doc AS (
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+               CAST(coalesce(f.n_new, 0) AS BIGINT) AS n_new
+        FROM documents d
+        LEFT JOIN (SELECT fd AS doc_id,
+                          CAST(count(*) AS BIGINT) AS n_new
+                   FROM firsts GROUP BY fd) f USING (doc_id)
+    ), cum AS (
+        SELECT CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT)
+                   AS rk,
+               CAST(sum(n_tok) OVER (ORDER BY doc_id) AS BIGINT)
+                   AS cum_tokens,
+               CAST(sum(n_new) OVER (ORDER BY doc_id) AS BIGINT)
+                   AS cum_vocab
+        FROM per_doc
+    ), nn AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM per_doc
+    )
+    SELECT k.k AS decile,
+           c.rk AS checkpoint_rank,
+           c.cum_tokens, c.cum_vocab
+    FROM (SELECT unnest(generate_series(1, 10)) AS k) k
+    CROSS JOIN nn
+    JOIN cum c ON c.rk = (k.k * nn.n) // 10
+              AND (k.k * nn.n) // 10 >= 1
+    """,
+)
+def heaps_law_vocab_growth(spark, sf_dir):
+    """HEAPS'-LAW vocabulary growth curve — the corpus diagnostic
+    behind 'is more data still adding new tokens?' (pairs with the
+    existing Zipf slope): cumulative DISTINCT vocabulary vs cumulative
+    token mass, sampled at ten document-count decile checkpoints.
+    The running distinct is computed WITHOUT distinct-state: each
+    token contributes at its FIRST document (min(doc_id) per token —
+    one groupBy), so the curve is two plain integer window sums over
+    doc order, exact on both engines (running DOUBLE window sums are
+    not order-stable cross-engine; integer ones are — SURVEY §7.3).
+    Checkpoints are ``rank = k·n DIV 10`` in exact integer math.  At
+    100 TB: the first-occurrence groupBy shuffles 8-byte-hashable
+    tokens once, the prefix sums ride the two-pass ranged window, and
+    the checkpoint join is a 10-row broadcast."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
+    n_new = firsts.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_new"))
+    per_doc = (
+        d.select("doc_id",
+                 F.size(F.split("text", " ")).cast("bigint")
+                 .alias("n_tok"))
+        .join(n_new, "doc_id", "left")
+        .select("doc_id", "n_tok",
+                F.coalesce(F.col("n_new"), F.lit(0)).cast("bigint")
+                .alias("n_new"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy("doc_id")
+    cum = per_doc.select(
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.sum("n_tok").over(w).cast("bigint").alias("cum_tokens"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_vocab"))
+    n = per_doc.count()
+    ks = spark.range(1, 11).select(F.col("id").cast("bigint").alias("k"))
+    chk = ks.select(
+        "k", F.expr(f"k * CAST({n} AS BIGINT) DIV 10").alias("rk"))
+    return (
+        cum.join(F.broadcast(chk.filter(F.col("rk") >= 1)), "rk")
+        .select(F.col("k").alias("decile"),
+                F.col("rk").alias("checkpoint_rank"),
+                "cum_tokens", "cum_vocab")
+    )

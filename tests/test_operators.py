@@ -2496,3 +2496,91 @@ def test_recipe_semantic_dedup_flag(spark):
     assert 0 <= n_base - n_sem <= n_pruned
     for s, (nd, tok) in sem.items():
         assert nd <= base[s][0] and tok <= base[s][1]
+
+
+def test_semantic_dedup_greedy_fixpoint_vs_reference(spark):
+    """semantic_dedup == the greedy keep-lowest-id rule's fixpoint:
+    on a crafted corpus (three tight direction clusters + isolated
+    vectors + exact twins), a numpy brute-force reference of the SAME
+    rule WITHIN the operator's own clusters reproduces the verdicts
+    exactly, and the operator postconditions hold."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(15)
+    base = rng.normal(size=(3, 8))
+    rows = []
+    vid = 0
+    for c in range(3):          # 6 jittered members per direction
+        for _ in range(6):
+            v = base[c] * rng.uniform(0.5, 2.0) \
+                + rng.normal(scale=0.02, size=8)
+            rows.append((vid, [float(x) for x in v])); vid += 1
+    for _ in range(4):          # isolated randoms
+        rows.append((vid, [float(x)
+                           for x in rng.normal(size=8)])); vid += 1
+    for src in (0, 7, 18):      # exact twins (higher ids)
+        rows.append((100 + src, rows[src][1])); vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(emb, k=4, tau=0.95)
+    got = {r.vec_id: (r.cid, r.dropped) for r in out.collect()}
+    assert len(got) == len(rows)
+    # reference: same rule, numpy, within the operator's clusters
+    vecs = {i: np.array(v) / np.linalg.norm(v) for i, v in rows}
+    by_cluster: dict[int, list[int]] = {}
+    for i in sorted(vecs):
+        by_cluster.setdefault(got[i][0], []).append(i)
+    for cid, ids in by_cluster.items():
+        for j in ids:
+            expect = any(float(vecs[i] @ vecs[j]) >= 0.95
+                         for i in ids if i < j)
+            assert got[j][1] == expect, (cid, j)
+    # twins always die; their sources' clusters match
+    for src in (0, 7, 18):
+        assert got[100 + src][1] is True
+        assert got[100 + src][0] == got[src][0]
+
+
+def test_domain_mixture_budget_properties(spark):
+    """sample_domain_mixture_budget invariants beyond the oracle:
+    every domain's sampled token mass respects its allocation, the
+    cap binds globally, and the greedy fill is MAXIMAL (the next
+    unsampled doc in u-order would overflow the allocation)."""
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.registry import all_queries
+
+    S = all_queries()
+    sf = "/root/testdata/sf0.01"
+    out = S["sample_domain_mixture_budget"].fn(spark, sf).collect()
+    assert out
+    total = sum(r.n_tok_domain for r in out)
+    budget, cap = total // 5, (total // 5) // 50
+    for r in out:
+        assert r.tok_sampled <= r.alloc_tokens <= cap
+        assert r.n_docs_sampled <= r.n_docs_domain
+    # maximality: per domain, the smallest-u unsampled doc would
+    # overflow (recompute the u-order prefix independently)
+    d = S["sample_domain_mixture_budget"]  # reuse the same law inline
+    from datastore_mapper_spark.catalog import table
+
+    docs = table(spark, sf, "documents").select(
+        "doc_id", "lang", "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        (((F.col("doc_id") * F.lit(1103515245) + F.lit(12345))
+          % F.lit(2147483648)).cast("double")
+         / F.lit(2147483648.0)).alias("u")).collect()
+    per = {}
+    for row in sorted(docs, key=lambda x: (x.u, x.doc_id)):
+        per.setdefault((row.lang, row.source), []).append(row.n_tok)
+    for r in out:
+        toks = per[(r.lang, r.source)]
+        run = k = 0
+        for t in toks:
+            if run + t > r.alloc_tokens:
+                break
+            run += t; k += 1
+        assert (k, run) == (r.n_docs_sampled, r.tok_sampled)

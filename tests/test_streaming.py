@@ -861,3 +861,52 @@ def test_acid_stream_source_reads_through_mapping(spark, tmp_path):
                           {"version": acid_lite.latest_version(tbl)}):
         rows.extend(r.read(p))
     assert sorted(rows) == [(1, "a"), (2, "b")]
+
+
+def test_acid_cdf_reader_fuzz_net_effect(spark, tmp_path):
+    """Randomized MoR commit sequences: replaying the positional CDF
+    per version and folding it (insert = +1, delete = −1 per key
+    occurrence) must reproduce the final table EXACTLY — for every
+    prefix of the history.  Deterministic seed; appends, DV deletes,
+    and MoR updates interleaved."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.sources import acid_lite
+    from datastore_mapper_spark.sources.acid_cdf_stream import (
+        AcidCdfStreamReader,
+    )
+
+    rng = random.Random(1507)
+    tbl = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v bigint")
+    acid_lite.create_table(
+        spark, tbl, mk([(i, i * 10) for i in range(8)]).coalesce(2))
+    nxt = 8
+    for _ in range(6):
+        op = rng.choice(["append", "dv_delete", "mor_update"])
+        if op == "append":
+            rows = [(nxt + j, (nxt + j) * 10) for j in range(3)]
+            nxt += 3
+            acid_lite.append(spark, tbl, mk(rows).coalesce(1))
+        elif op == "dv_delete":
+            lo = rng.randrange(0, nxt)
+            acid_lite.delete_where_dv(spark, tbl, "k", lo, lo + 1)
+        else:
+            lo = rng.randrange(0, nxt)
+            acid_lite.update_where_mor(
+                spark, tbl, {"v": "v + 1"}, "k", lo, lo + 2)
+    latest = acid_lite.latest_version(tbl)
+    r = AcidCdfStreamReader({"path": tbl})
+    net: dict[tuple, int] = {}
+    for v in range(1, latest + 1):
+        for p in r.partitions({"version": v - 1}, {"version": v}):
+            for row in r.read(p):
+                key, delta = row[:-1], (1 if row[-1] == "insert" else -1)
+                net[key] = net.get(key, 0) + delta
+        # prefix invariant: the fold at version v IS the snapshot at v
+        snap = {(row.k, row.v): 1 for row in
+                acid_lite.read(spark, tbl, v).collect()}
+        assert {k: c for k, c in net.items() if c != 0} == snap, \
+            f"fold diverged from snapshot at v{v}"
