@@ -3235,3 +3235,69 @@ def acid_refs_metadata_table(spark, sf_dir):
     return spark.createDataFrame(
         sorted(rows),
         "ref_name string, ref_type string, version bigint, n_rows bigint")
+
+
+@query(
+    "acid_optimize_binpack",
+    "table-format",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           TRUE AS large_untouched_ok,
+           TRUE AS consolidated_ok,
+           TRUE AS time_travel_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def acid_optimize_binpack(spark, sf_dir):
+    """BIN-PACKING OPTIMIZE (Delta's real compaction semantics,
+    refining the whole-snapshot `acid_compact_optimize`): half of
+    orders lands as ONE right-sized file, the other half as a spray
+    of small files (the streaming-sink pathology); bin-packing
+    compaction with ``min_file_bytes`` pinned to the large file's
+    size consolidates ONLY the spray — cost O(small-file bytes) —
+    and the large file carries by reference.  Hashed rows are the
+    post-compaction per-status aggregate (must equal plain SQL over
+    orders: a lost or duplicated row in any bin shifts a count).
+
+    Receipts: ``large_untouched_ok`` — the big file is in the new
+    manifest verbatim and op == optimize-binpack (or the no-op path
+    on degenerate inputs); ``consolidated_ok`` — strictly fewer
+    files than the parent; ``time_travel_ok`` — the pre-compaction
+    snapshot still reads with identical counts.  Degenerate inputs
+    (≤1 small file, e.g. the empty fixture) legitimately no-op and
+    the receipts reflect that branch."""
+    dest = _table_dir("acid_binpack", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey") % 2
+    acid_lite.create_table(spark, dest, o.filter(k == 0).coalesce(1))  # v1
+    acid_lite.append(spark, dest, o.filter(k == 1).repartition(12))   # v2
+    m2 = acid_lite._read_manifest(dest, 2)
+    sizes = {f: os.path.getsize(os.path.join(dest, f))
+             for f in m2["files"]}
+    big_file = max(sizes, key=sizes.get)
+    n_before = acid_lite.read(spark, dest, 2).count()
+    v = acid_lite.optimize_binpack(
+        spark, dest, target_file_bytes=10**9,
+        min_file_bytes=sizes[big_file])
+    m = acid_lite._read_manifest(dest, v)
+    noop = v == 2   # degenerate: ≤1 small file (empty fixture)
+    large_ok = big_file in m["files"] and (
+        noop or m.get("op") == "optimize-binpack")
+    consolidated = noop or len(m["files"]) < len(m2["files"])
+    travel_ok = acid_lite.read(spark, dest, 2).count() == n_before
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        acid_lite.read(spark, dest, v)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(cents).alias("sum_cents"))
+        .select("o_orderstatus", "n_orders", "sum_cents",
+                F.lit(bool(large_ok)).alias("large_untouched_ok"),
+                F.lit(bool(consolidated)).alias("consolidated_ok"),
+                F.lit(bool(travel_ok)).alias("time_travel_ok"))
+    )

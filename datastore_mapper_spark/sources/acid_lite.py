@@ -1038,6 +1038,76 @@ def optimize(
                           new_partitions=new_parts)
 
 
+def optimize_binpack(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_file_bytes: int | None = None,
+) -> int:
+    """BIN-PACKING compaction — Delta's actual OPTIMIZE semantics,
+    refining :func:`optimize`'s whole-snapshot rewrite: only files
+    SMALLER than ``min_file_bytes`` (default ``target // 2``) are
+    candidates; they are first-fit-decreasing packed into bins of at
+    most ``target_file_bytes`` input bytes and each bin is rewritten
+    as one file; every already-right-sized file carries by REFERENCE.
+    On a 100 TB table fed by a streaming sink this is the difference
+    between rewriting kilobyte stragglers and rewriting the table:
+    cost is O(small-file bytes), the property the receipts in
+    ``acid_optimize_binpack`` grade.
+
+    Single-file bins compact nothing and are skipped (no write
+    amplification without consolidation).  Live deletion vectors are
+    refused (:func:`optimize` purges them via the full rewrite —
+    a partial rewrite would have to split sidecars); partitioned
+    tables route through :func:`optimize_where` (bins must not mix
+    hive dirs).  Commits through the standard rebase loop: touched =
+    exactly the packed small files, so a concurrent edit of an
+    untouched large file composes."""
+    parent = latest_version(path)
+    if parent == 0:
+        raise ValueError(f"table does not exist: {path}")
+    m = _read_manifest(path, parent)
+    if _has_dvs(m):
+        raise ValueError(
+            "table carries deletion vectors — run optimize() (full "
+            "rewrite purges them) before bin-packing compaction")
+    if m.get("partition_by"):
+        raise ValueError(
+            "partitioned table — use optimize_where() per partition")
+    if min_file_bytes is None:
+        min_file_bytes = target_file_bytes // 2
+    sized = []
+    for f in m["files"]:
+        try:
+            sized.append((f, os.path.getsize(os.path.join(path, f))))
+        except OSError:
+            sized.append((f, target_file_bytes))  # unknown: never pack
+    small = [(f, s) for f, s in sized if s < min_file_bytes]
+    if len(small) <= 1:
+        return parent  # nothing to consolidate
+    bins: list[list] = []
+    sizes: list[int] = []
+    for f, s in sorted(small, key=lambda x: (-x[1], x[0])):
+        for i, used in enumerate(sizes):
+            if used + s <= target_file_bytes:
+                bins[i].append(f)
+                sizes[i] += s
+                break
+        else:
+            bins.append([f])
+            sizes.append(s)
+    bins = [b for b in bins if len(b) >= 2]
+    if not bins:
+        return parent
+    touched, new_files = [], []
+    for b in bins:
+        df = _load_files(spark, path, m, sorted(b))
+        new_files.extend(_write_files(df.coalesce(1), path))
+        touched.extend(b)
+    return _rebase_commit(path, sorted(touched), sorted(new_files),
+                          "optimize-binpack")
+
+
 def optimize_where(
     spark: SparkSession,
     path: str,

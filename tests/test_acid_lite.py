@@ -2676,3 +2676,38 @@ def test_widen_column_type_explicit(spark, tdir):
             acid_lite.widen_column_type(tdir, col, t)
     with pytest.raises(ValueError, match="no such column"):
         acid_lite.widen_column_type(tdir, "zz", "bigint")
+
+
+def test_optimize_binpack_rewrites_only_small_files(spark, tdir):
+    """Bin-packing OPTIMIZE: small files consolidate, right-sized
+    files carry by reference, content and time travel are intact,
+    single-file bins are skipped, and guards refuse DVs/partitioned."""
+    big = spark.createDataFrame(
+        [(i, "x" * 200) for i in range(500)], "k bigint, v string")
+    small = spark.createDataFrame(
+        [(1000 + i, "y") for i in range(12)], "k bigint, v string")
+    acid_lite.create_table(spark, tdir, big.coalesce(1))          # v1
+    acid_lite.append(spark, tdir, small.repartition(6))           # v2
+    m2 = acid_lite._read_manifest(tdir, 2)
+    import os as _os
+    sizes = {f: _os.path.getsize(_os.path.join(tdir, f))
+             for f in m2["files"]}
+    big_file = max(sizes, key=sizes.get)
+    v = acid_lite.optimize_binpack(
+        spark, tdir, target_file_bytes=10**7,
+        min_file_bytes=sizes[big_file])
+    m3 = acid_lite._read_manifest(tdir, v)
+    assert m3["op"] == "optimize-binpack"
+    assert big_file in m3["files"]                 # untouched
+    assert len(m3["files"]) < len(m2["files"])     # consolidated
+    got = {(r.k, r.v) for r in acid_lite.read(spark, tdir).collect()}
+    want = {(r.k, r.v) for r in acid_lite.read(spark, tdir, 2).collect()}
+    assert got == want and len(got) == 512
+    # idempotent: second run finds nothing to consolidate
+    assert acid_lite.optimize_binpack(
+        spark, tdir, target_file_bytes=10**7,
+        min_file_bytes=sizes[big_file]) == v
+    # guards
+    acid_lite.delete_where_dv(spark, tdir, "k", 3, 3)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        acid_lite.optimize_binpack(spark, tdir)
