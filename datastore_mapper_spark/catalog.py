@@ -44,6 +44,8 @@ TABLES = (
 #: caching them costs nothing and saves per-query re-analysis when the
 #: driver invokes ~60 queries against the same session + sf_dir.
 _cache: dict[tuple[str, str], dict[str, DataFrame]] = {}
+#: which sf_dir's views are CURRENTLY registered, per application id
+_views_current: dict[str, str] = {}
 
 
 def with_ts_us(df: DataFrame) -> DataFrame:
@@ -84,8 +86,19 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     the raw nanosecond long ``ts``.
     """
     configure(spark)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.abspath(sf_dir))
     if key in _cache:
+        # temp views are registered GLOBALLY by table name: a later
+        # load of a DIFFERENT sf_dir in the same session overwrote
+        # them, so a cache hit must still re-point the views or every
+        # spark.sql("... FROM orders") caller silently reads the
+        # other scale factor (surfaced round 15 by a test mixing SFs
+        # in the shared session)
+        if _views_current.get(app) != key[1]:
+            for name, df in _cache[key].items():
+                df.createOrReplaceTempView(name)
+            _views_current[app] = key[1]
         return _cache[key]
 
     tables: dict[str, DataFrame] = {}
@@ -96,6 +109,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         tables[name] = df
     _cache[key] = tables
+    _views_current[app] = key[1]
     return tables
 
 

@@ -637,3 +637,65 @@ def heaps_law_vocab_growth(spark, sf_dir):
                 F.col("rk").alias("checkpoint_rank"),
                 "cum_tokens", "cum_vocab")
     )
+
+
+@query(
+    "mattr_lexical_diversity",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS i,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), windowed AS (
+        SELECT doc_id, lang, tok, i // 50 AS w
+        FROM toks
+        WHERE i < (n // 50) * 50
+    ), per_window AS (
+        SELECT lang, doc_id, w,
+               CAST(count(DISTINCT tok) AS BIGINT) AS d
+        FROM windowed GROUP BY lang, doc_id, w
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(d) AS BIGINT) AS distinct_sum,
+           round(CAST(sum(d) AS DOUBLE)
+                 / (50.0 * CAST(count(*) AS DOUBLE)), 6) AS mattr
+    FROM per_window GROUP BY lang
+    """,
+)
+def mattr_lexical_diversity(spark, sf_dir):
+    """WINDOWED TYPE-TOKEN RATIO (the MATTR lexical-diversity score a
+    quality pipeline pairs with Yule's K): each document splits into
+    NON-OVERLAPPING 50-token windows (tail fragments dropped — only
+    complete windows score, so document length never biases the
+    ratio), each window contributes its distinct-token count, and a
+    language's MATTR is Σdistinct / (50 · windows) — exact integers
+    up to the ONE final division (§7.3-H2: mean-of-ratios with a
+    COMMON denominator is a ratio-of-sums, so no FP accumulation).
+    Hashed: per-language window count, exact distinct mass, and the
+    rounded score.  Plan: one posexplode + a (doc, window, tok)
+    distinct aggregate — token-shuffle-sized, dictionary-tier output;
+    at 100 TB the distinct rides xxhash64(tok) 8-byte keys."""
+    d = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    toks = d.select(
+        "doc_id", "lang", F.size(t).alias("n"),
+        F.posexplode(t).alias("i", "tok"))
+    windowed = (
+        toks.filter(F.col("i")
+                    < (F.col("n") - F.col("n") % 50))
+        .select("lang", "doc_id", "tok",
+                (F.col("i") - F.col("i") % 50).alias("w"))
+    )
+    per_window = windowed.groupBy("lang", "doc_id", "w").agg(
+        F.countDistinct("tok").cast("bigint").alias("d"))
+    return per_window.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_windows"),
+        F.sum("d").cast("bigint").alias("distinct_sum"),
+        F.round(F.sum("d").cast("double")
+                / (50.0 * F.count("*").cast("double")), 6)
+        .alias("mattr"),
+    )
