@@ -699,3 +699,156 @@ def mattr_lexical_diversity(spark, sf_dir):
                 / (50.0 * F.count("*").cast("double")), 6)
         .alias("mattr"),
     )
+
+
+@query(
+    "fleiss_kappa_quality_raters",
+    "analytics/stats",
+    oracle="""
+    WITH rated AS (
+        SELECT (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+                + CASE WHEN len(string_split(text, ' ')) >= 40
+                       THEN 1 ELSE 0 END
+                + CASE WHEN n_chars >= 4 * len(string_split(text, ' '))
+                       THEN 1 ELSE 0 END) AS n1
+        FROM documents
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n1) AS BIGINT) AS y_total,
+               CAST(sum(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT)
+                   AS sq_total
+        FROM rated
+    )
+    SELECT n_docs, y_total, sq_total,
+           round(((CAST(sq_total AS DOUBLE) - 3.0 * n_docs)
+                    / (6.0 * n_docs)
+                  - (CAST(y_total AS DOUBLE) / (3.0 * n_docs)
+                       * (CAST(y_total AS DOUBLE) / (3.0 * n_docs))
+                     + (1.0 - CAST(y_total AS DOUBLE) / (3.0 * n_docs))
+                       * (1.0 - CAST(y_total AS DOUBLE)
+                          / (3.0 * n_docs))))
+                 / (1.0
+                    - (CAST(y_total AS DOUBLE) / (3.0 * n_docs)
+                         * (CAST(y_total AS DOUBLE) / (3.0 * n_docs))
+                       + (1.0 - CAST(y_total AS DOUBLE) / (3.0 * n_docs))
+                         * (1.0 - CAST(y_total AS DOUBLE)
+                            / (3.0 * n_docs)))), 6) AS kappa
+    FROM s
+    WHERE n_docs >= 1
+      AND NOT (y_total = 0 OR y_total = 3 * n_docs)
+    """,
+)
+def fleiss_kappa_quality_raters(spark, sf_dir):
+    """FLEISS' KAPPA across THREE document-quality raters (char gate,
+    token gate, avg-word-length gate) — the multi-rater
+    generalization of the existing Cohen's kappa row: per-item
+    agreement P̄ = (Σ(n₁² + (3−n₁)²) − 3N) / 6N from the exact
+    integer yes-counts, chance agreement from the pooled category
+    rates, κ = (P̄−P̄e)/(1−P̄e) as ONE double expression over three
+    bigint sufficient statistics (N, Σn₁, Σsquares).  The guard drops
+    the degenerate unanimous corpus (P̄e = 1) identically on both
+    engines.  One conditional-aggregate pass — dictionary-tier."""
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    n1 = ((F.col("n_chars") >= 200).cast("int")
+          + (ntok >= 40).cast("int")
+          + (F.col("n_chars") >= 4 * ntok).cast("int"))
+    s = d.select(n1.alias("n1")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n1").cast("bigint").alias("y_total"),
+        F.sum(F.col("n1") * F.col("n1")
+              + (3 - F.col("n1")) * (3 - F.col("n1")))
+        .cast("bigint").alias("sq_total"),
+    )
+    nD = F.col("n_docs").cast("double")
+    p = F.col("y_total").cast("double") / (3.0 * nD)
+    pbar = (F.col("sq_total").cast("double") - 3.0 * nD) / (6.0 * nD)
+    pe = p * p + (1.0 - p) * (1.0 - p)
+    return (
+        s.filter((F.col("n_docs") >= 1)
+                 & ~((F.col("y_total") == 0)
+                     | (F.col("y_total") == 3 * F.col("n_docs"))))
+        .select("n_docs", "y_total", "sq_total",
+                F.round((pbar - pe) / (1.0 - pe), 6).alias("kappa"))
+    )
+
+
+@query(
+    "grubbs_outlier_daily_revenue",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM orders GROUP BY o_orderdate
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sx,
+               CAST(sum(CAST(c AS DECIMAL(38,0))
+                        * CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                   AS sxx
+        FROM daily
+    ), dev AS (
+        SELECT daily.d, daily.c, s.n, s.sx, s.sxx,
+               abs(CAST(s.n AS DECIMAL(38,0)) * CAST(daily.c
+                   AS DECIMAL(38,0)) - s.sx) AS md,
+               row_number() OVER (
+                   ORDER BY abs(CAST(s.n AS DECIMAL(38,0))
+                                * CAST(daily.c AS DECIMAL(38,0))
+                                - s.sx) DESC, daily.d) AS rn
+        FROM daily, s
+    )
+    SELECT d AS outlier_day, c AS outlier_cents, n AS n_days,
+           round((CAST(md AS DOUBLE) / n)
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (n - 1))), 6) AS g_stat
+    FROM dev
+    WHERE rn = 1 AND n >= 3
+      AND CAST(n AS DECIMAL(38,0)) * sxx - sx * sx > 0
+    """,
+)
+def grubbs_outlier_daily_revenue(spark, sf_dir):
+    """GRUBBS' maximum-normed-residual test on daily revenue: the
+    most-extreme day's G = max|x − x̄| / s, computed without ever
+    materializing the mean — the deviation ranks by the exact integer
+    |n·x − Σx| (DECIMAL(38,0): cents·days stays in range far past
+    sf100), the winner tie-breaks on date, and G is ONE double
+    expression over (n, Σx, Σx², max|n·x − Σx|).  Complements the
+    streaming z-score anomaly row with the classical single-outlier
+    test.  One day-dictionary rollup + one broadcast of the 1-row
+    moment frame + one window over the day dictionary — at 100 TB
+    everything after the first rollup is calendar-sized."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("c"))
+    dec = lambda e: e.cast("decimal(38,0)")
+    s = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(dec(F.col("c"))).cast("decimal(38,0)").alias("sx"),
+        F.sum(dec(F.col("c")) * dec(F.col("c")))
+        .cast("decimal(38,0)").alias("sxx"))
+    from pyspark.sql.window import Window as W
+
+    dev = daily.crossJoin(F.broadcast(s)).withColumn(
+        "md", F.abs(dec(F.col("n")) * dec(F.col("c")) - F.col("sx")))
+    dev = dev.withColumn(
+        "rn", F.row_number().over(W.orderBy(F.desc("md"), F.col("d"))))
+    nD = F.col("n").cast("double")
+    g = ((F.col("md").cast("double") / nD)
+         / F.sqrt((nD * F.col("sxx").cast("double")
+                   - F.col("sx").cast("double")
+                   * F.col("sx").cast("double"))
+                  / (nD * (F.col("n") - 1))))
+    return (
+        dev.filter((F.col("rn") == 1) & (F.col("n") >= 3)
+                   & (dec(F.col("n")) * F.col("sxx")
+                      - F.col("sx") * F.col("sx") > 0))
+        .select(F.col("d").alias("outlier_day"),
+                F.col("c").alias("outlier_cents"),
+                F.col("n").alias("n_days"),
+                F.round(g, 6).alias("g_stat"))
+    )

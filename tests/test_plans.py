@@ -260,6 +260,7 @@ BNLJ_ALLOWED = {
     "friedman_test_yearly_max_ranks",  # 1-row block/rank total scalars crossed
     # round 15
     "dedup_semantic_clusters",   # broadcast-k centroid assignment (k=8 rows)
+    "grubbs_outlier_daily_revenue",  # 1-row moment frame crossed onto day dict
 }
 
 
