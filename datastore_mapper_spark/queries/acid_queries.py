@@ -3301,3 +3301,123 @@ def acid_optimize_binpack(spark, sf_dir):
                 F.lit(bool(consolidated)).alias("consolidated_ok"),
                 F.lit(bool(travel_ok)).alias("time_travel_ok"))
     )
+
+
+@query(
+    "stream_acid_cdf_partitioned",
+    "streaming/table-format",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey % 3 AS part,
+               o_orderkey % 10 AS bucket,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_orderkey % 10 <> 9
+    ), final AS (
+        SELECT part, bucket,
+               CASE WHEN bucket = 7 THEN cents + 100000
+                    ELSE cents END AS cents
+        FROM base
+        WHERE bucket <> 6
+    )
+    SELECT part, bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           TRUE AS feed_exact_ok
+    FROM final
+    GROUP BY part, bucket
+    """,
+)
+def stream_acid_cdf_partitioned(spark, sf_dir):
+    """PARTITIONED-table CDF streaming (round-15 VERDICT task 2,
+    generalizing ``stream_acid_cdf_source``): the same four-commit
+    MoR history — CREATE, APPEND, ``delete_where_dv``,
+    ``update_where_mor`` — lands on a HIVE-PARTITIONED ACID table
+    (``partition_by=['part']``, a BIGINT column), and the
+    ``acid_cdf`` source drains it through per-version micro-batches.
+    Data files under hive layout do NOT store the partition column;
+    the streaming reader re-attaches each slice's value from its
+    hive-relative path as a constant Arrow column CAST TO THE
+    DECLARED TYPE (sources/acid_cdf_stream.py `pvals`) — the same
+    re-attachment the engine does for batch scans.  Grouping the
+    signed fold BY the partition column and hashing it against plain
+    SQL is the receipt that the re-attached values are exact and
+    typed: a slice attributed to the wrong partition, a value left
+    as a path string, or a NULL-filled column each shifts a group.
+
+    ``feed_exact_ok`` grades MoR positional exactness exactly as the
+    unpartitioned flagship: insert rows == base + append + update
+    images; delete rows == DV deletes + update pre-images — zero
+    carried-row noise, because no MoR commit rewrites a file.
+
+    Scale posture: identical to ``stream_acid_cdf_source`` (offsets
+    are manifest versions, one executor task per touched file,
+    Arrow-batched emission), plus the partition dimension: partition
+    values are PATH METADATA, so re-attachment costs one repeated
+    scalar per slice — no join, no shuffle, no read amplification on
+    a 100 TB partitioned feed."""
+    import tempfile
+    import time
+
+    from ..sources.acid_cdf_stream import register
+
+    dest = _table_dir("acid_cdf_part", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 3).alias("part"),
+        (F.col("o_orderkey") % 10).alias("bucket"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    base = o.filter(F.col("bucket") < 8)
+    late = o.filter(F.col("bucket") == 8)
+    acid_lite.create_table(spark, dest, base.coalesce(2),
+                           partition_by=["part"])                    # v1
+    acid_lite.append(spark, dest, late.coalesce(2))                  # v2
+    acid_lite.delete_where_dv(spark, dest, "bucket", 6, 6)           # v3
+    acid_lite.update_where_mor(
+        spark, dest, {"cents": "cents + 100000"}, "bucket", 7, 7)    # v4
+    n_base, n_late = base.count(), late.count()
+    n_del = base.filter(F.col("bucket") == 6).count()
+    n_upd = base.filter(F.col("bucket") == 7).count()
+    expected = n_base + n_late + n_del + 2 * n_upd
+    register(spark)
+    ckpt = tempfile.mkdtemp()
+    stream = (
+        spark.readStream.format("acid_cdf")
+        .option("path", dest)
+        .option("versions_per_batch", 1)
+        .option("pacing_dir", ckpt)   # pacing watermark rides the ckpt
+        .load()
+    )
+    name = f"acid_cdf_part_sink_{os.getpid()}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= expected:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    sink = spark.table(name)
+    by_type = {r._change_type: r.n for r in
+               sink.groupBy("_change_type")
+               .agg(F.count("*").alias("n")).collect()}
+    exact = (by_type.get("insert", 0) == n_base + n_late + n_upd
+             and by_type.get("delete", 0) == n_del + n_upd)
+    signed = F.when(F.col("_change_type") == "insert",
+                    F.lit(1)).otherwise(F.lit(-1))
+    return (
+        sink.groupBy("part", "bucket")
+        .agg(F.sum(signed).cast("bigint").alias("n_rows"),
+             F.sum(signed * F.col("cents")).cast("bigint")
+             .alias("sum_cents"))
+        .filter(F.col("n_rows") > 0)
+        .select("part", "bucket", "n_rows", "sum_cents",
+                F.lit(bool(exact)).alias("feed_exact_ok"))
+    )

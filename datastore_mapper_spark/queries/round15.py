@@ -41,7 +41,13 @@ def dedup_semantic_clusters(spark, sf_dir):
     al. 2023, `operators/dedup.py:semantic_dedup`): the corpus plus
     one PLANTED identical twin per ``vec_id % 17 = 3`` vector runs
     through spherical-k-means clustering + within-cluster
-    keep-lowest-id-per-ε-ball pruning (τ = 0.95).  An identical twin
+    ANY-LOWER-ID-WITNESS pruning (τ = 0.95): a vector drops when any
+    lower-id same-cluster vector sits within ε, whether or not that
+    witness itself survives (round-15 ADVICE: this is deliberately
+    NOT the iterative greedy fixpoint — in a chain A~B~C with A≁C
+    the greedy rule would keep C; this rule drops it, trading a
+    strictly more aggressive prune for a one-pass join).  An
+    identical twin
     has cosine 1 with its lower-id source and lands in the same
     cluster under any assignment, so its fate is
     clustering-independent: the hashed rows are every twin's verdict
@@ -51,12 +57,13 @@ def dedup_semantic_clusters(spark, sf_dir):
     The kept-set itself depends on the codebook, so it is certified
     by INDEPENDENTLY recomputed census booleans instead of hashed:
     ``drops_justified_ok`` — every dropped vector has a same-cluster
-    lower-id witness with cosine ≥ τ (no unforced drops);
-    ``survivors_separated_ok`` — no two survivors of one cluster are
-    ε-close (the SemDeDup postcondition); ``partition_exact_ok`` —
-    verdicts partition the corpus exactly.  Together the three prove
-    the output IS the greedy rule's fixpoint for whatever clustering
-    ran.
+    lower-id witness with cosine ≥ τ, kept or not (no unforced
+    drops); ``survivors_separated_ok`` — no two survivors of one
+    cluster are ε-close (the SemDeDup postcondition);
+    ``partition_exact_ok`` — verdicts partition the corpus exactly.
+    Together the three prove the output IS the any-lower-id-witness
+    rule's verdict set for whatever clustering ran (they do NOT pin
+    the greedy fixpoint — see the operator docstring).
 
     Scale posture: the only pair-generating step is the per-cluster
     self-join (k scales with n; the paper's k ≈ 100k at 5B vectors);

@@ -189,11 +189,22 @@ def stream_session_window_demo(spark, sf_dir):
 @query(
     "stream_entity_source_demo",
     "streaming/source",
-    # rows-only: the custom changefeed source has no DuckDB twin; the
-    # exactly-once delivery contract is asserted in
+    # PROMOTED round 16 (VERDICT task 7) from rows-only: the
+    # changefeed generator is a closed-form law (keys 0..199 exactly
+    # once), so the drained sink's fold is HASHABLE against the SQL
+    # statement of that law — count, first key, and the key checksum
+    # each break on a dropped, duplicated, or replayed micro-batch.
+    # The per-batch cursor mechanics stay pytest-asserted in
     # tests/test_sources.py::test_entity_stream_source_incremental_batches
+    oracle="""
+    SELECT CAST('demo' AS VARCHAR) AS kind,
+           CAST(200 AS BIGINT) AS n,
+           CAST(0 AS BIGINT) AS first_key,
+           CAST(19900 AS BIGINT) AS key_sum
+    """,
     description="Streaming read of the custom Python Data Source "
-    "changefeed (key-cursor offsets in the checkpoint WAL).",
+    "changefeed (key-cursor offsets in the checkpoint WAL); the "
+    "drained fold hash-matches the generator law.",
 )
 def stream_entity_source_demo(spark, sf_dir):
     import tempfile
@@ -228,7 +239,9 @@ def stream_entity_source_demo(spark, sf_dir):
     from pyspark.sql import functions as F
 
     return spark.table(name).groupBy("kind").agg(
-        F.count("*").alias("n"), F.min("__key__").alias("first_key")
+        F.count("*").alias("n"),
+        F.min("__key__").alias("first_key"),
+        F.sum("__key__").cast("bigint").alias("key_sum"),
     )
 
 
@@ -281,12 +294,42 @@ def stream_incremental_rollup(spark, sf_dir):
 @query(
     "stream_ledger_balance_demo",
     "streaming",
-    oracle=None,
+    # PROMOTED round 16 (VERDICT task 7) from rows-only: the emitted
+    # fold is each user's FINAL frontier (max-rn row), which the
+    # recursive-CTE restatement of the clamped recurrence pins
+    # exactly — a dropped micro-batch, stale carried state, or a
+    # double-applied delta shifts some user's final balance or rn.
+    oracle="""
+    WITH RECURSIVE e AS (
+        SELECT user_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts::TIMESTAMP, event_id)
+                    AS BIGINT) AS rn,
+               CASE WHEN event_type IN ('purchase', 'signup')
+                    THEN CAST(floor(value * 100) AS BIGINT)
+                    ELSE -CAST(floor(value * 100) AS BIGINT)
+               END AS delta
+        FROM events
+    ), bal AS (
+        SELECT user_id, rn,
+               CAST(least(50000, greatest(0, delta)) AS BIGINT) AS balance
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.rn,
+               CAST(least(50000, greatest(0, b.balance + e.delta))
+                    AS BIGINT) AS balance
+        FROM bal b JOIN e ON e.user_id = b.user_id AND e.rn = b.rn + 1
+    ), last AS (
+        SELECT user_id, max(rn) AS rn FROM bal GROUP BY user_id
+    )
+    SELECT b.user_id, b.rn, b.balance
+    FROM bal b JOIN last USING (user_id, rn)
+    """,
     description="Streaming twin of ledger_capped_balance: the clamped "
     "(non-associative) balance carried across two chronological "
     "micro-batches in GroupState, SAME numpy kernel as the batch "
-    "applyInPandas scan (rows-only; pytest asserts the final frontier "
-    "equals the batch operator's last row per user).",
+    "applyInPandas scan; the final frontier per user hash-matches "
+    "the recursive-CTE recurrence.",
 )
 def stream_ledger_balance_demo(spark, sf_dir):
     from ..streaming.stateful import streaming_ledger_balance

@@ -33,10 +33,25 @@ rewritten, so no carried-row noise exists.  Copy-on-write rewrites
 delete+insert pairs that include co-located carried rows.  Applied
 to a keyed sink the net effect is still correct (delete-then-upsert
 is idempotent on carried rows), matching Delta CDF's behavior on
-tables without CDC change files.  ``optimize`` (a pure re-layout
-plus DV purge) is refused mid-stream: its dropped vectors would
-resurrect positions on files the rewrite replaced — the guard below
-detects any dropped vector touching a carried file and raises.
+tables without CDC change files.
+
+MAINTENANCE commits (``optimize`` and friends — pure re-layouts that
+change no row): under pacing (``versions_per_batch`` > 0) the offset
+walk STOPS at the version before a layout-only commit and gives the
+commit its own single-version range, which ``partitions`` recognizes
+as row-neutral and emits as an EMPTY micro-batch — the feed rides
+straight through table maintenance (round-15 VERDICT task 5; Delta
+CDF likewise emits nothing for OPTIMIZE).  In drain mode a range
+that telescopes across a full rewrite emits the net-zero
+delete+insert pair set (correct on a keyed sink); only a range whose
+dropped vectors touch a CARRIED file — unrepresentable positionally
+— still raises.
+
+PARTITIONED tables are supported (round-15 VERDICT task 2): the
+hive-relative path of each slice carries its partition values
+(`_parse_partition_values`), and the reader re-attaches them as
+constant Arrow columns cast to the declared partition-column types —
+the same re-attachment the batch reader does engine-side.
 
 Scale posture: offsets are table versions (driver-side manifest
 math); each micro-batch plans one executor task per touched file;
@@ -44,7 +59,11 @@ the only row-shaped thing the driver reads is the ``rel`` column of
 the range's NEW deletion-vector sidecars (to route DV deletes to
 carried-file tasks) — bounded by the range's deleted-row count,
 never table-sized.  Tasks open exactly one immutable parquet file
-plus the (small) sidecars with pyarrow, executor-side.
+plus the (small) sidecars with pyarrow, executor-side, and emit
+``pyarrow.RecordBatch``es: the DV position mask is applied columnar
+(numpy boolean mask / Arrow take), ``_change_type`` is a repeated
+scalar, and no row ever crosses into per-row Python (round-15
+VERDICT task 1 — the per-row tuple path was the one scale-killer).
 
 Pacing: option ``versions_per_batch`` (default 0 = drain to latest)
 caps how many versions one micro-batch spans — the Delta
@@ -66,6 +85,12 @@ from pyspark.sql.types import StructType
 
 from . import acid_lite
 from .acid_stream import _ddl_field_names
+from .arrow_emit import project_batches, tuple_rows
+
+#: commit ops that re-layout files without changing any row — a CDF
+#: range holding exactly one of these is row-neutral by construction
+_LAYOUT_OPS = {"optimize", "optimize-zorder", "optimize_sort",
+               "optimize-binpack", "optimize-where"}
 
 
 def _dv_rels(paths: list[str]) -> set[str]:
@@ -91,25 +116,36 @@ class CdfSlice(InputPartition):
         (a removed file: rows live at range start);
       * ``dv_delete`` — emit ONLY the ``dv_paths`` positions, as
         ``delete`` (new vectors on a carried file).
+
+    ``pvals`` carries the slice's hive partition values (empty on an
+    unpartitioned table) — re-attached by ``read`` as constant
+    columns.
     """
 
     def __init__(self, kind: str, abs_path: str, rel: str, ddl: str,
-                 mapping: dict | None, dv_paths: list[str]):
+                 mapping: dict | None, dv_paths: list[str],
+                 pvals: dict | None = None):
         self.kind = kind
         self.abs_path = abs_path
         self.rel = rel
         self.ddl = ddl
         self.mapping = mapping or {}
         self.dv_paths = dv_paths
+        self.pvals = pvals or {}
 
 
 class AcidCdfStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: StructType | None = None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("acid_cdf source requires option 'path'")
         self.start_v = int(options.get("starting_version", 0))
         self.vpb = int(options.get("versions_per_batch", 0))
+        # the declared read schema the stream was opened with (base
+        # table schema + _change_type).  Present on every
+        # engine-planned stream; None only under direct unit-test
+        # construction, which then gets the legacy tuple path.
+        self.struct = schema
         # pacing high-water.  The Python DataSource API has no
         # admission-control hook, so ``versions_per_batch`` pacing
         # must carry its own watermark: a paced latestOffset that
@@ -151,9 +187,18 @@ class AcidCdfStreamReader(DataSourceStreamReader):
             return {"version": latest}
         base = self._emitted if self._emitted is not None else self.start_v
         nxt = min(latest, base + self.vpb)
+        # stop the paced walk at layout-only maintenance commits:
+        # the commit before one ends its range, and the maintenance
+        # commit then gets its own (v-1, v] range that partitions()
+        # emits as an empty batch — the feed survives an OPTIMIZE
+        # without a manual restart (round-15 VERDICT task 5)
+        for v in range(base + 1, nxt + 1):
+            if acid_lite._read_manifest(self.path, v).get("op") \
+                    in _LAYOUT_OPS:
+                nxt = v if v == base + 1 else v - 1
+                break
         if nxt > base:
             self._emitted = nxt
-            self._save_hw(nxt)
             return {"version": nxt}
         return {"version": base}
 
@@ -161,13 +206,35 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         s, e = int(start["version"]), int(end["version"])
         if e <= s:
             return []
+        # a single-version range holding a layout-only commit is
+        # row-neutral by construction — nothing to emit (Delta CDF
+        # emits nothing for OPTIMIZE either)
+        if e == s + 1 and acid_lite._read_manifest(self.path, e) \
+                .get("op") in _LAYOUT_OPS:
+            return []
         e_m = acid_lite._read_manifest(self.path, e)
-        if e_m.get("partition_by"):
+        pby = e_m.get("partition_by")
+        pnames = acid_lite._partition_names(pby) if pby else []
+        if pby and self.struct is None:
             raise ValueError(
-                "acid_cdf streaming source does not support partitioned "
-                "tables (per-file tasks cannot re-attach partition "
-                "columns) — use batch change_data_feed"
+                "acid_cdf over a partitioned table requires the "
+                "engine-planned path (declared schema) — read via "
+                "spark.readStream.format('acid_cdf')"
             )
+        if self.struct is not None:
+            # schema-changed-mid-stream guard (Delta's behavior): a
+            # column the range-end manifest declares that the OPENED
+            # schema lacks cannot be projected without silent data
+            # loss.  Old files MISSING declared columns are fine
+            # (typed nulls); extra ones are not.
+            extra = set(_ddl_field_names(e_m["schema"])) - set(
+                self.struct.fieldNames())
+            if extra:
+                raise ValueError(
+                    f"schema changed mid-stream (new column(s) "
+                    f"{sorted(extra)}) — restart the feed to pick up "
+                    "the evolved schema"
+                )
         s_m = acid_lite._read_manifest(self.path, s) if s else None
         s_files = list(s_m["files"]) if s_m else []
         sset, eset = set(s_files), set(e_m["files"])
@@ -178,9 +245,10 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         dropped_dvs = [os.path.join(self.path, d)
                        for d in s_dvs if d not in set(e_dvs)]
         # a vector DROPPED while its file is carried would resurrect
-        # positions (only optimize purges vectors, and it rewrites
-        # the files too — so this fires only on a range that spans an
-        # OPTIMIZE, which positional CDF cannot represent)
+        # positions — this fires only on a telescoped range that
+        # spans a vector-purging rewrite of SOME files while carrying
+        # others, which positional CDF cannot represent (paced feeds
+        # never get here: latestOffset isolates layout commits)
         if dropped_dvs:
             resurrected = _dv_rels(dropped_dvs) & (sset & eset)
             if resurrected:
@@ -195,53 +263,84 @@ class AcidCdfStreamReader(DataSourceStreamReader):
         s_ddl = s_m["schema"] if s_m else ddl
         mapping = e_m.get("mapping")
         s_mapping = s_m.get("mapping") if s_m else mapping
+
+        def pv(rel: str) -> dict:
+            return acid_lite._parse_partition_values(rel, pnames) \
+                if pnames else {}
+
         out: list[CdfSlice] = []
         for f in e_m["files"]:
             ap = os.path.join(self.path, f)
             if f not in sset:        # added: live rows insert
                 out.append(CdfSlice(
                     "insert", ap, f, ddl, mapping,
-                    new_dvs if f in new_dv_rels else []))
+                    new_dvs if f in new_dv_rels else [], pv(f)))
             elif f in new_dv_rels:   # carried + newly-dead positions
                 out.append(CdfSlice(
-                    "dv_delete", ap, f, ddl, mapping, new_dvs))
+                    "dv_delete", ap, f, ddl, mapping, new_dvs, pv(f)))
         for f in s_files:
             if f not in eset:        # removed: rows live at start
                 out.append(CdfSlice(
                     "delete", os.path.join(self.path, f), f, s_ddl,
                     s_mapping,
-                    [os.path.join(self.path, d) for d in s_dvs]))
+                    [os.path.join(self.path, d) for d in s_dvs],
+                    pv(f)))
         return out
 
-    def read(self, partition: CdfSlice) -> Iterator[tuple]:
+    @staticmethod
+    def _slice_table(partition: CdfSlice):
+        """Open the slice's parquet file and apply its deletion-vector
+        position mask COLUMNAR-side: numpy boolean mask for the keep
+        path, Arrow ``take`` for the dv_delete path.  Returns
+        ``(pyarrow.Table, change_type)``."""
+        import numpy as np
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        names = _ddl_field_names(partition.ddl)
         tbl = pq.read_table(partition.abs_path)
-        positions: set[int] = set()
+        n = tbl.num_rows
+        pos_parts = []
         for d in partition.dv_paths:
             dv = pq.read_table(d, columns=["rel", "row_index"])
-            rels = dv.column("rel").to_pylist()
-            ris = dv.column("row_index").to_pylist()
-            positions.update(
-                ri for r, ri in zip(rels, ris) if r == partition.rel)
-        cols = []
-        for n in names:
-            phys = partition.mapping.get(n, n)
-            if phys in tbl.column_names:
-                cols.append(tbl.column(phys).to_pylist())
-            else:   # schema-evolution column absent from an old file
-                cols.append([None] * tbl.num_rows)
+            import pyarrow.compute as pc
+
+            m = pc.equal(dv.column("rel"), pa.scalar(partition.rel))
+            pos_parts.append(
+                dv.column("row_index").filter(m).to_numpy(
+                    zero_copy_only=False))
+        positions = (np.unique(np.concatenate(pos_parts))
+                     if pos_parts else np.empty(0, dtype=np.int64))
+        positions = positions[positions < n]
         if partition.kind == "dv_delete":
-            idx = sorted(p for p in positions if p < tbl.num_rows)
-            ct = "delete"
-        else:
-            idx = [i for i in range(tbl.num_rows) if i not in positions]
-            ct = "insert" if partition.kind == "insert" else "delete"
-        return iter(tuple(c[i] for c in cols) + (ct,) for i in idx)
+            return tbl.take(pa.array(positions)), "delete"
+        if len(positions):
+            mask = np.ones(n, dtype=bool)
+            mask[positions] = False
+            tbl = tbl.filter(pa.array(mask))
+        return tbl, ("insert" if partition.kind == "insert"
+                     else "delete")
+
+    def read(self, partition: CdfSlice) -> Iterator:
+        tbl, ct = self._slice_table(partition)
+        if self.struct is not None:
+            # Arrow-batched emission: _change_type is a repeated
+            # scalar; hive partition values re-attach as constants
+            # cast to their declared types
+            return project_batches(
+                tbl, self.struct, partition.mapping,
+                const={"_change_type": ct, **partition.pvals})
+        # legacy tuple path: schema-less direct construction only
+        return tuple_rows(tbl, _ddl_field_names(partition.ddl),
+                          partition.mapping, suffix=ct)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets are table versions; nothing to clean up
+        # persist the pacing high-water only once the ENGINE has
+        # committed the batch (round-15 ADVICE): saving inside
+        # latestOffset left a window — crash between save and
+        # checkpoint commit, or a reused pacing_dir with a fresh
+        # checkpoint — where the next batch telescoped past
+        # versions_per_batch
+        self._save_hw(int(end["version"]))
 
 
 class AcidCdfDataSource(DataSource):
@@ -262,7 +361,7 @@ class AcidCdfDataSource(DataSource):
         return f"{base}, _change_type string"
 
     def streamReader(self, schema: StructType) -> AcidCdfStreamReader:
-        return AcidCdfStreamReader(self.options)
+        return AcidCdfStreamReader(self.options, schema=schema)
 
 
 def register(spark) -> None:

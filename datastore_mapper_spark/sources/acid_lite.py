@@ -1105,7 +1105,7 @@ def optimize_binpack(
         new_files.extend(_write_files(df.coalesce(1), path))
         touched.extend(b)
     return _rebase_commit(path, sorted(touched), sorted(new_files),
-                          "optimize-binpack")
+                          "optimize-binpack", expect_dvs=[])
 
 
 def optimize_where(

@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 from . import acid_lite
+from .arrow_emit import project_batches, tuple_rows
 
 
 def _ddl_field_names(ddl: str) -> list[str]:
@@ -81,11 +82,16 @@ class AcidFileSlice(InputPartition):
 
 
 class AcidStreamReader(DataSourceStreamReader):
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, schema: StructType | None = None):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("acid_table source requires option 'path'")
         self.start_v = int(options.get("starting_version", 0))
+        # the declared read schema the engine opened the stream with.
+        # Present on every engine-planned stream (streamReader hands
+        # it over); None only under direct unit-test construction,
+        # which then gets the legacy per-row tuple path.
+        self.struct = schema
 
     def initialOffset(self) -> dict:
         return {"version": self.start_v}
@@ -121,29 +127,43 @@ class AcidStreamReader(DataSourceStreamReader):
                 "row-level semantics"
             )
         ddl = mt["schema"]
+        if self.struct is not None:
+            # schema-changed-mid-stream guard (Delta's behavior): a
+            # column the range's manifest declares that the OPENED
+            # schema lacks cannot be projected — emitting would drop
+            # it silently.  Old files MISSING declared columns are
+            # fine (typed nulls); extra ones are not.
+            extra = set(_ddl_field_names(ddl)) - set(
+                self.struct.fieldNames())
+            if extra:
+                raise ValueError(
+                    f"schema changed mid-stream (new column(s) "
+                    f"{sorted(extra)}) — restart the feed to pick up "
+                    "the evolved schema"
+                )
         return [
             AcidFileSlice(os.path.join(self.path, f), ddl,
                           mapping=mt.get("mapping"))
             for f in mt["files"] if f not in base
         ]
 
-    def read(self, partition: AcidFileSlice) -> Iterator[tuple]:
+    def read(self, partition: AcidFileSlice) -> Iterator:
         import pyarrow.parquet as pq
 
-        names = _ddl_field_names(partition.ddl)
         tbl = pq.read_table(partition.abs_path)
-        cols = []
-        for n in names:
-            # column mapping (rename_column): pages keep the immutable
-            # PHYSICAL name; resolve logical -> physical like the
-            # batch reader does (round-15 — previously a renamed
-            # column streamed as NULL)
-            phys = partition.mapping.get(n, n)
-            if phys in tbl.column_names:
-                cols.append(tbl.column(phys).to_pylist())
-            else:  # schema-evolution column absent from an old file
-                cols.append([None] * tbl.num_rows)
-        return iter(zip(*cols)) if tbl.num_rows else iter(())
+        if self.struct is not None:
+            # Arrow-batched emission (round-15 VERDICT task 1): the
+            # whole path stays columnar — mapping-resolved projection,
+            # typed nulls for schema-evolution gaps, cast to the
+            # declared type (type widening mid-catch-up included).
+            return project_batches(tbl, self.struct, partition.mapping)
+        # legacy tuple path: schema-less direct construction only.
+        # column mapping (rename_column): pages keep the immutable
+        # PHYSICAL name; resolve logical -> physical like the batch
+        # reader does (round-15 — previously a renamed column
+        # streamed as NULL)
+        return tuple_rows(tbl, _ddl_field_names(partition.ddl),
+                          partition.mapping)
 
     def commit(self, end: dict) -> None:
         pass  # offsets are table versions; nothing to clean up
@@ -170,7 +190,7 @@ class AcidTableDataSource(DataSource):
         return acid_lite._read_manifest(path, v)["schema"]
 
     def streamReader(self, schema: StructType) -> AcidStreamReader:
-        return AcidStreamReader(self.options)
+        return AcidStreamReader(self.options, schema=schema)
 
 
 def register(spark) -> None:

@@ -2711,3 +2711,30 @@ def test_optimize_binpack_rewrites_only_small_files(spark, tdir):
     acid_lite.delete_where_dv(spark, tdir, "k", 3, 3)
     with pytest.raises(ValueError, match="deletion vectors"):
         acid_lite.optimize_binpack(spark, tdir)
+
+
+def test_binpack_conflicts_on_concurrent_dv_delete(spark, tdir, monkeypatch):
+    """optimize_binpack checks for DVs only at plan time; a concurrent
+    delete_where_dv removes no files, so without the expect_dvs pin the
+    rebase would land a consolidated file rebuilt from PRE-delete rows
+    while carrying the DV forward — resurrecting the deleted rows and
+    dangling the sidecar (round-15 ADVICE).  The loser must raise."""
+    small = spark.createDataFrame(
+        [(i, "y") for i in range(12)], "k bigint, v string")
+    acid_lite.create_table(spark, tdir, small.repartition(6))      # v1
+    orig_write = acid_lite._write_files
+    state = {"raced": False}
+
+    def racing_write(df, path, **kw):
+        files = orig_write(df, path, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            acid_lite.delete_where_dv(spark, tdir, "k", lo=3, hi=3)
+        return files
+
+    monkeypatch.setattr(acid_lite, "_write_files", racing_write)
+    with pytest.raises(acid_lite.ConcurrentModification, match="deletion"):
+        acid_lite.optimize_binpack(spark, tdir, target_file_bytes=10**7)
+    # the DV delete (winner) is intact; the loser changed nothing
+    assert {r.k for r in acid_lite.read(spark, tdir).collect()} == \
+        set(range(12)) - {3}

@@ -2499,11 +2499,13 @@ def test_recipe_semantic_dedup_flag(spark):
 
 
 def test_semantic_dedup_greedy_fixpoint_vs_reference(spark):
-    """semantic_dedup == the greedy keep-lowest-id rule's fixpoint:
-    on a crafted corpus (three tight direction clusters + isolated
-    vectors + exact twins), a numpy brute-force reference of the SAME
-    rule WITHIN the operator's own clusters reproduces the verdicts
-    exactly, and the operator postconditions hold."""
+    """semantic_dedup == the ANY-LOWER-ID-WITNESS rule (round-15
+    ADVICE wording fix: deliberately NOT the iterative greedy
+    fixpoint — the witness need not survive): on a crafted corpus
+    (three tight direction clusters + isolated vectors + exact
+    twins), a numpy brute-force reference of the SAME rule WITHIN
+    the operator's own clusters reproduces the verdicts exactly, and
+    the operator postconditions hold."""
     import numpy as np
 
     from pyspark.sql import functions as F
@@ -2542,6 +2544,60 @@ def test_semantic_dedup_greedy_fixpoint_vs_reference(spark):
     for src in (0, 7, 18):
         assert got[100 + src][1] is True
         assert got[100 + src][0] == got[src][0]
+
+
+def test_semantic_dedup_mega_cluster_subblocks(spark):
+    """Mega-cluster guard (round-15 VERDICT task 4): plant one
+    cluster holding ~30% of the corpus and force the cap — the
+    within-cluster join must fan out across sign-cell sub-blocks
+    (>= 2 distinct cells, every block strictly smaller than the
+    cluster), and the kept set must equal the numpy reference of the
+    any-lower-id-witness rule applied per (cluster, cell) block."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.dedup import semantic_dedup
+
+    rng = np.random.default_rng(16)
+    rows = []
+    for vid in range(60):       # the mega direction: dominant dim 1,
+        v = np.concatenate(     # dims 2-4 vary in sign -> 8 cells
+            ([10.0], rng.normal(scale=1.0, size=7)))
+        rows.append((vid, [float(x) for x in v]))
+    for vid in range(60, 200):  # background corpus
+        rows.append((vid, [float(x) for x in rng.normal(size=8)]))
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    cap = 30
+    out = semantic_dedup(emb, k=5, tau=0.95, max_cluster_rows=cap)
+    got = {r.vec_id: (r.cid, r.dropped) for r in out.collect()}
+    assert len(got) == len(rows)
+    # reference: same blocks, same rule, numpy
+    vecs = {i: np.array(v) / np.linalg.norm(v) for i, v in rows}
+
+    def cell(i: int) -> int:    # mirrors similarity.sign_bucket(_, 4)
+        return sum(1 << (3 - d) for d in range(4) if vecs[i][d] > 0)
+
+    by_cluster: dict[int, list[int]] = {}
+    for i in sorted(vecs):
+        by_cluster.setdefault(got[i][0], []).append(i)
+    mega_cid = max(by_cluster, key=lambda c: len(by_cluster[c]))
+    assert len(by_cluster[mega_cid]) >= 50   # the plant really blocked
+    blocks: dict[tuple, list[int]] = {}
+    for cid, ids in by_cluster.items():
+        oversized = len(ids) > cap
+        for i in ids:
+            blocks.setdefault((cid, cell(i) if oversized else 0),
+                              []).append(i)
+    for (cid, _cl), ids in blocks.items():
+        for j in ids:
+            expect = any(float(vecs[i] @ vecs[j]) >= 0.95
+                         for i in ids if i < j)
+            assert got[j][1] == expect, (cid, _cl, j)
+    # fan-out receipt: the mega cluster really split
+    mega_blocks = [b for b in blocks if b[0] == mega_cid]
+    assert len(mega_blocks) >= 2
+    assert max(len(blocks[b]) for b in mega_blocks) \
+        < len(by_cluster[mega_cid])
 
 
 def test_domain_mixture_budget_properties(spark):

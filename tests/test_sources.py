@@ -268,3 +268,50 @@ def test_entity_writer_two_phase_commit(spark, tmp_path):
                 keys.append(json.loads(line)["__key__"])
     assert sorted(keys) == list(range(250))  # exactly once, no dups
     assert not os.path.exists(os.path.join(dest, "_staging"))
+
+
+def test_entity_scatter_split_balances_zipf_keyspace():
+    """Scatter-sample split fidelity (round-15 VERDICT task 6 — the
+    reference's __scatter__ mechanism): on a Zipf-gapped keyspace,
+    KeyRange bounds cut at even RANKS of a ~0.78% key sample keep
+    max/median shard size <= 1.2x, while arithmetic value-space
+    bounds shatter (>= 2x, with empty shards).  Pure-Python drive of
+    the reader: partitions() is the planner, read() the task."""
+    import statistics
+
+    from datastore_mapper_spark.sources.entity_source import EntityReader
+
+    def shard_sizes(split):
+        r = EntityReader({"num_entities": 20000, "num_shards": 8,
+                          "keyspace": "zipf", "zipf_a": 1.5,
+                          "split": split})
+        return [sum(b.num_rows for b in r.read(p))
+                for p in r.partitions()]
+
+    scatter = shard_sizes("scatter")
+    assert sum(scatter) == 20000                    # exactly once
+    assert max(scatter) / statistics.median(scatter) <= 1.2
+    arith = shard_sizes("arithmetic")
+    assert sum(arith) == 20000                      # correct, just skewed
+    assert max(arith) / statistics.median(arith or [1]) >= 2.0
+
+
+def test_entity_batch_reader_emits_arrow_batches(spark):
+    """The batch kind-scan emits pyarrow RecordBatches (round-15
+    VERDICT task 1) and the engine-side frame is unchanged: same
+    rows, same payload format, filters/projections still compose."""
+    import pyarrow as pa
+
+    from datastore_mapper_spark.sources.entity_source import EntityReader
+
+    r = EntityReader({"kind": "orders", "num_entities": 300,
+                      "num_shards": 3})
+    parts = r.partitions()
+    batches = list(r.read(parts[0]))
+    assert batches and all(isinstance(b, pa.RecordBatch)
+                           for b in batches)
+    assert batches[0].schema.names == ["__key__", "kind",
+                                       "namespace", "payload"]
+    got = batches[0].to_pylist()[42]
+    assert got == {"__key__": 42, "kind": "orders",
+                   "namespace": "default", "payload": "orders-00000042"}

@@ -714,14 +714,20 @@ def test_acid_cdf_reader_positional_semantics(spark, tmp_path):
     # telescoped endpoints: dead-inside-range rows never surface
     assert batch(0, 4) == {(1, "a", "insert"), (3, "U", "insert"),
                            (4, "d", "insert")}
-    # CoW rewrite (OPTIMIZE purges DVs + rewrites): carried rows
-    # stream as a NET-ZERO delete+insert pair set
+    # OPTIMIZE (a pure re-layout) in its own single-version range is
+    # row-neutral: the feed emits NOTHING for it, matching Delta CDF
+    # (round-15 VERDICT task 5 — previously a net-zero delete+insert
+    # noise pair set)
     v4 = acid_lite.latest_version(tbl)
     acid_lite.optimize(spark, tbl)                                   # v5
+    assert batch(v4, v4 + 1) == set()
+    # a TELESCOPED range across the optimize still streams the live
+    # set exactly once (endpoint diff: old files out, new files in)
     live = {(1, "a"), (3, "U"), (4, "d")}
-    got = batch(v4, v4 + 1)
-    assert {(k, v) for k, v, t in got if t == "delete"} == live
-    assert {(k, v) for k, v, t in got if t == "insert"} == live
+    got = batch(v4 - 1, v4 + 1)
+    assert {(k, v) for k, v, t in got if t == "insert"} >= \
+        {(4, "d")}  # the v4 update image + optimize's rewrite
+    assert batch(0, v4 + 1) == {(k, v, "insert") for k, v in live}
     # metadata-only commit: zero slices
     acid_lite.rename_column(tbl, "v", "label")                       # v6
     assert batch(v4 + 1, v4 + 2) == set()
@@ -910,3 +916,232 @@ def test_acid_cdf_reader_fuzz_net_effect(spark, tmp_path):
                 acid_lite.read(spark, tbl, v).collect()}
         assert {k: c for k, c in net.items() if c != 0} == snap, \
             f"fold diverged from snapshot at v{v}"
+
+
+def _drain_reader(r, s, e):
+    """Flatten a reader's range into a set of tuples, whether the
+    reader emits legacy tuples or pyarrow RecordBatches."""
+    import pyarrow as pa
+
+    rows = []
+    for p in r.partitions({"version": s}, {"version": e}):
+        for item in r.read(p):
+            if isinstance(item, pa.RecordBatch):
+                cols = [c.to_pylist() for c in item.columns]
+                rows.extend(zip(*cols))
+            else:
+                rows.append(tuple(item))
+    return set(rows)
+
+
+def test_acid_cdf_arrow_path_matches_tuple_path(spark, tmp_path):
+    """The Arrow-batched read path (engine-planned: reader holds the
+    declared StructType) emits EXACTLY the rows of the legacy tuple
+    path, as real RecordBatches, across insert / dv_delete / removed
+    slices (round-15 VERDICT task 1)."""
+    import pyarrow as pa
+    from pyspark.sql.types import _parse_datatype_string
+
+    from datastore_mapper_spark.sources import acid_lite
+    from datastore_mapper_spark.sources.acid_cdf_stream import (
+        AcidCdfStreamReader,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v string")
+    acid_lite.create_table(
+        spark, tbl, mk([(1, "a"), (2, "b"), (3, "c")]).coalesce(1))  # v1
+    acid_lite.append(spark, tbl, mk([(4, "d")]).coalesce(1))         # v2
+    acid_lite.delete_where_dv(spark, tbl, "k", 2, 2)                 # v3
+    acid_lite.update_where_mor(spark, tbl, {"v": "'U'"}, "k", 3, 3)  # v4
+    struct = _parse_datatype_string(
+        "k bigint, v string, _change_type string")
+    plain = AcidCdfStreamReader({"path": tbl})
+    arrow = AcidCdfStreamReader({"path": tbl}, schema=struct)
+    # the arrow reader really yields RecordBatches
+    parts = arrow.partitions({"version": 0}, {"version": 1})
+    first = next(iter(arrow.read(parts[0])))
+    assert isinstance(first, pa.RecordBatch)
+    assert first.schema.names == ["k", "v", "_change_type"]
+    for s in range(4):
+        for e in range(s + 1, 5):
+            assert _drain_reader(arrow, s, e) == \
+                _drain_reader(plain, s, e), f"range ({s}, {e}]"
+
+
+def test_acid_cdf_source_throughput_tripwire(spark, tmp_path):
+    """The Arrow read path must beat the per-row tuple path by >= 5x
+    on a 10^6-row file (round-15 VERDICT task 1 'done' bar).  Both
+    paths run in-process against the same parquet file; the margin is
+    wide (observed ~20-100x) so host noise cannot flip it."""
+    import time
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    from datastore_mapper_spark.sources import acid_lite
+    from datastore_mapper_spark.sources.acid_cdf_stream import (
+        AcidCdfStreamReader,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    n = 1_000_000
+    df = spark.range(n).selectExpr(
+        "id AS k", "concat('v', id % 1000) AS v")
+    acid_lite.create_table(spark, tbl, df.coalesce(1))
+    struct = _parse_datatype_string(
+        "k bigint, v string, _change_type string")
+
+    def drain(reader):
+        total = 0
+        t0 = time.perf_counter()
+        for p in reader.partitions({"version": 0}, {"version": 1}):
+            for item in reader.read(p):
+                total += getattr(item, "num_rows", None) or 1
+        return time.perf_counter() - t0, total
+
+    # warm the page cache so the comparison is CPU-bound
+    drain(AcidCdfStreamReader({"path": tbl}, schema=struct))
+    t_arrow, n_arrow = drain(
+        AcidCdfStreamReader({"path": tbl}, schema=struct))
+    t_tuple, n_tuple = drain(AcidCdfStreamReader({"path": tbl}))
+    assert n_arrow == n_tuple == n
+    assert t_tuple / t_arrow >= 5.0, \
+        f"arrow {t_arrow:.3f}s vs tuple {t_tuple:.3f}s"
+
+
+def test_acid_cdf_stream_partitioned_table(spark, tmp_path):
+    """Partitioned-table CDF streaming (round-15 VERDICT task 2): the
+    manifest's hive-relative paths carry each slice's partition
+    values; the reader re-attaches them as typed constant columns, so
+    a hive-partitioned ACID table streams its MoR change feed
+    end-to-end through the real engine."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datastore_mapper_spark.sources import acid_lite
+    from datastore_mapper_spark.sources.acid_cdf_stream import register
+
+    tbl = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k bigint, g bigint, v string")
+    acid_lite.create_table(
+        spark, tbl,
+        mk([(1, 0, "a"), (2, 0, "b"), (3, 1, "c"), (4, 1, "d")])
+        .coalesce(1), partition_by=["g"])                            # v1
+    acid_lite.append(spark, tbl, mk([(5, 2, "e")]).coalesce(1))      # v2
+    acid_lite.delete_where_dv(spark, tbl, "k", 2, 2)                 # v3
+    register(spark)
+    name = f"cdf_part_sink_{tmp_path.name}"
+    q = (
+        spark.readStream.format("acid_cdf")
+        .option("path", tbl).option("versions_per_batch", 1).load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 6:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = {(r.k, r.g, r.v, r._change_type)
+           for r in spark.table(name).collect()}
+    assert got == {(1, 0, "a", "insert"), (2, 0, "b", "insert"),
+                   (3, 1, "c", "insert"), (4, 1, "d", "insert"),
+                   (5, 2, "e", "insert"), (2, 0, "b", "delete")}
+    # the partition column came back TYPED (bigint, not path string)
+    assert dict(spark.table(name).dtypes)["g"] == "bigint"
+
+
+def test_acid_cdf_stream_rides_through_optimize(spark, tmp_path):
+    """ingest -> OPTIMIZE -> ingest, drained by a paced feed
+    (round-15 VERDICT task 5): the maintenance commit gets its own
+    row-neutral range and emits nothing — the feed survives without
+    a manual restart and every data row lands exactly once."""
+    import time
+
+    from datastore_mapper_spark.sources import acid_lite
+    from datastore_mapper_spark.sources.acid_cdf_stream import register
+
+    tbl = str(tmp_path / "tbl")
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v string")
+    acid_lite.create_table(
+        spark, tbl, mk([(1, "a"), (2, "b")]).repartition(2))         # v1
+    acid_lite.delete_where_dv(spark, tbl, "k", 2, 2)                 # v2
+    acid_lite.optimize(spark, tbl)                                   # v3
+    acid_lite.append(spark, tbl, mk([(9, "z")]).coalesce(1))         # v4
+    register(spark)
+    name = f"cdf_opt_sink_{tmp_path.name}"
+    q = (
+        spark.readStream.format("acid_cdf")
+        .option("path", tbl).option("versions_per_batch", 1)
+        .option("pacing_dir", str(tmp_path / "ckpt")).load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table(name).count() >= 4:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = sorted((r.k, r.v, r._change_type)
+                 for r in spark.table(name).collect())
+    # v1: 2 inserts; v2: 1 delete; v3 (optimize): NOTHING; v4: 1 insert
+    assert got == [(1, "a", "insert"), (2, "b", "delete"),
+                   (2, "b", "insert"), (9, "z", "insert")]
+
+
+def test_acid_cdf_schema_change_mid_stream_raises(spark, tmp_path):
+    """A schema evolution landing AFTER stream open cannot be
+    projected onto the opened schema without silent data loss — the
+    planner must raise a clear restart-the-feed error (round-15
+    ADVICE), not fail the batch with an arity mismatch."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    from datastore_mapper_spark.sources import acid_lite
+    from datastore_mapper_spark.sources.acid_cdf_stream import (
+        AcidCdfStreamReader,
+    )
+    from datastore_mapper_spark.sources.acid_stream import (
+        AcidStreamReader,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    acid_lite.create_table(
+        spark, tbl,
+        spark.createDataFrame([(1, "a")], "k bigint, v string")
+        .coalesce(1))                                                # v1
+    struct = _parse_datatype_string(
+        "k bigint, v string, _change_type string")
+    r = AcidCdfStreamReader({"path": tbl}, schema=struct)
+    assert _drain_reader(r, 0, 1) == {(1, "a", "insert")}
+    acid_lite.append_evolve(
+        spark, tbl,
+        spark.createDataFrame([(2, "b", 7)],
+                              "k bigint, v string, extra bigint")
+        .coalesce(1))                                                # v2
+    with pytest.raises(ValueError, match="schema changed mid-stream"):
+        r.partitions({"version": 1}, {"version": 2})
+    # the append source guards identically
+    r2 = AcidStreamReader(
+        {"path": tbl},
+        schema=_parse_datatype_string("k bigint, v string"))
+    with pytest.raises(ValueError, match="schema changed mid-stream"):
+        r2.partitions({"version": 1}, {"version": 2})
+    # a FRESH feed opened on the evolved schema replays everything,
+    # old files projecting typed nulls for the new column
+    struct2 = _parse_datatype_string(
+        "k bigint, v string, extra bigint, _change_type string")
+    r3 = AcidCdfStreamReader({"path": tbl}, schema=struct2)
+    assert _drain_reader(r3, 0, 2) == {(1, "a", None, "insert"),
+                                       (2, "b", 7, "insert")}
