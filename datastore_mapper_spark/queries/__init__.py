@@ -71,13 +71,24 @@ _CONTRACT_ORDER = [
     "window_rank_topn_per_group", "window_row_number_dedup",
     "window_lag_lead_delta", "window_running_sum", "window_moving_avg",
     "window_ntile_first_last", "sort_multi_key_nulls", "topk_global",
-    # rows 31-50, rotated IN round 15 (r14 verdict task 1): the
-    # round-14 flagship subsystems, swapped forward for first driver
-    # contact — the ACID depth wave (branches, MERGE schema
-    # evolution, MoR UPDATE, OPTIMIZE WHERE), span-removal dedup,
-    # the stream-stream FULL OUTER join + stateful sessionizer, the
-    # Adam7/TIFF codec rows, the two r14 promotions, and the
-    # round-14 analytics wave heads
+    # rows 31-50, rotated IN round 16 (r15 verdict task 3): the
+    # round-15 flagship subsystems, swapped forward for first driver
+    # contact — the CDF streaming source + IVM streaming hop, type
+    # widening, SemDeDup, the mixture/decontamination/chunking
+    # sampling wave, tag retention + refs metadata + binpack
+    # OPTIMIZE, the r15 stats/text additions — plus the four queue
+    # heads of the round-14 analytics second half
+    "stream_acid_cdf_source", "stream_acid_ivm_refresh",
+    "acid_type_widening", "dedup_semantic_clusters",
+    "sample_domain_mixture_budget", "mixture_epochs_upsample",
+    "decontaminate_train_eval", "chunk_documents_fixed_stride",
+    "acid_tag_retention", "acid_refs_metadata_table",
+    "acid_optimize_binpack", "cramer_von_mises_doc_lengths",
+    "heaps_law_vocab_growth", "mattr_lexical_diversity",
+    "fleiss_kappa_quality_raters", "grubbs_outlier_daily_revenue",
+    "cochran_q_urgent_by_year", "hurst_exponent_daily_revenue",
+    "jonckheere_terpstra_priority_trend", "yule_k_vocabulary_richness",
+    # rotated out in round 16 (all r15-driver-green; local gate covers)
     "acid_branch_publish", "acid_merge_schema_evolution",
     "acid_update_mor", "acid_optimize_where",
     "dedup_remove_duplicate_spans",

@@ -73,16 +73,17 @@ def test_contract_rows_registered_first():
 
     names = list(SPECS)
     assert names[: len(_CONTRACT_ORDER)] == _CONTRACT_ORDER
-    # round-15 rotation (REGISTRY.md "Driver-grading rotation"): rows
-    # 1-30 pinned §2.B core, rows 31-50 the r14 flagship swap-forwards
-    # (r14 VERDICT task 1): ACID depth wave, span-removal dedup,
-    # stream-stream FULL OUTER + stateful sessionizer, Adam7/TIFF
-    # codecs, the two promotions, and the analytics wave heads
-    assert names[30] == "acid_branch_publish"
-    assert names[34] == "dedup_remove_duplicate_spans"
-    assert names[40] == "bpe_encode_token_count"
-    assert names[49] == "g_test_segment_priority"
-    # every row of the round-15 graded window is oracle-checked
+    # round-16 rotation (REGISTRY.md "Driver-grading rotation"): rows
+    # 1-30 pinned §2.B core, rows 31-50 the r15 flagship swap-forwards
+    # (r15 VERDICT task 3): CDF streaming source + IVM hop, type
+    # widening, SemDeDup, the mixture/decontamination/chunking wave,
+    # tag retention / refs metadata / binpack OPTIMIZE, the r15
+    # stats/text rows, and four analytics-second-half queue heads
+    assert names[30] == "stream_acid_cdf_source"
+    assert names[33] == "dedup_semantic_clusters"
+    assert names[40] == "acid_optimize_binpack"
+    assert names[49] == "yule_k_vocabulary_richness"
+    # every row of the round-16 graded window is oracle-checked
     for n in _CONTRACT_ORDER[:50]:
         assert SPECS[n].oracle is not None, n
 
