@@ -3421,3 +3421,258 @@ def stream_acid_cdf_partitioned(spark, sf_dir):
         .select("part", "bucket", "n_rows", "sum_cents",
                 F.lit(bool(exact)).alias("feed_exact_ok"))
     )
+
+
+@query(
+    "acid_row_lineage",
+    "table-format",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey % 10 AS bucket FROM orders
+    )
+    SELECT CAST(1 AS BIGINT) AS commit_version, bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS ids_unique_ok, TRUE AS ids_stable_ok,
+           TRUE AS update_images_fresh_ok
+    FROM b WHERE bucket BETWEEN 0 AND 5 GROUP BY bucket
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), bucket, CAST(count(*) AS BIGINT),
+           TRUE, TRUE, TRUE
+    FROM b WHERE bucket = 8 GROUP BY bucket
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), bucket, CAST(count(*) AS BIGINT),
+           TRUE, TRUE, TRUE
+    FROM b WHERE bucket = 7 GROUP BY bucket
+    """,
+)
+def acid_row_lineage(spark, sf_dir):
+    """ROW LINEAGE / row tracking (round 16 — Delta row tracking /
+    Iceberg v3 row lineage, ``acid_lite.read_with_lineage``): every
+    live row carries a STABLE ``_row_id`` derived from its physical
+    birth (adding commit, file ordinal, row position) and a
+    ``_commit_version``.  The four-commit MoR history — CREATE,
+    APPEND, ``delete_where_dv``, ``update_where_mor`` — is the case
+    lineage exists for: an incremental consumer (a MERGE source, a
+    CDC auditor) can rely on ids never moving because MoR commits
+    never rewrite a surviving row.
+
+    Receipts, each recomputed from two independent lineage reads
+    (the snapshot BEFORE the row-level commits and the final one):
+    ``ids_unique_ok`` — _row_id is a key; ``ids_stable_ok`` — every
+    final-row id born at or before v2 is bit-identical to its id in
+    the v2 snapshot (an anti-join, not a count: a shifted id set of
+    equal size still fails) and exactly the DV-deleted + updated
+    rows left the id set; ``update_images_fresh_ok`` — every v4
+    update image carries an id no v2 row ever had.
+
+    The hashed rows state the lineage census (commit_version x
+    bucket x count) from the commit laws in plain SQL.
+
+    Scale posture: lineage is manifest-history math — a files x 3
+    broadcast joined onto the scan; no shuffle, no state, no extra
+    scan at any table size (the v2/v4 double read here is the
+    RECEIPT, not the feature)."""
+    dest = _table_dir("acid_lineage", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 10).alias("bucket"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    base = o.filter(F.col("bucket") < 8)
+    late = o.filter(F.col("bucket") == 8)
+    acid_lite.create_table(spark, dest, base.coalesce(2))            # v1
+    acid_lite.append(spark, dest, late.coalesce(2))                  # v2
+    acid_lite.delete_where_dv(spark, dest, "bucket", 6, 6)           # v3
+    acid_lite.update_where_mor(
+        spark, dest, {"cents": "cents + 1"}, "bucket", 7, 7)         # v4
+    n_del = base.filter(F.col("bucket") == 6).count()
+    n_upd = base.filter(F.col("bucket") == 7).count()
+    l2 = acid_lite.read_with_lineage(spark, dest, 2) \
+        .select("_row_id").localCheckpoint()
+    l4 = acid_lite.read_with_lineage(spark, dest).localCheckpoint()
+    n4 = l4.count()
+    unique_ok = l4.select("_row_id").distinct().count() == n4
+    survivors = l4.filter(F.col("_commit_version") <= 2)
+    moved = survivors.join(l2, "_row_id", "left_anti").limit(1).count()
+    stable_ok = (moved == 0
+                 and survivors.count() == l2.count() - n_del - n_upd)
+    images = l4.filter(F.col("_commit_version") > 2)
+    recycled = images.join(l2, "_row_id", "left_semi").limit(1).count()
+    fresh_ok = (recycled == 0 and images.count() == n_upd
+                and images.filter(F.col("_commit_version") != 4)
+                .limit(1).count() == 0)
+    return (
+        l4.groupBy("_commit_version", "bucket")
+        .agg(F.count("*").alias("n_rows"))
+        .select(F.col("_commit_version").alias("commit_version"),
+                "bucket", "n_rows",
+                F.lit(bool(unique_ok)).alias("ids_unique_ok"),
+                F.lit(bool(stable_ok)).alias("ids_stable_ok"),
+                F.lit(bool(fresh_ok)).alias("update_images_fresh_ok"))
+    )
+
+
+@query(
+    "acid_initial_defaults",
+    "table-format",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey AS k, o_orderkey % 10 AS bucket,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), final AS (
+        SELECT CASE WHEN k % 2 = 0 THEN 'standard'
+                    WHEN bucket < 5 THEN 'gold'
+                    ELSE NULL END AS tier,
+               cents
+        FROM b WHERE bucket <> 6
+    )
+    SELECT tier,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           TRUE AS metadata_only_ok,
+           TRUE AS time_travel_ok
+    FROM final GROUP BY tier
+    """,
+)
+def acid_initial_defaults(spark, sf_dir):
+    """ADD COLUMN ... DEFAULT — INITIAL DEFAULTS (round 16, the
+    Iceberg v3 initial-default contract; ``add_column_default`` +
+    the read-path fill in ``_load_files``): half of orders lands
+    BEFORE the evolution, a metadata-only commit adds ``tier`` with
+    default 'standard', the other half lands after it carrying
+    explicit values INCLUDING explicit NULLs, and a DV delete
+    composes on top.  The read must produce: default for every
+    pre-evolution row, stored values for post-evolution rows, and
+    NULL — not the default — where a post-evolution writer stored
+    NULL (the distinction that separates initial-default from a
+    blanket COALESCE).  The hashed per-tier census (count + exact
+    cents) restates all three populations in plain SQL; the NULL
+    tier group is in the hash, so a default leaking onto an
+    explicit NULL shifts a group.
+
+    Receipts: ``metadata_only_ok`` — the evolution commit carried
+    every parent file VERBATIM (op = add-column-default, zero data
+    I/O: at 100 TB a backfill-valued ADD COLUMN is one manifest
+    write, not a rewrite); ``time_travel_ok`` — the pre-evolution
+    snapshot still reads WITHOUT the column."""
+    dest = _table_dir("acid_defaults", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 10).alias("bucket"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    pre = o.filter(F.col("k") % 2 == 0)
+    post = o.filter(F.col("k") % 2 == 1).withColumn(
+        "tier", F.when(F.col("bucket") < 5, F.lit("gold")))
+    acid_lite.create_table(spark, dest, pre.coalesce(1))             # v1
+    v2 = acid_lite.add_column_default(dest, "tier", "string",
+                                      "standard")                    # v2
+    acid_lite.append(spark, dest, post.coalesce(1))                  # v3
+    acid_lite.delete_where_dv(spark, dest, "bucket", 6, 6)           # v4
+    m1 = acid_lite._read_manifest(dest, 1)
+    m2 = acid_lite._read_manifest(dest, v2)
+    metadata_only = (m2["op"] == "add-column-default"
+                     and sorted(m2["files"]) == sorted(m1["files"]))
+    travel_ok = "tier" not in acid_lite.read(spark, dest, 1).columns
+    return (
+        acid_lite.read(spark, dest)
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum("cents").cast("bigint").alias("sum_cents"))
+        .select("tier", "n_rows", "sum_cents",
+                F.lit(bool(metadata_only)).alias("metadata_only_ok"),
+                F.lit(bool(travel_ok)).alias("time_travel_ok"))
+    )
+
+
+@query(
+    "acid_identity_columns",
+    "table-format",
+    oracle="""
+    WITH b AS (
+        SELECT o_orderkey % 10 AS bucket FROM orders
+    ), n AS (
+        SELECT CAST(count(*) FILTER (WHERE bucket < 8) AS BIGINT) AS n1,
+               CAST(count(*) FILTER (WHERE bucket = 8) AS BIGINT) AS n2,
+               CAST(count(*) FILTER (WHERE bucket = 9) AS BIGINT) AS n3
+        FROM b
+    )
+    SELECT CAST(1 AS BIGINT) AS commit_version, n1 AS n_rows,
+           CAST(1000 AS BIGINT) AS min_sid,
+           CAST(1000 + 2 * (n1 - 1) AS BIGINT) AS max_sid,
+           TRUE AS ids_unique_ok, TRUE AS step_aligned_ok,
+           TRUE AS monotone_ok
+    FROM n WHERE n1 > 0
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), n2,
+           CAST(1000 + 2 * n1 AS BIGINT),
+           CAST(1000 + 2 * (n1 + n2 - 1) AS BIGINT),
+           TRUE, TRUE, TRUE
+    FROM n WHERE n2 > 0
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), n3,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           TRUE, TRUE, TRUE
+    FROM n WHERE n3 > 0
+    """,
+)
+def acid_identity_columns(spark, sf_dir):
+    """IDENTITY COLUMNS (round 16 — Delta's ``GENERATED ALWAYS AS
+    IDENTITY``, ``create_table(identity=...)`` + the append-path
+    stamping and race re-stamp in acid_lite): the engine assigns
+    ``sid`` (start 1000, step 2) on CREATE and on every APPEND —
+    batches may never supply it.  Three commits land: create
+    (single-partition: the assigned range is provably CONTIGUOUS,
+    1000..1000+2(n-1), so its min/max are HASHED against closed-form
+    SQL), a second single-partition append (continues exactly at the
+    high-water: min/max hashed too), and a 3-partition append whose
+    values are unique and beyond the high-water but deliberately
+    GAPPED (the documented Delta contract: uniqueness + direction,
+    never density — its min/max stay out of the hash, NULLed on both
+    sides).  Commit attribution comes from ``read_with_lineage``
+    (_commit_version), composing the round's two new surfaces.
+
+    Receipts over the whole table: ``ids_unique_ok`` (sid is a key),
+    ``step_aligned_ok`` (every sid ≡ start mod step, at/above
+    start), ``monotone_ok`` (each commit's minimum exceeds the
+    previous commit's maximum — the cross-commit direction law).
+
+    Scale posture: stamping is one projection over the batch plus a
+    bounded high-water aggregate; no shuffle, no coordination beyond
+    the manifest commit the write already pays; a lost stamping race
+    re-stamps only the LOSER's batch."""
+    dest = _table_dir("acid_identity", sf_dir)
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_orderkey") % 10).alias("bucket"))
+    acid_lite.create_table(
+        spark, dest, o.filter(F.col("bucket") < 8).coalesce(1),
+        identity={"sid": {"start": 1000, "step": 2}})               # v1
+    acid_lite.append(spark, dest,
+                     o.filter(F.col("bucket") == 8).coalesce(1))    # v2
+    acid_lite.append(spark, dest,
+                     o.filter(F.col("bucket") == 9).repartition(3))  # v3
+    lin = acid_lite.read_with_lineage(spark, dest).localCheckpoint()
+    total = lin.count()
+    unique_ok = lin.select("sid").distinct().count() == total
+    aligned_ok = lin.filter(
+        ((F.col("sid") - 1000) % 2 != 0) | (F.col("sid") < 1000)
+    ).limit(1).count() == 0
+    spans = {r.cv: (r.lo, r.hi) for r in
+             lin.groupBy(F.col("_commit_version").alias("cv"))
+             .agg(F.min("sid").alias("lo"), F.max("sid").alias("hi"))
+             .collect()}
+    cvs = sorted(spans)
+    monotone_ok = all(spans[a][1] < spans[b][0]
+                      for a, b in zip(cvs, cvs[1:]))
+    return (
+        lin.groupBy(F.col("_commit_version").alias("commit_version"))
+        .agg(F.count("*").alias("n_rows"),
+             F.min("sid").alias("_lo"), F.max("sid").alias("_hi"))
+        .select(
+            "commit_version", "n_rows",
+            F.when(F.col("commit_version") < 3, F.col("_lo"))
+            .alias("min_sid"),
+            F.when(F.col("commit_version") < 3, F.col("_hi"))
+            .alias("max_sid"),
+            F.lit(bool(unique_ok)).alias("ids_unique_ok"),
+            F.lit(bool(aligned_ok)).alias("step_aligned_ok"),
+            F.lit(bool(monotone_ok)).alias("monotone_ok"))
+    )

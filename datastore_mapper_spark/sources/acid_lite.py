@@ -421,6 +421,36 @@ def _load_files(spark: SparkSession, path: str, m: dict,
     if not files:
         df = spark.createDataFrame([], full_schema)
         return df if not extra else df.select("*", *extra)
+    defaults = m.get("defaults")
+    if defaults:
+        # INITIAL DEFAULTS (round 16 — Iceberg v3 initial-default):
+        # a column added with a default reads that default from every
+        # file written BEFORE the evolution; files written after it
+        # read their stored values (an explicit NULL stays NULL).
+        # Membership is the file's adding version (manifest-history
+        # math) tested per row against the scan's own file path —
+        # a codegen IN over a file-count-sized literal set, the
+        # stand-in for the per-file schema-id a real manifest entry
+        # carries.  Recurses once with defaults stripped.
+        m2 = {k: v for k, v in m.items() if k != "defaults"}
+        prefix = "file:" + os.path.abspath(path) + "/"
+        rel_def = F.expr(
+            f"substring(_metadata.file_path, {len(prefix) + 1})"
+        ).alias("__rel_def")
+        out = _load_files(spark, path, m2, files,
+                          extra=list(extra or []) + [rel_def])
+        added = file_added_versions(path, m["version"])
+        types = _schema_types(full_schema)
+        for col, spec in defaults.items():
+            pre = [f for f in files
+                   if added.get(f, 1 << 62) < spec["since"]]
+            if pre and col in types:
+                out = out.withColumn(
+                    col,
+                    F.when(F.col("__rel_def").isin(pre),
+                           F.lit(spec["value"]).cast(types[col]))
+                    .otherwise(F.col(col)))
+        return out.drop("__rel_def")
     specs = m.get("specs")
     mapping = m.get("mapping")
     if specs is not None:
@@ -611,7 +641,9 @@ def _commit(path: str, version: int, files: list[str],
             generated: dict | None = None,
             bloom_index: dict | None = None,
             sort_order: list | None = None,
-            ndv_sketch: dict | None = None) -> None:
+            ndv_sketch: dict | None = None,
+            defaults: dict | None = None,
+            identity: dict | None = None) -> None:
     """Atomically publish manifest ``version`` (O_EXCL = one winner).
     ``schema`` (a DDL string) makes zero-file versions readable — an
     empty table is a legal snapshot, not an error.
@@ -648,6 +680,13 @@ def _commit(path: str, version: int, files: list[str],
             constraints = pm.get("constraints")
         if generated is None:
             generated = pm.get("generated")
+        if defaults is None:
+            # initial-defaults carry through every commit kind (the
+            # pre-evolution file population only shrinks)
+            defaults = pm.get("defaults")
+        if identity is None:
+            # identity high-waters carry through non-stamping commits
+            identity = pm.get("identity")
         if sort_order is None:
             sort_order = pm.get("sort_order")
         if ndv_sketch is None:
@@ -705,6 +744,10 @@ def _commit(path: str, version: int, files: list[str],
         payload["constraints"] = constraints
     if generated:
         payload["generated"] = generated
+    if defaults:
+        payload["defaults"] = defaults
+    if identity:
+        payload["identity"] = identity
     if sort_order:
         payload["sort_order"] = sort_order
     if ndv_sketch:
@@ -739,9 +782,44 @@ def _commit(path: str, version: int, files: list[str],
         f.write(payload)
 
 
+def _stamp_identity(df: DataFrame, identity: dict):
+    """Assign engine-generated values to every declared identity
+    column (Delta GENERATED ... AS IDENTITY): values are
+    ``hw + step * (1 + monotonically_increasing_id())`` — unique
+    within the batch (partition ordinal << 33 | row ordinal), all
+    strictly beyond the high-water, step-SIGNED monotone across
+    commits, GAPS ALLOWED (the documented Delta contract: identity
+    guarantees uniqueness and direction, never density — on a
+    single-partition batch the range happens to be contiguous).
+    ``localCheckpoint`` freezes the nondeterministic assignment so
+    the stats pass, the write, and the high-water probe all see one
+    evaluation.  Returns ``(stamped_df, new_identity_state)``; the
+    high-water probe is one bounded aggregate over the batch."""
+    out = df
+    for col, st in identity.items():
+        if col in df.columns:
+            raise ValueError(
+                f"identity column {col!r} is engine-assigned — drop "
+                "it from the batch")
+        out = out.withColumn(
+            col,
+            F.lit(st["hw"]).cast("bigint")
+            + F.lit(st["step"]) * (F.monotonically_increasing_id()
+                                   + F.lit(1)))
+    out = out.localCheckpoint()
+    new_state = {}
+    for col, st in identity.items():
+        probe = F.max(col) if st["step"] > 0 else F.min(col)
+        got = out.agg(probe.alias("hw")).first().hw
+        new_state[col] = {**st, "hw": int(got) if got is not None
+                          else st["hw"]}
+    return out, new_state
+
+
 def create_table(spark: SparkSession, path: str, df: DataFrame,
                  partition_by: list[str] | None = None,
-                 generated: dict[str, str] | None = None) -> int:
+                 generated: dict[str, str] | None = None,
+                 identity: dict[str, dict] | None = None) -> int:
     """Create version 1 from ``df``.  Fails if the table exists.
     ``partition_by`` fixes a hive-layout identity partitioning for
     the table's lifetime: every later write splits on those columns
@@ -757,9 +835,34 @@ def create_table(spark: SparkSession, path: str, df: DataFrame,
     mismatch is a :class:`ConstraintViolation`), so the stored column
     is exact by construction and range queries can prune on its
     manifest stats.  A generated column may serve as a partition
-    source — the Delta idiom for hidden date partitioning."""
+    source — the Delta idiom for hidden date partitioning.
+
+    ``identity`` declares IDENTITY columns (round 16 — Delta's
+    ``GENERATED ALWAYS AS IDENTITY``, create-time only, exactly as
+    Delta requires): ``{name: {"start": s, "step": k}}`` with
+    ``step != 0``.  The engine assigns values on create and on every
+    append — unique, step-directed monotone across commits, gaps
+    allowed; batches supplying the column are refused (ALWAYS
+    semantics).  The per-column high-water rides the manifest, and
+    an append losing a version race to another stamping commit
+    RE-STAMPS against the new high-water instead of rebasing
+    (identity is the one append state file-set comparison cannot
+    see)."""
     if latest_version(path) != 0:
         raise ValueError(f"table already exists: {path}")
+    ident_state = None
+    if identity:
+        for col, st in identity.items():
+            if not isinstance(st.get("start"), int) \
+                    or not isinstance(st.get("step"), int) \
+                    or st["step"] == 0:
+                raise ValueError(
+                    f"identity {col!r} needs integer start and "
+                    "nonzero integer step")
+        seeded = {c: {"start": st["start"], "step": st["step"],
+                      "hw": st["start"] - st["step"]}
+                  for c, st in identity.items()}
+        df, ident_state = _stamp_identity(df, seeded)
     if generated:
         df = _apply_generated_cols(df, generated, "create")
     if partition_by:
@@ -776,7 +879,7 @@ def create_table(spark: SparkSession, path: str, df: DataFrame,
     )
     _commit(path, 1, files, parent=0, op="create", schema=schema,
             partition_by=partition_by, partitions=parts,
-            generated=generated)
+            generated=generated, identity=ident_state)
     return 1
 
 
@@ -836,6 +939,10 @@ def append(spark: SparkSession, path: str, df: DataFrame,
     os.makedirs(path, exist_ok=True)
     parent0 = latest_version(path)
     pm0 = _read_manifest(path, parent0) if parent0 else {}
+    ident = pm0.get("identity")
+    ident_state = None
+    if ident:
+        df, ident_state = _stamp_identity(df, ident)
     df = _prepare_batch(df, pm0, "append")
     files, parts = _write_files_any(df, path, pm0.get("partition_by"),
                                     mapping=pm0.get("mapping"))
@@ -844,11 +951,27 @@ def append(spark: SparkSession, path: str, df: DataFrame,
     )
     for _ in range(retries + 1):
         parent = latest_version(path)
-        parent_files = _read_manifest(path, parent)["files"] if parent else []
+        pm = _read_manifest(path, parent) if parent else {}
+        parent_files = pm.get("files") or []
+        if ident:
+            # identity is the one append state file-set comparison
+            # cannot see: a racer that stamped from the same
+            # high-water landed overlapping values — if the latest
+            # manifest's high-waters moved past the ones we planned
+            # against, RE-STAMP against them and rewrite (the staged
+            # files are orphans for vacuum, exactly like any loser's)
+            cur = pm.get("identity") or ident
+            if any(cur[c]["hw"] != ident[c]["hw"] for c in ident):
+                ident = cur
+                df, ident_state = _stamp_identity(
+                    df.drop(*ident_state.keys()), ident)
+                files, parts = _write_files_any(
+                    df, path, pm0.get("partition_by"),
+                    mapping=pm0.get("mapping"))
         try:
             _commit(path, parent + 1, parent_files + files, parent,
                     "append", schema=schema if not parent else None,
-                    partitions=parts)
+                    partitions=parts, identity=ident_state)
             return parent + 1
         except CommitConflict:
             continue  # blind append composes with anything: retry
@@ -2323,6 +2446,51 @@ def widen_column_type(path: str, col: str, new_type: str,
         except CommitConflict:
             continue
     raise CommitConflict(f"widen_column_type at {path} lost "
+                         f"{retries + 1} races")
+
+
+def add_column_default(path: str, col: str, type_ddl: str, default,
+                       retries: int = 3) -> int:
+    """ADD COLUMN ... DEFAULT — the Iceberg v3 INITIAL-DEFAULT
+    contract (round 16): a metadata-only commit appends the column
+    to the logical schema and records ``default`` with the commit
+    version; every file written BEFORE this commit reads the default
+    (not NULL), while files written after it read their stored
+    values — including explicit NULLs, which stay NULL.  No data
+    file is touched: at 100 TB an ADD COLUMN with a backfill value
+    is one manifest write, never a rewrite (the difference between
+    Iceberg's initial-default and a 100 TB UPDATE).
+
+    ``default`` must be a plain JSON-faithful scalar (int / float /
+    str / bool) — it lives in the manifest.  Re-adding a previously
+    dropped logical name is refused here (route through
+    ``append_evolve``'s fresh-physical-name machinery instead)."""
+    if not isinstance(default, (int, float, str, bool)):
+        raise ValueError("initial default must be a scalar literal")
+    for _ in range(retries + 1):
+        parent = latest_version(path)
+        if parent == 0:
+            raise ValueError(f"table does not exist: {path}")
+        pm = _read_manifest(path, parent)
+        types = _schema_types(pm["schema"])
+        if col in types:
+            raise ValueError(f"column already exists: {col!r}")
+        if col in (pm.get("dropped_physical") or []):
+            raise ValueError(
+                f"{col!r} was previously dropped — re-adding with a "
+                "default would need a fresh physical name; use "
+                "append_evolve")
+        defaults = dict(pm.get("defaults") or {})
+        defaults[col] = {"value": default, "since": parent + 1}
+        try:
+            _commit(path, parent + 1, pm["files"], parent,
+                    "add-column-default",
+                    schema=f"{pm['schema']}, {col} {type_ddl}",
+                    defaults=defaults)
+            return parent + 1
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"add_column_default at {path} lost "
                          f"{retries + 1} races")
 
 
@@ -4069,3 +4237,78 @@ def optimize_sorted_incremental(spark: SparkSession, path: str
     v = _rebase_commit(path, sorted(rewrite), new_files,
                        "recluster", expect_dvs=[], new_partitions=parts)
     return v, len(rewrite), len(m["files"])
+
+
+# --- row lineage / row tracking (round 16) -----------------------------
+
+
+def file_added_versions(path: str, upto: int) -> dict:
+    """``rel -> the version that ADDED the file`` — a manifest
+    history walk (driver-side metadata math, O(versions x files),
+    never row-shaped).  A file's adding commit is immutable: files
+    are content-addressed and never re-enter a manifest after
+    removal, so the first manifest carrying a file is its birth."""
+    added: dict[str, int] = {}
+    for v in range(1, upto + 1):
+        for f in _read_manifest(path, v)["files"]:
+            added.setdefault(f, v)
+    return added
+
+
+def read_with_lineage(spark: SparkSession, path: str,
+                      version: int | None = None) -> DataFrame:
+    """ROW LINEAGE (round 16 — Delta row tracking / Iceberg v3 row
+    lineage): the snapshot's live rows plus two derived columns,
+
+    * ``_row_id`` — a STABLE unique row identifier,
+      ``(adding_version << 48) | (file_seq << 33) | row_index``:
+      derived purely from the row's physical birth coordinates, so
+      it never changes while the file carries (merge-on-read commits
+      never rewrite files — appends, DV deletes and MoR updates all
+      preserve every surviving row's id, exactly the lineage
+      contract row tracking needs for incremental MERGE sources);
+    * ``_commit_version`` — the commit that created the row (Iceberg
+      ``_last_updated_sequence_number`` for MoR histories: a row's
+      content is written once; its death is a DV, not a rewrite).
+
+    Copy-on-write rewrites (optimize / merge / replace) REASSIGN ids
+    — the same caveat Delta documents for tables where row tracking
+    is not materialized into the files; on MoR-only histories the
+    lineage is exact, which the ``acid_row_lineage`` query receipts
+    grade.  No manifest state is consumed: both columns are manifest
+    HISTORY math joined in as a broadcast (files x 3 columns), so
+    the feature costs one broadcast hash join over constants at any
+    table size."""
+    v = latest_version(path) if version is None else version
+    m = _read_manifest(path, v)
+    if not m["files"]:
+        return spark.createDataFrame(
+            [], f"{m['schema']}, _row_id bigint, _commit_version bigint")
+    added = file_added_versions(path, v)
+    byv: dict[int, list[str]] = {}
+    for f in m["files"]:
+        byv.setdefault(added[f], []).append(f)
+    seq = {f: i for av in byv
+           for i, f in enumerate(sorted(byv[av]))}
+    rel, _prefix = _rel_path_expr(path)
+    base = _load_files(
+        spark, path, m, m["files"],
+        extra=[rel, F.col("_metadata.row_index").alias("__ri")])
+    lineage = spark.createDataFrame(
+        [(f, added[f], seq[f]) for f in m["files"]],
+        "__rel string, __cv bigint, __seq bigint")
+    out = base.join(F.broadcast(lineage), "__rel")
+    dvs = m.get("dvs") or []
+    if dvs:
+        dv = spark.read.parquet(
+            *[os.path.join(path, d) for d in dvs]).select(
+            F.col("rel").alias("__rel"), F.col("row_index").alias("__ri"))
+        out = out.join(dv, ["__rel", "__ri"], "left_anti")
+    return (
+        out.withColumn(
+            "_row_id",
+            F.shiftleft(F.col("__cv"), 48)
+            + F.shiftleft(F.col("__seq"), 33) + F.col("__ri"))
+        .withColumn("_commit_version", F.col("__cv"))
+        .drop("__rel", "__ri", "__cv", "__seq")
+    )

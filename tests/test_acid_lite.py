@@ -2738,3 +2738,65 @@ def test_binpack_conflicts_on_concurrent_dv_delete(spark, tdir, monkeypatch):
     # the DV delete (winner) is intact; the loser changed nothing
     assert {r.k for r in acid_lite.read(spark, tdir).collect()} == \
         set(range(12)) - {3}
+
+
+def test_identity_columns_assign_unique_monotone(spark, tdir):
+    """IDENTITY columns (round 16 — Delta GENERATED ALWAYS AS
+    IDENTITY): engine-assigned on create and append, unique,
+    step-aligned, monotone across commits, gaps allowed; supplying
+    the column is refused (ALWAYS semantics)."""
+    mk = lambda rows, s: spark.createDataFrame(rows, s)
+    acid_lite.create_table(
+        spark, tdir, mk([(1, "a"), (2, "b")], "k bigint, v string")
+        .coalesce(1), identity={"sid": {"start": 100, "step": 3}})
+    acid_lite.append(
+        spark, tdir,
+        mk([(3, "c"), (4, "d")], "k bigint, v string").repartition(2))
+    rows = {r.k: r.sid for r in acid_lite.read(spark, tdir).collect()}
+    sids = list(rows.values())
+    assert len(set(sids)) == 4
+    assert all((s - 100) % 3 == 0 and s >= 100 for s in sids)
+    # monotone across commits: every append id beyond create's max
+    assert min(rows[3], rows[4]) > max(rows[1], rows[2])
+    with pytest.raises(ValueError, match="engine-assigned"):
+        acid_lite.append(
+            spark, tdir, mk([(9, "z", 5)],
+                            "k bigint, v string, sid bigint"))
+    # negative step runs downward
+    import tempfile
+    t2 = tempfile.mkdtemp() + "/t2"
+    acid_lite.create_table(
+        spark, t2, mk([(1, "a")], "k bigint, v string").coalesce(1),
+        identity={"sid": {"start": 0, "step": -1}})
+    acid_lite.append(spark, t2,
+                     mk([(2, "b")], "k bigint, v string").coalesce(1))
+    got = {r.k: r.sid for r in acid_lite.read(spark, t2).collect()}
+    assert got[1] == 0 and got[2] < 0
+
+
+def test_identity_restamps_when_losing_append_race(spark, tdir,
+                                                   monkeypatch):
+    """Two appends stamping from the same identity high-water would
+    land overlapping values; the version-race loser must RE-STAMP
+    against the winner's manifest instead of rebasing its stale ids
+    (identity is append state file-set comparison cannot see)."""
+    mk = lambda rows: spark.createDataFrame(rows, "k bigint, v string")
+    acid_lite.create_table(
+        spark, tdir, mk([(1, "a")]).coalesce(1),
+        identity={"sid": {"start": 1, "step": 1}})
+    orig = acid_lite._write_files_any
+    state = {"raced": False}
+
+    def racing(df, path, *a, **kw):
+        out = orig(df, path, *a, **kw)
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent stamping append lands first
+            acid_lite.append(spark, tdir, mk([(2, "b")]).coalesce(1))
+        return out
+
+    monkeypatch.setattr(acid_lite, "_write_files_any", racing)
+    acid_lite.append(spark, tdir, mk([(3, "c")]).coalesce(1))
+    rows = {r.k: r.sid for r in acid_lite.read(spark, tdir).collect()}
+    assert len(set(rows.values())) == 3, rows       # no collision
+    assert rows[3] > rows[2] > rows[1]
