@@ -33,6 +33,7 @@ from . import analytics_round12  # noqa: F401
 from . import analytics_round13  # noqa: F401
 from . import analytics_round14  # noqa: F401
 from . import round15  # noqa: F401
+from . import round16  # noqa: F401
 
 from ..registry import reorder_front
 

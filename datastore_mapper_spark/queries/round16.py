@@ -1,0 +1,884 @@
+"""Round-16 additions: the classical-statistics second ring
+(variance homogeneity, post-hoc comparisons, partial autocorrelation,
+heteroscedasticity, influence diagnostics, reliability/agreement
+coefficients) and the text-pipeline trio (lexical concentration,
+out-of-vocabulary accounting, PII redaction).
+
+House rules throughout (SURVEY §7.3-H2): every statistic reduces to
+integer / decimal(38,0) sufficient statistics aggregated exactly,
+finished by ONE token-identical double expression rounded 4-6 dp on
+both engines; degenerate inputs are excluded by identical guards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+
+
+def _dec(e):
+    return e.cast("decimal(38,0)")
+
+
+@query(
+    "bartlett_test_segments",
+    "analytics/stats",
+    oracle="""
+    WITH v AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), g AS (
+        SELECT seg,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxx
+        FROM v GROUP BY seg
+        HAVING count(*) >= 2
+    ), terms AS (
+        SELECT seg, n,
+               (CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+               / (n - 1) AS s2
+        FROM g
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS n_total,
+               sum((n - 1) * ln(s2)) AS sum_dfln,
+               sum((n - 1) * s2) AS pooled_num,
+               sum(1.0 / (n - 1)) AS sum_inv
+        FROM terms
+        WHERE s2 > 0
+    )
+    SELECT k, n_total,
+           round(((n_total - k) * ln(pooled_num / (n_total - k))
+                  - sum_dfln)
+                 / (1.0 + (sum_inv - 1.0 / (n_total - k))
+                          / (3.0 * (k - 1))), 4) AS bartlett_x2,
+           CAST(k - 1 AS BIGINT) AS df
+    FROM s WHERE k >= 2
+    """,
+)
+def bartlett_test_segments(spark, sf_dir):
+    """BARTLETT'S TEST of variance homogeneity across the five
+    market segments on order value — the chi-square counterpart of
+    the existing Brown-Forsythe row (Bartlett is the classical,
+    normality-sensitive version; BF is the robust one — together
+    they are the pair every ANOVA pipeline reports).  Per-group
+    sample variances come from exact integer sufficient statistics
+    (n, Σcents, Σcents² in DECIMAL(38,0)); the statistic
+    X² = [(N−k)·ln(Sp²) − Σ(nᵢ−1)·ln(Sᵢ²)] / C with the Bartlett
+    correction C is one double expression over the 5-row group
+    frame.  Scale: one shuffled agg on the join key, then a 5-row
+    reduction — dictionary-tier after the first rollup."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    v = (o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                o.o_custkey == F.col("c_custkey"))
+         .select(F.col("c_mktsegment").alias("seg"),
+                 cents.alias("cents")))
+    g = (v.groupBy("seg")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(_dec(F.col("cents"))).cast("decimal(38,0)")
+              .alias("sx"),
+              F.sum(_dec(F.col("cents")) * _dec(F.col("cents")))
+              .cast("decimal(38,0)").alias("sxx"))
+         .filter(F.col("n") >= 2))
+    nD = F.col("n").cast("double")
+    s2 = ((F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double")
+           / nD) / (nD - 1))
+    terms = g.select("seg", "n", s2.alias("s2")).filter(F.col("s2") > 0)
+    s = terms.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum((F.col("n") - 1) * F.log("s2")).alias("sum_dfln"),
+        F.sum((F.col("n") - 1) * F.col("s2")).alias("pooled_num"),
+        F.sum(F.lit(1.0) / (F.col("n") - 1)).alias("sum_inv"),
+    )
+    ntk = (F.col("n_total") - F.col("k")).cast("double")
+    x2 = ((ntk * F.log(F.col("pooled_num") / ntk) - F.col("sum_dfln"))
+          / (F.lit(1.0) + (F.col("sum_inv") - F.lit(1.0) / ntk)
+             / (F.lit(3.0) * (F.col("k") - 1))))
+    return (
+        s.filter(F.col("k") >= 2)
+        .select("k", "n_total", F.round(x2, 4).alias("bartlett_x2"),
+                (F.col("k") - 1).cast("bigint").alias("df"))
+    )
+
+
+@query(
+    "tukey_hsd_region_revenue",
+    "analytics/stats",
+    oracle="""
+    WITH v AS (
+        SELECT n.n_regionkey AS region,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ), g AS (
+        SELECT region,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sx,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS sxx
+        FROM v GROUP BY region
+        HAVING count(*) >= 2
+    ), msw AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS k,
+               sum(CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                   AS ssw
+        FROM g
+    )
+    SELECT a.region AS region_a, b.region AS region_b,
+           round((CAST(a.sx AS DOUBLE) / a.n
+                  - CAST(b.sx AS DOUBLE) / b.n)
+                 / sqrt(msw.ssw / (msw.n_total - msw.k) / 2.0
+                        * (1.0 / a.n + 1.0 / b.n)), 4) AS q_stat,
+           CAST(msw.n_total - msw.k AS BIGINT) AS df_within
+    FROM g a JOIN g b ON a.region < b.region
+    CROSS JOIN msw
+    WHERE msw.n_total > msw.k
+    """,
+)
+def tukey_hsd_region_revenue(spark, sf_dir):
+    """TUKEY'S HSD post-hoc comparisons after the existing one-way
+    ANOVA row (`anova_oneway_region_revenue`): for every PAIR of the
+    five regions, the studentized-range statistic
+    q = (x̄ᵃ − x̄ᵇ) / √(MSW/2 · (1/nᵃ + 1/nᵇ)) with MSW pooled from
+    the exact per-region integer sufficient statistics — the
+    Tukey-Kramer unequal-n form.  Emitting the statistic (not an
+    accept/reject against the studentized-range quantile, which is a
+    table lookup, not data math) keeps the row purely computational
+    and hash-exact.  Scale: the pair frame is 10 rows over a 5-row
+    group frame — everything after the first rollup is
+    dictionary-tier; the MSW scalar rides a broadcast cross join."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    v = (o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                o.o_custkey == F.col("c_custkey"))
+         .join(F.broadcast(n.select("n_nationkey", "n_regionkey")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .select(F.col("n_regionkey").alias("region"),
+                 cents.alias("cents")))
+    g = (v.groupBy("region")
+         .agg(F.count("*").cast("bigint").alias("n"),
+              F.sum(_dec(F.col("cents"))).cast("decimal(38,0)")
+              .alias("sx"),
+              F.sum(_dec(F.col("cents")) * _dec(F.col("cents")))
+              .cast("decimal(38,0)").alias("sxx"))
+         .filter(F.col("n") >= 2)
+         .localCheckpoint())
+    ssw_term = (F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+                / F.col("n"))
+    msw = g.agg(F.sum("n").cast("bigint").alias("n_total"),
+                F.count("*").cast("bigint").alias("k"),
+                F.sum(ssw_term).alias("ssw"))
+    a = g.select(F.col("region").alias("region_a"),
+                 F.col("n").alias("na"), F.col("sx").alias("sxa"))
+    b = g.select(F.col("region").alias("region_b"),
+                 F.col("n").alias("nb"), F.col("sx").alias("sxb"))
+    q = ((F.col("sxa").cast("double") / F.col("na")
+          - F.col("sxb").cast("double") / F.col("nb"))
+         / F.sqrt(F.col("ssw") / (F.col("n_total") - F.col("k"))
+                  / F.lit(2.0)
+                  * (F.lit(1.0) / F.col("na")
+                     + F.lit(1.0) / F.col("nb"))))
+    return (
+        a.join(b, F.col("region_a") < F.col("region_b"))
+        .crossJoin(F.broadcast(msw))
+        .filter(F.col("n_total") > F.col("k"))
+        .select("region_a", "region_b", F.round(q, 4).alias("q_stat"),
+                (F.col("n_total") - F.col("k")).cast("bigint")
+                .alias("df_within"))
+    )
+
+
+@query(
+    "pacf_yule_walker_daily",
+    "analytics/stats",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderdate
+    ), idx AS (
+        SELECT cents,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        FROM daily
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))
+                        * CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS s2
+        FROM idx
+    ), lagk AS (
+        SELECT l.lag AS lag,
+               CAST(sum(CAST(a.cents AS DECIMAL(38,0))
+                        * CAST(b.cents AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(a.cents AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(b.cents AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(count(*) AS BIGINT) AS np
+        FROM (SELECT unnest(generate_series(1, 3)) AS lag) l
+        JOIN idx a ON TRUE
+        JOIN idx b ON b.i = a.i + l.lag
+        GROUP BY l.lag
+    ), r AS (
+        SELECT
+            max(CASE WHEN lag = 1 THEN (sxy - sx * sy / np)
+                     / (s2 - s1 * s1 / n) * n / np END) AS r1,
+            max(CASE WHEN lag = 2 THEN (sxy - sx * sy / np)
+                     / (s2 - s1 * s1 / n) * n / np END) AS r2,
+            max(CASE WHEN lag = 3 THEN (sxy - sx * sy / np)
+                     / (s2 - s1 * s1 / n) * n / np END) AS r3
+        FROM lagk, tot
+        WHERE n >= 3 AND np >= 2
+    )
+    SELECT n,
+           round(r1, 6) AS pacf1,
+           round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS pacf2,
+           round((r3 - 2 * r1 * r2 - r1 * r1 * r3
+                  + r1 * r2 * r2 + r1 * r1 * r1)
+                 / (1 - 2 * r1 * r1 + 2 * r1 * r1 * r2 - r2 * r2), 6)
+               AS pacf3
+    FROM r, tot
+    WHERE n >= 10
+      AND abs(1 - r1 * r1) > 1e-12
+      AND abs(1 - 2 * r1 * r1 + 2 * r1 * r1 * r2 - r2 * r2) > 1e-12
+    """,
+)
+def pacf_yule_walker_daily(spark, sf_dir):
+    """PARTIAL autocorrelation of the daily-revenue series at lags
+    1-3 — the AR-order diagnostic that complements the existing ACF
+    row (`acf_lag_k_daily_revenue`): PACF at lag k is the lag-k
+    coefficient of the Yule-Walker AR(k) fit, i.e. the correlation
+    REMAINING after the shorter lags are partialled out.  For k <= 3
+    the Durbin-Levinson recursion collapses to closed Cramer-rule
+    forms over the ACF values (φ11 = r1; φ22 = (r2−r1²)/(1−r1²);
+    φ33 = det(R₃ with its last column replaced by [r1 r2 r3]) /
+    det(R₃), both determinants expanded symbolically) — so the whole
+    statistic is one double expression over the SAME exact
+    DECIMAL(38,0) lag cross-products the ACF row aggregates, rounded
+    6 dp, with identical singularity guards on both engines
+    (pytest cross-checks the expansion against a numpy
+    Durbin-Levinson reference).  Scale: day-dictionary-tier after
+    the first rollup; the lag grid is 3 rows."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(cents).cast("bigint").alias("cents"))
+    idx = daily.select(
+        "cents",
+        F.row_number().over(Window.orderBy("d")).cast("bigint")
+        .alias("i"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = idx.agg(
+        F.count("*").alias("n"),
+        F.sum(dec("cents")).cast("double").alias("s1"),
+        F.sum(dec("cents") * dec("cents")).cast("double").alias("s2"))
+    lags = spark.range(1, 4).select(F.col("id").alias("lag"))
+    a, b = idx.alias("a"), idx.alias("b")
+    lagk = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("a.cents").cast("decimal(38,0)")
+                   * F.col("b.cents").cast("decimal(38,0)"))
+             .cast("double").alias("sxy"),
+             F.sum(F.col("a.cents").cast("decimal(38,0)"))
+             .cast("double").alias("sx"),
+             F.sum(F.col("b.cents").cast("decimal(38,0)"))
+             .cast("double").alias("sy"),
+             F.count("*").alias("np")))
+    acf = ("(sxy - sx * sy / np) / (s2 - s1 * s1 / n) * n / np")
+    r = (lagk.crossJoin(F.broadcast(tot))
+         .filter((F.col("n") >= 3) & (F.col("np") >= 2))
+         .agg(F.max(F.expr(f"CASE WHEN lag = 1 THEN {acf} END"))
+              .alias("r1"),
+              F.max(F.expr(f"CASE WHEN lag = 2 THEN {acf} END"))
+              .alias("r2"),
+              F.max(F.expr(f"CASE WHEN lag = 3 THEN {acf} END"))
+              .alias("r3")))
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .filter(F.expr(
+            "n >= 10 AND abs(1 - r1 * r1) > 1e-12 "
+            "AND abs(1 - 2 * r1 * r1 + 2 * r1 * r1 * r2 - r2 * r2) "
+            "> 1e-12"))
+        .select(
+            "n",
+            F.expr("round(r1, 6)").alias("pacf1"),
+            F.expr("round((r2 - r1 * r1) / (1 - r1 * r1), 6)")
+            .alias("pacf2"),
+            F.expr("round((r3 - 2 * r1 * r2 - r1 * r1 * r3 "
+                   "+ r1 * r2 * r2 + r1 * r1 * r1) "
+                   "/ (1 - 2 * r1 * r1 + 2 * r1 * r1 * r2 "
+                   "- r2 * r2), 6)").alias("pacf3"))
+    )
+
+
+_OLS_DAILY_SQL = """
+    daily AS (
+        SELECT o_orderdate AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderdate
+    ), idx AS (
+        SELECT d, cents,
+               CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+        FROM daily
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(i) AS BIGINT) AS st,
+               CAST(sum(i * i) AS BIGINT) AS stt,
+               CAST(sum(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(sum(i * CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                   AS sty
+        FROM idx
+    ), coef AS (
+        SELECT n, st, stt,
+               (n * sty - st * sy) / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) AS b,
+               (sy - (n * sty - st * sy) / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st) * st) / n AS a
+        FROM tot
+        WHERE n >= 3 AND n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st > 0
+    ), resid AS (
+        SELECT idx.i, idx.d, idx.cents,
+               CAST(idx.cents AS DOUBLE) - coef.a - coef.b * idx.i AS u
+        FROM idx, coef
+    )
+"""
+
+
+@query(
+    "breusch_pagan_daily_trend",
+    "analytics/stats",
+    oracle="WITH " + _OLS_DAILY_SQL + """
+    , aux AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               sum(u * u) AS su2,
+               sum(u * u * u * u) AS su4,
+               sum(i * u * u) AS stu2,
+               CAST(sum(i) AS DOUBLE) AS st,
+               CAST(sum(CAST(i AS DOUBLE) * i) AS DOUBLE) AS stt
+        FROM resid
+    )
+    SELECT n,
+           round((SELECT b FROM coef), 6) AS slope,
+           round(n * ((n * stu2 - st * su2) * (n * stu2 - st * su2))
+                 / ((n * stt - st * st) * (n * su4 - su2 * su2)), 4)
+               AS lm_bp,
+           CAST(1 AS BIGINT) AS df
+    FROM aux
+    WHERE n >= 3 AND n * su4 - su2 * su2 > 0
+      AND n * stt - st * st > 0
+    """,
+)
+def breusch_pagan_daily_trend(spark, sf_dir):
+    """BREUSCH-PAGAN heteroscedasticity test on the daily-revenue ~
+    day-index OLS trend (the regression the existing
+    `regression_price_trend` / Theil-Sen rows fit): the LM statistic
+    is n·R² of the auxiliary regression of squared residuals on the
+    regressor, which for a single regressor collapses to
+    n·corr²(u², t) — one double expression over six aggregate sums.
+    The OLS coefficients come from EXACT integer/decimal sums (Σi,
+    Σi², Σi·cents in DECIMAL(38,0)); residuals are the identical
+    per-row double expression on both engines; the aux sums are
+    double (rounded 4 dp at the finish, the zipf-slope precedent).
+    Scale: day-dictionary-tier after the first rollup; the
+    coefficient scalar rides a broadcast cross join."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(cents).cast("bigint").alias("cents"))
+    idx = daily.select(
+        "d", "cents",
+        F.row_number().over(Window.orderBy("d")).cast("bigint")
+        .alias("i"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = idx.agg(
+        F.count("*").alias("n"),
+        F.sum("i").cast("bigint").alias("st"),
+        F.sum(F.col("i") * F.col("i")).cast("bigint").alias("stt"),
+        F.sum(dec("cents")).cast("double").alias("sy"),
+        F.sum(F.col("i") * dec("cents")).cast("double").alias("sty"))
+    coef = (tot.filter(F.expr(
+        "n >= 3 AND n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st "
+        "> 0"))
+        .select(F.expr(
+            "(n * sty - st * sy) / (n * CAST(stt AS DOUBLE) "
+            "- CAST(st AS DOUBLE) * st)").alias("b"),
+            F.expr(
+            "(sy - (n * sty - st * sy) / (n * CAST(stt AS DOUBLE) "
+            "- CAST(st AS DOUBLE) * st) * st) / n").alias("a")))
+    resid = (idx.crossJoin(F.broadcast(coef))
+             .select("i", F.expr("CAST(cents AS DOUBLE) - a - b * i")
+                     .alias("u")))
+    aux = resid.agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("u * u")).alias("su2"),
+        F.sum(F.expr("u * u * u * u")).alias("su4"),
+        F.sum(F.expr("i * u * u")).alias("stu2"),
+        F.sum("i").cast("double").alias("st"),
+        F.sum(F.expr("CAST(i AS DOUBLE) * i")).alias("stt"))
+    return (
+        aux.crossJoin(F.broadcast(coef))
+        .filter(F.expr("n >= 3 AND n * su4 - su2 * su2 > 0 "
+                       "AND n * stt - st * st > 0"))
+        .select(
+            "n",
+            F.expr("round(b, 6)").alias("slope"),
+            F.expr("round(n * ((n * stu2 - st * su2) "
+                   "* (n * stu2 - st * su2)) "
+                   "/ ((n * stt - st * st) * (n * su4 - su2 * su2)), 4)")
+            .alias("lm_bp"),
+            F.lit(1).cast("bigint").alias("df"))
+    )
+
+
+@query(
+    "cooks_distance_daily_trend",
+    "analytics/stats",
+    oracle="WITH " + _OLS_DAILY_SQL + """
+    , s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, sum(u * u) AS sse
+        FROM resid
+    ), hd AS (
+        SELECT r.d, r.cents, r.u,
+               1.0 / t.n
+               + (r.i - CAST(t.st AS DOUBLE) / t.n)
+                 * (r.i - CAST(t.st AS DOUBLE) / t.n)
+                 / (CAST(t.stt AS DOUBLE)
+                    - CAST(t.st AS DOUBLE) * t.st / t.n) AS h
+        FROM resid r, tot t
+        WHERE t.n >= 4
+          AND CAST(t.stt AS DOUBLE) - CAST(t.st AS DOUBLE) * t.st / t.n
+              > 0
+    ), dk AS (
+        SELECT hd.d, hd.cents,
+               round(hd.u * hd.u / (2.0 * (s.sse / (s.n - 2)))
+                     * hd.h / ((1 - hd.h) * (1 - hd.h)), 8) AS cooks_d,
+               round(hd.h, 6) AS leverage
+        FROM hd, s
+        WHERE s.sse > 0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY cooks_d DESC, d) AS BIGINT)
+               AS rk,
+           d AS day, cents, cooks_d, leverage
+    FROM dk
+    QUALIFY rk <= 5
+    """,
+)
+def cooks_distance_daily_trend(spark, sf_dir):
+    """COOK'S DISTANCE influence diagnostics on the daily-revenue ~
+    day-index OLS fit — the top-5 most influential days, the
+    regression-diagnostics sibling of the Grubbs outlier row
+    (Grubbs asks 'is the extreme value surprising'; Cook asks 'how
+    much does this point BEND the fitted line'):
+    Dᵢ = uᵢ²/(p·s²) · hᵢ/(1−hᵢ)² with p = 2, s² = SSE/(n−2) and
+    leverage hᵢ = 1/n + (i−ī)²/Sᵢᵢ.  Coefficients from exact
+    integer/decimal sums; per-row residual and leverage are
+    identical double expressions; D is rounded to 8 dp BEFORE the
+    ranking so the top-5 cut is ULP-stable, with the day as the
+    total tie-break (§7.3-H7).  Scale: day-dictionary-tier; the
+    coefficient and SSE scalars ride broadcast cross joins; the
+    top-5 is a TakeOrdered, never a full sort at scale."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(cents).cast("bigint").alias("cents"))
+    idx = daily.select(
+        "d", "cents",
+        F.row_number().over(Window.orderBy("d")).cast("bigint")
+        .alias("i"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    tot = idx.agg(
+        F.count("*").alias("n"),
+        F.sum("i").cast("bigint").alias("st"),
+        F.sum(F.col("i") * F.col("i")).cast("bigint").alias("stt"),
+        F.sum(dec("cents")).cast("double").alias("sy"),
+        F.sum(F.col("i") * dec("cents")).cast("double").alias("sty"))
+    coef = (tot.filter(F.expr(
+        "n >= 3 AND n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st "
+        "> 0"))
+        .select(
+            "n", "st", "stt",
+            F.expr("(n * sty - st * sy) / (n * CAST(stt AS DOUBLE) "
+                   "- CAST(st AS DOUBLE) * st)").alias("b"),
+            F.expr("(sy - (n * sty - st * sy) "
+                   "/ (n * CAST(stt AS DOUBLE) "
+                   "- CAST(st AS DOUBLE) * st) * st) / n").alias("a")))
+    resid = (idx.crossJoin(F.broadcast(coef))
+             .select("d", "cents", "i", "n", "st", "stt",
+                     F.expr("CAST(cents AS DOUBLE) - a - b * i")
+                     .alias("u")))
+    s = resid.agg(F.count("*").alias("n2"),
+                  F.sum(F.expr("u * u")).alias("sse"))
+    hd = (resid.filter(F.expr(
+        "n >= 4 AND CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n "
+        "> 0"))
+        .select("d", "cents", "u", F.expr(
+            "1.0 / n + (i - CAST(st AS DOUBLE) / n) "
+            "* (i - CAST(st AS DOUBLE) / n) "
+            "/ (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / n)")
+            .alias("h")))
+    dk = (hd.crossJoin(F.broadcast(s))
+          .filter(F.expr("sse > 0"))
+          .select("d", "cents",
+                  F.expr("round(u * u / (2.0 * (sse / (n2 - 2))) "
+                         "* h / ((1 - h) * (1 - h)), 8)")
+                  .alias("cooks_d"),
+                  F.expr("round(h, 6)").alias("leverage")))
+    w = Window.orderBy(F.desc("cooks_d"), F.asc("d"))
+    return (
+        dk.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("rk", F.col("d").alias("day"), "cents", "cooks_d",
+                "leverage")
+    )
+
+
+@query(
+    "cronbach_alpha_quality_gates",
+    "analytics/stats",
+    oracle="""
+    WITH rated AS (
+        SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS x1,
+               CASE WHEN len(string_split(text, ' ')) >= 40
+                    THEN 1 ELSE 0 END AS x2,
+               CASE WHEN n_chars >= 4 * len(string_split(text, ' '))
+                    THEN 1 ELSE 0 END AS x3
+        FROM documents
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x1) AS BIGINT) AS y1,
+               CAST(sum(x2) AS BIGINT) AS y2,
+               CAST(sum(x3) AS BIGINT) AS y3,
+               CAST(sum(x1 + x2 + x3) AS BIGINT) AS st,
+               CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT)
+                   AS sq
+        FROM rated
+    )
+    SELECT n, y1, y2, y3,
+           round(1.5 * (1.0
+                 - ((CAST(y1 AS DOUBLE) / n - (CAST(y1 AS DOUBLE) / n)
+                       * (CAST(y1 AS DOUBLE) / n))
+                    + (CAST(y2 AS DOUBLE) / n - (CAST(y2 AS DOUBLE) / n)
+                       * (CAST(y2 AS DOUBLE) / n))
+                    + (CAST(y3 AS DOUBLE) / n - (CAST(y3 AS DOUBLE) / n)
+                       * (CAST(y3 AS DOUBLE) / n)))
+                   / (CAST(sq AS DOUBLE) / n - (CAST(st AS DOUBLE) / n)
+                      * (CAST(st AS DOUBLE) / n))), 6) AS alpha
+    FROM s
+    WHERE n >= 2
+      AND CAST(sq AS DOUBLE) / n - (CAST(st AS DOUBLE) / n)
+          * (CAST(st AS DOUBLE) / n) > 0
+    """,
+)
+def cronbach_alpha_quality_gates(spark, sf_dir):
+    """CRONBACH'S ALPHA internal-consistency coefficient over the
+    three binary document-quality gates (the same three 'raters' the
+    Fleiss-kappa row scores — kappa asks 'do they agree beyond
+    chance', alpha asks 'do they measure one construct'):
+    α = k/(k−1)·(1 − Σσᵢ²/σ_total²) with k = 3, population
+    variances, all from five exact BIGINT sufficient statistics
+    (n, three item sums — binary items square to themselves — and
+    the total-score sum/sum-of-squares).  One conditional-aggregate
+    pass, dictionary-tier; the degenerate zero-total-variance corpus
+    is excluded by an identical guard."""
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    x1 = (F.col("n_chars") >= 200).cast("int")
+    x2 = (ntok >= 40).cast("int")
+    x3 = (F.col("n_chars") >= 4 * ntok).cast("int")
+    t = x1 + x2 + x3
+    s = d.select(x1.alias("x1"), x2.alias("x2"), x3.alias("x3"),
+                 t.alias("t")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("y1"),
+        F.sum("x2").cast("bigint").alias("y2"),
+        F.sum("x3").cast("bigint").alias("y3"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("sq"))
+    item_var = " + ".join(
+        f"(CAST(y{i} AS DOUBLE) / n - (CAST(y{i} AS DOUBLE) / n) "
+        f"* (CAST(y{i} AS DOUBLE) / n))" for i in (1, 2, 3))
+    tot_var = ("CAST(sq AS DOUBLE) / n - (CAST(st AS DOUBLE) / n) "
+               "* (CAST(st AS DOUBLE) / n)")
+    return (
+        s.filter(F.expr(f"n >= 2 AND {tot_var} > 0"))
+        .select("n", "y1", "y2", "y3",
+                F.expr(f"round(1.5 * (1.0 - ({item_var}) "
+                       f"/ ({tot_var})), 6)").alias("alpha"))
+    )
+
+
+@query(
+    "krippendorff_alpha_quality_gates",
+    "analytics/stats",
+    oracle="""
+    WITH rated AS (
+        SELECT (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+                + CASE WHEN len(string_split(text, ' ')) >= 40
+                       THEN 1 ELSE 0 END
+                + CASE WHEN n_chars >= 4 * len(string_split(text, ' '))
+                       THEN 1 ELSE 0 END) AS n1
+        FROM documents
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n1) AS BIGINT) AS y,
+               CAST(sum(n1 * (3 - n1)) AS BIGINT) AS dis
+        FROM rated
+    )
+    SELECT n, y, dis,
+           round(1.0 - CAST(dis AS DOUBLE) * (3 * n - 1)
+                 / (2.0 * y * (3 * n - y)), 6) AS alpha
+    FROM s
+    WHERE n >= 2 AND y > 0 AND y < 3 * n
+    """,
+)
+def krippendorff_alpha_quality_gates(spark, sf_dir):
+    """KRIPPENDORFF'S ALPHA (nominal metric, binary categories,
+    m = 3 raters, no missing values) over the same three quality
+    gates — the agreement coefficient that, unlike Fleiss' kappa,
+    corrects chance agreement with the FINITE-sample coincidence
+    denominator (T−1): from the coincidence-matrix derivation the
+    whole statistic collapses to
+    α = 1 − [Σᵤ n1ᵤ(m−n1ᵤ)]·(T−1) / (2·y·(T−y)) with T = 3n and
+    y the total yes-count — three BIGINT sufficient statistics, one
+    double expression, 6 dp (pytest cross-checks the collapsed form
+    against a generic coincidence-matrix reference).  The unanimous
+    corpus (D_e = 0) is excluded by an identical guard.
+    Dictionary-tier: one conditional-aggregate pass."""
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    n1 = ((F.col("n_chars") >= 200).cast("int")
+          + (ntok >= 40).cast("int")
+          + (F.col("n_chars") >= 4 * ntok).cast("int"))
+    s = d.select(n1.alias("n1")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n1").cast("bigint").alias("y"),
+        F.sum(F.col("n1") * (3 - F.col("n1"))).cast("bigint")
+        .alias("dis"))
+    return (
+        s.filter(F.expr("n >= 2 AND y > 0 AND y < 3 * n"))
+        .select("n", "y", "dis",
+                F.expr("round(1.0 - CAST(dis AS DOUBLE) * (3 * n - 1) "
+                       "/ (2.0 * y * (3 * n - y)), 6)").alias("alpha"))
+    )
+
+
+@query(
+    "simpson_diversity_tokens_by_lang",
+    "analytics/text",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY lang, tok
+    ), s AS (
+        SELECT lang,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+        FROM tf GROUP BY lang
+    )
+    SELECT lang, n_tokens, n_types,
+           round(1.0 - CAST(coll AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6)
+               AS simpson_d
+    FROM s WHERE n_tokens >= 2
+    """,
+)
+def simpson_diversity_tokens_by_lang(spark, sf_dir):
+    """SIMPSON'S DIVERSITY INDEX of the token distribution per
+    language — the concentration-side complement of the Shannon
+    entropy and Yule's-K rows (Simpson's D is the probability two
+    randomly drawn tokens differ; Yule's K is a rescaling of its
+    complement, so the pair cross-checks): D = 1 − Σc(c−1)/(N(N−1))
+    from exact BIGINT collision counts over the per-(lang, token)
+    frequency table.  Scale: one explode + two hash aggs, shuffled
+    on (lang, token) then lang — the vocabulary table is the big
+    intermediate and it partial-aggregates map-side."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("lang", "tok").agg(
+        F.count("*").cast("bigint").alias("c"))
+    s = tf.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint")
+        .alias("coll"))
+    return (
+        s.filter(F.col("n_tokens") >= 2)
+        .select("lang", "n_tokens", "n_types",
+                F.expr("round(1.0 - CAST(coll AS DOUBLE) "
+                       "/ (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)),"
+                       " 6)").alias("simpson_d"))
+    )
+
+
+@query(
+    "oov_rate_by_source",
+    "LLM-pipeline",
+    oracle="""
+    WITH train_vocab AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id % 10 < 8
+    ), vsz AS (
+        SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM train_vocab
+    ), eval_toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id % 10 >= 8
+    ), s AS (
+        SELECT e.source,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov
+        FROM eval_toks e LEFT JOIN train_vocab v ON e.tok = v.tok
+        GROUP BY e.source
+    )
+    SELECT source, n_tokens, n_oov,
+           round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate,
+           vocab_size
+    FROM s, vsz WHERE n_tokens > 0
+    """,
+)
+def oov_rate_by_source(spark, sf_dir):
+    """OUT-OF-VOCABULARY accounting for a train/eval split — the
+    tokenizer-coverage check every pretraining pipeline runs before
+    freezing a vocabulary: the vocab is the distinct token set of
+    the TRAIN split (doc_id % 10 < 8), and each source's EVAL-split
+    token stream is scored for tokens the vocab misses.  Exact
+    integer counts; the rate is one rounded ratio.  Scale: the
+    vocab is vocabulary-sized, so the membership probe is a
+    broadcast LEFT join (no shuffle of the eval stream); the
+    vocab-size scalar rides a broadcast cross join."""
+    d = table(spark, sf_dir, "documents")
+    vocab = (d.filter(F.col("doc_id") % 10 < 8)
+             .select(F.explode(F.split("text", " ")).alias("tok"))
+             .distinct())
+    vsz = vocab.agg(F.count("*").cast("bigint").alias("vocab_size"))
+    ev = (d.filter(F.col("doc_id") % 10 >= 8)
+          .select("source",
+                  F.explode(F.split("text", " ")).alias("tok")))
+    s = (ev.join(F.broadcast(vocab.withColumn("_in", F.lit(1))),
+                 "tok", "left")
+         .groupBy("source")
+         .agg(F.count("*").cast("bigint").alias("n_tokens"),
+              F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+              .cast("bigint").alias("n_oov")))
+    return (
+        s.crossJoin(F.broadcast(vsz))
+        .filter(F.col("n_tokens") > 0)
+        .select("source", "n_tokens", "n_oov",
+                F.expr("round(CAST(n_oov AS DOUBLE) / n_tokens, 6)")
+                .alias("oov_rate"),
+                "vocab_size")
+    )
+
+
+@query(
+    "pii_redaction_stats",
+    "LLM-pipeline",
+    oracle="""
+    WITH planted AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' contact user' || doc_id || '@example.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' call 555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                    4, '0')
+                       ELSE '' END AS text2
+        FROM documents
+    ), scored AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(
+                   text2, '[a-z0-9]+@example\\.com')) AS BIGINT)
+                   AS n_email,
+               CAST(len(regexp_extract_all(
+                   text2, '555-[0-9]{4}')) AS BIGINT) AS n_phone,
+               CAST(length(text2) AS BIGINT)
+               - CAST(length(regexp_replace(regexp_replace(
+                     text2, '[a-z0-9]+@example\\.com', '[EMAIL]', 'g'),
+                     '555-[0-9]{4}', '[PHONE]', 'g')) AS BIGINT)
+                   AS bytes_removed
+        FROM planted
+    )
+    SELECT CAST(n_email AS BIGINT) AS emails_in_doc,
+           CAST(n_phone AS BIGINT) AS phones_in_doc,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bytes_removed) AS BIGINT) AS bytes_removed
+    FROM scored
+    GROUP BY n_email, n_phone
+    """,
+)
+def pii_redaction_stats(spark, sf_dir):
+    """PII REDACTION — the scrubbing pass a training-data pipeline
+    runs before anything ships: synthetic emails and phone numbers
+    are PLANTED deterministically (docs ≡0 mod 5 get an email,
+    ≡0 mod 7 a 555-prefixed phone), then regex redaction rewrites
+    them to [EMAIL]/[PHONE] placeholders.  The hashed census groups
+    documents by (emails found, phones found) and sums the exact
+    byte delta of the rewrite — a missed plant, a false positive on
+    clean text, or a non-global replace (first-match-only is the
+    classic bug) each shifts a group or the byte count.  Patterns
+    stay in the RE2 ∩ Java-regex common dialect so both engines
+    match identically.  Scale: pure per-row codegen string work —
+    no shuffle until the dictionary-sized census rollup."""
+    d = table(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" call 555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0"))).otherwise(F.lit("")))
+    email_re = "[a-z0-9]+@example\\.com"
+    phone_re = "555-[0-9]{4}"
+    planted = d.select("doc_id", text2.alias("text2"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text2"), email_re, "[EMAIL]"),
+        phone_re, "[PHONE]")
+    scored = planted.select(
+        F.size(F.regexp_extract_all("text2", F.lit(email_re), F.lit(0)))
+        .cast("bigint").alias("n_email"),
+        F.size(F.regexp_extract_all("text2", F.lit(phone_re), F.lit(0)))
+        .cast("bigint").alias("n_phone"),
+        (F.length("text2") - F.length(clean)).cast("bigint")
+        .alias("bytes_removed"))
+    return (
+        scored.groupBy(F.col("n_email").alias("emails_in_doc"),
+                       F.col("n_phone").alias("phones_in_doc"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.sum("bytes_removed").cast("bigint").alias("bytes_removed"))
+    )

@@ -261,6 +261,12 @@ BNLJ_ALLOWED = {
     # round 15
     "dedup_semantic_clusters",   # broadcast-k centroid assignment (k=8 rows)
     "grubbs_outlier_daily_revenue",  # 1-row moment frame crossed onto day dict
+    # round 16
+    "tukey_hsd_region_revenue",  # 1-row MSW scalar crossed onto the 10 pairs
+    "pacf_yule_walker_daily",    # 1-row moment frame crossed onto the lag grid
+    "breusch_pagan_daily_trend",  # 1-row OLS-coefficient scalar crossed
+    "cooks_distance_daily_trend",  # 1-row OLS-coefficient scalar crossed
+    "oov_rate_by_source",        # 1-row train-vocab-size scalar crossed
 }
 
 

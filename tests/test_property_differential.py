@@ -819,3 +819,100 @@ def test_flac_round_trip_property(n, seed, kind):
                         50)[:n].astype(np.int16)
     out, sr = decode_flac(encode_flac(sig, 8000))
     assert sr == 8000 and len(out) == n and (out == sig).all()
+
+
+def test_pacf_cramer_expansion_matches_durbin_levinson():
+    """pacf_yule_walker_daily's closed Cramer-rule forms (lags 1-3)
+    must equal the Durbin-Levinson recursion on the same ACF values
+    — the symbolic determinant expansions are easy to get wrong by
+    one sign (round 16)."""
+    import numpy as np
+
+    def durbin_levinson(r):
+        # r = [r1, r2, r3, ...]; returns [phi11, phi22, phi33, ...]
+        phis, prev = [], []
+        for k in range(1, len(r) + 1):
+            if k == 1:
+                phi_kk = r[0]
+                prev = [phi_kk]
+            else:
+                num = r[k - 1] - sum(prev[j] * r[k - 2 - j]
+                                     for j in range(k - 1))
+                den = 1 - sum(prev[j] * r[j] for j in range(k - 1))
+                phi_kk = num / den
+                prev = [prev[j] - phi_kk * prev[k - 2 - j]
+                        for j in range(k - 1)] + [phi_kk]
+            phis.append(phi_kk)
+        return phis
+
+    rng = np.random.default_rng(16)
+    for _ in range(200):
+        # draw a STATIONARY AR(3): scale so sum|phi| < 1 (sufficient)
+        a = rng.uniform(-1.0, 1.0, size=3)
+        a *= rng.uniform(0.1, 0.9) / np.abs(a).sum()
+        # simulate long series, estimate r1..r3
+        n = 4000
+        x = np.zeros(n)
+        eps = rng.normal(size=n)
+        for t in range(3, n):
+            x[t] = a[0] * x[t - 1] + a[1] * x[t - 2] \
+                + a[2] * x[t - 3] + eps[t]
+        xc = x - x.mean()
+        c0 = float(xc @ xc)
+        r = [float(xc[:-k] @ xc[k:]) / c0 for k in (1, 2, 3)]
+        r1, r2, r3 = r
+        want = durbin_levinson(r)
+        got2 = (r2 - r1 * r1) / (1 - r1 * r1)
+        got3 = ((r3 - 2 * r1 * r2 - r1 * r1 * r3
+                 + r1 * r2 * r2 + r1 ** 3)
+                / (1 - 2 * r1 * r1 + 2 * r1 * r1 * r2 - r2 * r2))
+        assert abs(want[0] - r1) < 1e-12
+        assert abs(want[1] - got2) < 1e-10, (r, want[1], got2)
+        assert abs(want[2] - got3) < 1e-10, (r, want[2], got3)
+
+
+def test_krippendorff_collapsed_form_matches_generic():
+    """krippendorff_alpha_quality_gates collapses the nominal-metric
+    coincidence-matrix alpha (binary categories, m raters, no
+    missing) to 1 - dis*(T-1)/(2*y*(T-y)).  Verify against a generic
+    coincidence-matrix implementation over random rating tables."""
+    import numpy as np
+
+    def generic_alpha(units):
+        # units: list of per-unit category lists (no missing)
+        cats = sorted({c for u in units for c in u})
+        idx = {c: i for i, c in enumerate(cats)}
+        k = len(cats)
+        o = np.zeros((k, k))
+        for u in units:
+            m = len(u)
+            if m < 2:
+                continue
+            counts = np.zeros(k)
+            for c in u:
+                counts[idx[c]] += 1
+            for a in range(k):
+                for b in range(k):
+                    if a == b:
+                        o[a, b] += counts[a] * (counts[a] - 1) / (m - 1)
+                    else:
+                        o[a, b] += counts[a] * counts[b] / (m - 1)
+        nc = o.sum(axis=1)
+        T = nc.sum()
+        d_o = sum(o[a, b] for a in range(k) for b in range(k) if a != b)
+        d_e = sum(nc[a] * nc[b] for a in range(k) for b in range(k)
+                  if a != b) / (T - 1)
+        return 1 - d_o / d_e
+
+    rng = np.random.default_rng(16)
+    for _ in range(100):
+        n = int(rng.integers(3, 60))
+        n1s = rng.integers(0, 4, size=n)          # yes-count per unit
+        if n1s.sum() in (0, 3 * n):
+            continue                               # guarded degenerate
+        units = [[1] * int(x) + [0] * (3 - int(x)) for x in n1s]
+        want = generic_alpha(units)
+        y = int(n1s.sum())
+        dis = int(sum(x * (3 - x) for x in n1s))
+        got = 1 - dis * (3 * n - 1) / (2.0 * y * (3 * n - y))
+        assert abs(want - got) < 1e-12, (n, y, dis, want, got)
