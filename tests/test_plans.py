@@ -267,6 +267,7 @@ BNLJ_ALLOWED = {
     "breusch_pagan_daily_trend",  # 1-row OLS-coefficient scalar crossed
     "cooks_distance_daily_trend",  # 1-row OLS-coefficient scalar crossed
     "oov_rate_by_source",        # 1-row train-vocab-size scalar crossed
+    "hnsw_knn_recall_verified",  # 1-row sim-mass scalar crossed onto top-10
 }
 
 

@@ -916,3 +916,33 @@ def test_krippendorff_collapsed_form_matches_generic():
         dis = int(sum(x * (3 - x) for x in n1s))
         got = 1 - dis * (3 * n - 1) / (2.0 * y * (3 * n - y))
         assert abs(want - got) < 1e-12, (n, y, dis, want, got)
+
+
+def test_nsw_beam_recall_and_connectivity():
+    """nsw graph-ANN kernel (round 16): (a) beam search with ef=n is
+    EXACT — the insertion-order NSW graph stays connected, so an
+    exhaustive beam visits every node; (b) recall@10 at the
+    production ef=48 stays >= 0.85 on unit-sphere fixtures (the
+    hardest geometry for ANN)."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.similarity import (
+        _nsw_beam,
+        _nsw_build,
+    )
+
+    rng = np.random.default_rng(16)
+    for n in (120, 600):
+        X = rng.normal(size=(n, 64))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        adj = _nsw_build(X, m=8, ef_c=48)
+        recalls = []
+        for _ in range(25):
+            q = rng.normal(size=64)
+            q /= np.linalg.norm(q)
+            exact = set(np.argsort(-(X @ q), kind="stable")[:10].tolist())
+            full = sorted(_nsw_beam(X, adj, 0, q, n), reverse=True)[:10]
+            assert {i for _, i in full} == exact  # ef=n ⇒ exhaustive
+            fast = sorted(_nsw_beam(X, adj, 0, q, 48), reverse=True)[:10]
+            recalls.append(len(exact & {i for _, i in fast}) / 10.0)
+        assert sum(recalls) / len(recalls) >= 0.85, (n, recalls)
