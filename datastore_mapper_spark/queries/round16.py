@@ -950,3 +950,442 @@ def hnsw_knn_recall_verified(spark, sf_dir):
         "sim",
         (F.col("ann_mass") >= 0.85 * F.col("exact_mass")).alias("quality_ok"),
     )
+
+
+@query(
+    "gwet_ac1_quality_raters",
+    "analytics/stats",
+    oracle="""
+    WITH rated AS (
+        SELECT (CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+                + CASE WHEN len(string_split(text, ' ')) >= 40
+                       THEN 1 ELSE 0 END
+                + CASE WHEN n_chars >= 4 * len(string_split(text, ' '))
+                       THEN 1 ELSE 0 END) AS n1
+        FROM documents
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n1) AS BIGINT) AS y_total,
+               CAST(sum(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT)
+                   AS sq_total
+        FROM rated
+    )
+    SELECT n_docs, y_total, sq_total,
+           round(((CAST(sq_total AS DOUBLE) - 3.0 * n_docs)
+                    / (6.0 * n_docs)
+                  - 2.0 * (CAST(y_total AS DOUBLE) / (3.0 * n_docs))
+                        * (1.0 - CAST(y_total AS DOUBLE) / (3.0 * n_docs)))
+                 / (1.0
+                    - 2.0 * (CAST(y_total AS DOUBLE) / (3.0 * n_docs))
+                          * (1.0 - CAST(y_total AS DOUBLE)
+                             / (3.0 * n_docs))), 6) AS ac1
+    FROM s
+    WHERE n_docs >= 1
+    """,
+)
+def gwet_ac1_quality_raters(spark, sf_dir):
+    """GWET'S AC1 across the same three document-quality raters as the
+    Fleiss row (char gate, token gate, avg-word-length gate) —
+    completing the graded agreement family (Cohen pairwise, Fleiss
+    multi-rater, Krippendorff coincidence-matrix, now the
+    paradox-resistant AC1).  Same observed agreement P̄ as Fleiss from
+    the exact integer sufficient statistics (N, Σn₁, Σsquares); the
+    chance term is Gwet's 2π(1−π) with π the pooled yes-rate, which
+    is ≤ 1/2 — so UNLIKE kappa the denominator never degenerates and
+    the unanimous-corpus guard disappears (that robustness to
+    prevalence extremes is exactly why AC1 exists).  One
+    conditional-aggregate pass — dictionary-tier at any corpus
+    size."""
+    d = table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    n1 = ((F.col("n_chars") >= 200).cast("int")
+          + (ntok >= 40).cast("int")
+          + (F.col("n_chars") >= 4 * ntok).cast("int"))
+    s = d.select(n1.alias("n1")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n1").cast("bigint").alias("y_total"),
+        F.sum(F.col("n1") * F.col("n1")
+              + (3 - F.col("n1")) * (3 - F.col("n1")))
+        .cast("bigint").alias("sq_total"),
+    )
+    nD = F.col("n_docs").cast("double")
+    p = F.col("y_total").cast("double") / (3.0 * nD)
+    pbar = (F.col("sq_total").cast("double") - 3.0 * nD) / (6.0 * nD)
+    pe = 2.0 * p * (1.0 - p)
+    return s.filter(F.col("n_docs") >= 1).select(
+        "n_docs", "y_total", "sq_total",
+        F.round((pbar - pe) / (1.0 - pe), 6).alias("ac1"),
+    )
+
+
+@query(
+    "dunn_posthoc_priority_value",
+    "analytics/stats",
+    oracle="""
+    WITH x AS (
+        SELECT o_orderpriority AS g,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS v
+        FROM orders
+    ), ranked AS (
+        SELECT g,
+               2 * rank() OVER (ORDER BY v)
+               + CAST(count(*) OVER (PARTITION BY v) AS BIGINT) - 1
+               AS r2
+        FROM x
+    ), grp AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS nj,
+               CAST(sum(CAST(r2 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+        FROM ranked GROUP BY g
+    ), ties AS (
+        SELECT CAST(sum(CAST(t AS DECIMAL(38,0))
+                        * CAST(t AS DECIMAL(38,0)) * t - t)
+                    AS DOUBLE) AS tsum
+        FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM x GROUP BY v)
+    ), tot AS (
+        SELECT CAST(sum(nj) AS BIGINT) AS n FROM grp
+    )
+    SELECT a.g AS g1, b.g AS g2,
+           a.nj AS n1, b.nj AS n2,
+           round((CAST(a.s2 AS DOUBLE) / (2.0 * a.nj)
+                  - CAST(b.s2 AS DOUBLE) / (2.0 * b.nj))
+                 / sqrt((CAST(n AS DOUBLE) * (n + 1) / 12.0
+                         - (SELECT tsum FROM ties) / (12.0 * (n - 1)))
+                        * (1.0 / a.nj + 1.0 / b.nj)), 4) AS z
+    FROM grp a JOIN grp b ON a.g < b.g
+    CROSS JOIN tot
+    WHERE n >= 3
+      AND (SELECT tsum FROM ties)
+          < CAST(n AS DOUBLE) * n * n - n
+    ORDER BY g1, g2
+    """,
+)
+def dunn_posthoc_priority_value(spark, sf_dir):
+    """DUNN'S POST-HOC TEST after the graded Kruskal-Wallis row — the
+    nonparametric counterpart of the round-16 Tukey HSD pair: for
+    each of the 10 priority pairs, z = (R̄ᵢ − R̄ⱼ) / √((N(N+1)/12 −
+    Σ(t³−t)/(12(N−1))) · (1/nᵢ + 1/nⱼ)), with the tie-corrected
+    pooled-rank variance.  Reuses the KW machinery exactly: midranks
+    stay EXACT integers via the doubling trick (2·midrank = 2·rank +
+    tiesize − 1), per-group rank sums ride DECIMAL(38,0), the tie
+    cubic rides DECIMAL, and each z is ONE token-identical double
+    expression rounded 4 dp.  Guards mirror KW (N ≥ 3, non-degenerate
+    tie term).  Scale: one global rank, then a 5-row dictionary
+    self-join — the pairwise frame never touches the fact tier."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    x = o.select(F.col("o_orderpriority").alias("g"),
+                 F.floor(F.col("o_totalprice") * 100)
+                 .cast("bigint").alias("v"))
+    r2 = (
+        2 * F.rank().over(Window.orderBy("v"))
+        + F.count("*").over(Window.partitionBy("v")).cast("bigint") - 1
+    )
+    ranked = x.select("g", r2.alias("r2"))
+    grp = ranked.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("nj"),
+        F.sum(F.col("r2").cast("decimal(38,0)")).alias("s2"),
+    )
+    ties = (
+        x.groupBy("v").agg(F.count("*").cast("bigint").alias("t"))
+        .agg(F.sum(F.col("t").cast("decimal(38,0)")
+                   * F.col("t").cast("decimal(38,0)") * F.col("t")
+                   - F.col("t")).cast("double").alias("tsum"))
+    )
+    tot = grp.agg(F.sum("nj").cast("bigint").alias("n"))
+    a = grp.select(F.col("g").alias("g1"), F.col("nj").alias("n1"),
+                   F.col("s2").alias("s2a"))
+    b = grp.select(F.col("g").alias("g2"), F.col("nj").alias("n2"),
+                   F.col("s2").alias("s2b"))
+    pairs = (
+        a.join(b, F.col("g1") < F.col("g2"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .filter((F.col("n") >= 3)
+                & (F.col("tsum")
+                   < F.col("n").cast("double") * F.col("n") * F.col("n")
+                   - F.col("n")))
+    )
+    z = (
+        (F.col("s2a").cast("double") / (2.0 * F.col("n1"))
+         - F.col("s2b").cast("double") / (2.0 * F.col("n2")))
+        / F.sqrt((F.col("n").cast("double") * (F.col("n") + 1) / 12.0
+                  - F.col("tsum") / (12.0 * (F.col("n") - 1)))
+                 * (1.0 / F.col("n1") + 1.0 / F.col("n2")))
+    )
+    return (
+        pairs.select("g1", "g2", "n1", "n2", F.round(z, 4).alias("z"))
+        .orderBy("g1", "g2")
+    )
+
+
+@query(
+    "page_trend_test_priority_year",
+    "analytics/stats",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS j,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders
+        GROUP BY 1, 2
+    ), full_blocks AS (
+        SELECT yr FROM cells GROUP BY yr HAVING count(*) = 5
+    ), ranked AS (
+        SELECT c.yr, c.j,
+               CAST(row_number() OVER (PARTITION BY c.yr
+                                       ORDER BY c.cents, c.j) AS BIGINT)
+                   AS r
+        FROM cells c JOIN full_blocks f ON c.yr = f.yr
+    ), s AS (
+        SELECT CAST(count(DISTINCT yr) AS BIGINT) AS m,
+               CAST(sum(j * r) AS BIGINT) AS l_stat
+        FROM ranked
+    )
+    SELECT m AS n_blocks, l_stat,
+           round((CAST(l_stat AS DOUBLE) - 45.0 * m)
+                 / (5.0 * sqrt(CAST(m AS DOUBLE))), 4) AS z
+    FROM s WHERE m >= 1
+    """,
+)
+def page_trend_test_priority_year(spark, sf_dir):
+    """PAGE'S TREND TEST (the ordered-alternative counterpart of the
+    graded Friedman/Kendall-W blocked-rank rows): blocks = order
+    years, treatments = the five priorities in their numeric order
+    (1-URGENT … 5-LOW), cell metric = exact yearly revenue cents per
+    priority.  Within each complete block the five cells are ranked
+    (row_number over (cents, j) — cents ties, astronomically unlikely
+    across ~10^5 summed orders, break deterministically by treatment
+    index on BOTH engines), and L = Σ j·Rⱼ.  For k=5 the null moments
+    collapse to E[L] = 45m and Var[L] = 25m, so z = (L − 45m)/(5√m)
+    is one double expression over two exact integers.  Blocks missing
+    a priority are excluded by an identical HAVING on both engines.
+    Scale: cells is a 35-row dictionary after one fact aggregate."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    cells = (
+        o.groupBy(F.year("o_orderdate").cast("bigint").alias("yr"),
+                  F.substring("o_orderpriority", 1, 1)
+                  .cast("bigint").alias("j"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+             .cast("bigint").alias("cents"))
+    )
+    full_blocks = cells.groupBy("yr").agg(
+        F.count("*").alias("k")).filter(F.col("k") == 5).select("yr")
+    ranked = (
+        cells.join(F.broadcast(full_blocks), "yr")
+        .select("yr", "j",
+                F.row_number().over(
+                    Window.partitionBy("yr").orderBy("cents", "j"))
+                .cast("bigint").alias("r"))
+    )
+    s = ranked.agg(
+        F.countDistinct("yr").cast("bigint").alias("m"),
+        F.sum(F.col("j") * F.col("r")).cast("bigint").alias("l_stat"),
+    )
+    return s.filter(F.col("m") >= 1).select(
+        F.col("m").alias("n_blocks"), "l_stat",
+        F.round((F.col("l_stat").cast("double") - 45.0 * F.col("m"))
+                / (5.0 * F.sqrt(F.col("m").cast("double"))), 4).alias("z"),
+    )
+
+
+@query(
+    "anderson_darling_k_sample",
+    "analytics/stats",
+    oracle="""
+    WITH x AS (
+        SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT v) AS BIGINT) AS nd,
+               CAST(count(DISTINCT lang) AS BIGINT) AS k
+        FROM x
+    ), vals AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS l FROM x GROUP BY v
+    ), valsb AS (
+        SELECT v, l,
+               2 * CAST(sum(l) OVER (ORDER BY v) AS BIGINT) - l AS b
+        FROM vals
+    ), langs AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS ni FROM x GROUP BY lang
+    ), grid AS (
+        SELECT g.lang, g.ni, vb.v, vb.l, vb.b,
+               COALESCE(li.lij, 0) AS lij
+        FROM valsb vb CROSS JOIN langs g
+        LEFT JOIN (SELECT lang, v, CAST(count(*) AS BIGINT) AS lij
+                   FROM x GROUP BY lang, v) li
+          ON li.lang = g.lang AND li.v = vb.v
+    ), cum AS (
+        SELECT lang, ni, l, b,
+               2 * CAST(sum(lij) OVER (PARTITION BY lang ORDER BY v)
+                        AS BIGINT) - lij AS m
+        FROM grid
+    ), inner_sum AS (
+        SELECT sum(CAST(l AS DOUBLE)
+                   * CAST(t.n * c.m - c.ni * c.b AS DOUBLE)
+                   * CAST(t.n * c.m - c.ni * c.b AS DOUBLE)
+                   / (CAST(c.ni AS DOUBLE) * t.n
+                      * (c.b * (2 * t.n - c.b) - t.n * c.l))) AS s
+        FROM cum c CROSS JOIN tot t
+    )
+    SELECT k AS n_samples, n AS n_total,
+           round((CAST(n AS DOUBLE) - 1) / n * (SELECT s FROM inner_sum),
+                 4) AS a2_stat
+    FROM tot
+    WHERE k >= 2 AND n >= 2 AND nd >= 2
+    """,
+)
+def anderson_darling_k_sample(spark, sf_dir):
+    """K-SAMPLE ANDERSON-DARLING (Scholz & Stephens 1987, the
+    ties-adjusted A²akN form) across the five languages on document
+    length — the tail-weighted companion of the graded
+    Cramér-von-Mises two-sample row (AD up-weights distribution
+    tails, which is where corpus-length drift shows first).  The
+    midrank machinery stays EXACT by the doubling trick: 2B_j and
+    2M_ij are integers off two cumulative windows over the
+    value-dictionary grid (every (lang, value) cell INCLUDING zero
+    cells — the statistic needs M_ij even where sample i has no mass
+    at z_j), the per-cell term l·(N·m − nᵢ·b)²/(nᵢ·N·(b(2N−b) − N·l))
+    is all-integer up to one double division, and the type-tier
+    double sum (~5·|distinct| terms, error ~1e-12) is four orders
+    under the 4-dp round — the bigram-perplexity precedent.  The
+    denominator b(2N−b) − N·l ≥ l(N−l) > 0 whenever there are ≥ 2
+    distinct values (guarded identically on both engines).  Scale:
+    after one fact aggregate everything is dictionary-tier; at 100 TB
+    the value dictionary is the two-pass exact-order-statistics
+    shape, and the bigint products move to DECIMAL."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    x = d.select("lang", F.col("n_chars").cast("bigint").alias("v"))
+    tot = x.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("v").cast("bigint").alias("nd"),
+        F.countDistinct("lang").cast("bigint").alias("k"),
+    )
+    vals = x.groupBy("v").agg(F.count("*").cast("bigint").alias("l"))
+    valsb = vals.select(
+        "v", "l",
+        (2 * F.sum("l").over(
+            Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+         .cast("bigint") - F.col("l")).alias("b"),
+    )
+    langs = x.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("ni"))
+    li = x.groupBy("lang", "v").agg(
+        F.count("*").cast("bigint").alias("lij"))
+    grid = (
+        valsb.crossJoin(F.broadcast(langs))
+        .join(li, ["lang", "v"], "left")
+        .select("lang", "ni", "v", "l", "b",
+                F.coalesce(F.col("lij"), F.lit(0)).alias("lij"))
+    )
+    cum = grid.select(
+        "lang", "ni", "l", "b",
+        (2 * F.sum("lij").over(
+            Window.partitionBy("lang").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+         .cast("bigint") - F.col("lij")).alias("m"),
+    )
+    nm = F.col("n") * F.col("m") - F.col("ni") * F.col("b")
+    inner = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(F.sum(
+            F.col("l").cast("double")
+            * nm.cast("double") * nm.cast("double")
+            / (F.col("ni").cast("double") * F.col("n")
+               * (F.col("b") * (2 * F.col("n") - F.col("b"))
+                  - F.col("n") * F.col("l")))).alias("s"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(inner))
+        .filter((F.col("k") >= 2) & (F.col("n") >= 2)
+                & (F.col("nd") >= 2))
+        .select(
+            F.col("k").alias("n_samples"), F.col("n").alias("n_total"),
+            F.round((F.col("n").cast("double") - 1) / F.col("n")
+                    * F.col("s"), 4).alias("a2_stat"),
+        )
+    )
+
+
+@query(
+    "jackknife_loo_ratio_by_year",
+    "analytics/stats",
+    oracle="""
+    WITH rows_x AS (
+        SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+               CAST(floor(l_extendedprice * 100) AS BIGINT) AS y,
+               CAST(floor(l_quantity * 100) AS BIGINT) AS q
+        FROM lineitem
+    ), per AS (
+        SELECT yr, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(q) AS BIGINT) AS sq
+        FROM rows_x GROUP BY yr
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS g,
+               CAST(sum(sy) AS BIGINT) AS ty,
+               CAST(sum(sq) AS BIGINT) AS tq
+        FROM per
+    )
+    SELECT yr, n_rows,
+           round(CAST(ty - sy AS DOUBLE) / (tq - sq), 6) AS theta_loo,
+           round(g * (CAST(ty AS DOUBLE) / tq)
+                 - (g - 1) * (CAST(ty - sy AS DOUBLE) / (tq - sq)), 6)
+               AS pseudo_value
+    FROM per CROSS JOIN tot
+    WHERE g >= 2 AND tq - sq > 0 AND tq > 0
+    ORDER BY yr
+    """,
+)
+def jackknife_loo_ratio_by_year(spark, sf_dir):
+    """DELETE-ONE-GROUP JACKKNIFE sensitivity table for the ratio
+    estimator revenue-per-unit = Σprice/Σquantity over lineitem,
+    deleting one ship-year at a time — the resampling companion of
+    the graded bootstrap-CI row, and the standard robustness check
+    a metrics pipeline runs on any ratio KPI (ratio estimators are
+    biased; the jackknife pseudo-values θ·g − (g−1)·θ₍ g₎ expose both
+    the bias direction and which period drives it).  Every
+    leave-one-out ratio is a SINGLE division of two exact bigint
+    cents/centi-unit sums (no per-row resampling — the algebraic
+    identity θ₍g₎ = (Ty−Syg)/(Tq−Sqg) collapses the resample to the
+    per-group sufficient statistics), rounded 6 dp.  Scale: one fact
+    aggregate to ~7 year rows, then dictionary math — the jackknife
+    never re-reads the corpus."""
+    li = table(spark, sf_dir, "lineitem")
+    rows_x = li.select(
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("q"),
+    )
+    per = rows_x.groupBy("yr").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("q").cast("bigint").alias("sq"),
+    )
+    tot = per.agg(
+        F.count("*").cast("bigint").alias("g"),
+        F.sum("sy").cast("bigint").alias("ty"),
+        F.sum("sq").cast("bigint").alias("tq"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter((F.col("g") >= 2) & (F.col("tq") - F.col("sq") > 0)
+                & (F.col("tq") > 0))
+        .select(
+            "yr", "n_rows",
+            F.round((F.col("ty") - F.col("sy")).cast("double")
+                    / (F.col("tq") - F.col("sq")), 6).alias("theta_loo"),
+            F.round(F.col("g") * (F.col("ty").cast("double") / F.col("tq"))
+                    - (F.col("g") - 1)
+                    * ((F.col("ty") - F.col("sy")).cast("double")
+                       / (F.col("tq") - F.col("sq"))), 6)
+            .alias("pseudo_value"),
+        )
+        .orderBy("yr")
+    )

@@ -946,3 +946,63 @@ def test_nsw_beam_recall_and_connectivity():
             fast = sorted(_nsw_beam(X, adj, 0, q, 48), reverse=True)[:10]
             recalls.append(len(exact & {i for _, i in fast}) / 10.0)
         assert sum(recalls) / len(recalls) >= 0.85, (n, recalls)
+
+
+def test_anderson_darling_doubled_form_matches_reference():
+    """anderson_darling_k_sample folds the half-integer midrank
+    quantities B_j, M_ij of Scholz-Stephens' ties-adjusted A2akN into
+    doubled integers (b=2B, m=2M) with the algebra l·(N·m−n_i·b)² /
+    (n_i·N·(b(2N−b)−N·l)).  Verify the folded form against a direct
+    half-integer implementation of eq. (6) on random tied samples
+    (round 16)."""
+    import numpy as np
+
+    def a2akn_reference(samples):
+        # samples: list of 1-D int arrays
+        pooled = np.concatenate(samples)
+        N = len(pooled)
+        zs = np.unique(pooled)
+        total = 0.0
+        for xi in samples:
+            ni = len(xi)
+            inner = 0.0
+            cum_all = 0.0
+            cum_i = 0.0
+            for z in zs:
+                lj = float((pooled == z).sum())
+                lij = float((xi == z).sum())
+                Bj = cum_all + lj / 2.0
+                Mij = cum_i + lij / 2.0
+                den = Bj * (N - Bj) - N * lj / 4.0
+                inner += (lj / N) * (N * Mij - ni * Bj) ** 2 / den
+                cum_all += lj
+                cum_i += lij
+            total += inner / ni
+        return (N - 1) / N * total
+
+    def a2akn_doubled(samples):
+        pooled = np.concatenate(samples)
+        N = len(pooled)
+        zs = np.unique(pooled)
+        l = np.array([(pooled == z).sum() for z in zs], dtype=np.int64)
+        b = 2 * np.cumsum(l) - l
+        total = 0.0
+        for xi in samples:
+            ni = len(xi)
+            lij = np.array([(xi == z).sum() for z in zs], dtype=np.int64)
+            m = 2 * np.cumsum(lij) - lij
+            num = (N * m - ni * b).astype(np.float64) ** 2
+            den = (b * (2 * N - b) - N * l).astype(np.float64)
+            total += float((l * num / (ni * N * den)).sum())
+        return (N - 1) / N * total
+
+    rng = np.random.default_rng(16)
+    for _ in range(50):
+        k = int(rng.integers(2, 5))
+        samples = [rng.integers(0, 12, size=int(rng.integers(5, 40)))
+                   for _ in range(k)]
+        if len(np.unique(np.concatenate(samples))) < 2:
+            continue
+        want = a2akn_reference(samples)
+        got = a2akn_doubled(samples)
+        assert abs(want - got) < 1e-10, (want, got)
