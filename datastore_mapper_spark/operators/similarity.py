@@ -910,3 +910,27 @@ def nsw_topk(
         .mapInPandas(part, f"{id_col} long, sim double")
     )
     return cand.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
+def mmr_greedy(ids, Xn, rel, lam: float, k: int) -> list[int]:
+    """Greedy Maximal-Marginal-Relevance selection (Carbonell &
+    Goldstein 1998) over a shortlist: repeatedly pick the id
+    maximizing lam*rel(i) - (1-lam)*max_{s in S} cos(i, s), ties
+    broken by lowest id (total order — the receipts in
+    mmr_diversify_rerank_verified re-check each step distributedly).
+    ``Xn`` rows must be unit-normalized, aligned with ``ids``."""
+    pos = {i: p for p, i in enumerate(ids)}
+    sel: list[int] = []
+    while len(sel) < min(k, len(ids)):
+        best, best_obj = None, None
+        for i in ids:
+            if i in sel:
+                continue
+            pen = max((float(Xn[pos[i]] @ Xn[pos[s]]) for s in sel),
+                      default=0.0)
+            obj = lam * rel[i] - (1 - lam) * pen
+            if best_obj is None or obj > best_obj + 1e-12 or (
+                    abs(obj - best_obj) <= 1e-12 and i < best):
+                best, best_obj = i, obj
+        sel.append(best)
+    return sel

