@@ -1714,3 +1714,356 @@ def mmr_diversify_rerank_verified(spark, sf_dir):
         F.coalesce(F.bool_and("ok"), F.lit(False)).alias("mmr_ok"))
     return exact.crossJoin(F.broadcast(ok)).select(
         "vec_id", "sim", "mmr_ok")
+
+
+@query(
+    "cochran_armitage_trend_urgent",
+    "analytics/stats",
+    oracle="""
+    WITH per AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS a
+        FROM orders GROUP BY 1
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(n) AS BIGINT) AS nn,
+               CAST(sum(a) AS BIGINT) AS aa,
+               CAST(sum(s * a) AS BIGINT) AS sa,
+               CAST(sum(s * n) AS BIGINT) AS sn,
+               CAST(sum(n * s * s) AS BIGINT) AS snn
+        FROM per
+    )
+    SELECT k AS n_years, nn AS n_total, aa AS n_urgent,
+           round((CAST(nn AS DOUBLE) * sa - CAST(aa AS DOUBLE) * sn)
+                 / sqrt(CAST(aa AS DOUBLE) * (nn - aa)
+                        * (CAST(nn AS DOUBLE) * snn
+                           - CAST(sn AS DOUBLE) * sn) / nn), 4) AS z
+    FROM agg
+    WHERE k >= 2 AND nn >= 2 AND aa > 0 AND aa < nn
+      AND CAST(nn AS DOUBLE) * snn - CAST(sn AS DOUBLE) * sn > 0
+    """,
+)
+def cochran_armitage_trend_urgent(spark, sf_dir):
+    """COCHRAN-ARMITAGE TREND TEST for the urgent-order proportion
+    across order years (scores = the years themselves; the statistic
+    is invariant to affine score shifts, so raw years ≡ 0..k−1) —
+    the dose-response rung between the graded two-proportion-z row
+    (2 groups) and chi-square independence (unordered).  z = (N·Σsa
+    − A·Σsn) / √(A(N−A)(N·Σns² − (Σns)²)/N): all six sufficient
+    statistics are exact bigints off ONE aggregate over the 7-row
+    year dictionary, the polynomial products stay inside bigint at
+    any SF that fits bigint counts, and z is one token-identical
+    double expression rounded 4 dp.  Degenerate guards (one year,
+    all/no urgent, zero score variance) are identical on both
+    engines."""
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("s")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("o_orderpriority") == "1-URGENT").cast("int"))
+        .cast("bigint").alias("a"),
+    )
+    agg = per.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("a").cast("bigint").alias("aa"),
+        F.sum(F.col("s") * F.col("a")).cast("bigint").alias("sa"),
+        F.sum(F.col("s") * F.col("n")).cast("bigint").alias("sn"),
+        F.sum(F.col("n") * F.col("s") * F.col("s"))
+        .cast("bigint").alias("snn"),
+    )
+    nn_d = F.col("nn").cast("double")
+    var_s = nn_d * F.col("snn") - F.col("sn").cast("double") * F.col("sn")
+    return (
+        agg.filter((F.col("k") >= 2) & (F.col("nn") >= 2)
+                   & (F.col("aa") > 0) & (F.col("aa") < F.col("nn"))
+                   & (var_s > 0))
+        .select(
+            F.col("k").alias("n_years"), F.col("nn").alias("n_total"),
+            F.col("aa").alias("n_urgent"),
+            F.round((nn_d * F.col("sa")
+                     - F.col("aa").cast("double") * F.col("sn"))
+                    / F.sqrt(F.col("aa").cast("double")
+                             * (F.col("nn") - F.col("aa"))
+                             * var_s / F.col("nn")), 4).alias("z"),
+        )
+    )
+
+
+@query(
+    "mantel_haenszel_urgent_highvalue",
+    "analytics/stats",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(sum(CASE WHEN o_totalprice >= 150000
+                             AND o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN o_totalprice >= 150000
+                             AND o_orderpriority <> '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN o_totalprice < 150000
+                             AND o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN o_totalprice < 150000
+                             AND o_orderpriority <> '1-URGENT'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM orders GROUP BY 1
+    ), terms AS (
+        SELECT yr, a, b, c, d, a + b + c + d AS n,
+               CAST(a * d AS DECIMAL(38,6)) / (a + b + c + d) AS ad_n,
+               CAST(b * c AS DECIMAL(38,6)) / (a + b + c + d) AS bc_n,
+               CAST((a + b) * (a + c) AS DECIMAL(38,6))
+                   / (a + b + c + d) AS e_a,
+               CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c)
+                    * (b + d) AS DECIMAL(38,6))
+                   / (CAST(a + b + c + d AS BIGINT)
+                      * (a + b + c + d) * (a + b + c + d - 1)) AS v_a
+        FROM cells
+        WHERE a + b + c + d >= 2
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_strata,
+               CAST(sum(ad_n) AS DOUBLE) AS s_ad,
+               CAST(sum(bc_n) AS DOUBLE) AS s_bc,
+               CAST(sum(a) AS DOUBLE) AS s_a,
+               CAST(sum(e_a) AS DOUBLE) AS s_e,
+               CAST(sum(v_a) AS DOUBLE) AS s_v
+        FROM terms
+    )
+    SELECT n_strata,
+           round(s_ad / s_bc, 4) AS or_mh,
+           round((s_a - s_e) / sqrt(s_v), 4) AS z_cmh
+    FROM s
+    WHERE s_bc > 0 AND s_v > 0
+    """,
+)
+def mantel_haenszel_urgent_highvalue(spark, sf_dir):
+    """MANTEL-HAENSZEL common odds ratio + the (signed, uncorrected)
+    Cochran-Mantel-Haenszel statistic for urgent-priority ×
+    high-value (≥ 150k) orders STRATIFIED BY YEAR — the
+    confounder-adjusted rung above the graded single-table
+    odds-ratio row (year is the classic confounder: both margins
+    drift with time).  Every per-stratum term (ad/n, bc/n, the
+    hypergeometric mean (a+b)(a+c)/n and variance
+    (a+b)(c+d)(a+c)(b+d)/(n²(n−1))) is ONE decimal division of exact
+    bigint cell products at a pinned 6-dp scale (the KW/decimal
+    precedent — deterministic on both engines), summed exactly as
+    DECIMAL over the 7-row stratum dictionary; OR_MH = Σ(ad/n)/Σ(bc/n)
+    and z = (Σa − ΣE)/√ΣV finish as double expressions rounded 4 dp.
+    Guards: ≥ 2 rows per kept stratum, Σbc/n > 0, ΣV > 0."""
+    o = table(spark, sf_dir, "orders")
+    hv = F.col("o_totalprice") >= 150000
+    ur = F.col("o_orderpriority") == "1-URGENT"
+    cells = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr")).agg(
+        F.sum((hv & ur).cast("int")).cast("bigint").alias("a"),
+        F.sum((hv & ~ur).cast("int")).cast("bigint").alias("b"),
+        F.sum((~hv & ur).cast("int")).cast("bigint").alias("c"),
+        F.sum((~hv & ~ur).cast("int")).cast("bigint").alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.filter(n >= 2).select(
+        "a",
+        ((F.col("a") * F.col("d")).cast("decimal(38,6)") / n).alias("ad_n"),
+        ((F.col("b") * F.col("c")).cast("decimal(38,6)") / n).alias("bc_n"),
+        (((F.col("a") + F.col("b")) * (F.col("a") + F.col("c")))
+         .cast("decimal(38,6)") / n).alias("e_a"),
+        (((F.col("a") + F.col("b")).cast("decimal(38,0)")
+          * (F.col("c") + F.col("d")) * (F.col("a") + F.col("c"))
+          * (F.col("b") + F.col("d"))).cast("decimal(38,6)")
+         / (n.cast("bigint") * n * (n - 1))).alias("v_a"),
+    )
+    s = terms.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum("ad_n").cast("double").alias("s_ad"),
+        F.sum("bc_n").cast("double").alias("s_bc"),
+        F.sum("a").cast("double").alias("s_a"),
+        F.sum("e_a").cast("double").alias("s_e"),
+        F.sum("v_a").cast("double").alias("s_v"),
+    )
+    return (
+        s.filter((F.col("s_bc") > 0) & (F.col("s_v") > 0))
+        .select(
+            "n_strata",
+            F.round(F.col("s_ad") / F.col("s_bc"), 4).alias("or_mh"),
+            F.round((F.col("s_a") - F.col("s_e"))
+                    / F.sqrt(F.col("s_v")), 4).alias("z_cmh"),
+        )
+    )
+
+
+@query(
+    "mood_median_test_segments",
+    "analytics/stats",
+    oracle="""
+    WITH x AS (
+        SELECT c_mktsegment AS g,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS v
+        FROM customer
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM x
+    ), med AS (
+        SELECT v AS m FROM (
+            SELECT v, row_number() OVER (ORDER BY v) AS rn FROM x
+        ) r CROSS JOIN tot WHERE r.rn = (tot.n + 1) // 2
+    ), per AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS ng,
+               CAST(sum(CASE WHEN v > (SELECT m FROM med)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS ag
+        FROM x GROUP BY g
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(ng) AS BIGINT) AS n,
+               CAST(sum(ag) AS BIGINT) AS a
+        FROM per
+    )
+    SELECT k AS n_groups, n AS n_total, a AS n_above,
+           round((SELECT sum(
+               (ag - ng * (CAST(a AS DOUBLE) / n))
+               * (ag - ng * (CAST(a AS DOUBLE) / n))
+               / (ng * (CAST(a AS DOUBLE) / n))
+               + ((ng - ag) - ng * (CAST(n - a AS DOUBLE) / n))
+               * ((ng - ag) - ng * (CAST(n - a AS DOUBLE) / n))
+               / (ng * (CAST(n - a AS DOUBLE) / n))
+           ) FROM per CROSS JOIN s), 4) AS chi2
+    FROM s
+    WHERE k >= 2 AND a > 0 AND a < n
+    """,
+)
+def mood_median_test_segments(spark, sf_dir):
+    """MOOD'S MEDIAN TEST across the five market segments on customer
+    account balance — the robust quick-screen companion of the graded
+    Kruskal-Wallis row (KW uses full rank information; Mood's test
+    only asks which side of the GRAND median each observation falls,
+    making it insensitive to outliers and the textbook k-sample
+    location screen).  The grand median is the exact ⌊(N+1)/2⌋-th
+    order statistic (one global rank — the two-pass ranged sort at
+    100 TB), above-counts are exact bigints, and the k×2 chi-square
+    Σ(o−e)²/e collapses to a 5-term double sum (error ~1e-15) rounded
+    4 dp.  Degenerate guards (k < 2, nobody/everybody above the
+    median) match on both engines."""
+    from pyspark.sql import Window
+
+    c = table(spark, sf_dir, "customer")
+    x = c.select(F.col("c_mktsegment").alias("g"),
+                 F.floor(F.col("c_acctbal") * 100)
+                 .cast("bigint").alias("v"))
+    tot = x.agg(F.count("*").cast("bigint").alias("n"))
+    ranked = x.select(
+        "v", F.row_number().over(Window.orderBy("v")).alias("rn"))
+    med = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("v").alias("m"))
+    )
+    per = (
+        x.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(F.count("*").cast("bigint").alias("ng"),
+             F.sum((F.col("v") > F.col("m")).cast("int"))
+             .cast("bigint").alias("ag"))
+    )
+    s = per.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("ag").cast("bigint").alias("a"),
+    )
+    pa = F.col("a").cast("double") / F.col("n")
+    pb = (F.col("n") - F.col("a")).cast("double") / F.col("n")
+    chi = per.crossJoin(F.broadcast(s)).agg(F.sum(
+        (F.col("ag") - F.col("ng") * pa) * (F.col("ag") - F.col("ng") * pa)
+        / (F.col("ng") * pa)
+        + ((F.col("ng") - F.col("ag")) - F.col("ng") * pb)
+        * ((F.col("ng") - F.col("ag")) - F.col("ng") * pb)
+        / (F.col("ng") * pb)).alias("chi2raw"))
+    return (
+        s.crossJoin(F.broadcast(chi))
+        .filter((F.col("k") >= 2) & (F.col("a") > 0)
+                & (F.col("a") < F.col("n")))
+        .select(F.col("k").alias("n_groups"), F.col("n").alias("n_total"),
+                F.col("a").alias("n_above"),
+                F.round(F.col("chi2raw"), 4).alias("chi2"))
+    )
+
+
+@query(
+    "hodges_lehmann_shift_doc_lengths",
+    "analytics/stats",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(n_chars AS BIGINT) AS x FROM documents
+        WHERE lang = 'en'
+    ), b AS (
+        SELECT CAST(n_chars AS BIGINT) AS y FROM documents
+        WHERE lang = 'de'
+    ), counts AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n1,
+               (SELECT CAST(count(*) AS BIGINT) FROM b) AS n2
+    ), diffs AS (
+        SELECT a.x - b.y AS d FROM a CROSS JOIN b
+    ), ranked AS (
+        SELECT d, row_number() OVER (ORDER BY d) AS rn FROM diffs
+    )
+    SELECT counts.n1, counts.n2,
+           round((
+               (SELECT CAST(d AS DOUBLE) FROM ranked r
+                CROSS JOIN counts c
+                WHERE r.rn = (c.n1 * c.n2 + 1) // 2)
+               + (SELECT CAST(d AS DOUBLE) FROM ranked r
+                  CROSS JOIN counts c
+                  WHERE r.rn = (c.n1 * c.n2 + 2) // 2)
+           ) / 2, 1) AS hl_shift
+    FROM counts
+    WHERE n1 >= 1 AND n2 >= 1
+    """,
+)
+def hodges_lehmann_shift_doc_lengths(spark, sf_dir):
+    """HODGES-LEHMANN SHIFT ESTIMATOR between 'en' and 'de' document
+    lengths — the robust location-difference companion of the graded
+    Mann-Whitney row (MW answers "is there a shift?"; HL answers "by
+    how much": the median of all n₁·n₂ pairwise differences, the
+    estimator whose CI inverts the MW test).  The pairwise-difference
+    relation is materialized (~10⁶ rows at sf0.1 — two ~10³ slices),
+    the two middle order statistics come off one global rank, and HL
+    is their exact .5-rational mean (integer inputs — no FP before
+    the final halving).  At 100 TB one does NOT materialize the
+    quadratic pair set: HL is found by binary-searching the shift t
+    while COUNTING pairs with x−y ≤ t (two sorted slices, a merge
+    per probe — O((n₁+n₂)log range)); the fixture-scale join states
+    the semantics the search must reproduce."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    a = d.filter(F.col("lang") == "en").select(
+        F.col("n_chars").cast("bigint").alias("x"))
+    b = d.filter(F.col("lang") == "de").select(
+        F.col("n_chars").cast("bigint").alias("y"))
+    counts = (
+        a.agg(F.count("*").cast("bigint").alias("n1"))
+        .crossJoin(b.agg(F.count("*").cast("bigint").alias("n2")))
+    )
+    diffs = a.crossJoin(b).select((F.col("x") - F.col("y")).alias("d"))
+    ranked = diffs.select(
+        "d", F.row_number().over(Window.orderBy("d")).alias("rn"))
+    lo = (
+        ranked.crossJoin(F.broadcast(counts))
+        .filter(F.col("rn")
+                == F.floor((F.col("n1") * F.col("n2") + 1) / 2))
+        .select(F.col("d").alias("d_lo"))
+    )
+    hi = (
+        ranked.crossJoin(F.broadcast(counts))
+        .filter(F.col("rn")
+                == F.floor((F.col("n1") * F.col("n2") + 2) / 2))
+        .select(F.col("d").alias("d_hi"))
+    )
+    return (
+        counts.filter((F.col("n1") >= 1) & (F.col("n2") >= 1))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select("n1", "n2",
+                F.round((F.col("d_lo").cast("double")
+                         + F.col("d_hi")) / 2, 1).alias("hl_shift"))
+    )

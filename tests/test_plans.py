@@ -273,6 +273,10 @@ BNLJ_ALLOWED = {
     "jackknife_loo_ratio_by_year",  # 1-row totals crossed onto ~7 year rows
     "dsir_importance_topk",      # 1-row smoothing constants crossed onto docs
     "mmr_diversify_rerank_verified",  # 1-row mmr_ok scalar crossed onto top-10
+    "mood_median_test_segments",  # 1-row grand-median scalar crossed onto facts
+    "hodges_lehmann_shift_doc_lengths",  # deliberate pairwise-difference
+    # join of two ~n/5 slices (the estimator's definition; broadcast side
+    # is one lang slice) + 1-row order-stat scalars crossed back
 }
 
 
