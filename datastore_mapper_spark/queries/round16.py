@@ -199,7 +199,7 @@ def tukey_hsd_region_revenue(spark, sf_dir):
                   * (F.lit(1.0) / F.col("na")
                      + F.lit(1.0) / F.col("nb"))))
     return (
-        a.join(b, F.col("region_a") < F.col("region_b"))
+        a.join(F.broadcast(b), F.col("region_a") < F.col("region_b"))
         .crossJoin(F.broadcast(msw))
         .filter(F.col("n_total") > F.col("k"))
         .select("region_a", "region_b", F.round(q, 4).alias("q_stat"),
@@ -1098,7 +1098,7 @@ def dunn_posthoc_priority_value(spark, sf_dir):
     b = grp.select(F.col("g").alias("g2"), F.col("nj").alias("n2"),
                    F.col("s2").alias("s2b"))
     pairs = (
-        a.join(b, F.col("g1") < F.col("g2"))
+        a.join(F.broadcast(b), F.col("g1") < F.col("g2"))
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(ties))
         .filter((F.col("n") >= 3)
