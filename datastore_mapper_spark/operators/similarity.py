@@ -934,3 +934,84 @@ def mmr_greedy(ids, Xn, rel, lam: float, k: int) -> list[int]:
                 best, best_obj = i, obj
         sel.append(best)
     return sel
+
+
+# --- Johnson-Lindenstrauss random projection (round 16) ---------------
+#
+# The sketch tier BETWEEN full precision and the quantizers: project
+# d=64 floats to out_dim doubles with a deterministic Rademacher (+-1)
+# matrix (Achlioptas 2003 — database-friendly random projections,
+# public), preserving pairwise inner products in expectation.  Unlike
+# SQ8/PQ/BQ (which compress per-dimension PRECISION), JL compresses
+# DIMENSIONALITY, so downstream scans cost out_dim/d of the full
+# scan's FLOPs regardless of value distribution.  The sign matrix
+# derives from a fixed LCG, materialized as out_dim literal arrays —
+# both the projection and the scoring stay inside JVM higher-order
+# functions; nothing row-wise touches Python.
+
+
+def _jl_signs(in_dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic Rademacher sign matrix via a fixed LCG."""
+    signs = []
+    state = 0x5DEECE66D
+    for j in range(out_dim):
+        row = []
+        for _ in range(in_dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) \
+                % (1 << 64)
+            row.append(1.0 if (state >> 33) & 1 == 0 else -1.0)
+        signs.append(row)
+    return signs
+
+
+def jl_project(vec, in_dim: int = 64, out_dim: int = 16) -> Column:
+    """Column expression: ``vec`` (array<float>, len in_dim) projected
+    to array<double> of len out_dim; proj[j] = Σ_i v[i]·s[j][i]
+    (the 1/sqrt(out_dim) scale cancels in cosine and is omitted)."""
+    signs = _jl_signs(in_dim, out_dim)
+    return F.array(*[
+        F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(s) for s in signs[j]]),
+                       lambda v, s: v.cast("double") * s),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        for j in range(out_dim)
+    ])
+
+
+def jl_topk(
+    emb_df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k scored ENTIRELY in the projected
+    space: corpus and query are both JL-projected, then ranked by
+    projected cosine with (sim DESC, id) tie-break.  The projected
+    corpus is what stays resident at 100 TB (out_dim/in_dim of the
+    footprint); the exact vectors participate only in a downstream
+    rerank/verify stage, mirroring the SQ8/PQ/BQ rung contract."""
+    proj = emb_df.select(id_col, jl_project(
+        F.col(vec_col), in_dim, out_dim).alias("jp"))
+    q = (proj.filter(F.col(id_col) == query_id)
+         .select(F.col("jp").alias("qp")))
+    dotpq = F.aggregate(
+        F.zip_with("jp", "qp", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nn = F.aggregate(
+        F.transform("jp", lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x)
+    qq = F.aggregate(
+        F.transform("qp", lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        proj.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(id_col,
+                F.round(dotpq / (F.sqrt(nn) * F.sqrt(qq)), 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

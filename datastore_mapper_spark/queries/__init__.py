@@ -34,6 +34,7 @@ from . import analytics_round13  # noqa: F401
 from . import analytics_round14  # noqa: F401
 from . import round15  # noqa: F401
 from . import round16  # noqa: F401
+from . import round16b  # noqa: F401
 
 from ..registry import reorder_front
 

@@ -277,6 +277,9 @@ BNLJ_ALLOWED = {
     "hodges_lehmann_shift_doc_lengths",  # deliberate pairwise-difference
     # join of two ~n/5 slices (the estimator's definition; broadcast side
     # is one lang slice) + 1-row order-stat scalars crossed back
+    "hard_negative_mining_top5",  # |n|/50-row anchor batch broadcast
+    # (label != label theta-join; production tier = IVF probe set)
+    "jl_rerank_verified",  # 1 query vector + 1-row mass scalar crossed
 }
 
 
