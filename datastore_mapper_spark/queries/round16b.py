@@ -894,3 +894,151 @@ def average_precision_exact(spark, sf_dir):
         )
         .filter(F.col("n_pos").isNotNull())
     )
+
+
+@query(
+    "ndcg_exact",
+    "ml-eval",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+        FROM documents
+    ), sys AS (
+        SELECT rel,
+               row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rnk
+        FROM scored
+    ), ideal AS (
+        SELECT rel,
+               row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+        FROM scored
+    ), dcg AS (
+        SELECT CAST(sum(CAST(round(
+                   rel / (ln(rnk + 1) / ln(2)), 12)
+                   AS DECIMAL(18,12))) AS DECIMAL(28,12)) AS dcg
+        FROM sys WHERE rnk <= 50
+    ), idcg AS (
+        SELECT CAST(sum(CAST(round(
+                   rel / (ln(rnk + 1) / ln(2)), 12)
+                   AS DECIMAL(18,12))) AS DECIMAL(28,12)) AS idcg
+        FROM ideal WHERE rnk <= 50
+    )
+    SELECT CAST(50 AS BIGINT) AS k,
+           round(CAST(dcg AS DOUBLE), 6) AS dcg_at_k,
+           round(CAST(idcg AS DOUBLE), 6) AS idcg_at_k,
+           round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+               AS ndcg_at_k
+    FROM dcg, idcg
+    WHERE CAST(idcg AS DOUBLE) > 0
+    """,
+)
+def ndcg_exact(spark, sf_dir):
+    """EXACT NDCG@50 — the graded-relevance ranking metric completing
+    the eval family (ROC-AUC = `binary_auc_exact`, PR-AUC =
+    `average_precision_exact`, NDCG here; Järvelin & Kekäläinen 2002,
+    public).  Demonstration ranking: documents ordered by length
+    (n_chars DESC, doc_id tie-break) as the system, binary relevance
+    rel = [lang = 'en']; DCG = Σ rel/log2(rank+1) over the top 50,
+    IDCG from the ideal (rel DESC) ordering, NDCG = DCG/IDCG.  Each
+    positional term is rounded to DECIMAL(18,12) BEFORE summation
+    (the quantize-then-sum house rule) and log2 is spelled
+    ln(x)/ln(2) identically on both engines, so the 6-dp metric has
+    no float-fold seam.  Rank ties cannot diverge: both orderings
+    carry a doc_id tie-break.  Scale: two global-dictionary windows
+    (two-pass top-k shape at 100 TB — rank k=50 survives a
+    TakeOrderedAndProject per ordering) and a 50-row reduction."""
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("rel"),
+    )
+    w_sys = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    w_ideal = Window.orderBy(F.col("rel").desc(), "doc_id")
+    log2rank = lambda: F.log(F.col("rnk") + 1) / F.log(F.lit(2.0))  # noqa: E731
+    term = (
+        F.round(F.col("rel") / log2rank(), 12).cast("decimal(18,12)")
+    )
+    dcg = (
+        scored.withColumn("rnk", F.row_number().over(w_sys))
+        .filter(F.col("rnk") <= 50)
+        .agg(F.sum(term).cast("decimal(28,12)").alias("dcg"))
+    )
+    idcg = (
+        scored.withColumn("rnk", F.row_number().over(w_ideal))
+        .filter(F.col("rnk") <= 50)
+        .agg(F.sum(term).cast("decimal(28,12)").alias("idcg"))
+    )
+    return (
+        dcg.crossJoin(idcg)
+        .filter(F.col("idcg").cast("double") > 0)
+        .select(
+            F.lit(50).cast("bigint").alias("k"),
+            F.round(F.col("dcg").cast("double"), 6).alias("dcg_at_k"),
+            F.round(F.col("idcg").cast("double"), 6).alias("idcg_at_k"),
+            F.round(F.col("dcg").cast("double")
+                    / F.col("idcg").cast("double"), 6).alias("ndcg_at_k"),
+        )
+    )
+
+
+@query(
+    "wilson_interval_by_source",
+    "statistics",
+    oracle="""
+    WITH g AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS k
+        FROM documents GROUP BY source
+    )
+    SELECT source, n, k,
+           round((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                + 0.9604 / (n * CAST(n AS DOUBLE))))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_lo,
+           round((CAST(k AS DOUBLE) / n + 1.9208 / n
+                  + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                                + 0.9604 / (n * CAST(n AS DOUBLE))))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_hi
+    FROM g WHERE n > 0
+    ORDER BY source
+    """,
+)
+def wilson_interval_by_source(spark, sf_dir):
+    """WILSON SCORE 95% confidence interval per source for the
+    proportion of long documents (n_chars >= 300, the corpus median
+    tier) — the binomial interval that behaves at small n and extreme
+    p where the Wald interval collapses (Wilson 1927; the interval
+    behind every data-quality dashboard's 'share of X' error bars,
+    completing the interval family next to the Poisson-rate and
+    two-proportion rows).  (n, k) are exact integers; the bound is
+    ONE token-identical double expression with the z = 1.96 constants
+    pre-folded (z² = 3.8416, z²/2 = 1.9208, z²/4 = 0.9604), rounded
+    6 dp.  Scale: a single shuffled count rollup on source —
+    dictionary tier."""
+    d = table(spark, sf_dir, "documents")
+    g = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("n_chars") >= 300, 1).otherwise(0))
+        .cast("bigint").alias("k"),
+    )
+    nD = F.col("n").cast("double")
+    p = F.col("k").cast("double") / F.col("n")
+    rad = F.sqrt(p * (F.lit(1.0) - p) / F.col("n")
+                 + F.lit(0.9604) / (F.col("n") * nD))
+    denom = F.lit(1.0) + F.lit(3.8416) / F.col("n")
+    center = p + F.lit(1.9208) / F.col("n")
+    return (
+        g.filter(F.col("n") > 0)
+        .select(
+            "source", "n", "k",
+            F.round((center - F.lit(1.96) * rad) / denom, 6)
+            .alias("wilson_lo"),
+            F.round((center + F.lit(1.96) * rad) / denom, 6)
+            .alias("wilson_hi"),
+        )
+        .orderBy("source")
+    )

@@ -280,6 +280,7 @@ BNLJ_ALLOWED = {
     "hard_negative_mining_top5",  # |n|/50-row anchor batch broadcast
     # (label != label theta-join; production tier = IVF probe set)
     "jl_rerank_verified",  # 1 query vector + 1-row mass scalar crossed
+    "ndcg_exact",          # two 1-row (DCG, IDCG) frames crossed
 }
 
 
