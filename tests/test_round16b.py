@@ -237,3 +237,52 @@ def test_kneser_ney_numpy_twin(spark, sf_dir):
     assert set(got) == set(want)
     for lang in want:
         assert abs(got[lang] - want[lang]) <= 2e-4, lang
+
+
+# --- unigram-LM tokenizer kernel ------------------------------------
+
+
+def test_viterbi_tiebreak_prefers_fewer_pieces():
+    from datastore_mapper_spark.queries.bpe_queries import _viterbi_segment
+
+    # log p(ab) == log p(a) + log p(b) exactly -> score tie -> the
+    # single-piece segmentation must win
+    lp = {"a": math.log(0.25), "b": math.log(0.25),
+          "ab": math.log(0.25) + math.log(0.25)}
+    pieces, score = _viterbi_segment("ab", lp, 4)
+    assert pieces == ["ab"]
+    assert math.isclose(score, lp["ab"])
+
+
+def test_viterbi_lexicographic_tiebreak():
+    from datastore_mapper_spark.queries.bpe_queries import _viterbi_segment
+
+    # equal score, equal piece count -> lexicographically smaller
+    # piece tuple: ("ax", "by") vs ("axb", "y") etc. constructed so
+    # two 2-piece splits tie on score
+    p = math.log(0.25)
+    lp = {"a": p, "bc": p, "ab": p, "c": p}
+    pieces, _ = _viterbi_segment("abc", lp, 4)
+    assert pieces == ["a", "bc"]  # ("a","bc") < ("ab","c")
+
+
+def test_viterbi_char_fallback_covers_everything():
+    from datastore_mapper_spark.queries.bpe_queries import _viterbi_segment
+
+    lp = {c: math.log(1.0 / 3) for c in "abc"}
+    pieces, _ = _viterbi_segment("abcabc", lp, 4)
+    assert "".join(pieces) == "abcabc"
+    assert pieces == list("abcabc")
+
+
+def test_unigram_seed_vocab_contains_all_chars(spark, sf_dir):
+    from datastore_mapper_spark.queries.bpe_queries import (
+        unigram_seed_vocab, unigram_word_frequencies,
+    )
+
+    seed = dict(unigram_seed_vocab(spark, sf_dir))
+    words = [r.w for r in
+             unigram_word_frequencies(spark, sf_dir).collect()]
+    alphabet = {ch for w in words for ch in w}
+    assert alphabet <= set(seed)
+    assert all(c > 0 for c in seed.values())
