@@ -703,7 +703,7 @@ def semantic_dedup(
     never do; the cap is a 100 TB lever)."""
     from .similarity import (
         _nearest_centroid,
-        cosine,
+        dot,
         kmeans_train,
         sign_bucket,
         unit,
@@ -733,7 +733,12 @@ def semantic_dedup(
         a.join(b, (F.col("cid") == F.col("cid2"))
                & (F.col("_cell") == F.col("_cell2"))
                & (F.col("id1") < F.col("id2")))
-        .withColumn("sim", cosine(F.col("u1"), F.col("u2")))
+        # u1/u2 are unit vectors, so cosine == dot: ONE array fold per
+        # pair instead of cosine()'s three (dot + two norms) — the pair
+        # join is the only O(pairs) stage, so this is a straight 3x on
+        # the per-pair work (optimization guide §4.1: fewest expression
+        # passes over array payloads in the hot join)
+        .withColumn("sim", dot(F.col("u1"), F.col("u2")))
     )
     dropped = (pairs.filter(F.col("sim") >= tau)
                .select(F.col("id2").alias(id_col)).distinct()

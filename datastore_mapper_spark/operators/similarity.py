@@ -115,9 +115,23 @@ def unit(vec) -> Column:
     """L2-normalized copy of ``vec`` (doubles).  k-means for COSINE
     retrieval must train/assign on the unit sphere (spherical k-means):
     on unit vectors, L2-argmin == cosine-argmax, so the Lloyd loop and
-    the probe both see the geometry the scorer ranks by."""
-    n = F.sqrt(dot(vec, vec))
-    return F.transform(vec, lambda x: x.cast("double") / n)
+    the probe both see the geometry the scorer ranks by.
+
+    The norm is hoisted through a singleton-array ``transform`` so the
+    ``sqrt(dot(vec, vec))`` fold is evaluated ONCE per row: written
+    inline in the per-element lambda it is re-evaluated for every
+    element (interpreted higher-order functions do no cross-iteration
+    CSE), turning normalization into O(d²) per row — measured as the
+    dominant cost of every assignment/normalization pass at d = 64.
+    Same operations per element (x / sqrt(dot)), so values are
+    bit-identical to the inline form."""
+    return F.element_at(
+        F.transform(
+            F.array(F.sqrt(dot(vec, vec))),
+            lambda n: F.transform(vec, lambda x: x.cast("double") / n),
+        ),
+        1,
+    )
 
 
 #: Training pools whose float64 matrix fits under this byte cap run the

@@ -71,7 +71,7 @@ def dedup_semantic_clusters(spark, sf_dir):
     scan.  Composed into ``pretraining_corpus_recipe`` behind its
     ``semantic_dedup`` flag."""
     from ..operators.dedup import semantic_dedup
-    from ..operators.similarity import cosine, unit
+    from ..operators.similarity import dot, unit
 
     tau = 0.95
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -79,7 +79,17 @@ def dedup_semantic_clusters(spark, sf_dir):
              .select((F.col("vec_id") + _TWIN_OFF).alias("vec_id"),
                      "embedding"))
     corpus = emb.unionByName(twins)
-    verdicts = semantic_dedup(corpus, k=8, tau=tau).localCheckpoint()
+    # k is SemDeDup's blocking knob (k ≈ n / target_cluster_size, the
+    # paper's own scaling rule): pinning k=8 at every SF made the
+    # within-cluster self-join quadratic in n (optimization guide
+    # §2.5 — per-task pair cost must stay bounded).  Target ~64 rows
+    # per cluster; at the oracle SFs (n ≤ ~250) this still resolves to
+    # k=8, and the printed rows are clustering-independent by
+    # construction (twins share their source's cluster under ANY
+    # codebook; the receipts are recomputed against the actual one).
+    n_corpus = corpus.count()
+    k = max(8, n_corpus // 64)
+    verdicts = semantic_dedup(corpus, k=k, tau=tau).localCheckpoint()
     # --- independent receipt recomputation (not the operator's pair
     # frame: a fresh per-cluster self-join over the verdicts) ---
     u = (corpus.select("vec_id", unit(F.col("embedding")).alias("_u"))
@@ -91,7 +101,9 @@ def dedup_semantic_clusters(spark, sf_dir):
     close = (
         a.join(b, (F.col("cid") == F.col("cid2"))
                & (F.col("id1") < F.col("id2")))
-        .filter(cosine(F.col("u1"), F.col("u2")) >= tau)
+        # unit vectors: dot == cosine, one fold per pair not three —
+        # same single-pass form the operator itself scores with
+        .filter(dot(F.col("u1"), F.col("u2")) >= tau)
         .select("id1", "id2", "d1", "d2")
         .localCheckpoint()
     )
@@ -103,7 +115,7 @@ def dedup_semantic_clusters(spark, sf_dir):
               "vec_id", "left_anti")
         .limit(1).count() == 0
     )
-    partition_exact = verdicts.count() == corpus.count()
+    partition_exact = verdicts.count() == n_corpus
     twins_dropped = (
         verdicts.filter((F.col("vec_id") >= _TWIN_OFF)
                         & ~F.col("dropped"))
