@@ -288,6 +288,135 @@ def simhash_near_pairs(
     )
 
 
+#: Edge lists at or under this row count route to the one-task
+#: union-find kernel; bigger graphs take the distributed loops.  Same
+#: task-envelope cost routing as ``similarity.KMEANS_SINGLE_TASK_MAX_BYTES``
+#: and ``graph.SINGLE_TASK_MAX_EDGES``: iterating a distributed dataflow
+#: over a graph that fits one task is pure scheduler overhead — each
+#: min-label round costs ~2 s of jobs for milliseconds of union-find
+#: (tests monkeypatch this to 0 to pin the routes against each other).
+CC_SINGLE_TASK_MAX_EDGES = 20_000_000
+
+#: Above this edge count the kernel route first collapses the graph
+#: with ONE distributed large-star contraction (all heavy lifting in
+#: JVM aggregates/joins) so the one-task kernel sees the quotient
+#: graph, not the raw edge list.  Near-dup graphs are clique-heavy —
+#: the sf0.1 fixture has 3M edges over 3.9k nodes — and a clique
+#: contracts to a single node in one round, so the quotient is tiny.
+CC_CONTRACT_MIN_EDGES = 100_000
+
+
+def _cc_kernel_route(e: DataFrame, n_edges: int) -> DataFrame:
+    """Small-graph route shared by both component loops: optional
+    one-round star contraction (dense graphs), then the one-task
+    vectorized kernel, labels composed back through the hook map.
+
+    Contraction is the large-star hook m(u) = min(N(u) ∪ {u}).  Every
+    original edge (u, v) is replaced by (m(u), m(v)); self-loops drop.
+    Components are preserved one-to-one (m(u) is itself a neighbor of
+    u, so quotient edges never bridge components, and any G-path maps
+    to a G'-path), and each component's global min g satisfies
+    m(g) = g, so quotient labels are already min-member ids.  Nodes
+    whose whole component collapsed (a pure clique) vanish from the
+    quotient and keep cluster_id = m(u)."""
+    if n_edges <= CC_CONTRACT_MIN_EDGES:
+        return _cc_single_task(e, "u", "v")
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    hooks = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    ).localCheckpoint()
+    mu = hooks.select(F.col("u").alias("_eu"), F.col("m").alias("_mu"))
+    mv = hooks.select(F.col("u").alias("_ev"), F.col("m").alias("_mv"))
+    quotient = (
+        e.join(mu, e.u == mu._eu)
+        .join(mv, e.v == mv._ev)
+        .filter(F.col("_mu") != F.col("_mv"))
+        .select(
+            F.least(F.col("_mu"), F.col("_mv")).alias("u"),
+            F.greatest(F.col("_mu"), F.col("_mv")).alias("v"),
+        )
+        .distinct()
+    )
+    q = _cc_single_task(quotient, "u", "v")
+    return (
+        hooks.join(q, hooks.m == q.node, "left")
+        .select(
+            F.col("u").alias("node"),
+            F.coalesce(F.col("cluster_id"), F.col("m")).alias("cluster_id"),
+        )
+    )
+
+
+def _cc_single_task(edges: DataFrame, u: str, v: str) -> DataFrame:
+    """One-task union-find — the small-graph route of
+    :func:`connected_components` / :func:`connected_components_star`.
+    Exact components with the same contract as the loops: nodes =
+    every id appearing in an edge, ``cluster_id`` = minimum member id
+    (union-by-min keeps every tree's root at its component minimum,
+    so the final find IS the min label).  Edges need not be
+    symmetrized or deduplicated — unions are idempotent."""
+    out_type = edges.schema[u].dataType.simpleString()
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        us, vs = [], []
+        for b in batches:
+            us.append(b[u].to_numpy())
+            vs.append(b[v].to_numpy())
+        if not us:
+            return
+        uu, vv = np.concatenate(us), np.concatenate(vs)
+        # factorize ids to 0..n-1; np.unique sorts ascending, so code
+        # order == id order and the min CODE maps back to the min id
+        # (UTF-8 byte order == codepoint order, so string ids compare
+        # the same here as under Spark's least()/min())
+        nodes, codes = np.unique(np.concatenate([uu, vv]),
+                                 return_inverse=True)
+        cu, cv = codes[: len(uu)], codes[len(uu):]
+
+        def segmin_setup(keys):
+            # sorted-segment layout for np.minimum.reduceat — the
+            # unbuffered np.minimum.at is ~50x slower per element
+            order = np.argsort(keys, kind="stable")
+            sk = keys[order]
+            starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+            return order, starts, sk[starts]
+
+        order_u, starts_u, uniq_u = segmin_setup(cu)
+        order_v, starts_v, uniq_v = segmin_setup(cv)
+        label = np.arange(len(nodes))
+        while True:
+            before = label
+            # relax every edge toward the smaller endpoint label
+            # (per-endpoint segment minima over the presorted layout);
+            # the min-label closure has a unique least fixpoint, so
+            # in-place sequencing of the two sides is safe
+            m = np.minimum(label[cu], label[cv])
+            label = label.copy()
+            label[uniq_u] = np.minimum(
+                label[uniq_u], np.minimum.reduceat(m[order_u], starts_u))
+            label[uniq_v] = np.minimum(
+                label[uniq_v], np.minimum.reduceat(m[order_v], starts_v))
+            # full path compression (pointer doubling to fixpoint):
+            # labels always point at smaller ids, so this terminates
+            while True:
+                jumped = label[label]
+                if np.array_equal(jumped, label):
+                    break
+                label = jumped
+            # fixpoint iff no edge has differing labels: relaxation
+            # would have written the smaller one
+            if np.array_equal(label, before):
+                break
+        yield pd.DataFrame({"node": nodes, "cluster_id": nodes[label]})
+
+    return edges.coalesce(1).mapInPandas(
+        kernel, f"node {out_type}, cluster_id {out_type}"
+    )
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "d1",
@@ -324,6 +453,15 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    # cost routing: a graph that fits one task runs union-find there —
+    # each star round below costs several jobs (two groupBys, a join,
+    # two exceptAll probes) for milliseconds of actual work
+    n_canon = canon.count()
+    if n_canon <= CC_SINGLE_TASK_MAX_EDGES:
+        return _cc_kernel_route(
+            canon.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            n_canon,
+        )
     for _ in range(max_iterations):
         sym = canon.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             canon.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -404,11 +542,18 @@ def connected_components(
     # `sym`, and without this the full upstream lineage (e.g. a token
     # self-join producing the pairs) re-executes per round — measured
     # 407 s → ~80 s at sf0.1 from this line alone.
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")) \
         .localCheckpoint()
-    )
+    # cost routing (same envelope as the star variant): min-label
+    # rounds on a one-task graph are pure scheduler overhead — the
+    # profiled sf0.1 near-dup graph paid ~1.9 s/round for milliseconds
+    # of vectorized label propagation.  Routed BEFORE symmetrization:
+    # the kernel relaxes both endpoints itself, so it only needs each
+    # edge once.
+    n_e = e.count()
+    if n_e <= CC_SINGLE_TASK_MAX_EDGES:
+        return _cc_kernel_route(e, n_e)
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     labels = (
         sym.select("u")
         .distinct()

@@ -343,6 +343,47 @@ def test_connected_components_known_graph(spark):
     }
 
 
+def test_connected_components_routes_are_twins(spark, monkeypatch):
+    """The one-task union-find route (round-16 optimization: the
+    min-label/star loops pay ~2 s of jobs per round on graphs that fit
+    one task) must produce bit-identical (node, cluster_id) labels to
+    both distributed loops — pinned by forcing the loop route with a
+    zeroed envelope, on a graph mixing a chain (diameter > 1 round), a
+    star, singleton-free isolated pairs and duplicate/reversed edges."""
+    import random
+
+    from datastore_mapper_spark.operators import dedup as dd
+
+    rng = random.Random(16)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),     # chain
+             (20, 21), (20, 22), (20, 23),               # star
+             (21, 20), (2, 1)]                           # reversed dups
+    for base in range(100, 160, 4):                      # pair soup
+        a, b = rng.sample(range(4), 2)                   # no self-loops:
+        edges.append((base + a, base + b))               # star drops them
+    df = spark.createDataFrame(edges, ["d1", "d2"])
+
+    kernel_cc = {(r.node, r.cluster_id)
+                 for r in dd.connected_components(df).collect()}
+    kernel_star = {(r.node, r.cluster_id)
+                   for r in dd.connected_components_star(df).collect()}
+    monkeypatch.setattr(dd, "CC_CONTRACT_MIN_EDGES", 0)
+    contract_cc = {(r.node, r.cluster_id)
+                   for r in dd.connected_components(df).collect()}
+    contract_star = {(r.node, r.cluster_id)
+                     for r in dd.connected_components_star(df).collect()}
+    monkeypatch.setattr(dd, "CC_SINGLE_TASK_MAX_EDGES", 0)
+    loop_cc = {(r.node, r.cluster_id)
+               for r in dd.connected_components(df).collect()}
+    loop_star = {(r.node, r.cluster_id)
+                 for r in dd.connected_components_star(df).collect()}
+    assert kernel_cc == loop_cc
+    assert kernel_star == loop_star
+    assert contract_cc == loop_cc
+    assert contract_star == loop_star
+    assert kernel_cc == kernel_star
+
+
 def test_multimodal_resize_exact_sizes(spark, sf_dir):
     from datastore_mapper_spark.operators.multimodal import (
         as_binary_media,
