@@ -949,7 +949,6 @@ def stream_acid_source_demo(spark, sf_dir):
     hash-fails.  GROUP BY is on the sink table (batch), so the
     streaming side stays a pure append pipeline."""
     import tempfile
-    import time
 
     from ..sources.acid_stream import register
 
@@ -976,11 +975,11 @@ def stream_acid_source_demo(spark, sf_dir):
         .start()
     )
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table(name).count() >= expected:
-                break
-            time.sleep(0.5)
+        # the source is finite (static version history, no concurrent
+        # writer): drain it driver-side instead of polling the sink
+        # with a count() job every 0.5 s — blocks until every version
+        # is processed AND committed, then the sink holds `expected`
+        q.processAllAvailable()
     finally:
         q.stop()
     cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
@@ -1892,7 +1891,6 @@ def stream_acid_to_acid_pipeline(spark, sf_dir):
     hash-fails.  At 100 TB this is the canonical incremental
     pipeline: the source side reads only NEW versions' files, the
     sink side costs one manifest write per batch."""
-    import time
 
     from ..sources.acid_stream import register
 
@@ -1927,12 +1925,10 @@ def stream_acid_to_acid_pipeline(spark, sf_dir):
         .start()
     )
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if acid_lite.latest_version(silver) and \
-                    acid_lite.count_rows(spark, silver)[0] >= expected:
-                break
-            time.sleep(0.5)
+        # finite upstream version history: drain it driver-side —
+        # every micro-batch's _hop commit lands before this returns,
+        # replacing the 0.5 s silver-count poll jobs
+        q.processAllAvailable()
     finally:
         q.stop()
     ok = True
@@ -2805,7 +2801,6 @@ def stream_acid_cdf_source(spark, sf_dir):
     consumer applies each micro-batch with foreachBatch/merge
     (``stream_acid_to_acid_pipeline``'s idempotent-sink half)."""
     import tempfile
-    import time
 
     from ..sources.acid_cdf_stream import register
 
@@ -2844,11 +2839,11 @@ def stream_acid_cdf_source(spark, sf_dir):
         .start()
     )
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table(name).count() >= expected:
-                break
-            time.sleep(0.5)
+        # the source is finite (static version history, no concurrent
+        # writer): drain it driver-side instead of polling the sink
+        # with a count() job every 0.5 s — blocks until every version
+        # is processed AND committed, then the sink holds `expected`
+        q.processAllAvailable()
     finally:
         q.stop()
     sink = spark.table(name)
@@ -3005,7 +3000,6 @@ def stream_acid_ivm_refresh(spark, sf_dir):
     is why CDF-as-a-source exists: the mart refresh rides the commit
     stream instead of a scheduled full diff."""
     import tempfile
-    import time
 
     from ..sources.acid_cdf_stream import register
 
@@ -3032,14 +3026,30 @@ def stream_acid_ivm_refresh(spark, sf_dir):
                                        == F.col("c_custkey"))
         .select("o_orderkey", "o_custkey", "o_totalprice",
                 "c_mktsegment"))
-    n_base = o.filter(F.col("bucket") < 8).count()
-    n_del = o.filter(F.col("bucket") == 6).count()
-    n_upd = o.filter(F.col("bucket") == 7).count()
-    n_app = o.filter(F.col("bucket") == 8).count()
-    expected_final = n_base - n_del + n_app
+    # all four law sizes in ONE scan of orders instead of four jobs
+    law = o.agg(
+        F.count(F.when(F.col("bucket") < 8, True)).alias("base"),
+        F.count(F.when(F.col("bucket") == 6, True)).alias("dels"),
+        F.count(F.when(F.col("bucket") == 7, True)).alias("upd"),
+        F.count(F.when(F.col("bucket") == 8, True)).alias("app"),
+    ).collect()[0]
+    n_base, n_del, n_upd, n_app = law.base, law.dels, law.upd, law.app
     moved = {"insert": 0, "delete": 0}
 
     def apply_batch(batch, _epoch):
+        # tally the delta sizes FIRST — the receipts need them anyway,
+        # and an empty batch (maintenance-commit range) then skips the
+        # build/checkpoint/merge jobs outright.  `up` is non-empty iff
+        # the batch is: inserts join customer on an always-present FK
+        # and `dels` only drops delete keys re-inserted in the same
+        # batch (which implies the insert side is non-empty).
+        sizes = {r._change_type: r.n
+                 for r in (batch.groupBy("_change_type")
+                           .agg(F.count("*").alias("n")).collect())}
+        for ct, n in sizes.items():
+            moved[ct] = moved.get(ct, 0) + n
+        if not sizes:
+            return
         ins = batch.filter(F.col("_change_type") == "insert")
         dels = (batch.filter(F.col("_change_type") == "delete")
                 .join(ins.select("o_orderkey"), "o_orderkey",
@@ -3053,12 +3063,8 @@ def stream_acid_ivm_refresh(spark, sf_dir):
                             F.lit("_").alias("c_mktsegment"),
                             F.lit(True).alias("_deleted")))
         ).localCheckpoint()
-        if up.limit(1).count():
-            acid_lite.merge_upsert(spark, destV, up, key="o_orderkey",
-                                   delete_col="_deleted")
-        for r in (batch.groupBy("_change_type")
-                  .agg(F.count("*").alias("n")).collect()):
-            moved[r._change_type] = moved.get(r._change_type, 0) + r.n
+        acid_lite.merge_upsert(spark, destV, up, key="o_orderkey",
+                               delete_col="_deleted")
 
     register(spark)
     ckpt = tempfile.mkdtemp()
@@ -3073,12 +3079,10 @@ def stream_acid_ivm_refresh(spark, sf_dir):
         .start()
     )
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if acid_lite.read(spark, destV).count() >= expected_final \
-                    and moved["insert"] >= n_base + n_upd + n_app:
-                break
-            time.sleep(0.5)
+        # finite commit history on A: drain the CDF driver-side — all
+        # four delta batches are merged into V before this returns,
+        # replacing the 0.5 s destV full-count poll jobs
+        q.processAllAvailable()
     finally:
         q.stop()
     streamed_ok = (moved.get("insert", 0) == n_base + n_upd + n_app
@@ -3357,7 +3361,6 @@ def stream_acid_cdf_partitioned(spark, sf_dir):
     scalar per slice — no join, no shuffle, no read amplification on
     a 100 TB partitioned feed."""
     import tempfile
-    import time
 
     from ..sources.acid_cdf_stream import register
 
@@ -3397,11 +3400,11 @@ def stream_acid_cdf_partitioned(spark, sf_dir):
         .start()
     )
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table(name).count() >= expected:
-                break
-            time.sleep(0.5)
+        # the source is finite (static version history, no concurrent
+        # writer): drain it driver-side instead of polling the sink
+        # with a count() job every 0.5 s — blocks until every version
+        # is processed AND committed, then the sink holds `expected`
+        q.processAllAvailable()
     finally:
         q.stop()
     sink = spark.table(name)

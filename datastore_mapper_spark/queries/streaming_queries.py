@@ -208,7 +208,6 @@ def stream_session_window_demo(spark, sf_dir):
 )
 def stream_entity_source_demo(spark, sf_dir):
     import tempfile
-    import time
 
     from ..sources.entity_source import register
 
@@ -229,11 +228,10 @@ def stream_entity_source_demo(spark, sf_dir):
         .start()
     )
     try:
-        deadline = time.time() + 60
-        while time.time() < deadline:
-            if spark.table(name).count() >= 200:
-                break
-            time.sleep(0.5)
+        # the source emits exactly num_entities=200 keys then idles:
+        # drain it driver-side instead of polling the sink with a
+        # count() job every 0.5 s
+        q.processAllAvailable()
     finally:
         q.stop()
     from pyspark.sql import functions as F

@@ -210,13 +210,15 @@ class EntityStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"key": 0}
 
-    def _rows(self, start: int, end: int) -> list[tuple]:
-        # a LIST, not a generator: the stream reader's prefetch cache
-        # pickles the returned iterator for possible replay
-        return [
+    def _rows(self, start: int, end: int) -> Iterator[tuple]:
+        # a list_iterator (picklable, so the prefetch cache can replay
+        # it), NOT a bare list: once the feed idles (start == end) the
+        # SimpleStreamReader wrapper probes emptiness with next(it),
+        # which a list does not support
+        return iter([
             (key, self.kind, self.namespace, f"{self.kind}-{key:08d}")
             for key in range(start, end)
-        ]
+        ])
 
     def read(self, start: dict):
         s = int(start["key"])
