@@ -40,6 +40,35 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def cosine_hoisted(a, b, na, nb) -> Column:
+    """:func:`cosine` with both self-norm folds hoisted to columns the
+    caller computed ONCE PER INPUT ROW below the pair join (``na`` =
+    sqrt(dot(a, a)), ``nb`` likewise).  sqrt of the same double is the
+    same double and the multiply order is unchanged, so the quotient
+    is bit-identical to ``cosine(a, b)`` — but a row scored against k
+    partners pays its self-norm fold once, not k times (three
+    interpreted HOF folds per pair -> one)."""
+    return dot(a, b) / (na * nb)
+
+
+def cosine_vs_lit(vec, qvec) -> Column:
+    """``cosine(vec, F.array(*lits(qvec)))`` with the query self-norm
+    computed DRIVER-SIDE from the already-collected ``qvec`` instead of
+    re-folding the literal array per scanned row (Catalyst does not
+    constant-fold interpreted HOF aggregates).  Bit-identical: the
+    Python left fold ``acc += v*v`` replays the JVM fold's IEEE op
+    sequence over the same doubles, and sqrt is correctly rounded in
+    both runtimes."""
+    import math
+
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
+    acc = 0.0
+    for v in qvec:
+        acc += float(v) * float(v)
+    qn = math.sqrt(acc)
+    return dot(vec, qlit) / (F.sqrt(dot(vec, vec)) * F.lit(qn))
+
+
 def sign_bucket(emb, n_dims: int = 4) -> Column:
     """Deterministic coarse cell id from the signs of the first
     ``n_dims`` elements (2**n_dims cells)."""
@@ -62,8 +91,13 @@ def cosine_topk(
     q = (
         emb_df.filter(F.col(id_col) == query_id)
         .select(F.col(vec_col).alias("qe"))
+        # query self-norm folded ONCE at broadcast build, not per row
+        .withColumn("qn", F.sqrt(dot(F.col("qe"), F.col("qe"))))
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("qe")), 4)
+    sim = F.round(
+        cosine_hoisted(F.col(vec_col), F.col("qe"),
+                       F.sqrt(dot(F.col(vec_col), F.col(vec_col))),
+                       F.col("qn")), 4)
     return (
         emb_df.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
@@ -86,8 +120,12 @@ def ivf_topk(
     q = (
         bucketed.filter(F.col(id_col) == query_id)
         .select(F.col(vec_col).alias("qe"), F.col("bucket").alias("qbucket"))
+        .withColumn("qn", F.sqrt(dot(F.col("qe"), F.col("qe"))))
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("qe")), 4)
+    sim = F.round(
+        cosine_hoisted(F.col(vec_col), F.col("qe"),
+                       F.sqrt(dot(F.col(vec_col), F.col(vec_col))),
+                       F.col("qn")), 4)
     return (
         bucketed.filter(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
@@ -359,7 +397,8 @@ def ivf_topk_kmeans(
         "_u",
     ).drop("_u")
     q = emb_df.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("qe"), unit(F.col(vec_col)).alias("qu")
+        F.col(vec_col).alias("qe"), unit(F.col(vec_col)).alias("qu"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("qn"),
     )
     probe_cells = (
         centroids.crossJoin(F.broadcast(q))
@@ -368,7 +407,10 @@ def ivf_topk_kmeans(
         .limit(nprobe)
         .select(F.col("centroid_id").alias("cid"))
     )
-    sim = F.round(cosine(F.col(vec_col), F.col("qe")), 4)
+    sim = F.round(
+        cosine_hoisted(F.col(vec_col), F.col("qe"),
+                       F.sqrt(dot(F.col(vec_col), F.col(vec_col))),
+                       F.col("qn")), 4)
     return (
         assigned.join(F.broadcast(probe_cells), "cid")
         .filter(F.col(id_col) != query_id)

@@ -283,6 +283,37 @@ def _encode_len_udf(merges: list[tuple[str, str]]):
     return enc_len
 
 
+def _encode_ladder_udf(merges: list[tuple[str, str]], split: int = 5):
+    """One-pass encoded-length LADDER: lengths after 0, ``split`` and
+    all merges, from a SINGLE application of the merge list per word.
+    Sequential rule application means the state after the first
+    ``split`` rules IS the ``merges[:split]`` encoder's final state, so
+    the three lengths are identical to three independent
+    :func:`_encode_len_udf` runs (pytest pins this) — at a third of
+    the Python work and one Arrow boundary crossing instead of three."""
+    ms = list(merges)
+
+    @F.pandas_udf("struct<l_full:int,l_half:int,l_zero:int>")
+    def enc_ladder(col: pd.Series) -> pd.DataFrame:
+        full, half, zero = [], [], []
+        for w in col:
+            syms = list(w)
+            zero.append(len(syms))
+            for a, b in ms[:split]:
+                syms = _merge_symbols(syms, a, b)
+            half.append(len(syms))
+            for a, b in ms[split:]:
+                syms = _merge_symbols(syms, a, b)
+            full.append(len(syms))
+        return pd.DataFrame({
+            "l_full": pd.Series(full, dtype="int32"),
+            "l_half": pd.Series(half, dtype="int32"),
+            "l_zero": pd.Series(zero, dtype="int32"),
+        })
+
+    return enc_ladder
+
+
 @query(
     "bpe_encode_token_count",
     "LLM-pipeline/tokenizer",
@@ -326,9 +357,9 @@ def bpe_encode_token_count(spark, sf_dir):
 
     Scale shape: encoding is computed ONCE PER DISTINCT (lang, word)
     — the per-language word-frequency table — and weighted by
-    occurrence count, so the pandas UDF touches |vocab| rows (3x for
-    the ladder), not corpus tokens; everything after is JVM
-    aggregation.  At 100 TB the trained merge list is a
+    occurrence count, so the pandas UDF touches |vocab| rows (ONE
+    ladder pass yields all three rungs), not corpus tokens; everything
+    after is JVM aggregation.  At 100 TB the trained merge list is a
     broadcast-sized artifact and encode stays vocab-bounded per
     partition."""
     merges_df = bpe_train(spark, sf_dir, n_merges=10)
@@ -343,18 +374,26 @@ def bpe_encode_token_count(spark, sf_dir):
         .groupBy("lang", "w")
         .agg(F.count("*").alias("f"))
     )
-    enc = wf.withColumn("enc_len", _encode_len_udf(merges)("w")) \
-        .withColumn("enc_len5", _encode_len_udf(merges[:5])("w")) \
-        .withColumn("enc_len0", _encode_len_udf([])("w")) \
+    enc = wf.withColumn("_enc", _encode_ladder_udf(merges, split=5)("w")) \
+        .select(
+            "lang", "w", "f",
+            F.col("_enc.l_full").alias("enc_len"),
+            F.col("_enc.l_half").alias("enc_len5"),
+            F.col("_enc.l_zero").alias("enc_len0"),
+        ) \
         .localCheckpoint()  # vocab-sized; reused by laws + aggregate
-    n_bounds_bad = enc.filter(
-        (F.col("enc_len") < 1) | (F.col("enc_len") > F.length("w"))
-    ).count()
-    n_law_bad = enc.filter(
-        (F.col("enc_len0") != F.length("w"))
-        | (F.col("enc_len") > F.col("enc_len5"))
-        | (F.col("enc_len5") > F.col("enc_len0"))
-    ).count()
+    # both law counters in ONE job over the checkpointed frame
+    law = enc.agg(
+        F.count(F.when(
+            (F.col("enc_len") < 1) | (F.col("enc_len") > F.length("w")),
+            True)).alias("bounds_bad"),
+        F.count(F.when(
+            (F.col("enc_len0") != F.length("w"))
+            | (F.col("enc_len") > F.col("enc_len5"))
+            | (F.col("enc_len5") > F.col("enc_len0")),
+            True)).alias("law_bad"),
+    ).collect()[0]
+    n_bounds_bad, n_law_bad = law.bounds_bad, law.law_bad
     return enc.groupBy("lang").agg(
         F.sum("f").cast("bigint").alias("whitespace_tokens"),
         F.sum(F.col("f") * F.length("w")).cast("bigint")

@@ -192,9 +192,16 @@ def neardup_cosine_pairs(spark, sf_dir):
     the FULL corpus is :func:`neardup_cosine_bucketed` (sign-cell
     equi-join blocking; same threshold, same output shape)."""
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
-    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
-    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
-    s = F.round(sim.cosine(F.col("e1"), F.col("e2")), 4)
+    # self-norm folded once per VECTOR below the pair join (500 folds),
+    # not once per PAIR side (2 x 125k folds) — bit-identical quotient
+    en = e.withColumn(
+        "_n", F.sqrt(sim.dot(F.col("embedding"), F.col("embedding"))))
+    a = en.select(F.col("vec_id").alias("id1"),
+                  F.col("embedding").alias("e1"), F.col("_n").alias("n1"))
+    b = en.select(F.col("vec_id").alias("id2"),
+                  F.col("embedding").alias("e2"), F.col("_n").alias("n2"))
+    s = F.round(sim.cosine_hoisted(F.col("e1"), F.col("e2"),
+                                   F.col("n1"), F.col("n2")), 4)
     return (
         a.join(b, F.col("id1") < F.col("id2"))
         .select("id1", "id2", s.alias("sim"))
@@ -710,14 +717,21 @@ def neardup_cosine_bucketed(spark, sf_dir):
     property of the blocking, not a correctness gap — near-identical
     vectors share leading signs unless a component sits near 0)."""
     e = table(spark, sf_dir, "embeddings")
-    bucketed = e.withColumn("bucket", sim.sign_bucket(F.col("embedding")))
+    bucketed = e.withColumn("bucket", sim.sign_bucket(F.col("embedding"))) \
+        .withColumn(
+            # self-norm folded once per VECTOR below the cell join, not
+            # once per pair side — bit-identical quotient
+            "_n", F.sqrt(sim.dot(F.col("embedding"), F.col("embedding"))))
     a = bucketed.select(
-        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"), "bucket"
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"),
+        F.col("_n").alias("n1"), "bucket"
     )
     b = bucketed.select(
-        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"), "bucket"
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"),
+        F.col("_n").alias("n2"), "bucket"
     )
-    s = F.round(sim.cosine(F.col("e1"), F.col("e2")), 4)
+    s = F.round(sim.cosine_hoisted(F.col("e1"), F.col("e2"),
+                                   F.col("n1"), F.col("n2")), 4)
     return (
         a.join(b, ["bucket"])
         .filter(F.col("id1") < F.col("id2"))
@@ -2371,20 +2385,19 @@ def sq8_knn_recall_verified(spark, sf_dir):
     from .llm_vector import cosine_scored
 
     e = table(spark, sf_dir, "embeddings")
+    # ONE driver fetch of the query row (was first() + limit(1).count(),
+    # two jobs), and the query self-norm hoisted driver-side
+    qrow = e.filter(F.col("vec_id") == 1).first()
     exact = (
         e.filter(F.col("vec_id") != 1)
         .select(
             "vec_id",
-            F.round(sim.cosine(
-                F.col("embedding"),
-                F.array(*[F.lit(float(v)) for v in (
-                    e.filter(F.col("vec_id") == 1).first() or
-                    {"embedding": []})["embedding"]]),
-            ), 4).alias("sim"),
+            F.round(sim.cosine_vs_lit(F.col("embedding"),
+                                      qrow["embedding"]), 4).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(10)
-    ) if e.filter(F.col("vec_id") == 1).limit(1).count() else (
+    ) if qrow is not None else (
         e.select("vec_id", F.lit(0.0).alias("sim")).limit(0)
     )
     scales = sim.sq8_train(e)
@@ -2512,11 +2525,11 @@ def bq_knn_recall_verified(spark, sf_dir):
         return e.select(
             "vec_id", F.lit(0.0).alias("sim"),
             F.lit(True).alias("quality_ok")).limit(0)
-    qlit = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
     exact = (
         e.filter(F.col("vec_id") != 1)
         .select("vec_id",
-                F.round(sim.cosine(F.col("embedding"), qlit), 4)
+                F.round(sim.cosine_vs_lit(F.col("embedding"),
+                                          qrow["embedding"]), 4)
                 .alias("sim"))
         .orderBy(F.col("sim").desc(), F.col("vec_id"))
         .limit(10)

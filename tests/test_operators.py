@@ -1050,6 +1050,45 @@ def test_bpe_encode_matches_pure_python(spark, sf_dir):
     assert spark_bpe == dict(bpe)
 
 
+def test_bpe_encode_ladder_matches_independent_runs(spark, sf_dir):
+    """The one-pass ladder UDF (r16 optimization) must return exactly
+    the three lengths the independent per-prefix encoders produce:
+    sequential rule application makes the state after the first k
+    rules identical to the merges[:k] encoder's final state."""
+    from datastore_mapper_spark.catalog import table as _table
+    from datastore_mapper_spark.queries.bpe_queries import (
+        _encode_ladder_udf,
+        _encode_len_udf,
+        bpe_train,
+    )
+    from pyspark.sql import functions as F
+
+    merges = [
+        (r.left, r.right)
+        for r in bpe_train(spark, sf_dir, n_merges=10)
+        .orderBy("merge_rank").collect()
+    ]
+    wf = (
+        _table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .distinct()
+    )
+    got = (
+        wf.withColumn("_enc", _encode_ladder_udf(merges, split=5)("w"))
+        .withColumn("e10", _encode_len_udf(merges)("w"))
+        .withColumn("e5", _encode_len_udf(merges[:5])("w"))
+        .withColumn("e0", _encode_len_udf([])("w"))
+        .filter(
+            (F.col("_enc.l_full") != F.col("e10"))
+            | (F.col("_enc.l_half") != F.col("e5"))
+            | (F.col("_enc.l_zero") != F.col("e0"))
+        )
+        .count()
+    )
+    assert got == 0
+
+
 def test_snapshot_content_addressing_rebuilds_on_fixture_change(
     spark, sf_dir, tmp_path
 ):
