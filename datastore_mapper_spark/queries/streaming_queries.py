@@ -353,9 +353,9 @@ def stream_ledger_balance_demo(spark, sf_dir):
     """,
     description="LEFT OUTER stream-stream join (round 13): matched "
     "view->purchase pairs emit at match time, unmatched views emit "
-    "null-padded via watermark state EVICTION — two sentinel batches "
-    "advance both sides' watermarks past every real row's horizon so "
-    "the finite replay flushes deterministically; the aggregate must "
+    "null-padded via watermark state EVICTION — a sentinel batch "
+    "advances both sides' watermarks past every real row's horizon so "
+    "the trailing no-data micro-batch flushes deterministically; the aggregate must "
     "hash-match the batch left join exactly (a stranded-in-state view "
     "or a double-emitted pair shifts a count).",
 )
@@ -389,7 +389,7 @@ def stream_stream_left_outer_join(spark, sf_dir):
     description="FULL OUTER stream-stream join (round 14, completing "
     "the family after inner + left outer): both sides' null-padded "
     "non-matches are watermark EVICTION decisions, flushed "
-    "deterministically by the sentinel batches; the aggregate must "
+    "deterministically by the sentinel-advanced no-data batch; the aggregate must "
     "hash-match the batch full join exactly (a stranded view, a "
     "stranded purchase, or a double emit each shifts a count).",
 )
@@ -434,7 +434,8 @@ def stream_stream_full_outer_join(spark, sf_dir):
     description="STATEFUL sessionization with EVENT-TIME TIMEOUT "
     "(round 14 — the applyInPandasWithState timeout surface): "
     "30-min-gap sessions close via watermark-driven state timeouts, "
-    "flushed deterministically by the sentinel batches; per-user "
+    "flushed deterministically by the sentinel-advanced no-data "
+    "batch; per-user "
     "session aggregates must hash-match the batch lag->cumsum "
     "sessionization exactly (a stranded open session, a double emit, "
     "or a timeout firing early each shifts a count).",

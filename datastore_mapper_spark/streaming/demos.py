@@ -483,30 +483,38 @@ def streaming_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _staged_outer_join_dir(sf_dir: str) -> str:
-    """Stage events as FOUR chronological micro-batch files: the two
-    median-split halves, then two SENTINEL batches (one 'view' + one
-    'purchase' row each, ``user_id = -1``, at max_ts + 2 and + 3
-    days).  The sentinels exist to advance BOTH sides' watermarks
-    past every real row's eviction horizon: a left-OUTER stream-stream
-    join emits its null-padded rows only when a LATER batch's state
-    eviction runs under a watermark beyond ``view_ts + window``, and a
-    finite replay that simply ends would strand every tail view in
-    state forever — the classic outer-join-streaming footgun, made
-    deterministic here instead of waited out."""
+    """Stage events as THREE chronological micro-batch files: the two
+    median-split halves, then ONE SENTINEL batch (one 'view' + one
+    'purchase' row, ``user_id = -1``, at max_ts + 2 days).  The
+    sentinel exists to advance BOTH sides' watermarks past every real
+    row's eviction horizon: a left-OUTER stream-stream join emits its
+    null-padded rows only when a LATER batch's state eviction runs
+    under a watermark beyond ``view_ts + window``, and a finite replay
+    that simply ends would strand every tail view in state forever —
+    the classic outer-join-streaming footgun, made deterministic here
+    instead of waited out.  The LATER batch is the trailing NO-DATA
+    micro-batch Spark schedules whenever the last data batch moved the
+    watermark (``spark.sql.streaming.noDataMicroBatches.enabled``,
+    default on — availableNow replays always get one): it runs the
+    stateful operators under the sentinel-advanced watermark and
+    flushes every eviction/timeout.  A second sentinel file (the r14
+    original) only re-did that flush one batch earlier, costing a
+    full extra state-store pass per replay (~2 s x 3 consumers at
+    sf0.1, measured via StreamingQueryProgress.durationMs)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "events.parquet")
     tag = hashlib.sha1(os.path.abspath(path).encode()).hexdigest()[:12]
-    d = os.path.join(_SCRATCH, f"stream_src_oj_{tag}")
-    files = [os.path.join(d, f"batch{i}.parquet") for i in (1, 2, 3, 4)]
+    d = os.path.join(_SCRATCH, f"stream_src_oj3_{tag}")
+    files = [os.path.join(d, f"batch{i}.parquet") for i in (1, 2, 3)]
     if not all(os.path.exists(f) for f in files):
         os.makedirs(d, exist_ok=True)
         t = pq.read_table(path)
         ts = pc.cast(t.column("ts"), "int64")
         med = pc.quantile(ts, q=0.5, interpolation="lower").to_pylist()[0]
-        if med is None:  # empty source: four empty schema-bearing files
+        if med is None:  # empty source: three empty schema-bearing files
             for f in files:
                 pq.write_table(t, f)
         else:
@@ -517,26 +525,24 @@ def _staged_outer_join_dir(sf_dir: str) -> str:
             day_ns = 86_400_000_000_000
             names = t.column_names
             ts_type = t.schema.field("ts").type
-            for f, ts_off in ((files[2], mx + 2 * day_ns),
-                              (files[3], mx + 3 * day_ns)):
-                cols = []
-                for name in names:
-                    if name == "ts":
-                        arr = pa.array([ts_off, ts_off],
-                                       type=pa.int64()).cast(ts_type)
-                    elif name == "user_id":
-                        arr = pa.array(
-                            [-1, -1],
-                            type=t.schema.field("user_id").type)
-                    elif name == "event_type":
-                        arr = pa.array(["view", "purchase"])
-                    else:
-                        arr = pa.nulls(2, t.schema.field(name).type)
-                    cols.append(arr)
-                pq.write_table(pa.table(cols, names=names), f)
-        now = os.path.getmtime(files[3])
-        for i, f in enumerate(files[:3]):
-            os.utime(f, (now - 60 * (3 - i), now - 60 * (3 - i)))
+            cols = []
+            for name in names:
+                if name == "ts":
+                    arr = pa.array([mx + 2 * day_ns, mx + 2 * day_ns],
+                                   type=pa.int64()).cast(ts_type)
+                elif name == "user_id":
+                    arr = pa.array(
+                        [-1, -1],
+                        type=t.schema.field("user_id").type)
+                elif name == "event_type":
+                    arr = pa.array(["view", "purchase"])
+                else:
+                    arr = pa.nulls(2, t.schema.field(name).type)
+                cols.append(arr)
+            pq.write_table(pa.table(cols, names=names), files[2])
+        now = os.path.getmtime(files[2])
+        for i, f in enumerate(files[:2]):
+            os.utime(f, (now - 60 * (2 - i), now - 60 * (2 - i)))
     return d
 
 

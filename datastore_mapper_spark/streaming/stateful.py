@@ -346,13 +346,14 @@ def _update_sessions(
 def streaming_sessionize_stateful(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Replay events through the event-time-timeout sessionizer and
-    return per-user session aggregates.  The four-batch staging
-    (two chronological halves + two far-future watermark sentinels,
+    return per-user session aggregates.  The three-batch staging
+    (two chronological halves + one far-future watermark sentinel,
     shared with the outer-join rows) makes every timeout fire inside
-    the finite replay: sentinel batch 1 advances the watermark past
-    every real session's close horizon, sentinel batch 2's trigger
-    delivers the timeouts.  Output rows are session-count-bounded
-    (append mode), so the memory sink holds sessions, never events."""
+    the finite replay: the sentinel batch advances the watermark past
+    every real session's close horizon, and the trailing no-data
+    micro-batch's trigger delivers the timeouts.  Output rows are
+    session-count-bounded (append mode), so the memory sink holds
+    sessions, never events."""
     import os as _os
 
     from pyspark.sql import functions as F

@@ -577,10 +577,12 @@ def test_acid_stream_source_reads_evolved_schema(spark, tmp_path):
 
 
 def test_outer_join_staging_sentinels(spark, sf_dir):
-    """The 4-batch staging for the left-outer join: two chronological
-    halves plus two sentinel batches (view+purchase, user -1) strictly
+    """The 3-batch staging for the left-outer join: two chronological
+    halves plus ONE sentinel batch (view+purchase, user -1) strictly
     beyond every real row — the watermark-advance rows that make the
-    outer join's eviction deterministic for a finite replay."""
+    outer join's eviction deterministic for a finite replay (the
+    flush itself rides the trailing no-data micro-batch; r16 dropped
+    the second sentinel file that used to force it one batch early)."""
     import os
 
     import pyarrow.compute as pc
@@ -591,8 +593,11 @@ def test_outer_join_staging_sentinels(spark, sf_dir):
     )
 
     d = _staged_outer_join_dir(sf_dir)
+    assert sorted(os.listdir(d)) == [
+        "batch1.parquet", "batch2.parquet", "batch3.parquet"
+    ]
     tabs = [pq.read_table(os.path.join(d, f"batch{i}.parquet"))
-            for i in (1, 2, 3, 4)]
+            for i in (1, 2, 3)]
     real = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     assert tabs[0].num_rows + tabs[1].num_rows == real.num_rows
     if real.num_rows:
