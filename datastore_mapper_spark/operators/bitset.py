@@ -1,4 +1,4 @@
-"""Blocked all-pair set-intersection via packed bitsets + BLAS.
+"""Blocked all-pair set-intersection via gid-set matrices + BLAS.
 
 The shared-shingle inverted-index join (dedup_bigram_jaccard /
 dedup_drop_contained's candidate step) costs Σ_g df(g)² join rows.  On
@@ -12,15 +12,19 @@ intrinsically ~quadratic here, so the cheapest EXACT plan is the one
 with the lowest constant per pair:
 
 1. dictionary-encode the per-doc sets (vocabulary-sized, broadcast),
-2. pack each doc's set into a ⌈V/64⌉-long bitset,
+2. collect each doc's set as a dense gid array (r16: the former
+   ⌈V/64⌉-long SQL bit-packing fold was O(|set|·V/64) interpreted
+   lambda steps per doc, and the kernel unpacked it right back —
+   both halves of that round-trip are gone),
 3. block docs into B id-buckets and replicate each doc to its
    B bucket-pairs (two broadcast equi-joins — no BNLJ, no shuffle of
    pair rows), and
-4. per bucket-pair, compute ALL pairwise intersection counts with one
-   numpy matrix multiply over the unpacked 0/1 matrices — binary
-   matmul counts are integer-exact in float32 up to 2²⁴ — and emit
-   only the pairs a caller-supplied predicate keeps (Arrow carries
-   survivors, never the quadratic stream).
+4. per bucket-pair, scatter the gid arrays into 0/1 float32 matrices
+   and compute ALL pairwise intersection counts with one numpy
+   matrix multiply — binary matmul counts are integer-exact in
+   float32 up to 2²⁴ — and emit only the pairs a caller-supplied
+   predicate keeps (Arrow carries survivors, never the quadratic
+   stream).
 
 All fractional math (Jaccard, rounding) stays in Spark SQL on the
 emitted integer counts, so oracle float semantics are untouched.
@@ -67,16 +71,52 @@ def dictionary_ids(values: DataFrame, col: str) -> DataFrame:
     """Dense 0-based ids for the distinct values of ``col`` — the
     dictionary is vocabulary-sized (broadcast tier).  The single-
     partition window is deliberate: the dictionary is tiny by the
-    routing precondition above."""
+    routing precondition above.
+
+    Materialized via ``localCheckpoint``: every caller evaluates the
+    dictionary at least twice (a ``count()`` for the kernel router,
+    then a broadcast-join build), and without the checkpoint each
+    evaluation re-runs the corpus-wide explode + distinct feeding it
+    — the dominant repeated scan in the bitset-kernel queries
+    (guide §1.2: don't compute things twice)."""
     return values.select(col).distinct().withColumn(
         "gid", (F.row_number().over(Window.orderBy(col)) - 1)
+    ).localCheckpoint()
+
+
+def gid_sets(pairs: DataFrame, id_col: str, gid_col: str,
+             out_col: str) -> DataFrame:
+    """(id, <out_col> array<int>, <out_col>_sz) — each id's set of
+    gids as a dense-id array, the row form
+    :func:`blocked_pair_survivors` consumes.
+
+    r16: the kernel used to take :func:`packed_bitset` words — an
+    O(|set| · V/64) interpreted SQL fold per doc — and immediately
+    UNPACK them back into a 0/1 matrix (guide §4.1: the pack/unpack
+    round-trip was pure overhead, ~1.6 s per mask at sf0.1).  The
+    kernel now scatters the gid array into its matrix directly, so
+    the only per-doc work left is the ``collect_set`` itself.
+    :func:`packed_bitset` remains for the SQL ``bit_count`` join path
+    (operators/dedup.neardup_jaccard_prefix), which genuinely wants
+    fixed-width words inside a JVM expression."""
+    return (
+        pairs.groupBy(id_col)
+        .agg(F.collect_set(gid_col).alias("_gids"))
+        .select(
+            id_col,
+            F.col("_gids").cast("array<int>").alias(out_col),
+            F.size("_gids").cast("long").alias(f"{out_col}_sz"),
+        )
     )
 
 
 def packed_bitset(pairs: DataFrame, id_col: str, gid_col: str,
                   n_bits: int, out_col: str) -> DataFrame:
     """(id, <out_col> array<long>, <out_col>_sz) — each id's set of
-    gids packed into ⌈n_bits/64⌉ longs (bit g of word g DIV 64)."""
+    gids packed into ⌈n_bits/64⌉ longs (bit g of word g DIV 64).
+    Used where the intersection is evaluated in SQL via
+    ``bit_count(a & b)`` inside a join stage; kernel callers use
+    :func:`gid_sets` instead (no pack/unpack round-trip)."""
     n_words = max(1, (n_bits + 63) // 64)
     return (
         pairs.groupBy(id_col)
@@ -106,7 +146,8 @@ def blocked_pair_survivors(
     filtered by ``predicate`` inside the kernel.
 
     ``docs``: one row per doc with ``id_col``, and for each name m in
-    ``mask_cols`` an ``array<long>`` column m plus a ``m_sz`` long.
+    ``mask_cols`` an ``array<int>`` gid-set column m plus a ``m_sz``
+    long.
     ``predicate(inter, sz1, sz2)``: dicts of numpy arrays keyed by
     mask name -> boolean keep-mask over the pair axis.  Returns
     (d1, d2, <m>_inter..., <m>_sz1..., <m>_sz2...) with d1 < d2 —
@@ -147,22 +188,31 @@ def blocked_pair_survivors(
         {f.split()[0]: pd.Series(dtype="int64") for f in out_fields}
     )
 
-    def unpack(series) -> "np.ndarray":
-        # array<long> column -> (n, V_bits) 0/1 float32 matrix.
-        # '<i8' pins little-endian word layout before the uint8 view:
-        # packed_bitset puts bit g of word w at g-64w counting from
-        # the word's LSB, which matches bitorder='little' only when
-        # the bytes of each word are laid out little-endian too
-        # (round-9 ADVICE — a big-endian host would silently reverse
-        # bytes within each word and miscount every intersection).
-        packed = np.ascontiguousarray(
-            np.array(list(series), dtype=np.int64), dtype="<i8"
-        ).view(np.uint8)
+    def to_matrix(series, v: int) -> "np.ndarray":
+        # array<int> gid-set column -> (n, v) 0/1 float32 matrix by
+        # flat scatter: O(Σ|set|) instead of the old pack-then-
+        # unpackbits round-trip (each gid touches one cell once)
         n = len(series)
-        bits = np.unpackbits(
-            packed.reshape(n, -1), axis=1, bitorder="little"
-        )
-        return bits.astype(np.float32)
+        lens = np.fromiter((len(x) for x in series),
+                           dtype=np.int64, count=n)
+        m = np.zeros((n, v), dtype=np.float32)
+        if lens.sum():
+            flat = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in series])
+            m[np.repeat(np.arange(n), lens), flat] = 1.0
+        return m
+
+    def group_v(a_series, b_series) -> int:
+        # shared matrix width for one bucket-pair: group-local max gid
+        # + 1 (a gid absent from the whole group cannot intersect)
+        v = 0
+        for s in (a_series, b_series):
+            for x in s:
+                if len(x):
+                    mx = max(x)
+                    if mx >= v:
+                        v = mx + 1
+        return max(1, v)
 
     def kernel(key, pdf):
         b1, b2 = int(key[0]), int(key[1])
@@ -176,8 +226,9 @@ def blocked_pair_survivors(
         sz1 = {}
         sz2 = {}
         for m in mask_names:
-            ma = unpack(a[m])
-            mb = ma if b1 == b2 else unpack(b[m])
+            v = group_v(a[m], b[m]) if b1 != b2 else group_v(a[m], ())
+            ma = to_matrix(a[m], v)
+            mb = ma if b1 == b2 else to_matrix(b[m], v)
             # binary matmul = exact pairwise intersection counts
             inter[m] = (ma @ mb.T).astype(np.int64)
             sa = a[f"{m}_sz"].to_numpy()

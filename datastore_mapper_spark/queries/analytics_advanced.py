@@ -335,9 +335,9 @@ def containment_asymmetric_dedup(spark, sf_dir):
     from ..operators.bitset import (
         blocked_pair_survivors,
         dictionary_ids,
+        gid_sets,
         indexed_pair_intersections,
         kernel_fits,
-        packed_bitset,
     )
 
     d = table(spark, sf_dir, "documents")
@@ -354,8 +354,8 @@ def containment_asymmetric_dedup(spark, sf_dir):
     tok_long = toks.join(F.broadcast(tok_gid), "tok").select("doc_id", "gid")
     bg_long = sh.join(F.broadcast(bg_gid), "g").select("doc_id", "gid")
     if kernel_fits(n_docs, max(n_tok, n_bg)):
-        tok_masks = packed_bitset(tok_long, "doc_id", "gid", n_tok, "tk")
-        bg_masks = packed_bitset(bg_long, "doc_id", "gid", n_bg, "bg")
+        tok_masks = gid_sets(tok_long, "doc_id", "gid", "tk")
+        bg_masks = gid_sets(bg_long, "doc_id", "gid", "bg")
         docs = tok_masks.join(bg_masks, "doc_id")
 
         def keep(inter, sz1, sz2):
@@ -2634,9 +2634,9 @@ def dedup_drop_contained(spark, sf_dir):
     from ..operators.bitset import (
         blocked_pair_survivors,
         dictionary_ids,
+        gid_sets,
         indexed_pair_intersections,
         kernel_fits,
-        packed_bitset,
     )
 
     d = table(spark, sf_dir, "documents")
@@ -2653,8 +2653,8 @@ def dedup_drop_contained(spark, sf_dir):
     tok_long = toks.join(F.broadcast(tok_gid), "tok").select("doc_id", "gid")
     bg_long = sh.join(F.broadcast(bg_gid), "g").select("doc_id", "gid")
     if kernel_fits(n_docs, max(n_tok, n_bg)):
-        tok_masks = packed_bitset(tok_long, "doc_id", "gid", n_tok, "tk")
-        bg_masks = packed_bitset(bg_long, "doc_id", "gid", n_bg, "bg")
+        tok_masks = gid_sets(tok_long, "doc_id", "gid", "tk")
+        bg_masks = gid_sets(bg_long, "doc_id", "gid", "bg")
         docs = tok_masks.join(bg_masks, "doc_id")
 
         def keep(inter, sz1, sz2):

@@ -851,9 +851,9 @@ def dedup_bigram_jaccard(spark, sf_dir):
     from ..operators.bitset import (
         blocked_pair_survivors,
         dictionary_ids,
+        gid_sets,
         indexed_pair_intersections,
         kernel_fits,
-        packed_bitset,
     )
     from ..operators.dedup import word_bigrams
 
@@ -864,7 +864,7 @@ def dedup_bigram_jaccard(spark, sf_dir):
     n_docs = d.count()  # parquet-metadata count, no scan
     shi = sh.join(F.broadcast(gid), "g").select("doc_id", "gid")
     if kernel_fits(n_docs, n_bits):
-        docs = packed_bitset(shi, "doc_id", "gid", n_bits, "bg")
+        docs = gid_sets(shi, "doc_id", "gid", "bg")
 
         def keep(inter, sz1, sz2):
             import numpy as np
@@ -1287,8 +1287,8 @@ def neardup_jaccard_prefix(spark, sf_dir):
     from ..operators.bitset import (
         blocked_pair_survivors,
         dictionary_ids,
+        gid_sets,
         kernel_fits,
-        packed_bitset,
     )
     from ..operators.dedup import jaccard_prefix_candidates
 
@@ -1302,7 +1302,7 @@ def neardup_jaccard_prefix(spark, sf_dir):
     n_docs = d.count()
     if kernel_fits(n_docs, n_bits):
         long = toks.join(F.broadcast(gid), "tok").select("doc_id", "gid")
-        docs = packed_bitset(long, "doc_id", "gid", n_bits, "tk")
+        docs = gid_sets(long, "doc_id", "gid", "tk")
 
         def keep(inter, sz1, sz2):
             # J >= 4/5 as exact integers: 5*inter >= 4*(union)

@@ -164,8 +164,8 @@ def main() -> None:
             from datastore_mapper_spark.operators.bitset import (
                 blocked_pair_survivors,
                 dictionary_ids,
+                gid_sets,
                 kernel_fits,
-                packed_bitset,
             )
 
             toks = doc_toks.select("doc_id", F.explode("toks").alias("tok"))
@@ -173,9 +173,9 @@ def main() -> None:
             v = gid.count()
             if not kernel_fits(n, v):
                 return None  # router: index paths win here
-            masks = packed_bitset(
+            masks = gid_sets(
                 toks.join(F.broadcast(gid), "tok").select("doc_id", "gid"),
-                "doc_id", "gid", v, "tk",
+                "doc_id", "gid", "tk",
             )
 
             def keep(inter, s1, s2):

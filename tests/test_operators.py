@@ -1344,7 +1344,7 @@ def test_bitset_blocked_pairs_match_bruteforce(spark):
     from datastore_mapper_spark.operators.bitset import (
         blocked_pair_survivors,
         dictionary_ids,
-        packed_bitset,
+        gid_sets,
     )
 
     sets = {
@@ -1360,20 +1360,20 @@ def test_bitset_blocked_pairs_match_bruteforce(spark):
     pairs_df = spark.createDataFrame(rows, "doc_id long, tok string")
     gid = dictionary_ids(pairs_df, "tok")
     n_bits = gid.count()
-    docs = packed_bitset(
+    docs = gid_sets(
         pairs_df.join(F.broadcast(gid), "tok").select("doc_id", "gid"),
-        "doc_id", "gid", n_bits, "tk",
+        "doc_id", "gid", "tk",
     )
-    # docs with empty sets never reach packed_bitset (no gid rows);
-    # union them in with an explicit zero mask so the kernel sees them
-    n_words = max(1, (n_bits + 63) // 64)
+    # docs with empty sets never reach gid_sets (no gid rows);
+    # union them in with an explicit empty gid set so the kernel sees
+    # them (r16: masks are gid-set arrays, no longer packed words)
     empty_ids = [i for i, ts in sets.items() if not ts]
     if empty_ids:
         zero = spark.createDataFrame(
             [(i,) for i in empty_ids], "doc_id long"
         ).select(
             "doc_id",
-            F.expr(f"array_repeat(0L, {n_words})").alias("tk"),
+            F.expr("array()").cast("array<int>").alias("tk"),
             F.lit(0).cast("long").alias("tk_sz"),
         )
         docs = docs.unionByName(zero)
