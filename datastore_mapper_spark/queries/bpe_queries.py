@@ -117,22 +117,82 @@ def _merge_udf(a: str, b: str):
     return apply_merge
 
 
-def bpe_train(spark, sf_dir, n_merges: int = 10) -> DataFrame:
+#: Route BPE training to a ONE-TASK kernel when the word-frequency
+#: table holds at most this many rows — the same discipline as the
+#: connected-components / k-core single-task kernels
+#: (dedup.CC_SINGLE_TASK_MAX_EDGES): iterating a distributed dataflow
+#: 10 rounds over a vocab that fits one task trades milliseconds of
+#: Python for ~20 scheduler round-trips.  2M (word, freq) rows is a
+#: few hundred MB in one task — comfortably inside the envelope; real
+#: 100 TB corpora with larger vocabularies take the distributed loop.
+BPE_SINGLE_TASK_MAX_VOCAB = 2_000_000
+
+
+def _bpe_train_greedy(rows, n_merges: int):
+    """The greedy BPE recursion over an in-memory (word, freq) list —
+    the single-task kernel body.  Semantics identical to the
+    distributed loop below: argmax pair by (count DESC, then
+    lexicographic), greedy left-to-right merge application."""
+    syms = [(list(w), int(f)) for w, f in rows]
+    merges = []
+    for rank in range(n_merges):
+        cnt: dict = {}
+        for sq, f in syms:
+            for i in range(len(sq) - 1):
+                p = (sq[i], sq[i + 1])
+                cnt[p] = cnt.get(p, 0) + f
+        if not cnt:
+            break
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, int(c)))
+        syms = [(_merge_symbols(sq, a, b), f) for sq, f in syms]
+    return merges
+
+
+def bpe_train(spark, sf_dir, n_merges: int = 10,
+              single_task_max_vocab: int | None = None) -> DataFrame:
     """Train ``n_merges`` BPE merges; returns (merge_rank, left, right,
     pair_count) — deterministic (count DESC, then lexicographic pair).
 
-    Per iteration: (1) a JVM pair-count aggregation over the
-    vocab-sized symbol table (as ``bpe_pair_counts``), (2) the argmax
-    merge picked off a 1-row sort, (3) merge application via an
+    ROUTED (r16): when the word-frequency table is single-task-sized
+    (≤ ``BPE_SINGLE_TASK_MAX_VOCAB`` rows) the whole greedy recursion
+    runs inside ONE ``applyInPandas`` task — one Spark job instead of
+    ~2 per merge (pair-count argmax + checkpoint materialization),
+    which at fixture scale is pure scheduler overhead over a tiny
+    vocab.  A pytest twin pins route equality on the real corpus.
+
+    Distributed route, per iteration: (1) a JVM pair-count aggregation
+    over the vocab-sized symbol table (as ``bpe_pair_counts``), (2) the
+    argmax merge picked off a 1-row sort, (3) merge application via an
     Arrow-batched pandas UDF over the vocab table (per-word sequential
     by definition, embarrassingly parallel across words), then a
     ``localCheckpoint`` cutting the per-iteration lineage exactly like
     the connected-components loop.  At 100 TB only step (3)'s input —
     the word-frequency table — is large, and it is the SAME size every
     iteration; the corpus is never re-read after the first aggregate."""
-    wf = word_frequencies(spark, sf_dir).select(
-        F.expr("split(w, '')").alias("syms"), "f"
-    ).localCheckpoint()
+    cap = (BPE_SINGLE_TASK_MAX_VOCAB if single_task_max_vocab is None
+           else single_task_max_vocab)
+    wf0 = word_frequencies(spark, sf_dir).localCheckpoint()
+    n_vocab = wf0.count()
+    out_schema = ("merge_rank int, left string, right string, "
+                  "pair_count bigint")
+    if n_vocab <= cap:
+        nm = int(n_merges)
+
+        def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            merges = _bpe_train_greedy(
+                zip(pdf["w"].tolist(), pdf["f"].tolist()), nm)
+            return pd.DataFrame(
+                merges, columns=["merge_rank", "left", "right",
+                                 "pair_count"])
+
+        return (
+            wf0.withColumn("_g", F.lit(0)).groupBy("_g")
+            .applyInPandas(kern, out_schema)
+        )
+
+    wf = wf0.select(F.expr("split(w, '')").alias("syms"), "f") \
+        .localCheckpoint()
 
     merges = []
     for rank in range(n_merges):
@@ -205,9 +265,10 @@ def bpe_train_merges(spark, sf_dir):
     order; a corrupted rank ordering or a phantom symbol flips it).
     ``twin_match_ok`` — an ALGORITHM-DIFFERENTIAL twin (pure-Python
     Counter trainer over the collected vocab-tier word-frequency
-    table, zero code shared with the Spark trainer's per-iteration
-    aggregate + Arrow merge UDF) reproduces the IDENTICAL
-    (left, right, count) list under the same tie-break.  The collect
+    table, written independently of BOTH trainer routes — the
+    distributed per-iteration aggregate + Arrow merge UDF and the r16
+    single-task kernel) reproduces the IDENTICAL (left, right, count)
+    list under the same tie-break.  The collect
     is vocab-bounded (the same envelope as the census twins), never
     corpus-sized; the pytest differential stays as well."""
     merges_df = bpe_train(spark, sf_dir, n_merges=10)

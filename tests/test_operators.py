@@ -956,6 +956,26 @@ def test_bpe_train_matches_pure_python_reference(spark, sf_dir):
     assert got == expected
 
 
+def test_bpe_train_kernel_route_equals_distributed(spark, sf_dir):
+    """Route twin for the r16 single-task BPE kernel: the one-task
+    applyInPandas route (default at fixture scale) and the distributed
+    per-iteration loop (forced via single_task_max_vocab=0) must
+    produce the identical merge list on the real corpus."""
+    from datastore_mapper_spark.queries.bpe_queries import bpe_train
+
+    def run(cap):
+        return [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in bpe_train(spark, sf_dir, n_merges=10,
+                               single_task_max_vocab=cap)
+            .orderBy("merge_rank").collect()
+        ]
+
+    kernel = run(None)          # fixture vocab <= default cap
+    distributed = run(0)        # forces the per-iteration loop
+    assert kernel == distributed and len(kernel) == 10
+
+
 def test_approx_quantile_audit_within_contract(spark, sf_dir):
     """The sketch-quantile accuracy contract: every audited quantile's
     relative value error must stay under 1% on the fixture
