@@ -29,8 +29,8 @@ from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -239,7 +239,7 @@ class EntityCommit(WriterCommitMessage):
         self.n_rows = n_rows
 
 
-class EntityWriter(DataSourceWriter):
+class EntityWriter(DataSourceArrowWriter):
     """Two-phase-commit entity sink — the write half of the simulated
     Datastore connector (the reference's mutation-pool PUT path,
     SURVEY §2.A A7/A8 output surface).
@@ -250,7 +250,15 @@ class EntityWriter(DataSourceWriter):
     succeed — moves staged files into the destination.  A failed or
     speculative task's output is never visible, and ``abort`` removes
     every staged file: task-retry-safe exactly-once, the same contract
-    a real connector gets from Datastore transactions."""
+    a real connector gets from Datastore transactions.
+
+    r16: the write path is Arrow-batched (``DataSourceArrowWriter``):
+    rows arrive as ``pyarrow.RecordBatch`` and each batch is rendered
+    to JSON-lines by pandas' C serializer in one call — the previous
+    row-at-a-time ``json.dumps(row.asDict())`` loop paid the
+    pickled-Row boundary plus a Python dict + dumps per entity
+    (guide §4: batch the boundary, vectorize the body).  The staged
+    file format and the two-phase commit are unchanged."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -258,7 +266,6 @@ class EntityWriter(DataSourceWriter):
             raise ValueError("datastore_entity writer requires option 'path'")
 
     def write(self, iterator) -> "EntityCommit":
-        import json
         import os
         import uuid
 
@@ -270,9 +277,17 @@ class EntityWriter(DataSourceWriter):
         staged = os.path.join(staging, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
         n = 0
         with open(staged, "w") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict()) + "\n")
-                n += 1
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                # one C-level JSON-lines render per Arrow batch;
+                # ensure_ascii/escaping semantics match json.dumps
+                txt = batch.to_pandas().to_json(
+                    orient="records", lines=True, force_ascii=True)
+                if not txt.endswith("\n"):
+                    txt += "\n"
+                f.write(txt)
+                n += batch.num_rows
         return EntityCommit(staged, n)
 
     def commit(self, messages) -> None:
