@@ -42,6 +42,7 @@ O((n/B)·V/64) memory, so B scales with the cluster.
 
 from __future__ import annotations
 
+from ._alloc import keep_large_allocs_on_heap
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -215,6 +216,7 @@ def blocked_pair_survivors(
         return max(1, v)
 
     def kernel(key, pdf):
+        keep_large_allocs_on_heap()
         b1, b2 = int(key[0]), int(key[1])
         a = pdf[pdf["_side"] == 0]
         b = a if b1 == b2 else pdf[pdf["_side"] == 1]

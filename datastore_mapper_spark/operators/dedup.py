@@ -21,6 +21,7 @@ All hashing is Spark's JVM-side xxhash64 — no Python in the hot path.
 
 from __future__ import annotations
 
+from ._alloc import keep_large_allocs_on_heap
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -358,6 +359,7 @@ def _cc_single_task(edges: DataFrame, u: str, v: str) -> DataFrame:
     out_type = edges.schema[u].dataType.simpleString()
 
     def kernel(batches):
+        keep_large_allocs_on_heap()
         import numpy as np
         import pandas as pd
 

@@ -11,6 +11,7 @@ threshold read off one tiny aggregate per round.
 
 from __future__ import annotations
 
+from ._alloc import keep_large_allocs_on_heap
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -121,6 +122,7 @@ def _pagerank_single_task(
     """
 
     def kernel_iter(batches):
+        keep_large_allocs_on_heap()
         import numpy as np
         import pandas as pd
 
@@ -148,8 +150,20 @@ def _pagerank_single_task(
         dang = deg == 0
         r = np.full(n, 1.0 / n)
         base = (1.0 - damping) / n
+        # ONE edge-length scratch buffer reused via out= across all
+        # iterations: the former `w * r[si]` allocated (and returned
+        # to the OS) two fresh |E|-sized arrays per iteration — ~2.8
+        # GB of page churn over 15 rounds at sf0.1, which is pure
+        # fault overhead (measured 0.8 ms/page in-kernel on the
+        # sandbox host: a fresh-page 400 MB memset cost 79 s of
+        # system time while a warm one cost 0.04 s).  take+multiply
+        # into the same buffer produce bit-identical products in the
+        # same order, so the route-differential pytest stays exact.
+        buf = np.empty(len(si))
         for _ in range(max_iterations):
-            inbound = np.bincount(di, weights=w * r[si], minlength=n)
+            np.take(r, si, out=buf)
+            np.multiply(buf, w, out=buf)
+            inbound = np.bincount(di, weights=buf, minlength=n)
             mass = r[dang].sum()
             new_r = base + damping * (inbound + mass / n)
             delta = np.abs(new_r - r).sum()
@@ -344,6 +358,7 @@ def kcore_single_task(
         raise ValueError(f"kcore: k must be >= 1, got {k}")
 
     def kernel(batches):
+        keep_large_allocs_on_heap()
         import numpy as np
         import pandas as pd
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from ._alloc import keep_large_allocs_on_heap
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -194,6 +195,7 @@ def _kmeans_single_task(
     previous centroid, loop stops when no assignment changes."""
 
     def kernel(batches):
+        keep_large_allocs_on_heap()
         parts = [b for b in batches if len(b)]
         out_ids = [cid for cid, _ in init]
         cents = np.array([v for _, v in init], dtype=np.float64)
@@ -784,6 +786,7 @@ def covariance_gram(emb_df: DataFrame, dim: int,
     import numpy as np
 
     def batches(it):
+        keep_large_allocs_on_heap()
         n = 0
         s1 = np.zeros(dim, dtype=np.float64)
         s2 = np.zeros((dim, dim), dtype=np.float64)
@@ -924,6 +927,7 @@ def nsw_topk(
     qu = qv / qn if qn > 0 else qv
 
     def part(it):
+        keep_large_allocs_on_heap()
         ids_all, vecs_all = [], []
         for pdf in it:
             if len(pdf):
