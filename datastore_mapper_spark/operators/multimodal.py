@@ -2325,6 +2325,206 @@ def decode_wav_ima_adpcm(blob: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+def _wrap_ima_adpcm_riff(
+    blocks: bytes, n: int, sample_rate: int, block_align: int, spb: int
+) -> bytes:
+    """Assemble the RIFF/WAVE container around packed IMA-ADPCM block
+    data (shared by the scalar and batch encoders so the two can
+    never drift byte-wise)."""
+    byte_rate = (sample_rate * block_align + spb - 1) // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x0011, 1, sample_rate, byte_rate,
+        block_align, 4, 2, spb,
+    )
+    fact = struct.pack("<I", n)
+    return (
+        struct.pack("<4sI4s", b"RIFF",
+                    4 + 8 + len(fmt) + 8 + 4 + 8 + len(blocks), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"fact", 4) + fact
+        + struct.pack("<4sI", b"data", len(blocks)) + bytes(blocks)
+    )
+
+
+def encode_wav_ima_adpcm_batch(
+    signals: list, sample_rates, block_align: int = 256
+) -> list:
+    """Batch twin of :func:`encode_wav_ima_adpcm`, byte-identical by
+    construction (pinned by pytest fuzz): the per-sample ADPCM state
+    machine is vectorized ACROSS signals with numpy, so the Python
+    interpreter executes ``max_blocks * (spb - 1)`` steps per batch
+    instead of ``total_samples`` steps (guide §4.2 — hand whole
+    batches to vectorized native code).  Same quantizer walk: within
+    a block the predictor chain is inherently sequential, but every
+    signal advances in lockstep, one numpy op per state-machine edge.
+    Padding (short final chunk) is expressed as forced delta-0
+    nibbles, exactly the scalar encoder's ``_ima_step(pred, index,
+    0)`` pad loop."""
+    from ._alloc import keep_large_allocs_on_heap
+
+    keep_large_allocs_on_heap()
+    spb = (block_align - 4) * 2 + 1
+    n_sig = len(signals)
+    if np.isscalar(sample_rates):
+        sample_rates = [int(sample_rates)] * n_sig
+    sigs = []
+    for s in signals:
+        a = np.asarray(s, dtype=np.int64)
+        if a.size == 0:
+            raise ValueError("empty signal")
+        sigs.append(a)
+    lens = np.array([a.size for a in sigs], dtype=np.int64)
+    nblocks = -(-lens // spb)
+    max_nb = int(nblocks.max())
+    steps_t, idx_t = _IMA_STEP_TABLE, _IMA_INDEX_TABLE
+    idx = np.zeros(n_sig, dtype=np.int64)
+    # per-signal accumulated block bytes
+    parts: list[list[bytes]] = [[] for _ in range(n_sig)]
+    order = np.arange(n_sig)
+    for b in range(max_nb):
+        act = np.flatnonzero(nblocks > b)
+        if act.size == 0:
+            break
+        na = act.size
+        # chunk = sig[b*spb : b*spb + spb]; first sample seeds pred
+        clen = np.minimum(lens[act] - b * spb, spb)
+        tgt = np.zeros((na, spb - 1), dtype=np.int64)
+        seed = np.empty(na, dtype=np.int64)
+        for j, g in enumerate(act):
+            chunk = sigs[g][b * spb: b * spb + spb]
+            seed[j] = chunk[0]
+            tgt[j, : chunk.size - 1] = chunk[1:]
+        pad = np.arange(spb - 1)[None, :] >= (clen - 1)[:, None]
+        pred = seed.copy()
+        ia = idx[act]
+        headers = [
+            struct.pack("<hBB", int(seed[j]), int(ia[j]), 0)
+            for j in range(na)
+        ]
+        nibs = np.empty((na, spb - 1), dtype=np.int64)
+        for t in range(spb - 1):
+            step = steps_t[ia]
+            diff = tgt[:, t] - pred
+            neg = diff < 0
+            adiff = np.where(neg, -diff, diff)
+            ge4 = adiff >= step
+            adiff = adiff - step * ge4
+            half = step >> 1
+            ge2 = adiff >= half
+            adiff = adiff - half * ge2
+            quart = step >> 2
+            ge1 = adiff >= quart
+            nib = neg * 8 + ge4 * 4 + ge2 * 2 + ge1 * 1
+            nib[pad[:, t]] = 0
+            d = (step >> 3) + (nib & 1) * quart \
+                + ((nib >> 1) & 1) * half + ((nib >> 2) & 1) * step
+            pred = pred + d * (1 - ((nib >> 2) & 2))
+            np.clip(pred, -32768, 32767, out=pred)
+            ia = ia + idx_t[nib]
+            np.clip(ia, 0, 88, out=ia)
+            nibs[:, t] = nib
+        idx[act] = ia
+        packed = (nibs[:, 0::2] | (nibs[:, 1::2] << 4)).astype(np.uint8)
+        for j, g in enumerate(act):
+            parts[g].append(headers[j] + packed[j].tobytes())
+    out = []
+    for g in order:
+        out.append(_wrap_ima_adpcm_riff(
+            b"".join(parts[g]), int(lens[g]), int(sample_rates[g]),
+            block_align, spb))
+    return out
+
+
+def decode_wav_ima_adpcm_batch(blobs: list) -> list:
+    """Batch twin of :func:`decode_wav_ima_adpcm`, sample-identical by
+    construction (pinned by pytest fuzz).  IMA-ADPCM blocks are
+    mutually independent in DECODE (each 4-byte header re-seeds both
+    the predictor and the step index), so all blocks of all blobs are
+    stacked into one nibble matrix and the 2*(align-4)-step state
+    machine runs vectorized across blocks (guide §4.2) — the Python
+    interpreter executes one loop per nibble POSITION, not per
+    nibble.  Blobs with irregular layouts (data not a whole number of
+    blocks, out-of-range seed index, mixed alignments are fine) fall
+    back to the scalar decoder, preserving its exact error behavior."""
+    from ._alloc import keep_large_allocs_on_heap
+
+    keep_large_allocs_on_heap()
+    parsed = []  # (rate, align, total, data) or None -> scalar fallback
+    for blob in blobs:
+        blob = bytes(blob)
+        if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE blob")
+        pos, rate, align, spb, total, data = 12, None, None, None, None, None
+        while pos + 8 <= len(blob):
+            cid, size = struct.unpack_from("<4sI", blob, pos)
+            body = pos + 8
+            if cid == b"fmt ":
+                tag, n_ch, rate, _, align, bits = struct.unpack_from(
+                    "<HHIIHH", blob, body)
+                if tag != 0x0011 or n_ch != 1 or bits != 4:
+                    raise NotImplementedError(
+                        f"only mono 4-bit IMA-ADPCM (got tag={tag:#x}, "
+                        f"channels={n_ch}, bits={bits})")
+            elif cid == b"fact":
+                (total,) = struct.unpack_from("<I", blob, body)
+            elif cid == b"data":
+                data = blob[body: body + size]
+            pos = body + size + (size & 1)
+        if rate is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        parsed.append((rate, align, total, data))
+    # group whole-block blobs by alignment; others decode scalar
+    groups: dict[int, list[int]] = {}
+    out: list = [None] * len(blobs)
+    for i, (rate, align, total, data) in enumerate(parsed):
+        if align and len(data) % align == 0 and len(data):
+            groups.setdefault(align, []).append(i)
+        else:
+            out[i] = decode_wav_ima_adpcm(bytes(blobs[i]))
+    steps_t, idx_t = _IMA_STEP_TABLE, _IMA_INDEX_TABLE
+    for align, members in groups.items():
+        raw = np.concatenate([
+            np.frombuffer(parsed[i][3], dtype=np.uint8).reshape(-1, align)
+            for i in members
+        ])
+        seed_idx = raw[:, 2].astype(np.int64)
+        if (seed_idx > 88).any():
+            # scalar decoder raises IndexError on the step table;
+            # preserve that behavior exactly
+            for i in members:
+                out[i] = decode_wav_ima_adpcm(bytes(blobs[i]))
+            continue
+        pred = raw[:, :2].copy().view("<i2")[:, 0].astype(np.int64)
+        body = raw[:, 4:]
+        n_nib = 2 * (align - 4)
+        nib = np.empty((raw.shape[0], n_nib), dtype=np.int64)
+        nib[:, 0::2] = body & 0xF
+        nib[:, 1::2] = body >> 4
+        samples = np.empty((raw.shape[0], n_nib + 1), dtype=np.int16)
+        samples[:, 0] = pred
+        ia = seed_idx
+        for t in range(n_nib):
+            step = steps_t[ia]
+            n = nib[:, t]
+            d = (step >> 3) + (n & 1) * (step >> 2) \
+                + ((n >> 1) & 1) * (step >> 1) + ((n >> 2) & 1) * step
+            pred = pred + d * (1 - ((n >> 2) & 2))
+            np.clip(pred, -32768, 32767, out=pred)
+            ia = ia + idx_t[n]
+            np.clip(ia, 0, 88, out=ia)
+            samples[:, t + 1] = pred
+        row = 0
+        for i in members:
+            rate, _, total, data = parsed[i]
+            nb = len(data) // align
+            flat = samples[row: row + nb].reshape(-1)
+            row += nb
+            if total is not None:
+                flat = flat[:total]
+            out[i] = (rate, flat)
+    return out
+
+
 ADPCM_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -2347,16 +2547,16 @@ def render_adpcm_media(doc_df: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         spb = (256 - 4) * 2 + 1
         for pdf in it:
-            blobs = []
-            for doc_id in pdf["doc_id"]:
-                nb = int(doc_id % 3) + 1
-                base = int(doc_id % 100) * 250 - 12500
-                sig = np.concatenate([
-                    np.full(spb, base + 311 * b, dtype=np.int16)
-                    for b in range(nb)
-                ])
-                rate = 8000 + int(doc_id % 3) * 4000
-                blobs.append(encode_wav_ima_adpcm(sig, rate))
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            nb = ids % 3 + 1
+            base = (ids % 100) * 250 - 12500
+            sigs = [
+                np.repeat(base[i] + 311 * np.arange(nb[i]), spb)
+                .astype(np.int16)
+                for i in range(len(ids))
+            ]
+            rates = 8000 + (ids % 3) * 4000
+            blobs = encode_wav_ima_adpcm_batch(sigs, rates)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": blobs})
 
     schema = StructType(
@@ -2375,8 +2575,8 @@ def extract_adpcm_stats(media_df: DataFrame) -> DataFrame:
         for pdf in it:
             out = {k: [] for k in
                    ("doc_id", "sample_rate", "n_samples", "mean_amp")}
-            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
-                rate, samples = decode_wav_ima_adpcm(bytes(blob))
+            decoded = decode_wav_ima_adpcm_batch(list(pdf["payload"]))
+            for doc_id, (rate, samples) in zip(pdf["doc_id"], decoded):
                 out["doc_id"].append(doc_id)
                 out["sample_rate"].append(rate)
                 out["n_samples"].append(len(samples))

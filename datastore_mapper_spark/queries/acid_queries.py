@@ -3510,22 +3510,50 @@ def acid_row_lineage(spark, sf_dir):
     acid_lite.delete_where_dv(spark, dest, "bucket", 6, 6)           # v3
     acid_lite.update_where_mor(
         spark, dest, {"cents": "cents + 1"}, "bucket", 7, 7)         # v4
-    n_del = base.filter(F.col("bucket") == 6).count()
-    n_upd = base.filter(F.col("bucket") == 7).count()
+    # r16 optimization (guide §1.2/§5 — don't run a scheduler job per
+    # law): the two law counts fold into ONE aggregate over base, and
+    # the seven receipt probes (n4, id uniqueness, survivor anti-join,
+    # survivor/l2 counts, image semi-join, image count, image-version
+    # check) fold into ONE aggregate over a single full-outer join of
+    # the two lineage reads — same predicates, same booleans, 11
+    # driver jobs down to 3.
+    law = base.agg(
+        F.sum((F.col("bucket") == 6).cast("long")).alias("n_del"),
+        F.sum((F.col("bucket") == 7).cast("long")).alias("n_upd"),
+    ).collect()[0]
+    n_del, n_upd = law["n_del"] or 0, law["n_upd"] or 0
     l2 = acid_lite.read_with_lineage(spark, dest, 2) \
         .select("_row_id").localCheckpoint()
     l4 = acid_lite.read_with_lineage(spark, dest).localCheckpoint()
-    n4 = l4.count()
-    unique_ok = l4.select("_row_id").distinct().count() == n4
-    survivors = l4.filter(F.col("_commit_version") <= 2)
-    moved = survivors.join(l2, "_row_id", "left_anti").limit(1).count()
-    stable_ok = (moved == 0
-                 and survivors.count() == l2.count() - n_del - n_upd)
-    images = l4.filter(F.col("_commit_version") > 2)
-    recycled = images.join(l2, "_row_id", "left_semi").limit(1).count()
-    fresh_ok = (recycled == 0 and images.count() == n_upd
-                and images.filter(F.col("_commit_version") != 4)
-                .limit(1).count() == 0)
+    in_l4 = F.col("_commit_version").isNotNull()
+    in_l2 = F.col("l2_id").isNotNull()
+    r = (
+        l4.join(l2.select(F.col("_row_id").alias("l2_id")),
+                F.col("_row_id") == F.col("l2_id"), "full_outer")
+        .agg(
+            F.sum(in_l4.cast("long")).alias("n4"),
+            F.count_distinct(
+                F.when(in_l4, F.col("_row_id"))).alias("n4_ids"),
+            F.sum((F.col("_commit_version") <= 2).cast("long"))
+            .alias("n_survivors"),
+            F.sum(((F.col("_commit_version") <= 2) & ~in_l2)
+                  .cast("long")).alias("moved"),
+            F.sum(in_l2.cast("long")).alias("n2"),
+            F.sum((F.col("_commit_version") > 2).cast("long"))
+            .alias("n_images"),
+            F.sum(((F.col("_commit_version") > 2) & in_l2)
+                  .cast("long")).alias("recycled"),
+            F.sum(((F.col("_commit_version") > 2)
+                   & (F.col("_commit_version") != 4)).cast("long"))
+            .alias("n_images_wrong_v"),
+        )
+        .collect()[0]
+    )
+    unique_ok = r["n4_ids"] == r["n4"]
+    stable_ok = ((r["moved"] or 0) == 0
+                 and r["n_survivors"] == r["n2"] - n_del - n_upd)
+    fresh_ok = ((r["recycled"] or 0) == 0 and r["n_images"] == n_upd
+                and (r["n_images_wrong_v"] or 0) == 0)
     return (
         l4.groupBy("_commit_version", "bucket")
         .agg(F.count("*").alias("n_rows"))

@@ -2032,6 +2032,51 @@ def test_adpcm_codec_state_tracking_fuzz():
             encode_wav_pcm16(np.zeros(4, dtype=np.int16)))
 
 
+def test_adpcm_batch_kernels_match_scalar():
+    """The vectorized batch ADPCM kernels (r16 optimization: the
+    per-sample state machine runs vectorized across signals/blocks)
+    must be BYTE-identical to the scalar encoder and SAMPLE-identical
+    to the scalar decoder on arbitrary signals — constant fixture-law
+    blocks, random noise, partial final blocks, and 1-sample runts."""
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_wav_ima_adpcm,
+        decode_wav_ima_adpcm_batch,
+        encode_wav_ima_adpcm,
+        encode_wav_ima_adpcm_batch,
+    )
+
+    rng = np.random.RandomState(20260817)
+    spb = (256 - 4) * 2 + 1
+    sigs, rates = [], []
+    for i in range(40):
+        kind = i % 4
+        if kind == 0:  # fixture law: constant within each block
+            nb = i % 3 + 1
+            base = (i % 100) * 250 - 12500
+            sig = np.repeat(base + 311 * np.arange(nb), spb).astype(np.int16)
+        elif kind == 1:  # white noise, arbitrary length (partial blocks)
+            sig = rng.randint(-32768, 32768, rng.randint(1, 1400)) \
+                .astype(np.int16)
+        elif kind == 2:  # ramp with wraparound
+            n = rng.randint(1, 3 * spb + 17)
+            sig = (np.arange(n) * 37 % 65536 - 32768).astype(np.int16)
+        else:  # runt signals exercise the all-pad path
+            sig = rng.randint(-32768, 32768, i % 3 + 1).astype(np.int16)
+        sigs.append(sig)
+        rates.append(8000 + (i % 3) * 4000)
+
+    enc_scalar = [encode_wav_ima_adpcm(s, r) for s, r in zip(sigs, rates)]
+    enc_batch = encode_wav_ima_adpcm_batch(sigs, rates)
+    assert enc_scalar == enc_batch
+
+    dec_scalar = [decode_wav_ima_adpcm(b) for b in enc_scalar]
+    dec_batch = decode_wav_ima_adpcm_batch(enc_scalar)
+    for (r1, s1), (r2, s2) in zip(dec_scalar, dec_batch):
+        assert r1 == r2 and np.array_equal(s1, s2)
+
+
 def test_gif_animated_round_trip_fuzz():
     """Property fuzz over the ANIMATED GIF89a grammar (round-12): any
     frame count / palette / delays / pixel contents must round-trip
