@@ -1167,55 +1167,62 @@ def jonckheere_terpstra_priority_trend(spark, sf_dir):
     by (J/n_pairs → 0.5 under H0).  Scale: the value dictionary is
     the only corpus-sized aggregate; the grid is |values| x 5 and
     the pair join is dictionary-tier."""
+    # r16 optimization (guide §2.4 — remove shuffles outright): the
+    # former shape materialized the zero-filled |groups| x |values|
+    # grid (700 k rows at sf0.1), ran a |groups|-partition window over
+    # it, and double-joined it against the broadcast pair list (1.4 M
+    # join rows).  There are only |priorities| groups, so PIVOT the
+    # per-(g, v) counts into one row per value (|values| x |groups|),
+    # take the per-group prefix sums in ONE ordered window, and fold
+    # all C(k,2) pair terms into a single aggregate as column
+    # expressions.  Every term is exact integer arithmetic, so the
+    # re-associated sum is value-identical (oracle PASS).  Group sizes
+    # collect driver-side — bounded by the priority-domain cardinality
+    # (same tier as the existing broadcast-scalar collects).
     o = table(spark, sf_dir, "orders")
     x = o.select(F.col("o_orderpriority").alias("g"),
                  _cents("o_totalprice").alias("v"))
-    cnt = x.groupBy("g", "v").agg(F.count("*").alias("c")) \
-        .localCheckpoint()
-    groups = cnt.select("g").distinct()
-    vals = cnt.select("v").distinct()
-    grid = (
-        groups.crossJoin(vals)
-        .join(cnt, ["g", "v"], "left")
-        .na.fill({"c": 0})
+    gsz = sorted(
+        x.groupBy("g").agg(F.count("*").alias("ng")).collect(),
+        key=lambda r: r["g"],
     )
-    wg = (Window.partitionBy("g").orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, -1))
-    pre = grid.select(
-        "g", "v", "c",
-        F.coalesce(F.sum("c").over(wg), F.lit(0)).cast("bigint")
-        .alias("below"),
-    )
-    pairs = (
-        groups.alias("a")
-        .join(groups.alias("b"), F.col("a.g") < F.col("b.g"))
-        .select(F.col("a.g").alias("g1"), F.col("b.g").alias("g2"))
-    )
-    q1 = pre.select(F.col("g").alias("g1"), "v",
-                    F.col("c").alias("c1"), F.col("below").alias("b1"))
-    q2 = pre.select(F.col("g").alias("g2"), "v",
-                    F.col("c").alias("c2"))
-    terms = (
-        F.broadcast(pairs).join(q1, "g1").join(q2, ["g2", "v"])
-        .groupBy("g1", "g2")
-        .agg(F.sum(2 * F.col("c2") * F.col("b1")
-                   + F.col("c1") * F.col("c2")).alias("u2"))
-    )
-    gsz = x.groupBy("g").agg(F.count("*").alias("ng")).localCheckpoint()
-    np_ = (
-        gsz.alias("a").join(gsz.alias("b"), F.col("a.g") < F.col("b.g"))
-        .agg(F.sum(F.col("a.ng") * F.col("b.ng")).cast("bigint")
-             .alias("n_pairs"))
-    )
-    meta = gsz.agg(F.count("*").alias("n_groups"),
-                   F.sum("ng").cast("bigint").alias("n_total"))
+    k = len(gsz)
+    empty = spark.createDataFrame(
+        [], "n_groups bigint, n_total bigint, n_pairs bigint, "
+            "j_stat double")
+    if k < 2:
+        return empty
+    glist = [r["g"] for r in gsz]
+    sizes = [int(r["ng"]) for r in gsz]
+    n_total = sum(sizes)
+    n_pairs = sum(sizes[i] * sizes[j]
+                  for i in range(k) for j in range(i + 1, k))
+    cnt = x.groupBy("g", "v").agg(F.count("*").alias("c"))
+    pv = cnt.groupBy("v").pivot("g", glist).sum("c").na.fill(0)
+    cs = [F.col(f"`{g}`").alias(f"c{i}") for i, g in enumerate(glist)]
+    pv = pv.select("v", *cs)
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    below = [
+        F.coalesce(F.sum(f"c{i}").over(w), F.lit(0)).cast("bigint")
+        .alias(f"b{i}")
+        for i in range(k)
+    ]
+    pre = pv.select("v", *[F.col(f"c{i}") for i in range(k)], *below)
+    term = None
+    for i in range(k):
+        for j in range(i + 1, k):
+            t = (2 * F.col(f"c{j}") * F.col(f"b{i}")
+                 + F.col(f"c{i}") * F.col(f"c{j}"))
+            term = t if term is None else term + t
     return (
-        terms.agg(F.sum("u2").alias("j2"), F.count("*").alias("npair"))
-        .filter(F.col("npair") > 0)
-        .crossJoin(F.broadcast(meta))
-        .crossJoin(F.broadcast(np_))
-        .select("n_groups", "n_total", "n_pairs",
-                (F.col("j2").cast("double") / 2).alias("j_stat"))
+        pre.agg(F.sum(term).alias("j2"))
+        .select(
+            F.lit(k).cast("bigint").alias("n_groups"),
+            F.lit(n_total).cast("bigint").alias("n_total"),
+            F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+            (F.col("j2").cast("double") / 2).alias("j_stat"),
+        )
     )
 
 
