@@ -423,6 +423,74 @@ def ivf_topk_kmeans(
     )
 
 
+def _pq_train_single_task(
+    vecs: DataFrame,
+    inits: dict[int, list[tuple[int, list[float]]]],
+    m: int,
+    step: int,
+    max_iterations: int,
+    vec_col: str,
+) -> DataFrame:
+    """One-task numpy Lloyd loop over ALL ``m`` PQ subspaces at once —
+    the small-pool route of :func:`pq_train`.  Per subspace the math is
+    EXACTLY :func:`_kmeans_single_task` (``ascontiguousarray`` makes
+    each slice the same contiguous n×step float64 matrix the per-sub
+    kernel built from sliced arrays, so BLAS/pairwise-sum op order is
+    unchanged and the codebooks are bit-identical); fusing the m loops
+    into one ``mapInPandas`` task replaces m checkpoint/count/collect
+    job chains with one."""
+
+    def kernel(batches):
+        keep_large_allocs_on_heap()
+        parts = [b for b in batches if len(b)]
+        x_full = None
+        if parts:
+            pdf = pd.concat(parts, ignore_index=True)
+            x_full = np.array(list(pdf[vec_col]), dtype=np.float64)
+        subs: list[int] = []
+        ids: list[int] = []
+        out_cents: list[list[float]] = []
+        for s in range(m):
+            init = inits[s]
+            out_ids = [cid for cid, _ in init]
+            cents = np.array([v for _, v in init], dtype=np.float64)
+            if x_full is not None and len(x_full) and len(cents):
+                x = np.ascontiguousarray(
+                    x_full[:, s * step:(s + 1) * step]
+                )
+                assign = None
+                for _ in range(max_iterations):
+                    d2 = (
+                        (x * x).sum(axis=1)[:, None]
+                        - 2.0 * (x @ cents.T)
+                        + (cents * cents).sum(axis=1)[None, :]
+                    )
+                    new_assign = d2.argmin(axis=1)
+                    if assign is not None and np.array_equal(
+                        new_assign, assign
+                    ):
+                        break
+                    assign = new_assign
+                    for j in range(len(cents)):
+                        members = x[assign == j]
+                        if len(members):
+                            cents[j] = members.mean(axis=0)
+            subs.extend([s] * len(out_ids))
+            ids.extend(out_ids)
+            out_cents.extend([list(c) for c in cents])
+        yield pd.DataFrame(
+            {
+                "sub": pd.Series(subs, dtype="int32"),
+                "centroid_id": pd.Series(ids, dtype="int32"),
+                "centroid": out_cents,
+            }
+        )
+
+    return vecs.coalesce(1).mapInPandas(
+        kernel, "sub int, centroid_id int, centroid array<double>"
+    )
+
+
 def pq_train(
     emb_df: DataFrame,
     m: int = 4,
@@ -439,12 +507,61 @@ def pq_train(
 
     Returns (sub, centroid_id, centroid) — m small codebooks.  Memory
     per vector after encoding is m log2(k) bits (m=4,k=16 → 2 bytes
-    vs 256 float bytes at d=64).  Reuses :func:`kmeans_train` per
-    subspace on UNnormalized slices (PQ quantizes raw geometry;
-    normalization is the caller's choice before training)."""
+    vs 256 float bytes at d=64).
+
+    Small pools (full float64 matrix under
+    ``KMEANS_SINGLE_TASK_MAX_BYTES``) train all m subspaces in ONE
+    numpy task with ONE unioned init-plan collect — the per-subspace
+    :func:`kmeans_train` chain paid ~8 scheduler jobs per subspace
+    (checkpoint, count, init materialize+collect) for milliseconds of
+    Lloyd math, 34 jobs total at m=4 (round-16 measurement).  Each
+    subspace's init rows and float sequence are identical to the
+    per-sub route (differential pytest pins them); big pools fall back
+    to :func:`kmeans_train` per subspace on UNnormalized slices (PQ
+    quantizes raw geometry; normalization is the caller's choice
+    before training)."""
     if dim is None:
         dim = len(emb_df.select(vec_col).first()[0])
     step = dim // m
+    vecs = emb_df.select(
+        id_col,
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias(
+            vec_col
+        ),
+    ).localCheckpoint()
+    n_pool = vecs.count()
+    if n_pool and n_pool * max(1, dim) * 8 <= KMEANS_SINGLE_TASK_MAX_BYTES:
+        init_df = None
+        for s in range(m):
+            sub = vecs.select(
+                id_col,
+                F.slice(F.col(vec_col), s * step + 1, step).alias(vec_col),
+            )
+            plan = (
+                sub.orderBy(F.xxhash64(F.col(id_col), F.lit(seed + s)))
+                .limit(k)
+                .select(F.col(vec_col).alias("centroid"))
+                .withColumn(
+                    "centroid_id",
+                    F.row_number().over(
+                        Window.orderBy(F.xxhash64("centroid"))
+                    ) - 1,
+                )
+                .select(
+                    F.lit(s).alias("sub"), "centroid_id", "centroid"
+                )
+            )
+            init_df = plan if init_df is None else init_df.unionAll(plan)
+        inits: dict[int, list[tuple[int, list[float]]]] = {
+            s: [] for s in range(m)
+        }
+        for r in init_df.collect():
+            inits[r["sub"]].append((r["centroid_id"], list(r["centroid"])))
+        for s in range(m):
+            inits[s].sort(key=lambda t: t[0])
+        return _pq_train_single_task(
+            vecs, inits, m, step, max_iterations, vec_col
+        ).localCheckpoint()
     books = None
     for s in range(m):
         lo = s * step + 1  # slice() is 1-based

@@ -2029,8 +2029,9 @@ def pq_rerank_verified(spark, sf_dir):
     qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
     if qrow is None:
         return exact.withColumn("quality_ok", F.lit(True))
-    cb = sim.pq_train(e, m=4, k=16, max_iterations=4)
-    codes = sim.pq_encode(e, cb, m=4)
+    dim = len(qrow.embedding)  # saves two first()-jobs in train/encode
+    cb = sim.pq_train(e, m=4, k=16, max_iterations=4, dim=dim)
+    codes = sim.pq_encode(e, cb, m=4, dim=dim)
     shortlist = sim.pq_adc_topk(
         codes, cb, list(qrow.embedding), k=50, m=4
     ).select("vec_id")

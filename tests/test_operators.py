@@ -715,6 +715,31 @@ def test_pq_reconstruction_beats_coarser_codebook(spark, sf_dir):
     assert total_err(16) <= total_err(4) * 1.001
 
 
+def test_pq_train_fused_route_matches_per_subspace(spark, sf_dir, monkeypatch):
+    """The one-task fused PQ trainer (all m subspaces in one kernel,
+    round 16) must produce the bit-identical (sub, centroid_id,
+    centroid) codebooks as the per-subspace kmeans_train chain it
+    replaced — same init rows, same Lloyd float sequence."""
+    import datastore_mapper_spark.operators.similarity as S
+
+    e = table(spark, sf_dir, "embeddings").limit(300)
+    fused = {
+        (r.sub, r.centroid_id): list(r.centroid)
+        for r in S.pq_train(e, m=4, k=8, max_iterations=4).collect()
+    }
+    # disable the cap: pq_train falls back to per-subspace kmeans_train,
+    # and each of those takes the DISTRIBUTED Lloyd loop — the strongest
+    # reference (fused kernel == per-sub kernel == distributed loop)
+    monkeypatch.setattr(S, "KMEANS_SINGLE_TASK_MAX_BYTES", 0)
+    per_sub = {
+        (r.sub, r.centroid_id): list(r.centroid)
+        for r in S.pq_train(e, m=4, k=8, max_iterations=4).collect()
+    }
+    assert fused.keys() == per_sub.keys() and len(fused) == 32
+    for key in fused:
+        assert fused[key] == per_sub[key], key
+
+
 def test_iterative_operators_handle_empty_inputs(spark):
     """Empty edge lists / corpora / vector sets must yield empty
     results, not crashes — the 3 a.m. pipeline edge case (a micro-batch
