@@ -258,10 +258,57 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """(d1, d2, hamming) pairs with hamming <= max_hamming, blocked on
     8-bit halves (any pair with hamming <= 1 shares a half; <=2 mostly
-    does — production would use ceil(bits/(max_hamming+1)) blocks)."""
-    halves = sim_df.select(
-        id_col,
+    does — production would use ceil(bits/(max_hamming+1)) blocks).
+
+    The block join runs at the DISTINCT-FINGERPRINT level, not the
+    document level (round 16): a duplicate-heavy corpus collapses many
+    documents onto one 16-bit fingerprint (sf0.1: 5 000 docs, 798
+    values), so joining documents within shared half-blocks compared
+    ~9M doc pairs and deduplicated millions of doubly-blocked rows,
+    while the value-level join touches only |values|² /blocks rows and
+    deduplicates at value granularity.  Value pairs then expand back
+    through their id lists; every unordered doc pair appears exactly
+    once (one fingerprint per doc, value pairs deduped, id lists
+    disjoint), so the result SET is identical to the doc-level join —
+    a differential pytest pins them on the real corpus."""
+    groups, cross = _simhash_value_pairs(sim_df, id_col, max_hamming)
+    cross_pairs = (
+        cross.select(F.explode("ids_u").alias("x"), "ids_v", "hamming")
+        .select("x", F.explode("ids_v").alias("y"), "hamming")
+        .select(
+            F.least("x", "y").alias("d1"),
+            F.greatest("x", "y").alias("d2"),
+            "hamming",
+        )
+    )
+    within = (
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("x"), "ids")
+        .select("x", F.explode("ids").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("d1"),
+            F.col("y").alias("d2"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross_pairs.union(within)
+
+
+def _simhash_value_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int
+):
+    """Shared value-level core of :func:`simhash_near_pairs` /
+    :func:`simhash_near_docs`: ``groups`` = (simhash, ids) per distinct
+    fingerprint, ``cross`` = deduplicated (u < v) fingerprint pairs
+    sharing a half-block with hamming <= max_hamming, carrying both id
+    lists."""
+    groups = sim_df.groupBy("simhash").agg(
+        F.collect_list(id_col).alias("ids")
+    )
+    halves = groups.select(
         "simhash",
+        "ids",
         F.explode(
             F.array(
                 F.col("simhash").bitwiseAND(F.lit(0xFF)),
@@ -273,20 +320,46 @@ def simhash_near_pairs(
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    return (
+    cross = (
         a.join(
             b,
             (F.col("a.block") == F.col("b.block"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("d1"),
-            F.col(f"b.{id_col}").alias("d2"),
+            F.col("a.simhash").alias("u"),
+            F.col("b.simhash").alias("v"),
+            F.col("a.ids").alias("ids_u"),
+            F.col("b.ids").alias("ids_v"),
             ham.cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .dropDuplicates(["u", "v"])
     )
+    return groups, cross
+
+
+def simhash_near_docs(
+    sim_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 2
+) -> DataFrame:
+    """Distinct ids of documents that appear in at least one
+    :func:`simhash_near_pairs` row — the sketch-coverage doc set,
+    WITHOUT expanding value pairs back to doc pairs (sf0.1 emits 3.3M
+    doc pairs whose only consumer unions the two id columns and
+    deduplicates them right back down).  A doc is in some pair iff its
+    fingerprint value participates in a kept cross value-pair, or at
+    least one other doc shares its value — provably the same id set as
+    the expansion; a differential pytest pins them on the real corpus.
+    Column name matches the union the callers built (``doc``)."""
+    groups, cross = _simhash_value_pairs(sim_df, id_col, max_hamming)
+    in_cross = (
+        cross.select(F.explode(F.concat("ids_u", "ids_v")).alias("doc"))
+    )
+    in_within = (
+        groups.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("doc"))
+    )
+    return in_cross.union(in_within).distinct()
 
 
 #: Edge lists at or under this row count route to the one-task

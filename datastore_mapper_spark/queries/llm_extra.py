@@ -606,12 +606,9 @@ def dedup_simhash(spark, sf_dir):
     the 0.95 bound leaves margin for corpus drift, and a blocking bug
     (a lost half-band) would zero whole clusters and hash-fail."""
     d = table(spark, sf_dir, "documents")
-    pairs = dd.simhash_near_pairs(dd.simhash(d))
-    sketch_docs = (
-        pairs.select(F.col("d1").alias("doc"))
-        .union(pairs.select(F.col("d2").alias("doc")))
-        .distinct()
-    )
+    # same doc set as unioning simhash_near_pairs' d1/d2 columns, minus
+    # the 3.3M-doc-pair expansion (operators/dedup.simhash_near_docs)
+    sketch_docs = dd.simhash_near_docs(dd.simhash(d))
     return _neardup_docs_by_lang_verified(
         spark, sf_dir, sketch_docs, SIMHASH_DOC_COVERAGE_BOUND
     )

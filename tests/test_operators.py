@@ -74,6 +74,39 @@ def test_simhash_identical_sets_have_zero_hamming(spark, sf_dir):
     assert expected <= zero
 
 
+def test_simhash_value_level_pairs_match_doc_level_join(spark, sf_dir):
+    """The value-level blocking (round 16) must emit EXACTLY the pair
+    set of the doc-level half-block self-join it replaced — same
+    (d1, d2, hamming) rows, no duplicates — and simhash_near_docs must
+    equal the union of the pair columns."""
+    sh = dd.simhash(_docs(spark, sf_dir)).localCheckpoint()
+    halves = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(
+            F.col("simhash").bitwiseAND(F.lit(0xFF)),
+            F.shiftright("simhash", 8).bitwiseAND(F.lit(0xFF))
+            + F.lit(1 << 20),
+        )).alias("block"),
+    )
+    a, b = halves.alias("a"), halves.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    reference = (
+        a.join(b, (F.col("a.block") == F.col("b.block"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"),
+                F.col("b.doc_id").alias("d2"),
+                ham.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+        .distinct()
+    )
+    ref_set = {(r.d1, r.d2, r.hamming) for r in reference.collect()}
+    got_rows = dd.simhash_near_pairs(sh).collect()
+    got_set = {(r.d1, r.d2, r.hamming) for r in got_rows}
+    assert got_set == ref_set and len(got_rows) == len(got_set)
+    docs = {r.doc for r in dd.simhash_near_docs(sh).collect()}
+    assert docs == {p[0] for p in ref_set} | {p[1] for p in ref_set}
+
+
 def test_exact_dedup_removes_injected_duplicates(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text")
     doubled = d.unionAll(d)
