@@ -1491,6 +1491,11 @@ def _dct_matrix() -> np.ndarray:
     return C
 
 _DCT = _dct_matrix()
+# first DCT basis row (all 1/(2*sqrt 2)) — the DC-only IDCT fast path:
+# with a single nonzero coefficient both matmuls reduce to the exact
+# products (_DCT.T[i,0]*c00)*_DCT[0,j] (adding float zeros is exact),
+# so np.outer(_DCT0*c00, _DCT0) is bit-identical to the full IDCT
+_DCT0 = _DCT[0].copy()
 
 def _huff_codes(bits, vals):
     codes, code, k = {}, 0, 0
@@ -1530,19 +1535,29 @@ def _category(v: int) -> int:
 def _amplitude_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
+def _jpeg_seg(marker, body):
+    return marker + struct.pack(">H", len(body) + 2) + body
+
+
+# constant header segments (everything but the size-bearing SOF),
+# hoisted out of the per-image encoders
+_JPEG_GRAY_DQT = _jpeg_seg(b"\xFF\xDB", bytes([0]) + bytes([1] * 64))
+_JPEG_GRAY_TAIL = (
+    _jpeg_seg(b"\xFF\xC4", bytes([0x00]) + bytes(_DC_BITS[1:]) + bytes(_DC_VALS))
+    + _jpeg_seg(b"\xFF\xC4", bytes([0x10]) + bytes(_AC_BITS[1:]) + bytes(_AC_VALS))
+    + _jpeg_seg(b"\xFF\xDA", bytes([1, 1, 0x00, 0, 63, 0]))
+)
+
+
 def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
     h, w = pixels.shape
     bh, bw = -(-h // 8), -(-w // 8)
     padded = np.pad(pixels, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
     out = bytearray(b"\xFF\xD8")  # SOI
-    def seg(marker, body):
-        return marker + struct.pack(">H", len(body) + 2) + body
-    out += seg(b"\xFF\xDB", bytes([0]) + bytes([1] * 64))
-    out += seg(b"\xFF\xC0", struct.pack(">BHHB", 8, h, w, 1)
-               + bytes([1, 0x11, 0]))
-    out += seg(b"\xFF\xC4", bytes([0x00]) + bytes(_DC_BITS[1:]) + bytes(_DC_VALS))
-    out += seg(b"\xFF\xC4", bytes([0x10]) + bytes(_AC_BITS[1:]) + bytes(_AC_VALS))
-    out += seg(b"\xFF\xDA", bytes([1, 1, 0x00, 0, 63, 0]))
+    out += _JPEG_GRAY_DQT
+    out += _jpeg_seg(b"\xFF\xC0", struct.pack(">BHHB", 8, h, w, 1)
+                     + bytes([1, 0x11, 0]))
+    out += _JPEG_GRAY_TAIL
     bw_ = _BitWriter()
     prev_dc = 0
     for by in range(bh):
@@ -1593,6 +1608,43 @@ def _huff_tree(bits, vals):
         code <<= 1
     return table
 
+
+class _HuffLut:
+    """16-bit-peek Huffman decode table: ``lens[v16]`` / ``vals[v16]``
+    give the code length and symbol for any 16-bit window whose prefix
+    is a valid code (lens==0 -> invalid).  Decoding one symbol is one
+    array lookup instead of the old bit-by-bit tree walk."""
+
+    __slots__ = ("lens", "vals")
+
+    def __init__(self, bits, vals):
+        self.lens = np.zeros(65536, np.uint8)
+        self.vals = np.zeros(65536, np.uint8)
+        code, k = 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln]):
+                base = code << (16 - ln)
+                span = 1 << (16 - ln)
+                self.lens[base:base + span] = ln
+                self.vals[base:base + span] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+# decoders re-parse the same DHT segments for every (KB-scale) blob;
+# the parsed LUTs are content-addressed so the parse happens once per
+# distinct table per worker, not once per image
+_HUFF_LUT_CACHE: dict = {}
+
+
+def _huff_lut(bits, vals) -> _HuffLut:
+    key = (bytes(bits), bytes(vals))
+    t = _HUFF_LUT_CACHE.get(key)
+    if t is None:
+        t = _HUFF_LUT_CACHE[key] = _HuffLut(bits, vals)
+    return t
+
 class _BitReader:
     def __init__(self, data):
         self.d = data
@@ -1623,12 +1675,19 @@ class _BitReader:
         self.n -= ln
         return v
     def huff(self, table):
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.read(1)
-            if (ln, code) in table:
-                return table[(ln, code)]
-        raise ValueError("bad Huffman code")
+        # one 16-bit peek + LUT hit; short streams are zero-padded on
+        # the right exactly as the bit-by-bit walk this replaces
+        # padded its reads
+        self._fill()
+        if self.n >= 16:
+            key = (self.acc >> (self.n - 16)) & 0xFFFF
+        else:
+            key = (self.acc << (16 - self.n)) & 0xFFFF
+        ln = table.lens[key]
+        if ln == 0:
+            raise ValueError("bad Huffman code")
+        self.read(int(ln))  # consume (zero-padded at stream end)
+        return int(table.vals[key])
 
 def _extend(v, size):
     if size == 0:
@@ -1672,7 +1731,7 @@ def decode_jpeg_gray(blob):
                 bits = [0] + list(body[i + 1: i + 17])
                 nv = sum(bits)
                 vals = list(body[i + 17: i + 17 + nv])
-                t = _huff_tree(bits, vals)
+                t = _huff_lut(bits, vals)
                 if tc == 0:
                     dc_tbl = t
                 else:
@@ -1686,28 +1745,8 @@ def decode_jpeg_gray(blob):
             prev_dc = 0
             for by in range(bh):
                 for bx in range(bw_):
-                    zz = np.zeros(64, dtype=np.int64)
-                    s = br.huff(dc_tbl)
-                    diff = _extend(br.read(s), s)
-                    prev_dc += diff
-                    zz[0] = prev_dc
-                    k = 1
-                    while k < 64:
-                        rs = br.huff(ac_tbl)
-                        if rs == 0x00:
-                            break
-                        if rs == 0xF0:
-                            k += 16
-                            continue
-                        k += rs >> 4
-                        size = rs & 15
-                        if k > 63:
-                            raise ValueError("AC run overflow")
-                        zz[k] = _extend(br.read(size), size)
-                        k += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[_ZIGZAG] = zz * qt[comp_q]
-                    blk = _DCT.T @ coef.reshape(8, 8) @ _DCT
+                    blk, prev_dc = _dec_block(
+                        br, dc_tbl, ac_tbl, prev_dc, qt[comp_q])
                     out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
             px = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
             return w, h, px[:h, :w]
@@ -1750,6 +1789,18 @@ _AC_VALS_C = [
 
 _DC_CODES_C = _huff_codes(_DC_BITS_C, _DC_VALS_C)
 _AC_CODES_C = _huff_codes(_AC_BITS_C, _AC_VALS_C)
+
+_JPEG_COLOR_DQT = (
+    _jpeg_seg(b"\xFF\xDB", bytes([0]) + bytes([1] * 64))
+    + _jpeg_seg(b"\xFF\xDB", bytes([1]) + bytes([1] * 64))
+)
+_JPEG_COLOR_TAIL = (
+    _jpeg_seg(b"\xFF\xC4", bytes([0x00]) + bytes(_DC_BITS[1:]) + bytes(_DC_VALS))
+    + _jpeg_seg(b"\xFF\xC4", bytes([0x10]) + bytes(_AC_BITS[1:]) + bytes(_AC_VALS))
+    + _jpeg_seg(b"\xFF\xC4", bytes([0x01]) + bytes(_DC_BITS_C[1:]) + bytes(_DC_VALS_C))
+    + _jpeg_seg(b"\xFF\xC4", bytes([0x11]) + bytes(_AC_BITS_C[1:]) + bytes(_AC_VALS_C))
+    + _jpeg_seg(b"\xFF\xDA", bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+)
 
 
 def _half_up(x: np.ndarray) -> np.ndarray:
@@ -1835,19 +1886,10 @@ def encode_jpeg_color(rgb: np.ndarray) -> bytes:
         return _half_up(s / 4.0).astype(np.int64)
     cbs, crs = sub(cb), sub(cr)
     out = bytearray(b"\xFF\xD8")
-
-    def seg(marker, body):
-        return marker + struct.pack(">H", len(body) + 2) + body
-
-    out += seg(b"\xFF\xDB", bytes([0]) + bytes([1] * 64))
-    out += seg(b"\xFF\xDB", bytes([1]) + bytes([1] * 64))
-    out += seg(b"\xFF\xC0", struct.pack(">BHHB", 8, h, w, 3)
-               + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
-    out += seg(b"\xFF\xC4", bytes([0x00]) + bytes(_DC_BITS[1:]) + bytes(_DC_VALS))
-    out += seg(b"\xFF\xC4", bytes([0x10]) + bytes(_AC_BITS[1:]) + bytes(_AC_VALS))
-    out += seg(b"\xFF\xC4", bytes([0x01]) + bytes(_DC_BITS_C[1:]) + bytes(_DC_VALS_C))
-    out += seg(b"\xFF\xC4", bytes([0x11]) + bytes(_AC_BITS_C[1:]) + bytes(_AC_VALS_C))
-    out += seg(b"\xFF\xDA", bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += _JPEG_COLOR_DQT
+    out += _jpeg_seg(b"\xFF\xC0", struct.pack(">BHHB", 8, h, w, 3)
+                     + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]))
+    out += _JPEG_COLOR_TAIL
     bw_ = _BitWriter()
     dc = {"y": 0, "cb": 0, "cr": 0}
     for my in range(mh // 16):
@@ -1874,6 +1916,7 @@ def _dec_block(br, dc_tbl, ac_tbl, prev_dc, qtab) -> tuple[np.ndarray, int]:
     prev_dc += _extend(br.read(s), s)
     zz[0] = prev_dc
     k = 1
+    had_ac = False
     while k < 64:
         rs = br.huff(ac_tbl)
         if rs == 0x00:
@@ -1887,6 +1930,9 @@ def _dec_block(br, dc_tbl, ac_tbl, prev_dc, qtab) -> tuple[np.ndarray, int]:
             raise ValueError("AC run overflow")
         zz[k] = _extend(br.read(size), size)
         k += 1
+        had_ac = True
+    if not had_ac:  # DC-only block: exact closed-form IDCT (see _DCT0)
+        return np.outer(_DCT0 * float(prev_dc * qtab[0]), _DCT0), prev_dc
     coef = np.zeros(64, dtype=np.float64)
     coef[_ZIGZAG] = zz * qtab
     return _DCT.T @ coef.reshape(8, 8) @ _DCT, prev_dc
@@ -1940,7 +1986,7 @@ def decode_jpeg_color(blob):
                 bits = [0] + list(body[i + 1: i + 17])
                 nv = sum(bits)
                 vals = list(body[i + 17: i + 17 + nv])
-                t = _huff_tree(bits, vals)
+                t = _huff_lut(bits, vals)
                 (dc_tbls if tc == 0 else ac_tbls)[th] = t
                 i += 17 + nv
         elif marker == 0xDA:
@@ -2802,7 +2848,7 @@ def decode_jpeg_gray_progressive(blob):
                 bits = [0] + list(body[i + 1: i + 17])
                 nv = sum(bits)
                 vals = list(body[i + 17: i + 17 + nv])
-                t = _huff_tree(bits, vals)
+                t = _huff_lut(bits, vals)
                 if tc == 0:
                     dc_tbl = t
                 else:
@@ -2864,10 +2910,13 @@ def decode_jpeg_gray_progressive(blob):
     q = qt[comp_q]
     for b in range(len(coeffs)):
         by, bx = divmod(b, bw_)
-        coef = np.zeros(64, dtype=np.float64)
-        coef[_ZIGZAG] = coeffs[b] * q
-        out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
-            _DCT.T @ coef.reshape(8, 8) @ _DCT
+        if not coeffs[b, 1:].any():  # DC-only: exact closed-form IDCT
+            blk = np.outer(_DCT0 * float(coeffs[b, 0] * q[0]), _DCT0)
+        else:
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = coeffs[b] * q
+            blk = _DCT.T @ coef.reshape(8, 8) @ _DCT
+        out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = blk
     px = np.clip(np.rint(out + 128.0), 0, 255).astype(np.uint8)
     return w, h, px[:h, :w]
 
@@ -3496,6 +3545,27 @@ class _FlacBitWriter:
             q -= 32
         self.write(1, q + 1)  # q zero bits then a one
 
+    def write_bit_array(self, bits: "np.ndarray") -> None:
+        """Append a 0/1 ``uint8`` bit array in one shot (MSB-first,
+        exactly the stream :meth:`write` would produce bit-by-bit) —
+        the vectorized Rice-residual writer's exit into the stream.
+        Any pending sub-byte bits are prefixed so ``np.packbits`` sees
+        the true byte phase; the sub-byte tail goes back to ``acc``."""
+        if self.nbits:
+            pre = np.empty(self.nbits, np.uint8)
+            for j in range(self.nbits):
+                pre[j] = (self.acc >> (self.nbits - 1 - j)) & 1
+            bits = np.concatenate([pre, bits])
+        total = len(bits)
+        head = total - (total % 8)
+        if head:
+            self.buf += np.packbits(bits[:head]).tobytes()
+        acc = 0
+        for j in range(head, total):
+            acc = (acc << 1) | int(bits[j])
+        self.acc = acc
+        self.nbits = total - head
+
     def align(self) -> None:
         if self.nbits:
             self.write(0, 8 - self.nbits)
@@ -3527,23 +3597,87 @@ class _FlacBitReader:
         return q
 
 
+def _rice_scan(allbits: "np.ndarray", base: int, cnt: int, k: int):
+    """Vectorized Rice-partition decode: find the ``cnt`` code
+    terminators (the 1-bit ending each unary run) in ``allbits`` from
+    bit ``base`` on, skipping the ``k`` remainder bits that follow
+    each terminator (they may contain 1s that are NOT terminators).
+
+    Returns ``(zigzag_values int64[cnt], end_bit_pos)``.  The scan is
+    chunked so a truncated/corrupt stream raises ``ValueError``
+    instead of walking the whole buffer; the terminator-selection
+    loop runs over 1-bit *positions* only (a handful per code), not
+    over every bit the old ``read_unary``/``read`` pair visited."""
+    n_bits = len(allbits)
+    terms = np.empty(cnt, np.int64)
+    found = 0
+    last = -(k + 1)  # so a terminator at relative position 0 qualifies
+    lo = 0
+    win = max(4096, cnt * (k + 8))
+    while found < cnt:
+        hi = min(lo + win, n_bits - base)
+        if hi <= lo:
+            raise ValueError("Rice residual stream truncated")
+        for p in np.flatnonzero(allbits[base + lo:base + hi]).tolist():
+            p += lo
+            if p - last > k:
+                terms[found] = p
+                last = p
+                found += 1
+                if found == cnt:
+                    break
+        lo = hi
+        win *= 2
+    starts = np.empty(cnt, np.int64)
+    starts[0] = 0
+    if cnt > 1:
+        starts[1:] = terms[:-1] + k + 1
+    q = terms - starts
+    if k:
+        if base + terms[-1] + k >= n_bits:
+            raise ValueError("Rice residual stream truncated")
+        idx = base + terms[:, None] + 1 + np.arange(k, dtype=np.int64)
+        r = allbits[idx].astype(np.int64) @ \
+            (np.int64(1) << np.arange(k - 1, -1, -1, dtype=np.int64))
+        u = (q << k) | r
+    else:
+        u = q
+    return (u >> 1) ^ -(u & 1), base + int(terms[-1]) + 1 + k
+
+
+def _crc_tables():
+    t8, t16 = [], []
+    for b in range(256):
+        c = b
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        t8.append(c)
+        c = b << 8
+        for _ in range(8):
+            c = ((c << 1) ^ 0x8005) & 0xFFFF if c & 0x8000 \
+                else (c << 1) & 0xFFFF
+        t16.append(c)
+    return t8, t16
+
+
+# byte-at-a-time tables (8x fewer Python ops than the bit loops they
+# replace; identical polynomials 0x07 / 0x8005, init 0, non-reflected)
+_CRC8_TABLE, _CRC16_TABLE = _crc_tables()
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    tab = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
-                else (crc << 1) & 0xFF
+        crc = tab[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    tab = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
-                else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ tab[(crc >> 8) ^ b]
     return crc
 
 
@@ -3642,9 +3776,21 @@ def encode_flac(sig: np.ndarray, sample_rate: int = 8000) -> bytes:
             if best_cost is None or cost < best_cost:
                 best_cost, best_k = cost, k
         fw.write(best_k, 4)
-        for u in zig:
-            fw.write_unary(int(u) >> best_k)
-            fw.write(int(u), best_k)
+        # vectorized Rice coder: each code is q zeros, a 1, then the
+        # k low bits of the zigzag value MSB-first — build the whole
+        # residual section as one 0/1 array and append it in one
+        # packbits pass (bit-identical to the per-sample
+        # write_unary/write loop this replaces; pinned by the
+        # encode-fingerprint pytest)
+        if len(zig):
+            q = zig >> best_k
+            ends = np.cumsum(q + 1 + best_k)
+            sec = np.zeros(int(ends[-1]), np.uint8)
+            sec[ends - best_k - 1] = 1
+            for j in range(best_k):
+                sec[ends - best_k + j] = \
+                    ((zig >> (best_k - 1 - j)) & 1).astype(np.uint8)
+            fw.write_bit_array(sec)
         fw.align()
         body = fw.bytes()
         out += body
@@ -3685,6 +3831,10 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
             break
     out = np.empty(n_total, dtype=np.int16)
     filled = 0
+    # one unpack of the whole (KB-scale) stream feeds every frame's
+    # vectorized Rice scan; header fields still go through the bit
+    # reader (a few dozen bits per frame)
+    allbits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8))
     while filled < n_total:
         frame_start = pos
         br = _FlacBitReader(blob, pos * 8)
@@ -3752,31 +3902,50 @@ def decode_flac(blob: bytes) -> tuple[np.ndarray, int]:
         pbits = 4 if method == 0 else 5
         po = br.read(4)
         nres = bs - order
-        res = []
+        res_parts = []
         for p in range(1 << po):
             k = br.read(pbits)
+            cnt = (bs >> po) - (order if p == 0 else 0)
             if k == (1 << pbits) - 1:
                 raw = br.read(5)
-                cnt = (bs >> po) - (order if p == 0 else 0)
-                for _ in range(cnt):
-                    v = br.read(raw)
-                    if raw and v >= 1 << (raw - 1):
-                        v -= 1 << raw
-                    res.append(v)
+                if cnt == 0:
+                    continue
+                if raw:
+                    if br.pos + cnt * raw > len(allbits):
+                        raise ValueError("escape residual truncated")
+                    idx = br.pos + np.arange(cnt, dtype=np.int64)[:, None] \
+                        * raw + np.arange(raw, dtype=np.int64)
+                    v = allbits[idx].astype(np.int64) @ \
+                        (np.int64(1) << np.arange(raw - 1, -1, -1,
+                                                  dtype=np.int64))
+                    v[v >= (1 << (raw - 1))] -= 1 << raw
+                    br.pos += cnt * raw
+                else:
+                    v = np.zeros(cnt, np.int64)
+                res_parts.append(v)
                 continue
-            cnt = (bs >> po) - (order if p == 0 else 0)
-            for _ in range(cnt):
-                q = br.read_unary()
-                u = (q << k) | br.read(k)
-                res.append((u >> 1) ^ -(u & 1))
+            if cnt == 0:
+                continue
+            vals, end = _rice_scan(allbits, br.pos, cnt, k)
+            res_parts.append(vals)
+            br.pos = end
+        res = np.concatenate(res_parts) if res_parts \
+            else np.zeros(0, np.int64)
         if len(res) != nres:
             raise ValueError("residual count mismatch")
-        samples = list(warm)
-        coef = _FIXED_COEFFS[order]
-        for r in res:
-            pred = sum(c * samples[-i - 1]
-                       for i, c in enumerate(coef))
-            samples.append(pred + r)
+        # FIXED order-o prediction is exactly the o-th difference
+        # operator, so reconstruction is an o-fold cumulative sum
+        # seeded by the warm-up ladder (np.diff of the warm samples)
+        # — integer-exact, replacing the per-sample coefficient loop
+        if order:
+            warm_arr = np.asarray(warm, np.int64)
+            y = res
+            for j in range(order - 1, -1, -1):
+                seed = np.diff(warm_arr, j)[0] if j else warm_arr[0]
+                y = np.cumsum(np.concatenate([[seed], y]))
+            samples = y
+        else:
+            samples = res
         # align + CRC-16 over the whole frame
         if br.pos % 8:
             br.read(8 - br.pos % 8)

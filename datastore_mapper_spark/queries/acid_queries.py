@@ -959,7 +959,6 @@ def stream_acid_source_demo(spark, sf_dir):
         spark, dest, o.filter(F.col("o_orderkey") % 2 == 0).coalesce(2))
     acid_lite.append(
         spark, dest, o.filter(F.col("o_orderkey") % 2 == 1).coalesce(2))
-    expected = o.count()
     register(spark)
     stream = (
         spark.readStream.format("acid_table")
@@ -978,7 +977,7 @@ def stream_acid_source_demo(spark, sf_dir):
         # the source is finite (static version history, no concurrent
         # writer): drain it driver-side instead of polling the sink
         # with a count() job every 0.5 s — blocks until every version
-        # is processed AND committed, then the sink holds `expected`
+        # is processed AND committed, then the sink holds all rows
         q.processAllAvailable()
     finally:
         q.stop()
@@ -1902,7 +1901,6 @@ def stream_acid_to_acid_pipeline(spark, sf_dir):
         spark, bronze, ev.filter(F.col("event_id") % 2 == 0).coalesce(2))
     acid_lite.append(
         spark, bronze, ev.filter(F.col("event_id") % 2 == 1).coalesce(2))
-    expected = ev.count()
     register(spark)
     stream = (
         spark.readStream.format("acid_table")

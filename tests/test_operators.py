@@ -2499,6 +2499,51 @@ def test_fisher_exact_tea_tasting():
     assert abs(sum(pmf(k) for k in range(lo, hi + 1)) - 1.0) < 1e-12
 
 
+def test_flac_vectorized_bitstream_pinned():
+    """The round-16 vectorized Rice coder (packbits section builder,
+    table CRCs, cumsum reconstruction ladder) must emit BYTE-IDENTICAL
+    streams to the per-bit writer it replaced: the combined MD5s below
+    were captured from the pre-vectorization encoder over the render
+    law's full (n, slope, base) lattice plus adversarial signals
+    (white noise, constants, +/-32767 alternation, multi-frame)."""
+    import hashlib
+
+    import numpy as np
+
+    from datastore_mapper_spark.operators.multimodal import (
+        decode_flac,
+        encode_flac,
+    )
+
+    h = hashlib.md5()
+    for i in list(range(200)) + [10**6 + 7, 12345678]:
+        n = 200 + (i % 4) * 100
+        t = np.arange(n, dtype=np.int64)
+        sig = ((i % 50) * 20 + (i % 3) * t + (t * 7919) % 5 - 2) \
+            .astype(np.int16)
+        blob = encode_flac(sig, 8000 * ((i % 2) + 1))
+        out, _ = decode_flac(blob)
+        assert np.array_equal(sig, out)
+        h.update(blob)
+    assert h.hexdigest() == "7e99cb0298f367045e66342c9e8dccda"
+
+    rng = np.random.default_rng(42)
+    cases = [
+        rng.integers(-32768, 32767, size=10000).astype(np.int16),
+        np.full(5000, 123, np.int16),
+        np.array([-32768, 32767] * 300, np.int16),
+        np.zeros(1, np.int16),
+        (np.arange(9000) % 256).astype(np.int16),
+    ]
+    h = hashlib.md5()
+    for sig in cases:
+        blob = encode_flac(sig, 44100)
+        out, _ = decode_flac(blob)
+        assert np.array_equal(sig, out)
+        h.update(blob)
+    assert h.hexdigest() == "f0d7c20673e7159b07c61932d61271a6"
+
+
 def test_flac_round_trip_fuzz():
     """FLAC subset codec: encode->decode is the identity over ramps
     (fixed-predictor friendly), white noise (worst case), constants,
