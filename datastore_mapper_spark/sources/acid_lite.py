@@ -68,9 +68,10 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -2102,15 +2103,18 @@ def delete_where_dv(
     if hi is not None:
         cond = cond & (c <= F.lit(hi))
     hits = scan.filter(cond & c.isNotNull())
-    bad = hits.filter(~F.col("__fp").startswith(prefix)).limit(1).count()
-    if bad:
-        raise RuntimeError(
-            "scan file URI does not start with the table-root prefix — "
-            "deletion-vector keying would be unsound"
-        )
-    # positions already excluded by EXISTING dvs must not be re-added
-    positions = hits.select(F.col("__rel").alias("rel"),
-                            F.col("__ri").alias("row_index"))
+    # the table-root-prefix soundness guard rides INSIDE row_index
+    # (raise_error on the unsound branch, pruning-proof), and the
+    # new-position count rides the sidecar write as an observation —
+    # ONE scan execution and ONE job where the old shape paid a
+    # limit(1).count() probe plus a count() that each re-ran the scan
+    positions = hits.select(
+        F.col("__rel").alias("rel"),
+        F.when(F.col("__fp").startswith(prefix), F.col("__ri"))
+        .otherwise(F.raise_error(
+            "scan file URI does not start with the table-root prefix "
+            "— deletion-vector keying would be unsound"))
+        .alias("row_index"))
     old_dvs = m.get("dvs") or []
     if old_dvs:
         prior = spark.read.parquet(
@@ -2118,10 +2122,16 @@ def delete_where_dv(
             "rel", "row_index")
         positions = positions.join(prior, ["rel", "row_index"],
                                    "left_anti")
-    n_new = positions.count()
+    obs = Observation()
+    positions = positions.observe(obs, F.count(F.lit(1)).alias("n"))
+    new_dvs, dv_dir = _write_dv_sidecar(positions, path, with_dir=True)
+    n_new = int(obs.get["n"])
     if n_new == 0:
-        return parent  # delete matched nothing new: no empty commit
-    new_dvs = _write_dv_sidecar(positions, path)
+        # delete matched nothing new: drop the empty sidecar dir, no
+        # empty commit (externally identical to the old probe-first
+        # shape — the uuid dir was never referenced by any manifest)
+        shutil.rmtree(os.path.join(path, dv_dir), ignore_errors=True)
+        return parent
     # standard optimistic-retry commit (round-14 ADVICE, applied to
     # both MoR mutators): rebase over compatible appends; conflict on
     # any DV change and on a concurrent rewrite dropping a scanned
@@ -2194,12 +2204,16 @@ def update_where_mor(
     if hi is not None:
         cond = cond & (c <= F.lit(hi))
     hits = scan.filter(cond)
-    bad = hits.filter(~F.col("__fp").startswith(prefix)).limit(1).count()
-    if bad:
-        raise RuntimeError(
-            "scan file URI does not start with the table-root prefix — "
-            "deletion-vector keying would be unsound"
-        )
+    # the table-root-prefix soundness guard rides INSIDE __ri
+    # (raise_error on the unsound branch), evaluated during the
+    # checkpoint below — folds the old limit(1).count() probe job
+    # (and its extra scan execution) into the materialization pass
+    hits = hits.withColumn(
+        "__ri",
+        F.when(F.col("__fp").startswith(prefix), F.col("__ri"))
+        .otherwise(F.raise_error(
+            "scan file URI does not start with the table-root prefix "
+            "— deletion-vector keying would be unsound")))
     old_dvs = m.get("dvs") or []
     if old_dvs:
         prior = spark.read.parquet(
@@ -2545,16 +2559,20 @@ def drop_column(path: str, col: str, retries: int = 3) -> int:
                          f"{retries + 1} races")
 
 
-def _write_dv_sidecar(positions: DataFrame, path: str) -> list[str]:
+def _write_dv_sidecar(positions: DataFrame, path: str,
+                      with_dir: bool = False):
     """Write a (rel, row_index) position frame as a deletion-vector
-    parquet sidecar under ``dv/<uuid>/``; returns relative paths."""
+    parquet sidecar under ``dv/<uuid>/``; returns relative paths
+    (plus the sidecar dir itself when ``with_dir``, so an
+    observed-empty write can be rolled back without a count job)."""
     rel_dir = os.path.join("dv", uuid.uuid4().hex[:12])
     dest = os.path.join(path, rel_dir)
     positions.write.mode("error").parquet(dest)
-    return sorted(
+    files = sorted(
         os.path.join(rel_dir, f)
         for f in os.listdir(dest) if f.endswith(".parquet")
     )
+    return (files, rel_dir) if with_dir else files
 
 
 def merge_three_way(
@@ -2708,15 +2726,18 @@ def merge_three_way(
             )
             stale = scan.filter(in_scope).join(
                 src.select(*_key_list(key)), _key_list(key), "left_anti")
-            bad = stale.filter(
-                ~F.col("__fp").startswith(prefix)).limit(1).count()
-            if bad:
-                raise RuntimeError(
-                    "scan file URI does not start with the table-root "
-                    "prefix — deletion-vector keying would be unsound"
-                )
+            # soundness guard folded into row_index (raise_error on
+            # the unsound branch), evaluated during the checkpoint —
+            # one job and one scan where the old shape paid a
+            # limit(1).count() probe first (same fold as
+            # delete_where_dv / update_where_mor)
             positions = stale.select(
-                F.col("__rel").alias("rel"), F.col("__ri").alias("row_index")
+                F.col("__rel").alias("rel"),
+                F.when(F.col("__fp").startswith(prefix), F.col("__ri"))
+                .otherwise(F.raise_error(
+                    "scan file URI does not start with the table-root "
+                    "prefix — deletion-vector keying would be unsound"))
+                .alias("row_index")
             ).localCheckpoint()
             n_dv = positions.count()
             if n_dv:

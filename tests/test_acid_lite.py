@@ -2508,8 +2508,8 @@ def test_update_where_mor_rebases_over_concurrent_append(spark, tdir,
     orig = acid_lite._write_dv_sidecar
     state = {"raced": False}
 
-    def racing_sidecar(positions, path):
-        dvs = orig(positions, path)
+    def racing_sidecar(positions, path, **kw):
+        dvs = orig(positions, path, **kw)
         if not state["raced"]:
             state["raced"] = True
             acid_lite.append(spark, tdir,
@@ -2534,8 +2534,8 @@ def test_update_where_mor_conflicts_on_concurrent_dv_change(spark, tdir,
     orig = acid_lite._write_dv_sidecar
     state = {"raced": False}
 
-    def racing_sidecar(positions, path):
-        dvs = orig(positions, path)
+    def racing_sidecar(positions, path, **kw):
+        dvs = orig(positions, path, **kw)
         if not state["raced"]:
             state["raced"] = True
             acid_lite.delete_where_dv(spark, tdir, "k", lo=3, hi=3)
