@@ -497,13 +497,16 @@ def unigram_word_frequencies(spark, sf_dir) -> DataFrame:
     )
 
 
-def unigram_seed_vocab(spark, sf_dir) -> list[tuple[str, int]]:
+def unigram_seed_vocab(spark, sf_dir, wf=None) -> list[tuple[str, int]]:
     """Deterministic seed vocabulary: the top multi-char substrings
     (length 2..4) by corpus-weighted occurrence count (count DESC,
     piece ASC) plus EVERY single character — both computed as JVM
     explode/substring aggregations; only the two bounded result sets
-    (200 + alphabet) reach the driver."""
-    wf = unigram_word_frequencies(spark, sf_dir)
+    (200 + alphabet) reach the driver.  Pass a materialized ``wf``
+    (word, freq) frame to reuse it — otherwise both collect branches
+    re-aggregate the corpus from parquet."""
+    if wf is None:
+        wf = unigram_word_frequencies(spark, sf_dir)
     subs = wf.select(
         "f",
         F.explode(F.expr("sequence(1, length(w))")).alias("i"),
@@ -585,33 +588,39 @@ def _viterbi_udf(logp: dict, max_len: int):
 
 def unigram_lm_train(spark, sf_dir, n_iters: int = _UNI_ITERS):
     """Hard-EM unigram-LM training.  Returns (final piece->count dict,
-    per-iteration corpus log-likelihoods, wf DataFrame)."""
+    per-iteration corpus log-likelihoods, wf DataFrame, seed vocab).
+
+    One Spark job per EM iteration: the corpus log-likelihood rides
+    the piece-count collect as a DataFrame observation, so the
+    Viterbi UDF runs ONCE per iteration with no checkpoint — the old
+    shape paid checkpoint + ll aggregate + counts collect (3 jobs)."""
     import math
 
+    from pyspark.sql import Observation
+
     wf = unigram_word_frequencies(spark, sf_dir).localCheckpoint()
-    vocab = unigram_seed_vocab(spark, sf_dir)
+    vocab = unigram_seed_vocab(spark, sf_dir, wf=wf)
     if not vocab:
-        return {}, [], wf
+        return {}, [], wf, vocab
     total = float(sum(c for _p, c in vocab))
     logp = {p: math.log(c / total) for p, c in vocab}
     lls = []
     counts: dict = {}
     for _it in range(n_iters):
-        seg = wf.select(
-            "f", _viterbi_udf(logp, _UNI_MAX_PIECE)("w").alias("s")
-        ).localCheckpoint()
-        ll = seg.agg(
-            F.sum(F.col("f") * F.col("s.lp")).alias("ll")).first().ll
-        lls.append(float(ll or 0.0))
+        obs = Observation()
         rows = (
-            seg.select("f", F.explode("s.pieces").alias("p"))
+            wf.select(
+                "f", _viterbi_udf(logp, _UNI_MAX_PIECE)("w").alias("s"))
+            .observe(obs, F.sum(F.col("f") * F.col("s.lp")).alias("ll"))
+            .select("f", F.explode("s.pieces").alias("p"))
             .groupBy("p").agg(F.sum("f").cast("bigint").alias("c"))
             .collect()
         )
+        lls.append(float(obs.get["ll"] or 0.0))
         counts = {r.p: int(r.c) for r in rows}
         ctotal = float(sum(counts.values()))
         logp = {p: math.log(c / ctotal) for p, c in counts.items()}
-    return counts, lls, wf
+    return counts, lls, wf, vocab
 
 
 @query(
@@ -673,7 +682,7 @@ def unigram_lm_tokenizer_train(spark, sf_dir):
     the per-iteration probability table is vocab-bounded (~460
     entries) on the driver, the same envelope as the BPE argmax
     scalar."""
-    counts, lls, wf = unigram_lm_train(spark, sf_dir)
+    counts, lls, wf, seed_rows = unigram_lm_train(spark, sf_dir)
     schema = ("seed_top_piece string, seed_top_count bigint, "
               "n_word_types bigint, n_iters bigint, "
               "ll_monotone_ok boolean, coverage_ok boolean, "
@@ -682,11 +691,11 @@ def unigram_lm_tokenizer_train(spark, sf_dir):
         return spark.createDataFrame([], schema)
     import math
 
-    # hashed restatable columns: seed argmax + word-type count
-    seed_rows = unigram_seed_vocab(spark, sf_dir)
+    # hashed restatable columns: seed argmax (returned by the trainer
+    # — re-deriving it re-ran both seed collect jobs) + word-type
+    # count, read off the twin's collect below instead of a count job
     multi = [(p, c) for p, c in seed_rows if len(p) >= 2]
     top_p, top_c = min(multi, key=lambda pc: (-pc[1], pc[0]))
-    n_types = wf.count()
     # receipt 1: monotone Viterbi likelihood (tolerance for the
     # shuffle-order double sum)
     ll_ok = all(b >= a - 1e-6 for a, b in zip(lls, lls[1:]))
@@ -701,6 +710,7 @@ def unigram_lm_tokenizer_train(spark, sf_dir):
     # receipt 3: pure-python twin (recursive memoized viterbi; no
     # shared DP code with _viterbi_segment's iterative form)
     wf_rows = [(r.w, int(r.f)) for r in wf.collect()]
+    n_types = len(wf_rows)  # == the old wf.count() job, for free
     twin_vocab = dict(seed_rows)
     ttotal = float(sum(twin_vocab.values()))
     tlogp = {p: math.log(c / ttotal) for p, c in twin_vocab.items()}
