@@ -295,12 +295,20 @@ def kcore(
 
     No recursive CTE can express this (the recursion needs an
     aggregate per step), so the oracle-side check is a pure-Python
-    peel in pytest rather than DuckDB SQL.  Per round: one degree
-    aggregate + one semi-join on each endpoint, all shuffling on node
-    id; ``localCheckpoint`` cuts lineage per round exactly like
-    ``dedup.connected_components`` (at 100 TB: reliable
-    ``checkpoint()`` + edges pre-partitioned on node id).  Rounds
-    needed = peel depth, small in practice for near-dup graphs.
+    peel in pytest rather than DuckDB SQL.
+
+    The survivor edge set is a pure function of the BASE edge set and
+    the current keep-set (keep-sets shrink monotonically, so only the
+    latest matters): e_t = e_0 ⋉ keep_t on both endpoints.  So the
+    loop materializes the base edges ONCE and checkpoints only the
+    small (node)-tier keep-set per round — the old shape
+    localCheckpointed the full surviving edge list every round, which
+    was the dominant cost of the peel at sf0.1 (0.7–1.5 s per round
+    of pure re-materialization).  Fixpoint on the keep-set size: the
+    keep-set determines the edge set, so an unchanged keep-set IS the
+    old unchanged-edge-count fixpoint (same rounds, same result).
+    At 100 TB: reliable ``checkpoint()`` + edges pre-partitioned on
+    node id; rounds needed = peel depth, small in practice.
 
     Returns (node, degree) for k-core members, with the degree INSIDE
     the core — deterministic, so any two runs (and the pytest
@@ -308,29 +316,30 @@ def kcore(
     """
     if k < 1:
         raise ValueError(f"kcore: k must be >= 1, got {k}")
-    e = (
+    e0 = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .localCheckpoint()
     )
-    n_edges = e.count()
+    e = e0
+    n_keep = None
     for _ in range(max_iterations):
         deg = e.groupBy("u").agg(F.count("*").alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("u")
-        pruned = (
-            e.join(keep, "u", "left_semi")
-            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .localCheckpoint()
-        )
-        # fixpoint when no directed edge was removed this round (one
-        # count job per round; the prior round's size is remembered,
-        # not recounted)
-        n_pruned = pruned.count()
-        e = pruned
-        if n_pruned == n_edges:
+        keep = deg.filter(F.col("deg") >= k).select("u").localCheckpoint()
+        n_now = keep.count()
+        if n_now == n_keep:
             break
-        n_edges = n_pruned
+        n_keep = n_now
+        # broadcast hints: a checkpointed frame has no size stats, so
+        # the planner would sort-merge and shuffle the FULL edge list
+        # per round (same rationale as the pagerank loop's node-tier
+        # hints); the keep-set is node-tier — edge-tier ≪ smaller
+        e = (
+            e0.join(F.broadcast(keep), "u", "left_semi")
+            .join(F.broadcast(keep.withColumnRenamed("u", "v")),
+                  "v", "left_semi")
+        )
     return (
         e.groupBy("u")
         .agg(F.count("*").cast("long").alias("degree"))
