@@ -3551,10 +3551,16 @@ def acid_row_lineage(spark, sf_dir):
         )
         .collect()[0]
     )
-    unique_ok = r["n4_ids"] == r["n4"]
+    # sums over ZERO rows come back NULL where the pre-fold count()
+    # jobs returned 0 — normalize so the empty-input booleans match
+    # the old probes (non-empty values are unchanged: `x or 0` is the
+    # identity on the non-null counts)
+    unique_ok = (r["n4_ids"] or 0) == (r["n4"] or 0)
     stable_ok = ((r["moved"] or 0) == 0
-                 and r["n_survivors"] == r["n2"] - n_del - n_upd)
-    fresh_ok = ((r["recycled"] or 0) == 0 and r["n_images"] == n_upd
+                 and (r["n_survivors"] or 0)
+                 == (r["n2"] or 0) - n_del - n_upd)
+    fresh_ok = ((r["recycled"] or 0) == 0
+                and (r["n_images"] or 0) == n_upd
                 and (r["n_images_wrong_v"] or 0) == 0)
     return (
         l4.groupBy("_commit_version", "bucket")
