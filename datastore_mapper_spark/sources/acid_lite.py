@@ -360,6 +360,29 @@ def _to_physical(df: DataFrame, mapping: dict | None) -> DataFrame:
     ])
 
 
+def _write_files_observed(
+    df: DataFrame, path: str, partition_by: list[str] | None,
+    mapping: dict | None = None,
+) -> tuple[list[str], dict[str, dict] | None]:
+    """Write ``df``'s files with the row count riding the write as an
+    observation; an observed-EMPTY write is rolled back by deleting
+    the freshly-created (never referenced) ``data/<uuid>/`` dir and
+    returns ``([], None)`` — externally identical to the old
+    ``limit(1).count()``-probe-then-write shape, minus the probe job
+    that re-executed the whole merge plan."""
+    obs = Observation()
+    new_files, new_parts = _write_files_any(
+        df.observe(obs, F.count(F.lit(1)).alias("n")), path,
+        partition_by, mapping=mapping)
+    if int(obs.get["n"]) == 0:
+        if new_files:  # both writers key every file under data/<uuid>/
+            parts = new_files[0].split(os.sep)
+            shutil.rmtree(os.path.join(path, parts[0], parts[1]),
+                          ignore_errors=True)
+        return [], None
+    return new_files, new_parts
+
+
 def _write_files_any(
     df: DataFrame, path: str, partition_by: list[str] | None,
     mapping: dict | None = None,
@@ -1090,11 +1113,8 @@ def merge_upsert(
         merged = survivors.unionByName(inserts.select(*touched_df.columns))
     else:
         merged = inserts
-    new_files: list[str] = []
-    new_parts = None
-    if merged.limit(1).count():
-        new_files, new_parts = _write_files_any(
-            merged, path, pby, mapping=manifest.get("mapping"))
+    new_files, new_parts = _write_files_observed(
+        merged, path, pby, mapping=manifest.get("mapping"))
     _ = kept  # the rebase recomputes kept against the commit-time latest
     return _rebase_commit(path, sorted(touched), new_files, "merge",
                           expect_dvs=[], new_partitions=new_parts)
@@ -1422,10 +1442,9 @@ def delete_where(
         if hi is not None:
             cond = cond & (c <= F.lit(hi))
         survivors = df.filter(~cond | c.isNull())
-        if survivors.limit(1).count():
-            new_files, new_parts = _write_files_any(
-                survivors, path, m.get("partition_by"),
-                mapping=m.get("mapping"))
+        new_files, new_parts = _write_files_observed(
+            survivors, path, m.get("partition_by"),
+            mapping=m.get("mapping"))
     return _rebase_commit(path, candidates, new_files, "delete",
                           expect_dvs=[], new_partitions=new_parts)
 
@@ -2048,12 +2067,8 @@ def replace_where(
     merged = pieces[0]
     for p in pieces[1:]:
         merged = merged.unionByName(p)
-    new_files = []
-    new_parts = None
-    if merged.limit(1).count():
-        new_files, new_parts = _write_files_any(
-            merged, path, m.get("partition_by"),
-            mapping=m.get("mapping"))
+    new_files, new_parts = _write_files_observed(
+        merged, path, m.get("partition_by"), mapping=m.get("mapping"))
     _ = kept  # the rebase recomputes kept against the commit-time latest
     return _rebase_commit(path, candidates, new_files, "replace_where",
                           expect_dvs=[], new_partitions=new_parts)
@@ -2766,9 +2781,8 @@ def merge_three_way(
                 inserts.select(*touched_df.columns))
     else:
         merged = inserts
-    if merged.limit(1).count():
-        new_files, new_parts = _write_files_any(
-            merged, path, pby, mapping=eff_mapping)
+    new_files, new_parts = _write_files_observed(
+        merged, path, pby, mapping=eff_mapping)
     return _rebase_commit(
         path, sorted(touched) + drop_whole, new_files, "merge3",
         expect_dvs=[], new_partitions=new_parts,
