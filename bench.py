@@ -89,40 +89,98 @@ def _guard_environment(sf_dir: str) -> list[str]:
 
 
 def _gate_on_load(warnings: list[str]) -> dict:
-    """Load gate (round-11 VERDICT task 2): ambient machine load
-    inflates small-query medians 15-40% on this box — four spurious
-    drift warnings and a 0.49x->0.58x headline move fired in r11 with
-    ZERO code change (the same-round sweep refuted every one).  Before
-    the timing loop starts, WAIT until the 1-minute load average falls
-    to ``$SPARK_GRAFT_LOAD_GATE`` (default 1.0), polling every 5 s up
-    to ``$SPARK_GRAFT_LOAD_WAIT`` seconds (default 300).  The gate
-    runs BEFORE the SparkSession exists, so our own JVM's bursts are
-    not in the average yet.  The observed loads are recorded in the
-    JSON (``load``) so the artifact self-documents whether its numbers
-    were taken on a quiet machine."""
+    """Load gate (round-11 VERDICT task 2; load5 added per round-16
+    VERDICT task 1): ambient machine load inflates small-query medians
+    15-40% on this box — four spurious drift warnings and a
+    0.49x->0.58x headline move fired in r11 with ZERO code change (the
+    same-round sweep refuted every one), and the r16 driver bench
+    passed the load1-only gate at load1=0.98 while load5=2.22 — the
+    machine had JUST been busy and the contention resumed mid-run
+    (13/13 spurious regressions).  Before the timing loop starts, WAIT
+    until the 1-minute load average falls to ``$SPARK_GRAFT_LOAD_GATE``
+    (default 1.0) AND the 5-minute average falls to
+    ``$SPARK_GRAFT_LOAD5_GATE`` (default 1.5 — load5 decays with a
+    5-min time constant, so demanding 1.0 would idle-wait minutes past
+    an actually-quiet machine), polling every 5 s up to
+    ``$SPARK_GRAFT_LOAD_WAIT`` seconds (default 300).  The gate runs
+    BEFORE the SparkSession exists, so our own JVM's bursts are not in
+    the average yet.  The observed loads are recorded in the JSON
+    (``load``) so the artifact self-documents whether its numbers were
+    taken on a quiet machine."""
     gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.0"))
+    gate5 = float(os.environ.get("SPARK_GRAFT_LOAD5_GATE", "1.5"))
     max_wait = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
     t0 = time.perf_counter()
     waited = 0.0
     try:
-        load1 = os.getloadavg()[0]
-        while load1 > gate and waited < max_wait:
+        load1, load5 = os.getloadavg()[:2]
+        while (load1 > gate or load5 > gate5) and waited < max_wait:
             time.sleep(5)
             waited = time.perf_counter() - t0
-            load1 = os.getloadavg()[0]
+            load1, load5 = os.getloadavg()[:2]
         l1, l5, l15 = os.getloadavg()
     except OSError:
         return {}
     info = {"load1_at_start": round(l1, 2), "load5_at_start": round(l5, 2),
             "load15_at_start": round(l15, 2), "gate": gate,
-            "waited_sec": round(waited, 1)}
-    if l1 > gate:
+            "gate5": gate5, "waited_sec": round(waited, 1)}
+    if l1 > gate or l5 > gate5:
         warnings.append(
-            f"timing loop started with load1={l1:.2f} > gate {gate} "
-            f"after waiting {waited:.0f}s — medians will read high; "
-            "treat drift warnings from this run as suspect"
+            f"timing loop started with load1={l1:.2f} (gate {gate}) / "
+            f"load5={l5:.2f} (gate {gate5}) after waiting {waited:.0f}s "
+            "— medians will read high; treat drift warnings from this "
+            "run as suspect"
         )
     return info
+
+
+def _executor_millis_by_group(spark) -> dict[str, float]:
+    """Per-job-group executor time (ms) from the status REST API
+    (round-16 VERDICT task 1: wall-clock medians on this box swing
+    1.3-4x with ambient load on IDENTICAL plans; summed executor task
+    time is load-attributable — contention inflates it far less and a
+    plan regression moves it proportionally).  Returns
+    {job_group: sum of executorRunTime over the group's stages}.
+    Empty dict when the UI/REST API is unavailable — the field is an
+    ADDITION to the JSON contract, never load-bearing."""
+    try:
+        from urllib.request import urlopen
+
+        ui = spark.sparkContext.uiWebUrl
+        if not ui:
+            return {}
+
+        def _get(path: str):
+            with urlopen(f"{ui}/api/v1/{path}", timeout=10) as r:
+                return json.load(r)
+
+        app_id = _get("applications")[0]["id"]
+        stage_ms: dict[int, float] = {}
+        for st in _get(f"applications/{app_id}/stages"):
+            sid = st["stageId"]
+            stage_ms[sid] = stage_ms.get(sid, 0.0) + st.get(
+                "executorRunTime", 0.0
+            )
+        by_group: dict[str, float] = {}
+        seen_stages: dict[str, set] = {}
+        for job in _get(f"applications/{app_id}/jobs"):
+            grp = job.get("jobGroup")
+            if not grp:
+                continue
+            seen = seen_stages.setdefault(grp, set())
+            for sid in job.get("stageIds", []):
+                # a stage shared (skipped) across the group's jobs is
+                # counted once; executorRunTime lives on the one
+                # attempt that actually ran
+                if sid in seen:
+                    continue
+                seen.add(sid)
+                by_group[grp] = by_group.get(grp, 0.0) + stage_ms.get(
+                    sid, 0.0
+                )
+        return by_group
+    except Exception:
+        return {}
 
 
 def main() -> None:
@@ -134,6 +192,10 @@ def main() -> None:
     load_info = _gate_on_load(env_warnings)
     for w in env_warnings:
         print(f"ENV WARNING: {w}", file=sys.stderr)
+
+    # the duration_ms field needs the status REST API; opt in BEFORE
+    # the session is built (additions-only: everything else unchanged)
+    os.environ.setdefault("SPARK_GRAFT_UI", "true")
 
     from datastore_mapper_spark.catalog import load_tables
     from datastore_mapper_spark.registry import all_queries
@@ -152,6 +214,7 @@ def main() -> None:
     per_query: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     per_jobs: dict[str, int] = {}
+    timed_execs: dict[str, int] = {}
     retried: list[str] = []
     total = 0.0
     for name in HEADLINE:
@@ -177,11 +240,19 @@ def main() -> None:
             sc.statusTracker().getJobIdsForGroup(f"bench_{name}") or []
         )
         def _time_runs():
+            # timed runs ride a per-query job group so summed executor
+            # time (duration_ms) can be attributed afterwards; the
+            # group tag is thread-local bookkeeping, not measurement
             ts = []
-            for _ in range(n_runs):
-                t0 = time.perf_counter()
-                specs[name].fn(spark, sf_dir).collect()
-                ts.append(round(time.perf_counter() - t0, 4))
+            sc.setJobGroup(f"bench_timed_{name}", "timed run")
+            try:
+                for _ in range(n_runs):
+                    t0 = time.perf_counter()
+                    specs[name].fn(spark, sf_dir).collect()
+                    ts.append(round(time.perf_counter() - t0, 4))
+            finally:
+                sc.setJobGroup(None, None)
+            timed_execs[name] = timed_execs.get(name, 0) + n_runs
             return ts
 
         times = _time_runs()
@@ -213,6 +284,17 @@ def main() -> None:
         "runs": n_runs,
         "sf": sf,
     }
+    # per-query executor time (ms) of ONE steady-state execution —
+    # the load-attributable companion to the wall-clock medians
+    # (round-16 VERDICT task 1; additions-only contract change)
+    group_ms = _executor_millis_by_group(spark)
+    duration_ms = {}
+    for name, n_execs in timed_execs.items():
+        ms = group_ms.get(f"bench_timed_{name}")
+        if ms is not None and n_execs > 0:
+            duration_ms[name] = round(ms / n_execs, 1)
+    if duration_ms:
+        out["duration_ms"] = duration_ms
     if load_info:
         try:
             load_info["load1_at_end"] = round(os.getloadavg()[0], 2)

@@ -575,27 +575,14 @@ def graph_label_propagation(spark, sf_dir):
     4-deep iterative lineage exactly as ``connected_components``
     documents; rounds are a constant (4), not data-dependent."""
     from .llm_text import near_dup_edges
+    from ..operators.graph import label_propagation
 
     edges = near_dup_edges(spark, sf_dir)
-    sym = (
-        edges.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
-        .union(edges.select(F.col("d2").alias("u"), F.col("d1").alias("v")))
-        .localCheckpoint()
-    )
-    labels = (
-        sym.select(F.col("u").alias("node")).distinct()
-        .select("node", F.col("node").alias("lab"))
-    )
-    w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("lab"))
-    for _ in range(4):
-        nb = sym.join(labels, sym.v == labels.node).select("u", "lab")
-        cnt = nb.groupBy("u", "lab").agg(F.count("*").alias("c"))
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(F.col("u").alias("node"), "lab")
-            .localCheckpoint()
-        )
+    # routed operator (round-16 VERDICT task 4): one-task numpy kernel
+    # below the task envelope, the original join+count+row_number loop
+    # above it — route equality pinned by
+    # tests/test_operators.py::test_label_propagation_routes_agree
+    labels = label_propagation(edges, src="d1", dst="d2", rounds=4)
     return (
         labels.groupBy(F.col("lab").alias("community_id"))
         .agg(F.count("*").cast("bigint").alias("size"))

@@ -89,7 +89,11 @@ def get_session(
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (pytest/harness churn); bench.py opts in via
+        # $SPARK_GRAFT_UI=true to read per-query executor time from the
+        # status REST API (round-16 VERDICT task 1).  The AppStatusStore
+        # listener runs either way, so enabling the UI only binds a port.
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     for k, v in RUNTIME_CONFS.items():

@@ -417,6 +417,39 @@ def test_connected_components_routes_are_twins(spark, monkeypatch):
     assert kernel_cc == kernel_star
 
 
+def test_label_propagation_routes_agree(spark, monkeypatch):
+    """The one-task LPA kernel (round-17: graph_label_propagation paid
+    ~2 s of scheduler jobs per synchronous round on a graph that fits
+    one task) must produce bit-identical (node, lab) assignments to
+    the distributed join+count+row_number loop — pinned by forcing the
+    loop route with a zeroed envelope, on a graph that exercises the
+    tie-break (equal neighbor-label counts resolved by MINIMUM label),
+    label flips across rounds, and two well-separated communities."""
+    import random
+
+    from datastore_mapper_spark.operators import graph as G
+
+    rng = random.Random(17)
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4),          # triangle + pendant
+             (10, 11), (11, 12), (12, 13), (13, 10),  # 4-cycle: pure ties
+             (20, 21)]                                 # isolated pair
+    nodes = list(range(100, 140))
+    for _ in range(80):                                # dense soup
+        a, b = rng.sample(nodes, 2)
+        edges.append((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(set(edges)), ["d1", "d2"])
+
+    kernel = {(r.node, r.lab)
+              for r in G.label_propagation(df).collect()}
+    monkeypatch.setattr(G, "SINGLE_TASK_MAX_EDGES", 0)
+    loop = {(r.node, r.lab)
+            for r in G.label_propagation(df).collect()}
+    assert kernel == loop
+    # every node of the pair list is labeled, on both routes
+    all_nodes = {n for e in edges for n in e}
+    assert {n for n, _ in kernel} == all_nodes
+
+
 def test_multimodal_resize_exact_sizes(spark, sf_dir):
     from datastore_mapper_spark.operators.multimodal import (
         as_binary_media,
