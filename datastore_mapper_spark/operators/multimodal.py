@@ -1634,14 +1634,21 @@ class _HuffLut:
 
 # decoders re-parse the same DHT segments for every (KB-scale) blob;
 # the parsed LUTs are content-addressed so the parse happens once per
-# distinct table per worker, not once per image
+# distinct table per worker, not once per image.  BOUNDED (r16
+# ADVICE): each _HuffLut holds 128 KB, so adversarially varied DHT
+# segments would otherwise grow worker memory for the executor's
+# lifetime — past the cap the cache is cleared (rebuilding a LUT is
+# cheap relative to unbounded growth; real corpora reuse a handful).
 _HUFF_LUT_CACHE: dict = {}
+_HUFF_LUT_CACHE_MAX = 256  # ~32 MB worst case
 
 
 def _huff_lut(bits, vals) -> _HuffLut:
     key = (bytes(bits), bytes(vals))
     t = _HUFF_LUT_CACHE.get(key)
     if t is None:
+        if len(_HUFF_LUT_CACHE) >= _HUFF_LUT_CACHE_MAX:
+            _HUFF_LUT_CACHE.clear()
         t = _HUFF_LUT_CACHE[key] = _HuffLut(bits, vals)
     return t
 

@@ -3054,27 +3054,34 @@ def stream_acid_ivm_refresh(spark, sf_dir):
     moved = {"insert": 0, "delete": 0}
 
     def apply_batch(batch, _epoch):
-        # tally the delta sizes FIRST — the receipts need them anyway,
-        # and an empty batch (maintenance-commit range) then skips the
-        # build/checkpoint/merge jobs outright.  `up` is non-empty iff
-        # the batch is: inserts join customer on an always-present FK
-        # and `dels` only drops delete keys re-inserted in the same
-        # batch (which implies the insert side is non-empty).
-        sizes = {r._change_type: r.n
-                 for r in (batch.groupBy("_change_type")
-                           .agg(F.count("*").alias("n")).collect())}
-        for ct, n in sizes.items():
-            moved[ct] = moved.get(ct, 0) + n
-        if not sizes:
+        # ONE pass over the (Python DataSource) CDF batch: the delta
+        # tallies ride the localCheckpoint as an observation, and every
+        # downstream branch (ins twice, dels once — the old plan
+        # re-executed the pyarrow CDF read per branch, 4 scans/batch
+        # counting the separate sizes collect) reads the materialized
+        # checkpoint instead (round-16 VERDICT task 2; guide §1.2).
+        # CDF _change_type is insert/delete by construction (updates
+        # surface as a delete+insert pair), so two counters cover it.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        cp = batch.observe(
+            obs,
+            F.count(F.when(F.col("_change_type") == "insert", True))
+            .alias("ins"),
+            F.count(F.when(F.col("_change_type") == "delete", True))
+            .alias("dels"),
+        ).localCheckpoint()
+        got = obs.get
+        moved["insert"] += int(got["ins"])
+        moved["delete"] += int(got["dels"])
+        if not (got["ins"] or got["dels"]):
+            # empty batch (maintenance-commit range): skip the merge
             return
-        ins = batch.filter(F.col("_change_type") == "insert")
-        dels = (batch.filter(F.col("_change_type") == "delete")
+        ins = cp.filter(F.col("_change_type") == "insert")
+        dels = (cp.filter(F.col("_change_type") == "delete")
                 .join(ins.select("o_orderkey"), "o_orderkey",
                       "left_anti"))
-        # no localCheckpoint here: merge_upsert's _checked_merge_source
-        # checkpoints its source as its FIRST action, so a query-side
-        # checkpoint materialized the same rows twice per micro-batch
-        # (~0.6 s/batch of pure double work at sf0.1)
         up = (
             ins.join(cu, ins.o_custkey == cu.c_custkey)
             .select("o_orderkey", "o_custkey", "o_totalprice",

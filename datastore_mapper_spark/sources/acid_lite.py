@@ -220,10 +220,16 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _write_files(df: DataFrame, path: str) -> list[str]:
+def _write_files(df: DataFrame, path: str,
+                 dir_sink: list | None = None) -> list[str]:
     """Write ``df`` as immutable parquet files under ``data/<uuid>/``
-    and return their table-relative paths."""
+    and return their table-relative paths.  ``dir_sink``, when given,
+    receives the rel dir — an EMPTY write yields no .parquet files but
+    still creates the dir (with ``_SUCCESS``), and the observed-empty
+    rollback needs its name to reap the orphan (r16 ADVICE)."""
     rel_dir = os.path.join("data", uuid.uuid4().hex[:12])
+    if dir_sink is not None:
+        dir_sink.append(rel_dir)
     dest = os.path.join(path, rel_dir)
     df.write.mode("error").parquet(dest)
     return sorted(
@@ -316,6 +322,7 @@ def _parse_partition_values(rel: str, partition_by: list[str]) -> dict:
 
 def _write_files_partitioned(
     df: DataFrame, path: str, partition_by: list[str],
+    dir_sink: list | None = None,
 ) -> tuple[list[str], dict[str, dict]]:
     """Write ``df`` hive-partitioned under ``data/<uuid>/`` and return
     (relative file paths, {file: {derived-col: str-value}}).  The
@@ -334,6 +341,8 @@ def _write_files_partitioned(
         if expr_fn is not None:
             df = df.withColumn(name, expr_fn())
     rel_dir = os.path.join("data", uuid.uuid4().hex[:12])
+    if dir_sink is not None:
+        dir_sink.append(rel_dir)
     dest = os.path.join(path, rel_dir)
     df.write.partitionBy(*names).mode("error").parquet(dest)
     files: list[str] = []
@@ -371,13 +380,16 @@ def _write_files_observed(
     ``limit(1).count()``-probe-then-write shape, minus the probe job
     that re-executed the whole merge plan."""
     obs = Observation()
+    dirs: list[str] = []
     new_files, new_parts = _write_files_any(
         df.observe(obs, F.count(F.lit(1)).alias("n")), path,
-        partition_by, mapping=mapping)
+        partition_by, mapping=mapping, dir_sink=dirs)
     if int(obs.get["n"]) == 0:
-        if new_files:  # both writers key every file under data/<uuid>/
-            parts = new_files[0].split(os.sep)
-            shutil.rmtree(os.path.join(path, parts[0], parts[1]),
+        # reap the never-referenced data/<uuid>/ dir UNCONDITIONALLY:
+        # an empty write yields zero .parquet files but still leaves
+        # the dir + _SUCCESS behind (r16 ADVICE orphan-leak fix)
+        for rel_dir in dirs:
+            shutil.rmtree(os.path.join(path, rel_dir),
                           ignore_errors=True)
         return [], None
     return new_files, new_parts
@@ -386,6 +398,7 @@ def _write_files_observed(
 def _write_files_any(
     df: DataFrame, path: str, partition_by: list[str] | None,
     mapping: dict | None = None,
+    dir_sink: list | None = None,
 ) -> tuple[list[str], dict[str, dict] | None]:
     """Route to the partitioned or flat writer by the table's layout.
     ``mapping`` (logical -> physical column names) is applied before
@@ -394,8 +407,9 @@ def _write_files_any(
     stable across renames."""
     df = _to_physical(df, mapping)
     if partition_by:
-        return _write_files_partitioned(df, path, partition_by)
-    return _write_files(df, path), None
+        return _write_files_partitioned(df, path, partition_by,
+                                        dir_sink=dir_sink)
+    return _write_files(df, path, dir_sink=dir_sink), None
 
 
 def _typed_partition_value(v: str | None, sql_type: str):
@@ -1040,6 +1054,11 @@ def _matched_data_files(spark: SparkSession, path: str, parent: int,
     and %-escapes, silently carrying matched files over unrewritten)."""
     from urllib.parse import unquote, urlsplit
 
+    if not manifest["files"]:
+        # empty target (e.g. the first delta batch merged into a
+        # freshly created empty view): nothing can match — skip the
+        # scan + semi-join + collect job outright (guide §1.2)
+        return set()
     keys = _key_list(key)
     target = read(spark, path, parent)
     uris = (
@@ -2078,6 +2097,18 @@ def _has_dvs(m: dict) -> bool:
     return bool(m.get("dvs"))
 
 
+def _reraise_unsound_scan(exc: Exception) -> None:
+    """The MoR mutators' table-root-prefix soundness guard rides the
+    scan as a ``raise_error`` branch (pruning-proof, zero extra jobs),
+    so it surfaces as a Spark execution exception during the write /
+    materialization.  Re-raise it as the RuntimeError the pre-fold
+    contract threw (r16 ADVICE); any OTHER failure propagates as-is."""
+    if "table-root prefix" in str(exc):
+        raise RuntimeError(
+            "scan file URI does not start with the table-root prefix "
+            "— deletion-vector keying would be unsound") from exc
+
+
 def delete_where_dv(
     spark: SparkSession,
     path: str,
@@ -2139,7 +2170,12 @@ def delete_where_dv(
                                    "left_anti")
     obs = Observation()
     positions = positions.observe(obs, F.count(F.lit(1)).alias("n"))
-    new_dvs, dv_dir = _write_dv_sidecar(positions, path, with_dir=True)
+    try:
+        new_dvs, dv_dir = _write_dv_sidecar(positions, path,
+                                            with_dir=True)
+    except Exception as exc:  # the guard fires lazily inside the write
+        _reraise_unsound_scan(exc)  # RuntimeError, old contract
+        raise
     n_new = int(obs.get["n"])
     if n_new == 0:
         # delete matched nothing new: drop the empty sidecar dir, no
@@ -2237,7 +2273,11 @@ def update_where_mor(
         hits = hits.join(prior, ["__rel", "__ri"], "left_anti")
     # one materialization feeds BOTH the position sidecar and the new
     # images — a nondeterministic upstream could otherwise desync them
-    hits = hits.localCheckpoint()
+    try:
+        hits = hits.localCheckpoint()
+    except Exception as exc:  # the guard fires during materialization
+        _reraise_unsound_scan(exc)  # RuntimeError, old contract
+        raise
     n_upd = hits.count()
     if n_upd == 0:
         return parent
@@ -2582,7 +2622,14 @@ def _write_dv_sidecar(positions: DataFrame, path: str,
     observed-empty write can be rolled back without a count job)."""
     rel_dir = os.path.join("dv", uuid.uuid4().hex[:12])
     dest = os.path.join(path, rel_dir)
-    positions.write.mode("error").parquet(dest)
+    try:
+        positions.write.mode("error").parquet(dest)
+    except Exception:
+        # a failed write (e.g. the table-root soundness guard firing
+        # lazily inside the position projection) must not leak the
+        # partially-written, never-referenced dv/<uuid>/ dir
+        shutil.rmtree(dest, ignore_errors=True)
+        raise
     files = sorted(
         os.path.join(rel_dir, f)
         for f in os.listdir(dest) if f.endswith(".parquet")
