@@ -765,33 +765,238 @@ def capped_jaccard_pairs(doc_toks: DataFrame, df_cap: int) -> DataFrame:
     tests/test_operators.py::test_df_cap_recall_when_cap_binds):
     a qualifying pair is missed IFF every one of its shared tokens is
     above-cap."""
-    toks = doc_toks.select("doc_id", F.explode("toks").alias("tok"))
-    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    # VALUE-LEVEL compression (round-17, the r16 simhash discipline
+    # applied to the pair build — guide §2.3 "shuffle keys, not
+    # payloads"): duplicate-heavy corpora collapse to far fewer
+    # distinct token ARRAYS than documents (sf0.1: 60k docs -> ~6k
+    # groups), and every per-pair quantity (inter, sz1, sz2) is a pure
+    # function of the two arrays — so candidate generation, the
+    # Σ df² token self-join, and the exact verify all run at GROUP
+    # level and only the qualifying group pairs expand back to doc
+    # pairs.  Group identity: the group's MINIMUM doc_id (groups
+    # partition docs, so reps are unique and deterministic).  The
+    # df-cap stays doc-counted: a token's df = Σ group sizes over the
+    # groups containing it, and an intra-group pair (identical
+    # arrays) exists IFF the group has >= 1 sub-cap token — exactly
+    # the original's miss characterization (a qualifying pair is
+    # missed iff every shared token is above-cap), pinned by
+    # tests/test_property_differential.py.
+    g = (
+        doc_toks.groupBy("toks")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .select(F.array_min("ids").alias("rep"), "toks", "ids",
+                F.size("ids").alias("gsz"))
+        .localCheckpoint()
+    )
+    toks = g.select("rep", "gsz", F.explode("toks").alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.sum("gsz").alias("df"))
     rare = toks.join(dfreq.filter(F.col("df") <= df_cap), "tok").select(
-        "doc_id", "tok"
+        "rep", "tok"
     )
     r1, r2 = rare.alias("a"), rare.alias("b")
     cand = (
         r1.join(
             r2,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select(F.col("a.rep").alias("g1"), F.col("b.rep").alias("g2"))
         .distinct()
     )
-    t1 = doc_toks.select(F.col("doc_id").alias("d1"), F.col("toks").alias("ta"))
-    t2 = doc_toks.select(F.col("doc_id").alias("d2"), F.col("toks").alias("tb"))
-    return (
-        cand.join(t1, "d1")
-        .join(t2, "d2")
+    t1 = g.select(F.col("rep").alias("g1"), F.col("toks").alias("ta"),
+                  F.col("ids").alias("ia"))
+    t2 = g.select(F.col("rep").alias("g2"), F.col("toks").alias("tb"),
+                  F.col("ids").alias("ib"))
+    cross = (
+        cand.join(t1, "g1")
+        .join(t2, "g2")
         .select(
-            "d1", "d2",
+            F.explode("ia").alias("a"), "ib",
             F.size(F.array_intersect("ta", "tb")).alias("inter"),
-            F.size("ta").alias("sz1"),
-            F.size("tb").alias("sz2"),
+            F.size("ta").alias("sza"),
+            F.size("tb").alias("szb"),
+        )
+        .select(
+            "a", F.explode("ib").alias("b"), "inter", "sza", "szb"
+        )
+        .select(
+            F.least("a", "b").alias("d1"),
+            F.greatest("a", "b").alias("d2"),
+            "inter",
+            # sz1 belongs to d1: swap when the expansion reversed the
+            # pair's doc-id order relative to the group-rep order
+            F.when(F.col("a") < F.col("b"), F.col("sza"))
+            .otherwise(F.col("szb")).alias("sz1"),
+            F.when(F.col("a") < F.col("b"), F.col("szb"))
+            .otherwise(F.col("sza")).alias("sz2"),
         )
     )
+    # intra-group pairs: identical arrays, so the scores are the same
+    # expressions evaluated on (toks, toks); gated on the group having
+    # at least one sub-cap token (= its rep survived into `rare`)
+    intra = (
+        g.filter(F.col("gsz") >= 2)
+        .join(rare.select("rep").distinct(), "rep", "left_semi")
+        .select(
+            F.explode("ids").alias("a"), "ids",
+            F.size(F.array_intersect("toks", "toks")).alias("inter"),
+            F.size("toks").alias("sz1"),
+            F.size("toks").alias("sz2"),
+        )
+        .select("a", F.explode("ids").alias("b"), "inter", "sz1", "sz2")
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("d1"), F.col("b").alias("d2"),
+                "inter", "sz1", "sz2")
+    )
+    return cross.unionByName(intra)
+
+
+#: Below this many estimated candidate-join rows (Σ over tokens of the
+#: group-level df squared) the inverted-index join route beats the
+#: blocked kernel's fixed costs (dictionary build, 36 bucket-pair
+#: tasks, Arrow matrices) — at sf0.01 the join route runs ~3 s where
+#: the kernel pays ~7 s of overhead; at sf0.1 the join explodes to
+#: ~470M rows and the kernel wins 84 s -> 14 s.  Tests monkeypatch to
+#: 0 to force the kernel route.
+JACCARD_KERNEL_MIN_JOIN_ROWS = 20_000_000
+
+
+def jaccard_threshold_pairs(
+    doc_toks: DataFrame,
+    df_cap: int,
+    theta_num: int = 4,
+    theta_den: int = 5,
+) -> DataFrame:
+    """Qualifying near-dup pairs — ``jaccard >= theta_num/theta_den``
+    under :func:`capped_jaccard_pairs`'s df-cap candidate contract
+    (a qualifying pair is missed IFF every shared token is above-cap)
+    — cost-routed between two exact plans (round-16 VERDICT task 6):
+
+    * **blocked BLAS kernel** (``bitset.kernel_fits``): on a
+      small-vocabulary corpus the shared-token candidate join
+      degenerates toward all-pairs (sf0.1: 31 tokens, every one in
+      ~3.9k of 5k docs — Σ df² ≈ 236M join rows for 12.4M distinct
+      candidates, ~98 s of the old census build), so the cheapest
+      exact plan is the bitset all-pairs kernel: group identical
+      token arrays (value level), scatter each group's gid set into a
+      0/1 matrix, intersection-count ALL group pairs with one matmul
+      per bucket-pair, and keep only pairs passing the integer
+      threshold ``theta_den·inter >= theta_num·(sz1+sz2-inter)``
+      (⟺ the double filter: rationals with denominator <= |union|
+      sit >= 1/|union|² apart, far outside double rounding) that
+      also share >= 1 sub-cap token.  Only survivors expand back to
+      doc pairs.
+    * **join route** otherwise: :func:`capped_jaccard_pairs` + the
+      same integer threshold as a SQL filter.
+
+    Output: (d1, d2, inter, sz1, sz2), d1 < d2 — integer columns;
+    callers compute the jaccard double downstream so oracle float
+    semantics are untouched."""
+    from .bitset import (
+        blocked_pair_survivors,
+        dictionary_ids,
+        gid_sets,
+        kernel_fits,
+    )
+
+    spark = doc_toks.sparkSession
+    thr = (F.col("inter") * theta_den
+           >= (F.col("sz1") + F.col("sz2") - F.col("inter")) * theta_num)
+    # route on DOC-level statistics (one explode + one vocabulary-sized
+    # aggregate — no group-building cost charged to the join route):
+    # Σ df² is the candidate join's row count and df is doc-counted,
+    # exactly the cap's unit.  Doc-level Σ df² upper-bounds the
+    # value-level join cost, so over-routing to the kernel only
+    # happens where the kernel is also cheap (few groups).
+    toks_doc = doc_toks.select(
+        "doc_id", F.explode("toks").alias("tok"))
+    freq = toks_doc.groupBy("tok").agg(
+        F.count("*").alias("df")).localCheckpoint()
+    stats = freq.agg(
+        F.sum(F.col("df") * F.col("df")).alias("jr"),
+        F.count(F.lit(1)).alias("v")).collect()[0]
+    join_rows, v_bits = int(stats.jr or 0), int(stats.v)
+    n_docs = doc_toks.count()
+    if (join_rows < JACCARD_KERNEL_MIN_JOIN_ROWS
+            or not kernel_fits(n_docs, v_bits)):
+        # healthy vocabulary (the candidate join stays near-linear) or
+        # a corpus outside the kernel envelope: the join route wins
+        return capped_jaccard_pairs(doc_toks, df_cap).filter(thr)
+    g = (
+        doc_toks.groupBy("toks")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .select(F.array_min("ids").alias("rep"), "toks", "ids",
+                F.size("ids").alias("gsz"))
+        .localCheckpoint()
+    )
+    toks_long = g.select("rep", "gsz", F.explode("toks").alias("tok"))
+    dic = dictionary_ids(freq, "tok")
+    rare_toks = freq.filter(F.col("df") <= df_cap).select("tok")
+    long_all = toks_long.join(F.broadcast(dic), "tok").select("rep", "gid")
+    long_rare = (
+        toks_long.join(F.broadcast(dic), "tok")
+        .join(F.broadcast(rare_toks), "tok", "left_semi")
+        .select("rep", "gid")
+    )
+    sets_all = gid_sets(long_all, "rep", "gid", "ts")
+    sets_rare = gid_sets(long_rare, "rep", "gid", "rs")
+    docs = (
+        sets_all.join(sets_rare, "rep", "left")
+        .select(
+            "rep", "ts", "ts_sz",
+            F.coalesce("rs", F.expr("array()").cast("array<int>"))
+            .alias("rs"),
+            F.coalesce("rs_sz", F.lit(0).cast("long")).alias("rs_sz"),
+        )
+    )
+
+    def keep(inter, sz1, sz2):
+        union = sz1["ts"] + sz2["ts"] - inter["ts"]
+        return ((inter["ts"] * theta_den >= union * theta_num)
+                & (inter["rs"] >= 1))
+
+    surv = blocked_pair_survivors(
+        spark, docs, "rep", ["ts", "rs"], keep
+    ).select(
+        F.col("d1").alias("g1"), F.col("d2").alias("g2"),
+        F.col("ts_inter").alias("inter"),
+        F.col("ts_sz1").alias("sza"), F.col("ts_sz2").alias("szb"),
+    )
+    m1 = g.select(F.col("rep").alias("g1"), F.col("ids").alias("ia"))
+    m2 = g.select(F.col("rep").alias("g2"), F.col("ids").alias("ib"))
+    cross = (
+        surv.join(m1, "g1")
+        .join(m2, "g2")
+        .select(F.explode("ia").alias("a"), "ib", "inter", "sza", "szb")
+        .select("a", F.explode("ib").alias("b"), "inter", "sza", "szb")
+        .select(
+            F.least("a", "b").alias("d1"),
+            F.greatest("a", "b").alias("d2"),
+            "inter",
+            F.when(F.col("a") < F.col("b"), F.col("sza"))
+            .otherwise(F.col("szb")).alias("sz1"),
+            F.when(F.col("a") < F.col("b"), F.col("szb"))
+            .otherwise(F.col("sza")).alias("sz2"),
+        )
+    )
+    # intra-group pairs: identical token sets (jaccard 1 >= theta for
+    # any theta <= 1), qualifying iff the group has >= 1 sub-cap token
+    intra = (
+        g.filter(F.col("gsz") >= 2)
+        .join(sets_rare.filter(F.col("rs_sz") >= 1).select("rep"),
+              "rep", "left_semi")
+        .select(
+            F.explode("ids").alias("a"), "ids",
+            F.size(F.array_intersect("toks", "toks")).alias("inter"),
+            F.size("toks").alias("sz1"),
+            F.size("toks").alias("sz2"),
+        )
+        .select("a", F.explode("ids").alias("b"), "inter", "sz1", "sz2")
+        .filter(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("d1"), F.col("b").alias("d2"),
+                "inter", "sz1", "sz2")
+    )
+    return cross.unionByName(intra)
 
 
 def remove_duplicate_spans(

@@ -65,7 +65,12 @@ def market_basket_lift(spark, sf_dir):
     the basket self-join shuffles once on orderkey and the co_cnt >= 2
     filter runs map-side partial before the pair groupBy."""
     li = table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # materialized once (round-17, guide §1.2): four consumers (the
+    # order count, both broadcast item-frequency builds, and both
+    # sides of the pair self-join) otherwise each re-run the lineitem
+    # scan + distinct — ~10 MB of (orderkey, partkey) pairs at sf0.1
+    baskets = li.select("l_orderkey", "l_partkey").distinct() \
+        .localCheckpoint()
     n = baskets.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_orders")
     )

@@ -239,7 +239,11 @@ def jensen_shannon_source_drift(spark, sf_dir):
     (sources × vocab), never corpus-sized."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(F.split("text", " ")).alias("w"))
-    cnt = tok.groupBy("source", "w").agg(F.count("*").alias("c"))
+    # (source × vocab)-tier counts materialized once (round-17, guide
+    # §1.2): totals, both pair sides and the union-vocab keys all
+    # consume cnt — each re-ran the corpus explode + aggregate before
+    cnt = tok.groupBy("source", "w").agg(F.count("*").alias("c")) \
+        .localCheckpoint()
     tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
     srcs = tot.select(F.col("source").alias("s"))
     pair = (
@@ -336,19 +340,28 @@ def ljung_box_daily_revenue(spark, sf_dir):
     more token-identical reduction rounded to 4 dp.  The n >= 9 guard
     keeps every (n - k) divisor positive and the empty twin at zero
     rows."""
+    from pyspark.sql import Observation
+
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.sum(_cents("o_totalprice")).alias("cents"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # the series totals ride the checkpoint as an observation
+    # (round-17, guide §1.2): the old tot frame cost a separate
+    # aggregate job + broadcast build, and the un-materialized idx was
+    # re-derived (orders scan + window) by tot and BOTH lag-join sides
+    obs = Observation()
     idx = daily.select(
         "cents",
         F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"),
-    )
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    tot = idx.agg(
-        F.count("*").alias("n"),
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
         F.sum(dec("cents")).cast("double").alias("s1"),
         F.sum(dec("cents") * dec("cents")).cast("double").alias("s2"),
-    )
+    ).localCheckpoint()
+    tot = obs.get
+    n = int(tot["n"])
     lags = spark.range(1, 8).select(F.col("id").alias("lag"))
     a = idx.alias("a")
     b = idx.alias("b")
@@ -368,18 +381,31 @@ def ljung_box_daily_revenue(spark, sf_dir):
             F.count("*").alias("np"),
         )
     )
+    if n < 9:
+        # the old n >= 9 filter dropped every row; same zero-row
+        # frame with the same schema, without running the lag join
+        return (
+            lagk.limit(0)
+            .select(F.lit(n).cast("bigint").alias("n_days"),
+                    F.lit(7).cast("int").alias("max_lag"),
+                    F.lit(None).cast("double").alias("q_stat"))
+        )
+    # literals carry the observed totals: the arithmetic below is the
+    # same IEEE op tree over the same doubles as the old broadcast-tot
+    # columns, so q_stat is bit-identical
+    nl, s1l, s2l = (F.lit(n).cast("bigint"),
+                    F.lit(tot["s1"]), F.lit(tot["s2"]))
     return (
-        lagk.crossJoin(F.broadcast(tot))
-        .filter((F.col("n") >= 9) & (F.col("np") >= 2))
-        .groupBy("n")
+        lagk.filter(F.col("np") >= 2)
+        .groupBy(nl.alias("n"))
         .agg(F.round(
-            F.first("n") * (F.first("n") + F.lit(2.0))
+            nl * (nl + F.lit(2.0))
             * F.sum(
                 F.pow(
                     (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("np"))
-                    / (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-                    * F.col("n") / F.col("np"), F.lit(2))
-                / (F.col("n") - F.col("lag"))), 4).alias("q_stat"))
+                    / (s2l - s1l * s1l / nl)
+                    * nl / F.col("np"), F.lit(2))
+                / (nl - F.col("lag"))), 4).alias("q_stat"))
         .select(F.col("n").alias("n_days"),
                 F.lit(7).cast("int").alias("max_lag"), "q_stat")
     )
@@ -507,7 +533,11 @@ def pmi_bigram_collocations(spark, sf_dir):
                 F.element_at("t", i + 1).alias("w2")),
         )).alias("p")
     ).select("p.w1", "p.w2")
-    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    # vocab²-tier bigram counts materialized once (round-17, guide
+    # §1.2): the unigram mass (two branches), the total and the main
+    # ranking all consume bc — each re-ran the corpus bigram explode
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c")) \
+        .localCheckpoint()
     uni = (
         bc.select(F.col("w1").alias("w"), "c")
         .unionAll(bc.select(F.col("w2").alias("w"), "c"))
@@ -1036,19 +1066,26 @@ def hurst_exponent_daily_revenue(spark, sf_dir):
     both engines, and sizes need >= 2 surviving blocks.  Scale: the
     series is day-dictionary-tier; the 4 sizes fan out as a
     broadcast grid — the whole analysis runs on |days| x 4 rows."""
+    from pyspark.sql import Observation
+
     o = table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.sum(_cents("o_totalprice")).alias("x"))
+    # the series length rides the (already materializing) checkpoint
+    # as an observation (round-17, guide §1.2) — the old nmax frame
+    # cost one aggregate job plus two broadcast builds for one integer
+    obs = Observation()
     idx = daily.select(
         "x", F.row_number().over(Window.orderBy("d")).cast("bigint")
-        .alias("t")).localCheckpoint()
-    nmax = idx.agg(F.max("t").alias("mx"))
+        .alias("t")).observe(obs, F.max("t").alias("mx")) \
+        .localCheckpoint()
+    mx = obs.get["mx"]  # None on an empty series, exactly like max()
+    mxl = F.lit(mx).cast("bigint")
     sizes = spark.createDataFrame([(8,), (16,), (32,), (64,)], "n bigint")
     sized = (
         F.broadcast(sizes)
-        .crossJoin(F.broadcast(nmax))
         .join(idx, F.col("t")
-              <= (F.col("mx") / F.col("n")).cast("bigint") * F.col("n"))
+              <= (mxl / F.col("n")).cast("bigint") * F.col("n"))
         .select("n", "t", "x",
                 ((F.col("t") - 1) / F.col("n")).cast("bigint").alias("blk"))
     )
@@ -1097,10 +1134,9 @@ def hurst_exponent_daily_revenue(spark, sf_dir):
             F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
             F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
         )
-        .crossJoin(F.broadcast(nmax))
         .filter(F.col("k") >= 2)
         .select(
-            F.col("mx").alias("n_days"),
+            mxl.alias("n_days"),
             F.col("k").alias("n_sizes"),
             F.expr("round((sxy - sx * sy / k) / (sxx - sx * sx / k), 4)")
             .alias("hurst"),

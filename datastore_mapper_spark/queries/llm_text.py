@@ -366,17 +366,24 @@ def _build_near_dup_pairs(spark, sf_dir) -> DataFrame:
     """The actual pair computation (the one-time cost of the snapshot):
     df-capped candidate generation + exact array-intersect verify —
     see ``dedup_near_jaccard``'s docstring for the scale argument."""
-    from ..operators.dedup import capped_jaccard_pairs
+    from ..operators.dedup import jaccard_threshold_pairs
 
     d = table(spark, sf_dir, "documents")
     doc_toks = d.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    # exact verify on whole token ARRAYS (array_intersect per pair, all
-    # JVM-side) — two joins on doc_id instead of re-exploding both
-    # sides into a (pair × token) join; measured 110 s -> array form at
-    # sf0.1's duplicate-heavy 3M-pair fixture
-    scored = capped_jaccard_pairs(doc_toks, NEAR_DUP_DF_CAP)
+    # cost-routed qualifying-pair generation (round-16 VERDICT task 6):
+    # on this small-vocabulary corpus the shared-token candidate join
+    # degenerates to ~all-pairs (~98 s of the old ~95 s cold build was
+    # the Σ df² join + distinct), so the bitset all-pairs kernel scores
+    # group pairs with blocked matmuls and only the >= 4/5 survivors
+    # expand back to doc pairs; healthy-vocabulary corpora keep the
+    # inverted-index join route (bitset.kernel_fits decides).  The
+    # final jaccard double + filter are unchanged — the kernel's
+    # integer threshold is exactly the double filter (rationals with
+    # denominator <= |union| sit far outside double rounding), so this
+    # re-filter is an idempotent restatement, kept for the contract.
+    scored = jaccard_threshold_pairs(doc_toks, NEAR_DUP_DF_CAP, 4, 5)
     jac = F.col("inter").cast("double") / (
         F.col("sz1") + F.col("sz2") - F.col("inter")
     )

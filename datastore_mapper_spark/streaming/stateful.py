@@ -313,21 +313,38 @@ def _update_sessions(
     rows = [pdf[["us", "event_id"]] for pdf in pdfs if len(pdf)]
     cur = list(state.get) if state.exists else None
     if rows:
+        # vectorized sessionizer (round-17, guide §4.2): session
+        # boundaries are exactly the positions whose gap from the
+        # previous event is >= the half-open [start, start+gap)
+        # extension window — an event EXACTLY gap after the previous
+        # one starts a NEW session, matching Spark's built-in
+        # session_window boundary semantics (round-14 ADVICE).  The
+        # old per-event Python loop was the dominant per-batch cost
+        # (~50k interpreted iterations/batch at sf0.1).
+        import numpy as np
+
         batch = pd.concat(rows).sort_values(["us", "event_id"])
-        for us in batch["us"].to_numpy():
-            us = int(us)
-            if cur is None:
-                cur = [us, us, 1]
-            elif us - cur[1] >= _SESSION_GAP_US:
-                # half-open [start, start+gap) extension window — an
-                # event EXACTLY gap after the previous one starts a
-                # NEW session, matching Spark's built-in
-                # session_window boundary semantics (round-14 ADVICE)
-                out.append((uid, cur[0], cur[2]))
-                cur = [us, us, 1]
-            else:
-                cur[1] = us
-                cur[2] += 1
+        us = batch["us"].to_numpy().astype(np.int64, copy=False)
+        new_flag = np.empty(len(us), dtype=bool)
+        new_flag[1:] = (us[1:] - us[:-1]) >= _SESSION_GAP_US
+        new_flag[0] = (cur is None
+                       or us[0] - cur[1] >= _SESSION_GAP_US)
+        starts = np.flatnonzero(new_flag)
+        bounds = np.r_[starts, len(us)]
+        sessions: list[list[int]] = []
+        if cur is not None and not new_flag[0]:
+            # leading run extends the carried-in session
+            lead_end = int(bounds[0]) if len(starts) else len(us)
+            sessions.append(
+                [cur[0], int(us[lead_end - 1]), cur[2] + lead_end])
+        elif cur is not None:
+            sessions.append(cur)  # closes when the first new one opens
+        for i in range(len(starts)):
+            a, b = int(bounds[i]), int(bounds[i + 1])
+            sessions.append([int(us[a]), int(us[b - 1]), b - a])
+        for s in sessions[:-1]:  # all but the trailing session close
+            out.append((uid, s[0], s[2]))
+        cur = sessions[-1]
     if cur is not None:
         wm_ms = state.getCurrentWatermarkMs()
         close_at_ms = cur[1] // 1000 + _SESSION_GAP_MS + 1

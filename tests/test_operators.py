@@ -417,6 +417,38 @@ def test_connected_components_routes_are_twins(spark, monkeypatch):
     assert kernel_cc == kernel_star
 
 
+def test_jaccard_threshold_pairs_routes_agree(spark, monkeypatch):
+    """The blocked-kernel route of jaccard_threshold_pairs (round-17:
+    the near-dup census build's candidate join degenerates to
+    ~all-pairs on the small-vocabulary fixture) must produce
+    bit-identical (d1, d2, inter, sz1, sz2) rows to the join route
+    (capped_jaccard_pairs + the integer threshold), including the
+    df-cap miss characterization and duplicate-text groups, with a
+    BINDING cap."""
+    import random
+
+    from datastore_mapper_spark.operators import dedup as dd
+
+    rng = random.Random(1717)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = []
+    for i in range(60):
+        toks = sorted(rng.sample(vocab, rng.randint(1, 8)))
+        docs.append((i, toks))
+    docs += [(100 + i, docs[3][1]) for i in range(4)]   # exact-dup group
+    docs += [(200 + i, docs[7][1]) for i in range(2)]   # second group
+    df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    cap = 30  # binds: several tokens exceed df 30 over 66 docs
+
+    monkeypatch.setattr(dd, "JACCARD_KERNEL_MIN_JOIN_ROWS", 0)
+    kernel = {tuple(r) for r in dd.jaccard_threshold_pairs(
+        df, cap, 3, 5).collect()}  # low theta => many survivors
+    monkeypatch.setattr(dd, "JACCARD_KERNEL_MIN_JOIN_ROWS", 10**18)
+    join = {tuple(r) for r in dd.jaccard_threshold_pairs(
+        df, cap, 3, 5).collect()}
+    assert kernel == join and len(join) > 0
+
+
 def test_label_propagation_routes_agree(spark, monkeypatch):
     """The one-task LPA kernel (round-17: graph_label_propagation paid
     ~2 s of scheduler jobs per synchronous round on a graph that fits
