@@ -2100,14 +2100,24 @@ def acid_ivm_join_view(spark, sf_dir):
              .select("c_custkey", F.lit("UPDATED").alias("c_mktsegment")))
     acid_lite.merge_upsert(spark, destB, cdc_b, key="c_custkey")
     # --- IVM step 1: fact deltas -> V upserts/deletes by view key ---
-    dA = acid_lite.change_data_feed(spark, destA, "o_orderkey", a_v0)
-    dA = dA.localCheckpoint()
-    # CDF tallies up front: the receipts need them anyway, and they
-    # answer the two "is this delta empty?" probes below without the
-    # limit(1).count() jobs the r13 original paid (one per side)
-    got = {r._change_type: r.n for r in
-           dA.groupBy("_change_type").agg(F.count("*").alias("n"))
-           .collect()}
+    from pyspark.sql import Observation
+
+    # CDF tallies ride the checkpoint as an observation (round-17,
+    # guide §1.2 — same fold as stream_acid_ivm_refresh): the receipts
+    # need them anyway, they answer the "is this delta empty?" probes,
+    # and the old groupBy-collect was a separate job per side
+    ct = F.col("_change_type")
+    obs_a = Observation()
+    dA = acid_lite.change_data_feed(
+        spark, destA, "o_orderkey", a_v0
+    ).observe(
+        obs_a,
+        F.count(F.when(ct == "insert", True)).alias("insert"),
+        F.count(F.when(ct == "update_postimage", True))
+        .alias("update_postimage"),
+        F.count(F.when(ct == "delete", True)).alias("delete"),
+    ).localCheckpoint()
+    got = obs_a.get
     ups_a = dA.filter(
         F.col("_change_type").isin("insert", "update_postimage"))
     del_a = dA.filter(F.col("_change_type") == "delete")
@@ -2129,11 +2139,16 @@ def acid_ivm_join_view(spark, sf_dir):
         acid_lite.merge_upsert(spark, destV, delta_v1, key="o_orderkey",
                                delete_col="_deleted")
     # --- IVM step 2: dim deltas -> affected CURRENT fact rows ---
-    dB = acid_lite.change_data_feed(spark, destB, "c_custkey", b_v0)
-    dB = dB.localCheckpoint()
-    got_b = {r._change_type: r.n for r in
-             dB.groupBy("_change_type").agg(F.count("*").alias("n"))
-             .collect()}
+    obs_b = Observation()
+    dB = acid_lite.change_data_feed(
+        spark, destB, "c_custkey", b_v0
+    ).observe(
+        obs_b,
+        F.count(F.when(ct == "insert", True)).alias("insert"),
+        F.count(F.when(ct == "update_postimage", True))
+        .alias("update_postimage"),
+    ).localCheckpoint()
+    got_b = obs_b.get
     b_post = dB.filter(
         F.col("_change_type").isin("insert", "update_postimage"))
     a_now = acid_lite.read(spark, destA)
